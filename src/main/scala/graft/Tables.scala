@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Test-table access. All driver tables are parquet files under an sf dir
+  * (TESTDATA.md). Queries receive the sf dir and read from it; the driver's
+  * DuckDB oracle reads the same files, so table names here must match the
+  * bare names used in `SparkEntry.oracleSql`.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    // reader rejects; read the raw int64 and truncate to micros exactly
+    // like DuckDB does when it casts ns -> its native us timestamps.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts DIV 1000)"))
+    else df
+  }
+
+  /** Register every table as a temp view so shared ANSI SQL (identical text
+    * to the DuckDB oracle) can run through Catalyst unchanged.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

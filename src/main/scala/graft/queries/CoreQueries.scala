@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core analytic queries over the driver's TPC-H-ish tables.
+  *
+  * These exercise the query surface a columnar engine exists to serve
+  * (scan → filter → join → aggregate → window → top-k) and double as the
+  * bench headliners. Money aggregates follow the determinism contract in
+  * [[Q]]: exact-decimal sums, rounded before the final DOUBLE cast, and a
+  * total ORDER BY, so Spark and the DuckDB oracle hash-match bit-for-bit.
+  *
+  * Scale notes (100 TB framing): every query here is a pure declarative
+  * plan — filters/projections reach the scan, aggregations are partial
+  * (map-side combine), small dimensions are broadcast explicitly, and no
+  * driver-side loop touches data.
+  */
+object CoreQueries extends QueryPack {
+
+  /** Shared-text query: the identical ANSI SQL runs through Catalyst and
+    * through DuckDB, eliminating any semantic drift between the two sides.
+    */
+  private def shared(name: String, text: String): Q =
+    Q(name, (s, dir) => { Tables.registerAll(s, dir); s.sql(text) }, Some(text))
+
+  // ---------------------------------------------------------------- q1
+  private val q1Sql = s"""
+    |SELECT l_returnflag, l_linestatus,
+    |  ${dsum("l_quantity")} AS sum_qty,
+    |  ${dsum("l_extendedprice")} AS sum_base_price,
+    |  ${dsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+    |  ${dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+    |  ${davg("l_quantity")} AS avg_qty,
+    |  ${davg("l_extendedprice")} AS avg_price,
+    |  ${davg("l_discount")} AS avg_disc,
+    |  COUNT(*) AS count_order
+    |FROM lineitem
+    |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    |GROUP BY l_returnflag, l_linestatus
+    |ORDER BY l_returnflag, l_linestatus
+    |""".stripMargin.trim
+
+  // ---------------------------------------------------------------- q6
+  private val q6Sql = s"""
+    |SELECT ${dsum("l_extendedprice * l_discount")} AS revenue, COUNT(*) AS n_rows
+    |FROM lineitem
+    |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    |""".stripMargin.trim
+
+  // ---------------------------------------------------------------- q5
+  private val q5Sql = s"""
+    |SELECT r_name, n_name, ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+    |  COUNT(*) AS n_items
+    |FROM lineitem
+    |JOIN orders ON l_orderkey = o_orderkey
+    |JOIN customer ON o_custkey = c_custkey
+    |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    |JOIN nation ON s_nationkey = n_nationkey
+    |JOIN region ON n_regionkey = r_regionkey
+    |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    |GROUP BY r_name, n_name
+    |ORDER BY r_name, n_name
+    |""".stripMargin.trim
+
+  // ------------------------------------------------------- orders CASE
+  private val qCaseSql = s"""
+    |SELECT o_orderpriority,
+    |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+    |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+    |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+    |  COUNT(*) AS n_orders,
+    |  ${dsum("o_totalprice")} AS total_price
+    |FROM orders
+    |GROUP BY o_orderpriority
+    |ORDER BY o_orderpriority
+    |""".stripMargin.trim
+
+  // ---------------------------------------------------- events hourly
+  private val qEventsSql = s"""
+    |SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+    |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+    |  ${dsum("value")} AS total_value
+    |FROM events
+    |GROUP BY date_trunc('hour', ts), event_type
+    |ORDER BY hour_ts, event_type
+    |""".stripMargin.trim
+
+  // ----------------------------------------------- DataFrame-API side
+  /** TPC-H Q3-style shipping priority: two joins (one broadcast), decimal
+    * revenue, deterministic top-10.
+    */
+  private def q3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    val ord = Tables.load(s, dir, "orders")
+    val cust = Tables.load(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .filter($"o_orderdate" < expr("TIMESTAMP '1996-06-30 00:00:00'") &&
+              $"l_shipdate" > expr("TIMESTAMP '1996-06-30 00:00:00'"))
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(expr(dsum("l_extendedprice * (1 - l_discount)")).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Oracle = s"""
+    |SELECT l_orderkey, o_orderdate, o_orderpriority,
+    |  ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+    |FROM lineitem
+    |JOIN orders ON l_orderkey = o_orderkey
+    |JOIN customer ON o_custkey = c_custkey
+    |WHERE c_mktsegment = 'BUILDING'
+    |  AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+    |  AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+    |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    |ORDER BY revenue DESC, l_orderkey
+    |LIMIT 10
+    |""".stripMargin.trim
+
+  /** Top-3 parts by retail price per brand — ranking window, no aggregation
+    * of floats (raw values pass through bit-identically).
+    */
+  private def qTopParts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"p_brand")
+      .orderBy($"p_retailprice".desc, $"p_partkey".asc)
+    Tables.load(s, dir, "part")
+      .withColumn("rank_in_brand", row_number().over(w).cast("long"))
+      .filter($"rank_in_brand" <= 3)
+      .select($"p_brand", $"rank_in_brand", $"p_partkey", $"p_name", $"p_retailprice")
+      .orderBy($"p_brand", $"rank_in_brand")
+  }
+
+  private val qTopPartsOracle = """
+    |SELECT p_brand, rank_in_brand, p_partkey, p_name, p_retailprice FROM (
+    |  SELECT p_brand, p_partkey, p_name, p_retailprice,
+    |    ROW_NUMBER() OVER (PARTITION BY p_brand
+    |                       ORDER BY p_retailprice DESC, p_partkey) AS rank_in_brand
+    |  FROM part) t
+    |WHERE rank_in_brand <= 3
+    |ORDER BY p_brand, rank_in_brand
+    |""".stripMargin.trim
+
+  /** Distinct cardinalities — exercises shuffle-based distinct aggregation. */
+  private def qDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem").agg(
+      countDistinct($"l_partkey").as("n_parts"),
+      countDistinct($"l_suppkey").as("n_supps"),
+      countDistinct($"l_orderkey").as("n_orders"),
+      count(lit(1)).as("n_rows"))
+  }
+
+  private val qDistinctOracle = """
+    |SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+    |       COUNT(DISTINCT l_suppkey) AS n_supps,
+    |       COUNT(DISTINCT l_orderkey) AS n_orders,
+    |       COUNT(*) AS n_rows
+    |FROM lineitem
+    |""".stripMargin.trim
+
+  /** Per-customer running spend — window sum over exact decimal. */
+  private def qRunning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.load(s, dir, "orders")
+      .withColumn("run_dec", sum($"o_totalprice".cast("decimal(18,6)")).over(w))
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        expr("CAST(ROUND(run_dec, 2) AS DOUBLE)").as("running_spend"),
+        row_number().over(w).cast("long").as("order_seq"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  private val qRunningOracle = """
+    |SELECT o_custkey, o_orderkey, o_orderdate,
+    |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+    |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS DOUBLE)
+    |    AS running_spend,
+    |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    |    AS order_seq
+    |FROM orders
+    |ORDER BY o_custkey, o_orderkey
+    |""".stripMargin.trim
+
+  /** Customer balance per nation: broadcast dim join + decimal agg. */
+  private def qNationBal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "customer")
+      .join(broadcast(Tables.load(s, dir, "nation")),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        expr(dsum("c_acctbal")).as("total_bal"),
+        expr(davg("c_acctbal")).as("avg_bal"),
+        count(lit(1)).as("n_cust"))
+      .orderBy($"n_name")
+  }
+
+  private val qNationBalOracle = s"""
+    |SELECT n_name, ${dsum("c_acctbal")} AS total_bal,
+    |  ${davg("c_acctbal")} AS avg_bal, COUNT(*) AS n_cust
+    |FROM customer JOIN nation ON c_nationkey = n_nationkey
+    |GROUP BY n_name
+    |ORDER BY n_name
+    |""".stripMargin.trim
+
+  /** Semi/anti join: customers with vs without orders. */
+  private def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.load(s, dir, "customer")
+    val ord = Tables.load(s, dir, "orders")
+    val withO = cust.join(ord, $"c_custkey" === $"o_custkey", "left_semi")
+      .agg(count(lit(1)).as("with_orders"))
+    val noO = cust.join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+      .agg(count(lit(1)).as("without_orders"))
+    withO.crossJoin(noO)
+  }
+
+  private val qSemiAntiOracle = """
+    |SELECT
+    |  (SELECT COUNT(*) FROM customer c
+    |    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+    |    AS with_orders,
+    |  (SELECT COUNT(*) FROM customer c
+    |    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+    |    AS without_orders
+    |""".stripMargin.trim
+
+  override val all: Seq[Q] = Seq(
+    shared("q1_pricing", q1Sql),
+    shared("q6_forecast_revenue", q6Sql),
+    shared("q5_region_revenue", q5Sql),
+    shared("q_orders_case", qCaseSql),
+    shared("q_events_hourly", qEventsSql),
+    Q("q3_shipping_priority", q3, Some(q3Oracle)),
+    Q("q_top_parts_window", qTopParts, Some(qTopPartsOracle)),
+    Q("q_distinct_counts", qDistinct, Some(qDistinctOracle)),
+    Q("q_running_spend", qRunning, Some(qRunningOracle)),
+    Q("q_nation_balance", qNationBal, Some(qNationBalOracle)),
+    Q("q_semi_anti_join", qSemiAnti, Some(qSemiAntiOracle)),
+  )
+}

@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named, driver-checkable query.
+  *
+  * @param fn     Spark-side implementation: (session, sfDir) => result.
+  * @param oracle equivalent ANSI SQL for DuckDB over the same parquet
+  *               tables (bare table names). None => driver records a
+  *               weaker rows-only check (used for ops DuckDB can't
+  *               express, e.g. MinHash-LSH).
+  *
+  * Determinism contract (so driver hash-compare passes):
+  *  - every query ends in a total ORDER BY (full tiebreak);
+  *  - no raw SUM/AVG over doubles: sums go through exact DECIMAL and are
+  *    rounded before the final cast to DOUBLE, so aggregation order can
+  *    never change a bit of the output;
+  *  - column names identical on both sides (driver sorts columns by name).
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+trait QueryPack {
+  def all: Seq[Q]
+
+  /** Per-row double arithmetic is bit-deterministic; only the aggregation
+    * order isn't. So: cast each term to an exact DECIMAL, sum (exact, so
+    * order-independent), round, and only then go back to DOUBLE.
+    */
+  protected def dsum(e: String, scale: Int = 2): String =
+    s"CAST(ROUND(SUM(CAST(($e) AS DECIMAL(18,6))), $scale) AS DOUBLE)"
+
+  /** Order-independent average: exact decimal sum, then one IEEE division
+    * (correctly rounded => identical in Spark and DuckDB).
+    */
+  protected def davg(e: String): String =
+    s"CAST(ROUND(SUM(CAST(($e) AS DECIMAL(18,6))), 6) AS DOUBLE) / COUNT(*)"
+}
