@@ -1,0 +1,123 @@
+package graft.format
+
+import java.util.zip.{Deflater, Inflater}
+
+/** Block compression codecs behind the same contract as the reference
+  * (hive-dwrf compression/CompressionCodec.java:27-45): compress a block,
+  * returning None when the result would not shrink (the caller then stores
+  * the original bytes and flags them in the chunk header), and decompress
+  * a block of known decompressed size.
+  *
+  * ZLIB is raw deflate (no zlib wrapper), level 4 by default, matching
+  * ZlibCodec.java:44-45. SNAPPY/ZSTD use the jars Spark already ships.
+  */
+sealed abstract class CompressionKind(val id: Int, val name: String)
+object CompressionKind {
+  case object None extends CompressionKind(0, "NONE")
+  case object Zlib extends CompressionKind(1, "ZLIB")
+  case object Snappy extends CompressionKind(2, "SNAPPY")
+  case object Zstd extends CompressionKind(3, "ZSTD")
+
+  val all: Seq[CompressionKind] = Seq(None, Zlib, Snappy, Zstd)
+
+  def fromId(id: Int): CompressionKind =
+    all.find(_.id == id).getOrElse(
+      throw new IllegalArgumentException(s"unknown compression id $id"))
+
+  def fromName(n: String): CompressionKind =
+    all.find(_.name.equalsIgnoreCase(n)).getOrElse(
+      throw new IllegalArgumentException(s"unknown compression '$n'"))
+}
+
+trait CompressionCodec {
+  /** Compress src[off, off+len); None if the result is not smaller. */
+  def compress(src: Array[Byte], off: Int, len: Int): Option[Array[Byte]]
+
+  /** Decompress src[off, off+len). `maxDestLen` is an upper bound (the
+    * write-side block size); the returned array is exactly the actual
+    * decompressed length.
+    */
+  def decompress(src: Array[Byte], off: Int, len: Int, maxDestLen: Int): Array[Byte]
+}
+
+object CompressionCodec {
+  /** None for CompressionKind.None: the stream layer then skips chunk
+    * framing entirely (same as the reference's uncompressed mode).
+    */
+  def forKind(kind: CompressionKind, zlibLevel: Int = 4): Option[CompressionCodec] =
+    kind match {
+      case CompressionKind.None => scala.None
+      case CompressionKind.Zlib => Some(new ZlibCodec(zlibLevel))
+      case CompressionKind.Snappy => Some(SnappyCodec)
+      case CompressionKind.Zstd => Some(ZstdCodec)
+    }
+}
+
+final class ZlibCodec(level: Int) extends CompressionCodec {
+  override def compress(src: Array[Byte], off: Int, len: Int): Option[Array[Byte]] = {
+    val deflater = new Deflater(level, /* nowrap = raw deflate */ true)
+    try {
+      deflater.setInput(src, off, len)
+      deflater.finish()
+      val out = new Array[Byte](len) // only useful if it shrinks
+      var total = 0
+      while (!deflater.finished() && total < len) {
+        val n = deflater.deflate(out, total, len - total)
+        total += n
+        if (n == 0 && !deflater.finished()) return None
+      }
+      if (deflater.finished() && total < len) Some(java.util.Arrays.copyOf(out, total))
+      else None
+    } finally deflater.end()
+  }
+
+  override def decompress(src: Array[Byte], off: Int, len: Int, maxDestLen: Int): Array[Byte] = {
+    val inflater = new Inflater(true)
+    try {
+      inflater.setInput(src, off, len)
+      var out = new Array[Byte](maxDestLen)
+      var total = 0
+      while (!inflater.finished()) {
+        if (total == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+        val n = inflater.inflate(out, total, out.length - total)
+        if (n == 0 && inflater.needsInput())
+          throw new java.io.IOException("truncated zlib block")
+        total += n
+      }
+      if (total == out.length) out else java.util.Arrays.copyOf(out, total)
+    } finally inflater.end()
+  }
+}
+
+object SnappyCodec extends CompressionCodec {
+  import org.xerial.snappy.Snappy
+
+  override def compress(src: Array[Byte], off: Int, len: Int): Option[Array[Byte]] = {
+    val out = new Array[Byte](Snappy.maxCompressedLength(len))
+    val n = Snappy.compress(src, off, len, out, 0)
+    if (n < len) Some(java.util.Arrays.copyOf(out, n)) else None
+  }
+
+  override def decompress(src: Array[Byte], off: Int, len: Int, maxDestLen: Int): Array[Byte] = {
+    val actual = Snappy.uncompressedLength(src, off, len)
+    val out = new Array[Byte](actual)
+    Snappy.uncompress(src, off, len, out, 0)
+    out
+  }
+}
+
+object ZstdCodec extends CompressionCodec {
+  import com.github.luben.zstd.Zstd
+
+  override def compress(src: Array[Byte], off: Int, len: Int): Option[Array[Byte]] = {
+    val in = if (off == 0 && len == src.length) src else java.util.Arrays.copyOfRange(src, off, off + len)
+    val out = Zstd.compress(in, 3)
+    if (out.length < len) Some(out) else None
+  }
+
+  override def decompress(src: Array[Byte], off: Int, len: Int, maxDestLen: Int): Array[Byte] = {
+    val in = if (off == 0 && len == src.length) src else java.util.Arrays.copyOfRange(src, off, off + len)
+    val actual = Zstd.getFrameContentSize(in)
+    Zstd.decompress(in, actual.toInt)
+  }
+}

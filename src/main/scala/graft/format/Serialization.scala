@@ -1,0 +1,107 @@
+package graft.format
+
+import java.io.{EOFException, InputStream, OutputStream}
+
+/** Varint / zigzag / IEEE little-endian primitives.
+  *
+  * Same wire shapes as the reference's serde
+  * (hive-dwrf SerializationUtils.java:33-156): LEB128 unsigned varints,
+  * zigzag-encoded signed varints, and little-endian 4/8-byte floats.
+  */
+object Serialization {
+
+  def writeVulong(out: OutputStream, v: Long): Unit = {
+    var value = v
+    var done = false
+    while (!done) {
+      if ((value & ~0x7fL) == 0) {
+        out.write(value.toInt)
+        done = true
+      } else {
+        out.write(((value & 0x7f) | 0x80).toInt)
+        value >>>= 7
+      }
+    }
+  }
+
+  def writeVslong(out: OutputStream, v: Long): Unit =
+    writeVulong(out, (v << 1) ^ (v >> 63))
+
+  def readVulong(in: InputStream): Long = {
+    var result = 0L
+    var shift = 0
+    var b = 0
+    do {
+      b = in.read()
+      if (b == -1) throw new EOFException("EOF mid-varint")
+      result |= (b & 0x7fL) << shift
+      shift += 7
+    } while ((b & 0x80) != 0)
+    result
+  }
+
+  def readVslong(in: InputStream): Long = {
+    val v = readVulong(in)
+    (v >>> 1) ^ -(v & 1)
+  }
+
+  def writeFloat(out: OutputStream, f: Float): Unit = {
+    val bits = java.lang.Float.floatToIntBits(f)
+    out.write(bits & 0xff)
+    out.write((bits >> 8) & 0xff)
+    out.write((bits >> 16) & 0xff)
+    out.write((bits >> 24) & 0xff)
+  }
+
+  def readFloat(in: InputStream): Float = {
+    var bits = 0
+    var i = 0
+    while (i < 4) {
+      val b = in.read()
+      if (b == -1) throw new EOFException("EOF mid-float")
+      bits |= b << (i * 8)
+      i += 1
+    }
+    java.lang.Float.intBitsToFloat(bits)
+  }
+
+  def writeDouble(out: OutputStream, d: Double): Unit = {
+    var bits = java.lang.Double.doubleToLongBits(d)
+    var i = 0
+    while (i < 8) {
+      out.write((bits & 0xff).toInt)
+      bits >>>= 8
+      i += 1
+    }
+  }
+
+  def readDouble(in: InputStream): Double = {
+    var bits = 0L
+    var i = 0
+    while (i < 8) {
+      val b = in.read()
+      if (b == -1) throw new EOFException("EOF mid-double")
+      bits |= (b & 0xffL) << (i * 8)
+      i += 1
+    }
+    java.lang.Double.longBitsToDouble(bits)
+  }
+
+  // ---- fixed-width helpers for metadata ----
+  def writeIntLE(out: OutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+  }
+
+  def readIntLE(in: InputStream): Int = {
+    var bits = 0
+    var i = 0
+    while (i < 4) {
+      val b = in.read()
+      if (b == -1) throw new EOFException("EOF mid-int")
+      bits |= b << (i * 8)
+      i += 1
+    }
+    bits
+  }
+}

@@ -1,0 +1,227 @@
+package graft.format
+
+import java.io.{EOFException, InputStream, OutputStream}
+
+/** Row-index position plumbing (reference PositionRecorder/Provider).
+  * Compressed streams record (chunkStart, uncompressedOffset) pairs;
+  * uncompressed streams record a single byte offset.
+  */
+trait PositionRecorder { def addPosition(pos: Long): Unit }
+
+trait PositionProvider { def next(): Long }
+
+final class PositionsBuilder extends PositionRecorder {
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+  override def addPosition(pos: Long): Unit = buf += pos
+  def result(): Array[Long] = buf.toArray
+}
+
+final class ArrayPositionProvider(positions: Array[Long], private var i: Int = 0)
+    extends PositionProvider {
+  override def next(): Long = { val v = positions(i); i += 1; v }
+  def remaining: Int = positions.length - i
+}
+
+/** Buffering, optionally block-compressing output stream — the write-side
+  * substrate of every column stream (reference OutStream.java:117-269).
+  *
+  * Bytes accumulate into `blockSize` chunks; each full chunk is compressed
+  * and framed with a 3-byte little-endian header `(len << 1) | original`,
+  * where `original=1` means the chunk is stored uncompressed because
+  * compression did not shrink it. With no codec there is no framing at all.
+  */
+final class OutStream(
+    val name: String,
+    blockSize: Int,
+    codec: Option[CompressionCodec]) extends OutputStream {
+
+  private var current = new Array[Byte](if (codec.isDefined) blockSize else math.min(blockSize, 16 * 1024))
+  private var currentLen = 0
+  private val compressed = new java.io.ByteArrayOutputStream()
+  private var _suppressed = false
+
+  override def write(b: Int): Unit = {
+    if (currentLen == current.length) spillOrGrow()
+    current(currentLen) = b.toByte
+    currentLen += 1
+  }
+
+  override def write(buf: Array[Byte], off: Int, len: Int): Unit = {
+    var o = off
+    var remaining = len
+    while (remaining > 0) {
+      if (currentLen == current.length) spillOrGrow()
+      val n = math.min(remaining, current.length - currentLen)
+      System.arraycopy(buf, o, current, currentLen, n)
+      currentLen += n
+      o += n
+      remaining -= n
+    }
+  }
+
+  private def spillOrGrow(): Unit = codec match {
+    case Some(_) => spillBlock()
+    case None =>
+      // uncompressed: grow the single buffer (chunking buys nothing)
+      current = java.util.Arrays.copyOf(current, current.length * 2)
+  }
+
+  private def spillBlock(): Unit = {
+    if (currentLen == 0) return
+    val c = codec.get
+    c.compress(current, 0, currentLen) match {
+      case Some(small) =>
+        writeHeader(small.length, original = false)
+        compressed.write(small, 0, small.length)
+      case None =>
+        writeHeader(currentLen, original = true)
+        compressed.write(current, 0, currentLen)
+    }
+    currentLen = 0
+  }
+
+  private def writeHeader(len: Int, original: Boolean): Unit = {
+    val v = (len << 1) | (if (original) 1 else 0)
+    compressed.write(v & 0xff)
+    compressed.write((v >> 8) & 0xff)
+    compressed.write((v >> 16) & 0xff)
+  }
+
+  /** Record the current logical position for the row index. */
+  def getPosition(recorder: PositionRecorder): Unit = codec match {
+    case Some(_) =>
+      recorder.addPosition(compressed.size().toLong)
+      recorder.addPosition(currentLen.toLong)
+    case None =>
+      recorder.addPosition(currentLen.toLong)
+  }
+
+  /** Bytes this stream would occupy on disk right now (pre-final-flush
+    * estimate used by the stripe-size flush policy).
+    */
+  def bufferedSize: Long = compressed.size().toLong + currentLen
+
+  def suppress(): Unit = { _suppressed = true }
+  def suppressed: Boolean = _suppressed
+
+  /** Finalize the stream and return its on-disk bytes. */
+  def finish(): Array[Byte] = {
+    codec match {
+      case Some(_) => spillBlock(); compressed.toByteArray
+      case None => java.util.Arrays.copyOf(current, currentLen)
+    }
+  }
+
+  /** Reset for the next stripe. */
+  def clear(): Unit = {
+    currentLen = 0
+    compressed.reset()
+    _suppressed = false
+  }
+}
+
+object InStream {
+  def apply(name: String, bytes: Array[Byte], codec: Option[CompressionCodec],
+            blockSize: Int = 1 << 18): InStream =
+    codec match {
+      case Some(c) => new CompressedInStream(name, bytes, c, blockSize)
+      case None => new UncompressedInStream(name, bytes)
+    }
+}
+
+/** Read-side counterpart: a seekable stream over one column stream's
+  * on-disk bytes (reference InStream.java:135-443).
+  */
+sealed abstract class InStream extends InputStream {
+  def seek(positions: PositionProvider): Unit
+}
+
+final class UncompressedInStream(name: String, bytes: Array[Byte]) extends InStream {
+  private var pos = 0
+
+  override def read(): Int =
+    if (pos >= bytes.length) -1 else { val b = bytes(pos) & 0xff; pos += 1; b }
+
+  override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+    if (pos >= bytes.length) return -1
+    val n = math.min(len, bytes.length - pos)
+    System.arraycopy(bytes, pos, buf, off, n)
+    pos += n
+    n
+  }
+
+  override def available(): Int = bytes.length - pos
+
+  override def seek(positions: PositionProvider): Unit = {
+    pos = positions.next().toInt
+  }
+}
+
+/** Chunked compressed stream: 3-byte header per chunk, low bit set when the
+  * chunk is stored original. Seek positions are (chunkStart, uncompressedOffset).
+  */
+final class CompressedInStream(name: String, bytes: Array[Byte], codec: CompressionCodec,
+    blockSize: Int) extends InStream {
+
+  private var chunkStart = 0          // offset of current chunk header in bytes
+  private var block: Array[Byte] = null // decompressed current chunk
+  private var blockPos = 0
+  private var nextChunk = 0           // offset of the chunk after current
+
+  private def ensureBlock(): Boolean = {
+    while (block == null || blockPos >= block.length) {
+      if (block != null) { chunkStart = nextChunk; block = null; blockPos = 0 }
+      if (chunkStart >= bytes.length) return false
+      if (chunkStart + 3 > bytes.length)
+        throw new EOFException(s"truncated chunk header in $name")
+      val header = (bytes(chunkStart) & 0xff) |
+        ((bytes(chunkStart + 1) & 0xff) << 8) |
+        ((bytes(chunkStart + 2) & 0xff) << 16)
+      val len = header >>> 1
+      val original = (header & 1) == 1
+      val dataOff = chunkStart + 3
+      if (dataOff + len > bytes.length)
+        throw new EOFException(s"truncated chunk body in $name")
+      block =
+        if (original) java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + len)
+        else codec.decompress(bytes, dataOff, len, blockSize)
+      blockPos = 0
+      nextChunk = dataOff + len
+      if (block.length == 0) { chunkStart = nextChunk; block = null }
+    }
+    true
+  }
+
+  override def read(): Int =
+    if (!ensureBlock()) -1
+    else { val b = block(blockPos) & 0xff; blockPos += 1; b }
+
+  override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+    if (!ensureBlock()) return -1
+    val n = math.min(len, block.length - blockPos)
+    System.arraycopy(block, blockPos, buf, off, n)
+    blockPos += n
+    n
+  }
+
+  override def available(): Int =
+    if (!ensureBlock()) 0 else block.length - blockPos
+
+  override def seek(positions: PositionProvider): Unit = {
+    val newChunk = positions.next().toInt
+    val uncompressedOffset = positions.next().toInt
+    if (newChunk != chunkStart || block == null) {
+      chunkStart = newChunk
+      block = null
+      blockPos = 0
+    }
+    if (uncompressedOffset > 0) {
+      if (!ensureBlock())
+        throw new EOFException(s"seek past end of $name")
+      blockPos = uncompressedOffset
+    } else {
+      blockPos = 0
+      if (block == null) () // lazily loaded on next read
+    }
+  }
+}
