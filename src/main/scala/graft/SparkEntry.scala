@@ -13,6 +13,7 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
     CoreQueries,
+    FormatQueries,
   )
 
   lazy val allQueries: Seq[Q] = {

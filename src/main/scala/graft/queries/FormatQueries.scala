@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Driver-checkable queries that exercise the DWRF-style format end to end:
+  * parquet source → `.write.format("dwrf")` → read back → aggregate. The
+  * DuckDB oracle computes the same aggregate from the original parquet, so
+  * a hash match proves the round trip is lossless (FIXTURES.md §F7 flow).
+  */
+object FormatQueries extends QueryPack {
+
+  private def ioDir(table: String, dir: String): String =
+    s"/root/repo/target/dwrf-io/$table-${Integer.toHexString(dir.hashCode)}"
+
+  /** Write `table` to dwrf, read it back. */
+  private def viaDwrf(s: SparkSession, dir: String, table: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val out = ioDir(table, dir)
+    val w = Tables.load(s, dir, table).write.format("dwrf").mode("overwrite")
+    options.foreach { case (k, v) => w.option(k, v) }
+    w.save(out)
+    s.read.format("dwrf").load(out)
+  }
+
+  // Full Q1-style aggregate over the round-tripped lineitem: exercises
+  // long/int/double/string/timestamp writers+readers at 60k-600k rows.
+  private def rtLineitem(s: SparkSession, dir: String): DataFrame = {
+    viaDwrf(s, dir, "lineitem", Map("compress" -> "ZLIB"))
+      .createOrReplaceTempView("lineitem_dwrf")
+    s.sql(s"""
+      |SELECT l_returnflag, l_linestatus,
+      |  ${dsum("l_quantity")} AS sum_qty,
+      |  ${dsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+      |  COUNT(*) AS count_order,
+      |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+      |FROM lineitem_dwrf
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus
+      |""".stripMargin.trim)
+  }
+
+  private val rtLineitemOracle = s"""
+    |SELECT l_returnflag, l_linestatus,
+    |  ${dsum("l_quantity")} AS sum_qty,
+    |  ${dsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+    |  COUNT(*) AS count_order,
+    |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+    |FROM lineitem
+    |GROUP BY l_returnflag, l_linestatus
+    |ORDER BY l_returnflag, l_linestatus
+    |""".stripMargin.trim
+
+  // Timestamp + low-cardinality strings (dictionary path once M4 lands).
+  private def rtEvents(s: SparkSession, dir: String): DataFrame = {
+    viaDwrf(s, dir, "events", Map("compress" -> "SNAPPY"))
+      .createOrReplaceTempView("events_dwrf")
+    s.sql(s"""
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  ${dsum("value")} AS total_value
+      |FROM events_dwrf
+      |GROUP BY event_type
+      |ORDER BY event_type
+      |""".stripMargin.trim)
+  }
+
+  private val rtEventsOracle = s"""
+    |SELECT event_type, COUNT(*) AS n_events,
+    |  MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+    |  COUNT(DISTINCT user_id) AS n_users,
+    |  ${dsum("value")} AS total_value
+    |FROM events
+    |GROUP BY event_type
+    |ORDER BY event_type
+    |""".stripMargin.trim
+
+  // Column projection + filter over the dwrf scan (P1: only the three
+  // needed columns' streams are read).
+  private def rtProjection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    viaDwrf(s, dir, "part")
+      .filter($"p_size" < 20)
+      .groupBy($"p_brand")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        expr(dsum("p_retailprice")).as("total_retail"))
+      .orderBy($"p_brand")
+  }
+
+  private val rtProjectionOracle = s"""
+    |SELECT p_brand, COUNT(*) AS n_parts, ${dsum("p_retailprice")} AS total_retail
+    |FROM part
+    |WHERE p_size < 20
+    |GROUP BY p_brand
+    |ORDER BY p_brand
+    |""".stripMargin.trim
+
+  // Nested struct/array/map shapes through the format (FIXTURES F2 shape
+  // over real data), flattened back for the SQL oracle.
+  private def rtNested(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nested = Tables.load(s, dir, "lineitem").select(
+      struct($"l_orderkey".as("ok"), $"l_quantity".as("q")).as("st"),
+      array($"l_partkey", $"l_suppkey").as("arr"),
+      map(lit("disc"), $"l_discount").as("m"),
+      $"l_returnflag")
+    val out = ioDir("lineitem_nested", dir)
+    nested.write.format("dwrf").mode("overwrite").save(out)
+    s.read.format("dwrf").load(out).createOrReplaceTempView("nested_dwrf")
+    s.sql(s"""
+      |SELECT l_returnflag,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(st.ok) AS BIGINT) AS sum_ok,
+      |  ${dsum("st.q")} AS sum_q,
+      |  CAST(SUM(arr[0]) AS BIGINT) AS sum_part,
+      |  CAST(SUM(arr[1]) AS BIGINT) AS sum_supp,
+      |  ${dsum("m['disc']")} AS sum_disc
+      |FROM nested_dwrf
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag
+      |""".stripMargin.trim)
+  }
+
+  private val rtNestedOracle = s"""
+    |SELECT l_returnflag,
+    |  COUNT(*) AS n,
+    |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+    |  ${dsum("l_quantity")} AS sum_q,
+    |  CAST(SUM(l_partkey) AS BIGINT) AS sum_part,
+    |  CAST(SUM(l_suppkey) AS BIGINT) AS sum_supp,
+    |  ${dsum("l_discount")} AS sum_disc
+    |FROM lineitem
+    |GROUP BY l_returnflag
+    |ORDER BY l_returnflag
+    |""".stripMargin.trim
+
+  override val all: Seq[Q] = Seq(
+    Q("dwrf_roundtrip_lineitem", rtLineitem, Some(rtLineitemOracle)),
+    Q("dwrf_roundtrip_events", rtEvents, Some(rtEventsOracle)),
+    Q("dwrf_projection_filter", rtProjection, Some(rtProjectionOracle)),
+    Q("dwrf_nested_types", rtNested, Some(rtNestedOracle)),
+  )
+}

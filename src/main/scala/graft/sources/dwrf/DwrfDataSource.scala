@@ -1,0 +1,247 @@
+package graft.sources.dwrf
+
+import java.util.{Map => JMap, OptionalLong}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 binding: `spark.read.format("dwrf")` /
+  * `df.write.format("dwrf")` (replaces the reference's Hive
+  * InputFormat/OutputFormat/SerDe surface S7-S9, SURVEY §2.1).
+  *
+  * Scale design: one InputPartition per stripe group (split semantics =
+  * stripe-start containment, like the reference's MapReduce splits), so a
+  * 1000-executor cluster reads a 100 TB dataset with stripe-granular
+  * parallelism and no driver bottleneck beyond footer reads.
+  */
+final class DwrfDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "dwrf"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pathOf(options: CaseInsensitiveStringMap): Path = {
+    val p = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("dwrf: 'path' option required"))
+    new Path(p)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = pathOf(options)
+    val conf = new Configuration()
+    val files = DwrfUtil.listDataFiles(path, conf)
+    require(files.nonEmpty, s"dwrf: no .dwrf files under $path")
+    val r = new DwrfFileReader(files.head, conf)
+    try r.schema finally r.close()
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new DwrfTable(schema, properties.asScala.toMap)
+}
+
+object DwrfUtil {
+  def listDataFiles(path: Path, conf: Configuration): Seq[Path] = {
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(path)) return Nil
+    val st = fs.getFileStatus(path)
+    if (st.isFile) Seq(path)
+    else fs.listStatus(path).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".dwrf"))
+      .sortBy(_.getPath.getName)
+      .map(_.getPath)
+  }
+}
+
+final class DwrfTable(tableSchema: StructType, properties: Map[String, String])
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"dwrf:${properties.getOrElse("path", "?")}"
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DwrfScanBuilder(tableSchema, options.get("path"))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new DwrfWriteBuilder(info.schema(), info.options().get("path"),
+      info.options().asCaseSensitiveMap().asScala.toMap)
+}
+
+// --------------------------------------------------------------- read
+
+final class DwrfScanBuilder(tableSchema: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var readSchema: StructType = tableSchema
+
+  /** Catalyst's ColumnPruning lands here (reference P1's include[]). */
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // keep only top-level fields Catalyst asked for, in its order
+    readSchema = requiredSchema
+  }
+
+  override def build(): Scan = new DwrfScan(tableSchema, readSchema, path)
+}
+
+final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: String)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = readSchema
+  override def toBatch: Batch = this
+  override def description(): String = s"dwrf scan of $path"
+
+  /** One partition per stripe group of ~target split size. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new Configuration()
+    val targetSplit = 128L * 1024 * 1024
+    DwrfUtil.listDataFiles(new Path(path), conf).flatMap { file =>
+      val r = new DwrfFileReader(file, conf)
+      try {
+        val parts = scala.collection.mutable.ArrayBuffer.empty[DwrfInputPartition]
+        var start = -1L
+        var end = -1L
+        r.footer.stripes.foreach { s =>
+          val stripeLen = s.indexLength + s.dataLength + s.footerLength
+          if (start < 0) { start = s.offset; end = s.offset + stripeLen }
+          else if (end - start >= targetSplit) {
+            parts += DwrfInputPartition(file.toString, start, end - start)
+            start = s.offset
+            end = s.offset + stripeLen
+          } else end = s.offset + stripeLen
+        }
+        if (start >= 0) parts += DwrfInputPartition(file.toString, start, end - start)
+        parts.toSeq
+      } finally r.close()
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DwrfPartitionReaderFactory(readSchema.json)
+
+  override def estimateStatistics(): Statistics = {
+    val conf = new Configuration()
+    var rows = 0L
+    var bytes = 0L
+    DwrfUtil.listDataFiles(new Path(path), conf).foreach { file =>
+      val r = new DwrfFileReader(file, conf)
+      try {
+        rows += r.footer.numRows
+        bytes += r.footer.rawDataSize
+      } finally r.close()
+    }
+    val (rf, bf) = (rows, bytes)
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(bf)
+      override def numRows(): OptionalLong = OptionalLong.of(rf)
+    }
+  }
+}
+
+final case class DwrfInputPartition(path: String, offset: Long, length: Long)
+    extends InputPartition
+
+final class DwrfPartitionReaderFactory(readSchemaJson: String)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DwrfInputPartition]
+    val readSchema = org.apache.spark.sql.types.DataType
+      .fromJson(readSchemaJson).asInstanceOf[StructType]
+    val reader = new DwrfFileReader(new Path(p.path), new Configuration())
+    val it = reader.rows(reader.stripesInRange(p.offset, p.length), readSchema)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = null
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = reader.close()
+    }
+  }
+}
+
+// --------------------------------------------------------------- write
+
+final class DwrfWriteBuilder(schema: StructType, path: String,
+    options: Map[String, String]) extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new DwrfBatchWrite(schema, path, options, doTruncate)
+  }
+}
+
+final class DwrfBatchWrite(schema: StructType, path: String,
+    options: Map[String, String], truncate: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // runs on the driver before any task: prepare the output dir
+    val conf = new Configuration()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (truncate && fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    new DwrfDataWriterFactory(schema.json, path, options)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val p = new Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    out.close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class DwrfDataWriterFactory(schemaJson: String, path: String,
+    options: Map[String, String]) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(schemaJson).asInstanceOf[StructType]
+    val conf = new Configuration()
+    val file = new Path(path, f"part-$partitionId%05d-$taskId.dwrf")
+    val fs = file.getFileSystem(conf)
+    val os = fs.create(file, true)
+    val writer = new DwrfFileWriter(schema,
+      DwrfWriteOptions.fromMap(options), new java.io.BufferedOutputStream(os, 1 << 16))
+    new DataWriter[InternalRow] {
+      override def write(record: InternalRow): Unit = writer.addRow(record)
+      override def commit(): WriterCommitMessage = {
+        writer.close()
+        os.close()
+        DwrfCommitMessage(file.toString, writer.rowCount)
+      }
+      override def abort(): Unit = {
+        try os.close() catch { case _: Throwable => }
+        try fs.delete(file, false) catch { case _: Throwable => }
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+final case class DwrfCommitMessage(path: String, rows: Long)
+    extends WriterCommitMessage

@@ -1,0 +1,167 @@
+package graft.sources.dwrf
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.format._
+
+/** Reads one GRFT file: tail parse (postscript + footer), then per-stripe
+  * decoding of only the streams the projection needs, with adjacent wanted
+  * byte ranges coalesced into single preads (reference read path SURVEY
+  * §3.1 steps 2-6, stream planner R1).
+  */
+final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseable {
+
+  private val fs = path.getFileSystem(conf)
+  val fileLength: Long = fs.getFileStatus(path).getLen
+  private val in: FSDataInputStream = fs.open(path)
+
+  val (postScript: PostScript, footer: Footer) = {
+    val tailSize = math.min(fileLength, 256L * 1024).toInt
+    val tail = new Array[Byte](tailSize)
+    in.readFully(fileLength - tailSize, tail, 0, tailSize)
+    val psLen = tail(tailSize - 1) & 0xff
+    require(psLen > 0 && psLen < tailSize, s"corrupt postscript length $psLen")
+    val ps = MetaIO.readPostScript(
+      java.util.Arrays.copyOfRange(tail, tailSize - 1 - psLen, tailSize - 1))
+    val footerLen = ps.footerLength.toInt
+    val footerEnd = fileLength - 1 - psLen
+    val footerBytes =
+      if (footerLen <= footerEnd && footerLen <= tailSize - 1 - psLen)
+        java.util.Arrays.copyOfRange(tail,
+          (tailSize - 1 - psLen - footerLen), tailSize - 1 - psLen)
+      else {
+        val b = new Array[Byte](footerLen)
+        in.readFully(footerEnd - footerLen, b, 0, footerLen)
+        b
+      }
+    val codec = CompressionCodec.forKind(ps.compression)
+    val f = MetaIO.readFooter(InStream("footer", footerBytes, codec, ps.blockSize))
+    (ps, f)
+  }
+
+  val schema: StructType =
+    DataType.fromJson(footer.schemaJson).asInstanceOf[StructType]
+
+  private val codec = CompressionCodec.forKind(postScript.compression)
+
+  def readStripeFooter(si: StripeInformation): StripeFooter = {
+    val b = new Array[Byte](si.footerLength.toInt)
+    in.readFully(si.offset + si.indexLength + si.dataLength, b, 0, b.length)
+    MetaIO.readStripeFooter(InStream("stripe-footer", b, codec, postScript.blockSize))
+  }
+
+  /** Stripes whose start offset falls in [offset, offset+length) — MapReduce
+    * split semantics (reference RecordReaderImpl.java:116-162).
+    */
+  def stripesInRange(offset: Long, length: Long): Seq[StripeInformation] =
+    footer.stripes.filter(s => s.offset >= offset && s.offset < offset + length)
+
+  /** Row iterator over the given stripes, producing only `readSchema`'s
+    * top-level fields (must be a subset of the file schema's fields).
+    */
+  def rows(stripes: Seq[StripeInformation], readSchema: StructType): Iterator[InternalRow] = {
+    val fullIds = ColumnTree.topLevelIds(schema)
+    val idByName = schema.fields.map(_.name).zip(fullIds.zip(schema.fields.map(_.dataType))).toMap
+    val readers: Array[TreeReader] = readSchema.fields.map { f =>
+      val (id, dt) = idByName.getOrElse(f.name,
+        throw new IllegalArgumentException(s"column ${f.name} not in file schema"))
+      TreeReader.create(id, dt)
+    }
+    val wantedColumns: Array[Boolean] = {
+      val inc = new Array[Boolean](ColumnTree.columnCount(schema))
+      readSchema.fields.foreach { f =>
+        val (id, dt) = idByName(f.name)
+        ColumnTree.includeSubtree(inc, id, dt)
+      }
+      inc
+    }
+
+    stripes.iterator.flatMap { si =>
+      val src = openStripe(si, wantedColumns)
+      readers.foreach(_.startStripe(src))
+      val width = readers.length
+      (0L until si.numRows).iterator.map { _ =>
+        val row = new GenericInternalRow(width)
+        var i = 0
+        while (i < width) {
+          row.update(i, readers(i).next())
+          i += 1
+        }
+        row: InternalRow
+      }
+    }
+  }
+
+  /** Plan + execute the stripe's reads: wanted streams only, adjacent
+    * ranges coalesced (gap ≤ 256 KB) into single preads.
+    */
+  def openStripe(si: StripeInformation, wanted: Array[Boolean]): StreamSource = {
+    val sf = readStripeFooter(si)
+    // absolute start offset of every stream, in file order
+    var acc = si.offset
+    val located = sf.streams.map { s =>
+      val start = acc
+      acc = start + s.length
+      (s, start)
+    }
+    val neededRaw = located.filter { case (s, _) =>
+      s.kind != StreamKind.RowIndex && s.column < wanted.length && wanted(s.column)
+    }
+    // coalesce
+    val sorted = neededRaw.sortBy(_._2)
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (start, len)
+    sorted.foreach { case (s, start) =>
+      merged.lastOption match {
+        case Some((ms, ml)) if start - (ms + ml) <= 256 * 1024 =>
+          merged(merged.length - 1) = (ms, (start + s.length) - ms)
+        case _ => merged += ((start, s.length))
+      }
+    }
+    val buffers: Seq[(Long, Array[Byte])] = merged.toSeq.map { case (start, len) =>
+      val b = new Array[Byte](len.toInt)
+      in.readFully(start, b, 0, b.length)
+      (start, b)
+    }
+
+    val byKey: Map[(Int, Int), (StreamInfo, Long)] =
+      neededRaw.map { case (s, start) => (s.column, s.kind) -> (s, start) }.toMap
+
+    new StreamSource {
+      override def stream(column: Int, kind: Int): Option[InStream] =
+        byKey.get((column, kind)).map { case (s, start) =>
+          val (bufStart, buf) = buffers
+            .find { case (bs, bb) => start >= bs && start + s.length <= bs + bb.length }
+            .getOrElse(throw new IllegalStateException(s"stream not buffered: $s"))
+          val slice = java.util.Arrays.copyOfRange(
+            buf, (start - bufStart).toInt, (start - bufStart + s.length).toInt)
+          InStream(s"col$column/kind$kind", slice, codec, postScript.blockSize)
+        }
+
+      override def encoding(column: Int): ColumnEncoding =
+        sf.encodings.getOrElse(column, ColumnEncoding(dictionary = false))
+    }
+  }
+
+  /** Read a column's row index for a stripe (stride skipping, M4). */
+  def readRowIndex(si: StripeInformation, column: Int): Option[Seq[RowIndexEntry]] = {
+    val sf = readStripeFooter(si)
+    var acc = si.offset
+    sf.streams.collectFirst {
+      Function.unlift { s =>
+        val start = acc
+        acc = start + s.length
+        if (s.column == column && s.kind == StreamKind.RowIndex) {
+          val b = new Array[Byte](s.length.toInt)
+          in.readFully(start, b, 0, b.length)
+          Some(MetaIO.readRowIndex(InStream("rowindex", b, codec, postScript.blockSize)))
+        } else None
+      }
+    }
+  }
+
+  override def close(): Unit = in.close()
+}

@@ -1,0 +1,209 @@
+package graft.sources.dwrf
+
+import java.io.OutputStream
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+
+import graft.format._
+
+/** Writer configuration, mirroring the reference's OrcConf defaults
+  * (OrcConf.java:31-64) with the same option names a user of the
+  * reference would recognize.
+  */
+final case class DwrfWriteOptions(
+    kind: CompressionKind = CompressionKind.Zlib,
+    blockSize: Int = 256 * 1024,
+    stripeSize: Long = 256L * 1024 * 1024,
+    rowIndexStride: Int = 10000,
+    zlibLevel: Int = 4,
+    dictionaryKeyNumericThreshold: Double = 0.7,
+    dictionaryKeyStringThreshold: Double = 0.8,
+    dictionaryEnabled: Boolean = true)
+
+object DwrfWriteOptions {
+  /** Parse `.option(...)` strings (names follow OrcConf / OrcFile). */
+  def fromMap(m: collection.Map[String, String]): DwrfWriteOptions = {
+    val d = DwrfWriteOptions()
+    DwrfWriteOptions(
+      kind = m.get("compress").map(CompressionKind.fromName).getOrElse(d.kind),
+      blockSize = m.get("compress.size").map(_.toInt).getOrElse(d.blockSize),
+      stripeSize = m.get("stripe.size").map(_.toLong).getOrElse(d.stripeSize),
+      rowIndexStride = m.get("row.index.stride").map(_.toInt)
+        .orElse(m.get("create.index").collect { case s if !s.toBoolean => 0 })
+        .getOrElse(d.rowIndexStride),
+      zlibLevel = m.get("compress.zlib.level").map(_.toInt).getOrElse(d.zlibLevel),
+      dictionaryKeyNumericThreshold = m.get("dictionary.key.numeric.size.threshold")
+        .map(_.toDouble).getOrElse(d.dictionaryKeyNumericThreshold),
+      dictionaryKeyStringThreshold = m.get("dictionary.key.string.size.threshold")
+        .map(_.toDouble).getOrElse(d.dictionaryKeyStringThreshold),
+      dictionaryEnabled = m.get("dictionary.enabled").map(_.toBoolean)
+        .getOrElse(d.dictionaryEnabled))
+  }
+}
+
+/** Writes one GRFT (DWRF-style) file: stripes of encoded column streams,
+  * then footer + postscript (reference WriterImpl write path, SURVEY §3.2).
+  *
+  * Scale design: memory is bounded by `stripeSize` (estimated buffered
+  * bytes trigger a stripe flush), so a 1000-task write of 100 TB holds
+  * only one stripe of one file per task in memory — no global coordination
+  * (the reference's cross-writer MemoryManager is unnecessary under
+  * Spark's per-task memory model, SURVEY §2.4/A4 note).
+  */
+final class DwrfFileWriter(
+    schema: StructType,
+    opts: DwrfWriteOptions,
+    rawOut: OutputStream) {
+
+  private var bytesWritten = 0L
+  private val out = new OutputStream {
+    override def write(b: Int): Unit = { rawOut.write(b); bytesWritten += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      rawOut.write(b, off, len); bytesWritten += len
+    }
+  }
+
+  private val root = new StructTreeWriter(0, schema, opts)
+  private val stripes = scala.collection.mutable.ArrayBuffer.empty[StripeInformation]
+  private val stripeStatsHistory = scala.collection.mutable.ArrayBuffer.empty[Map[Int, ColumnStats]]
+  private var rowsInStripe = 0L
+  private var totalRows = 0L
+  private var rowsSinceMemCheck = 0
+  private var closed = false
+
+  // file header
+  out.write(Magic.Bytes)
+
+  def addRow(row: InternalRow): Unit = {
+    if (opts.rowIndexStride > 0 && rowsInStripe % opts.rowIndexStride == 0)
+      root.recordStride()
+    root.writeRoot(row)
+    rowsInStripe += 1
+    totalRows += 1
+    rowsSinceMemCheck += 1
+    if (rowsSinceMemCheck >= 1024) {
+      rowsSinceMemCheck = 0
+      if (root.memory >= opts.stripeSize) flushStripe()
+    }
+  }
+
+  private def flushStripe(): Unit = {
+    if (rowsInStripe == 0) return
+    val stripeOffset = bytesWritten
+    val flushes: Seq[(Int, ColumnFlush)] = root.flushStripe()
+    val byColumn = flushes.toMap
+
+    // index area: one ROW_INDEX stream per column with entries
+    var indexLength = 0L
+    val indexStreams = scala.collection.mutable.ArrayBuffer.empty[StreamInfo]
+    if (opts.rowIndexStride > 0) {
+      flushes.foreach { case (col, cf) =>
+        if (cf.indexEntries.nonEmpty) {
+          val os = new OutStream(s"col$col/rowindex", opts.blockSize,
+            CompressionCodec.forKind(opts.kind, opts.zlibLevel))
+          MetaIO.writeRowIndex(os, cf.indexEntries)
+          val b = os.finish()
+          out.write(b, 0, b.length)
+          indexStreams += StreamInfo(col, StreamKind.RowIndex, b.length.toLong)
+          indexLength += b.length
+        }
+      }
+    }
+
+    // data area: streams in (column, kind) order as flushed
+    var dataLength = 0L
+    val dataStreams = scala.collection.mutable.ArrayBuffer.empty[StreamInfo]
+    flushes.foreach { case (_, cf) =>
+      cf.streams.foreach { fs =>
+        out.write(fs.bytes, 0, fs.bytes.length)
+        dataStreams += fs.info
+        dataLength += fs.bytes.length
+      }
+    }
+
+    // stripe footer
+    val sf = StripeFooter(
+      streams = indexStreams.toSeq ++ dataStreams.toSeq,
+      encodings = flushes.map { case (col, cf) => col -> cf.encoding }.toMap,
+      stats = flushes.map { case (col, cf) => col -> cf.stats }.toMap)
+    val sfOut = new OutStream("stripe-footer", opts.blockSize,
+      CompressionCodec.forKind(opts.kind, opts.zlibLevel))
+    MetaIO.writeStripeFooter(sfOut, sf)
+    val sfBytes = sfOut.finish()
+    out.write(sfBytes, 0, sfBytes.length)
+
+    stripes += StripeInformation(stripeOffset, indexLength, dataLength,
+      sfBytes.length.toLong, rowsInStripe)
+    stripeStatsHistory += byColumn.map { case (c, cf) => c -> cf.stats }
+    rowsInStripe = 0
+  }
+
+  /** Logical (uncompressed) data size per reference RawDatasizeConst. */
+  private def rawDataSize(fileStats: Map[Int, ColumnStats]): Long = {
+    def sizeOf(dt: DataType, id: Int): Long = {
+      val st = fileStats.getOrElse(id, ColumnStats(0, hasNull = false))
+      dt match {
+        case BooleanType | ByteType => st.count
+        case ShortType => 2 * st.count
+        case IntegerType | FloatType | DateType => 4 * st.count
+        case LongType | DoubleType | TimestampType | TimestampNTZType => 8 * st.count
+        case StringType | BinaryType => st.totalLength + 4 * st.count
+        case s: StructType =>
+          var child = id + 1
+          s.fields.map { f =>
+            val sz = sizeOf(f.dataType, child)
+            child += ColumnTree.subtreeSize(f.dataType)
+            sz
+          }.sum
+        case a: ArrayType => 4 * st.count + sizeOf(a.elementType, id + 1)
+        case m: MapType =>
+          4 * st.count + sizeOf(m.keyType, id + 1) +
+            sizeOf(m.valueType, id + 1 + ColumnTree.subtreeSize(m.keyType))
+        case _ => 0L
+      }
+    }
+    sizeOf(schema, 0)
+  }
+
+  def close(userMetadata: Map[String, Array[Byte]] = Map.empty): Unit = {
+    if (closed) return
+    closed = true
+    flushStripe()
+    // merge file stats across stripes
+    val fileStats: Map[Int, ColumnStats] =
+      stripeStatsHistory.foldLeft(Map.empty[Int, ColumnStats]) { (acc, m) =>
+        (acc.keySet ++ m.keySet).map { k =>
+          (acc.get(k), m.get(k)) match {
+            case (Some(a), Some(b)) => k -> a.merge(b)
+            case (Some(a), None) => k -> a
+            case (None, Some(b)) => k -> b
+            case _ => k -> ColumnStats(0, hasNull = false)
+          }
+        }.toMap
+      }
+    val footer = Footer(
+      schemaJson = schema.json,
+      stripes = stripes.toSeq,
+      fileStats = fileStats,
+      numRows = totalRows,
+      rowIndexStride = opts.rowIndexStride,
+      rawDataSize = rawDataSize(fileStats),
+      userMetadata = userMetadata)
+    val fOut = new OutStream("footer", opts.blockSize,
+      CompressionCodec.forKind(opts.kind, opts.zlibLevel))
+    MetaIO.writeFooter(fOut, footer)
+    val fBytes = fOut.finish()
+    out.write(fBytes, 0, fBytes.length)
+    val psBytes = MetaIO.writePostScript(out, PostScript(
+      footerLength = fBytes.length.toLong,
+      compression = opts.kind,
+      blockSize = opts.blockSize,
+      version = Magic.Version,
+      writerZlibLevel = opts.zlibLevel))
+    out.write(psBytes.length)
+    rawOut.flush()
+  }
+
+  def rowCount: Long = totalRows
+}

@@ -1,0 +1,600 @@
+package graft.sources.dwrf
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.format._
+
+/** Mutable per-stripe column statistics accumulator (reference
+  * statistics/ColumnStatisticsImpl.java).
+  */
+final class StatsBuilder {
+  var count = 0L
+  var hasNull = false
+  var longMin: Long = Long.MaxValue
+  var longMax: Long = Long.MinValue
+  var longSum = 0L
+  var longOverflow = false
+  var doubleMin: Double = Double.PositiveInfinity
+  var doubleMax: Double = Double.NegativeInfinity
+  var doubleSum = 0.0
+  var stringMin: UTF8String = null
+  var stringMax: UTF8String = null
+  var totalLength = 0L
+  var trueCount = 0L
+
+  def noteNull(): Unit = hasNull = true
+  def noteValue(): Unit = count += 1
+
+  def noteLong(v: Long): Unit = {
+    if (v < longMin) longMin = v
+    if (v > longMax) longMax = v
+    val s = longSum + v
+    // overflow check (reference IntegerColumnStatistics keeps a flag)
+    if (((longSum ^ s) & (v ^ s)) < 0) longOverflow = true
+    longSum = s
+  }
+
+  def noteDouble(v: Double): Unit = {
+    if (v < doubleMin) doubleMin = v
+    if (v > doubleMax) doubleMax = v
+    doubleSum += v
+  }
+
+  def noteString(v: UTF8String): Unit = {
+    if (stringMin == null || v.compareTo(stringMin) < 0) stringMin = v.clone()
+    if (stringMax == null || v.compareTo(stringMax) > 0) stringMax = v.clone()
+    totalLength += v.numBytes()
+  }
+
+  def noteBinary(len: Int): Unit = totalLength += len
+  def noteBool(v: Boolean): Unit = if (v) trueCount += 1
+
+  def result(): ColumnStats = ColumnStats(
+    count, hasNull, longMin, longMax, longSum, longOverflow,
+    doubleMin, doubleMax, doubleSum,
+    if (stringMin == null) null else stringMin.toString,
+    if (stringMax == null) null else stringMax.toString,
+    totalLength, trueCount)
+
+  def reset(): Unit = {
+    count = 0; hasNull = false
+    longMin = Long.MaxValue; longMax = Long.MinValue; longSum = 0; longOverflow = false
+    doubleMin = Double.PositiveInfinity; doubleMax = Double.NegativeInfinity; doubleSum = 0
+    stringMin = null; stringMax = null; totalLength = 0; trueCount = 0
+  }
+}
+
+/** One finished column stream: its directory entry + the on-disk bytes. */
+final case class FinishedStream(info: StreamInfo, bytes: Array[Byte])
+
+/** Per-column results of a stripe flush. */
+final case class ColumnFlush(
+    streams: Seq[FinishedStream],
+    encoding: ColumnEncoding,
+    stats: ColumnStats,
+    indexEntries: Seq[RowIndexEntry])
+
+object TreeWriter {
+  /** Factory over Spark types (reference WriterImpl.java:2028-2087). */
+  def create(columnId: Int, dt: DataType, opts: DwrfWriteOptions): TreeWriter =
+    dt match {
+      case BooleanType => new BooleanTreeWriter(columnId, opts)
+      case ByteType => new ByteTreeWriter(columnId, opts)
+      case ShortType | IntegerType | LongType => new LongTreeWriter(columnId, dt, opts)
+      case FloatType => new FloatTreeWriter(columnId, opts)
+      case DoubleType => new DoubleTreeWriter(columnId, opts)
+      case StringType => new StringTreeWriter(columnId, opts)
+      case BinaryType => new BinaryTreeWriter(columnId, opts)
+      case TimestampType | TimestampNTZType => new TimestampTreeWriter(columnId, opts)
+      case DateType => new DateTreeWriter(columnId, opts)
+      case s: StructType => new StructTreeWriter(columnId, s, opts)
+      case a: ArrayType => new ListTreeWriter(columnId, a, opts)
+      case m: MapType => new MapTreeWriter(columnId, m, opts)
+      case other =>
+        throw new UnsupportedOperationException(s"dwrf: unsupported type $other")
+    }
+}
+
+/** Write-side column kernel: buffers one stripe of one column as encoded
+  * streams (reference WriterImpl TreeWriter tree). Nulls go to a PRESENT
+  * bitfield that is suppressed at flush when the stripe has none
+  * (WriterImpl.java:537-549).
+  */
+abstract class TreeWriter(val columnId: Int, opts: DwrfWriteOptions) {
+  protected def newStream(kind: Int): OutStream =
+    new OutStream(s"col$columnId/kind$kind", opts.blockSize,
+      CompressionCodec.forKind(opts.kind, opts.zlibLevel))
+
+  protected val presentOut = newStream(StreamKind.Present)
+  protected val present = new BitFieldWriter(presentOut)
+  protected var anyNullInStripe = false
+
+  /** Current stride's stats (whole stripe when no row index). */
+  val stats = new StatsBuilder
+  /** Closed strides merged; null until the first stride closes. */
+  private var stripeAccum: ColumnStats = null
+
+  // ---- row index (populated every stride by recordStride()) ----
+  protected val indexEntries = scala.collection.mutable.ArrayBuffer.empty[RowIndexEntry]
+  protected val pendingPositions = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Long])]
+
+  def children: Seq[TreeWriter] = Nil
+
+  final def write(g: SpecializedGetters, ordinal: Int): Unit = {
+    if (g.isNullAt(ordinal)) {
+      present.write(false)
+      anyNullInStripe = true
+      stats.noteNull()
+    } else {
+      present.write(true)
+      stats.noteValue()
+      writeValue(g, ordinal)
+    }
+  }
+
+  protected def writeValue(g: SpecializedGetters, ordinal: Int): Unit
+
+  /** Record stream positions + start a new stride stats scope. Called at
+    * every row-index stride boundary, BEFORE the stride's rows are written.
+    */
+  def recordStride(): Unit = {
+    closeStride()
+    val perStream = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Long])]
+    val rec = new PositionsBuilder
+    present.getPosition(rec)
+    perStream += StreamKind.Present -> rec.result()
+    recordValuePositions(perStream)
+    pendingPositions.clear()
+    pendingPositions ++= perStream
+    children.foreach(_.recordStride())
+  }
+
+  /** Pair the pending stride-start positions with the stats gathered since. */
+  private def closeStride(): Unit = {
+    if (pendingPositions.nonEmpty) {
+      val s = stats.result()
+      indexEntries += RowIndexEntry(pendingPositions.toMap, s)
+      stripeAccum = if (stripeAccum == null) s else stripeAccum.merge(s)
+      stats.reset()
+      pendingPositions.clear()
+    }
+  }
+
+  /** Positions of value streams (not PRESENT), in stream-kind order. */
+  protected def recordValuePositions(
+      out: scala.collection.mutable.ArrayBuffer[(Int, Array[Long])]): Unit
+
+  /** Flush this column's streams for the stripe; resets for the next one. */
+  final def flushStripe(): Seq[(Int, ColumnFlush)] = {
+    closeStride() // close the trailing stride (no-op when no row index)
+    val myFlush = flushSelf()
+    val result = scala.collection.mutable.ArrayBuffer(columnId -> myFlush)
+    children.foreach(c => result ++= c.flushStripe())
+    reset()
+    result.toSeq
+  }
+
+  private def stripeStats: ColumnStats = {
+    val open = stats.result()
+    if (stripeAccum == null) open
+    else if (open.count == 0 && !open.hasNull) stripeAccum
+    else stripeAccum.merge(open)
+  }
+
+  protected def flushSelf(): ColumnFlush = {
+    present.flush()
+    val presentBytes = presentOut.finish()
+    val streams = scala.collection.mutable.ArrayBuffer.empty[FinishedStream]
+    val suppressPresent = !anyNullInStripe
+    if (!suppressPresent && presentBytes.nonEmpty)
+      streams += FinishedStream(
+        StreamInfo(columnId, StreamKind.Present, presentBytes.length.toLong), presentBytes)
+    streams ++= finishValueStreams()
+    val entries =
+      if (suppressPresent)
+        indexEntries.toSeq.map(e => e.copy(positions = e.positions - StreamKind.Present))
+      else indexEntries.toSeq
+    ColumnFlush(streams.toSeq, encoding, stripeStats, entries)
+  }
+
+  protected def encoding: ColumnEncoding = ColumnEncoding(dictionary = false)
+
+  /** Finish value streams, return those worth storing (non-empty). */
+  protected def finishValueStreams(): Seq[FinishedStream]
+
+  protected def finished(kind: Int, out: OutStream): Seq[FinishedStream] = {
+    val b = out.finish()
+    if (b.isEmpty) Nil
+    else Seq(FinishedStream(StreamInfo(columnId, kind, b.length.toLong), b))
+  }
+
+  /** Estimated buffered bytes for the stripe-flush policy. */
+  def memory: Long =
+    presentOut.bufferedSize + valueMemory + children.map(_.memory).sum
+
+  protected def valueMemory: Long
+
+  protected def reset(): Unit = {
+    presentOut.clear()
+    anyNullInStripe = false
+    stats.reset()
+    stripeAccum = null
+    indexEntries.clear()
+    pendingPositions.clear()
+  }
+}
+
+final class BooleanTreeWriter(columnId: Int, opts: DwrfWriteOptions)
+    extends TreeWriter(columnId, opts) {
+  private val dataOut = newStream(StreamKind.Data)
+  private val data = new BitFieldWriter(dataOut)
+
+  override protected def writeValue(g: SpecializedGetters, ordinal: Int): Unit = {
+    val v = g.getBoolean(ordinal)
+    stats.noteBool(v)
+    data.write(v)
+  }
+
+  override protected def recordValuePositions(out: scala.collection.mutable.ArrayBuffer[(Int, Array[Long])]): Unit = {
+    val rec = new PositionsBuilder; data.getPosition(rec)
+    out += StreamKind.Data -> rec.result()
+  }
+
+  override protected def finishValueStreams(): Seq[FinishedStream] = {
+    data.flush()
+    finished(StreamKind.Data, dataOut)
+  }
+
+  override protected def valueMemory: Long = dataOut.bufferedSize
+  override protected def reset(): Unit = { super.reset(); dataOut.clear() }
+}
+
+final class ByteTreeWriter(columnId: Int, opts: DwrfWriteOptions)
+    extends TreeWriter(columnId, opts) {
+  private val dataOut = newStream(StreamKind.Data)
+  private val data = new RunLengthByteWriter(dataOut)
+
+  override protected def writeValue(g: SpecializedGetters, ordinal: Int): Unit = {
+    val v = g.getByte(ordinal)
+    stats.noteLong(v.toLong)
+    data.write(v)
+  }
+
+  override protected def recordValuePositions(out: scala.collection.mutable.ArrayBuffer[(Int, Array[Long])]): Unit = {
+    val rec = new PositionsBuilder; data.getPosition(rec)
+    out += StreamKind.Data -> rec.result()
+  }
+
+  override protected def finishValueStreams(): Seq[FinishedStream] = {
+    data.flush()
+    finished(StreamKind.Data, dataOut)
+  }
+
+  override protected def valueMemory: Long = dataOut.bufferedSize
+  override protected def reset(): Unit = { super.reset(); dataOut.clear() }
+}
+
+/** SHORT/INT/LONG — direct RLE encoding. (Dictionary variant: M4.) */
+final class LongTreeWriter(columnId: Int, dt: DataType, opts: DwrfWriteOptions)
+    extends TreeWriter(columnId, opts) {
+  private val dataOut = newStream(StreamKind.Data)
+  private val data = new RunLengthIntegerWriter(dataOut, signed = true)
+
+  override protected def writeValue(g: SpecializedGetters, ordinal: Int): Unit = {
+    val v = dt match {
+      case ShortType => g.getShort(ordinal).toLong
+      case IntegerType => g.getInt(ordinal).toLong
+      case _ => g.getLong(ordinal)
+    }
+    stats.noteLong(v)
+    data.write(v)
+  }
+
+  override protected def recordValuePositions(out: scala.collection.mutable.ArrayBuffer[(Int, Array[Long])]): Unit = {
+    val rec = new PositionsBuilder; data.getPosition(rec)
+    out += StreamKind.Data -> rec.result()
+  }
+
+  override protected def finishValueStreams(): Seq[FinishedStream] = {
+    data.flush()
+    finished(StreamKind.Data, dataOut)
+  }
+
+  override protected def valueMemory: Long = dataOut.bufferedSize
+  override protected def reset(): Unit = { super.reset(); dataOut.clear() }
+}
+
+final class FloatTreeWriter(columnId: Int, opts: DwrfWriteOptions)
+    extends TreeWriter(columnId, opts) {
+  private val dataOut = newStream(StreamKind.Data)
+
+  override protected def writeValue(g: SpecializedGetters, ordinal: Int): Unit = {
+    val v = g.getFloat(ordinal)
+    stats.noteDouble(v.toDouble)
+    Serialization.writeFloat(dataOut, v)
+  }
+
+  override protected def recordValuePositions(out: scala.collection.mutable.ArrayBuffer[(Int, Array[Long])]): Unit = {
+    val rec = new PositionsBuilder; dataOut.getPosition(rec)
+    out += StreamKind.Data -> rec.result()
+  }
+
+  override protected def finishValueStreams(): Seq[FinishedStream] =
+    finished(StreamKind.Data, dataOut)
+
+  override protected def valueMemory: Long = dataOut.bufferedSize
+  override protected def reset(): Unit = { super.reset(); dataOut.clear() }
+}
+
+final class DoubleTreeWriter(columnId: Int, opts: DwrfWriteOptions)
+    extends TreeWriter(columnId, opts) {
+  private val dataOut = newStream(StreamKind.Data)
+
+  override protected def writeValue(g: SpecializedGetters, ordinal: Int): Unit = {
+    val v = g.getDouble(ordinal)
+    stats.noteDouble(v)
+    Serialization.writeDouble(dataOut, v)
+  }
+
+  override protected def recordValuePositions(out: scala.collection.mutable.ArrayBuffer[(Int, Array[Long])]): Unit = {
+    val rec = new PositionsBuilder; dataOut.getPosition(rec)
+    out += StreamKind.Data -> rec.result()
+  }
+
+  override protected def finishValueStreams(): Seq[FinishedStream] =
+    finished(StreamKind.Data, dataOut)
+
+  override protected def valueMemory: Long = dataOut.bufferedSize
+  override protected def reset(): Unit = { super.reset(); dataOut.clear() }
+}
+
+/** STRING — direct encoding: UTF-8 bytes in DATA + LENGTH RLE.
+  * (Dictionary + stride-dictionary variants: M4.)
+  */
+final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions)
+    extends TreeWriter(columnId, opts) {
+  private val dataOut = newStream(StreamKind.Data)
+  private val lengthOut = newStream(StreamKind.Length)
+  private val lengths = new RunLengthIntegerWriter(lengthOut, signed = false)
+
+  override protected def writeValue(g: SpecializedGetters, ordinal: Int): Unit = {
+    val v = g.getUTF8String(ordinal)
+    stats.noteString(v)
+    val b = v.getBytes
+    dataOut.write(b, 0, b.length)
+    lengths.write(b.length.toLong)
+  }
+
+  override protected def recordValuePositions(out: scala.collection.mutable.ArrayBuffer[(Int, Array[Long])]): Unit = {
+    val rec = new PositionsBuilder; dataOut.getPosition(rec)
+    out += StreamKind.Data -> rec.result()
+    val rec2 = new PositionsBuilder; lengths.getPosition(rec2)
+    out += StreamKind.Length -> rec2.result()
+  }
+
+  override protected def finishValueStreams(): Seq[FinishedStream] = {
+    lengths.flush()
+    finished(StreamKind.Data, dataOut) ++ finished(StreamKind.Length, lengthOut)
+  }
+
+  override protected def valueMemory: Long = dataOut.bufferedSize + lengthOut.bufferedSize
+  override protected def reset(): Unit = { super.reset(); dataOut.clear(); lengthOut.clear() }
+}
+
+final class BinaryTreeWriter(columnId: Int, opts: DwrfWriteOptions)
+    extends TreeWriter(columnId, opts) {
+  private val dataOut = newStream(StreamKind.Data)
+  private val lengthOut = newStream(StreamKind.Length)
+  private val lengths = new RunLengthIntegerWriter(lengthOut, signed = false)
+
+  override protected def writeValue(g: SpecializedGetters, ordinal: Int): Unit = {
+    val b = g.getBinary(ordinal)
+    stats.noteBinary(b.length)
+    dataOut.write(b, 0, b.length)
+    lengths.write(b.length.toLong)
+  }
+
+  override protected def recordValuePositions(out: scala.collection.mutable.ArrayBuffer[(Int, Array[Long])]): Unit = {
+    val rec = new PositionsBuilder; dataOut.getPosition(rec)
+    out += StreamKind.Data -> rec.result()
+    val rec2 = new PositionsBuilder; lengths.getPosition(rec2)
+    out += StreamKind.Length -> rec2.result()
+  }
+
+  override protected def finishValueStreams(): Seq[FinishedStream] = {
+    lengths.flush()
+    finished(StreamKind.Data, dataOut) ++ finished(StreamKind.Length, lengthOut)
+  }
+
+  override protected def valueMemory: Long = dataOut.bufferedSize + lengthOut.bufferedSize
+  override protected def reset(): Unit = { super.reset(); dataOut.clear(); lengthOut.clear() }
+}
+
+object TimestampTreeWriter {
+  /** Seconds from 2015-01-01T00:00:00Z (reference WriterImpl.java:1736-1738). */
+  val BaseSeconds: Long = 1420070400L
+}
+
+/** TIMESTAMP — micros split into (seconds rel 2015, nanos with trailing-zero
+  * compression) per reference E9. Spark keeps micros; we store nanos=micros*1000
+  * so the wire shape matches while the ns→µs truncation stays lossless here.
+  */
+final class TimestampTreeWriter(columnId: Int, opts: DwrfWriteOptions)
+    extends TreeWriter(columnId, opts) {
+  import TimestampTreeWriter._
+  private val secondsOut = newStream(StreamKind.Data)
+  private val seconds = new RunLengthIntegerWriter(secondsOut, signed = true)
+  private val nanosOut = newStream(StreamKind.NanoData)
+  private val nanos = new RunLengthIntegerWriter(nanosOut, signed = false)
+
+  override protected def writeValue(g: SpecializedGetters, ordinal: Int): Unit = {
+    val micros = g.getLong(ordinal)
+    stats.noteLong(micros)
+    val sec = Math.floorDiv(micros, 1000000L)
+    val ns = Math.floorMod(micros, 1000000L) * 1000L
+    seconds.write(sec - BaseSeconds)
+    nanos.write(encodeNanos(ns))
+  }
+
+  /** Trailing-zero compression: low 3 bits = (zeros-2) when zeros in [3,9],
+    * else 0 and the value is stored verbatim (reference
+    * LazyTimestampTreeReader.parseNanos inverse).
+    */
+  private def encodeNanos(ns: Long): Long = {
+    if (ns == 0) return 0
+    var zeros = 0
+    var v = ns
+    while (v % 10 == 0 && zeros < 9) { v /= 10; zeros += 1 }
+    if (zeros >= 3) (v << 3) | (zeros - 2).toLong
+    else ns << 3
+  }
+
+  override protected def recordValuePositions(out: scala.collection.mutable.ArrayBuffer[(Int, Array[Long])]): Unit = {
+    val rec = new PositionsBuilder; seconds.getPosition(rec)
+    out += StreamKind.Data -> rec.result()
+    val rec2 = new PositionsBuilder; nanos.getPosition(rec2)
+    out += StreamKind.NanoData -> rec2.result()
+  }
+
+  override protected def finishValueStreams(): Seq[FinishedStream] = {
+    seconds.flush(); nanos.flush()
+    finished(StreamKind.Data, secondsOut) ++ finished(StreamKind.NanoData, nanosOut)
+  }
+
+  override protected def valueMemory: Long = secondsOut.bufferedSize + nanosOut.bufferedSize
+  override protected def reset(): Unit = { super.reset(); secondsOut.clear(); nanosOut.clear() }
+}
+
+/** DATE — days since epoch, signed RLE (extension: the reference has no
+  * DATE type; Spark pipelines need it).
+  */
+final class DateTreeWriter(columnId: Int, opts: DwrfWriteOptions)
+    extends TreeWriter(columnId, opts) {
+  private val dataOut = newStream(StreamKind.Data)
+  private val data = new RunLengthIntegerWriter(dataOut, signed = true)
+
+  override protected def writeValue(g: SpecializedGetters, ordinal: Int): Unit = {
+    val v = g.getInt(ordinal)
+    stats.noteLong(v.toLong)
+    data.write(v.toLong)
+  }
+
+  override protected def recordValuePositions(out: scala.collection.mutable.ArrayBuffer[(Int, Array[Long])]): Unit = {
+    val rec = new PositionsBuilder; data.getPosition(rec)
+    out += StreamKind.Data -> rec.result()
+  }
+
+  override protected def finishValueStreams(): Seq[FinishedStream] = {
+    data.flush()
+    finished(StreamKind.Data, dataOut)
+  }
+
+  override protected def valueMemory: Long = dataOut.bufferedSize
+  override protected def reset(): Unit = { super.reset(); dataOut.clear() }
+}
+
+final class StructTreeWriter(columnId: Int, st: StructType, opts: DwrfWriteOptions)
+    extends TreeWriter(columnId, opts) {
+  override val children: Seq[TreeWriter] = {
+    var id = columnId + 1
+    st.fields.toSeq.map { f =>
+      val w = TreeWriter.create(id, f.dataType, opts)
+      id += ColumnTree.subtreeSize(f.dataType)
+      w
+    }
+  }
+
+  override protected def writeValue(g: SpecializedGetters, ordinal: Int): Unit = {
+    val row = g.getStruct(ordinal, st.fields.length)
+    var i = 0
+    while (i < children.length) {
+      children(i).write(row, i)
+      i += 1
+    }
+  }
+
+  /** Root-row entry: fields of the row are this struct's children. */
+  def writeRoot(row: InternalRow): Unit = {
+    present.write(true)
+    stats.noteValue()
+    var i = 0
+    while (i < children.length) {
+      children(i).write(row, i)
+      i += 1
+    }
+  }
+
+  override protected def recordValuePositions(out: scala.collection.mutable.ArrayBuffer[(Int, Array[Long])]): Unit = ()
+  override protected def finishValueStreams(): Seq[FinishedStream] = Nil
+  override protected def valueMemory: Long = 0L
+}
+
+final class ListTreeWriter(columnId: Int, at: ArrayType, opts: DwrfWriteOptions)
+    extends TreeWriter(columnId, opts) {
+  private val lengthOut = newStream(StreamKind.Length)
+  private val lengths = new RunLengthIntegerWriter(lengthOut, signed = false)
+  private val elementWriter = TreeWriter.create(columnId + 1, at.elementType, opts)
+  override val children: Seq[TreeWriter] = Seq(elementWriter)
+
+  override protected def writeValue(g: SpecializedGetters, ordinal: Int): Unit = {
+    val arr = g.getArray(ordinal)
+    lengths.write(arr.numElements().toLong)
+    var i = 0
+    while (i < arr.numElements()) {
+      elementWriter.write(arr, i)
+      i += 1
+    }
+  }
+
+  override protected def recordValuePositions(out: scala.collection.mutable.ArrayBuffer[(Int, Array[Long])]): Unit = {
+    val rec = new PositionsBuilder; lengths.getPosition(rec)
+    out += StreamKind.Length -> rec.result()
+  }
+
+  override protected def finishValueStreams(): Seq[FinishedStream] = {
+    lengths.flush()
+    finished(StreamKind.Length, lengthOut)
+  }
+
+  override protected def valueMemory: Long = lengthOut.bufferedSize
+  override protected def reset(): Unit = { super.reset(); lengthOut.clear() }
+}
+
+final class MapTreeWriter(columnId: Int, mt: MapType, opts: DwrfWriteOptions)
+    extends TreeWriter(columnId, opts) {
+  private val lengthOut = newStream(StreamKind.Length)
+  private val lengths = new RunLengthIntegerWriter(lengthOut, signed = false)
+  private val keyWriter = TreeWriter.create(columnId + 1, mt.keyType, opts)
+  private val valueWriter = TreeWriter.create(
+    columnId + 1 + ColumnTree.subtreeSize(mt.keyType), mt.valueType, opts)
+  override val children: Seq[TreeWriter] = Seq(keyWriter, valueWriter)
+
+  override protected def writeValue(g: SpecializedGetters, ordinal: Int): Unit = {
+    val m = g.getMap(ordinal)
+    lengths.write(m.numElements().toLong)
+    val keys = m.keyArray()
+    val values = m.valueArray()
+    var i = 0
+    while (i < m.numElements()) {
+      keyWriter.write(keys, i)
+      valueWriter.write(values, i)
+      i += 1
+    }
+  }
+
+  override protected def recordValuePositions(out: scala.collection.mutable.ArrayBuffer[(Int, Array[Long])]): Unit = {
+    val rec = new PositionsBuilder; lengths.getPosition(rec)
+    out += StreamKind.Length -> rec.result()
+  }
+
+  override protected def finishValueStreams(): Seq[FinishedStream] = {
+    lengths.flush()
+    finished(StreamKind.Length, lengthOut)
+  }
+
+  override protected def valueMemory: Long = lengthOut.bufferedSize
+  override protected def reset(): Unit = { super.reset(); lengthOut.clear() }
+}
