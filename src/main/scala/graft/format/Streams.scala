@@ -213,15 +213,14 @@ final class CompressedInStream(name: String, bytes: Array[Byte], codec: Compress
     if (newChunk != chunkStart || block == null) {
       chunkStart = newChunk
       block = null
-      blockPos = 0
     }
+    // always rewind within the (possibly still-loaded) chunk: a later seek
+    // may legally land back in a chunk whose block was fully consumed
+    blockPos = 0
     if (uncompressedOffset > 0) {
       if (!ensureBlock())
         throw new EOFException(s"seek past end of $name")
       blockPos = uncompressedOffset
-    } else {
-      blockPos = 0
-      if (block == null) () // lazily loaded on next read
     }
   }
 }

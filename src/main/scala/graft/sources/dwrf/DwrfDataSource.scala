@@ -87,9 +87,12 @@ final class DwrfTable(tableSchema: StructType, properties: Map[String, String])
 // --------------------------------------------------------------- read
 
 final class DwrfScanBuilder(tableSchema: StructType, path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
 
   private var readSchema: StructType = tableSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   /** Catalyst's ColumnPruning lands here (reference P1's include[]). */
   override def pruneColumns(requiredSchema: StructType): Unit = {
@@ -97,15 +100,27 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String)
     readSchema = requiredSchema
   }
 
-  override def build(): Scan = new DwrfScan(tableSchema, readSchema, path)
+  /** We use filters for stats-based stripe/stride SKIPPING only, so all of
+    * them are returned for Spark to re-evaluate (pushed ones show in
+    * explain as PushedFilters).
+    */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(StatsFilter.supported(_, tableSchema))
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan = new DwrfScan(tableSchema, readSchema, path, pushed)
 }
 
-final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: String)
+final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: String,
+    pushed: Array[org.apache.spark.sql.sources.Filter])
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = readSchema
   override def toBatch: Batch = this
-  override def description(): String = s"dwrf scan of $path"
 
   /** One partition per stripe group of ~target split size. */
   override def planInputPartitions(): Array[InputPartition] = {
@@ -133,7 +148,10 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DwrfPartitionReaderFactory(readSchema.json)
+    new DwrfPartitionReaderFactory(readSchema.json, pushed)
+
+  override def description(): String =
+    s"dwrf scan of $path, PushedFilters: [${pushed.mkString(", ")}]"
 
   override def estimateStatistics(): Statistics = {
     val conf = new Configuration()
@@ -157,7 +175,8 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
 final case class DwrfInputPartition(path: String, offset: Long, length: Long)
     extends InputPartition
 
-final class DwrfPartitionReaderFactory(readSchemaJson: String)
+final class DwrfPartitionReaderFactory(readSchemaJson: String,
+    pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -165,7 +184,8 @@ final class DwrfPartitionReaderFactory(readSchemaJson: String)
     val readSchema = org.apache.spark.sql.types.DataType
       .fromJson(readSchemaJson).asInstanceOf[StructType]
     val reader = new DwrfFileReader(new Path(p.path), new Configuration())
-    val it = reader.rows(reader.stripesInRange(p.offset, p.length), readSchema)
+    val it = reader.rows(reader.stripesInRange(p.offset, p.length), readSchema,
+      pushed.toSeq)
     new PartitionReader[InternalRow] {
       private var current: InternalRow = null
       override def next(): Boolean =

@@ -60,12 +60,20 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
   def stripesInRange(offset: Long, length: Long): Seq[StripeInformation] =
     footer.stripes.filter(s => s.offset >= offset && s.offset < offset + length)
 
-  /** Row iterator over the given stripes, producing only `readSchema`'s
-    * top-level fields (must be a subset of the file schema's fields).
-    */
-  def rows(stripes: Seq[StripeInformation], readSchema: StructType): Iterator[InternalRow] = {
+  private lazy val idByName: Map[String, (Int, org.apache.spark.sql.types.DataType)] = {
     val fullIds = ColumnTree.topLevelIds(schema)
-    val idByName = schema.fields.map(_.name).zip(fullIds.zip(schema.fields.map(_.dataType))).toMap
+    schema.fields.map(_.name).zip(fullIds.zip(schema.fields.map(_.dataType))).toMap
+  }
+
+  /** Row iterator over the given stripes, producing only `readSchema`'s
+    * top-level fields (a subset of the file schema's fields). `filters`
+    * (a conjunction) trigger stripe- and stride-level skipping via stats;
+    * Spark still re-evaluates them, so skipping is pure I/O savings.
+    */
+  def rows(
+      stripes: Seq[StripeInformation],
+      readSchema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil): Iterator[InternalRow] = {
     val readers: Array[TreeReader] = readSchema.fields.map { f =>
       val (id, dt) = idByName.getOrElse(f.name,
         throw new IllegalArgumentException(s"column ${f.name} not in file schema"))
@@ -79,11 +87,11 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
       }
       inc
     }
+    val width = readers.length
 
-    stripes.iterator.flatMap { si =>
-      val src = openStripe(si, wantedColumns)
+    def readAll(si: StripeInformation, sf: StripeFooter): Iterator[InternalRow] = {
+      val src = openStripe(si, sf, wantedColumns)
       readers.foreach(_.startStripe(src))
-      val width = readers.length
       (0L until si.numRows).iterator.map { _ =>
         val row = new GenericInternalRow(width)
         var i = 0
@@ -94,13 +102,87 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
         row: InternalRow
       }
     }
+
+    stripes.iterator.flatMap { si =>
+      val sf = readStripeFooter(si)
+      def stripeStatsOf(attr: String): Option[ColumnStats] =
+        idByName.get(attr).flatMap { case (id, _) => sf.stats.get(id) }
+      if (filters.nonEmpty && !StatsFilter.mayMatch(filters, schema, stripeStatsOf)) {
+        Iterator.empty // whole stripe skipped on stats
+      } else {
+        val stride = footer.rowIndexStride
+        if (filters.isEmpty || stride <= 0 || si.numRows <= stride) readAll(si, sf)
+        else {
+          // stride-level skipping: row indexes of every wanted column
+          val wantedIds = (0 until wantedColumns.length).filter(wantedColumns)
+          val indexes: Map[Int, IndexedSeq[RowIndexEntry]] =
+            readRowIndexes(si, sf, wantedIds.toSet)
+          val numStrides = ((si.numRows + stride - 1) / stride).toInt
+          if (indexes.isEmpty || indexes.values.exists(_.length != numStrides)) {
+            readAll(si, sf) // index unavailable/inconsistent: full read
+          } else {
+            def strideStatsOf(k: Int)(attr: String): Option[ColumnStats] =
+              idByName.get(attr).flatMap { case (id, _) =>
+                indexes.get(id).map(_(k).stats)
+              }
+            val matching = (0 until numStrides)
+              .filter(k => StatsFilter.mayMatch(filters, schema, strideStatsOf(k)))
+            if (matching.isEmpty) Iterator.empty
+            else if (matching.length == numStrides) readAll(si, sf)
+            else {
+              val src = openStripe(si, sf, wantedColumns)
+              readers.foreach(_.startStripe(src))
+              matching.iterator.flatMap { k =>
+                val entries = indexes.map { case (id, es) => id -> es(k) }
+                readers.foreach(_.seekTree(entries))
+                val rowsHere = math.min(stride.toLong, si.numRows - k.toLong * stride)
+                (0L until rowsHere).iterator.map { _ =>
+                  val row = new GenericInternalRow(width)
+                  var i = 0
+                  while (i < width) {
+                    row.update(i, readers(i).next())
+                    i += 1
+                  }
+                  row: InternalRow
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Read the stripe's index area once and decode ROW_INDEX streams for
+    * the wanted columns.
+    */
+  private def readRowIndexes(
+      si: StripeInformation,
+      sf: StripeFooter,
+      wanted: Set[Int]): Map[Int, IndexedSeq[RowIndexEntry]] = {
+    if (si.indexLength == 0) return Map.empty
+    val buf = new Array[Byte](si.indexLength.toInt)
+    in.readFully(si.offset, buf, 0, buf.length)
+    var acc = 0L
+    val result = scala.collection.mutable.Map.empty[Int, IndexedSeq[RowIndexEntry]]
+    sf.streams.foreach { s =>
+      if (s.kind == StreamKind.RowIndex) {
+        if (wanted.contains(s.column)) {
+          val slice = java.util.Arrays.copyOfRange(buf, acc.toInt, (acc + s.length).toInt)
+          result(s.column) = MetaIO.readRowIndex(
+            InStream(s"rowindex${s.column}", slice, codec, postScript.blockSize)).toIndexedSeq
+        }
+        acc += s.length
+      }
+    }
+    result.toMap
   }
 
   /** Plan + execute the stripe's reads: wanted streams only, adjacent
     * ranges coalesced (gap ≤ 256 KB) into single preads.
     */
-  def openStripe(si: StripeInformation, wanted: Array[Boolean]): StreamSource = {
-    val sf = readStripeFooter(si)
+  def openStripe(si: StripeInformation, sf: StripeFooter,
+      wanted: Array[Boolean]): StreamSource = {
     // absolute start offset of every stream, in file order
     var acc = si.offset
     val located = sf.streams.map { s =>
@@ -146,22 +228,8 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
     }
   }
 
-  /** Read a column's row index for a stripe (stride skipping, M4). */
-  def readRowIndex(si: StripeInformation, column: Int): Option[Seq[RowIndexEntry]] = {
-    val sf = readStripeFooter(si)
-    var acc = si.offset
-    sf.streams.collectFirst {
-      Function.unlift { s =>
-        val start = acc
-        acc = start + s.length
-        if (s.column == column && s.kind == StreamKind.RowIndex) {
-          val b = new Array[Byte](s.length.toInt)
-          in.readFully(start, b, 0, b.length)
-          Some(MetaIO.readRowIndex(InStream("rowindex", b, codec, postScript.blockSize)))
-        } else None
-      }
-    }
-  }
+  /** Raw stream access for stripe-level copy (S3, reference StripeReader). */
+  def openRaw(): FSDataInputStream = in
 
   override def close(): Unit = in.close()
 }

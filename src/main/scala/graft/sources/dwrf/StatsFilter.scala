@@ -1,0 +1,150 @@
+package graft.sources.dwrf
+
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.format.ColumnStats
+
+/** Evaluates pushed-down filters against column statistics to decide
+  * whether a stripe/stride can possibly contain matching rows.
+  *
+  * This goes one step beyond the reference, which records the stats
+  * (orc_proto.proto:32-39) but never evaluates predicates (SURVEY §4):
+  * here Catalyst pushes filters via SupportsPushDownFilters and we skip
+  * whole stripes and strides — the 100 TB path where most data is never
+  * read, let alone decoded.
+  *
+  * `mayMatch` must only return false when PROVABLY no row matches; any
+  * uncertainty returns true (Spark re-evaluates every filter anyway).
+  */
+object StatsFilter {
+
+  /** Can this filter ever help skip? (decides what we report as pushed) */
+  def supported(f: Filter, schema: StructType): Boolean = f match {
+    case EqualTo(a, _) => atomic(a, schema)
+    case GreaterThan(a, _) => atomic(a, schema)
+    case GreaterThanOrEqual(a, _) => atomic(a, schema)
+    case LessThan(a, _) => atomic(a, schema)
+    case LessThanOrEqual(a, _) => atomic(a, schema)
+    case In(a, _) => atomic(a, schema)
+    case IsNull(a) => atomic(a, schema)
+    case IsNotNull(a) => atomic(a, schema)
+    case And(l, r) => supported(l, schema) || supported(r, schema)
+    case Or(l, r) => supported(l, schema) && supported(r, schema)
+    case _ => false
+  }
+
+  private def atomic(attr: String, schema: StructType): Boolean =
+    schema.fields.find(_.name == attr).exists { f =>
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+             DoubleType | StringType | BooleanType | TimestampType |
+             TimestampNTZType | DateType => true
+        case _ => false
+      }
+    }
+
+  /** True iff rows matching `filters` (conjunction) may exist given stats. */
+  def mayMatch(
+      filters: Seq[Filter],
+      schema: StructType,
+      statsOf: String => Option[ColumnStats]): Boolean =
+    filters.forall(f => mayMatchOne(f, schema, statsOf))
+
+  private def mayMatchOne(
+      f: Filter,
+      schema: StructType,
+      statsOf: String => Option[ColumnStats]): Boolean = f match {
+    case And(l, r) =>
+      mayMatchOne(l, schema, statsOf) && mayMatchOne(r, schema, statsOf)
+    case Or(l, r) =>
+      mayMatchOne(l, schema, statsOf) || mayMatchOne(r, schema, statsOf)
+    case IsNull(a) =>
+      statsOf(a).forall(_.hasNull)
+    case IsNotNull(a) =>
+      statsOf(a).forall(_.count > 0)
+    // convention: lo = sign(v - min), hi = sign(max - v)
+    case EqualTo(a, v) => cmp(a, v, schema, statsOf) { (lo, hi) => lo >= 0 && hi >= 0 }
+    case GreaterThan(a, v) => cmp(a, v, schema, statsOf) { (_, hi) => hi > 0 }
+    case GreaterThanOrEqual(a, v) => cmp(a, v, schema, statsOf) { (_, hi) => hi >= 0 }
+    case LessThan(a, v) => cmp(a, v, schema, statsOf) { (lo, _) => lo > 0 }
+    case LessThanOrEqual(a, v) => cmp(a, v, schema, statsOf) { (lo, _) => lo >= 0 }
+    case In(a, vs) =>
+      vs.isEmpty || vs.exists(v =>
+        cmp(a, v, schema, statsOf) { (lo, hi) => lo >= 0 && hi >= 0 })
+    case _ => true
+  }
+
+  /** Evaluate `check(lo, hi)` with lo = sign(v - min), hi = sign(max - v);
+    * returns true (can't skip) when stats are unavailable or the column
+    * type isn't comparable against stats.
+    */
+  private def cmp(
+      attr: String, value: Any, schema: StructType,
+      statsOf: String => Option[ColumnStats])(
+      check: (Int, Int) => Boolean): Boolean = {
+    if (value == null) return true
+    val field = schema.fields.find(_.name == attr).getOrElse(return true)
+    val st = statsOf(attr).getOrElse(return true)
+    if (st.count == 0) return false // all null: no non-null value can match
+    field.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val v = value.asInstanceOf[Number].longValue()
+        if (st.longMin > st.longMax) return true
+        // check(sign(v-min), sign(max-v)): e.g. EqualTo needs v>=min && max>=v
+        check(java.lang.Long.compare(v, st.longMin), java.lang.Long.compare(st.longMax, v))
+      case FloatType | DoubleType =>
+        val v = value.asInstanceOf[Number].doubleValue()
+        if (st.doubleMin > st.doubleMax) return true
+        check(java.lang.Double.compare(v, st.doubleMin), java.lang.Double.compare(st.doubleMax, v))
+      case StringType =>
+        if (st.stringMin == null || st.stringMax == null) return true
+        val v = UTF8String.fromString(value.toString)
+        val mn = UTF8String.fromString(st.stringMin)
+        val mx = UTF8String.fromString(st.stringMax)
+        check(v.compareTo(mn), mx.compareTo(v))
+      case BooleanType =>
+        val v = value.asInstanceOf[Boolean]
+        val mn = if (st.trueCount == st.count) 1L else 0L // min observed (false=0)
+        val mx = if (st.trueCount > 0) 1L else 0L
+        val vl = if (v) 1L else 0L
+        check(java.lang.Long.compare(vl, mn), java.lang.Long.compare(mx, vl))
+      case TimestampType | TimestampNTZType =>
+        toMicros(value) match {
+          case Some(v) =>
+            if (st.longMin > st.longMax) return true
+            check(java.lang.Long.compare(v, st.longMin), java.lang.Long.compare(st.longMax, v))
+          case None => true
+        }
+      case DateType =>
+        toDays(value) match {
+          case Some(v) =>
+            if (st.longMin > st.longMax) return true
+            check(java.lang.Long.compare(v, st.longMin), java.lang.Long.compare(st.longMax, v))
+          case None => true
+        }
+      case _ => true
+    }
+  }
+
+  private def toMicros(value: Any): Option[Long] = value match {
+    case t: java.sql.Timestamp =>
+      Some(Math.multiplyExact(t.getTime / 1000, 1000000L) +
+        (t.getNanos / 1000).toLong)
+    case i: java.time.Instant =>
+      Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        (i.getNano / 1000).toLong))
+    case l: java.time.LocalDateTime =>
+      Some(Math.addExact(
+        Math.multiplyExact(l.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+        (l.getNano / 1000).toLong))
+    case _ => None
+  }
+
+  private def toDays(value: Any): Option[Long] = value match {
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+}

@@ -71,7 +71,7 @@ abstract class TreeReader(val columnId: Int) {
   /** Skip n non-null values. */
   protected def skipValues(n: Long): Unit
 
-  /** Seek to a row-index entry (M4; consumes positions in stream order). */
+  /** Seek to a row-index entry (consumes positions in stream order). */
   def seek(entry: RowIndexEntry): Unit = {
     if (present != null)
       entry.positions.get(StreamKind.Present)
@@ -80,6 +80,15 @@ abstract class TreeReader(val columnId: Int) {
   }
 
   protected def seekValues(entry: RowIndexEntry): Unit = ()
+
+  /** Nested readers a seek must recurse into. */
+  def readerChildren: Seq[TreeReader] = Nil
+
+  /** Seek this subtree to stride k via per-column index entries. */
+  final def seekTree(entries: Map[Int, RowIndexEntry]): Unit = {
+    entries.get(columnId).foreach(seek)
+    readerChildren.foreach(_.seekTree(entries))
+  }
 }
 
 final class BooleanTreeReader(columnId: Int) extends TreeReader(columnId) {
@@ -102,13 +111,34 @@ final class ByteTreeReader(columnId: Int) extends TreeReader(columnId) {
     e.positions.get(StreamKind.Data).foreach(p => data.seek(new ArrayPositionProvider(p)))
 }
 
+/** Integers: per-stripe encoding dispatch between direct and dictionary
+  * (reference R5, LazyIntTreeReader.java:41-59).
+  */
 final class LongTreeReader(columnId: Int, narrow: Long => Any)
     extends TreeReader(columnId) {
   private var data: RunLengthIntegerReader = null
-  override protected def startValues(src: StreamSource): Unit =
-    data = src.stream(columnId, StreamKind.Data)
-      .map(new RunLengthIntegerReader(_, signed = true)).orNull
-  override protected def nextValue(): Any = narrow(data.next())
+  private var dictionary: Array[Long] = null
+
+  override protected def startValues(src: StreamSource): Unit = {
+    val enc = src.encoding(columnId)
+    if (enc.dictionary) {
+      val dictReader = src.stream(columnId, StreamKind.DictionaryData)
+        .map(new RunLengthIntegerReader(_, signed = true))
+        .getOrElse(throw new IllegalStateException(s"col $columnId: missing dictionary"))
+      dictionary = Array.fill(enc.dictionarySize)(dictReader.next())
+      data = src.stream(columnId, StreamKind.Data)
+        .map(new RunLengthIntegerReader(_, signed = false)).orNull
+    } else {
+      dictionary = null
+      data = src.stream(columnId, StreamKind.Data)
+        .map(new RunLengthIntegerReader(_, signed = true)).orNull
+    }
+  }
+
+  override protected def nextValue(): Any =
+    if (dictionary != null) narrow(dictionary(data.next().toInt))
+    else narrow(data.next())
+
   override protected def skipValues(n: Long): Unit = data.skip(n)
   override protected def seekValues(e: RowIndexEntry): Unit =
     e.positions.get(StreamKind.Data).foreach(p => data.seek(new ArrayPositionProvider(p)))
@@ -140,43 +170,80 @@ final class DoubleTreeReader(columnId: Int) extends TreeReader(columnId) {
     e.positions.get(StreamKind.Data).foreach(p => data.seek(new ArrayPositionProvider(p)))
 }
 
+/** Strings: direct (DATA bytes + LENGTH) or dictionary (sorted key blob +
+  * ids) per the stripe's encoding (reference LazyStringTreeReader,
+  * LazyStringDictionaryTreeReader.java:60-220).
+  */
 final class StringTreeReader(columnId: Int) extends TreeReader(columnId) {
   private var data: InStream = null
   private var lengths: RunLengthIntegerReader = null
+  private var dictionary: Array[UTF8String] = null
+  private var ids: RunLengthIntegerReader = null
 
   override protected def startValues(src: StreamSource): Unit = {
-    data = src.stream(columnId, StreamKind.Data).orNull
-    lengths = src.stream(columnId, StreamKind.Length)
-      .map(new RunLengthIntegerReader(_, signed = false)).orNull
-  }
-
-  override protected def nextValue(): Any = {
-    val len = lengths.next().toInt
-    val b = new Array[Byte](len)
-    var got = 0
-    while (got < len) {
-      val n = data.read(b, got, len - got)
-      if (n < 0) throw new java.io.EOFException("EOF in string data")
-      got += n
+    val enc = src.encoding(columnId)
+    if (enc.dictionary) {
+      val dictData = src.stream(columnId, StreamKind.DictionaryData)
+        .getOrElse(throw new IllegalStateException(s"col $columnId: missing dictionary"))
+      val keyLengths = src.stream(columnId, StreamKind.Length)
+        .map(new RunLengthIntegerReader(_, signed = false))
+        .getOrElse(throw new IllegalStateException(s"col $columnId: missing key lengths"))
+      dictionary = Array.fill(enc.dictionarySize) {
+        val len = keyLengths.next().toInt
+        val b = new Array[Byte](len)
+        var got = 0
+        while (got < len) {
+          val n = dictData.read(b, got, len - got)
+          if (n < 0) throw new java.io.EOFException("EOF in dictionary blob")
+          got += n
+        }
+        UTF8String.fromBytes(b)
+      }
+      ids = src.stream(columnId, StreamKind.Data)
+        .map(new RunLengthIntegerReader(_, signed = false)).orNull
+      data = null; lengths = null
+    } else {
+      dictionary = null; ids = null
+      data = src.stream(columnId, StreamKind.Data).orNull
+      lengths = src.stream(columnId, StreamKind.Length)
+        .map(new RunLengthIntegerReader(_, signed = false)).orNull
     }
-    UTF8String.fromBytes(b)
   }
 
-  override protected def skipValues(n: Long): Unit = {
-    var toSkip = 0L
-    var i = 0L
-    while (i < n) { toSkip += lengths.next(); i += 1 }
-    while (toSkip > 0) {
-      val skipped = data.skip(toSkip)
-      if (skipped <= 0) throw new java.io.EOFException("EOF skipping string data")
-      toSkip -= skipped
+  override protected def nextValue(): Any =
+    if (dictionary != null) dictionary(ids.next().toInt)
+    else {
+      val len = lengths.next().toInt
+      val b = new Array[Byte](len)
+      var got = 0
+      while (got < len) {
+        val n = data.read(b, got, len - got)
+        if (n < 0) throw new java.io.EOFException("EOF in string data")
+        got += n
+      }
+      UTF8String.fromBytes(b)
     }
-  }
 
-  override protected def seekValues(e: RowIndexEntry): Unit = {
-    e.positions.get(StreamKind.Data).foreach(p => data.seek(new ArrayPositionProvider(p)))
-    e.positions.get(StreamKind.Length).foreach(p => lengths.seek(new ArrayPositionProvider(p)))
-  }
+  override protected def skipValues(n: Long): Unit =
+    if (dictionary != null) ids.skip(n)
+    else {
+      var toSkip = 0L
+      var i = 0L
+      while (i < n) { toSkip += lengths.next(); i += 1 }
+      while (toSkip > 0) {
+        val skipped = data.skip(toSkip)
+        if (skipped <= 0) throw new java.io.EOFException("EOF skipping string data")
+        toSkip -= skipped
+      }
+    }
+
+  override protected def seekValues(e: RowIndexEntry): Unit =
+    if (dictionary != null)
+      e.positions.get(StreamKind.Data).foreach(p => ids.seek(new ArrayPositionProvider(p)))
+    else {
+      e.positions.get(StreamKind.Data).foreach(p => data.seek(new ArrayPositionProvider(p)))
+      e.positions.get(StreamKind.Length).foreach(p => lengths.seek(new ArrayPositionProvider(p)))
+    }
 }
 
 final class BinaryTreeReader(columnId: Int) extends TreeReader(columnId) {
@@ -283,6 +350,8 @@ final class StructTreeReader(columnId: Int, st: StructType)
     childReaders.foreach(_.startStripe(src))
   }
 
+  override def readerChildren: Seq[TreeReader] = childReaders.toSeq
+
   override protected def startValues(src: StreamSource): Unit = ()
 
   override protected def nextValue(): Any = {
@@ -310,6 +379,8 @@ final class ListTreeReader(columnId: Int, at: ArrayType)
     super.startStripe(src)
     elementReader.startStripe(src)
   }
+
+  override def readerChildren: Seq[TreeReader] = Seq(elementReader)
 
   override protected def startValues(src: StreamSource): Unit =
     lengths = src.stream(columnId, StreamKind.Length)
@@ -346,6 +417,8 @@ final class MapTreeReader(columnId: Int, mt: MapType)
     keyReader.startStripe(src)
     valueReader.startStripe(src)
   }
+
+  override def readerChildren: Seq[TreeReader] = Seq(keyReader, valueReader)
 
   override protected def startValues(src: StreamSource): Unit =
     lengths = src.stream(columnId, StreamKind.Length)

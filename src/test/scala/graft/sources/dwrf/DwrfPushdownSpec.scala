@@ -1,0 +1,128 @@
+package graft.sources.dwrf
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stats-based stripe/stride skipping + seek correctness (the reference's
+  * TestOrcFile seek grid, FIXTURES F3, plus the predicate evaluation the
+  * reference never implemented).
+  */
+class DwrfPushdownSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def writeSorted(stride: Int): String = {
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "dwrf-push-").toString
+    // sorted ids 0..9999 in ONE file/partition => stride k holds [k*stride,(k+1)*stride)
+    spark.range(0, 10000, 1, 1).select(
+      col("id"),
+      (col("id") % 50).cast("int").as("bucket"),        // dictionary int
+      concat(lit("cat-"), (col("id") % 20)).as("tag"),  // dictionary string
+      concat(lit("uniq-"), format_string("%08d", col("id"))).as("uid"), // direct string
+      (col("id") * 1.5).as("score"))
+      .write.format("dwrf").mode("overwrite")
+      .option("row.index.stride", stride.toString)
+      .save(dir)
+    dir
+  }
+
+  private def rawRows(dir: String, filters: Seq[Filter],
+      cols: Seq[String] = Seq("id")): Seq[org.apache.spark.sql.catalyst.InternalRow] = {
+    val file = DwrfUtil.listDataFiles(new Path(dir), new Configuration()).head
+    val r = new DwrfFileReader(file, new Configuration())
+    try {
+      val readSchema = org.apache.spark.sql.types.StructType(
+        r.schema.fields.filter(f => cols.contains(f.name)))
+      r.rows(r.footer.stripes, readSchema, filters).toVector
+    } finally r.close()
+  }
+
+  test("stride skipping returns only matching strides (superset semantics)") {
+    val dir = writeSorted(stride = 1000)
+    // id < 500 lives entirely in stride 0 => exactly 1000 rows surface
+    assert(rawRows(dir, Seq(LessThan("id", 500L))).size == 1000)
+    // id in [4500, 5500) spans strides 4 and 5 => 2000 rows surface
+    assert(rawRows(dir, Seq(
+      GreaterThanOrEqual("id", 4500L), LessThan("id", 5500L))).size == 2000)
+    // equality on a single value => one stride
+    assert(rawRows(dir, Seq(EqualTo("id", 7777L))).size == 1000)
+    // no possible match => zero rows (stripe skipped entirely)
+    assert(rawRows(dir, Seq(GreaterThan("id", 99999L))).isEmpty)
+    // string filter on direct-encoded uid
+    assert(rawRows(dir, Seq(EqualTo("uid", "uniq-00000042")), Seq("uid")).size == 1000)
+    // filter can't help (all strides contain bucket 7) => all rows
+    assert(rawRows(dir, Seq(EqualTo("bucket", 7)), Seq("bucket")).size == 10000)
+  }
+
+  test("skipped reads decode correctly mid-stripe (seek grid)") {
+    val dir = writeSorted(stride = 1000)
+    // values must be right after a seek, for every stride start
+    for (k <- 0 until 10) {
+      val lo = k * 1000L
+      val rows = rawRows(dir,
+        Seq(GreaterThanOrEqual("id", lo), LessThan("id", lo + 1)),
+        Seq("id", "bucket", "tag", "uid", "score"))
+      assert(rows.size == 1000, s"stride $k")
+      val first = rows.head
+      assert(first.getLong(0) == lo)
+      assert(first.getInt(1) == (lo % 50).toInt)
+      assert(first.getUTF8String(2).toString == s"cat-${lo % 20}")
+      assert(first.getUTF8String(3).toString == f"uniq-$lo%08d")
+      assert(first.getDouble(4) == lo * 1.5)
+      // and the whole stride must be the contiguous id range
+      assert(rows.map(_.getLong(0)) == (lo until lo + 1000).toVector)
+    }
+  }
+
+  test("sparse filtered read through Spark matches parquet semantics") {
+    val dir = writeSorted(stride = 500)
+    val df = spark.read.format("dwrf").load(dir)
+    val got = df.filter(col("id") % 1000 === 0 && col("id") < 5000)
+      .select("id", "uid").orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1000L, 2000L, 3000L, 4000L))
+    assert(got.map(_.getString(1)).toSeq ==
+      Seq(0L, 1000L, 2000L, 3000L, 4000L).map(i => f"uniq-$i%08d"))
+    // pushed filters visible in the plan
+    val plan = df.filter(col("id") < 100).queryExecution.executedPlan.toString()
+    assert(plan.contains("dwrf"), plan)
+  }
+
+  test("nulls interact correctly with skipping") {
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "dwrf-null-").toString
+    spark.range(0, 4000, 1, 1).select(
+      col("id"),
+      when(col("id") < 2000, col("id") * 2).as("v"))
+      .write.format("dwrf").mode("overwrite")
+      .option("row.index.stride", 1000).save(dir)
+    // IsNull: only strides 2,3 have nulls
+    assert(rawRows(dir, Seq(IsNull("v")), Seq("v")).size == 2000)
+    // IsNotNull: only strides 0,1
+    assert(rawRows(dir, Seq(IsNotNull("v")), Seq("v")).size == 2000)
+    // value filter on nullable column
+    assert(rawRows(dir, Seq(EqualTo("v", 100L)), Seq("v")).size == 1000)
+  }
+
+  test("dictionary encoding engages for low-cardinality columns") {
+    val dir = writeSorted(stride = 1000)
+    val file = DwrfUtil.listDataFiles(new Path(dir), new Configuration()).head
+    val r = new DwrfFileReader(file, new Configuration())
+    try {
+      val sf = r.readStripeFooter(r.footer.stripes.head)
+      val ids = ColumnTree.topLevelIds(r.schema)
+      val byName = r.schema.fieldNames.zip(ids).toMap
+      assert(!sf.encodings(byName("id")).dictionary, "sequential ids: direct")
+      assert(sf.encodings(byName("bucket")).dictionary, "50 distinct ints: dictionary")
+      assert(sf.encodings(byName("bucket")).dictionarySize == 50)
+      assert(sf.encodings(byName("tag")).dictionary, "20 distinct strings: dictionary")
+      assert(sf.encodings(byName("tag")).dictionarySize == 20)
+      assert(!sf.encodings(byName("uid")).dictionary, "unique strings: direct")
+    } finally r.close()
+  }
+}
