@@ -14,6 +14,10 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     CoreQueries,
     FormatQueries,
+    TextQueries,
+    DedupQueries,
+    SimilarityQueries,
+    MultimodalQueries,
   )
 
   lazy val allQueries: Seq[Q] = {

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing-style document fingerprint kernel: min over all `window`-byte
+  * windows of a polynomial rolling hash. Deterministic, order-sensitive,
+  * robust to small appends — the classic near-dup fingerprint primitive.
+  * Kept in a plain object so generated code can call it statically.
+  */
+object FingerprintKernel {
+  final val Base = 1000003L
+
+  def compute(s: UTF8String, window: Int): Long = {
+    val b = s.getBytes
+    val n = b.length
+    if (n == 0) return 0L
+    val w = math.min(window, n)
+    // B^(w-1) for the rolling subtract
+    var pow = 1L
+    var j = 1
+    while (j < w) { pow *= Base; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < w) { h = h * Base + (b(i) & 0xff); i += 1 }
+    var best = mix(h)
+    while (i < n) {
+      h = (h - (b(i - w) & 0xff) * pow) * Base + (b(i) & 0xff)
+      val m = mix(h)
+      if (java.lang.Long.compareUnsigned(m, best) < 0) best = m
+      i += 1
+    }
+    best
+  }
+
+  /** Final avalanche (splitmix64 tail) so near-equal windows spread. */
+  def mix(v: Long): Long = {
+    var z = v + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
+/** Catalyst expression for [[FingerprintKernel]] — a native, codegen'd
+  * scalar (stays inside whole-stage codegen; no UDF serialization), the
+  * preferred extension shape per the build brief.
+  */
+case class DocFingerprint(child: Expression, window: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    FingerprintKernel.compute(input.asInstanceOf[UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.FingerprintKernel.compute($c, $window);")
+
+  override protected def withNewChildInternal(newChild: Expression): DocFingerprint =
+    copy(child = newChild)
+
+  override def prettyName: String = "doc_fingerprint"
+}
+
+object GraftFunctions {
+  /** Register graft's native expressions for SQL / expr() use:
+    * `doc_fingerprint(text[, window])`. Idempotent per session.
+    */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "doc_fingerprint",
+      {
+        case Seq(child) => DocFingerprint(child, 16)
+        case Seq(child, Literal(w: Int, _)) => DocFingerprint(child, w)
+        case other => throw new IllegalArgumentException(
+          s"doc_fingerprint(text[, window]): got ${other.size} args")
+      },
+      "built-in")
+  }
+}

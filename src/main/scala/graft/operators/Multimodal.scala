@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Deterministic fake media container ("GIMG"): 13-byte header
+  * (magic 4B | width 4B LE | height 4B LE | channels 1B) + payload bytes.
+  * Stands in for real image/video bytes — the container has no codecs
+  * (build brief: stub the decode, keep the plumbing real).
+  */
+object FakeImage {
+  val Magic: Array[Byte] = "GIMG".getBytes("UTF-8")
+  val HeaderBytes: Int = 13
+
+  def build(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val width = 64 + payload.length % 512
+    val height = 64 + (payload.length * 7) % 512
+    val channels = (1 + docId % 3).toInt
+    val out = new Array[Byte](HeaderBytes + payload.length)
+    System.arraycopy(Magic, 0, out, 0, 4)
+    writeIntLE(out, 4, width)
+    writeIntLE(out, 8, height)
+    out(12) = channels.toByte
+    System.arraycopy(payload, 0, out, HeaderBytes, payload.length)
+    out
+  }
+
+  private def writeIntLE(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >> 8) & 0xff).toByte
+    b(off + 2) = ((v >> 16) & 0xff).toByte
+    b(off + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  def readIntLE(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+}
+
+final case class ImageRecord(doc_id: Long, image: Array[Byte])
+
+final case class ImageMeta(
+    doc_id: Long, width: Int, height: Int, channels: Int,
+    width_bucket: Int, n_bytes: Long, payload_md5: String)
+
+final case class FrameSample(
+    doc_id: Long, n_frames: Long, first_frame_md5: String)
+
+/** Multimodal column operators. Batch shape: `mapPartitions` over typed
+  * Datasets — one decoder instance per partition, streaming through the
+  * rows (the Scala analog of a Pandas-UDF `mapInPandas` batch), which is
+  * exactly how a real codec (JNI, native buffers) wants to be driven at
+  * 100 TB: per-partition setup cost amortized, no per-row UDF overhead.
+  */
+object Multimodal {
+
+  /** Encode step: documents → (doc_id, binary image). Deterministic fake
+    * payload = utf8(text).
+    */
+  def toFakeImages(documents: DataFrame): Dataset[ImageRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select("doc_id", "text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        ImageRecord(id, FakeImage.build(id, text.getBytes("UTF-8")))
+      })
+  }
+
+  /** Decode-stub + metadata extraction: parses the GIMG header and hashes
+    * the payload. Swap the body for a real image decode; the signature,
+    * schema and partitioning stay.
+    */
+  def extractMeta(images: Dataset[ImageRecord]): Dataset[ImageMeta] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { rec =>
+        val b = rec.image
+        require(b.length >= FakeImage.HeaderBytes &&
+          java.util.Arrays.equals(
+            java.util.Arrays.copyOfRange(b, 0, 4), FakeImage.Magic),
+          s"doc ${rec.doc_id}: not a GIMG container")
+        val width = FakeImage.readIntLE(b, 4)
+        val height = FakeImage.readIntLE(b, 8)
+        val channels = b(12).toInt
+        md.reset()
+        md.update(b, FakeImage.HeaderBytes, b.length - FakeImage.HeaderBytes)
+        val hex = md.digest().map("%02x".format(_)).mkString
+        ImageMeta(rec.doc_id, width, height, channels,
+          width / 128, b.length.toLong, hex)
+      }
+    }
+  }
+
+  /** Frame sampling stub: payload split into fixed-size frames; returns
+    * the frame count + a hash of frame 0 (decoded as text to stay
+    * byte/char agnostic for the oracle).
+    */
+  def sampleFrames(images: Dataset[ImageRecord], frameSize: Int): Dataset[FrameSample] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { rec =>
+        val payloadLen = rec.image.length - FakeImage.HeaderBytes
+        val nFrames = (payloadLen + frameSize - 1) / frameSize
+        val text = new String(rec.image, FakeImage.HeaderBytes, payloadLen, "UTF-8")
+        val frame0 = text.substring(0, math.min(frameSize, text.length))
+        md.reset()
+        val hex = md.digest(frame0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        FrameSample(rec.doc_id, nFrames.toLong, hex)
+      }
+    }
+  }
+}

@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators over `documents` — the core LLM-pipeline
+  * stage. All variants are declarative Spark plans designed for the
+  * 100 TB shape:
+  *
+  *  - exact: one hash-partitioned groupBy on the content key;
+  *  - n-gram Jaccard: shingle-explode → selective equi-join (word 5-grams
+  *    are highly selective, so the join does NOT blow up quadratically the
+  *    way char-grams would) → per-pair counting;
+  *  - MinHash+LSH: per-doc signature computed WITHOUT explode (nested
+  *    higher-order functions, stays in codegen), then one band-bucket
+  *    shuffle where only colliding docs meet — the classic sub-quadratic
+  *    path;
+  *  - SimHash: 64-bit signature per doc, 16-bit band join, popcount
+  *    verify.
+  *
+  * Only the first two have DuckDB-expressible oracles; the LSH family is
+  * checked rows-only by the driver (its verification is the exact-jaccard
+  * confirm step inside the query itself).
+  */
+object DedupQueries extends QueryPack {
+
+  // ------------------------------------------------------------ exact
+  private val exactSql = """
+    |WITH hashed AS (
+    |  SELECT doc_id, md5(text) AS h FROM documents),
+    |groups AS (
+    |  SELECT h, COUNT(*) AS group_size, MIN(doc_id) AS keeper
+    |  FROM hashed GROUP BY h)
+    |SELECT COUNT(*) AS n_groups,
+    |  COUNT(CASE WHEN group_size > 1 THEN 1 END) AS n_dup_groups,
+    |  CAST(SUM(group_size) AS BIGINT) AS n_docs,
+    |  CAST(SUM(group_size - 1) AS BIGINT) AS n_removable
+    |FROM groups
+    |""".stripMargin.trim
+
+  private def exact(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(exactSql)
+  }
+
+  // --------------------------------------------------- n-gram jaccard
+  // Word-5-gram shingles; pairs sharing ≥1 shingle get exact Jaccard.
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val shingles = docs.select($"doc_id",
+      explode(expr(
+        """array_distinct(transform(
+          |  sequence(1, greatest(size(split(text, ' ')) - 4, 1)),
+          |  i -> concat_ws(' ', slice(split(text, ' '), i, 5))))""".stripMargin))
+        .as("g"))
+    val counts = shingles.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val a = shingles.as("a")
+    val b = shingles.as("b")
+    val inter = a.join(b, $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .select($"id_a", $"id_b", $"n_common",
+        ($"n_common" / ($"n_a" + $"n_b" - $"n_common")).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val ngramJaccardOracle = """
+    |WITH toks AS (
+    |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    |sh AS (
+    |  SELECT DISTINCT doc_id,
+    |    array_to_string(w[CAST(t.i AS BIGINT):CAST(t.i AS BIGINT)+4], ' ') AS g
+    |  FROM toks, unnest(range(1, greatest(len(w) - 4, 1) + 1)) AS t(i)),
+    |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    |inter AS (
+    |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+    |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+    |  GROUP BY 1, 2)
+    |SELECT id_a, id_b, n_common,
+    |  n_common / (ca.n + cb.n - n_common) AS jaccard
+    |FROM inter
+    |JOIN counts ca ON ca.doc_id = id_a
+    |JOIN counts cb ON cb.doc_id = id_b
+    |WHERE n_common / (ca.n + cb.n - n_common) >= 0.5
+    |ORDER BY id_a, id_b
+    |""".stripMargin.trim
+
+  // ------------------------------------------------------ minhash LSH
+  // k=32 hash functions, 8 bands × 4 rows. Signature per doc without a
+  // shuffle; one explode on bands for the bucket join; candidates get the
+  // estimated (signature-fraction) similarity and survive at est ≥ 0.5.
+  private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 32
+    val bands = 8
+    val rowsPerBand = k / bands
+    val docs = Tables.load(s, dir, "documents")
+    // shingle ONCE via explode, then build the k min-hashes as k min()
+    // aggregates over the per-shingle base hash (map-side combined, so the
+    // shuffle carries only k longs per doc). A projection-level transform
+    // lambda would re-evaluate the shingling per hash function (Catalyst
+    // CollapseProject inlines aliases into lambda bodies) — measured 30x
+    // slower at sf0.1.
+    val shingleHashes = docs.select($"doc_id",
+      explode(expr(
+        """array_distinct(transform(
+          |  sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+          |  i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin))
+        .as("g"))
+      .select($"doc_id", xxhash64($"g").as("bh"))
+    val sigs = shingleHashes.groupBy($"doc_id").agg(
+      array((0 until k).map(i => min(xxhash64($"bh", lit(i)))): _*).as("sig"))
+    val banded = sigs.select($"doc_id", $"sig",
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(${
+          (0 until rowsPerBand).map(r => s"sig[b * $rowsPerBand + $r]").mkString(", ")
+        }))")).as(Seq("band_idx", "band_hash")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val pairs = a.join(b,
+      $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        expr(s"""aggregate(zip_with(a.sig, b.sig, (x, y) -> IF(x = y, 1, 0)),
+                 |0, (acc, v) -> acc + v) / CAST($k AS DOUBLE)""".stripMargin)
+          .as("est_jaccard"))
+      .distinct()
+    pairs.filter($"est_jaccard" >= 0.5)
+      .select($"id_a", $"id_b", round($"est_jaccard", 4).as("est_jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  // ---------------------------------------------------------- simhash
+  // 64-bit simhash over word hashes; 4 × 16-bit band join; hamming ≤ 8.
+  private def simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    // one explode + 64 per-bit sums (same CollapseProject trap as minhash:
+    // an aggregate-over-bits lambda would re-split the text 64 times)
+    val wordHashes = docs.select($"doc_id",
+      explode(split($"text", " ")).as("w"))
+      .select($"doc_id", xxhash64($"w").as("wh"))
+    val sigs = wordHashes.groupBy($"doc_id").agg(
+      (0 until 64).map { bit =>
+        sum(when(expr(s"(shiftright(wh, $bit) & 1) = 1"), 1L).otherwise(-1L))
+          .as(s"b$bit")
+      }.head, (1 until 64).map { bit =>
+        sum(when(expr(s"(shiftright(wh, $bit) & 1) = 1"), 1L).otherwise(-1L))
+          .as(s"b$bit")
+      }: _*)
+      .select($"doc_id",
+        expr((0 until 64).map(b => s"IF(b$b > 0, shiftleft(1L, $b), 0L)")
+          .mkString("(", " + ", ")")).as("sim"))
+    val banded = sigs.select($"doc_id", $"sim",
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> (shiftright(sim, b * 16) & 65535))"))
+        .as(Seq("band_idx", "band_val")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+      $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        bit_count($"a.sim".bitwiseXOR($"b.sim")).cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 8)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  override val all: Seq[Q] = Seq(
+    Q("dedup_exact", exact, Some(exactSql)),
+    Q("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
+    Q("dedup_minhash_lsh", minhashLsh, None),
+    Q("dedup_simhash", simhash, None),
+  )
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{FakeImage, Multimodal}
+
+/** Multimodal-column operators: media as opaque BINARY + typed metadata.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * deterministic STUB (a self-describing fake "GIMG" container built from
+  * each document's bytes) — but the Spark-side plumbing is real: binary
+  * columns, case-class Datasets, `mapPartitions` batch processing (the
+  * Scala analog of mapInPandas), and schema'd metadata back out. Swap
+  * `Multimodal.decodeStub` for a real codec and nothing else changes.
+  */
+object MultimodalQueries extends QueryPack {
+
+  // --------------------------------------------------------- metadata
+  private def meta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val images = Multimodal.toFakeImages(Tables.load(s, dir, "documents"))
+    Multimodal.extractMeta(images)
+      .groupBy($"channels", $"width_bucket")
+      .agg(
+        count(lit(1)).as("n_images"),
+        expr("CAST(SUM(n_bytes) AS BIGINT)").as("total_bytes"),
+        min($"width").cast("long").as("min_width"),
+        max($"height").cast("long").as("max_height"))
+      .orderBy($"channels", $"width_bucket")
+  }
+
+  // The oracle recomputes the stub's deterministic header fields straight
+  // from the text (payload = utf8(text), width/height derived from byte
+  // length exactly as FakeImage does).
+  private val metaOracle = s"""
+    |WITH img AS (
+    |  SELECT doc_id,
+    |    octet_length(encode(text)) AS payload,
+    |    64 + octet_length(encode(text)) % 512 AS width,
+    |    64 + (octet_length(encode(text)) * 7) % 512 AS height,
+    |    1 + doc_id % 3 AS channels
+    |  FROM documents)
+    |SELECT channels, width // 128 AS width_bucket,
+    |  COUNT(*) AS n_images,
+    |  CAST(SUM(payload + ${FakeImage.HeaderBytes}) AS BIGINT) AS total_bytes,
+    |  CAST(MIN(width) AS BIGINT) AS min_width,
+    |  CAST(MAX(height) AS BIGINT) AS max_height
+    |FROM img
+    |GROUP BY channels, width // 128
+    |ORDER BY channels, width_bucket
+    |""".stripMargin.trim
+
+  // ----------------------------------------------------------- frames
+  private def frames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val images = Multimodal.toFakeImages(Tables.load(s, dir, "documents"))
+    Multimodal.sampleFrames(images, frameSize = 256)
+      .groupBy($"n_frames")
+      .agg(
+        count(lit(1)).as("n_videos"),
+        countDistinct($"first_frame_md5").as("distinct_first_frames"))
+      .orderBy($"n_frames")
+  }
+
+  private val framesOracle = """
+    |WITH f AS (
+    |  SELECT doc_id,
+    |    CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames,
+    |    md5(substr(text, 1, 256)) AS first_frame_md5
+    |  FROM documents)
+    |SELECT n_frames, COUNT(*) AS n_videos,
+    |  COUNT(DISTINCT first_frame_md5) AS distinct_first_frames
+    |FROM f
+    |GROUP BY n_frames
+    |ORDER BY n_frames
+    |""".stripMargin.trim
+
+  override val all: Seq[Q] = Seq(
+    Q("multimodal_meta", meta, Some(metaOracle)),
+    Q("multimodal_frames", frames, Some(framesOracle)),
+  )
+}

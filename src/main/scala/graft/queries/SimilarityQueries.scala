@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-dim).
+  *
+  * Three tiers:
+  *  - `ann_topk_dot`: brute-force top-k by dot product against one query
+  *    vector — the correctness baseline, exact-decimal summed so the
+  *    DuckDB oracle hash-matches bit-for-bit;
+  *  - `ann_cosine_pairs`: all-pairs cosine ≥ threshold (exact oracle);
+  *    quadratic by design — the small-scale verifier for the LSH path,
+  *    deliberately NOT a bench headliner;
+  *  - `ann_lsh_cosine`: random-hyperplane LSH buckets → candidates →
+  *    exact cosine verify. The 100 TB path: signatures are one narrow
+  *    map, candidates meet in one bucket-join shuffle.
+  */
+object SimilarityQueries extends QueryPack {
+
+  /** Exact decimal dot product between two float-array columns — per-
+    * element double products (deterministic) summed as DECIMAL(28,12)
+    * (order-independent), so any engine computes the identical value.
+    */
+  private def decimalDot(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) ->
+       |  CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(20,12))),
+       |CAST(0 AS DECIMAL(32,12)), (acc, v) -> CAST(acc + v AS DECIMAL(32,12)))""".stripMargin
+
+  // ------------------------------------------------------ topk by dot
+  private def topkDot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val query = emb.filter($"vec_id" === 0).select($"embedding".as("q"))
+    emb.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(query))
+      .select($"vec_id", $"label",
+        expr(s"CAST(${decimalDot("embedding", "q")} AS DOUBLE)").as("dot"))
+      .orderBy($"dot".desc, $"vec_id")
+      .limit(10)
+  }
+
+  // DuckDB computes the same per-element double products and exact decimal
+  // sum via unnest + positional join.
+  private val topkDotOracle = """
+    |WITH q AS (
+    |  SELECT CAST(t.i AS BIGINT) AS pos,
+    |    CAST(embedding[CAST(t.i AS BIGINT)] AS DOUBLE) AS qv
+    |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    |  WHERE vec_id = 0),
+    |e AS (
+    |  SELECT vec_id, label, CAST(t.i AS BIGINT) AS pos,
+    |    CAST(embedding[CAST(t.i AS BIGINT)] AS DOUBLE) AS ev
+    |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    |  WHERE vec_id <> 0)
+    |SELECT e.vec_id, ANY_VALUE(e.label) AS label,
+    |  CAST(SUM(CAST(e.ev * q.qv AS DECIMAL(28,12))) AS DOUBLE) AS dot
+    |FROM e JOIN q ON e.pos = q.pos
+    |GROUP BY e.vec_id
+    |ORDER BY dot DESC, e.vec_id
+    |LIMIT 10
+    |""".stripMargin.trim
+
+  // ------------------------------------------------- all-pairs cosine
+  private def cosinePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"embedding",
+        expr(s"CAST(${decimalDot("embedding", "embedding")} AS DOUBLE)").as("norm2"))
+    val a = emb.as("a")
+    val b = emb.as("b")
+    a.join(b, $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+        (expr(s"CAST(${decimalDot("a.embedding", "b.embedding")} AS DOUBLE)") /
+          (sqrt($"a.norm2") * sqrt($"b.norm2"))).as("cosine"))
+      .orderBy($"cosine".desc, $"id_a", $"id_b")
+      .limit(20)
+      .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
+  }
+
+  private val cosinePairsOracle = """
+    |WITH e AS (
+    |  SELECT vec_id, CAST(t.i AS BIGINT) AS pos,
+    |    CAST(embedding[CAST(t.i AS BIGINT)] AS DOUBLE) AS v
+    |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+    |norms AS (
+    |  SELECT vec_id, CAST(SUM(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) AS norm2
+    |  FROM e GROUP BY vec_id),
+    |dots AS (
+    |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    |    CAST(SUM(CAST(a.v * b.v AS DECIMAL(28,12))) AS DOUBLE) AS dot
+    |  FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+    |  GROUP BY 1, 2)
+    |SELECT id_a, id_b,
+    |  ROUND(dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) AS cosine
+    |FROM dots
+    |JOIN norms na ON na.vec_id = id_a
+    |JOIN norms nb ON nb.vec_id = id_b
+    |ORDER BY dot / (sqrt(na.norm2) * sqrt(nb.norm2)) DESC, id_a, id_b
+    |LIMIT 20
+    |""".stripMargin.trim
+
+  // ------------------------------------------------------- LSH cosine
+  // 16 deterministic Rademacher hyperplanes (seeded) in 4 bands × 4 bits:
+  // vectors colliding in ANY band become candidates (sub-quadratic: only
+  // same-bucket vectors meet in the join), candidates get exact cosine,
+  // output = top-20 candidates. At 100 TB you'd raise planes-per-band to
+  // keep bucket occupancy flat; the plan shape is unchanged.
+  private def lshCosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planes = 16
+    val bandBits = 8
+    val bands = planes / bandBits
+    val dims = 64
+    val rnd = new scala.util.Random(42)
+    val hyper: Array[Array[Double]] =
+      Array.fill(planes)(Array.fill(dims)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    val hyperCol = typedlit(hyper.map(_.toSeq).toSeq)
+
+    val emb = Tables.load(s, dir, "embeddings")
+      .withColumn("planes", hyperCol)
+      .select($"vec_id", $"embedding",
+        expr(s"CAST(${decimalDot("embedding", "embedding")} AS DOUBLE)").as("norm2"),
+        expr(
+          s"""transform(sequence(0, ${bands - 1}), b ->
+             |  aggregate(sequence(0, ${bandBits - 1}), 0L, (acc, p) -> acc + IF(
+             |    aggregate(zip_with(embedding, planes[b * $bandBits + p], (x, w) ->
+             |      CAST(x AS DOUBLE) * w), 0D, (a, v) -> a + v) >= 0D,
+             |    shiftleft(1L, p), 0L)))""".stripMargin).as("buckets"))
+      .drop("planes")
+    val banded = emb.select($"vec_id", $"embedding", $"norm2",
+      posexplode($"buckets").as(Seq("band_idx", "band_val")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    // plain double dot for the verify step: this query has no SQL oracle
+    // (rows-only check), so the decimal-exact trick is unnecessary cost
+    a.join(b,
+      $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
+        $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+        (expr(
+          """aggregate(zip_with(a.embedding, b.embedding, (x, y) ->
+            |  CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"""
+            .stripMargin) /
+          (sqrt($"a.norm2") * sqrt($"b.norm2"))).as("cosine"))
+      .distinct()
+      .orderBy($"cosine".desc, $"id_a", $"id_b")
+      .limit(20)
+      .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
+  }
+
+  override val all: Seq[Q] = Seq(
+    Q("ann_topk_dot", topkDot, Some(topkDotOracle)),
+    Q("ann_cosine_pairs", cosinePairs, Some(cosinePairsOracle)),
+    Q("ann_lsh_cosine", lshCosine, None),
+  )
+}
