@@ -18,6 +18,7 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     MultimodalQueries,
+    StreamingQueries,
   )
 
   lazy val allQueries: Seq[Q] = {

@@ -49,12 +49,17 @@ object DedupQueries extends QueryPack {
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
+    // join on the 64-bit shingle hash, not the string: the shuffle carries
+    // 8 bytes instead of ~30, and the equi-join compares longs (collision
+    // probability across ~1e6 distinct shingles is ~1e-7 — negligible
+    // against the exact string-join oracle)
     val shingles = docs.select($"doc_id",
       explode(expr(
         """array_distinct(transform(
           |  sequence(1, greatest(size(split(text, ' ')) - 4, 1)),
           |  i -> concat_ws(' ', slice(split(text, ' '), i, 5))))""".stripMargin))
-        .as("g"))
+        .as("g0"))
+      .select($"doc_id", xxhash64($"g0").as("g"))
     val counts = shingles.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val a = shingles.as("a")
     val b = shingles.as("b")

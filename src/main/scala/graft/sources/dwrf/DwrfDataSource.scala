@@ -179,6 +179,23 @@ final class DwrfPartitionReaderFactory(readSchemaJson: String,
     pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
 
+  @transient private lazy val parsedSchema =
+    org.apache.spark.sql.types.DataType.fromJson(readSchemaJson).asInstanceOf[StructType]
+
+  /** Flat projections without pushed filters take the vectorized path;
+    * filtered scans keep the row path because it can stride-seek.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    pushed.isEmpty && ColumnarSupport.supported(parsedSchema)
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[DwrfInputPartition]
+    val reader = new DwrfFileReader(new Path(p.path), new Configuration())
+    new DwrfColumnarPartitionReader(reader,
+      reader.stripesInRange(p.offset, p.length), parsedSchema)
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DwrfInputPartition]
     val readSchema = org.apache.spark.sql.types.DataType
