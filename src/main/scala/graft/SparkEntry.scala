@@ -13,6 +13,7 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
     CoreQueries,
+    AdvancedQueries,
     FormatQueries,
     TextQueries,
     DedupQueries,

@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.Tables
+
+/** Wider SQL surface: subqueries (EXISTS / IN / correlated scalar),
+  * ROLLUP, set operations, richer window functions, HAVING, date/string
+  * scalar functions. Everything a Hive user ran over DWRF tables lands in
+  * this engine through Catalyst; these queries pin that surface with
+  * hash-exact DuckDB parity. All shared-text SQL (identical in both
+  * engines, incl. explicit NULLS FIRST where ROLLUP introduces nulls).
+  */
+object AdvancedQueries extends QueryPack {
+
+  private def shared(name: String, sql: String): Q =
+    Q(name, (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, Some(sql))
+
+  // TPC-H Q4-flavored: orders having at least one discounted line item.
+  private val existsSql = s"""
+    |SELECT o_orderpriority, COUNT(*) AS n_orders
+    |FROM orders
+    |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    |  AND EXISTS (
+    |    SELECT 1 FROM lineitem
+    |    WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+    |GROUP BY o_orderpriority
+    |ORDER BY o_orderpriority
+    |""".stripMargin.trim
+
+  // Correlated scalar subquery: cheapest part per brand.
+  private val scalarSubSql = """
+    |SELECT p_brand, p_partkey, p_name, p_retailprice
+    |FROM part p
+    |WHERE p_retailprice = (
+    |  SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)
+    |ORDER BY p_brand, p_partkey
+    |""".stripMargin.trim
+
+  // ROLLUP over region/nation revenue (NULLS FIRST pinned: Spark and
+  // DuckDB default null ordering differs).
+  private val rollupSql = s"""
+    |SELECT r_name, n_name,
+    |  ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+    |  COUNT(*) AS n_items
+    |FROM lineitem
+    |JOIN supplier ON l_suppkey = s_suppkey
+    |JOIN nation ON s_nationkey = n_nationkey
+    |JOIN region ON n_regionkey = r_regionkey
+    |GROUP BY ROLLUP(r_name, n_name)
+    |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    |""".stripMargin.trim
+
+  // IN-subquery + anti pattern via NOT IN on a guaranteed-non-null set.
+  private val inSubSql = """
+    |SELECT c_mktsegment, COUNT(*) AS n_customers
+    |FROM customer
+    |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    |GROUP BY c_mktsegment
+    |ORDER BY c_mktsegment
+    |""".stripMargin.trim
+
+  // Set operations over derived key sets.
+  private val setOpsSql = """
+    |SELECT 'both' AS segment_kind, COUNT(*) AS n FROM (
+    |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    |  INTERSECT
+    |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000) t1
+    |UNION ALL
+    |SELECT 'building_only' AS segment_kind, COUNT(*) AS n FROM (
+    |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    |  EXCEPT
+    |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000) t2
+    |ORDER BY segment_kind
+    |""".stripMargin.trim
+
+  // Window battery: rank / dense_rank / lag / lead / ntile over a total
+  // deterministic order.
+  private val windowsSql = """
+    |SELECT s_suppkey, s_name,
+    |  CAST(RANK() OVER w AS BIGINT) AS bal_rank,
+    |  CAST(DENSE_RANK() OVER w AS BIGINT) AS bal_dense_rank,
+    |  CAST(NTILE(4) OVER w AS BIGINT) AS bal_quartile,
+    |  LAG(s_suppkey) OVER w AS prev_supp,
+    |  LEAD(s_suppkey) OVER w AS next_supp
+    |FROM supplier
+    |WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+    |ORDER BY s_suppkey
+    |""".stripMargin.trim
+
+  // HAVING over join-aggregate.
+  private val havingSql = s"""
+    |SELECT l_suppkey, COUNT(*) AS n_items,
+    |  ${dsum("l_extendedprice")} AS total_price
+    |FROM lineitem
+    |GROUP BY l_suppkey
+    |HAVING COUNT(*) > 100
+    |ORDER BY l_suppkey
+    |""".stripMargin.trim
+
+  // Scalar function battery: dates + strings (dialect-shared subset).
+  private val scalarsSql = """
+    |SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+    |  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+    |  COUNT(*) AS n_orders,
+    |  COUNT(DISTINCT upper(o_orderpriority)) AS n_priorities,
+    |  MIN(substr(o_orderpriority, 1, 1)) AS min_prio_digit,
+    |  CAST(MAX(length(o_orderpriority)) AS BIGINT) AS max_prio_len
+    |FROM orders
+    |GROUP BY year(o_orderdate), month(o_orderdate)
+    |ORDER BY order_year, order_month
+    |""".stripMargin.trim
+
+  override val all: Seq[Q] = Seq(
+    shared("adv_exists_subquery", existsSql),
+    shared("adv_scalar_subquery", scalarSubSql),
+    shared("adv_rollup", rollupSql),
+    shared("adv_in_subquery", inSubSql),
+    shared("adv_set_ops", setOpsSql),
+    shared("adv_window_battery", windowsSql),
+    shared("adv_having", havingSql),
+    shared("adv_scalar_funcs", scalarsSql),
+  )
+}

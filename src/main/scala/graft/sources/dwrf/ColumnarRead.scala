@@ -278,6 +278,7 @@ final class DwrfColumnarPartitionReader(
       val sf = reader.readStripeFooter(si)
       val src = reader.openStripe(si, sf, wanted)
       decoders.foreach(_.start(src))
+      reader.counters.stripesRead += 1
       remainingInStripe = si.numRows
     }
     val n = math.min(batchSize.toLong, remainingInStripe).toInt
@@ -293,6 +294,9 @@ final class DwrfColumnarPartitionReader(
   }
 
   override def get(): ColumnarBatch = batch
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    DwrfMetrics.taskValues(reader.counters)
 
   override def close(): Unit = {
     batch.close()

@@ -153,6 +153,9 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
   override def description(): String =
     s"dwrf scan of $path, PushedFilters: [${pushed.mkString(", ")}]"
 
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    DwrfMetrics.all
+
   override def estimateStatistics(): Statistics = {
     val conf = new Configuration()
     var rows = 0L
@@ -208,6 +211,8 @@ final class DwrfPartitionReaderFactory(readSchemaJson: String,
       override def next(): Boolean =
         if (it.hasNext) { current = it.next(); true } else false
       override def get(): InternalRow = current
+      override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        DwrfMetrics.taskValues(reader.counters)
       override def close(): Unit = reader.close()
     }
   }
@@ -264,10 +269,16 @@ final class DwrfDataWriterFactory(schemaJson: String, path: String,
     val os = fs.create(file, true)
     val writer = new DwrfFileWriter(schema,
       DwrfWriteOptions.fromMap(options), new java.io.BufferedOutputStream(os, 1 << 16))
+    // `.option("metadata.KEY", v)` → user metadata in the file footer
+    // (reference testMetaData surface, OrcFile user metadata)
+    val userMeta: Map[String, Array[Byte]] = options.collect {
+      case (k, v) if k.toLowerCase.startsWith("metadata.") =>
+        k.substring("metadata.".length) -> v.getBytes("UTF-8")
+    }
     new DataWriter[InternalRow] {
       override def write(record: InternalRow): Unit = writer.addRow(record)
       override def commit(): WriterCommitMessage = {
-        writer.close()
+        writer.close(userMeta)
         os.close()
         DwrfCommitMessage(file.toString, writer.rowCount)
       }

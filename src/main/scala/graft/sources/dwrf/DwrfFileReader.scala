@@ -19,6 +19,14 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
   val fileLength: Long = fs.getFileStatus(path).getLen
   private val in: FSDataInputStream = fs.open(path)
 
+  /** Task-level scan counters surfaced as V2 CustomMetrics. */
+  val counters = new ScanCounters
+
+  private def pread(pos: Long, buf: Array[Byte]): Unit = {
+    in.readFully(pos, buf, 0, buf.length)
+    counters.bytesRead += buf.length
+  }
+
   val (postScript: PostScript, footer: Footer) = {
     val tailSize = math.min(fileLength, 256L * 1024).toInt
     val tail = new Array[Byte](tailSize)
@@ -50,7 +58,7 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
 
   def readStripeFooter(si: StripeInformation): StripeFooter = {
     val b = new Array[Byte](si.footerLength.toInt)
-    in.readFully(si.offset + si.indexLength + si.dataLength, b, 0, b.length)
+    pread(si.offset + si.indexLength + si.dataLength, b)
     MetaIO.readStripeFooter(InStream("stripe-footer", b, codec, postScript.blockSize))
   }
 
@@ -108,8 +116,10 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
       def stripeStatsOf(attr: String): Option[ColumnStats] =
         idByName.get(attr).flatMap { case (id, _) => sf.stats.get(id) }
       if (filters.nonEmpty && !StatsFilter.mayMatch(filters, schema, stripeStatsOf)) {
+        counters.stripesSkipped += 1
         Iterator.empty // whole stripe skipped on stats
       } else {
+        counters.stripesRead += 1
         val stride = footer.rowIndexStride
         if (filters.isEmpty || stride <= 0 || si.numRows <= stride) readAll(si, sf)
         else {
@@ -127,6 +137,7 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
               }
             val matching = (0 until numStrides)
               .filter(k => StatsFilter.mayMatch(filters, schema, strideStatsOf(k)))
+            counters.stridesSkipped += numStrides - matching.length
             if (matching.isEmpty) Iterator.empty
             else if (matching.length == numStrides) readAll(si, sf)
             else {
@@ -162,7 +173,7 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
       wanted: Set[Int]): Map[Int, IndexedSeq[RowIndexEntry]] = {
     if (si.indexLength == 0) return Map.empty
     val buf = new Array[Byte](si.indexLength.toInt)
-    in.readFully(si.offset, buf, 0, buf.length)
+    pread(si.offset, buf)
     var acc = 0L
     val result = scala.collection.mutable.Map.empty[Int, IndexedSeq[RowIndexEntry]]
     sf.streams.foreach { s =>
@@ -205,7 +216,7 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
     }
     val buffers: Seq[(Long, Array[Byte])] = merged.toSeq.map { case (start, len) =>
       val b = new Array[Byte](len.toInt)
-      in.readFully(start, b, 0, b.length)
+      pread(start, b)
       (start, b)
     }
 
@@ -230,6 +241,59 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
 
   /** Raw stream access for stripe-level copy (S3, reference StripeReader). */
   def openRaw(): FSDataInputStream = in
+
+  /** Point row access (P5, reference RecordReader.seekToRow /
+    * RecordReaderImpl.java:494-543): iterator starting at absolute row
+    * `rowNumber`, seeking via the row index when present and skip-reading
+    * the remainder.
+    */
+  def rowsFrom(rowNumber: Long, readSchema: StructType): Iterator[InternalRow] = {
+    var remaining = rowNumber
+    var firstIdx = 0
+    val stripes = footer.stripes
+    while (firstIdx < stripes.length && remaining >= stripes(firstIdx).numRows) {
+      remaining -= stripes(firstIdx).numRows
+      firstIdx += 1
+    }
+    if (firstIdx >= stripes.length) return Iterator.empty
+    val si = stripes(firstIdx)
+    val sf = readStripeFooter(si)
+    val readers: Array[TreeReader] = readSchema.fields.map { f =>
+      val (id, dt) = idByName(f.name)
+      TreeReader.create(id, dt)
+    }
+    val wanted = {
+      val inc = new Array[Boolean](ColumnTree.columnCount(schema))
+      readSchema.fields.foreach { f =>
+        val (id, dt) = idByName(f.name)
+        ColumnTree.includeSubtree(inc, id, dt)
+      }
+      inc
+    }
+    val src = openStripe(si, sf, wanted)
+    readers.foreach(_.startStripe(src))
+    val stride = footer.rowIndexStride
+    var toSkip = remaining
+    if (stride > 0 && remaining >= stride) {
+      val wantedIds = (0 until wanted.length).filter(wanted).toSet
+      val indexes = readRowIndexes(si, sf, wantedIds)
+      if (indexes.nonEmpty) {
+        val k = (remaining / stride).toInt
+        val entries = indexes.collect { case (id, es) if k < es.length => id -> es(k) }
+        readers.foreach(_.seekTree(entries))
+        toSkip = remaining - k.toLong * stride
+      }
+    }
+    readers.foreach(_.skipRows(toSkip))
+    val width = readers.length
+    val firstStripeRows = (0L until (si.numRows - remaining)).iterator.map { _ =>
+      val row = new GenericInternalRow(width)
+      var i = 0
+      while (i < width) { row.update(i, readers(i).next()); i += 1 }
+      row: InternalRow
+    }
+    firstStripeRows ++ rows(stripes.drop(firstIdx + 1), readSchema)
+  }
 
   override def close(): Unit = in.close()
 }

@@ -19,7 +19,8 @@ final case class DwrfWriteOptions(
     zlibLevel: Int = 4,
     dictionaryKeyNumericThreshold: Double = 0.7,
     dictionaryKeyStringThreshold: Double = 0.8,
-    dictionaryEnabled: Boolean = true)
+    dictionaryEnabled: Boolean = true,
+    maxDictionarySize: Long = 100L * 1024 * 1024)
 
 object DwrfWriteOptions {
   /** Parse `.option(...)` strings (names follow OrcConf / OrcFile). */
@@ -38,7 +39,9 @@ object DwrfWriteOptions {
       dictionaryKeyStringThreshold = m.get("dictionary.key.string.size.threshold")
         .map(_.toDouble).getOrElse(d.dictionaryKeyStringThreshold),
       dictionaryEnabled = m.get("dictionary.enabled").map(_.toBoolean)
-        .getOrElse(d.dictionaryEnabled))
+        .getOrElse(d.dictionaryEnabled),
+      maxDictionarySize = m.get("max.dictionary.size").map(_.toLong)
+        .getOrElse(d.maxDictionarySize))
   }
 }
 
@@ -84,7 +87,10 @@ final class DwrfFileWriter(
     rowsSinceMemCheck += 1
     if (rowsSinceMemCheck >= 1024) {
       rowsSinceMemCheck = 0
-      if (root.memory >= opts.stripeSize) flushStripe()
+      // stripe-size budget, plus the reference's dictionary-memory cap
+      // (A4, OrcConf hive.exec.orc.max.dictionary.size = 100 MB)
+      if (root.memory >= opts.stripeSize ||
+          root.dictionaryMemory >= opts.maxDictionarySize) flushStripe()
     }
   }
 

@@ -221,6 +221,11 @@ abstract class TreeWriter(val columnId: Int, opts: DwrfWriteOptions) {
   def memory: Long =
     presentOut.bufferedSize + valueMemory + children.map(_.memory).sum
 
+  /** Bytes held by dictionary state specifically — the reference caps this
+    * at 100 MB and force-flushes (A4, MemoryManager.java:226-241).
+    */
+  def dictionaryMemory: Long = children.map(_.dictionaryMemory).sum
+
   protected def valueMemory: Long
 
   protected def reset(): Unit = {
@@ -544,6 +549,8 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions)
 
   override protected def valueMemory: Long =
     keyBytesTotal + rows.memory + 64L * keys.size
+
+  override def dictionaryMemory: Long = keyBytesTotal + 64L * keys.size
 
   override protected def reset(): Unit = {
     super.reset()
