@@ -12,6 +12,7 @@ final class IntBuffer(initial: Int = 1024) {
     arr(n) = v; n += 1
   }
   def apply(i: Int): Int = arr(i)
+  def inc(i: Int): Unit = arr(i) += 1
   def size: Int = n
   def clear(): Unit = n = 0
   def memory: Long = arr.length.toLong * 4

@@ -27,10 +27,13 @@ object ColumnarSupport {
 /** Per-column vector filler over the stripe's streams. */
 abstract class VectorDecoder(val columnId: Int) {
   protected var present: BitFieldReader = null
+  /** Rows consumed in this stripe (stride-dictionary selection). */
+  protected var rowPos: Long = 0L
 
   def start(src: StreamSource): Unit = {
     present = src.stream(columnId, StreamKind.Present)
       .map(new BitFieldReader(_)).orNull
+    rowPos = 0L
     startValues(src)
   }
 
@@ -39,10 +42,11 @@ abstract class VectorDecoder(val columnId: Int) {
   final def fill(v: OnHeapColumnVector, n: Int): Unit = {
     var i = 0
     if (present == null) {
-      while (i < n) { put(v, i); i += 1 }
+      while (i < n) { put(v, i); rowPos += 1; i += 1 }
     } else {
       while (i < n) {
         if (present.next()) put(v, i) else v.putNull(i)
+        rowPos += 1
         i += 1
       }
     }
@@ -143,30 +147,48 @@ final class StringVectorDecoder(c: Int) extends VectorDecoder(c) {
   private var data: InStream = null
   private var lengths: RunLengthIntegerReader = null
   private var dict: Array[Array[Byte]] = null
+  private var strideDicts: Array[Array[Array[Byte]]] = null
+  private var strideLen = 0
   private var ids: RunLengthIntegerReader = null
+
+  private val emptyStream: InStream =
+    InStream("empty", Array.emptyByteArray, None)
+
+  private def readBlob(blob: InStream, len: Int): Array[Byte] = {
+    val b = new Array[Byte](len)
+    var got = 0
+    while (got < len) {
+      val n = blob.read(b, got, len - got)
+      if (n < 0) throw new java.io.EOFException("EOF in dictionary blob")
+      got += n
+    }
+    b
+  }
 
   override protected def startValues(src: StreamSource): Unit = {
     val enc = src.encoding(c)
     if (enc.dictionary) {
-      val blob = src.stream(c, StreamKind.DictionaryData).get
+      val blob = src.stream(c, StreamKind.DictionaryData).getOrElse(emptyStream)
       val keyLens = src.stream(c, StreamKind.Length)
-        .map(new RunLengthIntegerReader(_, signed = false)).get
-      dict = Array.fill(enc.dictionarySize) {
-        val len = keyLens.next().toInt
-        val b = new Array[Byte](len)
-        var got = 0
-        while (got < len) {
-          val n = blob.read(b, got, len - got)
-          if (n < 0) throw new java.io.EOFException("EOF in dictionary blob")
-          got += n
-        }
-        b
-      }
+        .map(new RunLengthIntegerReader(_, signed = false))
+        .getOrElse(new RunLengthIntegerReader(emptyStream, signed = false))
+      dict = Array.fill(enc.dictionarySize)(readBlob(blob, keyLens.next().toInt))
+      strideLen = src.rowIndexStride
+      strideDicts = src.stream(c, StreamKind.StrideDictionaryLength)
+        .map { lenStream =>
+          val lens = new RunLengthIntegerReader(lenStream, signed = false)
+          val sblob = src.stream(c, StreamKind.StrideDictionary).getOrElse(emptyStream)
+          val numStrides = lens.next().toInt
+          Array.fill(numStrides) {
+            val count = lens.next().toInt
+            Array.fill(count)(readBlob(sblob, lens.next().toInt))
+          }
+        }.orNull
       ids = src.stream(c, StreamKind.Data)
         .map(new RunLengthIntegerReader(_, signed = false)).orNull
       data = null; lengths = null
     } else {
-      dict = null; ids = null
+      dict = null; strideDicts = null; ids = null
       data = src.stream(c, StreamKind.Data).orNull
       lengths = src.stream(c, StreamKind.Length)
         .map(new RunLengthIntegerReader(_, signed = false)).orNull
@@ -175,7 +197,13 @@ final class StringVectorDecoder(c: Int) extends VectorDecoder(c) {
 
   override protected def put(v: OnHeapColumnVector, i: Int): Unit = {
     if (dict != null) {
-      val b = dict(ids.next().toInt)
+      val id = ids.next().toInt
+      val b =
+        if (id < dict.length) dict(id)
+        else {
+          val stride = if (strideLen > 0) (rowPos / strideLen).toInt else 0
+          strideDicts(stride)(id - dict.length)
+        }
       v.putByteArray(i, b, 0, b.length)
     } else {
       val len = lengths.next().toInt

@@ -145,7 +145,7 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
               readers.foreach(_.startStripe(src))
               matching.iterator.flatMap { k =>
                 val entries = indexes.map { case (id, es) => id -> es(k) }
-                readers.foreach(_.seekTree(entries))
+                readers.foreach(_.seekTree(entries, k.toLong * stride))
                 val rowsHere = math.min(stride.toLong, si.numRows - k.toLong * stride)
                 (0L until rowsHere).iterator.map { _ =>
                   val row = new GenericInternalRow(width)
@@ -224,6 +224,8 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
       neededRaw.map { case (s, start) => (s.column, s.kind) -> (s, start) }.toMap
 
     new StreamSource {
+      override def rowIndexStride: Int = footer.rowIndexStride
+
       override def stream(column: Int, kind: Int): Option[InStream] =
         byKey.get((column, kind)).map { case (s, start) =>
           val (bufStart, buf) = buffers
@@ -280,7 +282,7 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
       if (indexes.nonEmpty) {
         val k = (remaining / stride).toInt
         val entries = indexes.collect { case (id, es) if k < es.length => id -> es(k) }
-        readers.foreach(_.seekTree(entries))
+        readers.foreach(_.seekTree(entries, k.toLong * stride))
         toSkip = remaining - k.toLong * stride
       }
     }

@@ -20,7 +20,8 @@ final case class DwrfWriteOptions(
     dictionaryKeyNumericThreshold: Double = 0.7,
     dictionaryKeyStringThreshold: Double = 0.8,
     dictionaryEnabled: Boolean = true,
-    maxDictionarySize: Long = 100L * 1024 * 1024)
+    maxDictionarySize: Long = 100L * 1024 * 1024,
+    strideDictionaryEnabled: Boolean = true)
 
 object DwrfWriteOptions {
   /** Parse `.option(...)` strings (names follow OrcConf / OrcFile). */
@@ -41,7 +42,9 @@ object DwrfWriteOptions {
       dictionaryEnabled = m.get("dictionary.enabled").map(_.toBoolean)
         .getOrElse(d.dictionaryEnabled),
       maxDictionarySize = m.get("max.dictionary.size").map(_.toLong)
-        .getOrElse(d.maxDictionarySize))
+        .getOrElse(d.maxDictionarySize),
+      strideDictionaryEnabled = m.get("use.stride.dictionaries").map(_.toBoolean)
+        .getOrElse(d.strideDictionaryEnabled))
   }
 }
 

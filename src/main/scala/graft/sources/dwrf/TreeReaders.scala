@@ -13,6 +13,9 @@ trait StreamSource {
   /** The stream's bytes for (column, kind), if present in this stripe. */
   def stream(column: Int, kind: Int): Option[InStream]
   def encoding(column: Int): ColumnEncoding
+  /** Row-index stride of the file (0 = none); stride-dictionary readers
+    * need it to know which side dictionary a row position falls in. */
+  def rowIndexStride: Int = 0
 }
 
 object TreeReader {
@@ -46,19 +49,27 @@ abstract class TreeReader(val columnId: Int) {
   def startStripe(src: StreamSource): Unit = {
     present = src.stream(columnId, StreamKind.Present)
       .map(new BitFieldReader(_)).orNull
+    rowPosition = 0L
     startValues(src)
   }
 
   protected def startValues(src: StreamSource): Unit
 
+  /** Rows consumed so far in this stripe (drives stride-dictionary
+    * selection; nulls count — strides are row-space ranges). */
+  protected var rowPosition: Long = 0L
+
   /** Next value as a Catalyst internal value (null when absent). */
-  final def next(): Any =
+  final def next(): Any = {
+    rowPosition += 1
     if (present != null && !present.next()) null else nextValue()
+  }
 
   protected def nextValue(): Any
 
   /** Skip n top-level rows (present-aware). */
   final def skipRows(n: Long): Unit = {
+    rowPosition += n
     if (present == null) skipValues(n)
     else {
       var nonNull = 0L
@@ -85,9 +96,10 @@ abstract class TreeReader(val columnId: Int) {
   def readerChildren: Seq[TreeReader] = Nil
 
   /** Seek this subtree to stride k via per-column index entries. */
-  final def seekTree(entries: Map[Int, RowIndexEntry]): Unit = {
+  final def seekTree(entries: Map[Int, RowIndexEntry], rowBase: Long = 0L): Unit = {
+    rowPosition = rowBase
     entries.get(columnId).foreach(seek)
-    readerChildren.foreach(_.seekTree(entries))
+    readerChildren.foreach(_.seekTree(entries, rowBase))
   }
 }
 
@@ -172,38 +184,60 @@ final class DoubleTreeReader(columnId: Int) extends TreeReader(columnId) {
 
 /** Strings: direct (DATA bytes + LENGTH) or dictionary (sorted key blob +
   * ids) per the stripe's encoding (reference LazyStringTreeReader,
-  * LazyStringDictionaryTreeReader.java:60-220).
+  * LazyStringDictionaryTreeReader.java:60-220). Ids at or beyond the
+  * global dictionary size index the current stride's side dictionary
+  * (E8; stride = rowPosition / rowIndexStride).
   */
 final class StringTreeReader(columnId: Int) extends TreeReader(columnId) {
   private var data: InStream = null
   private var lengths: RunLengthIntegerReader = null
   private var dictionary: Array[UTF8String] = null
+  private var strideDicts: Array[Array[UTF8String]] = null
+  private var strideLen = 0
   private var ids: RunLengthIntegerReader = null
+
+  private def readBlob(blob: InStream, len: Int): UTF8String = {
+    val b = new Array[Byte](len)
+    var got = 0
+    while (got < len) {
+      val n = blob.read(b, got, len - got)
+      if (n < 0) throw new java.io.EOFException("EOF in dictionary blob")
+      got += n
+    }
+    UTF8String.fromBytes(b)
+  }
+
+  private val emptyStream: InStream =
+    InStream("empty", Array.emptyByteArray, None)
 
   override protected def startValues(src: StreamSource): Unit = {
     val enc = src.encoding(columnId)
     if (enc.dictionary) {
       val dictData = src.stream(columnId, StreamKind.DictionaryData)
-        .getOrElse(throw new IllegalStateException(s"col $columnId: missing dictionary"))
+        .getOrElse(emptyStream)
       val keyLengths = src.stream(columnId, StreamKind.Length)
         .map(new RunLengthIntegerReader(_, signed = false))
-        .getOrElse(throw new IllegalStateException(s"col $columnId: missing key lengths"))
-      dictionary = Array.fill(enc.dictionarySize) {
-        val len = keyLengths.next().toInt
-        val b = new Array[Byte](len)
-        var got = 0
-        while (got < len) {
-          val n = dictData.read(b, got, len - got)
-          if (n < 0) throw new java.io.EOFException("EOF in dictionary blob")
-          got += n
-        }
-        UTF8String.fromBytes(b)
-      }
+        .getOrElse(new RunLengthIntegerReader(emptyStream, signed = false))
+      dictionary = Array.fill(enc.dictionarySize)(
+        readBlob(dictData, keyLengths.next().toInt))
+      // per-stride side dictionaries, when any singleton keys were exiled
+      strideLen = src.rowIndexStride
+      strideDicts = src.stream(columnId, StreamKind.StrideDictionaryLength)
+        .map { lenStream =>
+          val lens = new RunLengthIntegerReader(lenStream, signed = false)
+          val blob = src.stream(columnId, StreamKind.StrideDictionary)
+            .getOrElse(emptyStream)
+          val numStrides = lens.next().toInt
+          Array.fill(numStrides) {
+            val count = lens.next().toInt
+            Array.fill(count)(readBlob(blob, lens.next().toInt))
+          }
+        }.orNull
       ids = src.stream(columnId, StreamKind.Data)
         .map(new RunLengthIntegerReader(_, signed = false)).orNull
       data = null; lengths = null
     } else {
-      dictionary = null; ids = null
+      dictionary = null; strideDicts = null; ids = null
       data = src.stream(columnId, StreamKind.Data).orNull
       lengths = src.stream(columnId, StreamKind.Length)
         .map(new RunLengthIntegerReader(_, signed = false)).orNull
@@ -211,8 +245,14 @@ final class StringTreeReader(columnId: Int) extends TreeReader(columnId) {
   }
 
   override protected def nextValue(): Any =
-    if (dictionary != null) dictionary(ids.next().toInt)
-    else {
+    if (dictionary != null) {
+      val id = ids.next().toInt
+      if (id < dictionary.length) dictionary(id)
+      else {
+        val stride = if (strideLen > 0) ((rowPosition - 1) / strideLen).toInt else 0
+        strideDicts(stride)(id - dictionary.length)
+      }
+    } else {
       val len = lengths.next().toInt
       val b = new Array[Byte](len)
       var got = 0

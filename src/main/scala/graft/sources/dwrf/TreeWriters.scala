@@ -78,15 +78,19 @@ final case class ColumnFlush(
     indexEntries: Seq[RowIndexEntry])
 
 object TreeWriter {
-  /** Factory over Spark types (reference WriterImpl.java:2028-2087). */
-  def create(columnId: Int, dt: DataType, opts: DwrfWriteOptions): TreeWriter =
+  /** Factory over Spark types (reference WriterImpl.java:2028-2087).
+    * `topLevel` marks direct children of the root struct (stride
+    * dictionaries apply only there).
+    */
+  def create(columnId: Int, dt: DataType, opts: DwrfWriteOptions,
+      topLevel: Boolean = false): TreeWriter =
     dt match {
       case BooleanType => new BooleanTreeWriter(columnId, opts)
       case ByteType => new ByteTreeWriter(columnId, opts)
       case ShortType | IntegerType | LongType => new LongTreeWriter(columnId, dt, opts)
       case FloatType => new FloatTreeWriter(columnId, opts)
       case DoubleType => new DoubleTreeWriter(columnId, opts)
-      case StringType => new StringTreeWriter(columnId, opts)
+      case StringType => new StringTreeWriter(columnId, opts, topLevel)
       case BinaryType => new BinaryTreeWriter(columnId, opts)
       case TimestampType | TimestampNTZType => new TimestampTreeWriter(columnId, opts)
       case DateType => new DateTreeWriter(columnId, opts)
@@ -435,23 +439,38 @@ final class DoubleTreeWriter(columnId: Int, opts: DwrfWriteOptions)
   * (default 0.8). Dictionary mode emits the sorted key blob
   * (DICTIONARY_DATA) + key LENGTHs + remapped ids (DATA); direct mode
   * replays the raw bytes (DATA) + per-row LENGTHs. Index positions are
-  * captured during the flush-time replay (A5). The reference's
-  * character-entropy sample test and per-stride side dictionaries (E8) are
-  * intentionally folded into this single threshold: on Spark the cost model
-  * that motivated them (Hive-era heap pressure) doesn't apply.
+  * captured during the flush-time replay (A5).
+  *
+  * Stride dictionary (reference E8, WriterImpl.java:884-907,1418-1472):
+  * keys occurring exactly once in the stripe are exiled from the global
+  * dictionary into per-stride side dictionaries (STRIDE_DICTIONARY +
+  * STRIDE_DICTIONARY_LENGTH streams), shrinking the global blob. Instead
+  * of the reference's IN_DICTIONARY bit stream, membership is encoded in
+  * id space: id < globalSize → global key, else (id - globalSize) indexes
+  * the current stride's side dictionary — same information, one stream
+  * fewer. Applied to top-level columns (whose row position defines the
+  * stride); nested strings keep the plain global dictionary. The
+  * reference's character-entropy sample test is folded into the single
+  * distinct/total threshold.
   */
-final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions)
+final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions,
+    topLevel: Boolean = false)
     extends TreeWriter(columnId, opts) {
   private val dataOut = newStream(StreamKind.Data)
   private val lengthOut = newStream(StreamKind.Length)
   private val dictOut = newStream(StreamKind.DictionaryData)
+  private val strideDictOut = newStream(StreamKind.StrideDictionary)
+  private val strideDictLenOut = newStream(StreamKind.StrideDictionaryLength)
 
   private val dict = new java.util.HashMap[UTF8String, Integer]()
   private val keys = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
   private var keyBytesTotal = 0L
   private val rows = new IntBuffer()
+  private val counts = new IntBuffer()
+  private val firstStride = new IntBuffer()
   private val strideMarkers = new IntBuffer()
   private var useDictionary = false
+  private var globalDictSize = 0
   private var capturedPositions: Array[Seq[(Int, Array[Long])]] = Array.empty
 
   override protected def writeValue(g: SpecializedGetters, ordinal: Int): Unit = {
@@ -464,7 +483,9 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions)
       dict.put(copy, id)
       keys += copy.getBytes
       keyBytesTotal += copy.numBytes()
-    }
+      counts.add(1)
+      firstStride.add(math.max(strideMarkers.size - 1, 0))
+    } else counts.inc(id.intValue())
     rows.add(id.intValue())
   }
 
@@ -479,11 +500,23 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions)
     val captured = scala.collection.mutable.ArrayBuffer.empty[Seq[(Int, Array[Long])]]
     var marker = 0
     if (useDictionary) {
-      // sort keys byte-lexicographically, build old->new id map
-      val order = (0 until distinct).sortWith { (a, b) =>
+      val numStrides = strideMarkers.size
+      val strideDictOn = opts.strideDictionaryEnabled && topLevel && numStrides > 0
+      val isSingle = new Array[Boolean](distinct)
+      var nSingles = 0
+      if (strideDictOn) {
+        var id = 0
+        while (id < distinct) {
+          if (counts(id) == 1) { isSingle(id) = true; nSingles += 1 }
+          id += 1
+        }
+      }
+      // global dictionary = multi-occurrence keys, byte-sorted
+      val order = (0 until distinct).filter(!isSingle(_)).sortWith { (a, b) =>
         java.util.Arrays.compareUnsigned(keys(a), keys(b)) < 0
       }
-      val oldToNew = new Array[Int](distinct)
+      globalDictSize = order.size
+      val oldToNew = Array.fill(distinct)(-1)
       order.zipWithIndex.foreach { case (oldId, newId) => oldToNew(oldId) = newId }
       val keyLengths = new RunLengthIntegerWriter(lengthOut, signed = false)
       order.foreach { oldId =>
@@ -492,6 +525,31 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions)
         keyLengths.write(b.length.toLong)
       }
       keyLengths.flush()
+      // stride-local ordinals for singleton keys
+      val localIdx = new Array[Int](distinct)
+      if (nSingles > 0) {
+        val strideKeys = Array.fill(numStrides)(
+          scala.collection.mutable.ArrayBuffer.empty[Array[Byte]])
+        var id = 0
+        while (id < distinct) {
+          if (isSingle(id)) {
+            val st = firstStride(id)
+            localIdx(id) = strideKeys(st).size
+            strideKeys(st) += keys(id)
+          }
+          id += 1
+        }
+        val sdLens = new RunLengthIntegerWriter(strideDictLenOut, signed = false)
+        sdLens.write(numStrides.toLong)
+        strideKeys.foreach { sk =>
+          sdLens.write(sk.size.toLong)
+          sk.foreach { b =>
+            strideDictOut.write(b, 0, b.length)
+            sdLens.write(b.length.toLong)
+          }
+        }
+        sdLens.flush()
+      }
       val ids = new RunLengthIntegerWriter(dataOut, signed = false)
       var i = 0
       while (i <= n) {
@@ -501,14 +559,24 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions)
           captured += Seq(StreamKind.Data -> rec.result())
           marker += 1
         }
-        if (i < n) ids.write(oldToNew(rows(i)).toLong)
+        if (i < n) {
+          val id = rows(i)
+          val enc =
+            if (isSingle(id)) globalDictSize + localIdx(id)
+            else oldToNew(id)
+          ids.write(enc.toLong)
+        }
         i += 1
       }
       ids.flush()
       capturedPositions = captured.toArray
       finished(StreamKind.Data, dataOut) ++
         finished(StreamKind.Length, lengthOut) ++
-        finished(StreamKind.DictionaryData, dictOut)
+        finished(StreamKind.DictionaryData, dictOut) ++
+        (if (nSingles > 0)
+          finished(StreamKind.StrideDictionary, strideDictOut) ++
+            finished(StreamKind.StrideDictionaryLength, strideDictLenOut)
+        else Nil)
     } else {
       val lengths = new RunLengthIntegerWriter(lengthOut, signed = false)
       var i = 0
@@ -544,7 +612,7 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions)
     }
 
   override protected def encoding: ColumnEncoding =
-    if (useDictionary) ColumnEncoding(dictionary = true, dictionarySize = dict.size())
+    if (useDictionary) ColumnEncoding(dictionary = true, dictionarySize = globalDictSize)
     else ColumnEncoding(dictionary = false)
 
   override protected def valueMemory: Long =
@@ -555,9 +623,11 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions)
   override protected def reset(): Unit = {
     super.reset()
     dataOut.clear(); lengthOut.clear(); dictOut.clear()
+    strideDictOut.clear(); strideDictLenOut.clear()
     dict.clear(); keys.clear(); keyBytesTotal = 0
-    rows.clear(); strideMarkers.clear()
+    rows.clear(); counts.clear(); firstStride.clear(); strideMarkers.clear()
     useDictionary = false
+    globalDictSize = 0
     capturedPositions = Array.empty
   }
 }
@@ -679,7 +749,7 @@ final class StructTreeWriter(columnId: Int, st: StructType, opts: DwrfWriteOptio
   override val children: Seq[TreeWriter] = {
     var id = columnId + 1
     st.fields.toSeq.map { f =>
-      val w = TreeWriter.create(id, f.dataType, opts)
+      val w = TreeWriter.create(id, f.dataType, opts, topLevel = columnId == 0)
       id += ColumnTree.subtreeSize(f.dataType)
       w
     }
