@@ -137,10 +137,53 @@ object FormatQueries extends QueryPack {
     |ORDER BY l_returnflag
     |""".stripMargin.trim
 
+  // Raw-stripe concatenation (S3/S4): two dwrf datasets merged byte-wise
+  // (no decode), then aggregated; the oracle computes the same from the
+  // source parquet, so a hash match proves the merge is lossless.
+  private def rtConcat(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import graft.sources.dwrf.{DwrfConcat, DwrfUtil}
+    val custs = Tables.load(s, dir, "customer")
+    val a = ioDir("concat_a", dir)
+    val b = ioDir("concat_b", dir)
+    val merged = ioDir("concat_merged", dir)
+    custs.filter(col("c_custkey") % 2 === 0)
+      .write.format("dwrf").mode("overwrite").save(a)
+    custs.filter(col("c_custkey") % 2 =!= 0)
+      .write.format("dwrf").mode("overwrite").save(b)
+    val conf = new Configuration()
+    val out = new Path(merged, "merged.dwrf")
+    new Path(merged).getFileSystem(conf).mkdirs(new Path(merged))
+    DwrfConcat.concat(out,
+      DwrfUtil.listDataFiles(new Path(a), conf) ++
+        DwrfUtil.listDataFiles(new Path(b), conf), conf)
+    s.read.format("dwrf").load(out.toString)
+      .createOrReplaceTempView("customer_concat")
+    s.sql(s"""
+      |SELECT c_mktsegment, COUNT(*) AS n_cust,
+      |  ${dsum("c_acctbal")} AS total_bal,
+      |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+      |FROM customer_concat
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment
+      |""".stripMargin.trim)
+  }
+
+  private val rtConcatOracle = s"""
+    |SELECT c_mktsegment, COUNT(*) AS n_cust,
+    |  ${dsum("c_acctbal")} AS total_bal,
+    |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    |FROM customer
+    |GROUP BY c_mktsegment
+    |ORDER BY c_mktsegment
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     Q("dwrf_roundtrip_lineitem", rtLineitem, Some(rtLineitemOracle)),
     Q("dwrf_roundtrip_events", rtEvents, Some(rtEventsOracle)),
     Q("dwrf_projection_filter", rtProjection, Some(rtProjectionOracle)),
     Q("dwrf_nested_types", rtNested, Some(rtNestedOracle)),
+    Q("dwrf_stripe_concat", rtConcat, Some(rtConcatOracle)),
   )
 }
