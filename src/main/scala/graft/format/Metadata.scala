@@ -67,7 +67,8 @@ final case class PostScript(
     compression: CompressionKind,
     blockSize: Int,
     version: Int,
-    writerZlibLevel: Int)
+    writerZlibLevel: Int,
+    useVInts: Boolean = true)
 
 /** Column statistics (reference statistics/ColumnStatisticsImpl.java:26-520):
   * count + has-null + a typed min/max/sum payload. `longMin/..` double as
@@ -260,6 +261,7 @@ object MetaIO {
     writeVulong(bos, ps.blockSize.toLong)
     writeVulong(bos, ps.version.toLong)
     writeVulong(bos, ps.writerZlibLevel.toLong)
+    bos.write(if (ps.useVInts) 1 else 0)
     bos.write(Magic.Bytes)
     val b = bos.toByteArray
     require(b.length <= 255, "postscript too large")
@@ -279,7 +281,8 @@ object MetaIO {
       compression = CompressionKind.fromId(in.read()),
       blockSize = readVulong(in).toInt,
       version = readVulong(in).toInt,
-      writerZlibLevel = readVulong(in).toInt)
+      writerZlibLevel = readVulong(in).toInt,
+      useVInts = in.read() == 1)
   }
 
   /** Row-index payload: entries of (positions-per-stream-kind, stats).

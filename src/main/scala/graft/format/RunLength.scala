@@ -133,7 +133,8 @@ final class RunLengthByteReader(in: InStream) {
   * 30-151): runs of 3..130 values stepping by a constant delta in
   * [-128,127], base value varint-encoded (zigzag when signed).
   */
-final class RunLengthIntegerWriter(out: OutStream, signed: Boolean) {
+final class RunLengthIntegerWriter(out: OutStream, signed: Boolean,
+    useVInts: Boolean = true) {
   import RunLength._
   private val literals = new Array[Long](MaxLiteral)
   private var numLiterals = 0
@@ -142,7 +143,8 @@ final class RunLengthIntegerWriter(out: OutStream, signed: Boolean) {
   private var delta = 0L
 
   private def writeValue(v: Long): Unit =
-    if (signed) Serialization.writeVslong(out, v)
+    if (!useVInts) Serialization.writeLongLE(out, v)
+    else if (signed) Serialization.writeVslong(out, v)
     else Serialization.writeVulong(out, v)
 
   private def writeValues(): Unit = {
@@ -212,7 +214,8 @@ final class RunLengthIntegerWriter(out: OutStream, signed: Boolean) {
   }
 }
 
-final class RunLengthIntegerReader(in: InStream, signed: Boolean) {
+final class RunLengthIntegerReader(in: InStream, signed: Boolean,
+    useVInts: Boolean = true) {
   import RunLength._
   private val literals = new Array[Long](MaxLiteral)
   private var numLiterals = 0
@@ -221,7 +224,8 @@ final class RunLengthIntegerReader(in: InStream, signed: Boolean) {
   private var delta = 0L
 
   private def readValue(): Long =
-    if (signed) Serialization.readVslong(in)
+    if (!useVInts) Serialization.readLongLE(in)
+    else if (signed) Serialization.readVslong(in)
     else Serialization.readVulong(in)
 
   private def readValues(): Unit = {

@@ -87,6 +87,25 @@ object Serialization {
     java.lang.Double.longBitsToDouble(bits)
   }
 
+  // ---- fixed-width (vints-off) long serde, reference useVInts=false ----
+  def writeLongLE(out: OutputStream, v: Long): Unit = {
+    var bits = v
+    var i = 0
+    while (i < 8) { out.write((bits & 0xff).toInt); bits >>>= 8; i += 1 }
+  }
+
+  def readLongLE(in: InputStream): Long = {
+    var bits = 0L
+    var i = 0
+    while (i < 8) {
+      val b = in.read()
+      if (b == -1) throw new EOFException("EOF mid-long")
+      bits |= (b & 0xffL) << (i * 8)
+      i += 1
+    }
+    bits
+  }
+
   // ---- fixed-width helpers for metadata ----
   def writeIntLE(out: OutputStream, v: Int): Unit = {
     out.write(v & 0xff); out.write((v >> 8) & 0xff)

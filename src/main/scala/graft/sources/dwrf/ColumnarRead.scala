@@ -95,14 +95,14 @@ final class LongVectorDecoder(c: Int, dt: DataType) extends VectorDecoder(c) {
     val enc = src.encoding(c)
     if (enc.dictionary) {
       val dr = src.stream(c, StreamKind.DictionaryData)
-        .map(new RunLengthIntegerReader(_, signed = true)).get
+        .map(new RunLengthIntegerReader(_, signed = true, src.useVInts)).get
       dict = Array.fill(enc.dictionarySize)(dr.next())
       data = src.stream(c, StreamKind.Data)
-        .map(new RunLengthIntegerReader(_, signed = false)).orNull
+        .map(new RunLengthIntegerReader(_, signed = false, src.useVInts)).orNull
     } else {
       dict = null
       data = src.stream(c, StreamKind.Data)
-        .map(new RunLengthIntegerReader(_, signed = true)).orNull
+        .map(new RunLengthIntegerReader(_, signed = true, src.useVInts)).orNull
     }
   }
 
@@ -122,7 +122,7 @@ final class DateVectorDecoder(c: Int) extends VectorDecoder(c) {
   private var data: RunLengthIntegerReader = null
   override protected def startValues(src: StreamSource): Unit =
     data = src.stream(c, StreamKind.Data)
-      .map(new RunLengthIntegerReader(_, signed = true)).orNull
+      .map(new RunLengthIntegerReader(_, signed = true, src.useVInts)).orNull
   override protected def put(v: OnHeapColumnVector, i: Int): Unit =
     v.putInt(i, data.next().toInt)
 }
@@ -170,13 +170,13 @@ final class StringVectorDecoder(c: Int) extends VectorDecoder(c) {
     if (enc.dictionary) {
       val blob = src.stream(c, StreamKind.DictionaryData).getOrElse(emptyStream)
       val keyLens = src.stream(c, StreamKind.Length)
-        .map(new RunLengthIntegerReader(_, signed = false))
-        .getOrElse(new RunLengthIntegerReader(emptyStream, signed = false))
+        .map(new RunLengthIntegerReader(_, signed = false, src.useVInts))
+        .getOrElse(new RunLengthIntegerReader(emptyStream, signed = false, src.useVInts))
       dict = Array.fill(enc.dictionarySize)(readBlob(blob, keyLens.next().toInt))
       strideLen = src.rowIndexStride
       strideDicts = src.stream(c, StreamKind.StrideDictionaryLength)
         .map { lenStream =>
-          val lens = new RunLengthIntegerReader(lenStream, signed = false)
+          val lens = new RunLengthIntegerReader(lenStream, signed = false, src.useVInts)
           val sblob = src.stream(c, StreamKind.StrideDictionary).getOrElse(emptyStream)
           val numStrides = lens.next().toInt
           Array.fill(numStrides) {
@@ -185,13 +185,13 @@ final class StringVectorDecoder(c: Int) extends VectorDecoder(c) {
           }
         }.orNull
       ids = src.stream(c, StreamKind.Data)
-        .map(new RunLengthIntegerReader(_, signed = false)).orNull
+        .map(new RunLengthIntegerReader(_, signed = false, src.useVInts)).orNull
       data = null; lengths = null
     } else {
       dict = null; strideDicts = null; ids = null
       data = src.stream(c, StreamKind.Data).orNull
       lengths = src.stream(c, StreamKind.Length)
-        .map(new RunLengthIntegerReader(_, signed = false)).orNull
+        .map(new RunLengthIntegerReader(_, signed = false, src.useVInts)).orNull
     }
   }
 
@@ -226,7 +226,7 @@ final class BinaryVectorDecoder(c: Int) extends VectorDecoder(c) {
   override protected def startValues(src: StreamSource): Unit = {
     data = src.stream(c, StreamKind.Data).orNull
     lengths = src.stream(c, StreamKind.Length)
-      .map(new RunLengthIntegerReader(_, signed = false)).orNull
+      .map(new RunLengthIntegerReader(_, signed = false, src.useVInts)).orNull
   }
 
   override protected def put(v: OnHeapColumnVector, i: Int): Unit = {
@@ -249,9 +249,9 @@ final class TimestampVectorDecoder(c: Int) extends VectorDecoder(c) {
 
   override protected def startValues(src: StreamSource): Unit = {
     seconds = src.stream(c, StreamKind.Data)
-      .map(new RunLengthIntegerReader(_, signed = true)).orNull
+      .map(new RunLengthIntegerReader(_, signed = true, src.useVInts)).orNull
     nanos = src.stream(c, StreamKind.NanoData)
-      .map(new RunLengthIntegerReader(_, signed = false)).orNull
+      .map(new RunLengthIntegerReader(_, signed = false, src.useVInts)).orNull
   }
 
   override protected def put(v: OnHeapColumnVector, i: Int): Unit = {

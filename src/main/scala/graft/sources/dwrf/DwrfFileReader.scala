@@ -225,6 +225,7 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
 
     new StreamSource {
       override def rowIndexStride: Int = footer.rowIndexStride
+      override def useVInts: Boolean = postScript.useVInts
 
       override def stream(column: Int, kind: Int): Option[InStream] =
         byKey.get((column, kind)).map { case (s, start) =>

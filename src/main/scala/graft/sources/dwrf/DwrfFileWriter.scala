@@ -21,7 +21,8 @@ final case class DwrfWriteOptions(
     dictionaryKeyStringThreshold: Double = 0.8,
     dictionaryEnabled: Boolean = true,
     maxDictionarySize: Long = 100L * 1024 * 1024,
-    strideDictionaryEnabled: Boolean = true)
+    strideDictionaryEnabled: Boolean = true,
+    useVInts: Boolean = true)
 
 object DwrfWriteOptions {
   /** Parse `.option(...)` strings (names follow OrcConf / OrcFile). */
@@ -44,7 +45,8 @@ object DwrfWriteOptions {
       maxDictionarySize = m.get("max.dictionary.size").map(_.toLong)
         .getOrElse(d.maxDictionarySize),
       strideDictionaryEnabled = m.get("use.stride.dictionaries").map(_.toBoolean)
-        .getOrElse(d.strideDictionaryEnabled))
+        .getOrElse(d.strideDictionaryEnabled),
+      useVInts = m.get("use.vints").map(_.toBoolean).getOrElse(d.useVInts))
   }
 }
 
@@ -209,7 +211,8 @@ final class DwrfFileWriter(
       compression = opts.kind,
       blockSize = opts.blockSize,
       version = Magic.Version,
-      writerZlibLevel = opts.zlibLevel))
+      writerZlibLevel = opts.zlibLevel,
+      useVInts = opts.useVInts))
     out.write(psBytes.length)
     rawOut.flush()
   }

@@ -160,7 +160,7 @@ object DwrfConcat {
       val bos = new java.io.ByteArrayOutputStream()
       val psBytes = MetaIO.writePostScript(bos, PostScript(fBytes.length.toLong,
         codecKind, first.postScript.blockSize, Magic.Version,
-        first.postScript.writerZlibLevel))
+        first.postScript.writerZlibLevel, first.postScript.useVInts))
       write(psBytes, psBytes.length)
       os.write(psBytes.length)
       os.close()

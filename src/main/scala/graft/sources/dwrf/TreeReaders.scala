@@ -16,6 +16,8 @@ trait StreamSource {
   /** Row-index stride of the file (0 = none); stride-dictionary readers
     * need it to know which side dictionary a row position falls in. */
   def rowIndexStride: Int = 0
+  /** Whether integer streams use varints (false = fixed 8-byte LE). */
+  def useVInts: Boolean = true
 }
 
 object TreeReader {
@@ -135,15 +137,15 @@ final class LongTreeReader(columnId: Int, narrow: Long => Any)
     val enc = src.encoding(columnId)
     if (enc.dictionary) {
       val dictReader = src.stream(columnId, StreamKind.DictionaryData)
-        .map(new RunLengthIntegerReader(_, signed = true))
+        .map(new RunLengthIntegerReader(_, signed = true, src.useVInts))
         .getOrElse(throw new IllegalStateException(s"col $columnId: missing dictionary"))
       dictionary = Array.fill(enc.dictionarySize)(dictReader.next())
       data = src.stream(columnId, StreamKind.Data)
-        .map(new RunLengthIntegerReader(_, signed = false)).orNull
+        .map(new RunLengthIntegerReader(_, signed = false, src.useVInts)).orNull
     } else {
       dictionary = null
       data = src.stream(columnId, StreamKind.Data)
-        .map(new RunLengthIntegerReader(_, signed = true)).orNull
+        .map(new RunLengthIntegerReader(_, signed = true, src.useVInts)).orNull
     }
   }
 
@@ -216,15 +218,15 @@ final class StringTreeReader(columnId: Int) extends TreeReader(columnId) {
       val dictData = src.stream(columnId, StreamKind.DictionaryData)
         .getOrElse(emptyStream)
       val keyLengths = src.stream(columnId, StreamKind.Length)
-        .map(new RunLengthIntegerReader(_, signed = false))
-        .getOrElse(new RunLengthIntegerReader(emptyStream, signed = false))
+        .map(new RunLengthIntegerReader(_, signed = false, src.useVInts))
+        .getOrElse(new RunLengthIntegerReader(emptyStream, signed = false, src.useVInts))
       dictionary = Array.fill(enc.dictionarySize)(
         readBlob(dictData, keyLengths.next().toInt))
       // per-stride side dictionaries, when any singleton keys were exiled
       strideLen = src.rowIndexStride
       strideDicts = src.stream(columnId, StreamKind.StrideDictionaryLength)
         .map { lenStream =>
-          val lens = new RunLengthIntegerReader(lenStream, signed = false)
+          val lens = new RunLengthIntegerReader(lenStream, signed = false, src.useVInts)
           val blob = src.stream(columnId, StreamKind.StrideDictionary)
             .getOrElse(emptyStream)
           val numStrides = lens.next().toInt
@@ -234,13 +236,13 @@ final class StringTreeReader(columnId: Int) extends TreeReader(columnId) {
           }
         }.orNull
       ids = src.stream(columnId, StreamKind.Data)
-        .map(new RunLengthIntegerReader(_, signed = false)).orNull
+        .map(new RunLengthIntegerReader(_, signed = false, src.useVInts)).orNull
       data = null; lengths = null
     } else {
       dictionary = null; strideDicts = null; ids = null
       data = src.stream(columnId, StreamKind.Data).orNull
       lengths = src.stream(columnId, StreamKind.Length)
-        .map(new RunLengthIntegerReader(_, signed = false)).orNull
+        .map(new RunLengthIntegerReader(_, signed = false, src.useVInts)).orNull
     }
   }
 
@@ -293,7 +295,7 @@ final class BinaryTreeReader(columnId: Int) extends TreeReader(columnId) {
   override protected def startValues(src: StreamSource): Unit = {
     data = src.stream(columnId, StreamKind.Data).orNull
     lengths = src.stream(columnId, StreamKind.Length)
-      .map(new RunLengthIntegerReader(_, signed = false)).orNull
+      .map(new RunLengthIntegerReader(_, signed = false, src.useVInts)).orNull
   }
 
   override protected def nextValue(): Any = {
@@ -332,9 +334,9 @@ final class TimestampTreeReader(columnId: Int) extends TreeReader(columnId) {
 
   override protected def startValues(src: StreamSource): Unit = {
     seconds = src.stream(columnId, StreamKind.Data)
-      .map(new RunLengthIntegerReader(_, signed = true)).orNull
+      .map(new RunLengthIntegerReader(_, signed = true, src.useVInts)).orNull
     nanos = src.stream(columnId, StreamKind.NanoData)
-      .map(new RunLengthIntegerReader(_, signed = false)).orNull
+      .map(new RunLengthIntegerReader(_, signed = false, src.useVInts)).orNull
   }
 
   private def decodeNanos(v: Long): Long = {
@@ -367,7 +369,7 @@ final class DateTreeReader(columnId: Int) extends TreeReader(columnId) {
   private var data: RunLengthIntegerReader = null
   override protected def startValues(src: StreamSource): Unit =
     data = src.stream(columnId, StreamKind.Data)
-      .map(new RunLengthIntegerReader(_, signed = true)).orNull
+      .map(new RunLengthIntegerReader(_, signed = true, src.useVInts)).orNull
   override protected def nextValue(): Any = data.next().toInt
   override protected def skipValues(n: Long): Unit = data.skip(n)
   override protected def seekValues(e: RowIndexEntry): Unit =
@@ -424,7 +426,7 @@ final class ListTreeReader(columnId: Int, at: ArrayType)
 
   override protected def startValues(src: StreamSource): Unit =
     lengths = src.stream(columnId, StreamKind.Length)
-      .map(new RunLengthIntegerReader(_, signed = false)).orNull
+      .map(new RunLengthIntegerReader(_, signed = false, src.useVInts)).orNull
 
   override protected def nextValue(): Any = {
     val n = lengths.next().toInt
@@ -462,7 +464,7 @@ final class MapTreeReader(columnId: Int, mt: MapType)
 
   override protected def startValues(src: StreamSource): Unit =
     lengths = src.stream(columnId, StreamKind.Length)
-      .map(new RunLengthIntegerReader(_, signed = false)).orNull
+      .map(new RunLengthIntegerReader(_, signed = false, src.useVInts)).orNull
 
   override protected def nextValue(): Any = {
     val n = lengths.next().toInt

@@ -341,10 +341,10 @@ final class LongTreeWriter(columnId: Int, dt: DataType, opts: DwrfWriteOptions)
       }
     }
     if (useDictionary) {
-      val dictWriter = new RunLengthIntegerWriter(dictOut, signed = true)
+      val dictWriter = new RunLengthIntegerWriter(dictOut, signed = true, opts.useVInts)
       distinct.foreach(dictWriter.write)
       dictWriter.flush()
-      val ids = new RunLengthIntegerWriter(dataOut, signed = false)
+      val ids = new RunLengthIntegerWriter(dataOut, signed = false, opts.useVInts)
       var i = 0
       while (i < n) {
         captureAt(i, ids)
@@ -356,7 +356,7 @@ final class LongTreeWriter(columnId: Int, dt: DataType, opts: DwrfWriteOptions)
       capturedPositions = captured.toArray
       finished(StreamKind.Data, dataOut) ++ finished(StreamKind.DictionaryData, dictOut)
     } else {
-      val data = new RunLengthIntegerWriter(dataOut, signed = true)
+      val data = new RunLengthIntegerWriter(dataOut, signed = true, opts.useVInts)
       var i = 0
       while (i < n) {
         captureAt(i, data)
@@ -518,7 +518,7 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions,
       globalDictSize = order.size
       val oldToNew = Array.fill(distinct)(-1)
       order.zipWithIndex.foreach { case (oldId, newId) => oldToNew(oldId) = newId }
-      val keyLengths = new RunLengthIntegerWriter(lengthOut, signed = false)
+      val keyLengths = new RunLengthIntegerWriter(lengthOut, signed = false, opts.useVInts)
       order.foreach { oldId =>
         val b = keys(oldId)
         dictOut.write(b, 0, b.length)
@@ -539,7 +539,7 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions,
           }
           id += 1
         }
-        val sdLens = new RunLengthIntegerWriter(strideDictLenOut, signed = false)
+        val sdLens = new RunLengthIntegerWriter(strideDictLenOut, signed = false, opts.useVInts)
         sdLens.write(numStrides.toLong)
         strideKeys.foreach { sk =>
           sdLens.write(sk.size.toLong)
@@ -550,7 +550,7 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions,
         }
         sdLens.flush()
       }
-      val ids = new RunLengthIntegerWriter(dataOut, signed = false)
+      val ids = new RunLengthIntegerWriter(dataOut, signed = false, opts.useVInts)
       var i = 0
       while (i <= n) {
         while (marker < strideMarkers.size && strideMarkers(marker) == i) {
@@ -578,7 +578,7 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions,
             finished(StreamKind.StrideDictionaryLength, strideDictLenOut)
         else Nil)
     } else {
-      val lengths = new RunLengthIntegerWriter(lengthOut, signed = false)
+      val lengths = new RunLengthIntegerWriter(lengthOut, signed = false, opts.useVInts)
       var i = 0
       while (i <= n) {
         while (marker < strideMarkers.size && strideMarkers(marker) == i) {
@@ -636,7 +636,7 @@ final class BinaryTreeWriter(columnId: Int, opts: DwrfWriteOptions)
     extends TreeWriter(columnId, opts) {
   private val dataOut = newStream(StreamKind.Data)
   private val lengthOut = newStream(StreamKind.Length)
-  private val lengths = new RunLengthIntegerWriter(lengthOut, signed = false)
+  private val lengths = new RunLengthIntegerWriter(lengthOut, signed = false, opts.useVInts)
 
   override protected def writeValue(g: SpecializedGetters, ordinal: Int): Unit = {
     val b = g.getBinary(ordinal)
@@ -674,9 +674,9 @@ final class TimestampTreeWriter(columnId: Int, opts: DwrfWriteOptions)
     extends TreeWriter(columnId, opts) {
   import TimestampTreeWriter._
   private val secondsOut = newStream(StreamKind.Data)
-  private val seconds = new RunLengthIntegerWriter(secondsOut, signed = true)
+  private val seconds = new RunLengthIntegerWriter(secondsOut, signed = true, opts.useVInts)
   private val nanosOut = newStream(StreamKind.NanoData)
-  private val nanos = new RunLengthIntegerWriter(nanosOut, signed = false)
+  private val nanos = new RunLengthIntegerWriter(nanosOut, signed = false, opts.useVInts)
 
   override protected def writeValue(g: SpecializedGetters, ordinal: Int): Unit = {
     val micros = g.getLong(ordinal)
@@ -722,7 +722,7 @@ final class TimestampTreeWriter(columnId: Int, opts: DwrfWriteOptions)
 final class DateTreeWriter(columnId: Int, opts: DwrfWriteOptions)
     extends TreeWriter(columnId, opts) {
   private val dataOut = newStream(StreamKind.Data)
-  private val data = new RunLengthIntegerWriter(dataOut, signed = true)
+  private val data = new RunLengthIntegerWriter(dataOut, signed = true, opts.useVInts)
 
   override protected def writeValue(g: SpecializedGetters, ordinal: Int): Unit = {
     val v = g.getInt(ordinal)
@@ -783,7 +783,7 @@ final class StructTreeWriter(columnId: Int, st: StructType, opts: DwrfWriteOptio
 final class ListTreeWriter(columnId: Int, at: ArrayType, opts: DwrfWriteOptions)
     extends TreeWriter(columnId, opts) {
   private val lengthOut = newStream(StreamKind.Length)
-  private val lengths = new RunLengthIntegerWriter(lengthOut, signed = false)
+  private val lengths = new RunLengthIntegerWriter(lengthOut, signed = false, opts.useVInts)
   private val elementWriter = TreeWriter.create(columnId + 1, at.elementType, opts)
   override val children: Seq[TreeWriter] = Seq(elementWriter)
 
@@ -814,7 +814,7 @@ final class ListTreeWriter(columnId: Int, at: ArrayType, opts: DwrfWriteOptions)
 final class MapTreeWriter(columnId: Int, mt: MapType, opts: DwrfWriteOptions)
     extends TreeWriter(columnId, opts) {
   private val lengthOut = newStream(StreamKind.Length)
-  private val lengths = new RunLengthIntegerWriter(lengthOut, signed = false)
+  private val lengths = new RunLengthIntegerWriter(lengthOut, signed = false, opts.useVInts)
   private val keyWriter = TreeWriter.create(columnId + 1, mt.keyType, opts)
   private val valueWriter = TreeWriter.create(
     columnId + 1 + ColumnTree.subtreeSize(mt.keyType), mt.valueType, opts)

@@ -205,6 +205,23 @@ class DwrfRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSameRows(df, roundTrip(df, Map("row.index.stride" -> "0")))
   }
 
+  test("vints-off mode (fixed 8-byte integers) round trips") {
+    import spark.implicits._
+    val df = spark.range(0, 8000).select(
+      col("id"), (col("id") % 5).cast("int").as("m"),
+      concat(lit("k"), col("id") % 9).as("s"),
+      (col("id") * 1000000L).cast("timestamp").as("ts"))
+    val back = roundTrip(df, Map("use.vints" -> "false", "compress" -> "ZLIB"))
+    assertSameRows(df, back)
+    // filtered (row+seek) path under vints-off too
+    val dir = tmpDir()
+    df.write.format("dwrf").mode("overwrite")
+      .option("use.vints", "false").option("row.index.stride", "1000").save(dir)
+    val got = spark.read.format("dwrf").load(dir)
+      .filter(col("id") === 7654).collect()
+    assert(got.length == 1 && got(0).getString(2) == s"k${7654 % 9}")
+  }
+
   test("SQL over dwrf matches SQL over parquet") {
     val li = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val dir = tmpDir()
