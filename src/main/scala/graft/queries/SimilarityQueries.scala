@@ -63,9 +63,12 @@ object SimilarityQueries extends QueryPack {
     |""".stripMargin.trim
 
   // ------------------------------------------------- all-pairs cosine
+  // bounded to the first 2000 vectors (same bound in the oracle) so the
+  // deliberately-quadratic verifier stays tractable at any SF
   private def cosinePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
+      .filter($"vec_id" < 2000)
       .select($"vec_id", $"embedding",
         expr(s"CAST(${decimalDot("embedding", "embedding")} AS DOUBLE)").as("norm2"))
     val a = emb.as("a")
@@ -83,7 +86,8 @@ object SimilarityQueries extends QueryPack {
     |WITH e AS (
     |  SELECT vec_id, CAST(t.i AS BIGINT) AS pos,
     |    CAST(embedding[CAST(t.i AS BIGINT)] AS DOUBLE) AS v
-    |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+    |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    |  WHERE vec_id < 2000),
     |norms AS (
     |  SELECT vec_id, CAST(SUM(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) AS norm2
     |  FROM e GROUP BY vec_id),

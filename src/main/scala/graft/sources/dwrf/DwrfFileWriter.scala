@@ -22,7 +22,8 @@ final case class DwrfWriteOptions(
     dictionaryEnabled: Boolean = true,
     maxDictionarySize: Long = 100L * 1024 * 1024,
     strideDictionaryEnabled: Boolean = true,
-    useVInts: Boolean = true)
+    useVInts: Boolean = true,
+    sortDictionaryKeys: Boolean = true)
 
 object DwrfWriteOptions {
   /** Parse `.option(...)` strings (names follow OrcConf / OrcFile). */
@@ -46,7 +47,9 @@ object DwrfWriteOptions {
         .getOrElse(d.maxDictionarySize),
       strideDictionaryEnabled = m.get("use.stride.dictionaries").map(_.toBoolean)
         .getOrElse(d.strideDictionaryEnabled),
-      useVInts = m.get("use.vints").map(_.toBoolean).getOrElse(d.useVInts))
+      useVInts = m.get("use.vints").map(_.toBoolean).getOrElse(d.useVInts),
+      sortDictionaryKeys = m.get("dictionary.sort.keys").map(_.toBoolean)
+        .getOrElse(d.sortDictionaryKeys))
   }
 }
 

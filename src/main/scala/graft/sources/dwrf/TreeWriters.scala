@@ -511,10 +511,16 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions,
           id += 1
         }
       }
-      // global dictionary = multi-occurrence keys, byte-sorted
-      val order = (0 until distinct).filter(!isSingle(_)).sortWith { (a, b) =>
-        java.util.Arrays.compareUnsigned(keys(a), keys(b)) < 0
-      }
+      // global dictionary = multi-occurrence keys, byte-sorted (or kept
+      // in insertion order when dictionary.sort.keys=false — reference
+      // sortKeys flag, DictionaryEncoder sortKeys ctor arg)
+      val nonSingles = (0 until distinct).filter(!isSingle(_))
+      val order =
+        if (opts.sortDictionaryKeys)
+          nonSingles.sortWith { (a, b) =>
+            java.util.Arrays.compareUnsigned(keys(a), keys(b)) < 0
+          }
+        else nonSingles
       globalDictSize = order.size
       val oldToNew = Array.fill(distinct)(-1)
       order.zipWithIndex.foreach { case (oldId, newId) => oldToNew(oldId) = newId }

@@ -93,6 +93,16 @@ class StrideDictSpec extends AnyFunSuite {
     } finally r.close()
   }
 
+  test("unsorted dictionary mode round trips") {
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "unsorted-").toString
+    val df = mixedDf(4000)
+    df.write.format("dwrf").mode("overwrite")
+      .option("dictionary.sort.keys", "false").save(dir)
+    val back = spark.read.format("dwrf").load(dir)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
   test("disabled via option: single global dictionary again") {
     val dir = Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "stridedict-off-").toString
