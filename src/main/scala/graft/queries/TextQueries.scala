@@ -92,9 +92,34 @@ object TextQueries extends QueryPack {
       |""".stripMargin.trim)
   }
 
+  // ------------------------------------------------- token frequency
+  // Top-50 corpus tokens: explode + count + deterministic top-k. The
+  // Spark side explodes via split(); the oracle unnests string_split —
+  // same token definition (single-space corpus).
+  private def tokenFreq(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(50)
+  }
+
+  private val tokenFreqOracle = """
+    |SELECT token, COUNT(*) AS n_occurrences
+    |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    |WHERE length(token) > 0
+    |GROUP BY token
+    |ORDER BY n_occurrences DESC, token
+    |LIMIT 50
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     shared("text_stats", statsSql),
     shared("text_langid", langidSql),
     Q("text_fingerprint", fingerprint, None),
+    Q("text_token_freq", tokenFreq, Some(tokenFreqOracle)),
   )
 }
