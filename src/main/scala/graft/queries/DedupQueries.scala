@@ -53,6 +53,9 @@ object DedupQueries extends QueryPack {
     // 8 bytes instead of ~30, and the equi-join compares longs (collision
     // probability across ~1e6 distinct shingles is ~1e-7 — negligible
     // against the exact string-join oracle)
+    // persisted: the self-join + the counts aggregate would otherwise
+    // recompute the shingling three times (ContextCleaner reclaims the
+    // blocks when the plan is GC'd)
     val shingles = docs.select($"doc_id",
       explode(expr(
         """array_distinct(transform(
@@ -60,6 +63,7 @@ object DedupQueries extends QueryPack {
           |  i -> concat_ws(' ', slice(split(text, ' '), i, 5))))""".stripMargin))
         .as("g0"))
       .select($"doc_id", xxhash64($"g0").as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = shingles.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val a = shingles.as("a")
     val b = shingles.as("b")
