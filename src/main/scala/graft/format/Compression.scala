@@ -17,8 +17,9 @@ object CompressionKind {
   case object Zlib extends CompressionKind(1, "ZLIB")
   case object Snappy extends CompressionKind(2, "SNAPPY")
   case object Zstd extends CompressionKind(3, "ZSTD")
+  case object Lz4 extends CompressionKind(4, "LZ4")
 
-  val all: Seq[CompressionKind] = Seq(None, Zlib, Snappy, Zstd)
+  val all: Seq[CompressionKind] = Seq(None, Zlib, Snappy, Zstd, Lz4)
 
   def fromId(id: Int): CompressionKind =
     all.find(_.id == id).getOrElse(
@@ -50,6 +51,7 @@ object CompressionCodec {
       case CompressionKind.Zlib => Some(new ZlibCodec(zlibLevel))
       case CompressionKind.Snappy => Some(SnappyCodec)
       case CompressionKind.Zstd => Some(ZstdCodec)
+      case CompressionKind.Lz4 => Some(Lz4Codec)
     }
 }
 
@@ -102,6 +104,37 @@ object SnappyCodec extends CompressionCodec {
     val actual = Snappy.uncompressedLength(src, off, len)
     val out = new Array[Byte](actual)
     Snappy.uncompress(src, off, len, out, 0)
+    out
+  }
+}
+
+/** LZ4 block codec (modern replacement for the reference's optional
+  * reflective LZO; lz4-java ships with Spark). Fast decompress needs the
+  * exact output size, which the caller tracks via the chunk framing and
+  * an explicit 4-byte length prefix inside the block.
+  */
+object Lz4Codec extends CompressionCodec {
+  import net.jpountz.lz4.LZ4Factory
+  private val factory = LZ4Factory.fastestInstance()
+
+  override def compress(src: Array[Byte], off: Int, len: Int): Option[Array[Byte]] = {
+    val c = factory.fastCompressor()
+    val max = c.maxCompressedLength(len)
+    val out = new Array[Byte](4 + max)
+    // store decompressed length (LZ4 block format doesn't carry it)
+    out(0) = (len & 0xff).toByte
+    out(1) = ((len >> 8) & 0xff).toByte
+    out(2) = ((len >> 16) & 0xff).toByte
+    out(3) = ((len >> 24) & 0xff).toByte
+    val n = c.compress(src, off, len, out, 4, max)
+    if (n + 4 < len) Some(java.util.Arrays.copyOf(out, n + 4)) else None
+  }
+
+  override def decompress(src: Array[Byte], off: Int, len: Int, maxDestLen: Int): Array[Byte] = {
+    val destLen = (src(off) & 0xff) | ((src(off + 1) & 0xff) << 8) |
+      ((src(off + 2) & 0xff) << 16) | ((src(off + 3) & 0xff) << 24)
+    val out = new Array[Byte](destLen)
+    factory.fastDecompressor().decompress(src, off + 4, out, 0, destLen)
     out
   }
 }

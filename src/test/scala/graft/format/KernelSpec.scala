@@ -25,7 +25,8 @@ class KernelSpec extends AnyFunSuite {
     "none" -> None,
     "zlib" -> Some(new ZlibCodec(4)),
     "snappy" -> Some(SnappyCodec),
-    "zstd" -> Some(ZstdCodec))
+    "zstd" -> Some(ZstdCodec),
+    "lz4" -> Some(Lz4Codec))
 
   test("vint round trip incl. edge values") {
     val values = Seq(0L, 1L, -1L, 127L, 128L, -128L, Long.MaxValue, Long.MinValue,

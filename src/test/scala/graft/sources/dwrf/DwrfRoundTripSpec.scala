@@ -78,7 +78,7 @@ class DwrfRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
       (col("id") * 1.5).cast("double").as("d"),
       (col("id") * 0.25).cast("float").as("f"),
       concat(lit("row-"), col("id")).as("s"))
-    for (codec <- Seq("NONE", "ZLIB", "SNAPPY", "ZSTD")) {
+    for (codec <- Seq("NONE", "ZLIB", "SNAPPY", "ZSTD", "LZ4")) {
       val back = roundTrip(df, Map("compress" -> codec))
       assertSameRows(df, back)
     }
