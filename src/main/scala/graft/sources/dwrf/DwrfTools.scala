@@ -109,6 +109,12 @@ object DwrfConcat {
         require(r.postScript.compression == first.postScript.compression &&
           r.postScript.blockSize == first.postScript.blockSize,
           "compression mismatch between inputs")
+        require(r.postScript.useVInts == first.postScript.useVInts,
+          "vints mode mismatch between inputs")
+        // stride dictionaries and seeks are stride-relative: stripes
+        // written under a different stride would decode wrong
+        require(r.footer.rowIndexStride == first.footer.rowIndexStride,
+          "row index stride mismatch between inputs")
       }
       val fs = out.getFileSystem(conf)
       val os = fs.create(out, true)
