@@ -110,7 +110,62 @@ object AdvancedQueries extends QueryPack {
     |ORDER BY order_year, order_month
     |""".stripMargin.trim
 
+  // TPC-H Q8-style market share: nation's fraction of regional revenue
+  // per year — nested aggregation over a 6-table join, exact-decimal
+  // numerator/denominator with one final IEEE division.
+  private val marketShareSql = s"""
+    |WITH rev AS (
+    |  SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, n_name,
+    |    ${dsum("l_extendedprice * (1 - l_discount)")} AS nation_rev
+    |  FROM lineitem
+    |  JOIN orders ON l_orderkey = o_orderkey
+    |  JOIN supplier ON l_suppkey = s_suppkey
+    |  JOIN nation ON s_nationkey = n_nationkey
+    |  JOIN region ON n_regionkey = r_regionkey
+    |  WHERE r_name = 'ASIA'
+    |  GROUP BY year(o_orderdate), n_name),
+    |tot AS (
+    |  SELECT order_year,
+    |    CAST(ROUND(SUM(CAST(nation_rev AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_rev
+    |  FROM rev GROUP BY order_year)
+    |SELECT rev.order_year, n_name, nation_rev,
+    |  nation_rev / total_rev AS mkt_share
+    |FROM rev JOIN tot ON rev.order_year = tot.order_year
+    |ORDER BY rev.order_year, n_name
+    |""".stripMargin.trim
+
+  // TPC-H Q9-flavored profit rollup by nation and year.
+  private val profitSql = s"""
+    |SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+    |  ${dsum("l_extendedprice * (1 - l_discount) - l_quantity * (p_retailprice / 10)")} AS amount
+    |FROM lineitem
+    |JOIN part ON l_partkey = p_partkey
+    |JOIN supplier ON l_suppkey = s_suppkey
+    |JOIN orders ON l_orderkey = o_orderkey
+    |JOIN nation ON s_nationkey = n_nationkey
+    |WHERE p_name LIKE '%a%'
+    |GROUP BY n_name, year(o_orderdate)
+    |ORDER BY n_name, order_year
+    |""".stripMargin.trim
+
+  // TPC-H Q12-style shipping-mode buckets (priority classes vs lateness).
+  private val q12Sql = """
+    |SELECT l_linestatus,
+    |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+    |    AS high_line_count,
+    |  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
+    |    AS low_line_count,
+    |  COUNT(*) AS n_items
+    |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    |WHERE l_shipdate > o_orderdate
+    |GROUP BY l_linestatus
+    |ORDER BY l_linestatus
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
+    shared("adv_market_share", marketShareSql),
+    shared("adv_profit_by_nation", profitSql),
+    shared("adv_priority_buckets", q12Sql),
     shared("adv_exists_subquery", existsSql),
     shared("adv_scalar_subquery", scalarSubSql),
     shared("adv_rollup", rollupSql),
