@@ -45,6 +45,10 @@ final case class ImageMeta(
 final case class FrameSample(
     doc_id: Long, n_frames: Long, first_frame_md5: String)
 
+final case class ResizedImage(
+    doc_id: Long, image: Array[Byte], new_width: Int, new_height: Int,
+    resized_bytes: Long)
+
 /** Multimodal column operators. Batch shape: `mapPartitions` over typed
   * Datasets — one decoder instance per partition, streaming through the
   * rows (the Scala analog of a Pandas-UDF `mapInPandas` batch), which is
@@ -90,6 +94,31 @@ object Multimodal {
           width / 128, b.length.toLong, hex)
       }
     }
+  }
+
+  /** Resize stub: keeps every `factor`-th payload byte and halves the
+    * header dimensions — a stand-in for a real downscale kernel with the
+    * same binary-in/binary-out plumbing (batch per partition, new
+    * container re-emitted so stages compose).
+    */
+  def resize(images: Dataset[ImageRecord], factor: Int): Dataset[ResizedImage] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions(_.map { rec =>
+      val b = rec.image
+      val payloadLen = b.length - FakeImage.HeaderBytes
+      val newLen = (payloadLen + factor - 1) / factor
+      val width = FakeImage.readIntLE(b, 4) / 2
+      val height = FakeImage.readIntLE(b, 8) / 2
+      val out = new Array[Byte](FakeImage.HeaderBytes + newLen)
+      System.arraycopy(b, 0, out, 0, FakeImage.HeaderBytes)
+      var i = 0
+      while (i < newLen) {
+        out(FakeImage.HeaderBytes + i) = b(FakeImage.HeaderBytes + i * factor)
+        i += 1
+      }
+      ResizedImage(rec.doc_id, out, width, height, out.length.toLong)
+    })
   }
 
   /** Frame sampling stub: payload split into fixed-size frames; returns

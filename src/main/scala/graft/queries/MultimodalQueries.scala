@@ -76,8 +76,40 @@ object MultimodalQueries extends QueryPack {
     |ORDER BY n_frames
     |""".stripMargin.trim
 
+  // ----------------------------------------------------------- resize
+  private def resize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val images = Multimodal.toFakeImages(Tables.load(s, dir, "documents"))
+    Multimodal.resize(images, factor = 4)
+      .withColumn("even_width", ($"new_width" % 2) === 0)
+      .groupBy($"even_width")
+      .agg(
+        count(lit(1)).as("n_images"),
+        expr("CAST(SUM(resized_bytes) AS BIGINT)").as("total_bytes"),
+        min($"new_width").cast("long").as("min_w"),
+        max($"new_height").cast("long").as("max_h"))
+      .orderBy("even_width")
+  }
+
+  private val resizeOracle = s"""
+    |WITH img AS (
+    |  SELECT doc_id,
+    |    octet_length(encode(text)) AS payload,
+    |    (64 + octet_length(encode(text)) % 512) // 2 AS new_width,
+    |    (64 + (octet_length(encode(text)) * 7) % 512) // 2 AS new_height
+    |  FROM documents)
+    |SELECT new_width % 2 = 0 AS even_width, COUNT(*) AS n_images,
+    |  CAST(SUM((payload + 3) // 4 + ${FakeImage.HeaderBytes}) AS BIGINT) AS total_bytes,
+    |  CAST(MIN(new_width) AS BIGINT) AS min_w,
+    |  CAST(MAX(new_height) AS BIGINT) AS max_h
+    |FROM img
+    |GROUP BY new_width % 2 = 0
+    |ORDER BY even_width
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     Q("multimodal_meta", meta, Some(metaOracle)),
     Q("multimodal_frames", frames, Some(framesOracle)),
+    Q("multimodal_resize", resize, Some(resizeOracle)),
   )
 }
