@@ -58,7 +58,68 @@ object StreamingQueries extends QueryPack {
   private def dsumStatic(e: String): String =
     s"CAST(ROUND(SUM(CAST(($e) AS DECIMAL(18,6))), 2) AS DOUBLE)"
 
+  // ------------------------------------------------------ sessionize
+  // Custom per-user session state via the typed KeyValueGroupedDataset
+  // API (flatMapGroups — the batch twin of flatMapGroupsWithState, same
+  // per-group imperative kernel a streaming deployment would keep in
+  // state). 30-minute gap rule; oracle = lag/cumulative-sum window SQL.
+  private def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gapMicros = 30L * 60 * 1000000
+    val evs = graft.Tables.load(s, dir, "events")
+      .select($"user_id", expr("unix_micros(ts)").as("ts_us"), $"event_id")
+      .as[(Long, Long, Long)]
+    val sessions = evs.groupByKey(_._1).flatMapGroups { (uid, it) =>
+      val sorted = it.toArray.sortBy(e => (e._2, e._3))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+      var sessionId = 0L
+      var start = 0L
+      var end = 0L
+      var n = 0L
+      sorted.foreach { case (_, ts, _) =>
+        if (n == 0 || ts - end > gapMicros) {
+          if (n > 0) out += ((uid, sessionId, start, end, n))
+          sessionId += 1
+          start = ts
+          n = 0
+        }
+        end = ts
+        n += 1
+      }
+      if (n > 0) out += ((uid, sessionId, start, end, n))
+      out.iterator
+    }
+    sessions.toDF("user_id", "session_id", "start_us", "end_us", "n_events")
+      .select($"user_id", $"session_id",
+        expr("timestamp_micros(start_us)").as("session_start"),
+        expr("timestamp_micros(end_us)").as("session_end"),
+        $"n_events")
+      .orderBy($"user_id", $"session_id")
+  }
+
+  private val sessionizeOracle = """
+    |WITH marked AS (
+    |  SELECT user_id, ts, event_id,
+    |    CASE WHEN lag(ts) OVER w IS NULL
+    |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+    |      AS is_start
+    |  FROM events
+    |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    |sess AS (
+    |  SELECT user_id, ts,
+    |    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    |                        ROWS UNBOUNDED PRECEDING) AS session_id
+    |  FROM marked)
+    |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+    |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+    |  COUNT(*) AS n_events
+    |FROM sess
+    |GROUP BY user_id, session_id
+    |ORDER BY user_id, session_id
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     Q("stream_events_window", eventsWindow, Some(eventsWindowOracle)),
+    Q("sessionize_events", sessionize, Some(sessionizeOracle)),
   )
 }
