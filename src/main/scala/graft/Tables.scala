@@ -24,9 +24,17 @@ object Tables {
     else df
   }
 
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   /** Register every table as a temp view so shared ANSI SQL (identical text
-    * to the DuckDB oracle) can run through Catalyst unchanged.
+    * to the DuckDB oracle) can run through Catalyst unchanged. Memoized per
+    * (session, sfDir): re-registering on every query would re-read all ten
+    * parquet footers each time.
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    if (registeredDir.get(spark) != sfDir) {
+      names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+      registeredDir.put(spark, sfDir)
+    }
 }
