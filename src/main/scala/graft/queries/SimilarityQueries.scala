@@ -154,9 +154,81 @@ object SimilarityQueries extends QueryPack {
       .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
   }
 
+  // -------------------------------------------------------- IVF top-k
+  // Inverted-file ANN: a coarse quantizer (16 centroids, 2 deterministic
+  // Lloyd iterations) partitions the vectors into cells; the query probes
+  // its 4 nearest cells and scores only those candidates exactly. The
+  // centroid table is tiny (k × dims doubles), so it collects to the
+  // driver per iteration and broadcasts back — at 100 TB the assignment
+  // pass is the only full-data scan per iteration, and search touches
+  // nprobe/k of the data.
+  private def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 16
+    val nprobe = 4
+    val emb = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def centroidCol(cents: Array[Array[Double]]) =
+      typedlit(cents.map(_.toSeq).toSeq)
+
+    def nearestExpr: String =
+      // index of the closest centroid by squared L2 distance
+      s"""array_position(dists, array_min(dists)) - 1"""
+
+    def withDists(df: DataFrame, cents: Array[Array[Double]]): DataFrame =
+      df.withColumn("cents", centroidCol(cents))
+        .withColumn("dists", expr(
+          """transform(cents, c ->
+            |  aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
+            |            0D, (acc, d) -> acc + d))""".stripMargin))
+
+    // deterministic init: the first k vectors seed the centroids
+    var centroids: Array[Array[Double]] = emb.filter($"vec_id" < k)
+      .orderBy($"vec_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    // 2 Lloyd iterations: assign + per-dimension mean
+    for (_ <- 0 until 2) {
+      val assigned = withDists(emb, centroids)
+        .select($"vec_id", $"v", expr(nearestExpr).cast("int").as("cell"))
+      val means = assigned
+        .select($"cell", posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
+        .groupBy($"cell")
+        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), p -> p.m)").as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.indices
+        .map(i => means.getOrElse(i, centroids(i))).toArray
+    }
+
+    val assigned = withDists(emb, centroids)
+      .select($"vec_id", $"v", expr(nearestExpr).cast("int").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queryVec = assigned.filter($"vec_id" === 0)
+      .select($"v").collect().head.getSeq[Double](0).toArray
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) =>
+        i -> c.zip(queryVec).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      .sortBy(_._2).take(nprobe).map(_._1).toSet
+
+    assigned
+      .filter($"cell".isin(probeCells.toSeq: _*) && $"vec_id" =!= 0)
+      .withColumn("q", typedlit(queryVec.toSeq))
+      .select($"vec_id", $"cell",
+        expr("""aggregate(zip_with(v, q, (x, y) -> x * y), 0D, (a, d) -> a + d)""")
+          .as("dot"))
+      .orderBy($"dot".desc, $"vec_id")
+      .limit(10)
+      .select($"vec_id", $"cell", round($"dot", 6).as("dot"))
+  }
+
   override val all: Seq[Q] = Seq(
     Q("ann_topk_dot", topkDot, Some(topkDotOracle)),
     Q("ann_cosine_pairs", cosinePairs, Some(cosinePairsOracle)),
     Q("ann_lsh_cosine", lshCosine, None),
+    Q("ann_ivf_topk", ivfTopk, None),
   )
 }
