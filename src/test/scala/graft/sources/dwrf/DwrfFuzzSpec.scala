@@ -62,8 +62,8 @@ class DwrfFuzzSpec extends AnyFunSuite {
   private def sortedRender(df: DataFrame): Seq[String] =
     df.collect().toSeq.map(r => render(r)).sorted
 
-  test("randomized round trips across options (8 seeded iterations)") {
-    for (iter <- 0 until 8) {
+  test("randomized round trips across options (12 seeded iterations)") {
+    for (iter <- 0 until 12) {
       val rnd = new Random(4242 + iter)
       val pool = fieldPool(rnd)
       val chosen = rnd.shuffle(pool).take(3 + rnd.nextInt(5))
