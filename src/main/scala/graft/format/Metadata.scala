@@ -99,13 +99,34 @@ final case class ColumnStats(
     stringMin =
       if (stringMin == null) o.stringMin
       else if (o.stringMin == null) stringMin
-      else if (stringMin.compareTo(o.stringMin) <= 0) stringMin else o.stringMin,
+      else if (ColumnStats.utf8Compare(stringMin, o.stringMin) <= 0) stringMin else o.stringMin,
     stringMax =
       if (stringMax == null) o.stringMax
       else if (o.stringMax == null) stringMax
-      else if (stringMax.compareTo(o.stringMax) >= 0) stringMax else o.stringMax,
+      else if (ColumnStats.utf8Compare(stringMax, o.stringMax) >= 0) stringMax else o.stringMax,
     totalLength = totalLength + o.totalLength,
     trueCount = trueCount + o.trueCount)
+}
+
+object ColumnStats {
+  /** Unsigned UTF-8 byte order — the order UTF8String uses at eval time
+    * (StatsBuilder.noteString, StatsFilter). java.lang.String.compareTo is
+    * UTF-16 code-unit order, which DISAGREES for supplementary-plane
+    * characters (surrogates 0xD800+ sort above BMP chars ≥ 0xE000); merged
+    * bounds in that order could sanction wrong stripe skips.
+    */
+  def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
 }
 
 object MetaIO {

@@ -94,10 +94,17 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String)
   private var readSchema: StructType = tableSchema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
-  /** Catalyst's ColumnPruning lands here (reference P1's include[]). */
+  /** Catalyst's ColumnPruning lands here (reference P1's include[]).
+    *
+    * Top-level pruning ONLY: with nestedSchemaPruning (default on) Catalyst
+    * may hand us a nested-pruned struct (e.g. `st: struct<b>` for
+    * `SELECT st.b`), but TreeReaders decode whole top-level columns from
+    * the file schema — reporting the pruned shape verbatim would misalign
+    * struct ordinals downstream (silent corruption). Map each requested
+    * field back to its full file type; Catalyst projects the subfield.
+    */
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    // keep only top-level fields Catalyst asked for, in its order
-    readSchema = requiredSchema
+    readSchema = StructType(requiredSchema.fields.map(f => tableSchema(f.name)))
   }
 
   /** We use filters for stats-based stripe/stride SKIPPING only, so all of

@@ -96,6 +96,13 @@ object StatsFilter {
         check(java.lang.Long.compare(v, st.longMin), java.lang.Long.compare(st.longMax, v))
       case FloatType | DoubleType =>
         val v = value.asInstanceOf[Number].doubleValue()
+        // NaN soundness: Spark orders NaN = NaN and NaN > every double, but
+        // min/max never observe NaN (its comparisons are all false) while
+        // doubleSum poisons to NaN the moment one is noted. So a NaN on
+        // either side means the min/max window is not authoritative —
+        // cannot skip. (Inf-cancellation can also NaN the sum; that only
+        // costs skipping, never correctness.)
+        if (v.isNaN || st.doubleSum.isNaN) return true
         if (st.doubleMin > st.doubleMax) return true
         check(java.lang.Double.compare(v, st.doubleMin), java.lang.Double.compare(st.doubleMax, v))
       case StringType =>

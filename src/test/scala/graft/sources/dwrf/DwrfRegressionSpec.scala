@@ -1,0 +1,98 @@
+package graft.sources.dwrf
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.format.ColumnStats
+
+/** Regressions for round-1 advisor findings: nested-schema-pruning ordinal
+  * corruption, NaN-unsound float/double stats skipping, and UTF-16 vs UTF-8
+  * string-bound merge order.
+  */
+class DwrfRegressionSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def tmpDir(): String =
+    Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "dwrf-reg-").toString
+
+  test("nested struct subfield projection reads the right ordinal") {
+    // With nestedSchemaPruning (default on) Catalyst hands the scan a
+    // nested-pruned schema; the reader must still decode full top-level
+    // columns or SELECT st.b silently returns st.a's values.
+    assert(spark.conf.get("spark.sql.optimizer.nestedSchemaPruning.enabled") == "true")
+    val dir = tmpDir()
+    spark.range(0, 100, 1, 1)
+      .select(col("id"), struct(
+        (col("id") * 10).as("a"),
+        concat(lit("b-"), col("id")).as("b"),
+        (col("id") % 7).as("c")).as("st"))
+      .write.format("dwrf").mode("overwrite").save(dir)
+
+    val got = spark.read.format("dwrf").load(dir)
+      .select(col("st.b")).orderBy(col("b")).collect().map(_.getString(0))
+    assert(got.toSeq == (0 until 100).map(i => s"b-$i").sorted)
+
+    // middle + last field together, projected out of order
+    val two = spark.read.format("dwrf").load(dir)
+      .select(col("st.c"), col("st.a")).orderBy(col("a")).collect()
+    assert(two.map(_.getLong(1)).toSeq == (0 until 100).map(_ * 10L))
+    assert(two.map(_.getLong(0)).toSeq == (0 until 100).map(_ % 7L))
+  }
+
+  test("NaN rows survive stats-based skipping") {
+    val dir = tmpDir()
+    // stride 0: finite small values; stride 1: finite plus NaN at id=1500
+    spark.range(0, 2000, 1, 1)
+      .select(col("id"),
+        when(col("id") === 1500, lit(Double.NaN))
+          .otherwise(col("id").cast("double") / 100.0).as("d"))
+      .write.format("dwrf").mode("overwrite")
+      .option("row.index.stride", "1000").save(dir)
+
+    val file = DwrfUtil.listDataFiles(
+      new org.apache.hadoop.fs.Path(dir), new org.apache.hadoop.conf.Configuration()).head
+    val r = new DwrfFileReader(file, new org.apache.hadoop.conf.Configuration())
+    try {
+      val readSchema = org.apache.spark.sql.types.StructType(
+        r.schema.fields.filter(_.name == "d"))
+      // Spark semantics: NaN > any finite double, so `d > 1e9` matches the
+      // NaN row. The stride's finite max is ~19.99; an unsound skipper
+      // would drop the stride (and the match) on stats.
+      val over = r.rows(r.footer.stripes, readSchema,
+        Seq(GreaterThan("d", 1e9))).toVector
+      assert(over.exists(row => row.getDouble(0).isNaN),
+        "stride containing NaN must not be skipped for d > maxFinite")
+      // equality against NaN likewise cannot skip the NaN stride
+      val eq = r.rows(r.footer.stripes, readSchema,
+        Seq(EqualTo("d", Double.NaN))).toVector
+      assert(eq.exists(row => row.getDouble(0).isNaN))
+    } finally r.close()
+
+    // end-to-end through Spark (it re-evaluates, so this is row-presence)
+    val viaSpark = spark.read.format("dwrf").load(dir)
+      .filter(col("d") > 1e9).collect()
+    assert(viaSpark.length == 1 && viaSpark.head.getDouble(1).isNaN)
+  }
+
+  test("string stat merge uses UTF-8 (code point) order, not UTF-16") {
+    // U+FF61 is a single BMP char (UTF-16: FF61); U+10000 is a surrogate
+    // pair (UTF-16: D800 DC00). UTF-16 code-unit order says FF61 > D800 so
+    // String.compareTo ranks "｡" HIGHER; code-point/UTF-8 order ranks
+    // U+10000 higher. Eval-time comparisons are UTF-8, so merge must be too.
+    val bmp = "｡"
+    val supp = new String(Character.toChars(0x10000))
+    assert(bmp.compareTo(supp) > 0, "sanity: UTF-16 order disagrees")
+    assert(ColumnStats.utf8Compare(bmp, supp) < 0)
+
+    val a = ColumnStats(count = 1, hasNull = false, stringMin = bmp, stringMax = bmp)
+    val b = ColumnStats(count = 1, hasNull = false, stringMin = supp, stringMax = supp)
+    val m = a.merge(b)
+    assert(m.stringMin == bmp, "min must be the BMP char in code-point order")
+    assert(m.stringMax == supp, "max must be the supplementary char")
+  }
+}
