@@ -98,6 +98,41 @@ object FormatQueries extends QueryPack {
     |ORDER BY p_brand
     |""".stripMargin.trim
 
+  // Vectorized filtered scan: lineitem written sorted by l_orderkey (range
+  // partitioned per file, sorted within) so the range predicate maps to
+  // contiguous stride runs; the flat projection keeps the scan on the
+  // columnar path, which seeks decoders past skipped strides. At 100 TB
+  // this is the common shape: filter + narrow projection, batches only
+  // from surviving strides.
+  private def rtFilterColumnar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = ioDir("lineitem_sorted", dir)
+    Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice", $"l_returnflag")
+      .repartitionByRange(4, $"l_orderkey")
+      .sortWithinPartitions($"l_orderkey")
+      .write.format("dwrf").mode("overwrite")
+      .option("row.index.stride", "2048").save(out)
+    s.read.format("dwrf").load(out)
+      .filter($"l_orderkey" >= 1000L && $"l_orderkey" <= 3000L)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        expr(dsum("l_quantity")).as("sum_qty"),
+        expr(dsum("l_extendedprice")).as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val rtFilterColumnarOracle = s"""
+    |SELECT l_returnflag, COUNT(*) AS n_items,
+    |  ${dsum("l_quantity")} AS sum_qty,
+    |  ${dsum("l_extendedprice")} AS sum_price
+    |FROM lineitem
+    |WHERE l_orderkey BETWEEN 1000 AND 3000
+    |GROUP BY l_returnflag
+    |ORDER BY l_returnflag
+    |""".stripMargin.trim
+
   // Nested struct/array/map shapes through the format (FIXTURES F2 shape
   // over real data), flattened back for the SQL oracle.
   private def rtNested(s: SparkSession, dir: String): DataFrame = {
@@ -183,6 +218,7 @@ object FormatQueries extends QueryPack {
     Q("dwrf_roundtrip_lineitem", rtLineitem, Some(rtLineitemOracle)),
     Q("dwrf_roundtrip_events", rtEvents, Some(rtEventsOracle)),
     Q("dwrf_projection_filter", rtProjection, Some(rtProjectionOracle)),
+    Q("dwrf_filter_columnar", rtFilterColumnar, Some(rtFilterColumnarOracle)),
     Q("dwrf_nested_types", rtNested, Some(rtNestedOracle)),
     Q("dwrf_stripe_concat", rtConcat, Some(rtConcatOracle)),
   )

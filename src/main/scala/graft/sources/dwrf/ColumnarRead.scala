@@ -39,6 +39,23 @@ abstract class VectorDecoder(val columnId: Int) {
 
   protected def startValues(src: StreamSource): Unit
 
+  /** Seek to a row-index stride (mirrors TreeReader.seek): used by the
+    * columnar path to emit batches only from strides that survive stats
+    * skipping. `rowBase` = absolute stripe row of the stride start (keeps
+    * stride-dictionary selection correct after a jump).
+    */
+  final def seekStride(entries: Map[Int, RowIndexEntry], rowBase: Long): Unit = {
+    rowPos = rowBase
+    entries.get(columnId).foreach { e =>
+      if (present != null)
+        e.positions.get(StreamKind.Present)
+          .foreach(p => present.seek(new ArrayPositionProvider(p)))
+      seekValues(e)
+    }
+  }
+
+  protected def seekValues(e: RowIndexEntry): Unit
+
   final def fill(v: OnHeapColumnVector, n: Int): Unit = {
     var i = 0
     if (present == null) {
@@ -77,6 +94,8 @@ final class BoolVectorDecoder(c: Int) extends VectorDecoder(c) {
     data = src.stream(c, StreamKind.Data).map(new BitFieldReader(_)).orNull
   override protected def put(v: OnHeapColumnVector, i: Int): Unit =
     v.putBoolean(i, data.next())
+  override protected def seekValues(e: RowIndexEntry): Unit =
+    e.positions.get(StreamKind.Data).foreach(p => data.seek(new ArrayPositionProvider(p)))
 }
 
 final class ByteVectorDecoder(c: Int) extends VectorDecoder(c) {
@@ -85,6 +104,8 @@ final class ByteVectorDecoder(c: Int) extends VectorDecoder(c) {
     data = src.stream(c, StreamKind.Data).map(new RunLengthByteReader(_)).orNull
   override protected def put(v: OnHeapColumnVector, i: Int): Unit =
     v.putByte(i, data.next())
+  override protected def seekValues(e: RowIndexEntry): Unit =
+    e.positions.get(StreamKind.Data).foreach(p => data.seek(new ArrayPositionProvider(p)))
 }
 
 final class LongVectorDecoder(c: Int, dt: DataType) extends VectorDecoder(c) {
@@ -116,6 +137,9 @@ final class LongVectorDecoder(c: Int, dt: DataType) extends VectorDecoder(c) {
     val raw = data.next()
     putter(v, i, if (dict != null) dict(raw.toInt) else raw)
   }
+
+  override protected def seekValues(e: RowIndexEntry): Unit =
+    e.positions.get(StreamKind.Data).foreach(p => data.seek(new ArrayPositionProvider(p)))
 }
 
 final class DateVectorDecoder(c: Int) extends VectorDecoder(c) {
@@ -125,6 +149,8 @@ final class DateVectorDecoder(c: Int) extends VectorDecoder(c) {
       .map(new RunLengthIntegerReader(_, signed = true, src.useVInts)).orNull
   override protected def put(v: OnHeapColumnVector, i: Int): Unit =
     v.putInt(i, data.next().toInt)
+  override protected def seekValues(e: RowIndexEntry): Unit =
+    e.positions.get(StreamKind.Data).foreach(p => data.seek(new ArrayPositionProvider(p)))
 }
 
 final class FloatVectorDecoder(c: Int) extends VectorDecoder(c) {
@@ -133,6 +159,8 @@ final class FloatVectorDecoder(c: Int) extends VectorDecoder(c) {
     data = src.stream(c, StreamKind.Data).orNull
   override protected def put(v: OnHeapColumnVector, i: Int): Unit =
     v.putFloat(i, Serialization.readFloat(data))
+  override protected def seekValues(e: RowIndexEntry): Unit =
+    e.positions.get(StreamKind.Data).foreach(p => data.seek(new ArrayPositionProvider(p)))
 }
 
 final class DoubleVectorDecoder(c: Int) extends VectorDecoder(c) {
@@ -141,6 +169,8 @@ final class DoubleVectorDecoder(c: Int) extends VectorDecoder(c) {
     data = src.stream(c, StreamKind.Data).orNull
   override protected def put(v: OnHeapColumnVector, i: Int): Unit =
     v.putDouble(i, Serialization.readDouble(data))
+  override protected def seekValues(e: RowIndexEntry): Unit =
+    e.positions.get(StreamKind.Data).foreach(p => data.seek(new ArrayPositionProvider(p)))
 }
 
 final class StringVectorDecoder(c: Int) extends VectorDecoder(c) {
@@ -217,6 +247,14 @@ final class StringVectorDecoder(c: Int) extends VectorDecoder(c) {
       v.putByteArray(i, b, 0, len)
     }
   }
+
+  override protected def seekValues(e: RowIndexEntry): Unit =
+    if (dict != null)
+      e.positions.get(StreamKind.Data).foreach(p => ids.seek(new ArrayPositionProvider(p)))
+    else {
+      e.positions.get(StreamKind.Data).foreach(p => data.seek(new ArrayPositionProvider(p)))
+      e.positions.get(StreamKind.Length).foreach(p => lengths.seek(new ArrayPositionProvider(p)))
+    }
 }
 
 final class BinaryVectorDecoder(c: Int) extends VectorDecoder(c) {
@@ -239,6 +277,11 @@ final class BinaryVectorDecoder(c: Int) extends VectorDecoder(c) {
       got += n
     }
     v.putByteArray(i, b, 0, len)
+  }
+
+  override protected def seekValues(e: RowIndexEntry): Unit = {
+    e.positions.get(StreamKind.Data).foreach(p => data.seek(new ArrayPositionProvider(p)))
+    e.positions.get(StreamKind.Length).foreach(p => lengths.seek(new ArrayPositionProvider(p)))
   }
 }
 
@@ -265,13 +308,27 @@ final class TimestampVectorDecoder(c: Int) extends VectorDecoder(c) {
     }
     v.putLong(i, sec * 1000000L + ns / 1000L)
   }
+
+  override protected def seekValues(e: RowIndexEntry): Unit = {
+    e.positions.get(StreamKind.Data).foreach(p => seconds.seek(new ArrayPositionProvider(p)))
+    e.positions.get(StreamKind.NanoData).foreach(p => nanos.seek(new ArrayPositionProvider(p)))
+  }
 }
 
-/** PartitionReader producing ColumnarBatches over the partition's stripes. */
+/** PartitionReader producing ColumnarBatches over the partition's stripes.
+  *
+  * Pushed filters drive the SAME stripe- and stride-level stats skipping
+  * as the row path (reference intent: RecordReaderImpl.java:281-430 lazy
+  * materialization): surviving strides are grouped into contiguous runs,
+  * decoders seek once per run, and batches are emitted run-local so a
+  * skipped stride is never decoded. Spark re-evaluates the filters above
+  * the scan, so skipping is pure I/O+decode savings — exactness is free.
+  */
 final class DwrfColumnarPartitionReader(
     reader: DwrfFileReader,
     stripes: Seq[StripeInformation],
     readSchema: StructType,
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
     batchSize: Int = 4096)
     extends org.apache.spark.sql.connector.read.PartitionReader[ColumnarBatch] {
 
@@ -296,20 +353,87 @@ final class DwrfColumnarPartitionReader(
     inc
   }
 
-  private val stripeIt = stripes.iterator
-  private var remainingInStripe = 0L
+  /** A maximal run of contiguous surviving strides: seek to `entries`
+    * (None = stripe start, no seek needed), then `rows` rows are valid. */
+  private final case class Segment(
+      entries: Option[Map[Int, RowIndexEntry]], rowBase: Long, rows: Long)
 
-  override def next(): Boolean = {
-    while (remainingInStripe == 0) {
-      if (!stripeIt.hasNext) return false
+  private val stripeIt = stripes.iterator
+  private var segments: Iterator[Segment] = Iterator.empty
+  private var remainingInSegment = 0L
+
+  /** Advance to the next stripe with any surviving rows; fills `segments`.
+    * Returns false when stripes are exhausted.
+    */
+  private def advanceStripe(): Boolean = {
+    while (stripeIt.hasNext) {
       val si = stripeIt.next()
       val sf = reader.readStripeFooter(si)
-      val src = reader.openStripe(si, sf, wanted)
-      decoders.foreach(_.start(src))
-      reader.counters.stripesRead += 1
-      remainingInStripe = si.numRows
+      def stripeStatsOf(attr: String): Option[ColumnStats] =
+        idByName.get(attr).flatMap { case (id, _) => sf.stats.get(id) }
+      if (filters.nonEmpty && !StatsFilter.mayMatch(filters, reader.schema, stripeStatsOf)) {
+        reader.counters.stripesSkipped += 1
+      } else {
+        val stride = reader.footer.rowIndexStride
+        def fullRead(): Boolean = {
+          reader.counters.stripesRead += 1
+          val src = reader.openStripe(si, sf, wanted)
+          decoders.foreach(_.start(src))
+          segments = Iterator(Segment(None, 0L, si.numRows))
+          true
+        }
+        if (filters.isEmpty || stride <= 0 || si.numRows <= stride) return fullRead()
+        val wantedIds = wanted.indices.filter(wanted).toSet
+        val indexes = reader.readRowIndexes(si, sf, wantedIds)
+        val numStrides = ((si.numRows + stride - 1) / stride).toInt
+        if (indexes.isEmpty || indexes.values.exists(_.length != numStrides))
+          return fullRead()
+        def strideStatsOf(k: Int)(attr: String): Option[ColumnStats] =
+          idByName.get(attr).flatMap { case (id, _) =>
+            indexes.get(id).map(_(k).stats)
+          }
+        val matching = (0 until numStrides)
+          .filter(k => StatsFilter.mayMatch(filters, reader.schema, strideStatsOf(k)))
+        reader.counters.stridesSkipped += numStrides - matching.length
+        if (matching.isEmpty) {
+          reader.counters.stripesSkipped += 1 // all strides eliminated
+        } else if (matching.length == numStrides) {
+          return fullRead()
+        } else {
+          reader.counters.stripesRead += 1
+          val src = reader.openStripe(si, sf, wanted)
+          decoders.foreach(_.start(src))
+          val segs = scala.collection.mutable.ArrayBuffer.empty[Segment]
+          def emit(first: Int, last: Int): Unit = {
+            val base = first.toLong * stride
+            val rows = math.min((last + 1).toLong * stride, si.numRows) - base
+            segs += Segment(
+              Some(indexes.map { case (id, es) => id -> es(first) }), base, rows)
+          }
+          var runStart = matching.head
+          var prev = matching.head
+          matching.tail.foreach { k =>
+            if (k == prev + 1) prev = k
+            else { emit(runStart, prev); runStart = k; prev = k }
+          }
+          emit(runStart, prev)
+          segments = segs.iterator
+          return true
+        }
+      }
     }
-    val n = math.min(batchSize.toLong, remainingInStripe).toInt
+    false
+  }
+
+  override def next(): Boolean = {
+    while (remainingInSegment == 0) {
+      if (segments.hasNext) {
+        val seg = segments.next()
+        seg.entries.foreach(e => decoders.foreach(_.seekStride(e, seg.rowBase)))
+        remainingInSegment = seg.rows
+      } else if (!advanceStripe()) return false
+    }
+    val n = math.min(batchSize.toLong, remainingInSegment).toInt
     var i = 0
     while (i < vectors.length) {
       vectors(i).reset()
@@ -317,7 +441,8 @@ final class DwrfColumnarPartitionReader(
       i += 1
     }
     batch.setNumRows(n)
-    remainingInStripe -= n
+    remainingInSegment -= n
+    reader.counters.batchesEmitted += 1
     true
   }
 

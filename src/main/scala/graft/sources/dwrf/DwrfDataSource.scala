@@ -192,18 +192,20 @@ final class DwrfPartitionReaderFactory(readSchemaJson: String,
   @transient private lazy val parsedSchema =
     org.apache.spark.sql.types.DataType.fromJson(readSchemaJson).asInstanceOf[StructType]
 
-  /** Flat projections without pushed filters take the vectorized path;
-    * filtered scans keep the row path because it can stride-seek.
+  /** Flat (all-atomic) projections take the vectorized path, WITH or
+    * without pushed filters: the columnar reader applies the same
+    * stripe/stride stats skipping as the row path, seeking decoders to
+    * surviving stride runs. Nested schemas keep the row path.
     */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    pushed.isEmpty && ColumnarSupport.supported(parsedSchema)
+    ColumnarSupport.supported(parsedSchema)
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[DwrfInputPartition]
     val reader = new DwrfFileReader(new Path(p.path), new Configuration())
     new DwrfColumnarPartitionReader(reader,
-      reader.stripesInRange(p.offset, p.length), parsedSchema)
+      reader.stripesInRange(p.offset, p.length), parsedSchema, pushed.toSeq)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

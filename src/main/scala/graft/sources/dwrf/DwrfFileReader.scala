@@ -167,7 +167,7 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
   /** Read the stripe's index area once and decode ROW_INDEX streams for
     * the wanted columns.
     */
-  private def readRowIndexes(
+  private[dwrf] def readRowIndexes(
       si: StripeInformation,
       sf: StripeFooter,
       wanted: Set[Int]): Map[Int, IndexedSeq[RowIndexEntry]] = {

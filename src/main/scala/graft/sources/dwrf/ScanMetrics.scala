@@ -12,6 +12,7 @@ final class ScanCounters extends Serializable {
   var stripesSkipped = 0L
   var stridesSkipped = 0L
   var bytesRead = 0L
+  var batchesEmitted = 0L
 }
 
 object DwrfMetrics {
@@ -31,9 +32,14 @@ object DwrfMetrics {
     override def name(): String = "bytesRead"
     override def description(): String = "dwrf bytes read"
   }
+  final class BatchesEmitted extends CustomSumMetric {
+    override def name(): String = "batchesEmitted"
+    override def description(): String = "dwrf columnar batches emitted"
+  }
 
   val all: Array[CustomMetric] = Array(
-    new StripesRead, new StripesSkipped, new StridesSkipped, new BytesRead)
+    new StripesRead, new StripesSkipped, new StridesSkipped, new BytesRead,
+    new BatchesEmitted)
 
   def task(metricName: String, v: Long): CustomTaskMetric = new CustomTaskMetric {
     // NB: the parameter must not be called `name` — inside the anonymous
@@ -47,5 +53,6 @@ object DwrfMetrics {
     task("stripesRead", c.stripesRead),
     task("stripesSkipped", c.stripesSkipped),
     task("stridesSkipped", c.stridesSkipped),
-    task("bytesRead", c.bytesRead))
+    task("bytesRead", c.bytesRead),
+    task("batchesEmitted", c.batchesEmitted))
 }

@@ -109,6 +109,79 @@ class DwrfPushdownSpec extends AnyFunSuite {
     assert(rawRows(dir, Seq(EqualTo("v", 100L)), Seq("v")).size == 1000)
   }
 
+  test("filtered scans take the columnar path with stride skipping") {
+    val dir = writeSorted(stride = 1000)
+    val df = spark.read.format("dwrf").load(dir)
+      .filter(col("id") >= 4500L && col("id") < 5500L)
+      .select("id", "uid", "score")
+    // the executed plan must be a columnar batch scan despite pushed filters
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty && scans.forall(_.supportsColumnar),
+      df.queryExecution.executedPlan.toString)
+    val got = df.orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == (4500L until 5500L).toSeq)
+    assert(got.map(_.getString(1)).toSeq ==
+      (4500L until 5500L).map(i => f"uniq-$i%08d").toSeq)
+
+    // reader-level: strides outside [4,5] skipped, batches emitted, and the
+    // decoded run is exactly strides 4-5 (superset semantics, Spark refines)
+    val file = DwrfUtil.listDataFiles(new Path(dir), new Configuration()).head
+    val r = new DwrfFileReader(file, new Configuration())
+    try {
+      val readSchema = org.apache.spark.sql.types.StructType(
+        r.schema.fields.filter(f => Seq("id", "bucket", "tag", "uid", "score").contains(f.name)))
+      val pr = new DwrfColumnarPartitionReader(r, r.footer.stripes, readSchema,
+        Seq(GreaterThanOrEqual("id", 4500L), LessThan("id", 5500L)))
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val tags = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (pr.next()) {
+        val b = pr.get()
+        val it = b.rowIterator()
+        while (it.hasNext) {
+          val row = it.next()
+          ids += row.getLong(0)
+          tags += row.getUTF8String(2).toString
+        }
+      }
+      assert(ids.toSeq == (4000L until 6000L).toSeq, "exactly strides 4 and 5 decoded")
+      assert(tags.toSeq == (4000L until 6000L).map(i => s"cat-${i % 20}").toSeq,
+        "dictionary string decodes correctly after seek")
+      assert(r.counters.stridesSkipped == 8)
+      assert(r.counters.batchesEmitted > 0)
+    } finally r.close()
+  }
+
+  test("columnar stride skipping handles discontiguous runs") {
+    val dir = writeSorted(stride = 1000)
+    val file = DwrfUtil.listDataFiles(new Path(dir), new Configuration()).head
+    val r = new DwrfFileReader(file, new Configuration())
+    try {
+      val readSchema = org.apache.spark.sql.types.StructType(
+        r.schema.fields.filter(f => Seq("id", "uid").contains(f.name)))
+      // strides 1 and 7 survive; the decoder must seek across the gap
+      val pr = new DwrfColumnarPartitionReader(r, r.footer.stripes, readSchema,
+        Seq(In("id", Array[Any](1500L, 7500L))))
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val uids = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (pr.next()) {
+        val b = pr.get()
+        val it = b.rowIterator()
+        while (it.hasNext) {
+          val row = it.next()
+          ids += row.getLong(0)
+          uids += row.getUTF8String(1).toString
+        }
+      }
+      val expect = (1000L until 2000L) ++ (7000L until 8000L)
+      assert(ids.toSeq == expect.toSeq)
+      assert(uids.toSeq == expect.map(i => f"uniq-$i%08d").toSeq,
+        "direct string decodes correctly after a non-adjacent seek")
+      assert(r.counters.stridesSkipped == 8)
+    } finally r.close()
+  }
+
   test("dictionary encoding engages for low-cardinality columns") {
     val dir = writeSorted(stride = 1000)
     val file = DwrfUtil.listDataFiles(new Path(dir), new Configuration()).head
