@@ -6,11 +6,21 @@ import org.apache.spark.sql.streaming.Trigger
 
 /** Structured Streaming surface: the same events rollup computed as a
   * STREAM — file source → event-time window aggregation with a watermark
-  * → available-now trigger draining the backlog to a memory sink. On a
-  * cluster this exact plan runs continuously against arriving files with
-  * bounded state (the watermark expires old windows); the available-now
-  * run here makes it deterministic and oracle-checkable against the batch
-  * answer (stream-batch parity).
+  * → available-now trigger draining to a FILE sink in APPEND mode. Append
+  * mode means a window's state is emitted once the watermark passes its
+  * end and then PURGED from the state store — state is bounded by the
+  * watermark horizon, and nothing is materialized on the driver (the sink
+  * is distributed files). On a cluster this exact plan runs continuously
+  * against arriving files at 100 TB/day; the available-now run here makes
+  * it deterministic and oracle-checkable against the batch answer
+  * (stream-batch parity).
+  *
+  * Drain completeness: append mode only emits windows the watermark has
+  * passed, so the run stages a far-future "watermark sentinel" row after
+  * the real data; processing it advances the watermark beyond every real
+  * window's end, flushing them all to the sink. The sentinel's own window
+  * never closes (nothing follows it) so it never reaches the sink, and a
+  * defensive filter drops it if it ever did.
   */
 object StreamingQueries extends QueryPack {
 
@@ -18,31 +28,61 @@ object StreamingQueries extends QueryPack {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val name = s"ev_stream_${Integer.toHexString(dir.hashCode)}"
+    val tag = Integer.toHexString(dir.hashCode)
     // the file stream source requires a directory: stage a symlink dir
     // (in production this IS a directory files arrive into)
-    val srcDir = java.nio.file.Paths.get(
-      s"/root/repo/target/stream-src-${Integer.toHexString(dir.hashCode)}")
+    val srcDir = java.nio.file.Paths.get(s"/root/repo/target/stream-src-$tag")
     java.nio.file.Files.createDirectories(srcDir)
     val link = srcDir.resolve("events.parquet")
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val stream = s.readStream.schema(rawSchema).parquet(srcDir.toString)
+    // watermark sentinel: one row 2 days past the real max event time
+    val sentinelDir = s"/root/repo/target/stream-sentinel-$tag"
+    val sentinelLink = srcDir.resolve("zz-sentinel.parquet")
+    if (!java.nio.file.Files.exists(sentinelLink)) {
+      val maxNs = s.read.parquet(s"$dir/events.parquet")
+        .agg(max($"ts")).as[Long].head()
+      s.read.parquet(s"$dir/events.parquet").limit(1)
+        .withColumn("ts", lit(maxNs + 2L * 24 * 3600 * 1000000000L))
+        .withColumn("event_type", lit("__wm_sentinel__"))
+        .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(sentinelDir))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.createSymbolicLink(sentinelLink, part)
+    }
+    // fresh checkpoint+sink per run: the file sink is append-only, so a
+    // stale sink without its checkpoint would double-count
+    val ckDir = java.nio.file.Paths.get(s"/root/repo/target/stream-ck-$tag")
+    val outDir = java.nio.file.Paths.get(s"/root/repo/target/stream-out-$tag")
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    rmTree(ckDir); rmTree(outDir)
+    val stream = s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1") // real data first, sentinel after
+      .parquet(srcDir.toString)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 day"), $"event_type")
       .agg(
         count(lit(1)).as("n_events"),
         expr(dsum("value")).as("total_value"))
+      .select($"window.start".as("day_ts"), $"event_type", $"n_events", $"total_value")
     val q = stream.writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
+      .format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckDir.toString)
+      .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name)
-      .select($"window.start".as("day_ts"), $"event_type", $"n_events", $"total_value")
+    s.read.parquet(outDir.toString)
+      .filter($"event_type" =!= "__wm_sentinel__")
       .orderBy($"day_ts", $"event_type")
   }
 
