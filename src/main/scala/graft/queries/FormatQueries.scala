@@ -172,6 +172,50 @@ object FormatQueries extends QueryPack {
     |ORDER BY l_returnflag
     |""".stripMargin.trim
 
+  // UNION convention round trip (reference TestOrcFile.java:742
+  // testUnionAndTimestamp): orders fanned into a 3-branch tagged union
+  // (long | string | double), written+read through dwrf, then checked in
+  // SQL for the exactly-one-non-null-branch invariant (n_wellformed must
+  // equal n per tag) plus per-branch aggregates against the parquet
+  // oracle.
+  private def rtUnion(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.dwrf.UnionConvention
+    val out = ioDir("orders_union", dir)
+    val tag = (col("o_orderkey") % 3).cast("int")
+    Tables.load(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        UnionConvention.tagged(tag,
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")).as("u"))
+      .write.format("dwrf").mode("overwrite").save(out)
+    s.read.format("dwrf").load(out).createOrReplaceTempView("union_dwrf")
+    s.sql(s"""
+      |SELECT CAST(u.tag AS INT) AS tag, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN ((u.tag = 0) = (u.c0 IS NOT NULL))
+      |                 AND ((u.tag = 1) = (u.c1 IS NOT NULL))
+      |                 AND ((u.tag = 2) = (u.c2 IS NOT NULL))
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_wellformed,
+      |  CAST(SUM(u.c0) AS BIGINT) AS sum_i,
+      |  MIN(u.c1) AS min_s, MAX(u.c1) AS max_s,
+      |  ${dsum("u.c2")} AS sum_d
+      |FROM union_dwrf
+      |GROUP BY u.tag
+      |ORDER BY tag
+      |""".stripMargin.trim)
+  }
+
+  private val rtUnionOracle = s"""
+    |SELECT CAST(o_orderkey % 3 AS INT) AS tag, COUNT(*) AS n,
+    |  COUNT(*) AS n_wellformed,
+    |  CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey END) AS BIGINT) AS sum_i,
+    |  MIN(CASE WHEN o_orderkey % 3 = 1 THEN o_orderstatus END) AS min_s,
+    |  MAX(CASE WHEN o_orderkey % 3 = 1 THEN o_orderstatus END) AS max_s,
+    |  ${dsum("CASE WHEN o_orderkey % 3 = 2 THEN o_totalprice END")} AS sum_d
+    |FROM orders
+    |GROUP BY o_orderkey % 3
+    |ORDER BY tag
+    |""".stripMargin.trim
+
   // Raw-stripe concatenation (S3/S4): two dwrf datasets merged byte-wise
   // (no decode), then aggregated; the oracle computes the same from the
   // source parquet, so a hash match proves the merge is lossless.
@@ -220,6 +264,7 @@ object FormatQueries extends QueryPack {
     Q("dwrf_projection_filter", rtProjection, Some(rtProjectionOracle)),
     Q("dwrf_filter_columnar", rtFilterColumnar, Some(rtFilterColumnarOracle)),
     Q("dwrf_nested_types", rtNested, Some(rtNestedOracle)),
+    Q("dwrf_union_roundtrip", rtUnion, Some(rtUnionOracle)),
     Q("dwrf_stripe_concat", rtConcat, Some(rtConcatOracle)),
   )
 }
