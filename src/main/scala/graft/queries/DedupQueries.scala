@@ -9,15 +9,16 @@ import graft.Tables
   * 100 TB shape:
   *
   *  - exact: one hash-partitioned groupBy on the content key;
-  *  - n-gram Jaccard: shingle-explode → selective equi-join (word 5-grams
-  *    are highly selective, so the join does NOT blow up quadratically the
-  *    way char-grams would) → per-pair counting;
+  *  - n-gram Jaccard: shingle-explode → document-frequency cap (df ≤ 50
+  *    on the join key bounds hot-shingle skew: a boilerplate 5-gram in k
+  *    docs would otherwise make k² join rows in one task) → selective
+  *    equi-join → per-pair counting;
   *  - MinHash+LSH: per-doc signature computed WITHOUT explode (nested
   *    higher-order functions, stays in codegen), then one band-bucket
   *    shuffle where only colliding docs meet — the classic sub-quadratic
   *    path;
-  *  - SimHash: 64-bit signature per doc, 16-bit band join, popcount
-  *    verify.
+  *  - SimHash: 64-bit signature per doc, 8×8-bit band join (guaranteed
+  *    recall to hamming ≤ 7), popcount verify.
   *
   * Only the first two have DuckDB-expressible oracles; the LSH family is
   * checked rows-only by the driver (its verification is the exact-jaccard
@@ -65,8 +66,20 @@ object DedupQueries extends QueryPack {
       .select($"doc_id", xxhash64($"g0").as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = shingles.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val a = shingles.as("a")
-    val b = shingles.as("b")
+    // Skew bound: the join-key distribution is the shingle DF histogram —
+    // one viral boilerplate 5-gram in k docs makes k² pairs in ONE task.
+    // Shingles with df > 50 are dropped from the JOIN ONLY (per-doc sizes
+    // keep full semantics), bounding worst-case fan-out at 50² rows per
+    // shingle; a true near-dup pair at the 0.5 threshold shares many rare
+    // shingles, so the n_common loss is marginal. Mirrored in the DuckDB
+    // oracle, so the hash check stays exact. The hot set is tiny by
+    // construction (only shingles in >50 docs) => broadcast anti-join.
+    val maxDf = 50
+    val hot = shingles.groupBy($"g").agg(count(lit(1)).as("df"))
+      .filter($"df" > maxDf).select($"g")
+    val joinable = shingles.join(broadcast(hot), Seq("g"), "left_anti")
+    val a = joinable.as("a")
+    val b = joinable.as("b")
     val inter = a.join(b, $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -87,9 +100,11 @@ object DedupQueries extends QueryPack {
     |    array_to_string(w[CAST(t.i AS BIGINT):CAST(t.i AS BIGINT)+4], ' ') AS g
     |  FROM toks, unnest(range(1, greatest(len(w) - 4, 1) + 1)) AS t(i)),
     |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    |hot AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) > 50),
+    |shj AS (SELECT * FROM sh WHERE g NOT IN (SELECT g FROM hot)),
     |inter AS (
     |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-    |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+    |  FROM shj a JOIN shj b ON a.g = b.g AND a.doc_id < b.doc_id
     |  GROUP BY 1, 2)
     |SELECT id_a, id_b, n_common,
     |  n_common / (ca.n + cb.n - n_common) AS jaccard
@@ -140,13 +155,33 @@ object DedupQueries extends QueryPack {
                  |0, (acc, v) -> acc + v) / CAST($k AS DOUBLE)""".stripMargin)
           .as("est_jaccard"))
       .distinct()
-    pairs.filter($"est_jaccard" >= 0.5)
-      .select($"id_a", $"id_b", round($"est_jaccard", 4).as("est_jaccard"))
+      .filter($"est_jaccard" >= 0.5)
+    // self-validating confirm column: recompute the EXACT Jaccard for the
+    // surviving candidates (few) from their shingle sets, so the rows-only
+    // check carries its own ground truth (est vs true side by side). The
+    // candidate id set is tiny => broadcast semi-join prunes the re-shingle
+    // pass to just those docs.
+    val candIds = pairs
+      .select(explode(array($"id_a", $"id_b")).as("doc_id")).distinct()
+    val sets = shingleHashes.join(broadcast(candIds), "doc_id")
+      .groupBy($"doc_id").agg(collect_set($"bh").as("gs"))
+    pairs
+      .join(sets.select($"doc_id".as("id_a"), $"gs".as("gs_a")), "id_a")
+      .join(sets.select($"doc_id".as("id_b"), $"gs".as("gs_b")), "id_b")
+      .select($"id_a", $"id_b", round($"est_jaccard", 4).as("est_jaccard"),
+        round(size(array_intersect($"gs_a", $"gs_b")).cast("double") /
+          size(array_union($"gs_a", $"gs_b")), 4).as("true_jaccard"))
       .orderBy($"id_a", $"id_b")
   }
 
   // ---------------------------------------------------------- simhash
-  // 64-bit simhash over word hashes; 4 × 16-bit band join; hamming ≤ 8.
+  // 64-bit simhash over word hashes; 8 × 8-bit band join; hamming ≤ 8.
+  // Recall bound (pigeonhole): any pair at hamming ≤ 7 differs in at most
+  // 7 of the 8 bytes, so at least one byte matches and the pair is
+  // GUARANTEED to surface; pairs at exactly hamming 8 surface unless all
+  // 8 differing bits land in 8 distinct bytes. The output's `hamming`
+  // column is itself the exact metric (popcount of the XOR), so the
+  // rows-only check self-validates.
   private def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
@@ -168,7 +203,7 @@ object DedupQueries extends QueryPack {
           .mkString("(", " + ", ")")).as("sim"))
     val banded = sigs.select($"doc_id", $"sim",
       posexplode(expr(
-        "transform(sequence(0, 3), b -> (shiftright(sim, b * 16) & 65535))"))
+        "transform(sequence(0, 7), b -> (shiftright(sim, b * 8) & 255))"))
         .as(Seq("band_idx", "band_val")))
     val a = banded.as("a")
     val b = banded.as("b")

@@ -106,14 +106,20 @@ object SimilarityQueries extends QueryPack {
     |""".stripMargin.trim
 
   // ------------------------------------------------------- LSH cosine
-  // 16 deterministic Rademacher hyperplanes (seeded) in 4 bands × 4 bits:
+  // 32 deterministic Rademacher hyperplanes (seeded) in 4 bands × 8 bits:
   // vectors colliding in ANY band become candidates (sub-quadratic: only
-  // same-bucket vectors meet in the join), candidates get exact cosine,
-  // output = top-20 candidates. At 100 TB you'd raise planes-per-band to
-  // keep bucket occupancy flat; the plan shape is unchanged.
+  // same-bucket vectors meet in the join), candidates get EXACT cosine
+  // (the self-validating confirm step), output = top-20 candidates.
+  // Recall target: a pair at cosine c matches one 8-bit band with
+  // p^8 where p = 1 - acos(c)/π, so any-of-4-bands recall is
+  // 1-(1-p^8)^4 ≈ 0.89 at c=0.95, 0.75 at c=0.90 — 4× the band count
+  // (and recall) of a 2×16 split at the same signature width, while
+  // 8-bit bands keep 256 buckets/band so occupancy (and the bucket join)
+  // stays sub-quadratic. At 100 TB you'd raise bits-per-band to keep
+  // bucket occupancy flat; the plan shape is unchanged.
   private def lshCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val planes = 16
+    val planes = 32
     val bandBits = 8
     val bands = planes / bandBits
     val dims = 64
@@ -214,7 +220,7 @@ object SimilarityQueries extends QueryPack {
       }
       .sortBy(_._2).take(nprobe).map(_._1).toSet
 
-    assigned
+    val result = assigned
       .filter($"cell".isin(probeCells.toSeq: _*) && $"vec_id" =!= 0)
       .withColumn("q", typedlit(queryVec.toSeq))
       .select($"vec_id", $"cell",
@@ -223,6 +229,12 @@ object SimilarityQueries extends QueryPack {
       .orderBy($"dot".desc, $"vec_id")
       .limit(10)
       .select($"vec_id", $"cell", round($"dot", 6).as("dot"))
+    // top-10 is driver-sized: materialize it, then drop BOTH caches so a
+    // long-lived session doesn't accumulate blocks across invocations
+    val rows = result.collect()
+    emb.unpersist()
+    assigned.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
   override val all: Seq[Q] = Seq(
