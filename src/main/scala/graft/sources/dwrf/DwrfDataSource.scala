@@ -37,7 +37,7 @@ final class DwrfDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = pathOf(options)
-    val conf = new Configuration()
+    val conf = DwrfUtil.sessionHadoopConf()
     val files = DwrfUtil.listDataFiles(path, conf)
     require(files.nonEmpty, s"dwrf: no .dwrf files under $path")
     val r = new DwrfFileReader(files.head, conf)
@@ -61,6 +61,47 @@ object DwrfUtil {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".dwrf"))
       .sortBy(_.getPath.getName)
       .map(_.getPath)
+  }
+
+  /** The session's Hadoop configuration (spark.hadoop.* — filesystem
+    * credentials etc.), falling back to a bare one off-session. A bare
+    * `new Configuration()` only works on the local FS.
+    */
+  def sessionHadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** Run `f` over `items` on a bounded pool — driver-side metadata reads
+    * (footers) for many files should not be a serial loop.
+    */
+  def parMap[A, B](items: Seq[A], parallelism: Int = 16)(f: A => B): Seq[B] = {
+    if (items.lengthCompare(2) < 0) return items.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, items.length))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks: Seq[java.util.concurrent.Callable[B]] =
+        items.map(a => (() => f(a)): java.util.concurrent.Callable[B])
+      pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+    } finally pool.shutdown()
+  }
+}
+
+/** Hadoop Configuration is not Serializable; wrap it for shipping to
+  * executor-side reader/writer factories (same role as Spark's internal
+  * SerializableConfiguration).
+  */
+final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
   }
 }
 
@@ -122,6 +163,17 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String)
   override def build(): Scan = new DwrfScan(tableSchema, readSchema, path, pushed)
 }
 
+/** Per-file footer summary cached by the Scan: read ONCE per query (shared
+  * by planInputPartitions and estimateStatistics) and gathered on a bounded
+  * pool — at 100k files two serial driver metadata passes would dominate
+  * planning.
+  */
+private final case class DwrfFileTail(
+    path: String,
+    stripes: Seq[graft.format.StripeInformation],
+    numRows: Long,
+    rawDataSize: Long)
+
 final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: String,
     pushed: Array[org.apache.spark.sql.sources.Filter])
     extends Scan with Batch with SupportsReportStatistics {
@@ -129,33 +181,41 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
   override def readSchema(): StructType = readSchema
   override def toBatch: Batch = this
 
+  private val hadoopConf = new SerializableHadoopConf(DwrfUtil.sessionHadoopConf())
+
+  private lazy val fileTails: Seq[DwrfFileTail] = {
+    val files = DwrfUtil.listDataFiles(new Path(path), hadoopConf.value)
+    DwrfUtil.parMap(files) { file =>
+      val r = new DwrfFileReader(file, hadoopConf.value)
+      try DwrfFileTail(file.toString, r.footer.stripes, r.footer.numRows,
+        r.footer.rawDataSize)
+      finally r.close()
+    }
+  }
+
   /** One partition per stripe group of ~target split size. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
     val targetSplit = 128L * 1024 * 1024
-    DwrfUtil.listDataFiles(new Path(path), conf).flatMap { file =>
-      val r = new DwrfFileReader(file, conf)
-      try {
-        val parts = scala.collection.mutable.ArrayBuffer.empty[DwrfInputPartition]
-        var start = -1L
-        var end = -1L
-        r.footer.stripes.foreach { s =>
-          val stripeLen = s.indexLength + s.dataLength + s.footerLength
-          if (start < 0) { start = s.offset; end = s.offset + stripeLen }
-          else if (end - start >= targetSplit) {
-            parts += DwrfInputPartition(file.toString, start, end - start)
-            start = s.offset
-            end = s.offset + stripeLen
-          } else end = s.offset + stripeLen
-        }
-        if (start >= 0) parts += DwrfInputPartition(file.toString, start, end - start)
-        parts.toSeq
-      } finally r.close()
+    fileTails.flatMap { tail =>
+      val parts = scala.collection.mutable.ArrayBuffer.empty[DwrfInputPartition]
+      var start = -1L
+      var end = -1L
+      tail.stripes.foreach { s =>
+        val stripeLen = s.indexLength + s.dataLength + s.footerLength
+        if (start < 0) { start = s.offset; end = s.offset + stripeLen }
+        else if (end - start >= targetSplit) {
+          parts += DwrfInputPartition(tail.path, start, end - start)
+          start = s.offset
+          end = s.offset + stripeLen
+        } else end = s.offset + stripeLen
+      }
+      if (start >= 0) parts += DwrfInputPartition(tail.path, start, end - start)
+      parts.toSeq
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DwrfPartitionReaderFactory(readSchema.json, pushed)
+    new DwrfPartitionReaderFactory(readSchema.json, pushed, hadoopConf)
 
   override def description(): String =
     s"dwrf scan of $path, PushedFilters: [${pushed.mkString(", ")}]"
@@ -164,20 +224,11 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
     DwrfMetrics.all
 
   override def estimateStatistics(): Statistics = {
-    val conf = new Configuration()
-    var rows = 0L
-    var bytes = 0L
-    DwrfUtil.listDataFiles(new Path(path), conf).foreach { file =>
-      val r = new DwrfFileReader(file, conf)
-      try {
-        rows += r.footer.numRows
-        bytes += r.footer.rawDataSize
-      } finally r.close()
-    }
-    val (rf, bf) = (rows, bytes)
+    val rows = fileTails.map(_.numRows).sum
+    val bytes = fileTails.map(_.rawDataSize).sum
     new Statistics {
-      override def sizeInBytes(): OptionalLong = OptionalLong.of(bf)
-      override def numRows(): OptionalLong = OptionalLong.of(rf)
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+      override def numRows(): OptionalLong = OptionalLong.of(rows)
     }
   }
 }
@@ -186,7 +237,8 @@ final case class DwrfInputPartition(path: String, offset: Long, length: Long)
     extends InputPartition
 
 final class DwrfPartitionReaderFactory(readSchemaJson: String,
-    pushed: Array[org.apache.spark.sql.sources.Filter])
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    hadoopConf: SerializableHadoopConf)
     extends PartitionReaderFactory {
 
   @transient private lazy val parsedSchema =
@@ -203,7 +255,7 @@ final class DwrfPartitionReaderFactory(readSchemaJson: String,
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[DwrfInputPartition]
-    val reader = new DwrfFileReader(new Path(p.path), new Configuration())
+    val reader = new DwrfFileReader(new Path(p.path), hadoopConf.value)
     new DwrfColumnarPartitionReader(reader,
       reader.stripesInRange(p.offset, p.length), parsedSchema, pushed.toSeq)
   }
@@ -212,7 +264,7 @@ final class DwrfPartitionReaderFactory(readSchemaJson: String,
     val p = partition.asInstanceOf[DwrfInputPartition]
     val readSchema = org.apache.spark.sql.types.DataType
       .fromJson(readSchemaJson).asInstanceOf[StructType]
-    val reader = new DwrfFileReader(new Path(p.path), new Configuration())
+    val reader = new DwrfFileReader(new Path(p.path), hadoopConf.value)
     val it = reader.rows(reader.stripesInRange(p.offset, p.length), readSchema,
       pushed.toSeq)
     new PartitionReader[InternalRow] {
@@ -247,16 +299,17 @@ final class DwrfBatchWrite(schema: StructType, path: String,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // runs on the driver before any task: prepare the output dir
-    val conf = new Configuration()
+    val conf = DwrfUtil.sessionHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     if (truncate && fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
-    new DwrfDataWriterFactory(schema.json, path, options)
+    new DwrfDataWriterFactory(schema.json, path, options,
+      new SerializableHadoopConf(conf))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
+    val conf = DwrfUtil.sessionHadoopConf()
     val p = new Path(path, "_SUCCESS")
     val fs = p.getFileSystem(conf)
     val out = fs.create(p, true)
@@ -267,12 +320,13 @@ final class DwrfBatchWrite(schema: StructType, path: String,
 }
 
 final class DwrfDataWriterFactory(schemaJson: String, path: String,
-    options: Map[String, String]) extends DataWriterFactory {
+    options: Map[String, String], hadoopConf: SerializableHadoopConf)
+    extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(schemaJson).asInstanceOf[StructType]
-    val conf = new Configuration()
+    val conf = hadoopConf.value
     val file = new Path(path, f"part-$partitionId%05d-$taskId.dwrf")
     val fs = file.getFileSystem(conf)
     val os = fs.create(file, true)
