@@ -23,7 +23,14 @@ final case class DwrfWriteOptions(
     maxDictionarySize: Long = 100L * 1024 * 1024,
     strideDictionaryEnabled: Boolean = true,
     useVInts: Boolean = true,
-    sortDictionaryKeys: Boolean = true)
+    sortDictionaryKeys: Boolean = true,
+    // entropy heuristic for string encoding selection (reference A2,
+    // OrcConf.java:46-51): below entropyKeySizeThreshold repetition the
+    // dictionary must also clear a character-diversity bar to be worth it
+    entropyKeySizeThreshold: Double = 0.9,
+    entropyMinSamples: Int = 100,
+    entropyDictSampleFraction: Double = 0.001,
+    entropyStringThreshold: Int = 20)
 
 object DwrfWriteOptions {
   /** Parse `.option(...)` strings (names follow OrcConf / OrcFile). */
@@ -49,7 +56,15 @@ object DwrfWriteOptions {
         .getOrElse(d.strideDictionaryEnabled),
       useVInts = m.get("use.vints").map(_.toBoolean).getOrElse(d.useVInts),
       sortDictionaryKeys = m.get("dictionary.sort.keys").map(_.toBoolean)
-        .getOrElse(d.sortDictionaryKeys))
+        .getOrElse(d.sortDictionaryKeys),
+      entropyKeySizeThreshold = m.get("entropy.key.string.size.threshold")
+        .map(_.toDouble).getOrElse(d.entropyKeySizeThreshold),
+      entropyMinSamples = m.get("entropy.string.min.samples")
+        .map(_.toInt).getOrElse(d.entropyMinSamples),
+      entropyDictSampleFraction = m.get("entropy.string.dict.sample.fraction")
+        .map(_.toDouble).getOrElse(d.entropyDictSampleFraction),
+      entropyStringThreshold = m.get("entropy.string.threshold")
+        .map(_.toInt).getOrElse(d.entropyStringThreshold))
   }
 }
 

@@ -449,9 +449,12 @@ final class DoubleTreeWriter(columnId: Int, opts: DwrfWriteOptions)
   * id space: id < globalSize → global key, else (id - globalSize) indexes
   * the current stride's side dictionary — same information, one stream
   * fewer. Applied to top-level columns (whose row position defines the
-  * stride); nested strings keep the plain global dictionary. The
-  * reference's character-entropy sample test is folded into the single
-  * distinct/total threshold.
+  * stride); nested strings keep the plain global dictionary.
+  *
+  * Encoding choice follows the reference's two-stage policy: the plain
+  * distinct/total threshold plus the character-entropy sample test
+  * (WriterImpl.java:1297-1363) for medium-repetition columns — see
+  * finishValueStreams.
   */
 final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions,
     topLevel: Boolean = false)
@@ -492,11 +495,48 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions,
   override protected def recordValuePositions(out: scala.collection.mutable.ArrayBuffer[(Int, Array[Long])]): Unit =
     strideMarkers.add(rows.size)
 
+  /** Character-diversity sample over the dictionary keys (reference
+    * entropy heuristic, WriterImpl.java:1297-1363): true when the sampled
+    * keys together contain more than `entropyStringThreshold` distinct
+    * characters. The reference samples randomly; we sample evenly spaced
+    * for reproducible files (documented divergence) with the same sample
+    * size policy (max(minSamples, fraction × dictSize)) and early exit.
+    */
+  private def entropyExceedsThreshold(): Boolean = {
+    val size = keys.size
+    if (size == 0) return false
+    val numSamples = math.min(size,
+      math.max(opts.entropyMinSamples,
+        (opts.entropyDictSampleFraction * size).toInt))
+    val step = math.max(1, size / numSamples)
+    val chars = new java.util.HashSet[Integer]()
+    var i = 0
+    while (i < size) {
+      val s = UTF8String.fromBytes(keys(i)).toString
+      var j = 0
+      while (j < s.length) {
+        chars.add(Integer.valueOf(s.charAt(j).toInt))
+        if (chars.size > opts.entropyStringThreshold) return true
+        j += 1
+      }
+      i += step
+    }
+    false
+  }
+
   override protected def finishValueStreams(): Seq[FinishedStream] = {
     val n = rows.size
     val distinct = keys.size
+    // Dictionary iff (1) the distinct/total density clears the plain
+    // threshold AND (2) repetition is high enough that dictionary always
+    // wins (> entropyKeySizeThreshold), OR the keys are character-diverse
+    // enough that the block codec alone won't compress direct data
+    // (reference A2: low-entropy medium-repeat columns — e.g. UUIDs with
+    // some dupes — go DIRECT and let zlib do the work).
+    val repeatedFraction = if (n > 0) (n - distinct).toDouble / n else 0.0
     useDictionary = opts.dictionaryEnabled && n > 0 &&
-      distinct.toDouble / n <= opts.dictionaryKeyStringThreshold
+      distinct.toDouble / n <= opts.dictionaryKeyStringThreshold &&
+      (repeatedFraction > opts.entropyKeySizeThreshold || entropyExceedsThreshold())
     val captured = scala.collection.mutable.ArrayBuffer.empty[Seq[(Int, Array[Long])]]
     var marker = 0
     if (useDictionary) {

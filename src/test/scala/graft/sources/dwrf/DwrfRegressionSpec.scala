@@ -79,6 +79,50 @@ class DwrfRegressionSpec extends AnyFunSuite {
     assert(viaSpark.length == 1 && viaSpark.head.getDouble(1).isNaN)
   }
 
+  test("entropy heuristic sends medium-repeat low-char-diversity strings DIRECT") {
+    // UUID-shaped hex keys, each repeated twice: distinct/total = 0.5
+    // clears the plain 0.8 threshold (dictionary under round-1 policy),
+    // but repetition ≤ 0.9 and only ~17 distinct chars (hex + dash) fail
+    // the A2 entropy sample test => DIRECT, letting the block codec do
+    // the work instead of keeping a huge dictionary in writer memory
+    // (reference WriterImpl.java:1297-1363).
+    def hexy = spark.range(0, 4000, 1, 1).select(
+      col("id"),
+      concat(lit("deadbeef-"),
+        format_string("%024x", (col("id") / 2).cast("long"))).as("u"))
+
+    def encodingOf(dir: String): graft.format.ColumnEncoding = {
+      val file = DwrfUtil.listDataFiles(
+        new org.apache.hadoop.fs.Path(dir), new org.apache.hadoop.conf.Configuration()).head
+      val r = new DwrfFileReader(file, new org.apache.hadoop.conf.Configuration())
+      try r.readStripeFooter(r.footer.stripes.head)
+        .encodings(ColumnTree.topLevelIds(r.schema)(1))
+      finally r.close()
+    }
+
+    val d1 = tmpDir()
+    hexy.write.format("dwrf").mode("overwrite").save(d1)
+    assert(!encodingOf(d1).dictionary,
+      "17-char alphabet at 0.5 repetition must go DIRECT")
+
+    // same data, entropy bar lowered below the alphabet size => dictionary
+    val d2 = tmpDir()
+    hexy.write.format("dwrf").mode("overwrite")
+      .option("entropy.string.threshold", "10").save(d2)
+    assert(encodingOf(d2).dictionary && encodingOf(d2).dictionarySize == 2000)
+
+    // high repetition bypasses the entropy test entirely (> 0.9 repeated)
+    val d3 = tmpDir()
+    spark.range(0, 4000, 1, 1).select(
+      col("id"), concat(lit("k-"), col("id") % 100).as("u"))
+      .write.format("dwrf").mode("overwrite").save(d3)
+    assert(encodingOf(d3).dictionary && encodingOf(d3).dictionarySize == 100)
+
+    // and the direct file still round-trips exactly
+    val back = spark.read.format("dwrf").load(d1)
+    assert(back.exceptAll(hexy).isEmpty && hexy.exceptAll(back).isEmpty)
+  }
+
   test("string stat merge uses UTF-8 (code point) order, not UTF-16") {
     // U+FF61 is a single BMP char (UTF-16: FF61); U+10000 is a surrogate
     // pair (UTF-16: D800 DC00). UTF-16 code-unit order says FF61 > D800 so

@@ -17,7 +17,9 @@ class StrideDictSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   // half the rows cycle through 20 hot values, half are unique =>
-  // distinct/total ≈ 0.5 (dictionary engages), ~half the keys singleton
+  // distinct/total ≈ 0.5 (dictionary engages), ~half the keys singleton.
+  // The writes pin entropy.string.threshold=10 (18 distinct chars here)
+  // so the A2 entropy gate keeps dictionary mode at this 0.5 repetition
   private def mixedDf(n: Int) = {
     spark.range(0, n, 1, 1).select(
       col("id"),
@@ -30,7 +32,8 @@ class StrideDictSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "stridedict-").toString
     mixedDf(8000).write.format("dwrf").mode("overwrite")
-      .option("row.index.stride", "1000").save(dir)
+      .option("row.index.stride", "1000")
+      .option("entropy.string.threshold", "10").save(dir)
     val file = DwrfUtil.listDataFiles(new Path(dir), new Configuration()).head
     val r = new DwrfFileReader(file, new Configuration())
     try {
@@ -52,7 +55,8 @@ class StrideDictSpec extends AnyFunSuite {
       java.nio.file.Paths.get("/root/repo/target"), "stridedict-rt-").toString
     val df = mixedDf(8000)
     df.write.format("dwrf").mode("overwrite")
-      .option("row.index.stride", "1000").save(dir)
+      .option("row.index.stride", "1000")
+      .option("entropy.string.threshold", "10").save(dir)
     val back = spark.read.format("dwrf").load(dir)
     // columnar path (no filters)
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
@@ -72,7 +76,8 @@ class StrideDictSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "stridedict-seek-").toString
     mixedDf(8000).write.format("dwrf").mode("overwrite")
-      .option("row.index.stride", "1000").save(dir)
+      .option("row.index.stride", "1000")
+      .option("entropy.string.threshold", "10").save(dir)
     val file = DwrfUtil.listDataFiles(new Path(dir), new Configuration()).head
     val r = new DwrfFileReader(file, new Configuration())
     try {
@@ -98,7 +103,8 @@ class StrideDictSpec extends AnyFunSuite {
       java.nio.file.Paths.get("/root/repo/target"), "unsorted-").toString
     val df = mixedDf(4000)
     df.write.format("dwrf").mode("overwrite")
-      .option("dictionary.sort.keys", "false").save(dir)
+      .option("dictionary.sort.keys", "false")
+      .option("entropy.string.threshold", "10").save(dir)
     val back = spark.read.format("dwrf").load(dir)
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
@@ -108,7 +114,8 @@ class StrideDictSpec extends AnyFunSuite {
       java.nio.file.Paths.get("/root/repo/target"), "stridedict-off-").toString
     mixedDf(4000).write.format("dwrf").mode("overwrite")
       .option("row.index.stride", "1000")
-      .option("use.stride.dictionaries", "false").save(dir)
+      .option("use.stride.dictionaries", "false")
+      .option("entropy.string.threshold", "10").save(dir)
     val file = DwrfUtil.listDataFiles(new Path(dir), new Configuration()).head
     val r = new DwrfFileReader(file, new Configuration())
     try {
