@@ -177,8 +177,7 @@ final class StringVectorDecoder(c: Int) extends VectorDecoder(c) {
   private var data: InStream = null
   private var lengths: RunLengthIntegerReader = null
   private var dict: Array[Array[Byte]] = null
-  private var strideDicts: Array[Array[Array[Byte]]] = null
-  private var strideLen = 0
+  private var strideDict: Array[Array[Byte]] = null
   private var ids: RunLengthIntegerReader = null
 
   private val emptyStream: InStream =
@@ -203,8 +202,7 @@ final class StringVectorDecoder(c: Int) extends VectorDecoder(c) {
         .map(new RunLengthIntegerReader(_, signed = false, src.useVInts))
         .getOrElse(new RunLengthIntegerReader(emptyStream, signed = false, src.useVInts))
       dict = Array.fill(enc.dictionarySize)(readBlob(blob, keyLens.next().toInt))
-      strideLen = src.rowIndexStride
-      strideDicts = src.stream(c, StreamKind.StrideDictionaryLength)
+      strideDict = src.stream(c, StreamKind.StrideDictionaryLength)
         .map { lenStream =>
           val lens = new RunLengthIntegerReader(lenStream, signed = false, src.useVInts)
           val sblob = src.stream(c, StreamKind.StrideDictionary).getOrElse(emptyStream)
@@ -212,13 +210,13 @@ final class StringVectorDecoder(c: Int) extends VectorDecoder(c) {
           Array.fill(numStrides) {
             val count = lens.next().toInt
             Array.fill(count)(readBlob(sblob, lens.next().toInt))
-          }
+          }.flatten
         }.orNull
       ids = src.stream(c, StreamKind.Data)
         .map(new RunLengthIntegerReader(_, signed = false, src.useVInts)).orNull
       data = null; lengths = null
     } else {
-      dict = null; strideDicts = null; ids = null
+      dict = null; strideDict = null; ids = null
       data = src.stream(c, StreamKind.Data).orNull
       lengths = src.stream(c, StreamKind.Length)
         .map(new RunLengthIntegerReader(_, signed = false, src.useVInts)).orNull
@@ -228,12 +226,7 @@ final class StringVectorDecoder(c: Int) extends VectorDecoder(c) {
   override protected def put(v: OnHeapColumnVector, i: Int): Unit = {
     if (dict != null) {
       val id = ids.next().toInt
-      val b =
-        if (id < dict.length) dict(id)
-        else {
-          val stride = if (strideLen > 0) (rowPos / strideLen).toInt else 0
-          strideDicts(stride)(id - dict.length)
-        }
+      val b = if (id < dict.length) dict(id) else strideDict(id - dict.length)
       v.putByteArray(i, b, 0, b.length)
     } else {
       val len = lengths.next().toInt

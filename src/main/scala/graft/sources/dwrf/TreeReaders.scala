@@ -187,15 +187,15 @@ final class DoubleTreeReader(columnId: Int) extends TreeReader(columnId) {
 /** Strings: direct (DATA bytes + LENGTH) or dictionary (sorted key blob +
   * ids) per the stripe's encoding (reference LazyStringTreeReader,
   * LazyStringDictionaryTreeReader.java:60-220). Ids at or beyond the
-  * global dictionary size index the current stride's side dictionary
-  * (E8; stride = rowPosition / rowIndexStride).
+  * global dictionary size index the stride-major concatenation of the
+  * per-stride side dictionaries (E8) — position-independent, so nested
+  * string columns resolve identically.
   */
 final class StringTreeReader(columnId: Int) extends TreeReader(columnId) {
   private var data: InStream = null
   private var lengths: RunLengthIntegerReader = null
   private var dictionary: Array[UTF8String] = null
-  private var strideDicts: Array[Array[UTF8String]] = null
-  private var strideLen = 0
+  private var strideDict: Array[UTF8String] = null
   private var ids: RunLengthIntegerReader = null
 
   private def readBlob(blob: InStream, len: Int): UTF8String = {
@@ -222,9 +222,8 @@ final class StringTreeReader(columnId: Int) extends TreeReader(columnId) {
         .getOrElse(new RunLengthIntegerReader(emptyStream, signed = false, src.useVInts))
       dictionary = Array.fill(enc.dictionarySize)(
         readBlob(dictData, keyLengths.next().toInt))
-      // per-stride side dictionaries, when any singleton keys were exiled
-      strideLen = src.rowIndexStride
-      strideDicts = src.stream(columnId, StreamKind.StrideDictionaryLength)
+      // side dictionaries (singleton keys), flattened stride-major
+      strideDict = src.stream(columnId, StreamKind.StrideDictionaryLength)
         .map { lenStream =>
           val lens = new RunLengthIntegerReader(lenStream, signed = false, src.useVInts)
           val blob = src.stream(columnId, StreamKind.StrideDictionary)
@@ -233,13 +232,13 @@ final class StringTreeReader(columnId: Int) extends TreeReader(columnId) {
           Array.fill(numStrides) {
             val count = lens.next().toInt
             Array.fill(count)(readBlob(blob, lens.next().toInt))
-          }
+          }.flatten
         }.orNull
       ids = src.stream(columnId, StreamKind.Data)
         .map(new RunLengthIntegerReader(_, signed = false, src.useVInts)).orNull
       data = null; lengths = null
     } else {
-      dictionary = null; strideDicts = null; ids = null
+      dictionary = null; strideDict = null; ids = null
       data = src.stream(columnId, StreamKind.Data).orNull
       lengths = src.stream(columnId, StreamKind.Length)
         .map(new RunLengthIntegerReader(_, signed = false, src.useVInts)).orNull
@@ -250,10 +249,7 @@ final class StringTreeReader(columnId: Int) extends TreeReader(columnId) {
     if (dictionary != null) {
       val id = ids.next().toInt
       if (id < dictionary.length) dictionary(id)
-      else {
-        val stride = if (strideLen > 0) ((rowPosition - 1) / strideLen).toInt else 0
-        strideDicts(stride)(id - dictionary.length)
-      }
+      else strideDict(id - dictionary.length)
     } else {
       val len = lengths.next().toInt
       val b = new Array[Byte](len)

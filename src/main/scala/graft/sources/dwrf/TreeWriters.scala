@@ -78,19 +78,15 @@ final case class ColumnFlush(
     indexEntries: Seq[RowIndexEntry])
 
 object TreeWriter {
-  /** Factory over Spark types (reference WriterImpl.java:2028-2087).
-    * `topLevel` marks direct children of the root struct (stride
-    * dictionaries apply only there).
-    */
-  def create(columnId: Int, dt: DataType, opts: DwrfWriteOptions,
-      topLevel: Boolean = false): TreeWriter =
+  /** Factory over Spark types (reference WriterImpl.java:2028-2087). */
+  def create(columnId: Int, dt: DataType, opts: DwrfWriteOptions): TreeWriter =
     dt match {
       case BooleanType => new BooleanTreeWriter(columnId, opts)
       case ByteType => new ByteTreeWriter(columnId, opts)
       case ShortType | IntegerType | LongType => new LongTreeWriter(columnId, dt, opts)
       case FloatType => new FloatTreeWriter(columnId, opts)
       case DoubleType => new DoubleTreeWriter(columnId, opts)
-      case StringType => new StringTreeWriter(columnId, opts, topLevel)
+      case StringType => new StringTreeWriter(columnId, opts)
       case BinaryType => new BinaryTreeWriter(columnId, opts)
       case TimestampType | TimestampNTZType => new TimestampTreeWriter(columnId, opts)
       case DateType => new DateTreeWriter(columnId, opts)
@@ -447,17 +443,18 @@ final class DoubleTreeWriter(columnId: Int, opts: DwrfWriteOptions)
   * STRIDE_DICTIONARY_LENGTH streams), shrinking the global blob. Instead
   * of the reference's IN_DICTIONARY bit stream, membership is encoded in
   * id space: id < globalSize → global key, else (id - globalSize) indexes
-  * the current stride's side dictionary — same information, one stream
-  * fewer. Applied to top-level columns (whose row position defines the
-  * stride); nested strings keep the plain global dictionary.
+  * the stride-major concatenation of the side dictionaries — same
+  * information, one stream fewer, and (unlike a per-stride id space) no
+  * row-position bookkeeping on the read side, so it applies to EVERY
+  * string column including ones nested in struct/array/map (reference
+  * parity: the reference stride-dictionaries all string columns).
   *
   * Encoding choice follows the reference's two-stage policy: the plain
   * distinct/total threshold plus the character-entropy sample test
   * (WriterImpl.java:1297-1363) for medium-repetition columns — see
   * finishValueStreams.
   */
-final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions,
-    topLevel: Boolean = false)
+final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions)
     extends TreeWriter(columnId, opts) {
   private val dataOut = newStream(StreamKind.Data)
   private val lengthOut = newStream(StreamKind.Length)
@@ -541,7 +538,7 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions,
     var marker = 0
     if (useDictionary) {
       val numStrides = strideMarkers.size
-      val strideDictOn = opts.strideDictionaryEnabled && topLevel && numStrides > 0
+      val strideDictOn = opts.strideDictionaryEnabled && numStrides > 0
       val isSingle = new Array[Boolean](distinct)
       var nSingles = 0
       if (strideDictOn) {
@@ -571,7 +568,11 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions,
         keyLengths.write(b.length.toLong)
       }
       keyLengths.flush()
-      // stride-local ordinals for singleton keys
+      // flat (stride-major) ordinals for singleton keys: id - globalSize
+      // indexes the concatenation of the per-stride side dictionaries, so
+      // the reader resolves ids without knowing which stride a value sits
+      // in (required for nested strings, where value position != row
+      // position once parents have nulls or variable-length collections)
       val localIdx = new Array[Int](distinct)
       if (nSingles > 0) {
         val strideKeys = Array.fill(numStrides)(
@@ -584,6 +585,19 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions,
             strideKeys(st) += keys(id)
           }
           id += 1
+        }
+        val strideOffsets = new Array[Int](numStrides)
+        var off = 0
+        var st = 0
+        while (st < numStrides) {
+          strideOffsets(st) = off
+          off += strideKeys(st).size
+          st += 1
+        }
+        var id2 = 0
+        while (id2 < distinct) {
+          if (isSingle(id2)) localIdx(id2) += strideOffsets(firstStride(id2))
+          id2 += 1
         }
         val sdLens = new RunLengthIntegerWriter(strideDictLenOut, signed = false, opts.useVInts)
         sdLens.write(numStrides.toLong)
@@ -795,7 +809,7 @@ final class StructTreeWriter(columnId: Int, st: StructType, opts: DwrfWriteOptio
   override val children: Seq[TreeWriter] = {
     var id = columnId + 1
     st.fields.toSeq.map { f =>
-      val w = TreeWriter.create(id, f.dataType, opts, topLevel = columnId == 0)
+      val w = TreeWriter.create(id, f.dataType, opts)
       id += ColumnTree.subtreeSize(f.dataType)
       w
     }

@@ -98,6 +98,60 @@ class StrideDictSpec extends AnyFunSuite {
     } finally r.close()
   }
 
+  test("nested strings get stride dictionaries too (E8 parity)") {
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "stridedict-nested-").toString
+    // struct-nested AND array-nested string columns with the mixed
+    // hot/singleton shape; parent nulls make value position != row
+    // position, which the flat (stride-major) side-dictionary id space
+    // must tolerate
+    val df = spark.range(0, 8000, 1, 1).select(
+      col("id"),
+      when(col("id") % 7 =!= 0, struct(
+        when(col("id") % 2 === 0, concat(lit("hot-"), col("id") % 20))
+          .otherwise(concat(lit("uniq-"), format_string("%08d", col("id"))))
+          .as("s"))).as("st"),
+      array(
+        when(col("id") % 2 === 0, concat(lit("ahot-"), col("id") % 20))
+          .otherwise(concat(lit("auniq-"), format_string("%08d", col("id")))),
+        lit("const")).as("arr"))
+    df.write.format("dwrf").mode("overwrite")
+      .option("row.index.stride", "1000")
+      .option("entropy.string.threshold", "10").save(dir)
+
+    val file = DwrfUtil.listDataFiles(new Path(dir), new Configuration()).head
+    val r = new DwrfFileReader(file, new Configuration())
+    try {
+      val sf = r.readStripeFooter(r.footer.stripes.head)
+      // nested string columns (struct child and array element) must carry
+      // STRIDE_DICTIONARY streams now
+      val strideDictCols = sf.streams
+        .filter(_.kind == graft.format.StreamKind.StrideDictionary)
+        .map(_.column).toSet
+      assert(strideDictCols.size >= 2,
+        s"expected nested stride dictionaries, got columns $strideDictCols")
+    } finally r.close()
+
+    val back = spark.read.format("dwrf").load(dir)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+
+    // stride-seek read through the nested columns
+    val got = spark.read.format("dwrf").load(dir)
+      .filter(col("id") >= 5500 && col("id") < 5510)
+      .orderBy("id").collect()
+    assert(got.length == 10)
+    got.foreach { row =>
+      val id = row.getLong(0)
+      if (id % 7 == 0) assert(row.isNullAt(1))
+      else {
+        val expect = if (id % 2 == 0) s"hot-${id % 20}" else f"uniq-$id%08d"
+        assert(row.getStruct(1).getString(0) == expect, s"id $id")
+      }
+      val e0 = if (id % 2 == 0) s"ahot-${id % 20}" else f"auniq-$id%08d"
+      assert(row.getSeq[String](2) == Seq(e0, "const"), s"id $id")
+    }
+  }
+
   test("unsorted dictionary mode round trips") {
     val dir = Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "unsorted-").toString
