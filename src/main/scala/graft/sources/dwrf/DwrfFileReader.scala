@@ -25,7 +25,20 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
   private def pread(pos: Long, buf: Array[Byte]): Unit = {
     in.readFully(pos, buf, 0, buf.length)
     counters.bytesRead += buf.length
+    counters.preads += 1
   }
+
+  // Eager whole-span read mode (reference R1 eager HDFS read,
+  // RecordReaderImpl.java:379-399, OrcConf.java:63-64 default ≤185 MB):
+  // when the wanted streams of a stripe span at most this many bytes,
+  // issue ONE pread covering the span (gaps included) instead of per-gap
+  // coalesced preads — on high-latency stores a wide projection pays one
+  // round trip, not one per 256 KB gap. Divergence: the reference gates
+  // on the sum of wanted bytes then reads the whole data area; gating on
+  // the span bounds the worst-case over-read at the threshold itself.
+  private val eagerReadEnabled = conf.getBoolean("dwrf.eager.read", true)
+  private val eagerReadBytes =
+    conf.getLong("dwrf.eager.read.bytes", 185L * 1024 * 1024)
 
   val (postScript: PostScript, footer: Footer) = {
     val tailSize = math.min(fileLength, 256L * 1024).toInt
@@ -204,10 +217,16 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
     val neededRaw = located.filter { case (s, _) =>
       s.kind != StreamKind.RowIndex && s.column < wanted.length && wanted(s.column)
     }
-    // coalesce
+    // plan reads: one eager span pread when small enough, else per-gap
+    // coalesced preads (gap ≤ 256 KB)
     val sorted = neededRaw.sortBy(_._2)
     val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (start, len)
-    sorted.foreach { case (s, start) =>
+    val spanStart = if (sorted.nonEmpty) sorted.head._2 else 0L
+    val spanEnd =
+      if (sorted.nonEmpty) sorted.map { case (s, st) => st + s.length }.max else 0L
+    if (eagerReadEnabled && sorted.nonEmpty && spanEnd - spanStart <= eagerReadBytes) {
+      merged += ((spanStart, spanEnd - spanStart))
+    } else sorted.foreach { case (s, start) =>
       merged.lastOption match {
         case Some((ms, ml)) if start - (ms + ml) <= 256 * 1024 =>
           merged(merged.length - 1) = (ms, (start + s.length) - ms)

@@ -13,6 +13,7 @@ final class ScanCounters extends Serializable {
   var stridesSkipped = 0L
   var bytesRead = 0L
   var batchesEmitted = 0L
+  var preads = 0L
 }
 
 object DwrfMetrics {
@@ -36,10 +37,14 @@ object DwrfMetrics {
     override def name(): String = "batchesEmitted"
     override def description(): String = "dwrf columnar batches emitted"
   }
+  final class Preads extends CustomSumMetric {
+    override def name(): String = "preads"
+    override def description(): String = "dwrf positioned reads issued"
+  }
 
   val all: Array[CustomMetric] = Array(
     new StripesRead, new StripesSkipped, new StridesSkipped, new BytesRead,
-    new BatchesEmitted)
+    new BatchesEmitted, new Preads)
 
   def task(metricName: String, v: Long): CustomTaskMetric = new CustomTaskMetric {
     // NB: the parameter must not be called `name` — inside the anonymous
@@ -54,5 +59,6 @@ object DwrfMetrics {
     task("stripesSkipped", c.stripesSkipped),
     task("stridesSkipped", c.stridesSkipped),
     task("bytesRead", c.bytesRead),
-    task("batchesEmitted", c.batchesEmitted))
+    task("batchesEmitted", c.batchesEmitted),
+    task("preads", c.preads))
 }

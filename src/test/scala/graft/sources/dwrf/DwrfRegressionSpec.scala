@@ -123,6 +123,43 @@ class DwrfRegressionSpec extends AnyFunSuite {
     assert(back.exceptAll(hexy).isEmpty && hexy.exceptAll(back).isEmpty)
   }
 
+  test("eager span read collapses per-gap preads (R1 eager mode)") {
+    val dir = tmpDir()
+    // uncompressed so the middle column makes a >256 KB gap between the
+    // two wanted streams — the lazy planner must issue multiple preads,
+    // the eager planner exactly one data pread per stripe
+    spark.range(0, 100000, 1, 1).select(
+      col("id"),
+      format_string("%0128d", col("id")).as("bulky"),
+      (col("id") % 97).as("tail"))
+      .write.format("dwrf").mode("overwrite")
+      .option("compress", "NONE").save(dir)
+    val file = DwrfUtil.listDataFiles(
+      new org.apache.hadoop.fs.Path(dir), new org.apache.hadoop.conf.Configuration()).head
+
+    def preadsWith(eager: Boolean): Long = {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      conf.setBoolean("dwrf.eager.read", eager)
+      val r = new DwrfFileReader(file, conf)
+      try {
+        val readSchema = org.apache.spark.sql.types.StructType(
+          r.schema.fields.filter(f => Seq("id", "tail").contains(f.name)))
+        val n = r.rows(r.footer.stripes, readSchema).length
+        assert(n == 100000)
+        r.counters.preads
+      } finally r.close()
+    }
+
+    val eagerPreads = preadsWith(eager = true)
+    val lazyPreads = preadsWith(eager = false)
+    assert(eagerPreads < lazyPreads,
+      s"eager=$eagerPreads lazy=$lazyPreads: eager mode must issue fewer preads")
+    // values identical either way
+    val viaSpark = spark.read.format("dwrf").load(dir)
+      .agg(sum(col("tail")), sum(col("id"))).collect().head
+    assert(viaSpark.getLong(1) == (0L until 100000).sum)
+  }
+
   test("string stat merge uses UTF-8 (code point) order, not UTF-16") {
     // U+FF61 is a single BMP char (UTF-16: FF61); U+10000 is a surrogate
     // pair (UTF-16: D800 DC00). UTF-16 code-unit order says FF61 > D800 so
