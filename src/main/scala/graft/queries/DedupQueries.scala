@@ -159,11 +159,19 @@ object DedupQueries extends QueryPack {
     // self-validating confirm column: recompute the EXACT Jaccard for the
     // surviving candidates (few) from their shingle sets, so the rows-only
     // check carries its own ground truth (est vs true side by side). The
-    // candidate id set is tiny => broadcast semi-join prunes the re-shingle
-    // pass to just those docs.
+    // candidate id set is tiny => broadcast-join it against documents
+    // FIRST, so the confirm pass re-shingles only the candidate docs, not
+    // the corpus.
     val candIds = pairs
       .select(explode(array($"id_a", $"id_b")).as("doc_id")).distinct()
-    val sets = shingleHashes.join(broadcast(candIds), "doc_id")
+    val sets = docs.join(broadcast(candIds), "doc_id")
+      .select($"doc_id",
+        explode(expr(
+          """array_distinct(transform(
+            |  sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+            |  i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin))
+          .as("g"))
+      .select($"doc_id", xxhash64($"g").as("bh"))
       .groupBy($"doc_id").agg(collect_set($"bh").as("gs"))
     pairs
       .join(sets.select($"doc_id".as("id_a"), $"gs".as("gs_a")), "id_a")
