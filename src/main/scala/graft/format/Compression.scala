@@ -18,8 +18,9 @@ object CompressionKind {
   case object Snappy extends CompressionKind(2, "SNAPPY")
   case object Zstd extends CompressionKind(3, "ZSTD")
   case object Lz4 extends CompressionKind(4, "LZ4")
+  case object Lzo extends CompressionKind(5, "LZO")
 
-  val all: Seq[CompressionKind] = Seq(None, Zlib, Snappy, Zstd, Lz4)
+  val all: Seq[CompressionKind] = Seq(None, Zlib, Snappy, Zstd, Lz4, Lzo)
 
   def fromId(id: Int): CompressionKind =
     all.find(_.id == id).getOrElse(
@@ -52,6 +53,7 @@ object CompressionCodec {
       case CompressionKind.Snappy => Some(SnappyCodec)
       case CompressionKind.Zstd => Some(ZstdCodec)
       case CompressionKind.Lz4 => Some(Lz4Codec)
+      case CompressionKind.Lzo => Some(LzoCodec)
     }
 }
 
@@ -135,6 +137,35 @@ object Lz4Codec extends CompressionCodec {
       ((src(off + 2) & 0xff) << 16) | ((src(off + 3) & 0xff) << 24)
     val out = new Array[Byte](destLen)
     factory.fastDecompressor().decompress(src, off + 4, out, 0, destLen)
+    out
+  }
+}
+
+/** LZO block codec (reference E10's optional reflective LzoCodec,
+  * `compression/LzoCodec`-via-reflection) — pure-JVM LZO from
+  * aircompressor, which Spark already ships, instead of the reference's
+  * reflective hadoop-lzo dependency. Same length-prefix convention as
+  * [[Lz4Codec]]: raw LZO blocks don't carry the decompressed size.
+  */
+object LzoCodec extends CompressionCodec {
+  override def compress(src: Array[Byte], off: Int, len: Int): Option[Array[Byte]] = {
+    val c = new io.airlift.compress.lzo.LzoCompressor()
+    val max = c.maxCompressedLength(len)
+    val out = new Array[Byte](4 + max)
+    out(0) = (len & 0xff).toByte
+    out(1) = ((len >> 8) & 0xff).toByte
+    out(2) = ((len >> 16) & 0xff).toByte
+    out(3) = ((len >> 24) & 0xff).toByte
+    val n = c.compress(src, off, len, out, 4, max)
+    if (n + 4 < len) Some(java.util.Arrays.copyOf(out, n + 4)) else None
+  }
+
+  override def decompress(src: Array[Byte], off: Int, len: Int, maxDestLen: Int): Array[Byte] = {
+    val destLen = (src(off) & 0xff) | ((src(off + 1) & 0xff) << 8) |
+      ((src(off + 2) & 0xff) << 16) | ((src(off + 3) & 0xff) << 24)
+    val out = new Array[Byte](destLen)
+    new io.airlift.compress.lzo.LzoDecompressor()
+      .decompress(src, off + 4, len - 4, out, 0, destLen)
     out
   }
 }

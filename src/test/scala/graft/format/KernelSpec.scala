@@ -26,7 +26,8 @@ class KernelSpec extends AnyFunSuite {
     "zlib" -> Some(new ZlibCodec(4)),
     "snappy" -> Some(SnappyCodec),
     "zstd" -> Some(ZstdCodec),
-    "lz4" -> Some(Lz4Codec))
+    "lz4" -> Some(Lz4Codec),
+    "lzo" -> Some(LzoCodec))
 
   test("vint round trip incl. edge values") {
     val values = Seq(0L, 1L, -1L, 127L, 128L, -128L, Long.MaxValue, Long.MinValue,

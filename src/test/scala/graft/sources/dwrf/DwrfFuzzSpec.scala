@@ -77,7 +77,7 @@ class DwrfFuzzSpec extends AnyFunSuite {
       }
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 2), schema)
-      val codec = Seq("NONE", "ZLIB", "SNAPPY", "ZSTD", "LZ4")(rnd.nextInt(5))
+      val codec = Seq("NONE", "ZLIB", "SNAPPY", "ZSTD", "LZ4", "LZO")(rnd.nextInt(6))
       val stride = Seq(0, 500, 1000)(rnd.nextInt(3))
       val opts = Map(
         "compress" -> codec,
