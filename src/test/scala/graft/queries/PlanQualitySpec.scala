@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+import graft.sources.dwrf.TestSpark
+
+/** Physical-plan regression gates: the 100 TB story lives or dies in the
+  * plan shape, so pin it. Small-SF correctness is checked by the oracle;
+  * this spec asserts the plans stay the plans we'd want on a cluster —
+  * dimension joins broadcast, filters pushed to the dwrf scan, filtered
+  * flat scans columnar, no accidental cartesian products.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): SparkPlan = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan
+  }
+
+  /** Collect through AQE wrappers (plans here are pre-execution). */
+  private def collectAll[A](p: SparkPlan)(f: PartialFunction[SparkPlan, A]): Seq[A] = {
+    val expanded = p.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+    }
+    (p +: expanded).flatMap(_.collect(f))
+  }
+
+  test("q3: dimension join is broadcast, only fact-fact edges shuffle") {
+    val p = planOf("q3_shipping_priority")
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"customer dim must broadcast:\n$p")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q5: multi-dim star join broadcasts every dimension") {
+    val p = planOf("q5_region_revenue")
+    val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 2, s"region/nation/supplier dims must broadcast:\n$p")
+  }
+
+  test("pushed filters reach the dwrf scan and the scan stays columnar") {
+    val df = SparkEntry.queries("dwrf_filter_columnar")(spark, sf)
+    val p = df.queryExecution.executedPlan
+    val scans = collectAll(p) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, s"no dwrf batch scan found:\n$p")
+    scans.foreach { s =>
+      assert(s.scan.description().contains("PushedFilters: [") &&
+        !s.scan.description().contains("PushedFilters: []"),
+        s"range filter must be pushed: ${s.scan.description()}")
+      assert(s.supportsColumnar, "filtered flat dwrf scan must stay columnar")
+    }
+  }
+
+  test("parquet scans prune columns and push filters (q6 shape)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val p = planOf("q6_forecast_revenue")
+    val scans = collectAll(p) { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      // needs only 4 of lineitem's 16 columns
+      assert(s.requiredSchema.fields.length <= 4,
+        s"column pruning regressed: ${s.requiredSchema.fieldNames.mkString(",")}")
+      assert(s.metadata.get("PushedFilters").exists(_ != "[]"),
+        s"no pushed filters on the lineitem scan: ${s.metadata}")
+    }
+  }
+
+  test("aggregations are partial (map-side combine) before the shuffle") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val p = planOf("q1_pricing")
+    val aggs = collectAll(p) { case a: HashAggregateExec => a }
+    // partial + final pairs: more aggregate nodes than shuffles feeding them
+    assert(aggs.size >= 2, s"expected partial+final aggregation:\n$p")
+  }
+
+  test("LSH band joins are equi-joins (shuffle hash/sort-merge), never cartesian") {
+    for (name <- Seq("dedup_minhash_lsh", "dedup_simhash")) {
+      val p = planOf(name)
+      assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
+        s"$name must not plan a cartesian product:\n$p")
+      assert(collectAll(p) { case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j }.isEmpty,
+        s"$name must not plan a nested-loop join")
+    }
+  }
+
+  test("exact dedup is a single hash aggregation chain, no join") {
+    val p = planOf("dedup_exact")
+    assert(collectAll(p) { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty,
+      s"dedup_exact needs no join:\n$p")
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 2, s"hash-dedup should shuffle at most twice:\n$p")
+  }
+}
