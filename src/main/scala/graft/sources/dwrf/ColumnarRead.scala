@@ -16,12 +16,17 @@ import graft.format._
   */
 object ColumnarSupport {
   def supported(schema: StructType): Boolean =
-    schema.fields.nonEmpty && schema.fields.forall(f => f.dataType match {
-      case BooleanType | ByteType | ShortType | IntegerType | LongType |
-           FloatType | DoubleType | StringType | BinaryType |
-           TimestampType | TimestampNTZType | DateType => true
-      case _ => false
-    })
+    schema.fields.nonEmpty && schema.fields.forall(f => supportedType(f.dataType))
+
+  /** Atomics and (recursively) structs of atomics vectorize; arrays and
+    * maps keep the row path (offset bookkeeping isn't worth it there). */
+  private def supportedType(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | StringType | BinaryType |
+         TimestampType | TimestampNTZType | DateType => true
+    case s: StructType => s.fields.forall(f => supportedType(f.dataType))
+    case _ => false
+  }
 }
 
 /** Per-column vector filler over the stripe's streams. */
@@ -39,10 +44,9 @@ abstract class VectorDecoder(val columnId: Int) {
 
   protected def startValues(src: StreamSource): Unit
 
-  /** Seek to a row-index stride (mirrors TreeReader.seek): used by the
+  /** Seek to a row-index stride (mirrors TreeReader.seekTree): used by the
     * columnar path to emit batches only from strides that survive stats
-    * skipping. `rowBase` = absolute stripe row of the stride start (keeps
-    * stride-dictionary selection correct after a jump).
+    * skipping. `rowBase` = absolute stripe row of the stride start.
     */
   final def seekStride(entries: Map[Int, RowIndexEntry], rowBase: Long): Unit = {
     rowPos = rowBase
@@ -52,21 +56,23 @@ abstract class VectorDecoder(val columnId: Int) {
           .foreach(p => present.seek(new ArrayPositionProvider(p)))
       seekValues(e)
     }
+    decoderChildren.foreach(_.seekStride(entries, rowBase))
   }
 
   protected def seekValues(e: RowIndexEntry): Unit
 
+  /** Nested decoders a seek/start must recurse into. */
+  def decoderChildren: Seq[VectorDecoder] = Nil
+
+  /** Decode one value into slot i, consuming this column's PRESENT bit. */
+  final def putOne(v: OnHeapColumnVector, i: Int): Unit = {
+    if (present == null || present.next()) put(v, i) else v.putNull(i)
+    rowPos += 1
+  }
+
   final def fill(v: OnHeapColumnVector, n: Int): Unit = {
     var i = 0
-    if (present == null) {
-      while (i < n) { put(v, i); rowPos += 1; i += 1 }
-    } else {
-      while (i < n) {
-        if (present.next()) put(v, i) else v.putNull(i)
-        rowPos += 1
-        i += 1
-      }
-    }
+    while (i < n) { putOne(v, i); i += 1 }
   }
 
   protected def put(v: OnHeapColumnVector, i: Int): Unit
@@ -83,9 +89,40 @@ object VectorDecoder {
     case StringType => new StringVectorDecoder(columnId)
     case BinaryType => new BinaryVectorDecoder(columnId)
     case TimestampType | TimestampNTZType => new TimestampVectorDecoder(columnId)
+    case s: StructType => new StructVectorDecoder(columnId, s)
     case other =>
       throw new UnsupportedOperationException(s"columnar: unsupported $other")
   }
+}
+
+/** Struct: no value streams of its own — children decode into the
+  * vector's child columns. A null struct row consumes no child values
+  * (matching the writers, which only write children of non-null parents).
+  */
+final class StructVectorDecoder(c: Int, st: StructType) extends VectorDecoder(c) {
+  private val children: Array[VectorDecoder] = {
+    var id = c + 1
+    st.fields.map { f =>
+      val d = VectorDecoder.create(id, f.dataType)
+      id += ColumnTree.subtreeSize(f.dataType)
+      d
+    }
+  }
+
+  override def decoderChildren: Seq[VectorDecoder] = children.toSeq
+
+  override protected def startValues(src: StreamSource): Unit =
+    children.foreach(_.start(src))
+
+  override protected def put(v: OnHeapColumnVector, i: Int): Unit = {
+    var j = 0
+    while (j < children.length) {
+      children(j).putOne(v.getChild(j).asInstanceOf[OnHeapColumnVector], i)
+      j += 1
+    }
+  }
+
+  override protected def seekValues(e: RowIndexEntry): Unit = ()
 }
 
 final class BoolVectorDecoder(c: Int) extends VectorDecoder(c) {

@@ -64,10 +64,17 @@ class DwrfUnionSpec extends AnyFunSuite {
       .write.format("dwrf").mode("overwrite")
       .option("row.index.stride", "1000").save(dir)
 
-    // filter on id confines the read to stride 2; union must seek with it
-    val got = spark.read.format("dwrf").load(dir)
+    // filter on id confines the read to stride 2; union must seek with it.
+    // structs-of-atomics vectorize, so this filtered read must ALSO be on
+    // the columnar path (struct decoders seeking with the stride run)
+    val q = spark.read.format("dwrf").load(dir)
       .filter(col("id") >= 2000L && col("id") < 2010L)
-      .orderBy("id").collect()
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty && scans.forall(_.supportsColumnar),
+      "filtered struct scan should vectorize")
+    val got = q.orderBy("id").collect()
     assert(got.length == 10)
     got.foreach { r =>
       val id = r.getLong(0)
