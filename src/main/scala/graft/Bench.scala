@@ -20,7 +20,8 @@ object Bench {
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "ann_topk_dot", "ann_lsh_cosine",
     "text_stats", "text_langid", "text_fingerprint",
-    "multimodal_meta", "sessionize_events", "stream_events_window")
+    "multimodal_meta", "sessionize_events", "stream_events_window",
+    "stream_sessionize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

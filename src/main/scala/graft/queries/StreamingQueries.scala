@@ -24,20 +24,24 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingQueries extends QueryPack {
 
-  private def eventsWindow(s: SparkSession, dir: String): DataFrame = {
+  /** Stage the streaming source dir: a symlink to events.parquet plus a
+    * watermark-sentinel file (one row 2 days past the real max event
+    * time, `user_id` -1 and a sentinel event_type so either query can
+    * exclude it). The file stream source requires a directory — in
+    * production this IS the directory files arrive into.
+    */
+  private def stageStreamSource(s: SparkSession, dir: String): (String,
+      org.apache.spark.sql.types.StructType) = {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     val tag = Integer.toHexString(dir.hashCode)
-    // the file stream source requires a directory: stage a symlink dir
-    // (in production this IS a directory files arrive into)
     val srcDir = java.nio.file.Paths.get(s"/root/repo/target/stream-src-$tag")
     java.nio.file.Files.createDirectories(srcDir)
     val link = srcDir.resolve("events.parquet")
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(s"$dir/events.parquet"))
-    // watermark sentinel: one row 2 days past the real max event time
     val sentinelDir = s"/root/repo/target/stream-sentinel-$tag"
     val sentinelLink = srcDir.resolve("zz-sentinel.parquet")
     if (!java.nio.file.Files.exists(sentinelLink)) {
@@ -46,16 +50,22 @@ object StreamingQueries extends QueryPack {
       s.read.parquet(s"$dir/events.parquet").limit(1)
         .withColumn("ts", lit(maxNs + 2L * 24 * 3600 * 1000000000L))
         .withColumn("event_type", lit("__wm_sentinel__"))
+        .withColumn("user_id", lit(-1L))
         .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
       val part = java.nio.file.Files.list(java.nio.file.Paths.get(sentinelDir))
         .filter(p => p.getFileName.toString.endsWith(".parquet"))
         .findFirst().get()
       java.nio.file.Files.createSymbolicLink(sentinelLink, part)
     }
-    // fresh checkpoint+sink per run: the file sink is append-only, so a
-    // stale sink without its checkpoint would double-count
-    val ckDir = java.nio.file.Paths.get(s"/root/repo/target/stream-ck-$tag")
-    val outDir = java.nio.file.Paths.get(s"/root/repo/target/stream-out-$tag")
+    (srcDir.toString, rawSchema)
+  }
+
+  /** Fresh checkpoint+sink dirs per run: the file sink is append-only, so
+    * a stale sink without its checkpoint would double-count. */
+  private def freshSinkDirs(name: String, dir: String): (String, String) = {
+    val tag = Integer.toHexString(dir.hashCode)
+    val ckDir = java.nio.file.Paths.get(s"/root/repo/target/$name-ck-$tag")
+    val outDir = java.nio.file.Paths.get(s"/root/repo/target/$name-out-$tag")
     def rmTree(p: java.nio.file.Path): Unit =
       if (java.nio.file.Files.exists(p)) {
         import scala.jdk.CollectionConverters._
@@ -63,9 +73,16 @@ object StreamingQueries extends QueryPack {
           .foreach(java.nio.file.Files.delete)
       }
     rmTree(ckDir); rmTree(outDir)
+    (ckDir.toString, outDir.toString)
+  }
+
+  private def eventsWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (srcDir, rawSchema) = stageStreamSource(s, dir)
+    val (ckDir, outDir) = freshSinkDirs("stream-window", dir)
     val stream = s.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1") // real data first, sentinel after
-      .parquet(srcDir.toString)
+      .parquet(srcDir)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 day"), $"event_type")
@@ -75,13 +92,13 @@ object StreamingQueries extends QueryPack {
       .select($"window.start".as("day_ts"), $"event_type", $"n_events", $"total_value")
     val q = stream.writeStream
       .format("parquet")
-      .option("path", outDir.toString)
-      .option("checkpointLocation", ckDir.toString)
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(outDir.toString)
+    s.read.parquet(outDir)
       .filter($"event_type" =!= "__wm_sentinel__")
       .orderBy($"day_ts", $"event_type")
   }
@@ -158,8 +175,89 @@ object StreamingQueries extends QueryPack {
     |ORDER BY user_id, session_id
     |""".stripMargin.trim
 
+  // ------------------------------------------- streaming sessionize
+  /** Open per-user session carried in the state store between batches. */
+  final case class OpenSession(sessionId: Long, startUs: Long, endUs: Long, n: Long)
+
+  /** TRUE streaming sessionization: `flatMapGroupsWithState` with
+    * event-time timeouts — the custom-state shape the brief calls for.
+    * Each user's open session lives in the state store; a session closes
+    * (and is APPENDED to the sink, then purged) either when a same-batch
+    * event breaks the 30-minute gap or when the watermark passes
+    * sessionEnd + gap (timeout). The staged sentinel drives the watermark
+    * past every real session's end, so the available-now drain emits the
+    * complete answer; state is bounded by open sessions only. Oracle =
+    * the same lag/cumulative-window SQL as the batch twin (stream-batch
+    * parity, hash-exact).
+    */
+  private def sessionizeStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapUs = 30L * 60 * 1000000
+    val (srcDir, rawSchema) = stageStreamSource(s, dir)
+    val (ckDir, outDir) = freshSinkDirs("stream-sess", dir)
+    // the event-time (watermarked) column must flow into the typed
+    // Dataset for the event-time timeout to bind to it
+    val stream = s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .select($"user_id", $"ts", $"event_id")
+      .withWatermark("ts", "1 hour")
+      .as[(Long, java.sql.Timestamp, Long)]
+    val sessions = stream.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, (Long, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rawIt, state) =>
+          def micros(t: java.sql.Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: nothing can extend this session
+            val os = state.get
+            state.remove()
+            Iterator((uid, os.sessionId, os.startUs, os.endUs, os.n))
+          } else {
+            val sorted = rawIt.map(e => (e._1, micros(e._2), e._3))
+              .toArray.sortBy(e => (e._2, e._3))
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long, Long, Long)]
+            var cur = state.getOption.orNull
+            sorted.foreach { case (_, ts, _) =>
+              if (cur == null) cur = OpenSession(1L, ts, ts, 1L)
+              else if (ts - cur.endUs > gapUs) {
+                out += ((uid, cur.sessionId, cur.startUs, cur.endUs, cur.n))
+                cur = OpenSession(cur.sessionId + 1, ts, ts, 1L)
+              } else cur = cur.copy(endUs = ts, n = cur.n + 1)
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.endUs / 1000 + gapUs / 1000 + 1)
+            }
+            out.iterator
+          }
+      }
+    val q = sessions
+      .toDF("user_id", "session_id", "start_us", "end_us", "n_events")
+      .select($"user_id", $"session_id",
+        expr("timestamp_micros(start_us)").as("session_start"),
+        expr("timestamp_micros(end_us)").as("session_end"),
+        $"n_events")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+      .filter($"user_id" >= 0) // drop the watermark sentinel's session
+      .orderBy($"user_id", $"session_id")
+  }
+
   override val all: Seq[Q] = Seq(
     Q("stream_events_window", eventsWindow, Some(eventsWindowOracle)),
     Q("sessionize_events", sessionize, Some(sessionizeOracle)),
+    Q("stream_sessionize", sessionizeStream, Some(sessionizeOracle)),
   )
 }
