@@ -95,6 +95,15 @@ object VectorDecoder {
   }
 }
 
+/** Schema evolution: a column requested but absent from this file fills
+  * with nulls (columnId -1 matches no streams).
+  */
+final class NullVectorDecoder extends VectorDecoder(-1) {
+  override protected def startValues(src: StreamSource): Unit = ()
+  override protected def put(v: OnHeapColumnVector, i: Int): Unit = v.putNull(i)
+  override protected def seekValues(e: RowIndexEntry): Unit = ()
+}
+
 /** Struct: no value streams of its own — children decode into the
   * vector's child columns. A null struct row consumes no child values
   * (matching the writers, which only write children of non-null parents).
@@ -371,14 +380,17 @@ final class DwrfColumnarPartitionReader(
     reader.schema.fields.map(_.name).zip(ids.zip(reader.schema.fields.map(_.dataType))).toMap
   }
   private val decoders: Array[VectorDecoder] = readSchema.fields.map { f =>
-    val (id, dt) = idByName(f.name)
-    VectorDecoder.create(id, dt)
+    idByName.get(f.name) match {
+      case Some((id, dt)) => VectorDecoder.create(id, dt)
+      case None => new NullVectorDecoder // schema evolution: all-null
+    }
   }
   private val wanted: Array[Boolean] = {
     val inc = new Array[Boolean](ColumnTree.columnCount(reader.schema))
     readSchema.fields.foreach { f =>
-      val (id, dt) = idByName(f.name)
-      ColumnTree.includeSubtree(inc, id, dt)
+      idByName.get(f.name).foreach { case (id, dt) =>
+        ColumnTree.includeSubtree(inc, id, dt)
+      }
     }
     inc
   }

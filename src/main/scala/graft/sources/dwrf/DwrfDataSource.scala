@@ -35,13 +35,36 @@ final class DwrfDataSource extends TableProvider with DataSourceRegister {
     new Path(p)
   }
 
+  /** Union of all files' top-level fields, in first-appearance order
+    * (schema evolution: files written before a column was added simply
+    * read it as null). Footers are read on a bounded pool.
+    */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = pathOf(options)
     val conf = DwrfUtil.sessionHadoopConf()
     val files = DwrfUtil.listDataFiles(path, conf)
     require(files.nonEmpty, s"dwrf: no .dwrf files under $path")
-    val r = new DwrfFileReader(files.head, conf)
-    try r.schema finally r.close()
+    val schemas = DwrfUtil.parMap(files) { f =>
+      val r = new DwrfFileReader(f, conf)
+      try r.schema finally r.close()
+    }
+    val merged = scala.collection.mutable.LinkedHashMap.empty[String, org.apache.spark.sql.types.StructField]
+    val seenIn = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    schemas.foreach(_.fields.foreach { f =>
+      seenIn(f.name) += 1
+      merged.get(f.name) match {
+        case None => merged(f.name) = f
+        case Some(prev) =>
+          require(prev.dataType == f.dataType,
+            s"dwrf: column '${f.name}' has conflicting types " +
+              s"${prev.dataType.simpleString} vs ${f.dataType.simpleString}")
+          if (f.nullable && !prev.nullable) merged(f.name) = prev.copy(nullable = true)
+      }
+    })
+    // a column absent from any file reads as null there => force nullable
+    StructType(merged.values.map { f =>
+      if (seenIn(f.name) < schemas.size) f.copy(nullable = true) else f
+    }.toArray)
   }
 
   override def getTable(

@@ -96,15 +96,17 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
       readSchema: StructType,
       filters: Seq[org.apache.spark.sql.sources.Filter] = Nil): Iterator[InternalRow] = {
     val readers: Array[TreeReader] = readSchema.fields.map { f =>
-      val (id, dt) = idByName.getOrElse(f.name,
-        throw new IllegalArgumentException(s"column ${f.name} not in file schema"))
-      TreeReader.create(id, dt)
+      idByName.get(f.name) match {
+        case Some((id, dt)) => TreeReader.create(id, dt)
+        case None => new NullColumnTreeReader // schema evolution: all-null
+      }
     }
     val wantedColumns: Array[Boolean] = {
       val inc = new Array[Boolean](ColumnTree.columnCount(schema))
       readSchema.fields.foreach { f =>
-        val (id, dt) = idByName(f.name)
-        ColumnTree.includeSubtree(inc, id, dt)
+        idByName.get(f.name).foreach { case (id, dt) =>
+          ColumnTree.includeSubtree(inc, id, dt)
+        }
       }
       inc
     }
@@ -281,14 +283,17 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
     val si = stripes(firstIdx)
     val sf = readStripeFooter(si)
     val readers: Array[TreeReader] = readSchema.fields.map { f =>
-      val (id, dt) = idByName(f.name)
-      TreeReader.create(id, dt)
+      idByName.get(f.name) match {
+        case Some((id, dt)) => TreeReader.create(id, dt)
+        case None => new NullColumnTreeReader
+      }
     }
     val wanted = {
       val inc = new Array[Boolean](ColumnTree.columnCount(schema))
       readSchema.fields.foreach { f =>
-        val (id, dt) = idByName(f.name)
-        ColumnTree.includeSubtree(inc, id, dt)
+        idByName.get(f.name).foreach { case (id, dt) =>
+          ColumnTree.includeSubtree(inc, id, dt)
+        }
       }
       inc
     }

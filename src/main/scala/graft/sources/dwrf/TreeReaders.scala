@@ -105,6 +105,15 @@ abstract class TreeReader(val columnId: Int) {
   }
 }
 
+/** Schema evolution: a column requested but absent from this file reads
+  * as all-null (columnId -1 matches no streams).
+  */
+final class NullColumnTreeReader extends TreeReader(-1) {
+  override protected def startValues(src: StreamSource): Unit = ()
+  override protected def nextValue(): Any = null
+  override protected def skipValues(n: Long): Unit = ()
+}
+
 final class BooleanTreeReader(columnId: Int) extends TreeReader(columnId) {
   private var data: BitFieldReader = null
   override protected def startValues(src: StreamSource): Unit =

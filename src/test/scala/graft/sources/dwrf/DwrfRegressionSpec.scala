@@ -160,6 +160,39 @@ class DwrfRegressionSpec extends AnyFunSuite {
     assert(viaSpark.getLong(1) == (0L until 100000).sum)
   }
 
+  test("schema evolution: files missing a later-added column read as null") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val oldDir = tmpDir()
+    val newDir = tmpDir()
+    val merged = tmpDir()
+    // "old" files: (id, a); "new" files: (id, a, b) — b added later
+    spark.range(0, 1000, 1, 1)
+      .select(col("id"), (col("id") * 2).as("a"))
+      .write.format("dwrf").mode("overwrite").save(oldDir)
+    spark.range(1000, 2000, 1, 1)
+      .select(col("id"), (col("id") * 2).as("a"),
+        concat(lit("v-"), col("id")).as("b"))
+      .write.format("dwrf").mode("overwrite").save(newDir)
+    for (d <- Seq(oldDir, newDir); f <- new java.io.File(d).listFiles
+         if f.getName.endsWith(".dwrf"))
+      JF.copy(f.toPath, JP.get(merged, s"${JP.get(d).getFileName}-${f.getName}"))
+
+    val df = spark.read.format("dwrf").load(merged)
+    // inferred schema is the union
+    assert(df.schema.fieldNames.toSet == Set("id", "a", "b"))
+    assert(df.count() == 2000)
+    val rows = df.orderBy("id").collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == id * 2)
+      if (id < 1000) assert(r.isNullAt(2), s"id $id: missing column must be null")
+      else assert(r.getString(2) == s"v-$id")
+    }
+    // filtering on the evolved column still works (nulls drop out)
+    assert(df.filter(col("b") === "v-1500").count() == 1)
+    assert(df.filter(col("b").isNull).count() == 1000)
+  }
+
   test("string stat merge uses UTF-8 (code point) order, not UTF-16") {
     // U+FF61 is a single BMP char (UTF-16: FF61); U+10000 is a surrogate
     // pair (UTF-16: D800 DC00). UTF-16 code-unit order says FF61 > D800 so
