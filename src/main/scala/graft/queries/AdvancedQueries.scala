@@ -162,7 +162,38 @@ object AdvancedQueries extends QueryPack {
     |ORDER BY l_linestatus
     |""".stripMargin.trim
 
+  // GROUPING SETS with GROUPING() disambiguation (supersets ROLLUP:
+  // arbitrary grouping combinations in one pass).
+  private val groupingSetsSql = s"""
+    |SELECT
+    |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+    |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+    |  l_returnflag, l_linestatus,
+    |  ${dsum("l_quantity")} AS sum_qty,
+    |  COUNT(*) AS n_items
+    |FROM lineitem
+    |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+    |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    |""".stripMargin.trim
+
+  // LATERAL correlated derived table: top order per customer segment
+  // sample (bounded key range keeps both engines' row counts identical).
+  private val lateralSql = s"""
+    |SELECT c_custkey, c_mktsegment, t.o_orderkey, t.o_totalprice
+    |FROM customer,
+    |LATERAL (
+    |  SELECT o_orderkey, o_totalprice
+    |  FROM orders
+    |  WHERE o_custkey = c_custkey
+    |  ORDER BY o_totalprice DESC, o_orderkey
+    |  LIMIT 1) AS t
+    |WHERE c_custkey <= 200
+    |ORDER BY c_custkey
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
+    shared("adv_grouping_sets", groupingSetsSql),
+    shared("adv_lateral", lateralSql),
     shared("adv_market_share", marketShareSql),
     shared("adv_profit_by_nation", profitSql),
     shared("adv_priority_buckets", q12Sql),
