@@ -156,6 +156,10 @@ object DedupQueries extends QueryPack {
           .as("est_jaccard"))
       .distinct()
       .filter($"est_jaccard" >= 0.5)
+      // referenced twice (candidate-id collection + final join): persist
+      // so the band join runs once; ContextCleaner reclaims the blocks
+      // when the plan is GC'd (same pattern as the n-gram shingles)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // self-validating confirm column: recompute the EXACT Jaccard for the
     // surviving candidates (few) from their shingle sets, so the rows-only
     // check carries its own ground truth (est vs true side by side). The

@@ -443,23 +443,17 @@ final class DwrfColumnarPartitionReader(
           return fullRead()
         } else {
           reader.counters.stripesRead += 1
-          val src = reader.openStripe(si, sf, wanted)
+          val runs = reader.runsOf(matching)
+          // stride-granular I/O pruning: only byte ranges covering the
+          // surviving runs are read (see openStripe)
+          val src = reader.openStripe(si, sf, wanted,
+            Some(StrideSelection(indexes, runs, numStrides)))
           decoders.foreach(_.start(src))
-          val segs = scala.collection.mutable.ArrayBuffer.empty[Segment]
-          def emit(first: Int, last: Int): Unit = {
-            val base = first.toLong * stride
-            val rows = math.min((last + 1).toLong * stride, si.numRows) - base
-            segs += Segment(
-              Some(indexes.map { case (id, es) => id -> es(first) }), base, rows)
+          segments = runs.iterator.map { case (a, b) =>
+            val base = a.toLong * stride
+            val rows = math.min(b.toLong * stride, si.numRows) - base
+            Segment(Some(indexes.map { case (id, es) => id -> es(a) }), base, rows)
           }
-          var runStart = matching.head
-          var prev = matching.head
-          matching.tail.foreach { k =>
-            if (k == prev + 1) prev = k
-            else { emit(runStart, prev); runStart = k; prev = k }
-          }
-          emit(runStart, prev)
-          segments = segs.iterator
           return true
         }
       }

@@ -8,6 +8,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.format._
 
+/** Surviving stride runs for one stripe: `runs` are [a, b) stride index
+  * ranges that passed stats filtering; `indexes` the per-column row-index
+  * entries they were derived from. Drives stride-granular I/O pruning in
+  * [[DwrfFileReader.openStripe]].
+  */
+final case class StrideSelection(
+    indexes: Map[Int, IndexedSeq[RowIndexEntry]],
+    runs: Seq[(Int, Int)],
+    numStrides: Int)
+
 /** Reads one GRFT file: tail parse (postscript + footer), then per-stripe
   * decoding of only the streams the projection needs, with adjacent wanted
   * byte ranges coalesced into single preads (reference read path SURVEY
@@ -80,6 +90,20 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
     */
   def stripesInRange(offset: Long, length: Long): Seq[StripeInformation] =
     footer.stripes.filter(s => s.offset >= offset && s.offset < offset + length)
+
+  /** Group sorted stride indices into maximal contiguous [a, b) runs. */
+  private[dwrf] def runsOf(matching: Seq[Int]): Seq[(Int, Int)] = {
+    if (matching.isEmpty) return Nil
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var start = matching.head
+    var prev = matching.head
+    matching.tail.foreach { k =>
+      if (k != prev + 1) { runs += ((start, prev + 1)); start = k }
+      prev = k
+    }
+    runs += ((start, prev + 1))
+    runs.toSeq
+  }
 
   private lazy val idByName: Map[String, (Int, org.apache.spark.sql.types.DataType)] = {
     val fullIds = ColumnTree.topLevelIds(schema)
@@ -156,7 +180,8 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
             if (matching.isEmpty) Iterator.empty
             else if (matching.length == numStrides) readAll(si, sf)
             else {
-              val src = openStripe(si, sf, wantedColumns)
+              val src = openStripe(si, sf, wantedColumns,
+                Some(StrideSelection(indexes, runsOf(matching), numStrides)))
               readers.foreach(_.startStripe(src))
               matching.iterator.flatMap { k =>
                 val entries = indexes.map { case (id, es) => id -> es(k) }
@@ -206,9 +231,19 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
 
   /** Plan + execute the stripe's reads: wanted streams only, adjacent
     * ranges coalesced (gap ≤ 256 KB) into single preads.
+    *
+    * With a [[StrideSelection]] (stride-level stats skipping active), I/O
+    * is pruned to the byte ranges covering SURVIVING stride runs: each
+    * run's range starts at the run-start index position (a stream byte
+    * offset — chunk start when compressed) and ends at the next
+    * non-surviving stride's position plus a conservative slack (the
+    * RLE run / compression chunk straddling the boundary), so a filter
+    * that keeps 1% of strides reads ~1% of the bytes, not 100%. Streams
+    * without per-stride positions (dictionary blobs) are read in full.
     */
   def openStripe(si: StripeInformation, sf: StripeFooter,
-      wanted: Array[Boolean]): StreamSource = {
+      wanted: Array[Boolean],
+      selection: Option[StrideSelection] = None): StreamSource = {
     // absolute start offset of every stream, in file order
     var acc = si.offset
     val located = sf.streams.map { s =>
@@ -219,20 +254,44 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
     val neededRaw = located.filter { case (s, _) =>
       s.kind != StreamKind.RowIndex && s.column < wanted.length && wanted(s.column)
     }
-    // plan reads: one eager span pread when small enough, else per-gap
-    // coalesced preads (gap ≤ 256 KB)
-    val sorted = neededRaw.sortBy(_._2)
+
+    // absolute byte subranges needed per stream
+    val subranges: Seq[((StreamInfo, Long), Seq[(Long, Long)])] = // ((s,start), (absStart,absEnd))
+      neededRaw.map { case (s, start) =>
+        val ranges = selection match {
+          case Some(sel) =>
+            sel.indexes.get(s.column) match {
+              case Some(entries) if entries.forall(_.positions.contains(s.kind)) =>
+                val slack =
+                  if (codec.isDefined) 2L * (3 + postScript.blockSize) else 4096L
+                sel.runs.map { case (a, b) =>
+                  val relStart = entries(a).positions(s.kind)(0)
+                  val relEnd =
+                    if (b >= sel.numStrides) s.length
+                    else math.min(s.length, entries(b).positions(s.kind)(0) + slack)
+                  (start + relStart, start + math.max(relStart, relEnd))
+                }
+              case _ => Seq((start, start + s.length)) // no positions: full read
+            }
+          case None => Seq((start, start + s.length))
+        }
+        ((s, start), ranges)
+      }
+
+    // coalesce the union of all subranges; eager span mode only when no
+    // stride pruning is active (an eager span would defeat the pruning)
+    val flat = subranges.flatMap(_._2).filter { case (a, b) => b > a }.sortBy(_._1)
     val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (start, len)
-    val spanStart = if (sorted.nonEmpty) sorted.head._2 else 0L
-    val spanEnd =
-      if (sorted.nonEmpty) sorted.map { case (s, st) => st + s.length }.max else 0L
-    if (eagerReadEnabled && sorted.nonEmpty && spanEnd - spanStart <= eagerReadBytes) {
+    val spanStart = if (flat.nonEmpty) flat.head._1 else 0L
+    val spanEnd = if (flat.nonEmpty) flat.map(_._2).max else 0L
+    if (selection.isEmpty && eagerReadEnabled && flat.nonEmpty &&
+        spanEnd - spanStart <= eagerReadBytes) {
       merged += ((spanStart, spanEnd - spanStart))
-    } else sorted.foreach { case (s, start) =>
+    } else flat.foreach { case (rs, re) =>
       merged.lastOption match {
-        case Some((ms, ml)) if start - (ms + ml) <= 256 * 1024 =>
-          merged(merged.length - 1) = (ms, (start + s.length) - ms)
-        case _ => merged += ((start, s.length))
+        case Some((ms, ml)) if rs - (ms + ml) <= 256 * 1024 =>
+          if (re - ms > ml) merged(merged.length - 1) = (ms, re - ms)
+        case _ => merged += ((rs, re - rs))
       }
     }
     val buffers: Seq[(Long, Array[Byte])] = merged.toSeq.map { case (start, len) =>
@@ -241,20 +300,29 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
       (start, b)
     }
 
-    val byKey: Map[(Int, Int), (StreamInfo, Long)] =
-      neededRaw.map { case (s, start) => (s.column, s.kind) -> (s, start) }.toMap
+    def copyRange(dest: Array[Byte], destBase: Long, absStart: Long, absEnd: Long): Unit = {
+      val (bufStart, buf) = buffers
+        .find { case (bs, bb) => absStart >= bs && absEnd <= bs + bb.length }
+        .getOrElse(throw new IllegalStateException(
+          s"range [$absStart,$absEnd) not buffered"))
+      System.arraycopy(buf, (absStart - bufStart).toInt,
+        dest, (absStart - destBase).toInt, (absEnd - absStart).toInt)
+    }
+
+    val byKey: Map[(Int, Int), ((StreamInfo, Long), Seq[(Long, Long)])] =
+      subranges.map { case (key @ (s, _), r) => (s.column, s.kind) -> (key, r) }.toMap
 
     new StreamSource {
       override def rowIndexStride: Int = footer.rowIndexStride
       override def useVInts: Boolean = postScript.useVInts
 
       override def stream(column: Int, kind: Int): Option[InStream] =
-        byKey.get((column, kind)).map { case (s, start) =>
-          val (bufStart, buf) = buffers
-            .find { case (bs, bb) => start >= bs && start + s.length <= bs + bb.length }
-            .getOrElse(throw new IllegalStateException(s"stream not buffered: $s"))
-          val slice = java.util.Arrays.copyOfRange(
-            buf, (start - bufStart).toInt, (start - bufStart + s.length).toInt)
+        byKey.get((column, kind)).map { case ((s, start), ranges) =>
+          // sparse per-stream buffer: only surviving ranges are filled;
+          // seeks land on filled chunk starts, so unfilled bytes are
+          // never decoded
+          val slice = new Array[Byte](s.length.toInt)
+          ranges.foreach { case (a, b) => copyRange(slice, start, a, b) }
           InStream(s"col$column/kind$kind", slice, codec, postScript.blockSize)
         }
 

@@ -182,6 +182,47 @@ class DwrfPushdownSpec extends AnyFunSuite {
     } finally r.close()
   }
 
+  test("stride skipping prunes I/O, not just decode (byte-range reads)") {
+    // bigger file so per-stride byte ranges dominate fixed overheads;
+    // NONE compression makes byte accounting deterministic
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "dwrf-ioprune-").toString
+    spark.range(0, 100000, 1, 1).select(
+      col("id"),
+      format_string("%064d", col("id")).as("payload"))
+      .write.format("dwrf").mode("overwrite")
+      .option("compress", "NONE")
+      .option("row.index.stride", "5000").save(dir)
+    val file = DwrfUtil.listDataFiles(new Path(dir), new Configuration()).head
+
+    def bytesFor(filters: Seq[Filter]): Long = {
+      val r = new DwrfFileReader(file, new Configuration())
+      try {
+        val n = r.rows(r.footer.stripes, r.schema, filters).length
+        if (filters.isEmpty) assert(n == 100000) else assert(n == 5000)
+        r.counters.bytesRead
+      } finally r.close()
+    }
+
+    val full = bytesFor(Nil)
+    // one stride of 20 survives => payload bytes read should be ~5%
+    val pruned = bytesFor(Seq(GreaterThanOrEqual("id", 50000L), LessThan("id", 55000L)))
+    assert(pruned < full / 5,
+      s"pruned=$pruned full=$full: surviving-run byte ranges only")
+
+    // same through the columnar reader
+    val r = new DwrfFileReader(file, new Configuration())
+    try {
+      val pr = new DwrfColumnarPartitionReader(r, r.footer.stripes, r.schema,
+        Seq(GreaterThanOrEqual("id", 50000L), LessThan("id", 55000L)))
+      var rows = 0L
+      while (pr.next()) rows += pr.get().numRows()
+      assert(rows == 5000)
+      assert(r.counters.bytesRead < full / 5,
+        s"columnar pruned=${r.counters.bytesRead} full=$full")
+    } finally r.close()
+  }
+
   test("dictionary encoding engages for low-cardinality columns") {
     val dir = writeSorted(stride = 1000)
     val file = DwrfUtil.listDataFiles(new Path(dir), new Configuration()).head
