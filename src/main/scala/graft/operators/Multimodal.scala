@@ -49,6 +49,50 @@ final case class ResizedImage(
     doc_id: Long, image: Array[Byte], new_width: Int, new_height: Int,
     resized_bytes: Long)
 
+/** Deterministic fake audio container ("GAUD"): 14-byte header
+  * (magic 4B | sample_rate 4B LE | n_samples 4B LE | channels 1B |
+  * reserved 1B) + one payload byte per sample. Payload bytes are a pure
+  * function of (doc_id, i) — `(doc_id * 31 + i * 7) mod 256` — so the
+  * DuckDB oracle can recompute frame energies arithmetically while the
+  * Spark side computes them from the ACTUAL binary column, independently
+  * validating the byte plumbing end to end.
+  */
+object FakeAudio {
+  val Magic: Array[Byte] = "GAUD".getBytes("UTF-8")
+  val HeaderBytes: Int = 14
+
+  def sampleRate(docId: Long): Int = 8000 + (docId % 3).toInt * 4000
+  def nSamples(docId: Long): Int = 1000 + (docId % 17).toInt * 100
+  def channels(docId: Long): Int = 1 + (docId % 2).toInt
+  def sampleByte(docId: Long, i: Int): Int = ((docId * 31 + i.toLong * 7) % 256).toInt
+
+  def build(docId: Long): Array[Byte] = {
+    val n = nSamples(docId)
+    val out = new Array[Byte](HeaderBytes + n)
+    System.arraycopy(Magic, 0, out, 0, 4)
+    val sr = sampleRate(docId)
+    out(4) = (sr & 0xff).toByte
+    out(5) = ((sr >> 8) & 0xff).toByte
+    out(6) = ((sr >> 16) & 0xff).toByte
+    out(7) = ((sr >> 24) & 0xff).toByte
+    out(8) = (n & 0xff).toByte
+    out(9) = ((n >> 8) & 0xff).toByte
+    out(10) = ((n >> 16) & 0xff).toByte
+    out(11) = ((n >> 24) & 0xff).toByte
+    out(12) = channels(docId).toByte
+    out(13) = 0
+    var i = 0
+    while (i < n) { out(HeaderBytes + i) = sampleByte(docId, i).toByte; i += 1 }
+    out
+  }
+}
+
+final case class AudioRecord(doc_id: Long, audio: Array[Byte])
+
+final case class AudioFrame(
+    doc_id: Long, sample_rate: Int, frame_idx: Long, frame_len: Long,
+    energy: Long)
+
 /** Multimodal column operators. Batch shape: `mapPartitions` over typed
   * Datasets — one decoder instance per partition, streaming through the
   * rows (the Scala analog of a Pandas-UDF `mapInPandas` batch), which is
@@ -56,6 +100,48 @@ final case class ResizedImage(
   * 100 TB: per-partition setup cost amortized, no per-row UDF overhead.
   */
 object Multimodal {
+
+  /** Encode step: documents → (doc_id, binary audio). */
+  def toFakeAudio(documents: DataFrame): Dataset[AudioRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select("doc_id").as[Long]
+      .mapPartitions(_.map(id => AudioRecord(id, FakeAudio.build(id))))
+  }
+
+  /** Decode-stub + windowed feature extraction: parses the GAUD header
+    * and emits per-frame energy (sum of squared sample bytes over a
+    * `window`-sample frame). Swap the body for a real PCM decode + DSP
+    * kernel; the signature, schema, batch shape and partitioning stay.
+    */
+  def audioFrameEnergy(audio: Dataset[AudioRecord], window: Int): Dataset[AudioFrame] = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.mapPartitions { it =>
+      it.flatMap { rec =>
+        val b = rec.audio
+        require(b.length >= FakeAudio.HeaderBytes &&
+          java.util.Arrays.equals(
+            java.util.Arrays.copyOf(b, 4), FakeAudio.Magic),
+          s"doc ${rec.doc_id}: not a GAUD container")
+        val sr = FakeImage.readIntLE(b, 4)
+        val n = FakeImage.readIntLE(b, 8)
+        val nFrames = (n + window - 1) / window
+        (0 until nFrames).iterator.map { f =>
+          val start = f * window
+          val len = math.min(window, n - start)
+          var e = 0L
+          var i = 0
+          while (i < len) {
+            val v = b(FakeAudio.HeaderBytes + start + i) & 0xff
+            e += v.toLong * v
+            i += 1
+          }
+          AudioFrame(rec.doc_id, sr, f.toLong, len.toLong, e)
+        }
+      }
+    }
+  }
 
   /** Encode step: documents → (doc_id, binary image). Deterministic fake
     * payload = utf8(text).

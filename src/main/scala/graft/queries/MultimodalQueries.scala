@@ -51,6 +51,45 @@ object MultimodalQueries extends QueryPack {
     |ORDER BY channels, width_bucket
     |""".stripMargin.trim
 
+  // ------------------------------------------------------------ audio
+  // Windowed frame-energy features over a fake "GAUD" audio container
+  // whose payload bytes are a pure function of (doc_id, sample index) —
+  // the Spark side computes energies from the ACTUAL binary column
+  // (mapPartitions decode stub), while the oracle recomputes them
+  // arithmetically in SQL, independently validating the byte plumbing.
+  private def audio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents").filter($"doc_id" < 40)
+    Multimodal.audioFrameEnergy(Multimodal.toFakeAudio(docs), window = 256)
+      .groupBy($"doc_id", $"sample_rate")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum($"energy").cast("bigint").as("total_energy"),
+        max($"energy").as("max_frame_energy"),
+        min($"frame_len").as("last_frame_len"))
+      .orderBy($"doc_id")
+  }
+
+  private val audioOracle = """
+    |WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+    |samples AS (
+    |  SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+    |    CAST((doc_id * 31 + CAST(t.i AS BIGINT) * 7) % 256 AS BIGINT) AS v
+    |  FROM ids, unnest(range(0, 1000 + (doc_id % 17) * 100)) AS t(i)),
+    |frames AS (
+    |  SELECT doc_id, i // 256 AS frame_idx,
+    |    CAST(SUM(v * v) AS BIGINT) AS fe, COUNT(*) AS flen
+    |  FROM samples GROUP BY 1, 2)
+    |SELECT doc_id, CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+    |  COUNT(*) AS n_frames,
+    |  CAST(SUM(fe) AS BIGINT) AS total_energy,
+    |  MAX(fe) AS max_frame_energy,
+    |  MIN(flen) AS last_frame_len
+    |FROM frames
+    |GROUP BY doc_id
+    |ORDER BY doc_id
+    |""".stripMargin.trim
+
   // ----------------------------------------------------------- frames
   private def frames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -109,6 +148,7 @@ object MultimodalQueries extends QueryPack {
 
   override val all: Seq[Q] = Seq(
     Q("multimodal_meta", meta, Some(metaOracle)),
+    Q("multimodal_audio", audio, Some(audioOracle)),
     Q("multimodal_frames", frames, Some(framesOracle)),
     Q("multimodal_resize", resize, Some(resizeOracle)),
   )
