@@ -126,35 +126,45 @@ object SimilarityQueries extends QueryPack {
     val rnd = new scala.util.Random(42)
     val hyper: Array[Array[Double]] =
       Array.fill(planes)(Array.fill(dims)(if (rnd.nextBoolean()) 1.0 else -1.0))
-    val hyperCol = typedlit(hyper.map(_.toSeq).toSeq)
+    // transpose: per dimension, the 32 plane weights — so ONE explode pass
+    // computes every projection as a codegen'd conditional sum instead of
+    // 32 interpreted aggregate/zip_with lambdas per vector (the same
+    // CollapseProject/codegen lesson as the MinHash signatures)
+    val wT: Seq[Seq[Double]] = (0 until dims).map(i => (0 until planes).map(p => hyper(p)(i)))
 
     val emb = Tables.load(s, dir, "embeddings")
-      .withColumn("planes", hyperCol)
-      .select($"vec_id", $"embedding",
-        expr(s"CAST(${decimalDot("embedding", "embedding")} AS DOUBLE)").as("norm2"),
-        expr(
-          s"""transform(sequence(0, ${bands - 1}), b ->
-             |  aggregate(sequence(0, ${bandBits - 1}), 0L, (acc, p) -> acc + IF(
-             |    aggregate(zip_with(embedding, planes[b * $bandBits + p], (x, w) ->
-             |      CAST(x AS DOUBLE) * w), 0D, (a, v) -> a + v) >= 0D,
-             |    shiftleft(1L, p), 0L)))""".stripMargin).as("buckets"))
-      .drop("planes")
-    val banded = emb.select($"vec_id", $"embedding", $"norm2",
-      posexplode($"buckets").as(Seq("band_idx", "band_val")))
+    val exploded = emb
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "xf")))
+      .select($"vec_id", ($"pos" + 1).as("pos1"), $"xf".cast("double").as("x"))
+      .withColumn("wrow", element_at(typedlit(wT), $"pos1"))
+    val projAggs = (0 until planes)
+      .map(p => sum($"x" * element_at($"wrow", p + 1)).as(s"p$p")) :+
+      sum($"x" * $"x").as("norm2") // plain double: rows-only check, no
+    // decimal-exactness needed for a sqrt-normalized verify metric
+    val sigs = exploded.groupBy($"vec_id").agg(projAggs.head, projAggs.tail: _*)
+    val banded = sigs.select($"vec_id", $"norm2",
+      posexplode(array((0 until bands).map { b =>
+        (0 until bandBits).map { r =>
+          when(col(s"p${b * bandBits + r}") >= 0, lit(1L << r)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      }: _*)).as(Seq("band_idx", "band_val")))
     val a = banded.as("a")
     val b = banded.as("b")
-    // plain double dot for the verify step: this query has no SQL oracle
-    // (rows-only check), so the decimal-exact trick is unnecessary cost
-    a.join(b,
+    val cand = a.join(b,
       $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
         $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
-        (expr(
-          """aggregate(zip_with(a.embedding, b.embedding, (x, y) ->
-            |  CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"""
-            .stripMargin) /
-          (sqrt($"a.norm2") * sqrt($"b.norm2"))).as("cosine"))
+        $"a.norm2".as("norm_a"), $"b.norm2".as("norm_b"))
       .distinct()
+    // exact-cosine verify: join the (few) candidates back to their vectors
+    val vecs = emb.select($"vec_id",
+      expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("v"))
+    cand
+      .join(vecs.select($"vec_id".as("id_a"), $"v".as("va")), "id_a")
+      .join(vecs.select($"vec_id".as("id_b"), $"v".as("vb")), "id_b")
+      .select($"id_a", $"id_b",
+        (expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
+          (sqrt($"norm_a") * sqrt($"norm_b"))).as("cosine"))
       .orderBy($"cosine".desc, $"id_a", $"id_b")
       .limit(20)
       .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
