@@ -12,17 +12,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private val nanosConfApplied =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
-
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
     // reader rejects; read the raw int64 and truncate to micros exactly
     // like DuckDB does when it casts ns -> its native us timestamps.
-    // Session state is mutated ONCE per session, not per load call —
-    // repeated conf.set would be racy under concurrent query packs.
-    if (nanosConfApplied.add(spark))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Check-then-set: no steady-state mutation, and any interleaving is
+    // benign because every writer sets the identical value. (A
+    // first-caller-only memo would NOT be safe: a losing racer could
+    // read the parquet before the winner set the conf.)
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(nanosKey).contains("true"))
+      spark.conf.set(nanosKey, "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
       df.withColumn("ts", org.apache.spark.sql.functions.expr(

@@ -42,13 +42,22 @@ object StreamingQueries extends QueryPack {
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    // key sentinel freshness on the actual max event time: if the data
+    // was regenerated with later timestamps, a stale sentinel would (a)
+    // no longer out-run the last real windows and (b) sort BEFORE the
+    // new data by mtime, jumping the watermark and dropping everything
+    val maxNs = s.read.parquet(s"$dir/events.parquet")
+      .agg(max($"ts")).as[Long].head()
+    val sentinelNs = maxNs + 2L * 24 * 3600 * 1000000000L
     val sentinelDir = s"/root/repo/target/stream-sentinel-$tag"
-    val sentinelLink = srcDir.resolve("zz-sentinel.parquet")
+    val sentinelLink = srcDir.resolve(s"zz-sentinel-$sentinelNs.parquet")
     if (!java.nio.file.Files.exists(sentinelLink)) {
-      val maxNs = s.read.parquet(s"$dir/events.parquet")
-        .agg(max($"ts")).as[Long].head()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(srcDir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("zz-sentinel-"))
+        .foreach(java.nio.file.Files.delete) // stale sentinels out
       s.read.parquet(s"$dir/events.parquet").limit(1)
-        .withColumn("ts", lit(maxNs + 2L * 24 * 3600 * 1000000000L))
+        .withColumn("ts", lit(sentinelNs))
         .withColumn("event_type", lit("__wm_sentinel__"))
         .withColumn("user_id", lit(-1L))
         .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
@@ -176,8 +185,15 @@ object StreamingQueries extends QueryPack {
     |""".stripMargin.trim
 
   // ------------------------------------------- streaming sessionize
-  /** Open per-user session carried in the state store between batches. */
-  final case class OpenSession(sessionId: Long, startUs: Long, endUs: Long, n: Long)
+  /** Per-user session state: the open session, or (open=false) a closed
+    * tombstone that preserves the session-id counter after an event-time
+    * timeout emitted the session — otherwise a user's next event would
+    * restart numbering at 1 and collide with already-emitted keys. The
+    * tombstone carries a far retention timeout so long-dead users still
+    * purge (documented trade: a user idle past retention restarts ids).
+    */
+  final case class OpenSession(
+      sessionId: Long, startUs: Long, endUs: Long, n: Long, open: Boolean = true)
 
   /** TRUE streaming sessionization: `flatMapGroupsWithState` with
     * event-time timeouts — the custom-state shape the brief calls for.
@@ -211,11 +227,20 @@ object StreamingQueries extends QueryPack {
         case (uid, rawIt, state) =>
           def micros(t: java.sql.Timestamp): Long =
             Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          val retentionMs = 30L * 24 * 3600 * 1000 // tombstone lifetime
           if (state.hasTimedOut) {
-            // watermark passed end + gap: nothing can extend this session
             val os = state.get
-            state.remove()
-            Iterator((uid, os.sessionId, os.startUs, os.endUs, os.n))
+            if (os.open) {
+              // watermark passed end + gap: nothing can extend this
+              // session — emit it, keep a closed tombstone so the id
+              // counter survives, purge the tombstone after retention
+              state.update(os.copy(open = false))
+              state.setTimeoutTimestamp(os.endUs / 1000 + retentionMs)
+              Iterator((uid, os.sessionId, os.startUs, os.endUs, os.n))
+            } else {
+              state.remove() // retention elapsed: drop the tombstone
+              Iterator.empty
+            }
           } else {
             val sorted = rawIt.map(e => (e._1, micros(e._2), e._3))
               .toArray.sortBy(e => (e._2, e._3))
@@ -224,12 +249,19 @@ object StreamingQueries extends QueryPack {
             var cur = state.getOption.orNull
             sorted.foreach { case (_, ts, _) =>
               if (cur == null) cur = OpenSession(1L, ts, ts, 1L)
+              else if (!cur.open) cur = OpenSession(cur.sessionId + 1, ts, ts, 1L)
               else if (ts - cur.endUs > gapUs) {
                 out += ((uid, cur.sessionId, cur.startUs, cur.endUs, cur.n))
                 cur = OpenSession(cur.sessionId + 1, ts, ts, 1L)
-              } else cur = cur.copy(endUs = ts, n = cur.n + 1)
+              } else cur = cur.copy(
+                // never move the window backwards: a late-but-in-horizon
+                // event must not regress the end (or later gap decisions
+                // would wrongly split the session)
+                startUs = math.min(cur.startUs, ts),
+                endUs = math.max(cur.endUs, ts),
+                n = cur.n + 1)
             }
-            if (cur != null) {
+            if (cur != null && cur.open) {
               state.update(cur)
               state.setTimeoutTimestamp(cur.endUs / 1000 + gapUs / 1000 + 1)
             }

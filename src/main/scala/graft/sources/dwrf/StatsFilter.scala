@@ -104,7 +104,14 @@ object StatsFilter {
         // costs skipping, never correctness.)
         if (v.isNaN || st.doubleSum.isNaN) return true
         if (st.doubleMin > st.doubleMax) return true
-        check(java.lang.Double.compare(v, st.doubleMin), java.lang.Double.compare(st.doubleMax, v))
+        // primitive comparisons, NOT Double.compare: the stats builder
+        // records min/max with primitive < / > (so -0.0 and 0.0 are
+        // interchangeable there), and Spark normalizes -0.0 to 0.0 in
+        // comparisons. Double.compare orders -0.0 < 0.0 and would
+        // sanction skipping a stride whose max was recorded as -0.0 for
+        // a filter matching 0.0 — silently dropping rows.
+        def sgn(a: Double, b: Double): Int = if (a > b) 1 else if (a == b) 0 else -1
+        check(sgn(v, st.doubleMin), sgn(st.doubleMax, v))
       case StringType =>
         if (st.stringMin == null || st.stringMax == null) return true
         val v = UTF8String.fromString(value.toString)

@@ -123,6 +123,36 @@ class DwrfRegressionSpec extends AnyFunSuite {
     assert(back.exceptAll(hexy).isEmpty && hexy.exceptAll(back).isEmpty)
   }
 
+  test("negative zero does not sanction stats skipping") {
+    // stats min/max are built with primitive comparisons (-0.0 == 0.0);
+    // the evaluator must use the same order, or a stride whose max was
+    // recorded as -0.0 gets skipped for filters matching 0.0
+    val dir = tmpDir()
+    spark.range(0, 2000, 1, 1)
+      .select(col("id"),
+        when(col("id") < 1000, lit(-5.0))
+          .otherwise(lit(-0.0)).as("d"))
+      .write.format("dwrf").mode("overwrite")
+      .option("row.index.stride", "1000").save(dir)
+    val file = DwrfUtil.listDataFiles(
+      new org.apache.hadoop.fs.Path(dir), new org.apache.hadoop.conf.Configuration()).head
+    val r = new DwrfFileReader(file, new org.apache.hadoop.conf.Configuration())
+    try {
+      val readSchema = org.apache.spark.sql.types.StructType(
+        r.schema.fields.filter(_.name == "d"))
+      // stride 1's max is -0.0; Spark says -0.0 >= 0.0 and -0.0 = 0.0
+      val ge = r.rows(r.footer.stripes, readSchema,
+        Seq(GreaterThanOrEqual("d", 0.0))).toVector
+      assert(ge.size == 1000, "stride with max=-0.0 must survive d >= 0.0")
+      val eq = r.rows(r.footer.stripes, readSchema,
+        Seq(EqualTo("d", 0.0))).toVector
+      assert(eq.size == 1000, "stride with -0.0 values must survive d = 0.0")
+    } finally r.close()
+    // end to end: Spark re-evaluates, rows must surface
+    assert(spark.read.format("dwrf").load(dir)
+      .filter(col("d") >= 0.0).count() == 1000)
+  }
+
   test("eager span read collapses per-gap preads (R1 eager mode)") {
     val dir = tmpDir()
     // uncompressed so the middle column makes a >256 KB gap between the
