@@ -120,12 +120,73 @@ final class OutStream(
   }
 }
 
+/** Read-only, possibly SPARSE byte address space of one stream: sorted,
+  * non-overlapping segments referencing shared pread buffers (zero-copy).
+  * Stride-granular I/O pruning reads only surviving byte ranges; memory
+  * scales with bytes READ, not stream length. Addressing an unfilled gap
+  * throws EOF (fail-loud): by construction decoders only touch bytes
+  * inside surviving ranges.
+  *
+  * Segment = (posInStream, backingArray, backingOffset, len).
+  */
+final class ByteRanges(val length: Int, segments0: Seq[(Int, Array[Byte], Int, Int)]) {
+  private val segs = segments0.sortBy(_._1).toArray
+  private val starts = segs.map(_._1)
+
+  private def segIdx(pos: Int): Int = {
+    var i = java.util.Arrays.binarySearch(starts, pos)
+    if (i < 0) i = -i - 2
+    i
+  }
+
+  def byteAt(pos: Int): Int = {
+    if (pos < 0 || pos >= length) throw new EOFException(s"pos $pos outside [0,$length)")
+    val i = segIdx(pos)
+    if (i < 0) throw new EOFException(s"pos $pos in unread gap")
+    val (s, arr, off, len) = segs(i)
+    if (pos >= s + len) throw new EOFException(s"pos $pos in unread gap")
+    arr(off + (pos - s)) & 0xff
+  }
+
+  /** Contiguous (array, offset) view of [pos, pos+n) in one segment. */
+  def view(pos: Int, n: Int): (Array[Byte], Int) = {
+    val i = segIdx(pos)
+    if (i < 0) throw new EOFException(s"pos $pos in unread gap")
+    val (s, arr, off, len) = segs(i)
+    if (pos >= s + len || pos + n > s + len)
+      throw new EOFException(s"[$pos,${pos + n}) exceeds the filled range")
+    (arr, off + (pos - s))
+  }
+
+  /** Copy up to `len` bytes at `pos` into `buf` (bounded by the current
+    * segment); -1 at stream end. */
+  def read(pos: Int, buf: Array[Byte], off: Int, len: Int): Int = {
+    if (pos >= length) return -1
+    val i = segIdx(pos)
+    if (i < 0) throw new EOFException(s"pos $pos in unread gap")
+    val (s, arr, aoff, slen) = segs(i)
+    if (pos >= s + slen) throw new EOFException(s"pos $pos in unread gap")
+    val n = math.min(len, s + slen - pos)
+    System.arraycopy(arr, aoff + (pos - s), buf, off, n)
+    n
+  }
+}
+
+object ByteRanges {
+  def whole(bytes: Array[Byte]): ByteRanges =
+    new ByteRanges(bytes.length, Seq((0, bytes, 0, bytes.length)))
+}
+
 object InStream {
   def apply(name: String, bytes: Array[Byte], codec: Option[CompressionCodec],
             blockSize: Int = 1 << 18): InStream =
+    apply(name, ByteRanges.whole(bytes), codec, blockSize)
+
+  def apply(name: String, ranges: ByteRanges, codec: Option[CompressionCodec],
+            blockSize: Int): InStream =
     codec match {
-      case Some(c) => new CompressedInStream(name, bytes, c, blockSize)
-      case None => new UncompressedInStream(name, bytes)
+      case Some(c) => new CompressedInStream(name, ranges, c, blockSize)
+      case None => new UncompressedInStream(name, ranges)
     }
 }
 
@@ -136,21 +197,19 @@ sealed abstract class InStream extends InputStream {
   def seek(positions: PositionProvider): Unit
 }
 
-final class UncompressedInStream(name: String, bytes: Array[Byte]) extends InStream {
+final class UncompressedInStream(name: String, ranges: ByteRanges) extends InStream {
   private var pos = 0
 
   override def read(): Int =
-    if (pos >= bytes.length) -1 else { val b = bytes(pos) & 0xff; pos += 1; b }
+    if (pos >= ranges.length) -1 else { val b = ranges.byteAt(pos); pos += 1; b }
 
   override def read(buf: Array[Byte], off: Int, len: Int): Int = {
-    if (pos >= bytes.length) return -1
-    val n = math.min(len, bytes.length - pos)
-    System.arraycopy(bytes, pos, buf, off, n)
-    pos += n
+    val n = ranges.read(pos, buf, off, len)
+    if (n > 0) pos += n
     n
   }
 
-  override def available(): Int = bytes.length - pos
+  override def available(): Int = ranges.length - pos
 
   override def seek(positions: PositionProvider): Unit = {
     pos = positions.next().toInt
@@ -160,10 +219,10 @@ final class UncompressedInStream(name: String, bytes: Array[Byte]) extends InStr
 /** Chunked compressed stream: 3-byte header per chunk, low bit set when the
   * chunk is stored original. Seek positions are (chunkStart, uncompressedOffset).
   */
-final class CompressedInStream(name: String, bytes: Array[Byte], codec: CompressionCodec,
+final class CompressedInStream(name: String, ranges: ByteRanges, codec: CompressionCodec,
     blockSize: Int) extends InStream {
 
-  private var chunkStart = 0          // offset of current chunk header in bytes
+  private var chunkStart = 0          // offset of current chunk header in stream
   private var block: Array[Byte] = null // decompressed current chunk
   private var blockPos = 0
   private var nextChunk = 0           // offset of the chunk after current
@@ -171,20 +230,21 @@ final class CompressedInStream(name: String, bytes: Array[Byte], codec: Compress
   private def ensureBlock(): Boolean = {
     while (block == null || blockPos >= block.length) {
       if (block != null) { chunkStart = nextChunk; block = null; blockPos = 0 }
-      if (chunkStart >= bytes.length) return false
-      if (chunkStart + 3 > bytes.length)
+      if (chunkStart >= ranges.length) return false
+      if (chunkStart + 3 > ranges.length)
         throw new EOFException(s"truncated chunk header in $name")
-      val header = (bytes(chunkStart) & 0xff) |
-        ((bytes(chunkStart + 1) & 0xff) << 8) |
-        ((bytes(chunkStart + 2) & 0xff) << 16)
+      val header = ranges.byteAt(chunkStart) |
+        (ranges.byteAt(chunkStart + 1) << 8) |
+        (ranges.byteAt(chunkStart + 2) << 16)
       val len = header >>> 1
       val original = (header & 1) == 1
       val dataOff = chunkStart + 3
-      if (dataOff + len > bytes.length)
+      if (dataOff + len > ranges.length)
         throw new EOFException(s"truncated chunk body in $name")
+      val (arr, aOff) = ranges.view(dataOff, len)
       block =
-        if (original) java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + len)
-        else codec.decompress(bytes, dataOff, len, blockSize)
+        if (original) java.util.Arrays.copyOfRange(arr, aOff, aOff + len)
+        else codec.decompress(arr, aOff, len, blockSize)
       blockPos = 0
       nextChunk = dataOff + len
       if (block.length == 0) { chunkStart = nextChunk; block = null }

@@ -305,17 +305,22 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
       (start, b)
     }
 
-    def copyRange(dest: Array[Byte], destBase: Long, absStart: Long, absEnd: Long): Unit = {
-      val (bufStart, buf) = buffers
-        .find { case (bs, bb) => absStart >= bs && absEnd <= bs + bb.length }
-        .getOrElse(throw new IllegalStateException(
-          s"range [$absStart,$absEnd) not buffered"))
-      System.arraycopy(buf, (absStart - bufStart).toInt,
-        dest, (absStart - destBase).toInt, (absEnd - absStart).toInt)
-    }
-
     val byKey: Map[(Int, Int), ((StreamInfo, Long), Seq[(Long, Long)])] =
       subranges.map { case (key @ (s, _), r) => (s.column, s.kind) -> (key, r) }.toMap
+
+    // normalize possibly-overlapping per-stream ranges (slack can run a
+    // range into the next run's start)
+    def normalize(rs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      rs.sortBy(_._1).foreach { case (a, b) =>
+        out.lastOption match {
+          case Some((pa, pb)) if a <= pb =>
+            if (b > pb) out(out.length - 1) = (pa, b)
+          case _ => out += ((a, b))
+        }
+      }
+      out.toSeq
+    }
 
     new StreamSource {
       override def rowIndexStride: Int = footer.rowIndexStride
@@ -323,12 +328,18 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
 
       override def stream(column: Int, kind: Int): Option[InStream] =
         byKey.get((column, kind)).map { case ((s, start), ranges) =>
-          // sparse per-stream buffer: only surviving ranges are filled;
-          // seeks land on filled chunk starts, so unfilled bytes are
-          // never decoded
-          val slice = new Array[Byte](s.length.toInt)
-          ranges.foreach { case (a, b) => copyRange(slice, start, a, b) }
-          InStream(s"col$column/kind$kind", slice, codec, postScript.blockSize)
+          // zero-copy segment views over the shared pread buffers: memory
+          // scales with bytes READ, not stream length; seeks land on
+          // filled chunk starts, so unfilled gaps are never addressed
+          val segs = normalize(ranges).map { case (a, b) =>
+            val (bufStart, buf) = buffers
+              .find { case (bs, bb) => a >= bs && b <= bs + bb.length }
+              .getOrElse(throw new IllegalStateException(
+                s"range [$a,$b) not buffered for col$column/kind$kind"))
+            ((a - start).toInt, buf, (a - bufStart).toInt, (b - a).toInt)
+          }
+          InStream(s"col$column/kind$kind",
+            new ByteRanges(s.length.toInt, segs), codec, postScript.blockSize)
         }
 
       override def encoding(column: Int): ColumnEncoding =
