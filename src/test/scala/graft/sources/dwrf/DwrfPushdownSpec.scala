@@ -223,6 +223,39 @@ class DwrfPushdownSpec extends AnyFunSuite {
     } finally r.close()
   }
 
+  test("stride pruning is exact with tiny compression chunks (slack stress)") {
+    // 1 KB chunks + 10-byte varints: boundary-straddling RLE runs span
+    // several chunks; the pruning slack must still cover their tails.
+    // Large alternating values defeat delta runs => max-width literals.
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "dwrf-slack-").toString
+    spark.range(0, 20000, 1, 1).select(
+      col("id"),
+      (when(col("id") % 2 === 0, lit(Long.MaxValue) - col("id") * 7)
+        .otherwise(lit(Long.MinValue) + col("id") * 11)).as("big"))
+      .write.format("dwrf").mode("overwrite")
+      .option("compress", "ZLIB")
+      .option("compress.size", "1024")
+      .option("row.index.stride", "1000").save(dir)
+    val file = DwrfUtil.listDataFiles(new Path(dir), new Configuration()).head
+    val r = new DwrfFileReader(file, new Configuration())
+    try {
+      val readSchema = r.schema
+      for (k <- Seq(0, 7, 13, 19)) {
+        val lo = k * 1000L
+        val rows = r.rows(r.footer.stripes, readSchema,
+          Seq(GreaterThanOrEqual("id", lo), LessThan("id", lo + 1000))).toVector
+        assert(rows.size == 1000, s"stride $k")
+        rows.foreach { row =>
+          val id = row.getLong(0)
+          val expect =
+            if (id % 2 == 0) Long.MaxValue - id * 7 else Long.MinValue + id * 11
+          assert(row.getLong(1) == expect, s"id $id decoded wrong after pruning")
+        }
+      }
+    } finally r.close()
+  }
+
   test("dictionary encoding engages for low-cardinality columns") {
     val dir = writeSorted(stride = 1000)
     val file = DwrfUtil.listDataFiles(new Path(dir), new Configuration()).head
