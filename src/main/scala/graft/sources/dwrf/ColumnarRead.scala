@@ -32,13 +32,10 @@ object ColumnarSupport {
 /** Per-column vector filler over the stripe's streams. */
 abstract class VectorDecoder(val columnId: Int) {
   protected var present: BitFieldReader = null
-  /** Rows consumed in this stripe (stride-dictionary selection). */
-  protected var rowPos: Long = 0L
 
   def start(src: StreamSource): Unit = {
     present = src.stream(columnId, StreamKind.Present)
       .map(new BitFieldReader(_)).orNull
-    rowPos = 0L
     startValues(src)
   }
 
@@ -46,17 +43,16 @@ abstract class VectorDecoder(val columnId: Int) {
 
   /** Seek to a row-index stride (mirrors TreeReader.seekTree): used by the
     * columnar path to emit batches only from strides that survive stats
-    * skipping. `rowBase` = absolute stripe row of the stride start.
+    * skipping.
     */
-  final def seekStride(entries: Map[Int, RowIndexEntry], rowBase: Long): Unit = {
-    rowPos = rowBase
+  final def seekStride(entries: Map[Int, RowIndexEntry]): Unit = {
     entries.get(columnId).foreach { e =>
       if (present != null)
         e.positions.get(StreamKind.Present)
           .foreach(p => present.seek(new ArrayPositionProvider(p)))
       seekValues(e)
     }
-    decoderChildren.foreach(_.seekStride(entries, rowBase))
+    decoderChildren.foreach(_.seekStride(entries))
   }
 
   protected def seekValues(e: RowIndexEntry): Unit
@@ -65,10 +61,8 @@ abstract class VectorDecoder(val columnId: Int) {
   def decoderChildren: Seq[VectorDecoder] = Nil
 
   /** Decode one value into slot i, consuming this column's PRESENT bit. */
-  final def putOne(v: OnHeapColumnVector, i: Int): Unit = {
+  final def putOne(v: OnHeapColumnVector, i: Int): Unit =
     if (present == null || present.next()) put(v, i) else v.putNull(i)
-    rowPos += 1
-  }
 
   final def fill(v: OnHeapColumnVector, n: Int): Unit = {
     var i = 0
@@ -398,7 +392,7 @@ final class DwrfColumnarPartitionReader(
   /** A maximal run of contiguous surviving strides: seek to `entries`
     * (None = stripe start, no seek needed), then `rows` rows are valid. */
   private final case class Segment(
-      entries: Option[Map[Int, RowIndexEntry]], rowBase: Long, rows: Long)
+      entries: Option[Map[Int, RowIndexEntry]], rows: Long)
 
   private val stripeIt = stripes.iterator
   private var segments: Iterator[Segment] = Iterator.empty
@@ -421,7 +415,7 @@ final class DwrfColumnarPartitionReader(
           reader.counters.stripesRead += 1
           val src = reader.openStripe(si, sf, wanted)
           decoders.foreach(_.start(src))
-          segments = Iterator(Segment(None, 0L, si.numRows))
+          segments = Iterator(Segment(None, si.numRows))
           true
         }
         if (filters.isEmpty || stride <= 0 || si.numRows <= stride) return fullRead()
@@ -452,7 +446,7 @@ final class DwrfColumnarPartitionReader(
           segments = runs.iterator.map { case (a, b) =>
             val base = a.toLong * stride
             val rows = math.min(b.toLong * stride, si.numRows) - base
-            Segment(Some(indexes.map { case (id, es) => id -> es(a) }), base, rows)
+            Segment(Some(indexes.map { case (id, es) => id -> es(a) }), rows)
           }
           return true
         }
@@ -465,7 +459,7 @@ final class DwrfColumnarPartitionReader(
     while (remainingInSegment == 0) {
       if (segments.hasNext) {
         val seg = segments.next()
-        seg.entries.foreach(e => decoders.foreach(_.seekStride(e, seg.rowBase)))
+        seg.entries.foreach(e => decoders.foreach(_.seekStride(e)))
         remainingInSegment = seg.rows
       } else if (!advanceStripe()) return false
     }

@@ -185,7 +185,7 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
               readers.foreach(_.startStripe(src))
               matching.iterator.flatMap { k =>
                 val entries = indexes.map { case (id, es) => id -> es(k) }
-                readers.foreach(_.seekTree(entries, k.toLong * stride))
+                readers.foreach(_.seekTree(entries))
                 val rowsHere = math.min(stride.toLong, si.numRows - k.toLong * stride)
                 (0L until rowsHere).iterator.map { _ =>
                   val row = new GenericInternalRow(width)
@@ -323,7 +323,6 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
     }
 
     new StreamSource {
-      override def rowIndexStride: Int = footer.rowIndexStride
       override def useVInts: Boolean = postScript.useVInts
 
       override def stream(column: Int, kind: Int): Option[InStream] =
@@ -391,7 +390,7 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
       if (indexes.nonEmpty) {
         val k = (remaining / stride).toInt
         val entries = indexes.collect { case (id, es) if k < es.length => id -> es(k) }
-        readers.foreach(_.seekTree(entries, k.toLong * stride))
+        readers.foreach(_.seekTree(entries))
         toSkip = remaining - k.toLong * stride
       }
     }

@@ -13,9 +13,6 @@ trait StreamSource {
   /** The stream's bytes for (column, kind), if present in this stripe. */
   def stream(column: Int, kind: Int): Option[InStream]
   def encoding(column: Int): ColumnEncoding
-  /** Row-index stride of the file (0 = none); stride-dictionary readers
-    * need it to know which side dictionary a row position falls in. */
-  def rowIndexStride: Int = 0
   /** Whether integer streams use varints (false = fixed 8-byte LE). */
   def useVInts: Boolean = true
 }
@@ -51,27 +48,19 @@ abstract class TreeReader(val columnId: Int) {
   def startStripe(src: StreamSource): Unit = {
     present = src.stream(columnId, StreamKind.Present)
       .map(new BitFieldReader(_)).orNull
-    rowPosition = 0L
     startValues(src)
   }
 
   protected def startValues(src: StreamSource): Unit
 
-  /** Rows consumed so far in this stripe (drives stride-dictionary
-    * selection; nulls count — strides are row-space ranges). */
-  protected var rowPosition: Long = 0L
-
   /** Next value as a Catalyst internal value (null when absent). */
-  final def next(): Any = {
-    rowPosition += 1
+  final def next(): Any =
     if (present != null && !present.next()) null else nextValue()
-  }
 
   protected def nextValue(): Any
 
   /** Skip n top-level rows (present-aware). */
   final def skipRows(n: Long): Unit = {
-    rowPosition += n
     if (present == null) skipValues(n)
     else {
       var nonNull = 0L
@@ -98,10 +87,9 @@ abstract class TreeReader(val columnId: Int) {
   def readerChildren: Seq[TreeReader] = Nil
 
   /** Seek this subtree to stride k via per-column index entries. */
-  final def seekTree(entries: Map[Int, RowIndexEntry], rowBase: Long = 0L): Unit = {
-    rowPosition = rowBase
+  final def seekTree(entries: Map[Int, RowIndexEntry]): Unit = {
     entries.get(columnId).foreach(seek)
-    readerChildren.foreach(_.seekTree(entries, rowBase))
+    readerChildren.foreach(_.seekTree(entries))
   }
 }
 
