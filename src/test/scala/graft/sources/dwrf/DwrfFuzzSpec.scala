@@ -62,8 +62,8 @@ class DwrfFuzzSpec extends AnyFunSuite {
   private def sortedRender(df: DataFrame): Seq[String] =
     df.collect().toSeq.map(r => render(r)).sorted
 
-  test("randomized round trips across options (12 seeded iterations)") {
-    for (iter <- 0 until 12) {
+  test("randomized round trips across options (16 seeded iterations)") {
+    for (iter <- 0 until 16) {
       val rnd = new Random(4242 + iter)
       val pool = fieldPool(rnd)
       val chosen = rnd.shuffle(pool).take(3 + rnd.nextInt(5))
@@ -102,6 +102,27 @@ class DwrfFuzzSpec extends AnyFunSuite {
           val got = sortedRender(back.filter(col(f.name) > bound))
           assert(got == expect, s"iter $iter filter probe on ${f.name} > $bound (opts=$opts)")
         }
+      // flat-projection range probe: projecting away arrays/maps forces
+      // the COLUMNAR path (structs included), so this exercises
+      // vectorized decode + stride-granular I/O pruning under the same
+      // random codec/stride/dictionary matrix
+      val flatCols = chosen.map(_._1).filter(f => f.dataType match {
+        case _: ArrayType | _: MapType => false
+        case _ => true
+      }).map(_.name)
+      val rangeCol = chosen.map(_._1)
+        .find(f => flatCols.contains(f.name) &&
+          (f.dataType == LongType || f.dataType == IntegerType || f.dataType == ShortType))
+      if (flatCols.nonEmpty && rangeCol.isDefined) {
+        val f = rangeCol.get
+        val lo = rnd.nextInt(1000) - 500
+        val hi = lo + rnd.nextInt(800)
+        val pred = col(f.name) >= lo && col(f.name) < hi
+        val expect = sortedRender(df.select(flatCols.map(col): _*).filter(pred))
+        val got = sortedRender(back.select(flatCols.map(col): _*).filter(pred))
+        assert(got == expect,
+          s"iter $iter columnar range probe ${f.name} in [$lo,$hi) (opts=$opts)")
+      }
     }
   }
 }
