@@ -18,13 +18,14 @@ object ColumnarSupport {
   def supported(schema: StructType): Boolean =
     schema.fields.nonEmpty && schema.fields.forall(f => supportedType(f.dataType))
 
-  /** Atomics and (recursively) structs of atomics vectorize; arrays and
-    * maps keep the row path (offset bookkeeping isn't worth it there). */
+  /** Every type vectorizes: atomics, structs, arrays, maps — recursively. */
   private def supportedType(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
          FloatType | DoubleType | StringType | BinaryType |
          TimestampType | TimestampNTZType | DateType => true
     case s: StructType => s.fields.forall(f => supportedType(f.dataType))
+    case a: ArrayType => supportedType(a.elementType)
+    case m: MapType => supportedType(m.keyType) && supportedType(m.valueType)
     case _ => false
   }
 }
@@ -60,11 +61,20 @@ abstract class VectorDecoder(val columnId: Int) {
   /** Nested decoders a seek/start must recurse into. */
   def decoderChildren: Seq[VectorDecoder] = Nil
 
+  /** Reset per-batch bookkeeping (collection element counters). */
+  protected def beginBatch(): Unit = ()
+
+  private final def beginBatchTree(): Unit = {
+    beginBatch()
+    decoderChildren.foreach(_.beginBatchTree())
+  }
+
   /** Decode one value into slot i, consuming this column's PRESENT bit. */
   final def putOne(v: OnHeapColumnVector, i: Int): Unit =
     if (present == null || present.next()) put(v, i) else v.putNull(i)
 
   final def fill(v: OnHeapColumnVector, n: Int): Unit = {
+    beginBatchTree()
     var i = 0
     while (i < n) { putOne(v, i); i += 1 }
   }
@@ -84,9 +94,98 @@ object VectorDecoder {
     case BinaryType => new BinaryVectorDecoder(columnId)
     case TimestampType | TimestampNTZType => new TimestampVectorDecoder(columnId)
     case s: StructType => new StructVectorDecoder(columnId, s)
+    case a: ArrayType => new ListVectorDecoder(columnId, a)
+    case m: MapType => new MapVectorDecoder(columnId, m)
     case other =>
       throw new UnsupportedOperationException(s"columnar: unsupported $other")
   }
+}
+
+private[dwrf] object VectorUtil {
+  /** Reserve row capacity on a vector AND its struct children (a plain
+    * reserve does not cascade; struct children share row ids). */
+  def reserveRows(v: OnHeapColumnVector, cap: Int): Unit = {
+    v.reserve(cap)
+    v.dataType() match {
+      case s: StructType =>
+        var j = 0
+        while (j < s.fields.length) {
+          reserveRows(v.getChild(j).asInstanceOf[OnHeapColumnVector], cap)
+          j += 1
+        }
+      case _ => ()
+    }
+  }
+}
+
+/** Array: LENGTH stream + element child decoded into the vector's child
+  * column with running batch-local offsets (putArray bookkeeping). A null
+  * array row consumes no length and no elements, matching the writer.
+  */
+final class ListVectorDecoder(c: Int, at: ArrayType) extends VectorDecoder(c) {
+  private var lengths: RunLengthIntegerReader = null
+  private val elem = VectorDecoder.create(c + 1, at.elementType)
+  private var elemCount = 0
+
+  override def decoderChildren: Seq[VectorDecoder] = Seq(elem)
+  override protected def beginBatch(): Unit = elemCount = 0
+
+  override protected def startValues(src: StreamSource): Unit = {
+    lengths = src.stream(c, StreamKind.Length)
+      .map(new RunLengthIntegerReader(_, signed = false, src.useVInts)).orNull
+    elem.start(src)
+  }
+
+  override protected def put(v: OnHeapColumnVector, i: Int): Unit = {
+    val n = lengths.next().toInt
+    val child = v.getChild(0).asInstanceOf[OnHeapColumnVector]
+    VectorUtil.reserveRows(child, elemCount + n)
+    var j = 0
+    while (j < n) { elem.putOne(child, elemCount + j); j += 1 }
+    v.putArray(i, elemCount, n)
+    elemCount += n
+  }
+
+  override protected def seekValues(e: RowIndexEntry): Unit =
+    e.positions.get(StreamKind.Length).foreach(p => lengths.seek(new ArrayPositionProvider(p)))
+}
+
+/** Map: LENGTH stream + key/value children sharing the array offsets. */
+final class MapVectorDecoder(c: Int, mt: MapType) extends VectorDecoder(c) {
+  private var lengths: RunLengthIntegerReader = null
+  private val key = VectorDecoder.create(c + 1, mt.keyType)
+  private val value = VectorDecoder.create(
+    c + 1 + ColumnTree.subtreeSize(mt.keyType), mt.valueType)
+  private var entryCount = 0
+
+  override def decoderChildren: Seq[VectorDecoder] = Seq(key, value)
+  override protected def beginBatch(): Unit = entryCount = 0
+
+  override protected def startValues(src: StreamSource): Unit = {
+    lengths = src.stream(c, StreamKind.Length)
+      .map(new RunLengthIntegerReader(_, signed = false, src.useVInts)).orNull
+    key.start(src)
+    value.start(src)
+  }
+
+  override protected def put(v: OnHeapColumnVector, i: Int): Unit = {
+    val n = lengths.next().toInt
+    val keys = v.getChild(0).asInstanceOf[OnHeapColumnVector]
+    val values = v.getChild(1).asInstanceOf[OnHeapColumnVector]
+    VectorUtil.reserveRows(keys, entryCount + n)
+    VectorUtil.reserveRows(values, entryCount + n)
+    var j = 0
+    while (j < n) {
+      key.putOne(keys, entryCount + j)
+      value.putOne(values, entryCount + j)
+      j += 1
+    }
+    v.putArray(i, entryCount, n)
+    entryCount += n
+  }
+
+  override protected def seekValues(e: RowIndexEntry): Unit =
+    e.positions.get(StreamKind.Length).foreach(p => lengths.seek(new ArrayPositionProvider(p)))
 }
 
 /** Schema evolution: a column requested but absent from this file fills

@@ -223,6 +223,34 @@ class DwrfPushdownSpec extends AnyFunSuite {
     } finally r.close()
   }
 
+  test("array and map columns vectorize, including filtered stride-seek reads") {
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "dwrf-nestedvec-").toString
+    spark.range(0, 8000, 1, 1).select(
+      col("id"),
+      when(col("id") % 11 =!= 0,
+        sequence(lit(0L), col("id") % 4)).as("arr"), // nulls + variable len
+      map(concat(lit("k"), col("id") % 3), col("id").cast("double")).as("m"))
+      .write.format("dwrf").mode("overwrite")
+      .option("row.index.stride", "1000").save(dir)
+
+    val q = spark.read.format("dwrf").load(dir)
+      .filter(col("id") >= 3000 && col("id") < 3010)
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty && scans.forall(_.supportsColumnar),
+      "array/map scan must take the columnar path")
+    val got = q.orderBy("id").collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 11 == 0) assert(r.isNullAt(1))
+      else assert(r.getSeq[Long](1) == (0L to id % 4).toSeq, s"id $id array")
+      assert(r.getMap[String, Double](2) == Map(s"k${id % 3}" -> id.toDouble), s"id $id map")
+    }
+  }
+
   test("stride pruning is exact with tiny compression chunks (slack stress)") {
     // 1 KB chunks + 10-byte varints: boundary-straddling RLE runs span
     // several chunks; the pruning slack must still cover their tails.
