@@ -191,9 +191,37 @@ object AdvancedQueries extends QueryPack {
     |ORDER BY c_custkey
     |""".stripMargin.trim
 
+  // CUBE over two dimensions (all 4 grouping combinations in one pass).
+  private val cubeSql = s"""
+    |SELECT
+    |  CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+    |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+    |  c_mktsegment, o_orderpriority,
+    |  COUNT(*) AS n_orders,
+    |  ${dsum("o_totalprice")} AS total_price
+    |FROM orders JOIN customer ON o_custkey = c_custkey
+    |GROUP BY CUBE(c_mktsegment, o_orderpriority)
+    |ORDER BY g_seg, g_pri, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST
+    |""".stripMargin.trim
+
+  // Ordered-set aggregates: exact interpolated percentiles — both engines
+  // sort and linearly interpolate, so values agree bit-for-bit after a
+  // 6-digit round.
+  private val percentilesSql = """
+    |SELECT l_returnflag,
+    |  CAST(ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_quantity), 6) AS DOUBLE) AS p50_qty,
+    |  CAST(ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_quantity), 6) AS DOUBLE) AS p90_qty,
+    |  CAST(ROUND(PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS DOUBLE) AS p99_price
+    |FROM lineitem
+    |GROUP BY l_returnflag
+    |ORDER BY l_returnflag
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     shared("adv_grouping_sets", groupingSetsSql),
     shared("adv_lateral", lateralSql),
+    shared("adv_cube", cubeSql),
+    shared("adv_percentiles", percentilesSql),
     shared("adv_market_share", marketShareSql),
     shared("adv_profit_by_nation", profitSql),
     shared("adv_priority_buckets", q12Sql),
