@@ -158,6 +158,16 @@ final class ByteRanges(val length: Int, segments0: Seq[(Int, Array[Byte], Int, I
     (arr, off + (pos - s))
   }
 
+  /** The segment containing `pos`: (startPos, array, arrayOffset, len).
+    * EOF on gaps — callers cache it for sequential fast-path access. */
+  def segmentAt(pos: Int): (Int, Array[Byte], Int, Int) = {
+    val i = segIdx(pos)
+    if (i < 0) throw new EOFException(s"pos $pos in unread gap")
+    val seg = segs(i)
+    if (pos >= seg._1 + seg._4) throw new EOFException(s"pos $pos in unread gap")
+    seg
+  }
+
   /** Copy up to `len` bytes at `pos` into `buf` (bounded by the current
     * segment); -1 at stream end. */
   def read(pos: Int, buf: Array[Byte], off: Int, len: Int): Int = {
@@ -199,9 +209,26 @@ sealed abstract class InStream extends InputStream {
 
 final class UncompressedInStream(name: String, ranges: ByteRanges) extends InStream {
   private var pos = 0
+  // cached current segment: single-byte reads (varint decode is the
+  // hottest loop in the engine) must be a direct array index, not a
+  // binary search per byte
+  private var segArr: Array[Byte] = null
+  private var segBase = 0 // stream pos of segArr(segOff)
+  private var segOff = 0
+  private var segEnd = 0 // stream pos just past the cached segment
 
-  override def read(): Int =
-    if (pos >= ranges.length) -1 else { val b = ranges.byteAt(pos); pos += 1; b }
+  private def refresh(): Unit = {
+    val (start, arr, off, len) = ranges.segmentAt(pos)
+    segArr = arr; segBase = start; segOff = off; segEnd = start + len
+  }
+
+  override def read(): Int = {
+    if (pos >= ranges.length) return -1
+    if (segArr == null || pos < segBase || pos >= segEnd) refresh()
+    val b = segArr(segOff + (pos - segBase)) & 0xff
+    pos += 1
+    b
+  }
 
   override def read(buf: Array[Byte], off: Int, len: Int): Int = {
     val n = ranges.read(pos, buf, off, len)

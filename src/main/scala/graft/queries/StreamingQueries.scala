@@ -52,18 +52,24 @@ object StreamingQueries extends QueryPack {
     val sentinelDir = s"/root/repo/target/stream-sentinel-$tag"
     val sentinelLink = srcDir.resolve(s"zz-sentinel-$sentinelNs.parquet")
     if (!java.nio.file.Files.exists(sentinelLink)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(srcDir).iterator().asScala.toSeq
-        .filter(_.getFileName.toString.startsWith("zz-sentinel-"))
-        .foreach(java.nio.file.Files.delete) // stale sentinels out
+      // prefix match WITHOUT the trailing dash also purges the legacy
+      // fixed-name "zz-sentinel.parquet" link; close the dir streams
+      scala.util.Using.resource(java.nio.file.Files.list(srcDir)) { st =>
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.startsWith("zz-sentinel"))
+          .foreach(java.nio.file.Files.delete)
+      }
       s.read.parquet(s"$dir/events.parquet").limit(1)
         .withColumn("ts", lit(sentinelNs))
         .withColumn("event_type", lit("__wm_sentinel__"))
         .withColumn("user_id", lit(-1L))
         .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(sentinelDir))
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .findFirst().get()
+      val part = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(sentinelDir))) { st =>
+        st.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+      }
       java.nio.file.Files.createSymbolicLink(sentinelLink, part)
     }
     (srcDir.toString, rawSchema)
@@ -228,6 +234,12 @@ object StreamingQueries extends QueryPack {
           def micros(t: java.sql.Timestamp): Long =
             Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
           val retentionMs = 30L * 24 * 3600 * 1000 // tombstone lifetime
+          // timeouts must never be set below the current watermark
+          // (GroupState rejects that): clamp — a clamped tombstone just
+          // purges on the next batch, the documented retention trade
+          def setTimeout(atMs: Long): Unit =
+            state.setTimeoutTimestamp(
+              math.max(atMs, state.getCurrentWatermarkMs() + 1))
           if (state.hasTimedOut) {
             val os = state.get
             if (os.open) {
@@ -235,7 +247,7 @@ object StreamingQueries extends QueryPack {
               // session — emit it, keep a closed tombstone so the id
               // counter survives, purge the tombstone after retention
               state.update(os.copy(open = false))
-              state.setTimeoutTimestamp(os.endUs / 1000 + retentionMs)
+              setTimeout(os.endUs / 1000 + retentionMs)
               Iterator((uid, os.sessionId, os.startUs, os.endUs, os.n))
             } else {
               state.remove() // retention elapsed: drop the tombstone
@@ -263,7 +275,7 @@ object StreamingQueries extends QueryPack {
             }
             if (cur != null && cur.open) {
               state.update(cur)
-              state.setTimeoutTimestamp(cur.endUs / 1000 + gapUs / 1000 + 1)
+              setTimeout(cur.endUs / 1000 + gapUs / 1000 + 1)
             }
             out.iterator
           }

@@ -9,10 +9,13 @@ import graft.format._
 
 /** Vectorized scan path: decodes stripes straight into Spark
   * `OnHeapColumnVector`s in 4096-row batches, bypassing per-row boxing
-  * entirely. Used for flat (all-atomic) projections without pushed
-  * filters; nested schemas and filtered scans take the row path (which
-  * can seek). The reference is row-at-a-time everywhere (SURVEY §4
-  * "vectorization: none") — this is where the Spark build overtakes it.
+  * entirely. EVERY type vectorizes (atomics, structs, arrays, maps,
+  * recursively), with or without pushed filters — filtered scans apply
+  * the same stripe/stride stats skipping as the row path, seeking the
+  * decoders past skipped stride runs. The reference is row-at-a-time
+  * everywhere (SURVEY §4 "vectorization: none") — this is where the
+  * Spark build overtakes it. The row path remains for point reads
+  * (rowsFrom) and tools.
   */
 object ColumnarSupport {
   def supported(schema: StructType): Boolean =

@@ -267,10 +267,10 @@ final class DwrfPartitionReaderFactory(readSchemaJson: String,
   @transient private lazy val parsedSchema =
     org.apache.spark.sql.types.DataType.fromJson(readSchemaJson).asInstanceOf[StructType]
 
-  /** Flat (all-atomic) projections take the vectorized path, WITH or
-    * without pushed filters: the columnar reader applies the same
-    * stripe/stride stats skipping as the row path, seeking decoders to
-    * surviving stride runs. Nested schemas keep the row path.
+  /** Every projection takes the vectorized path — all types, nested
+    * included — WITH or without pushed filters: the columnar reader
+    * applies the same stripe/stride stats skipping as the row path,
+    * seeking decoders to surviving stride runs.
     */
   override def supportColumnarReads(partition: InputPartition): Boolean =
     ColumnarSupport.supported(parsedSchema)

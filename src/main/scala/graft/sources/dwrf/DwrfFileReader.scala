@@ -262,13 +262,16 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
           case Some(sel) =>
             sel.indexes.get(s.column) match {
               case Some(entries) if entries.forall(_.positions.contains(s.kind)) =>
-                // slack must cover the boundary chunk PLUS the worst-case
-                // RLE run tail (~1.3 KB of varints + interleaved chunk
-                // headers) INDEPENDENT of blockSize — with a tiny
-                // compress.size the run can straddle several chunks, and
-                // 2 chunks of slack would leave its tail unread
+                // slack must cover: the boundary chunk IN FULL, plus the
+                // worst-case RLE run tail (~2 KB of varints) spilling
+                // into following chunks — and because ensureBlock views
+                // each touched chunk in full, the LAST touched chunk's
+                // full extent too. 2*(3+blockSize) covers boundary +
+                // one full next chunk (the large-chunk case); +4096
+                // covers a multi-chunk tail when compress.size is tiny.
                 val slack =
-                  if (codec.isDefined) (3L + postScript.blockSize) + 8192L else 8192L
+                  if (codec.isDefined) 2L * (3 + postScript.blockSize) + 4096L
+                  else 8192L
                 sel.runs.map { case (a, b) =>
                   val relStart = entries(a).positions(s.kind)(0)
                   val relEnd =
