@@ -116,10 +116,51 @@ object TextQueries extends QueryPack {
     |LIMIT 50
     |""".stripMargin.trim
 
+  // --------------------------------------------- BPE-ish token counts
+  // Subword-style tokenization via the classic pre-tokenizer regex
+  // shape: letter runs | digit runs (capped at 3, GPT-2-style) |
+  // single non-alphanumeric marks. Counted per doc, aggregated per
+  // source next to the whitespace count, so the two tokenizer costs are
+  // directly comparable. The pattern uses only portable regex syntax,
+  // so Spark (Java regex) and DuckDB (RE2) tokenize identically.
+  private val bpePattern = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 ]"
+
+  private def tokenBpe(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.load(s, dir, "documents")
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+          .cast("long").as("bpe"),
+        size(split(col("text"), " ")).cast("long").as("ws"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("bpe")).cast("long").as("bpe_tokens"),
+        sum(col("ws")).cast("long").as("ws_tokens"),
+        max(col("bpe")).as("max_bpe_doc"))
+      .orderBy("source")
+  }
+
+  private val tokenBpeOracle = s"""
+    |WITH t AS (
+    |  SELECT source,
+    |    CAST(len(regexp_extract_all(text, '$bpePattern')) AS BIGINT) AS bpe,
+    |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws
+    |  FROM documents)
+    |SELECT source, COUNT(*) AS n_docs,
+    |  CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+    |  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+    |  MAX(bpe) AS max_bpe_doc
+    |FROM t
+    |GROUP BY source
+    |ORDER BY source
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     shared("text_stats", statsSql),
     shared("text_langid", langidSql),
     Q("text_fingerprint", fingerprint, None),
     Q("text_token_freq", tokenFreq, Some(tokenFreqOracle)),
+    Q("text_token_bpe", tokenBpe, Some(tokenBpeOracle)),
   )
 }
