@@ -69,7 +69,8 @@ case class DocFingerprint(child: Expression, window: Int)
 
 object GraftFunctions {
   /** Register graft's native expressions for SQL / expr() use:
-    * `doc_fingerprint(text[, window])`. Idempotent per session.
+    * `doc_fingerprint(text[, window])` (scalar) and
+    * `kmv_distinct(col[, k])` (aggregate). Idempotent per session.
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -79,6 +80,16 @@ object GraftFunctions {
         case Seq(child, Literal(w: Int, _)) => DocFingerprint(child, w)
         case other => throw new IllegalArgumentException(
           s"doc_fingerprint(text[, window]): got ${other.size} args")
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_distinct",
+      {
+        case Seq(child) => KmvDistinct(child, 1024).toAggregateExpression()
+        case Seq(child, Literal(k: Int, _)) =>
+          KmvDistinct(child, k).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"kmv_distinct(col[, k]): got ${other.size} args")
       },
       "built-in")
   }

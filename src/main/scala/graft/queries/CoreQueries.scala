@@ -233,6 +233,33 @@ object CoreQueries extends QueryPack {
     |    AS without_orders
     |""".stripMargin.trim
 
+  // Native KMV sketch (custom TypedImperativeAggregate, see
+  // graft.functions.KmvDistinct) vs exact COUNT(DISTINCT), side by side:
+  // the rows-only check self-validates via the rel_err column. l_partkey
+  // cardinality exceeds k=1024 (estimation path); l_suppkey stays below
+  // it (exact path) — both branches exercised.
+  private def qDistinctSketch(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.registerAll(s, dir)
+    s.sql("""
+      |SELECT col_name, approx_distinct, exact_distinct,
+      |  CAST(ROUND(ABS(approx_distinct - exact_distinct)
+      |    / CAST(exact_distinct AS DOUBLE), 4) AS DOUBLE) AS rel_err
+      |FROM (
+      |  SELECT 'l_partkey' AS col_name,
+      |    CAST(kmv_distinct(l_partkey, 1024) AS BIGINT) AS approx_distinct,
+      |    COUNT(DISTINCT l_partkey) AS exact_distinct
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_suppkey',
+      |    CAST(kmv_distinct(l_suppkey, 1024) AS BIGINT),
+      |    COUNT(DISTINCT l_suppkey)
+      |  FROM lineitem)
+      |ORDER BY col_name
+      |""".stripMargin.trim)
+  }
+
   override val all: Seq[Q] = Seq(
     shared("q1_pricing", q1Sql),
     shared("q6_forecast_revenue", q6Sql),
@@ -242,6 +269,7 @@ object CoreQueries extends QueryPack {
     Q("q3_shipping_priority", q3, Some(q3Oracle)),
     Q("q_top_parts_window", qTopParts, Some(qTopPartsOracle)),
     Q("q_distinct_counts", qDistinct, Some(qDistinctOracle)),
+    Q("q_distinct_sketch", qDistinctSketch, None),
     Q("q_running_spend", qRunning, Some(qRunningOracle)),
     Q("q_nation_balance", qNationBal, Some(qNationBalOracle)),
     Q("q_semi_anti_join", qSemiAnti, Some(qSemiAntiOracle)),
