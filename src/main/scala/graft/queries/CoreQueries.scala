@@ -233,6 +233,56 @@ object CoreQueries extends QueryPack {
     |    AS without_orders
     |""".stripMargin.trim
 
+  // As-of join (brief's canonical "operator Spark lacks", composed from
+  // existing ops — preference (a) on the extension ladder): each event
+  // picks the latest order of the same customer at-or-before its
+  // timestamp. Implementation is the classic distributed as-of shape:
+  // union both sides tagged, ONE shuffle on the key, sort within
+  // partitions by (time, side), and carry the last non-null order id
+  // forward with a rows-unbounded-preceding window — no per-row probe,
+  // no range explosion; at 100 TB this is a single sort-merge pass.
+  // Orders are pre-deduped per (custkey, date) so ties are well-defined
+  // in both engines; the DuckDB oracle uses its native ASOF LEFT JOIN.
+  private def qAsof(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(s, dir, "events")
+      .select($"user_id", $"ts", $"event_type")
+    val ord = Tables.load(s, dir, "orders")
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("ok"))
+    val tagged = ord.select($"o_custkey".as("k"), $"o_orderdate".as("t"),
+        lit(0).as("side"), $"ok", lit(null).cast("string").as("event_type"))
+      .unionByName(ev.select($"user_id".as("k"), $"ts".as("t"),
+        lit(1).as("side"), lit(null).cast("long").as("ok"), $"event_type"))
+    val w = Window.partitionBy($"k").orderBy($"t", $"side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("carried", last($"ok", ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count($"carried").as("n_matched"),
+        sum($"carried").cast("bigint").as("sum_ok"))
+      .orderBy($"event_type")
+  }
+
+  private val qAsofOracle = """
+    |WITH od AS (
+    |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS ok
+    |  FROM orders GROUP BY 1, 2)
+    |SELECT event_type,
+    |  COUNT(*) AS n_events,
+    |  COUNT(od.ok) AS n_matched,
+    |  CAST(SUM(od.ok) AS BIGINT) AS sum_ok
+    |FROM events e
+    |ASOF LEFT JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+    |GROUP BY event_type
+    |ORDER BY event_type
+    |""".stripMargin.trim
+
   // Native KMV sketch (custom TypedImperativeAggregate, see
   // graft.functions.KmvDistinct) vs exact COUNT(DISTINCT), side by side:
   // the rows-only check self-validates via the rel_err column. l_partkey
@@ -270,6 +320,7 @@ object CoreQueries extends QueryPack {
     Q("q_top_parts_window", qTopParts, Some(qTopPartsOracle)),
     Q("q_distinct_counts", qDistinct, Some(qDistinctOracle)),
     Q("q_distinct_sketch", qDistinctSketch, None),
+    Q("q_asof_join", qAsof, Some(qAsofOracle)),
     Q("q_running_spend", qRunning, Some(qRunningOracle)),
     Q("q_nation_balance", qNationBal, Some(qNationBalOracle)),
     Q("q_semi_anti_join", qSemiAnti, Some(qSemiAntiOracle)),
