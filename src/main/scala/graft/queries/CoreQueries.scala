@@ -283,6 +283,55 @@ object CoreQueries extends QueryPack {
     |ORDER BY event_type
     |""".stripMargin.trim
 
+  // Range join (the brief's other named composed operator): events per
+  // order within [o_orderdate, o_orderdate + 7 days). A naive range
+  // predicate would plan a nested-loop join; the scale-safe shape
+  // bucketizes time by the interval width — each order probes its bucket
+  // and the next (explode of exactly 2), the join is a plain equi-join
+  // on (customer, bucket) with bounded fan-out, and the exact window is
+  // re-filtered after. One shuffle, no quadratic blowup at 100 TB.
+  private def qRangeJoin(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val weekUs = 7L * 24 * 3600 * 1000000
+    val ev = Tables.load(s, dir, "events")
+      .select($"user_id", expr("unix_micros(ts)").as("ts_us"))
+      .withColumn("bucket", floor($"ts_us" / weekUs))
+    val ord = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority",
+        // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is identity
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("od_us"))
+    val probes = ord
+      .withColumn("b0", floor($"od_us" / weekUs))
+      .select($"o_orderkey", $"o_custkey", $"od_us",
+        explode(array($"b0", $"b0" + 1)).as("bucket"))
+    val matched = probes.join(ev,
+        probes("o_custkey") === ev("user_id") && probes("bucket") === ev("bucket"))
+      .filter($"ts_us" >= $"od_us" && $"ts_us" < $"od_us" + weekUs)
+      .groupBy($"o_orderkey".as("ok")).agg(count(lit(1)).as("cnt"))
+    ord.join(matched, ord("o_orderkey") === matched("ok"), "left")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(coalesce($"cnt", lit(0L))).cast("bigint").as("total_events"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val qRangeJoinOracle = """
+    |WITH m AS (
+    |  SELECT o.o_orderkey, o.o_orderpriority, COUNT(e.ts) AS cnt
+    |  FROM orders o LEFT JOIN events e
+    |    ON e.user_id = o.o_custkey
+    |   AND e.ts >= o.o_orderdate
+    |   AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+    |  GROUP BY 1, 2)
+    |SELECT o_orderpriority, COUNT(*) AS n_orders,
+    |  CAST(SUM(cnt) AS BIGINT) AS total_events
+    |FROM m
+    |GROUP BY o_orderpriority
+    |ORDER BY o_orderpriority
+    |""".stripMargin.trim
+
   // Native KMV sketch (custom TypedImperativeAggregate, see
   // graft.functions.KmvDistinct) vs exact COUNT(DISTINCT), side by side:
   // the rows-only check self-validates via the rel_err column. l_partkey
@@ -321,6 +370,7 @@ object CoreQueries extends QueryPack {
     Q("q_distinct_counts", qDistinct, Some(qDistinctOracle)),
     Q("q_distinct_sketch", qDistinctSketch, None),
     Q("q_asof_join", qAsof, Some(qAsofOracle)),
+    Q("q_range_join", qRangeJoin, Some(qRangeJoinOracle)),
     Q("q_running_spend", qRunning, Some(qRunningOracle)),
     Q("q_nation_balance", qNationBal, Some(qNationBalOracle)),
     Q("q_semi_anti_join", qSemiAnti, Some(qSemiAntiOracle)),
