@@ -14,7 +14,7 @@ object Bench {
   private val headline: Seq[String] = Seq(
     "q1_pricing", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue", "q_events_hourly", "q_running_spend",
-    "q_distinct_counts",
+    "q_distinct_counts", "q_asof_join", "q_range_join",
     "dwrf_roundtrip_lineitem", "dwrf_projection_filter",
     "dwrf_filter_columnar",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",

@@ -94,6 +94,22 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join plans as union + window, with NO join operator at all") {
+    val p = planOf("q_asof_join")
+    assert(collectAll(p) { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty,
+      s"the union/sort/carry shape needs no join:\n$p")
+    assert(collectAll(p) { case w: org.apache.spark.sql.execution.window.WindowExec => w }.nonEmpty,
+      "carry-forward window must be present")
+  }
+
+  test("range join is a bounded equi-join, never nested-loop") {
+    val p = planOf("q_range_join")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"bucketized range join must not plan a nested loop:\n$p")
+  }
+
   test("exact dedup is a single hash aggregation chain, no join") {
     val p = planOf("dedup_exact")
     assert(collectAll(p) { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty,
