@@ -62,8 +62,10 @@ class DwrfFuzzSpec extends AnyFunSuite {
   private def sortedRender(df: DataFrame): Seq[String] =
     df.collect().toSeq.map(r => render(r)).sorted
 
-  test("randomized round trips across options (16 seeded iterations)") {
-    for (iter <- 0 until 16) {
+  private val iterations = sys.env.get("DWRF_FUZZ_ITERS").map(_.toInt).getOrElse(16)
+
+  test(s"randomized round trips across options ($iterations seeded iterations)") {
+    for (iter <- 0 until iterations) {
       val rnd = new Random(4242 + iter)
       val pool = fieldPool(rnd)
       val chosen = rnd.shuffle(pool).take(3 + rnd.nextInt(5))
