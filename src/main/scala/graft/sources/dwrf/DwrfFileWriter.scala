@@ -33,8 +33,15 @@ final case class DwrfWriteOptions(
     entropyStringThreshold: Int = 20)
 
 object DwrfWriteOptions {
-  /** Parse `.option(...)` strings (names follow OrcConf / OrcFile). */
-  def fromMap(m: collection.Map[String, String]): DwrfWriteOptions = {
+  /** Parse `.option(...)` strings (names follow OrcConf / OrcFile).
+    * `orc.`- and `hive.exec.orc.`-prefixed spellings are accepted as
+    * aliases, so option names a reference user already passes keep
+    * working unchanged.
+    */
+  def fromMap(raw: collection.Map[String, String]): DwrfWriteOptions = {
+    val m = raw.map { case (k, v) =>
+      k.stripPrefix("hive.exec.orc.").stripPrefix("orc.") -> v
+    }
     val d = DwrfWriteOptions()
     DwrfWriteOptions(
       kind = m.get("compress").map(CompressionKind.fromName).getOrElse(d.kind),

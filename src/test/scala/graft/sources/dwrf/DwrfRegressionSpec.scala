@@ -123,6 +123,22 @@ class DwrfRegressionSpec extends AnyFunSuite {
     assert(back.exceptAll(hexy).isEmpty && hexy.exceptAll(back).isEmpty)
   }
 
+  test("orc.-prefixed writer options are accepted as aliases") {
+    val dir = tmpDir()
+    spark.range(0, 100, 1, 1).select(col("id"),
+      concat(lit("v"), col("id")).as("s"))
+      .write.format("dwrf").mode("overwrite")
+      .option("orc.compress", "SNAPPY")
+      .option("hive.exec.orc.row.index.stride", "50").save(dir)
+    val file = DwrfUtil.listDataFiles(
+      new org.apache.hadoop.fs.Path(dir), new org.apache.hadoop.conf.Configuration()).head
+    val r = new DwrfFileReader(file, new org.apache.hadoop.conf.Configuration())
+    try {
+      assert(r.postScript.compression == graft.format.CompressionKind.Snappy)
+      assert(r.footer.rowIndexStride == 50)
+    } finally r.close()
+  }
+
   test("negative zero does not sanction stats skipping") {
     // stats min/max are built with primitive comparisons (-0.0 == 0.0);
     // the evaluator must use the same order, or a stride whose max was
