@@ -189,37 +189,74 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String)
 /** Per-file footer summary cached by the Scan: read ONCE per query (shared
   * by planInputPartitions and estimateStatistics) and gathered on a bounded
   * pool — at 100k files two serial driver metadata passes would dominate
-  * planning.
+  * planning. `statsByName` are the file-level column stats resolved
+  * against that file's OWN schema (schema evolution safe), driving
+  * whole-file pruning for static and runtime filters.
   */
 private final case class DwrfFileTail(
     path: String,
     stripes: Seq[graft.format.StripeInformation],
     numRows: Long,
-    rawDataSize: Long)
+    rawDataSize: Long,
+    statsByName: Map[String, graft.format.ColumnStats])
 
 final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: String,
     pushed: Array[org.apache.spark.sql.sources.Filter])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = readSchema
   override def toBatch: Batch = this
 
   private val hadoopConf = new SerializableHadoopConf(DwrfUtil.sessionHadoopConf())
 
+  /** Runtime filters Spark injects at execution time (the DSv2 analog of
+    * dynamic partition pruning — e.g. the IN-set of join keys from a
+    * broadcast side). They prune whole files via footer stats and flow to
+    * the readers for stripe/stride skipping, exactly like static pushed
+    * filters; Spark re-evaluates everything above the scan, so pruning
+    * stays pure I/O savings.
+    */
+  @volatile private var runtimeFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    readSchema.fields
+      .filter(f => StatsFilter.filterableColumn(f.name, tableSchema))
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    runtimeFilters = filters.filter(StatsFilter.supported(_, tableSchema))
+  }
+
+  private def allFilters: Array[org.apache.spark.sql.sources.Filter] =
+    pushed ++ runtimeFilters
+
   private lazy val fileTails: Seq[DwrfFileTail] = {
     val files = DwrfUtil.listDataFiles(new Path(path), hadoopConf.value)
     DwrfUtil.parMap(files) { file =>
       val r = new DwrfFileReader(file, hadoopConf.value)
-      try DwrfFileTail(file.toString, r.footer.stripes, r.footer.numRows,
-        r.footer.rawDataSize)
-      finally r.close()
+      try {
+        val ids = ColumnTree.topLevelIds(r.schema)
+        val statsByName = r.schema.fields.map(_.name).zip(ids).flatMap {
+          case (name, id) => r.footer.fileStats.get(id).map(name -> _)
+        }.toMap
+        DwrfFileTail(file.toString, r.footer.stripes, r.footer.numRows,
+          r.footer.rawDataSize, statsByName)
+      } finally r.close()
     }
   }
 
-  /** One partition per stripe group of ~target split size. */
+  /** One partition per stripe group of ~target split size; files whose
+    * footer stats refute the (static + runtime) filters are skipped
+    * entirely — no footer re-read, no task. */
   override def planInputPartitions(): Array[InputPartition] = {
     val targetSplit = 128L * 1024 * 1024
-    fileTails.flatMap { tail =>
+    val filters = allFilters.toSeq
+    fileTails.filter { tail =>
+      filters.isEmpty ||
+        StatsFilter.mayMatch(filters, tableSchema, tail.statsByName.get)
+    }.flatMap { tail =>
       val parts = scala.collection.mutable.ArrayBuffer.empty[DwrfInputPartition]
       var start = -1L
       var end = -1L
@@ -238,7 +275,7 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DwrfPartitionReaderFactory(readSchema.json, pushed, hadoopConf)
+    new DwrfPartitionReaderFactory(readSchema.json, allFilters, hadoopConf)
 
   override def description(): String =
     s"dwrf scan of $path, PushedFilters: [${pushed.mkString(", ")}]"

@@ -35,6 +35,11 @@ object StatsFilter {
     case _ => false
   }
 
+  /** Is this a column stats-based skipping can act on? (drives which
+    * attributes the scan reports for runtime filtering) */
+  def filterableColumn(attr: String, schema: StructType): Boolean =
+    atomic(attr, schema)
+
   private def atomic(attr: String, schema: StructType): Boolean =
     schema.fields.find(_.name == attr).exists { f =>
       f.dataType match {
