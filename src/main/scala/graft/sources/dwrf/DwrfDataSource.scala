@@ -70,8 +70,14 @@ final class DwrfDataSource extends TableProvider with DataSourceRegister {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
+      properties: JMap[String, String]): Table = {
+    require(partitioning.isEmpty,
+      "dwrf: partitionBy is not supported; lay data out with " +
+        "repartitionByRange(...).sortWithinPartitions(...) before writing — " +
+        "footer/stripe/stride stats plus runtime filtering then give " +
+        "partition-pruning-equivalent file skipping without directory trees")
     new DwrfTable(schema, properties.asScala.toMap)
+  }
 }
 
 object DwrfUtil {
