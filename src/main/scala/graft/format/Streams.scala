@@ -139,27 +139,9 @@ final class ByteRanges(val length: Int, segments0: Seq[(Int, Array[Byte], Int, I
     i
   }
 
-  def byteAt(pos: Int): Int = {
-    if (pos < 0 || pos >= length) throw new EOFException(s"pos $pos outside [0,$length)")
-    val i = segIdx(pos)
-    if (i < 0) throw new EOFException(s"pos $pos in unread gap")
-    val (s, arr, off, len) = segs(i)
-    if (pos >= s + len) throw new EOFException(s"pos $pos in unread gap")
-    arr(off + (pos - s)) & 0xff
-  }
-
-  /** Contiguous (array, offset) view of [pos, pos+n) in one segment. */
-  def view(pos: Int, n: Int): (Array[Byte], Int) = {
-    val i = segIdx(pos)
-    if (i < 0) throw new EOFException(s"pos $pos in unread gap")
-    val (s, arr, off, len) = segs(i)
-    if (pos >= s + len || pos + n > s + len)
-      throw new EOFException(s"[$pos,${pos + n}) exceeds the filled range")
-    (arr, off + (pos - s))
-  }
-
   /** The segment containing `pos`: (startPos, array, arrayOffset, len).
-    * EOF on gaps — callers cache it for sequential fast-path access. */
+    * EOF on gaps — callers cache it for sequential fast-path access;
+    * byteAt/view/read all delegate here so the gap invariant lives once. */
   def segmentAt(pos: Int): (Int, Array[Byte], Int, Int) = {
     val i = segIdx(pos)
     if (i < 0) throw new EOFException(s"pos $pos in unread gap")
@@ -168,14 +150,25 @@ final class ByteRanges(val length: Int, segments0: Seq[(Int, Array[Byte], Int, I
     seg
   }
 
+  def byteAt(pos: Int): Int = {
+    if (pos < 0 || pos >= length) throw new EOFException(s"pos $pos outside [0,$length)")
+    val (s, arr, off, _) = segmentAt(pos)
+    arr(off + (pos - s)) & 0xff
+  }
+
+  /** Contiguous (array, offset) view of [pos, pos+n) in one segment. */
+  def view(pos: Int, n: Int): (Array[Byte], Int) = {
+    val (s, arr, off, len) = segmentAt(pos)
+    if (pos + n > s + len)
+      throw new EOFException(s"[$pos,${pos + n}) exceeds the filled range")
+    (arr, off + (pos - s))
+  }
+
   /** Copy up to `len` bytes at `pos` into `buf` (bounded by the current
     * segment); -1 at stream end. */
   def read(pos: Int, buf: Array[Byte], off: Int, len: Int): Int = {
     if (pos >= length) return -1
-    val i = segIdx(pos)
-    if (i < 0) throw new EOFException(s"pos $pos in unread gap")
-    val (s, arr, aoff, slen) = segs(i)
-    if (pos >= s + slen) throw new EOFException(s"pos $pos in unread gap")
+    val (s, arr, aoff, slen) = segmentAt(pos)
     val n = math.min(len, s + slen - pos)
     System.arraycopy(arr, aoff + (pos - s), buf, off, n)
     n

@@ -88,6 +88,12 @@ object GraftFunctions {
         case Seq(child) => KmvDistinct(child, 1024).toAggregateExpression()
         case Seq(child, Literal(k: Int, _)) =>
           KmvDistinct(child, k).toAggregateExpression()
+        case Seq(child, Literal(k: Long, _)) =>
+          KmvDistinct(child, k.toInt).toAggregateExpression()
+        case Seq(child, Literal(k: Short, _)) =>
+          KmvDistinct(child, k.toInt).toAggregateExpression()
+        case Seq(_, other) => throw new IllegalArgumentException(
+          s"kmv_distinct(col, k): k must be an integer literal, got $other")
         case other => throw new IllegalArgumentException(
           s"kmv_distinct(col[, k]): got ${other.size} args")
       },

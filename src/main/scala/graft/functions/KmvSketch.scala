@@ -60,6 +60,20 @@ case class KmvDistinct(
 
   require(k >= 16, s"kmv_distinct: k must be >= 16, got $k")
 
+  // only value-hashable atomics: a fall-through to Object.hashCode would
+  // be identity-based for arrays/rows — wrong AND nondeterministic
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | StringType | BinaryType | BooleanType |
+           TimestampType | TimestampNTZType | DateType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"kmv_distinct: unsupported input type ${other.simpleString} " +
+            "(atomic types only)")
+    }
+
   override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
 
   private def hashOf(v: Any): Long = v match {
@@ -71,7 +85,12 @@ case class KmvDistinct(
       XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
     case d: Double => XXH64.hashLong(java.lang.Double.doubleToLongBits(d), 42L)
     case f: Float => XXH64.hashLong(java.lang.Float.floatToIntBits(f).toLong, 42L)
-    case other => XXH64.hashLong(other.hashCode().toLong, 42L)
+    case b: Boolean => XXH64.hashLong(if (b) 1L else 0L, 42L)
+    case bytes: Array[Byte] =>
+      XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+    case other => throw new IllegalStateException(
+      s"kmv_distinct: unhashable value class ${other.getClass.getName}")
   }
 
   override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {

@@ -34,13 +34,22 @@ final case class DwrfWriteOptions(
 
 object DwrfWriteOptions {
   /** Parse `.option(...)` strings (names follow OrcConf / OrcFile).
-    * `orc.`- and `hive.exec.orc.`-prefixed spellings are accepted as
-    * aliases, so option names a reference user already passes keep
-    * working unchanged.
+    * `orc.`-, `hive.exec.orc.`- and `hive.exec.orc.default.`-prefixed
+    * spellings are accepted as aliases, so option names a reference user
+    * already passes keep working unchanged. Conflicting spellings of the
+    * same option (different values) are an error, not a silent
+    * last-writer-wins.
     */
   def fromMap(raw: collection.Map[String, String]): DwrfWriteOptions = {
-    val m = raw.map { case (k, v) =>
-      k.stripPrefix("hive.exec.orc.").stripPrefix("orc.") -> v
+    val m = scala.collection.mutable.Map.empty[String, String]
+    raw.foreach { case (k0, v) =>
+      val k = k0.stripPrefix("hive.exec.orc.default.")
+        .stripPrefix("hive.exec.orc.").stripPrefix("orc.")
+      m.get(k) match {
+        case Some(prev) if prev != v => throw new IllegalArgumentException(
+          s"dwrf: conflicting spellings of option '$k': '$prev' vs '$v'")
+        case _ => m(k) = v
+      }
     }
     val d = DwrfWriteOptions()
     DwrfWriteOptions(

@@ -76,8 +76,16 @@ object StatsFilter {
     case LessThan(a, v) => cmp(a, v, schema, statsOf) { (lo, _) => lo > 0 }
     case LessThanOrEqual(a, v) => cmp(a, v, schema, statsOf) { (lo, _) => lo >= 0 }
     case In(a, vs) =>
-      vs.isEmpty || vs.exists(v =>
-        cmp(a, v, schema, statsOf) { (lo, hi) => lo >= 0 && hi >= 0 })
+      // resolve the field and stats ONCE, not per IN value: runtime
+      // join-key filters can carry thousands of values and this runs per
+      // file/stripe/stride
+      vs.isEmpty || {
+        val field = schema.fields.find(_.name == a)
+        val st = statsOf(a)
+        if (field.isEmpty || st.isEmpty) true
+        else vs.exists(v =>
+          cmpResolved(field.get, st.get, v) { (lo, hi) => lo >= 0 && hi >= 0 })
+      }
     case _ => true
   }
 
@@ -89,9 +97,15 @@ object StatsFilter {
       attr: String, value: Any, schema: StructType,
       statsOf: String => Option[ColumnStats])(
       check: (Int, Int) => Boolean): Boolean = {
-    if (value == null) return true
     val field = schema.fields.find(_.name == attr).getOrElse(return true)
     val st = statsOf(attr).getOrElse(return true)
+    cmpResolved(field, st, value)(check)
+  }
+
+  private def cmpResolved(
+      field: StructField, st: ColumnStats, value: Any)(
+      check: (Int, Int) => Boolean): Boolean = {
+    if (value == null) return true
     if (st.count == 0) return false // all null: no non-null value can match
     field.dataType match {
       case ByteType | ShortType | IntegerType | LongType =>

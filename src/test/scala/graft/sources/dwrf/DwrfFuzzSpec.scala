@@ -62,7 +62,9 @@ class DwrfFuzzSpec extends AnyFunSuite {
   private def sortedRender(df: DataFrame): Seq[String] =
     df.collect().toSeq.map(r => render(r)).sorted
 
-  private val iterations = sys.env.get("DWRF_FUZZ_ITERS").map(_.toInt).getOrElse(16)
+  private val iterations = sys.env.get("DWRF_FUZZ_ITERS")
+    .flatMap(s => scala.util.Try(s.trim.toInt).toOption.filter(_ > 0))
+    .getOrElse(16)
 
   test(s"randomized round trips across options ($iterations seeded iterations)") {
     for (iter <- 0 until iterations) {
