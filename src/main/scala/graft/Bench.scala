@@ -49,7 +49,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // three sinks so the metrics line is machine-parseable however this
+    // main is launched: target/bench.json (file), the raw process stdout
+    // (bypasses sbt's [info] log prefix), and the sbt-captured stdout
+    java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val raw = new java.io.PrintStream(new java.io.FileOutputStream(
+      java.io.FileDescriptor.out), true, "UTF-8")
+    raw.println(line)
+    println(line)
     spark.stop()
   }
 }

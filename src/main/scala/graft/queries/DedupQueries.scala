@@ -47,7 +47,13 @@ object DedupQueries extends QueryPack {
 
   // --------------------------------------------------- n-gram jaccard
   // Word-5-gram shingles; pairs sharing ≥1 shingle get exact Jaccard.
-  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  // Shared by the Jaccard and MinHash tiers so both dedup metrics are over
+  // the same shingle space.
+  private val shingle5Sql = """array_distinct(transform(
+    |  sequence(1, greatest(size(split(text, ' ')) - 4, 1)),
+    |  i -> concat_ws(' ', slice(split(text, ' '), i, 5))))""".stripMargin
+
+  private def ngramJaccardFull(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     // join on the 64-bit shingle hash, not the string: the shuffle carries
@@ -55,14 +61,9 @@ object DedupQueries extends QueryPack {
     // probability across ~1e6 distinct shingles is ~1e-7 — negligible
     // against the exact string-join oracle)
     // persisted: the self-join + the counts aggregate would otherwise
-    // recompute the shingling three times (ContextCleaner reclaims the
-    // blocks when the plan is GC'd)
-    val shingles = docs.select($"doc_id",
-      explode(expr(
-        """array_distinct(transform(
-          |  sequence(1, greatest(size(split(text, ' ')) - 4, 1)),
-          |  i -> concat_ws(' ', slice(split(text, ' '), i, 5))))""".stripMargin))
-        .as("g0"))
+    // recompute the shingling three times; the public query materializes
+    // the (driver-sized) result and unpersists explicitly
+    val shingles = docs.select($"doc_id", explode(expr(shingle5Sql)).as("g0"))
       .select($"doc_id", xxhash64($"g0").as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = shingles.groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -83,13 +84,27 @@ object DedupQueries extends QueryPack {
     val inter = a.join(b, $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
       .agg(count(lit(1)).as("n_common"))
-    inter
+    val result = inter
       .join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
       .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
       .select($"id_a", $"id_b", $"n_common",
         ($"n_common" / ($"n_a" + $"n_b" - $"n_common")).as("jaccard"))
       .filter($"jaccard" >= 0.5)
       .orderBy($"id_a", $"id_b")
+    (result, shingles)
+  }
+
+  private[queries] def ngramJaccardPlan(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardFull(s, dir)._1
+
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // the near-dup pair list at jaccard ≥ 0.5 is driver-sized (dup groups
+    // are a bounded fraction of the corpus): materialize it, then free the
+    // shingle cache so long-lived sessions don't accumulate blocks
+    val (result, shingles) = ngramJaccardFull(s, dir)
+    val rows = result.collect()
+    shingles.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
   private val ngramJaccardOracle = """
@@ -116,10 +131,13 @@ object DedupQueries extends QueryPack {
     |""".stripMargin.trim
 
   // ------------------------------------------------------ minhash LSH
-  // k=32 hash functions, 8 bands × 4 rows. Signature per doc without a
-  // shuffle; one explode on bands for the bucket join; candidates get the
-  // estimated (signature-fraction) similarity and survive at est ≥ 0.5.
-  private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+  // k=32 hash functions, 8 bands × 4 rows over word-5-gram shingles (same
+  // shingle space as the Jaccard tier — 3-grams collide far more across
+  // unrelated docs). Signature per doc; one band-bucket shuffle; only the
+  // bare 16-byte (id_a, id_b) pairs ride the collision join — a pair that
+  // collides in b bands is deduplicated BEFORE the 256-byte signature
+  // arrays are joined back (once per pair) for the estimate.
+  private def minhashLshFull(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     import s.implicits._
     val k = 32
     val bands = 8
@@ -131,34 +149,36 @@ object DedupQueries extends QueryPack {
     // lambda would re-evaluate the shingling per hash function (Catalyst
     // CollapseProject inlines aliases into lambda bodies) — measured 30x
     // slower at sf0.1.
-    val shingleHashes = docs.select($"doc_id",
-      explode(expr(
-        """array_distinct(transform(
-          |  sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-          |  i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin))
-        .as("g"))
+    val shingleHashes = docs.select($"doc_id", explode(expr(shingle5Sql)).as("g"))
       .select($"doc_id", xxhash64($"g").as("bh"))
+    // referenced twice (band explode + per-pair signature join-back):
+    // persist; the public query materializes and unpersists explicitly
     val sigs = shingleHashes.groupBy($"doc_id").agg(
       array((0 until k).map(i => min(xxhash64($"bh", lit(i)))): _*).as("sig"))
-    val banded = sigs.select($"doc_id", $"sig",
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select($"doc_id",
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(${
           (0 until rowsPerBand).map(r => s"sig[b * $rowsPerBand + $r]").mkString(", ")
         }))")).as(Seq("band_idx", "band_hash")))
     val a = banded.as("a")
     val b = banded.as("b")
-    val pairs = a.join(b,
+    // bare ids only through the collision shuffle; distinct collapses a
+    // pair colliding in b bands to ONE row before any signature work
+    val cand = a.join(b,
       $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
         $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
-        expr(s"""aggregate(zip_with(a.sig, b.sig, (x, y) -> IF(x = y, 1, 0)),
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .distinct()
+    val pairs = cand
+      .join(sigs.select($"doc_id".as("id_a"), $"sig".as("sig_a")), "id_a")
+      .join(sigs.select($"doc_id".as("id_b"), $"sig".as("sig_b")), "id_b")
+      .select($"id_a", $"id_b",
+        expr(s"""aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),
                  |0, (acc, v) -> acc + v) / CAST($k AS DOUBLE)""".stripMargin)
           .as("est_jaccard"))
-      .distinct()
       .filter($"est_jaccard" >= 0.5)
-      // referenced twice (candidate-id collection + final join): persist
-      // so the band join runs once; ContextCleaner reclaims the blocks
-      // when the plan is GC'd (same pattern as the n-gram shingles)
+      // referenced twice (candidate-id collection + final join)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // self-validating confirm column: recompute the EXACT Jaccard for the
     // surviving candidates (few) from their shingle sets, so the rows-only
@@ -169,21 +189,29 @@ object DedupQueries extends QueryPack {
     val candIds = pairs
       .select(explode(array($"id_a", $"id_b")).as("doc_id")).distinct()
     val sets = docs.join(broadcast(candIds), "doc_id")
-      .select($"doc_id",
-        explode(expr(
-          """array_distinct(transform(
-            |  sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-            |  i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin))
-          .as("g"))
+      .select($"doc_id", explode(expr(shingle5Sql)).as("g"))
       .select($"doc_id", xxhash64($"g").as("bh"))
       .groupBy($"doc_id").agg(collect_set($"bh").as("gs"))
-    pairs
+    val result = pairs
       .join(sets.select($"doc_id".as("id_a"), $"gs".as("gs_a")), "id_a")
       .join(sets.select($"doc_id".as("id_b"), $"gs".as("gs_b")), "id_b")
       .select($"id_a", $"id_b", round($"est_jaccard", 4).as("est_jaccard"),
         round(size(array_intersect($"gs_a", $"gs_b")).cast("double") /
           size(array_union($"gs_a", $"gs_b")), 4).as("true_jaccard"))
       .orderBy($"id_a", $"id_b")
+    (result, Seq(sigs, pairs))
+  }
+
+  private[queries] def minhashLshPlan(s: SparkSession, dir: String): DataFrame =
+    minhashLshFull(s, dir)._1
+
+  private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // near-dup pairs at est ≥ 0.5 are driver-sized: materialize, then free
+    // both caches (same pattern as ann_ivf_topk)
+    val (result, caches) = minhashLshFull(s, dir)
+    val rows = result.collect()
+    caches.foreach(_.unpersist())
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
   // ---------------------------------------------------------- simhash

@@ -85,8 +85,17 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("LSH band joins are equi-joins (shuffle hash/sort-merge), never cartesian") {
-    for (name <- Seq("dedup_minhash_lsh", "dedup_simhash")) {
-      val p = planOf(name)
+    // minhash / lsh_cosine / ngram materialize eagerly (collect + unpersist),
+    // so gate their lazy plan builders, not the LocalRelation they return
+    val plans: Seq[(String, SparkPlan)] = Seq(
+      "dedup_minhash_lsh" ->
+        DedupQueries.minhashLshPlan(spark, sf).queryExecution.executedPlan,
+      "dedup_ngram_jaccard" ->
+        DedupQueries.ngramJaccardPlan(spark, sf).queryExecution.executedPlan,
+      "ann_lsh_cosine" ->
+        SimilarityQueries.lshCosinePlan(spark, sf).queryExecution.executedPlan,
+      "dedup_simhash" -> planOf("dedup_simhash"))
+    for ((name, p) <- plans) {
       assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
         s"$name must not plan a cartesian product:\n$p")
       assert(collectAll(p) { case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j }.isEmpty,
