@@ -32,6 +32,38 @@ object ColumnTree {
     ids
   }
 
+  /** Dotted path → (column id, type) for every struct-addressable field:
+    * top-level fields plus every field reachable through struct nesting
+    * (`st.ok`, `a.b.c`). Catalyst pushes nested-field predicates with
+    * exactly these dotted names, and the writer records stats per column
+    * id for nested columns too — this map joins the two so stripe/stride
+    * skipping works below the top level. Array/map interiors have no
+    * dotted address and are not emitted. On a (pathological) collision
+    * between a nested path and a top-level column literally named
+    * "st.ok", the top-level column wins — matching Spark's own
+    * resolution order for unquoted names.
+    */
+  def pathIds(schema: StructType): Map[String, (Int, DataType)] = {
+    val out = Map.newBuilder[String, (Int, DataType)]
+    def walk(prefix: String, fields: Array[StructField], startId: Int): Unit = {
+      var id = startId
+      fields.foreach { f =>
+        val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        out += path -> (id -> f.dataType)
+        f.dataType match {
+          case s: StructType => walk(path, s.fields, id + 1)
+          case _ =>
+        }
+        id += subtreeSize(f.dataType)
+      }
+    }
+    walk("", schema.fields, 1)
+    // top-level names override nested paths on collision
+    val top = schema.fields.map(_.name).zip(
+      topLevelIds(schema).zip(schema.fields.map(_.dataType))).toMap
+    out.result() ++ top
+  }
+
   /** Mark the whole subtree of the field with column id `id` as included. */
   def includeSubtree(include: Array[Boolean], id: Int, dt: DataType): Unit = {
     include(id) = true

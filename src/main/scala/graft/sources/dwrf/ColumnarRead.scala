@@ -508,7 +508,7 @@ final class DwrfColumnarPartitionReader(
       val si = stripeIt.next()
       val sf = reader.readStripeFooter(si)
       def stripeStatsOf(attr: String): Option[ColumnStats] =
-        idByName.get(attr).flatMap { case (id, _) => sf.stats.get(id) }
+        reader.statIdByPath.get(attr).flatMap { case (id, _) => sf.stats.get(id) }
       if (filters.nonEmpty && !StatsFilter.mayMatch(filters, reader.schema, stripeStatsOf)) {
         reader.counters.stripesSkipped += 1
       } else {
@@ -527,7 +527,7 @@ final class DwrfColumnarPartitionReader(
         if (indexes.isEmpty || indexes.values.exists(_.length != numStrides))
           return fullRead()
         def strideStatsOf(k: Int)(attr: String): Option[ColumnStats] =
-          idByName.get(attr).flatMap { case (id, _) =>
+          reader.statIdByPath.get(attr).flatMap { case (id, _) =>
             indexes.get(id).map(_(k).stats)
           }
         val matching = (0 until numStrides)

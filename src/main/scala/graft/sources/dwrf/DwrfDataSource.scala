@@ -192,6 +192,15 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String)
   override def build(): Scan = new DwrfScan(tableSchema, readSchema, path, pushed)
 }
 
+/** Multi-part column reference for nested struct leaves (`st.ok`) — the
+  * public FieldReference constructor is sql-private; the interface only
+  * needs the parts. */
+private final case class DottedFieldReference(parts: Array[String])
+    extends org.apache.spark.sql.connector.expressions.NamedReference {
+  override def fieldNames(): Array[String] = parts
+  override def toString: String = parts.mkString(".")
+}
+
 /** Per-file footer summary cached by the Scan: read ONCE per query (shared
   * by planInputPartitions and estimateStatistics) and gathered on a bounded
   * pool — at 100k files two serial driver metadata passes would dominate
@@ -226,10 +235,20 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
   @volatile private var runtimeFilters: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
 
-  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    readSchema.fields
-      .filter(f => StatsFilter.filterableColumn(f.name, tableSchema))
-      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // every stats-skippable dotted path under a projected top-level column
+    // (nested struct leaves included — their stats are written per id)
+    val topNames = readSchema.fields.map(_.name).toSet
+    ColumnTree.pathIds(tableSchema).keys.toArray
+      .filter(p => topNames.contains(p) || topNames.contains(p.split('.').head))
+      .filter(p => StatsFilter.filterableColumn(p, tableSchema))
+      .sorted
+      .map { p =>
+        if (topNames.contains(p))
+          org.apache.spark.sql.connector.expressions.Expressions.column(p)
+        else DottedFieldReference(p.split('.'))
+      }
+  }
 
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     runtimeFilters = filters.filter(StatsFilter.supported(_, tableSchema))
@@ -243,10 +262,11 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
     DwrfUtil.parMap(files) { file =>
       val r = new DwrfFileReader(file, hadoopConf.value)
       try {
-        val ids = ColumnTree.topLevelIds(r.schema)
-        val statsByName = r.schema.fields.map(_.name).zip(ids).flatMap {
-          case (name, id) => r.footer.fileStats.get(id).map(name -> _)
-        }.toMap
+        // keyed by dotted path (top-level AND nested struct leaves), so
+        // file pruning acts on nested-field predicates too
+        val statsByName = ColumnTree.pathIds(r.schema).flatMap {
+          case (path, (id, _)) => r.footer.fileStats.get(id).map(path -> _)
+        }
         DwrfFileTail(file.toString, r.footer.stripes, r.footer.numRows,
           r.footer.rawDataSize, statsByName)
       } finally r.close()

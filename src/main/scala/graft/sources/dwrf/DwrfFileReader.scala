@@ -110,6 +110,11 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
     schema.fields.map(_.name).zip(fullIds.zip(schema.fields.map(_.dataType))).toMap
   }
 
+  /** Stats lookups accept dotted struct paths too (`st.ok`) — the writer
+    * records stats per column id at every nesting level. */
+  private[dwrf] lazy val statIdByPath: Map[String, (Int, org.apache.spark.sql.types.DataType)] =
+    ColumnTree.pathIds(schema)
+
   /** Row iterator over the given stripes, producing only `readSchema`'s
     * top-level fields (a subset of the file schema's fields). `filters`
     * (a conjunction) trigger stripe- and stride-level skipping via stats;
@@ -153,7 +158,7 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
     stripes.iterator.flatMap { si =>
       val sf = readStripeFooter(si)
       def stripeStatsOf(attr: String): Option[ColumnStats] =
-        idByName.get(attr).flatMap { case (id, _) => sf.stats.get(id) }
+        statIdByPath.get(attr).flatMap { case (id, _) => sf.stats.get(id) }
       if (filters.nonEmpty && !StatsFilter.mayMatch(filters, schema, stripeStatsOf)) {
         counters.stripesSkipped += 1
         Iterator.empty // whole stripe skipped on stats
@@ -171,7 +176,7 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
             readAll(si, sf) // index unavailable/inconsistent: full read
           } else {
             def strideStatsOf(k: Int)(attr: String): Option[ColumnStats] =
-              idByName.get(attr).flatMap { case (id, _) =>
+              statIdByPath.get(attr).flatMap { case (id, _) =>
                 indexes.get(id).map(_(k).stats)
               }
             val matching = (0 until numStrides)

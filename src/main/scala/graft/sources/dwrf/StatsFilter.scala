@@ -40,8 +40,30 @@ object StatsFilter {
   def filterableColumn(attr: String, schema: StructType): Boolean =
     atomic(attr, schema)
 
+  /** Resolve an attribute — possibly a dotted struct path, which is how
+    * Catalyst names nested fields in pushed filters (`st.ok`) — to its
+    * leaf field. Exact top-level names win (a column literally named
+    * "st.ok"); backtick-quoted parts (column names that themselves
+    * contain dots) are left unresolved — None only means "can't skip",
+    * never a wrong result. Only struct nesting is addressable this way.
+    */
+  private[dwrf] def resolve(attr: String, schema: StructType): Option[StructField] =
+    schema.fields.find(_.name == attr).orElse {
+      if (attr.contains('`') || !attr.contains('.')) None
+      else {
+        val parts = attr.split('.')
+        parts.tail.foldLeft(schema.fields.find(_.name == parts.head)) {
+          (cur, p) =>
+            cur.flatMap(_.dataType match {
+              case s: StructType => s.fields.find(_.name == p)
+              case _ => None
+            })
+        }
+      }
+    }
+
   private def atomic(attr: String, schema: StructType): Boolean =
-    schema.fields.find(_.name == attr).exists { f =>
+    resolve(attr, schema).exists { f =>
       f.dataType match {
         case ByteType | ShortType | IntegerType | LongType | FloatType |
              DoubleType | StringType | BooleanType | TimestampType |
@@ -80,7 +102,7 @@ object StatsFilter {
       // join-key filters can carry thousands of values and this runs per
       // file/stripe/stride
       vs.isEmpty || {
-        val field = schema.fields.find(_.name == a)
+        val field = resolve(a, schema)
         val st = statsOf(a)
         if (field.isEmpty || st.isEmpty) true
         else vs.exists(v =>
@@ -97,7 +119,7 @@ object StatsFilter {
       attr: String, value: Any, schema: StructType,
       statsOf: String => Option[ColumnStats])(
       check: (Int, Int) => Boolean): Boolean = {
-    val field = schema.fields.find(_.name == attr).getOrElse(return true)
+    val field = resolve(attr, schema).getOrElse(return true)
     val st = statsOf(attr).getOrElse(return true)
     cmpResolved(field, st, value)(check)
   }

@@ -284,6 +284,61 @@ class DwrfPushdownSpec extends AnyFunSuite {
     } finally r.close()
   }
 
+  test("nested struct-field predicates skip stripes and strides") {
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "dwrf-nestpush-").toString
+    // st.ok = id*2, sorted => stride k holds st.ok in [2k*1000, 2(k+1)*1000)
+    spark.range(0, 10000, 1, 1).select(
+      col("id"),
+      struct((col("id") * 2).as("ok"),
+        concat(lit("v-"), format_string("%06d", col("id"))).as("tag")).as("st"))
+      .write.format("dwrf").mode("overwrite")
+      .option("row.index.stride", "1000").save(dir)
+
+    // reader level: a dotted filter resolves to the nested column's stats
+    val file = DwrfUtil.listDataFiles(new Path(dir), new Configuration()).head
+    val r = new DwrfFileReader(file, new Configuration())
+    try {
+      val rows = r.rows(r.footer.stripes, r.schema,
+        Seq(LessThan("st.ok", 1000L))).toVector
+      assert(rows.size == 1000, "st.ok < 1000 lives entirely in stride 0")
+      assert(r.counters.stridesSkipped == 9, "the other nine strides skip")
+      // decoded struct values must be right after the (trivial) seek
+      assert(rows.map(_.getStruct(1, 2).getLong(0)) == (0L until 2000L by 2).toVector)
+    } finally r.close()
+
+    // refutable range => whole stripe skipped on nested stats
+    val r2 = new DwrfFileReader(file, new Configuration())
+    try {
+      assert(r2.rows(r2.footer.stripes, r2.schema,
+        Seq(GreaterThan("st.ok", 999999L))).isEmpty)
+      assert(r2.counters.stripesSkipped == 1)
+    } finally r2.close()
+
+    // mid-file stride through a dotted equality, struct decode checked
+    val r3 = new DwrfFileReader(file, new Configuration())
+    try {
+      val rows = r3.rows(r3.footer.stripes, r3.schema,
+        Seq(EqualTo("st.ok", 7000L))).toVector
+      assert(rows.size == 1000, "one stride survives")
+      val hit = rows.find(_.getLong(0) == 3500L).get
+      assert(hit.getStruct(1, 2).getUTF8String(1).toString == "v-003500")
+    } finally r3.close()
+
+    // Spark level: the nested predicate is pushed to the dwrf scan
+    val df = spark.read.format("dwrf").load(dir).filter(col("st.ok") > 19000L)
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall { s =>
+      val d = s.scan.description()
+      d.contains("PushedFilters: [") && !d.contains("PushedFilters: []")
+    }, scans.map(_.scan.description()).mkString("\n"))
+    val got = df.select("id").orderBy("id").collect().map(_.getLong(0))
+    assert(got.toSeq == (9501L until 10000L).toSeq)
+  }
+
   test("dictionary encoding engages for low-cardinality columns") {
     val dir = writeSorted(stride = 1000)
     val file = DwrfUtil.listDataFiles(new Path(dir), new Configuration()).head
