@@ -55,10 +55,16 @@ final class DwrfDataSource extends TableProvider with DataSourceRegister {
       merged.get(f.name) match {
         case None => merged(f.name) = f
         case Some(prev) =>
-          require(prev.dataType == f.dataType,
-            s"dwrf: column '${f.name}' has conflicting types " +
-              s"${prev.dataType.simpleString} vs ${f.dataType.simpleString}")
-          if (f.nullable && !prev.nullable) merged(f.name) = prev.copy(nullable = true)
+          // type widening across file generations: int→long, float→double
+          // (recursively through structs/arrays/maps) merges to the widest
+          // type; files with the narrower one upcast on read
+          val widened = TypeWidening.widen(prev.dataType, f.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"dwrf: column '${f.name}' has conflicting types " +
+                s"${prev.dataType.simpleString} vs ${f.dataType.simpleString} " +
+                "(only widening drift — int→long, float→double — is readable)"))
+          merged(f.name) = prev.copy(dataType = widened,
+            nullable = prev.nullable || f.nullable)
       }
     })
     // a column absent from any file reads as null there => force nullable
@@ -213,7 +219,8 @@ private final case class DwrfFileTail(
     stripes: Seq[graft.format.StripeInformation],
     numRows: Long,
     rawDataSize: Long,
-    statsByName: Map[String, graft.format.ColumnStats])
+    statsByName: Map[String, graft.format.ColumnStats],
+    widened: Boolean)
 
 final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: String,
     pushed: Array[org.apache.spark.sql.sources.Filter])
@@ -267,8 +274,13 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
         val statsByName = ColumnTree.pathIds(r.schema).flatMap {
           case (path, (id, _)) => r.footer.fileStats.get(id).map(path -> _)
         }
+        // does any read column need a widening upcast from this file's
+        // narrower on-disk type? (drives the columnar-vs-row choice)
+        val widened = readSchema.fields.exists { f =>
+          r.schema.fields.find(_.name == f.name).exists(_.dataType != f.dataType)
+        }
         DwrfFileTail(file.toString, r.footer.stripes, r.footer.numRows,
-          r.footer.rawDataSize, statsByName)
+          r.footer.rawDataSize, statsByName, widened)
       } finally r.close()
     }
   }
@@ -301,7 +313,11 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DwrfPartitionReaderFactory(readSchema.json, allFilters, hadoopConf)
+    // supportColumnarReads must be uniform across partitions (Spark
+    // rejects mixed scans), so ONE widened file sends the whole scan down
+    // the row path — the rare evolution case pays, the common case doesn't
+    new DwrfPartitionReaderFactory(readSchema.json, allFilters, hadoopConf,
+      rowFallback = fileTails.exists(_.widened))
 
   override def description(): String =
     s"dwrf scan of $path, PushedFilters: [${pushed.mkString(", ")}]"
@@ -324,7 +340,8 @@ final case class DwrfInputPartition(path: String, offset: Long, length: Long)
 
 final class DwrfPartitionReaderFactory(readSchemaJson: String,
     pushed: Array[org.apache.spark.sql.sources.Filter],
-    hadoopConf: SerializableHadoopConf)
+    hadoopConf: SerializableHadoopConf,
+    rowFallback: Boolean = false)
     extends PartitionReaderFactory {
 
   @transient private lazy val parsedSchema =
@@ -333,10 +350,11 @@ final class DwrfPartitionReaderFactory(readSchemaJson: String,
   /** Every projection takes the vectorized path — all types, nested
     * included — WITH or without pushed filters: the columnar reader
     * applies the same stripe/stride stats skipping as the row path,
-    * seeking decoders to surviving stride runs.
+    * seeking decoders to surviving stride runs. Exception: a scan over
+    * files needing type-widening upcasts reads rows (`rowFallback`).
     */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    ColumnarSupport.supported(parsedSchema)
+    !rowFallback && ColumnarSupport.supported(parsedSchema)
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {

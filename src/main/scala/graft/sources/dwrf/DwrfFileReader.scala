@@ -115,6 +115,23 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
   private[dwrf] lazy val statIdByPath: Map[String, (Int, org.apache.spark.sql.types.DataType)] =
     ColumnTree.pathIds(schema)
 
+  /** Readers for `readSchema`'s fields against this file: absent columns
+    * read all-null, present-but-narrower columns (schema evolution type
+    * widening) decode as written and upcast per value.
+    */
+  private def makeReaders(readSchema: StructType): Array[TreeReader] =
+    readSchema.fields.map { f =>
+      idByName.get(f.name) match {
+        case Some((id, dt)) =>
+          val base = TreeReader.create(id, dt)
+          TypeWidening.converter(dt, f.dataType) match {
+            case Some(c) => new UpcastTreeReader(base, c)
+            case None => base
+          }
+        case None => new NullColumnTreeReader // schema evolution: all-null
+      }
+    }
+
   /** Row iterator over the given stripes, producing only `readSchema`'s
     * top-level fields (a subset of the file schema's fields). `filters`
     * (a conjunction) trigger stripe- and stride-level skipping via stats;
@@ -124,12 +141,7 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
       stripes: Seq[StripeInformation],
       readSchema: StructType,
       filters: Seq[org.apache.spark.sql.sources.Filter] = Nil): Iterator[InternalRow] = {
-    val readers: Array[TreeReader] = readSchema.fields.map { f =>
-      idByName.get(f.name) match {
-        case Some((id, dt)) => TreeReader.create(id, dt)
-        case None => new NullColumnTreeReader // schema evolution: all-null
-      }
-    }
+    val readers: Array[TreeReader] = makeReaders(readSchema)
     val wantedColumns: Array[Boolean] = {
       val inc = new Array[Boolean](ColumnTree.columnCount(schema))
       readSchema.fields.foreach { f =>
@@ -373,12 +385,7 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
     if (firstIdx >= stripes.length) return Iterator.empty
     val si = stripes(firstIdx)
     val sf = readStripeFooter(si)
-    val readers: Array[TreeReader] = readSchema.fields.map { f =>
-      idByName.get(f.name) match {
-        case Some((id, dt)) => TreeReader.create(id, dt)
-        case None => new NullColumnTreeReader
-      }
-    }
+    val readers: Array[TreeReader] = makeReaders(readSchema)
     val wanted = {
       val inc = new Array[Boolean](ColumnTree.columnCount(schema))
       readSchema.fields.foreach { f =>

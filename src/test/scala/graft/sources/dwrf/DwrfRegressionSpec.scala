@@ -239,6 +239,55 @@ class DwrfRegressionSpec extends AnyFunSuite {
     assert(df.filter(col("b").isNull).count() == 1000)
   }
 
+  test("schema evolution: numeric widening across file generations (int→long, float→double)") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val oldDir = tmpDir()
+    val newDir = tmpDir()
+    val merged = tmpDir()
+    // "old" generation: int/float, nested int inside a struct and an array
+    spark.range(0, 1000, 1, 1).select(
+      col("id"),
+      col("id").cast("int").as("n"),
+      (col("id") * 0.5f).cast("float").as("x"),
+      struct(col("id").cast("int").as("v")).as("st"),
+      array(col("id").cast("int")).as("arr"))
+      .write.format("dwrf").mode("overwrite").save(oldDir)
+    // "new" generation: the producer upgraded to long/double everywhere
+    spark.range(1000, 2000, 1, 1).select(
+      col("id"),
+      col("id").as("n"),
+      (col("id") * 0.5).as("x"),
+      struct(col("id").as("v")).as("st"),
+      array(col("id")).as("arr"))
+      .write.format("dwrf").mode("overwrite").save(newDir)
+    for (d <- Seq(oldDir, newDir); f <- new java.io.File(d).listFiles
+         if f.getName.endsWith(".dwrf"))
+      JF.copy(f.toPath, JP.get(merged, s"${JP.get(d).getFileName}-${f.getName}"))
+
+    val df = spark.read.format("dwrf").load(merged)
+    // merged schema is the widest type at every nesting level
+    import org.apache.spark.sql.types._
+    assert(df.schema("n").dataType == LongType)
+    assert(df.schema("x").dataType == DoubleType)
+    assert(df.schema("st").dataType.asInstanceOf[StructType]("v").dataType == LongType)
+    assert(df.schema("arr").dataType.asInstanceOf[ArrayType].elementType == LongType)
+    assert(df.count() == 2000)
+    val rows = df.orderBy("id").collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == id, s"id $id: n upcast")
+      assert(r.getDouble(2) == id * 0.5f.toDouble || r.getDouble(2) == id * 0.5,
+        s"id $id: x upcast")
+      assert(r.getStruct(3).getLong(0) == id, s"id $id: nested struct upcast")
+      assert(r.getSeq[Long](4) == Seq(id), s"id $id: array element upcast")
+    }
+    // filters still skip via stats on the widened column (long value vs
+    // int-written stats), and aggregation sees one numeric type
+    assert(df.filter(col("n") === 500L).count() == 1)
+    assert(df.filter(col("st.v") >= 1995L).count() == 5)
+    assert(df.agg(sum(col("n"))).collect().head.getLong(0) == (0L until 2000).sum)
+  }
+
   test("string stat merge uses UTF-8 (code point) order, not UTF-16") {
     // U+FF61 is a single BMP char (UTF-16: FF61); U+10000 is a surrogate
     // pair (UTF-16: D800 DC00). UTF-16 code-unit order says FF61 > D800 so
