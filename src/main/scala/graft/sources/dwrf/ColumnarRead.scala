@@ -464,7 +464,8 @@ final class DwrfColumnarPartitionReader(
     stripes: Seq[StripeInformation],
     readSchema: StructType,
     filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
-    batchSize: Int = 4096)
+    batchSize: Int = 4096,
+    partValues: Map[String, Any] = Map.empty)
     extends org.apache.spark.sql.connector.read.PartitionReader[ColumnarBatch] {
 
   private val vectors: Array[OnHeapColumnVector] =
@@ -476,7 +477,9 @@ final class DwrfColumnarPartitionReader(
     reader.schema.fields.map(_.name).zip(ids.zip(reader.schema.fields.map(_.dataType))).toMap
   }
   private val decoders: Array[VectorDecoder] = readSchema.fields.map { f =>
-    idByName.get(f.name) match {
+    if (partValues.contains(f.name)) // partition column: constant fill
+      new ConstantVectorDecoder(partValues(f.name), f.dataType)
+    else idByName.get(f.name) match {
       case Some((id, dt)) => VectorDecoder.create(id, dt)
       case None => new NullVectorDecoder // schema evolution: all-null
     }

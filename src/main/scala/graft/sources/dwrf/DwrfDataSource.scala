@@ -68,21 +68,48 @@ final class DwrfDataSource extends TableProvider with DataSourceRegister {
       }
     })
     // a column absent from any file reads as null there => force nullable
-    StructType(merged.values.map { f =>
+    val dataFields = merged.values.map { f =>
       if (seenIn(f.name) < schemas.size) f.copy(nullable = true) else f
-    }.toArray)
+    }.toArray
+    // partition discovery: col=value/ directory segments become columns
+    // (appended after the data columns, Hive-style), typed by the
+    // narrowest parse all values share
+    val specs = files.map(f => PartitionLayout.specOf(path, f))
+    val keys = specs.head.map(_._1)
+    require(specs.forall(_.map(_._1) == keys),
+      s"dwrf: inconsistent partition directory layout under $path")
+    val partFields = keys.zipWithIndex.map { case (k, i) =>
+      require(!merged.contains(k),
+        s"dwrf: partition column '$k' collides with a data column")
+      val values = specs.map(_(i)._2)
+      org.apache.spark.sql.types.StructField(k, PartitionLayout.inferType(values),
+        nullable = values.contains(PartitionLayout.NullSentinel))
+    }
+    StructType(dataFields ++ partFields)
   }
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
-    require(partitioning.isEmpty,
-      "dwrf: partitionBy is not supported; lay data out with " +
-        "repartitionByRange(...).sortWithinPartitions(...) before writing — " +
-        "footer/stripe/stride stats plus runtime filtering then give " +
-        "partition-pruning-equivalent file skipping without directory trees")
-    new DwrfTable(schema, properties.asScala.toMap)
+    // Hive-style directory partitioning: identity transforms only (the
+    // reference's OrcOutputFormat files lived under Hive partition dirs)
+    val partCols = partitioning.map { t =>
+      require(t.name == "identity",
+        s"dwrf: only identity partition transforms are supported, got $t")
+      val ref = t.references.head.fieldNames
+      require(ref.length == 1,
+        s"dwrf: partition columns must be top-level, got ${ref.mkString(".")}")
+      ref.head
+    }.toSeq
+    partCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"dwrf: partition column '$c' not in schema"))
+      require(PartitionLayout.supportedType(f.dataType),
+        s"dwrf: partition column '$c' has unsupported type " +
+          s"${f.dataType.simpleString} (integral, float, string, boolean only)")
+    }
+    new DwrfTable(schema, properties.asScala.toMap, partCols)
   }
 }
 
@@ -91,11 +118,16 @@ object DwrfUtil {
     val fs = path.getFileSystem(conf)
     if (!fs.exists(path)) return Nil
     val st = fs.getFileStatus(path)
-    if (st.isFile) Seq(path)
-    else fs.listStatus(path).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".dwrf"))
-      .sortBy(_.getPath.getName)
-      .map(_.getPath)
+    if (st.isFile) return Seq(path)
+    // recursive: partitioned layouts nest data under col=value/ dirs
+    val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isFile && n.endsWith(".dwrf")) out += s.getPath
+      else if (s.isDirectory && !n.startsWith("_") && !n.startsWith(".")) walk(s.getPath)
+    }
+    walk(path)
+    out.sortBy(_.toString).toSeq
   }
 
   /** The session's Hadoop configuration (spark.hadoop.* — filesystem
@@ -140,11 +172,16 @@ final class SerializableHadoopConf(@transient var value: Configuration)
   }
 }
 
-final class DwrfTable(tableSchema: StructType, properties: Map[String, String])
+final class DwrfTable(tableSchema: StructType, properties: Map[String, String],
+    partCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"dwrf:${properties.getOrElse("path", "?")}"
   override def schema(): StructType = tableSchema
+
+  override def partitioning(): Array[Transform] =
+    partCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
@@ -157,7 +194,7 @@ final class DwrfTable(tableSchema: StructType, properties: Map[String, String])
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DwrfWriteBuilder(info.schema(), info.options().get("path"),
-      info.options().asCaseSensitiveMap().asScala.toMap)
+      info.options().asCaseSensitiveMap().asScala.toMap, partCols)
 }
 
 // --------------------------------------------------------------- read
@@ -220,7 +257,8 @@ private final case class DwrfFileTail(
     numRows: Long,
     rawDataSize: Long,
     statsByName: Map[String, graft.format.ColumnStats],
-    widened: Boolean)
+    widened: Boolean,
+    partSpec: Seq[(String, String)])
 
 final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: String,
     pushed: Array[org.apache.spark.sql.sources.Filter])
@@ -279,8 +317,16 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
         val widened = readSchema.fields.exists { f =>
           r.schema.fields.find(_.name == f.name).exists(_.dataType != f.dataType)
         }
+        // partition values surface as min=max stats: the regular pruner
+        // then skips whole partitions for static AND runtime filters
+        // (= dynamic partition pruning through one code path)
+        val spec = PartitionLayout.specOf(new Path(path), file)
+        val partStats = spec.flatMap { case (k, raw) =>
+          tableSchema.fields.find(_.name == k).map(f =>
+            k -> PartitionLayout.asStats(raw, f.dataType, r.footer.numRows))
+        }
         DwrfFileTail(file.toString, r.footer.stripes, r.footer.numRows,
-          r.footer.rawDataSize, statsByName, widened)
+          r.footer.rawDataSize, statsByName ++ partStats, widened, spec)
       } finally r.close()
     }
   }
@@ -302,12 +348,13 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
         val stripeLen = s.indexLength + s.dataLength + s.footerLength
         if (start < 0) { start = s.offset; end = s.offset + stripeLen }
         else if (end - start >= targetSplit) {
-          parts += DwrfInputPartition(tail.path, start, end - start)
+          parts += DwrfInputPartition(tail.path, start, end - start, tail.partSpec)
           start = s.offset
           end = s.offset + stripeLen
         } else end = s.offset + stripeLen
       }
-      if (start >= 0) parts += DwrfInputPartition(tail.path, start, end - start)
+      if (start >= 0)
+        parts += DwrfInputPartition(tail.path, start, end - start, tail.partSpec)
       parts.toSeq
     }.toArray
   }
@@ -335,7 +382,8 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
   }
 }
 
-final case class DwrfInputPartition(path: String, offset: Long, length: Long)
+final case class DwrfInputPartition(path: String, offset: Long, length: Long,
+    partSpec: Seq[(String, String)] = Nil)
     extends InputPartition
 
 final class DwrfPartitionReaderFactory(readSchemaJson: String,
@@ -356,21 +404,55 @@ final class DwrfPartitionReaderFactory(readSchemaJson: String,
   override def supportColumnarReads(partition: InputPartition): Boolean =
     !rowFallback && ColumnarSupport.supported(parsedSchema)
 
+  /** Typed constants for the partition columns present in `readSchema`. */
+  private def partValuesOf(p: DwrfInputPartition): Map[String, Any] =
+    p.partSpec.flatMap { case (k, raw) =>
+      parsedSchema.fields.find(_.name == k)
+        .map(f => k -> PartitionLayout.catalystValue(raw, f.dataType))
+    }.toMap
+
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[DwrfInputPartition]
     val reader = new DwrfFileReader(new Path(p.path), hadoopConf.value)
     new DwrfColumnarPartitionReader(reader,
-      reader.stripesInRange(p.offset, p.length), parsedSchema, pushed.toSeq)
+      reader.stripesInRange(p.offset, p.length), parsedSchema, pushed.toSeq,
+      partValues = partValuesOf(p))
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DwrfInputPartition]
     val readSchema = org.apache.spark.sql.types.DataType
       .fromJson(readSchemaJson).asInstanceOf[StructType]
+    val partVals = partValuesOf(p)
+    // partition columns never live in the data files: read the rest, then
+    // splice the constants into each output row
+    val dataSchema = StructType(readSchema.fields.filterNot(f => partVals.contains(f.name)))
     val reader = new DwrfFileReader(new Path(p.path), hadoopConf.value)
-    val it = reader.rows(reader.stripesInRange(p.offset, p.length), readSchema,
+    val inner = reader.rows(reader.stripesInRange(p.offset, p.length), dataSchema,
       pushed.toSeq)
+    val it: Iterator[InternalRow] =
+      if (partVals.isEmpty) inner
+      else {
+        val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          readSchema.length)
+        // ordinal plan: data column source index, or -1 = constant
+        val srcIdx = readSchema.fields.map(f =>
+          if (partVals.contains(f.name)) -1 else dataSchema.fieldIndex(f.name))
+        readSchema.fields.zipWithIndex.foreach { case (f, i) =>
+          if (srcIdx(i) < 0) out.update(i, partVals(f.name))
+        }
+        inner.map { r =>
+          var i = 0
+          while (i < srcIdx.length) {
+            if (srcIdx(i) >= 0)
+              out.update(i, if (r.isNullAt(srcIdx(i))) null
+                else r.get(srcIdx(i), dataSchema.fields(srcIdx(i)).dataType))
+            i += 1
+          }
+          out: InternalRow
+        }
+      }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = null
       override def next(): Boolean =
@@ -386,7 +468,8 @@ final class DwrfPartitionReaderFactory(readSchemaJson: String,
 // --------------------------------------------------------------- write
 
 final class DwrfWriteBuilder(schema: StructType, path: String,
-    options: Map[String, String]) extends WriteBuilder with SupportsTruncate {
+    options: Map[String, String], partCols: Seq[String] = Nil)
+    extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
 
@@ -394,12 +477,13 @@ final class DwrfWriteBuilder(schema: StructType, path: String,
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new DwrfBatchWrite(schema, path, options, doTruncate)
+      new DwrfBatchWrite(schema, path, options, doTruncate, partCols)
   }
 }
 
 final class DwrfBatchWrite(schema: StructType, path: String,
-    options: Map[String, String], truncate: Boolean) extends BatchWrite {
+    options: Map[String, String], truncate: Boolean,
+    partCols: Seq[String] = Nil) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // runs on the driver before any task: prepare the output dir
@@ -409,7 +493,7 @@ final class DwrfBatchWrite(schema: StructType, path: String,
     if (truncate && fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
     new DwrfDataWriterFactory(schema.json, path, options,
-      new SerializableHadoopConf(conf))
+      new SerializableHadoopConf(conf), partCols)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -424,38 +508,120 @@ final class DwrfBatchWrite(schema: StructType, path: String,
 }
 
 final class DwrfDataWriterFactory(schemaJson: String, path: String,
-    options: Map[String, String], hadoopConf: SerializableHadoopConf)
+    options: Map[String, String], hadoopConf: SerializableHadoopConf,
+    partCols: Seq[String] = Nil)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(schemaJson).asInstanceOf[StructType]
     val conf = hadoopConf.value
-    val file = new Path(path, f"part-$partitionId%05d-$taskId.dwrf")
-    val fs = file.getFileSystem(conf)
-    val os = fs.create(file, true)
-    val writer = new DwrfFileWriter(schema,
-      DwrfWriteOptions.fromMap(options), new java.io.BufferedOutputStream(os, 1 << 16))
     // `.option("metadata.KEY", v)` → user metadata in the file footer
     // (reference testMetaData surface, OrcFile user metadata)
     val userMeta: Map[String, Array[Byte]] = options.collect {
       case (k, v) if k.toLowerCase.startsWith("metadata.") =>
         k.substring("metadata.".length) -> v.getBytes("UTF-8")
     }
-    new DataWriter[InternalRow] {
-      override def write(record: InternalRow): Unit = writer.addRow(record)
-      override def commit(): WriterCommitMessage = {
-        writer.close(userMeta)
-        os.close()
-        DwrfCommitMessage(file.toString, writer.rowCount)
-      }
-      override def abort(): Unit = {
-        try os.close() catch { case _: Throwable => }
-        try fs.delete(file, false) catch { case _: Throwable => }
-      }
-      override def close(): Unit = ()
-    }
+    if (partCols.isEmpty)
+      new DwrfFlatDataWriter(schema, new Path(path, f"part-$partitionId%05d-$taskId.dwrf"),
+        options, userMeta, conf)
+    else
+      new DwrfPartitionedDataWriter(schema, new Path(path), partCols, options,
+        userMeta, conf, partitionId, taskId)
   }
+}
+
+private final class DwrfFlatDataWriter(schema: StructType, file: Path,
+    options: Map[String, String], userMeta: Map[String, Array[Byte]],
+    conf: Configuration) extends DataWriter[InternalRow] {
+  private val fs = file.getFileSystem(conf)
+  private val os = fs.create(file, true)
+  private val writer = new DwrfFileWriter(schema,
+    DwrfWriteOptions.fromMap(options), new java.io.BufferedOutputStream(os, 1 << 16))
+
+  override def write(record: InternalRow): Unit = writer.addRow(record)
+  override def commit(): WriterCommitMessage = {
+    writer.close(userMeta)
+    os.close()
+    DwrfCommitMessage(file.toString, writer.rowCount)
+  }
+  override def abort(): Unit = {
+    try os.close() catch { case _: Throwable => }
+    try fs.delete(file, false) catch { case _: Throwable => }
+  }
+  override def close(): Unit = ()
+}
+
+/** Dynamic-partition writer: routes each row into `col=value/` subdirs,
+  * one open file per distinct combination seen by this task, partition
+  * columns dropped from the data files (Hive layout). Like Hive dynamic
+  * partitions, memory is bounded by open-writer count — repartition by
+  * the partition columns first so each task sees few values (the cap
+  * exists to fail loud, not to make sprawl work).
+  */
+private final class DwrfPartitionedDataWriter(schema: StructType, root: Path,
+    partCols: Seq[String], options: Map[String, String],
+    userMeta: Map[String, Array[Byte]], conf: Configuration,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  private val maxOpenWriters = 256
+  private val fs = root.getFileSystem(conf)
+  private val partIdx: Array[Int] = partCols.map(schema.fieldIndex).toArray
+  private val dataIdx: Array[Int] = schema.fields.indices
+    .filterNot(partIdx.contains(_)).toArray
+  private val dataSchema = StructType(dataIdx.map(schema.fields(_)))
+  private val scratch = new Array[Any](dataIdx.length)
+  private val scratchRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(scratch)
+  private val writers = scala.collection.mutable.LinkedHashMap.empty[
+    String, (DwrfFileWriter, java.io.OutputStream, Path)]
+
+  private def writerFor(record: InternalRow): DwrfFileWriter = {
+    val dirs = partIdx.zipWithIndex.map { case (ord, j) =>
+      val v = if (record.isNullAt(ord)) null
+        else record.get(ord, schema.fields(ord).dataType)
+      PartitionLayout.dirName(partCols(j), v)
+    }.mkString("/")
+    writers.getOrElseUpdate(dirs, {
+      require(writers.size < maxOpenWriters,
+        s"dwrf: task sees more than $maxOpenWriters distinct partition " +
+          "values; repartition by the partition columns before writing")
+      val dir = new Path(root, dirs)
+      fs.mkdirs(dir)
+      val file = new Path(dir, f"part-$partitionId%05d-$taskId.dwrf")
+      val os = fs.create(file, true)
+      (new DwrfFileWriter(dataSchema, DwrfWriteOptions.fromMap(options),
+        new java.io.BufferedOutputStream(os, 1 << 16)), os, file)
+    })._1
+  }
+
+  override def write(record: InternalRow): Unit = {
+    val w = writerFor(record)
+    var j = 0
+    while (j < dataIdx.length) {
+      val ord = dataIdx(j)
+      scratch(j) = if (record.isNullAt(ord)) null
+        else record.get(ord, schema.fields(ord).dataType)
+      j += 1
+    }
+    w.addRow(scratchRow)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    var rows = 0L
+    writers.values.foreach { case (w, os, _) =>
+      w.close(userMeta)
+      os.close()
+      rows += w.rowCount
+    }
+    DwrfCommitMessage(root.toString, rows)
+  }
+
+  override def abort(): Unit = writers.values.foreach { case (_, os, file) =>
+    try os.close() catch { case _: Throwable => }
+    try fs.delete(file, false) catch { case _: Throwable => }
+  }
+
+  override def close(): Unit = ()
 }
 
 final case class DwrfCommitMessage(path: String, rows: Long)

@@ -1,0 +1,156 @@
+package graft.sources.dwrf
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.format.ColumnStats
+
+/** Hive-style partitioned directory layout (`col=value/` path segments),
+  * matching how the reference's OrcOutputFormat files lived under Hive
+  * partitions. Write side: `df.write.format("dwrf").partitionBy(cols)`
+  * routes rows into per-value subdirectories with the partition columns
+  * dropped from the data files. Read side: discovery parses the segments
+  * back into columns, and each partition value is surfaced to the
+  * existing stats pruner as a min=max ColumnStats — so static filters
+  * AND runtime join-key filters prune whole partitions through exactly
+  * the same code path as footer stats (dynamic partition pruning for
+  * free, no parallel machinery).
+  */
+object PartitionLayout {
+
+  /** Hive's spelling for a null partition value. */
+  val NullSentinel = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Types a partition column may have: value→path→value must round-trip
+    * through a plain string. (Date/timestamp internal values would print
+    * as raw ints; exclude them rather than write misleading paths.)
+    */
+  def supportedType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | BooleanType => true
+    case _ => false
+  }
+
+  private def needsEscape(c: Char): Boolean =
+    c < ' ' || c == '/' || c == '\\' || c == ':' || c == '=' || c == '%' ||
+      c == '#' || c == '"' || c == '*' || c == '?' || c == 0x7F.toChar
+
+  def escape(s: String): String =
+    if (!s.exists(needsEscape)) s
+    else s.flatMap(c => if (needsEscape(c)) f"%%${c.toInt}%02X" else c.toString)
+
+  def unescape(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** One `col=value` path segment from a partition column's row value
+    * (Catalyst internal representation). */
+  def dirName(col: String, v: Any): String =
+    escape(col) + "=" + (if (v == null) NullSentinel else escape(v.toString))
+
+  /** The `(col, rawValue)` pairs encoded in the directories between
+    * `root` and `file`, outermost first; values unescaped but with the
+    * null sentinel preserved. Empty for unpartitioned layouts.
+    */
+  def specOf(root: Path, file: Path): Seq[(String, String)] = {
+    val rootPath = root.toUri.getPath.stripSuffix("/")
+    val filePath = file.toUri.getPath
+    if (!filePath.startsWith(rootPath + "/")) return Nil
+    val rel = filePath.substring(rootPath.length + 1)
+    rel.split('/').dropRight(1).toSeq.flatMap { seg =>
+      val eq = seg.indexOf('=')
+      if (eq <= 0) None
+      else {
+        val raw = seg.substring(eq + 1)
+        Some(unescape(seg.substring(0, eq)) ->
+          (if (raw == NullSentinel) NullSentinel else unescape(raw)))
+      }
+    }
+  }
+
+  /** Narrowest type all raw values of a partition column parse as —
+    * long, double, boolean, else string (nulls don't vote).
+    */
+  def inferType(values: Iterable[String]): DataType = {
+    val vs = values.filter(_ != NullSentinel)
+    def all(p: String => Boolean) = vs.nonEmpty && vs.forall(p)
+    if (all(v => v.nonEmpty && scala.util.Try(v.toLong).isSuccess)) LongType
+    else if (all(v => scala.util.Try(v.toDouble).isSuccess)) DoubleType
+    else if (all(v => v == "true" || v == "false")) BooleanType
+    else StringType
+  }
+
+  /** Raw path value → Catalyst internal value of the table's type. */
+  def catalystValue(raw: String, dt: DataType): Any =
+    if (raw == NullSentinel) null
+    else dt match {
+      case StringType => UTF8String.fromString(raw)
+      case ByteType => java.lang.Byte.valueOf(raw)
+      case ShortType => java.lang.Short.valueOf(raw)
+      case IntegerType => java.lang.Integer.valueOf(raw)
+      case LongType => java.lang.Long.valueOf(raw)
+      case FloatType => java.lang.Float.valueOf(raw)
+      case DoubleType => java.lang.Double.valueOf(raw)
+      case BooleanType => java.lang.Boolean.valueOf(raw)
+      case other =>
+        throw new IllegalArgumentException(
+          s"dwrf: unsupported partition column type ${other.simpleString}")
+    }
+
+  /** A partition value as min=max column stats over `numRows` rows, so
+    * the regular stats pruner skips whole partitions. */
+  def asStats(raw: String, dt: DataType, numRows: Long): ColumnStats =
+    if (raw == NullSentinel) ColumnStats(count = 0, hasNull = true)
+    else dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val v = raw.toLong
+        ColumnStats(count = numRows, hasNull = false, longMin = v, longMax = v)
+      case FloatType | DoubleType =>
+        val v = raw.toDouble
+        ColumnStats(count = numRows, hasNull = false, doubleMin = v, doubleMax = v)
+      case StringType =>
+        ColumnStats(count = numRows, hasNull = false, stringMin = raw, stringMax = raw)
+      case BooleanType =>
+        val t = if (raw == "true") numRows else 0L
+        ColumnStats(count = numRows, hasNull = false, trueCount = t)
+      case _ => ColumnStats(count = numRows, hasNull = false)
+    }
+}
+
+/** Columnar-side constant filler for a partition column: every slot in
+  * the batch gets the same (typed) value. */
+final class ConstantVectorDecoder(value: Any, dt: DataType)
+    extends VectorDecoder(-1) {
+  override protected def startValues(src: StreamSource): Unit = ()
+  override protected def seekValues(e: graft.format.RowIndexEntry): Unit = ()
+  override protected def put(
+      v: org.apache.spark.sql.execution.vectorized.OnHeapColumnVector,
+      i: Int): Unit =
+    if (value == null) v.putNull(i)
+    else dt match {
+      case ByteType => v.putByte(i, value.asInstanceOf[Byte])
+      case ShortType => v.putShort(i, value.asInstanceOf[Short])
+      case IntegerType => v.putInt(i, value.asInstanceOf[Int])
+      case LongType => v.putLong(i, value.asInstanceOf[Long])
+      case FloatType => v.putFloat(i, value.asInstanceOf[Float])
+      case DoubleType => v.putDouble(i, value.asInstanceOf[Double])
+      case BooleanType => v.putBoolean(i, value.asInstanceOf[Boolean])
+      case StringType =>
+        val b = value.asInstanceOf[UTF8String].getBytes
+        v.putByteArray(i, b, 0, b.length)
+      case other =>
+        throw new IllegalArgumentException(
+          s"dwrf: unsupported partition column type ${other.simpleString}")
+    }
+}

@@ -1,0 +1,125 @@
+package graft.sources.dwrf
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hive-style partitioned directory layout (S8 parity with the
+  * reference's OrcOutputFormat under Hive partitions): partitionBy on
+  * write routes rows to col=value/ subdirs with partition columns
+  * dropped from the data files; reads discover the columns, splice the
+  * constants back in (row AND columnar paths), and prune directories
+  * through the same stats machinery as footer stats.
+  */
+class DwrfPartitionSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(prefix: String): String = Files.createTempDirectory(
+    java.nio.file.Paths.get("/root/repo/target"), prefix).toString
+
+  test("partitioned write lays out col=value dirs; reads splice columns back") {
+    val dir = tmp("dwrf-part-")
+    spark.range(0, 1200, 1, 1).select(
+      col("id"),
+      (col("id") % 4).as("bucket"),
+      concat(lit("c"), col("id") % 3).as("cat"),
+      (col("id") * 1.5).as("x"))
+      .write.format("dwrf").partitionBy("bucket", "cat")
+      .mode("overwrite").save(dir)
+
+    // physical layout: bucket=V/cat=W/part-*.dwrf, partition cols NOT in files
+    val d = new java.io.File(dir)
+    val bucketDirs = d.listFiles.filter(_.isDirectory).map(_.getName).sorted
+    assert(bucketDirs.toSeq == Seq("bucket=0", "bucket=1", "bucket=2", "bucket=3"))
+    val oneFile = DwrfUtil.listDataFiles(
+      new org.apache.hadoop.fs.Path(dir), new org.apache.hadoop.conf.Configuration())
+    assert(oneFile.size == 12, "one file per (bucket, cat) per task")
+    val r = new DwrfFileReader(oneFile.head, new org.apache.hadoop.conf.Configuration())
+    try assert(r.schema.fieldNames.toSeq == Seq("id", "x")) finally r.close()
+
+    val df = spark.read.format("dwrf").load(dir)
+    // discovered columns appended after data columns; integral values
+    // read back as long
+    assert(df.schema.fieldNames.toSeq == Seq("id", "x", "bucket", "cat"))
+    assert(df.schema("bucket").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.schema("cat").dataType == org.apache.spark.sql.types.StringType)
+    assert(df.count() == 1200)
+
+    // columnar path with constant partition vectors
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty && scans.forall(_.supportsColumnar),
+      "partitioned read must stay columnar")
+
+    val rows = df.orderBy("id").collect()
+    rows.foreach { row =>
+      val id = row.getLong(0)
+      assert(row.getDouble(1) == id * 1.5)
+      assert(row.getLong(2) == id % 4, s"id $id bucket")
+      assert(row.getString(3) == s"c${id % 3}", s"id $id cat")
+    }
+  }
+
+  test("filters on partition columns prune whole directories") {
+    val dir = tmp("dwrf-partprune-")
+    spark.range(0, 1200, 1, 1).select(
+      col("id"),
+      (col("id") % 4).as("bucket"),
+      concat(lit("c"), col("id") % 3).as("cat"))
+      .write.format("dwrf").partitionBy("bucket", "cat")
+      .mode("overwrite").save(dir)
+
+    val schema = spark.read.format("dwrf").load(dir).schema
+    def scanWith(runtime: Array[Filter]): DwrfScan = {
+      val scan = new DwrfScanBuilder(schema, dir).build().asInstanceOf[DwrfScan]
+      scan.filter(runtime)
+      scan
+    }
+    assert(scanWith(Array.empty).planInputPartitions().length == 12)
+    // long partition value: 3 of 12 dirs survive
+    assert(scanWith(Array(EqualTo("bucket", 2L))).planInputPartitions().length == 3)
+    // string partition value: 4 of 12
+    assert(scanWith(Array(EqualTo("cat", "c1"))).planInputPartitions().length == 4)
+    // conjunction: exactly one directory
+    assert(scanWith(Array(EqualTo("bucket", 2L), EqualTo("cat", "c1")))
+      .planInputPartitions().length == 1)
+    // runtime join-key IN-set = dynamic partition pruning
+    assert(scanWith(Array(In("bucket", Array[Any](0L, 3L))))
+      .planInputPartitions().length == 6)
+    // refuted everywhere
+    assert(scanWith(Array(EqualTo("bucket", 99L))).planInputPartitions().isEmpty)
+    // partition columns are reported for runtime filtering
+    assert(scanWith(Array.empty).filterAttributes().map(_.describe()).toSet
+      .contains("bucket"))
+
+    // end-to-end through Spark: filter + aggregate stays correct
+    val df = spark.read.format("dwrf").load(dir)
+    assert(df.filter(col("bucket") === 2 && col("cat") === "c1").count() == 100)
+    assert(df.filter(col("bucket") === 2).agg(sum(col("id"))).collect().head.getLong(0) ==
+      (0L until 1200).filter(_ % 4 == 2).sum)
+  }
+
+  test("null and special-character partition values round-trip") {
+    val dir = tmp("dwrf-partesc-")
+    spark.range(0, 20, 1, 1).select(
+      col("id"),
+      when(col("id") < 5, lit(null.asInstanceOf[String]))
+        .otherwise(concat(lit("a/b=c%"), col("id") % 2)).as("k"))
+      .write.format("dwrf").partitionBy("k").mode("overwrite").save(dir)
+
+    val df = spark.read.format("dwrf").load(dir)
+    assert(df.count() == 20)
+    assert(df.filter(col("k").isNull).count() == 5)
+    assert(df.filter(col("k") === "a/b=c%0").count() == 7)
+    assert(df.filter(col("k") === "a/b=c%1").count() == 8)
+    // IsNull prunes to the sentinel directory only
+    val schema = df.schema
+    val scan = new DwrfScanBuilder(schema, dir).build().asInstanceOf[DwrfScan]
+    scan.filter(Array[Filter](IsNull("k")))
+    assert(scan.planInputPartitions().length == 1)
+  }
+}
