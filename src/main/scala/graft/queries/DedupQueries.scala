@@ -257,10 +257,58 @@ object DedupQueries extends QueryPack {
       .orderBy($"id_a", $"id_b")
   }
 
+  // ------------------------------------------------ embedding near-dup
+  // Semantic dedup: document pairs whose embedding cosine clears the threshold (0.4 here — the synthetic corpus has no true twins; max pair cosine is ~0.51, so this keeps the top ~0.1% tail) are
+  // near-duplicates; keeper = lower id. This is the EXACT tier (decimal
+  // dot products, full oracle) over the bounded verifier set — the 100 TB
+  // path is ann_lsh_cosine's hyperplane-bucket candidates feeding exactly
+  // this confirm arithmetic, the same two-tier pattern as Jaccard/MinHash.
+  private def embeddingDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dot = SimilarityQueries.decimalDot("a.embedding", "b.embedding")
+    val emb = Tables.load(s, dir, "embeddings")
+      .filter($"vec_id" < 2000)
+      .select($"vec_id", $"embedding",
+        expr(s"CAST(${SimilarityQueries.decimalDot("embedding", "embedding")} AS DOUBLE)")
+          .as("norm2"))
+    val a = emb.as("a")
+    val b = emb.as("b")
+    a.join(b, $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id_keep"), $"b.vec_id".as("id_drop"),
+        round(expr(s"CAST($dot AS DOUBLE)") /
+          (sqrt($"a.norm2") * sqrt($"b.norm2")), 6).as("cosine"))
+      .filter($"cosine" >= 0.4)
+      .orderBy($"id_keep", $"id_drop")
+  }
+
+  private val embeddingDedupOracle = """
+    |WITH e AS (
+    |  SELECT vec_id, CAST(t.i AS BIGINT) AS pos,
+    |    CAST(embedding[CAST(t.i AS BIGINT)] AS DOUBLE) AS v
+    |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    |  WHERE vec_id < 2000),
+    |norms AS (
+    |  SELECT vec_id, CAST(SUM(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) AS norm2
+    |  FROM e GROUP BY vec_id),
+    |dots AS (
+    |  SELECT a.vec_id AS id_keep, b.vec_id AS id_drop,
+    |    CAST(SUM(CAST(a.v * b.v AS DECIMAL(28,12))) AS DOUBLE) AS dot
+    |  FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+    |  GROUP BY 1, 2)
+    |SELECT id_keep, id_drop,
+    |  ROUND(dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) AS cosine
+    |FROM dots
+    |JOIN norms na ON na.vec_id = id_keep
+    |JOIN norms nb ON nb.vec_id = id_drop
+    |WHERE ROUND(dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) >= 0.4
+    |ORDER BY id_keep, id_drop
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     Q("dedup_exact", exact, Some(exactSql)),
     Q("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     Q("dedup_minhash_lsh", minhashLsh, None),
     Q("dedup_simhash", simhash, None),
+    Q("dedup_embedding", embeddingDedup, Some(embeddingDedupOracle)),
   )
 }

@@ -23,7 +23,7 @@ object SimilarityQueries extends QueryPack {
     * element double products (deterministic) summed as DECIMAL(28,12)
     * (order-independent), so any engine computes the identical value.
     */
-  private def decimalDot(a: String, b: String): String =
+  private[queries] def decimalDot(a: String, b: String): String =
     s"""aggregate(zip_with($a, $b, (x, y) ->
        |  CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(20,12))),
        |CAST(0 AS DECIMAL(32,12)), (acc, v) -> CAST(acc + v AS DECIMAL(32,12)))""".stripMargin
