@@ -75,6 +75,21 @@ object StreamingQueries extends QueryPack {
     (srcDir.toString, rawSchema)
   }
 
+  /** Stateful shuffles are exempt from AQE, so the shuffle-partition
+    * count IS the state-store count, fixed at checkpoint creation — a
+    * real sizing decision in production streaming. Our state is tiny
+    * (open sessions / in-horizon windows), and every micro-batch pays a
+    * commit per state store: 32 stores cost ~4× the wall-clock of 8 for
+    * identical output (measured at sf0.1). Run the stateful drain at 8
+    * and restore the session setting after.
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, old)
+  }
+
   /** Fresh checkpoint+sink dirs per run: the file sink is append-only, so
     * a stale sink without its checkpoint would double-count. */
   private def freshSinkDirs(name: String, dir: String): (String, String) = {
@@ -91,7 +106,7 @@ object StreamingQueries extends QueryPack {
     (ckDir.toString, outDir.toString)
   }
 
-  private def eventsWindow(s: SparkSession, dir: String): DataFrame = {
+  private def eventsWindow(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
     import s.implicits._
     val (srcDir, rawSchema) = stageStreamSource(s, dir)
     val (ckDir, outDir) = freshSinkDirs("stream-window", dir)
@@ -212,7 +227,7 @@ object StreamingQueries extends QueryPack {
     * the same lag/cumulative-window SQL as the batch twin (stream-batch
     * parity, hash-exact).
     */
-  private def sessionizeStream(s: SparkSession, dir: String): DataFrame = {
+  private def sessionizeStream(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val gapUs = 30L * 60 * 1000000
