@@ -53,7 +53,10 @@ object Bench {
     // three sinks so the metrics line is machine-parseable however this
     // main is launched: target/bench.json (file), the raw process stdout
     // (bypasses sbt's [info] log prefix), and the sbt-captured stdout
-    java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
+    val benchFile = java.nio.file.Paths.get("target/bench.json")
+    if (benchFile.getParent != null) // cwd may lack target/ outside sbt
+      java.nio.file.Files.createDirectories(benchFile.getParent)
+    java.nio.file.Files.write(benchFile,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val raw = new java.io.PrintStream(new java.io.FileOutputStream(
       java.io.FileDescriptor.out), true, "UTF-8")

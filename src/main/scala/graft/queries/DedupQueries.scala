@@ -53,7 +53,8 @@ object DedupQueries extends QueryPack {
     |  sequence(1, greatest(size(split(text, ' ')) - 4, 1)),
     |  i -> concat_ws(' ', slice(split(text, ' '), i, 5))))""".stripMargin
 
-  private def ngramJaccardFull(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def ngramJaccardFull(s: SparkSession, dir: String,
+      cache: Boolean = true): (DataFrame, DataFrame) = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     // join on the 64-bit shingle hash, not the string: the shuffle carries
@@ -63,9 +64,11 @@ object DedupQueries extends QueryPack {
     // persisted: the self-join + the counts aggregate would otherwise
     // recompute the shingling three times; the public query materializes
     // the (driver-sized) result and unpersists explicitly
-    val shingles = docs.select($"doc_id", explode(expr(shingle5Sql)).as("g0"))
+    val shingles0 = docs.select($"doc_id", explode(expr(shingle5Sql)).as("g0"))
       .select($"doc_id", xxhash64($"g0").as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shingles = if (cache)
+      shingles0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else shingles0
     val counts = shingles.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     // Skew bound: the join-key distribution is the shingle DF histogram —
     // one viral boilerplate 5-gram in k docs makes k² pairs in ONE task.
@@ -94,8 +97,11 @@ object DedupQueries extends QueryPack {
     (result, shingles)
   }
 
+  // cache = false: a plan-only caller would register persist entries it
+  // can never unpersist (CacheManager matches by plan, pinning blocks for
+  // any later query sharing the subtree)
   private[queries] def ngramJaccardPlan(s: SparkSession, dir: String): DataFrame =
-    ngramJaccardFull(s, dir)._1
+    ngramJaccardFull(s, dir, cache = false)._1
 
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     // the near-dup pair list at jaccard ≥ 0.5 is driver-sized (dup groups
@@ -137,7 +143,8 @@ object DedupQueries extends QueryPack {
   // bare 16-byte (id_a, id_b) pairs ride the collision join — a pair that
   // collides in b bands is deduplicated BEFORE the 256-byte signature
   // arrays are joined back (once per pair) for the estimate.
-  private def minhashLshFull(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+  private def minhashLshFull(s: SparkSession, dir: String,
+      cache: Boolean = true): (DataFrame, Seq[DataFrame]) = {
     import s.implicits._
     val k = 32
     val bands = 8
@@ -153,9 +160,11 @@ object DedupQueries extends QueryPack {
       .select($"doc_id", xxhash64($"g").as("bh"))
     // referenced twice (band explode + per-pair signature join-back):
     // persist; the public query materializes and unpersists explicitly
-    val sigs = shingleHashes.groupBy($"doc_id").agg(
+    val sigs0 = shingleHashes.groupBy($"doc_id").agg(
       array((0 until k).map(i => min(xxhash64($"bh", lit(i)))): _*).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = if (cache)
+      sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sigs0
     val banded = sigs.select($"doc_id",
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(${
@@ -170,7 +179,7 @@ object DedupQueries extends QueryPack {
         $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
       .distinct()
-    val pairs = cand
+    val pairs0 = cand
       .join(sigs.select($"doc_id".as("id_a"), $"sig".as("sig_a")), "id_a")
       .join(sigs.select($"doc_id".as("id_b"), $"sig".as("sig_b")), "id_b")
       .select($"id_a", $"id_b",
@@ -178,8 +187,10 @@ object DedupQueries extends QueryPack {
                  |0, (acc, v) -> acc + v) / CAST($k AS DOUBLE)""".stripMargin)
           .as("est_jaccard"))
       .filter($"est_jaccard" >= 0.5)
-      // referenced twice (candidate-id collection + final join)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // referenced twice (candidate-id collection + final join)
+    val pairs = if (cache)
+      pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else pairs0
     // self-validating confirm column: recompute the EXACT Jaccard for the
     // surviving candidates (few) from their shingle sets, so the rows-only
     // check carries its own ground truth (est vs true side by side). The
@@ -203,7 +214,7 @@ object DedupQueries extends QueryPack {
   }
 
   private[queries] def minhashLshPlan(s: SparkSession, dir: String): DataFrame =
-    minhashLshFull(s, dir)._1
+    minhashLshFull(s, dir, cache = false)._1
 
   private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     // near-dup pairs at est ≥ 0.5 are driver-sized: materialize, then free

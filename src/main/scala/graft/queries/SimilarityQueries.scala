@@ -117,8 +117,8 @@ object SimilarityQueries extends QueryPack {
   // 8-bit bands keep 256 buckets/band so occupancy (and the bucket join)
   // stays sub-quadratic. At 100 TB you'd raise bits-per-band to keep
   // bucket occupancy flat; the plan shape is unchanged.
-  private def lshCosineFull(
-      s: SparkSession, dir: String): (DataFrame, DataFrame, Seq[DataFrame]) = {
+  private def lshCosineFull(s: SparkSession, dir: String,
+      cache: Boolean = true): (DataFrame, DataFrame, Seq[DataFrame]) = {
     import s.implicits._
     val planes = 32
     val bandBits = 8
@@ -151,20 +151,24 @@ object SimilarityQueries extends QueryPack {
       array((0 until bands).map(bandVal): _*).as("band_vals"))
     // persisted: the self-join would otherwise evaluate the signature
     // projection twice (a narrow project has no exchange to reuse)
-    val banded = sigs.select($"vec_id", $"norm2",
+    val banded0 = sigs.select($"vec_id", $"norm2",
       posexplode($"band_vals").as(Seq("band_idx", "band_val")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = if (cache)
+      banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else banded0
     val a = banded.as("a")
     val b = banded.as("b")
     // referenced twice (output join + the n_candidates metric the judge
     // asked for — recall/cost as a measured trade); tiny: persist
-    val cand = a.join(b,
+    val cand0 = a.join(b,
       $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
         $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
         $"a.norm2".as("norm_a"), $"b.norm2".as("norm_b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = if (cache)
+      cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else cand0
     val candCount = cand.agg(count(lit(1)).as("n_candidates"))
     // exact-cosine verify: join the (few) candidates back to their vectors
     val vecs = emb.select($"vec_id",
@@ -182,7 +186,7 @@ object SimilarityQueries extends QueryPack {
   }
 
   private[queries] def lshCosinePlan(s: SparkSession, dir: String): DataFrame =
-    lshCosineFull(s, dir)._1
+    lshCosineFull(s, dir, cache = false)._1
 
   private def lshCosine(s: SparkSession, dir: String): DataFrame = {
     // top-20 + candidate count is driver-sized: materialize, then free the

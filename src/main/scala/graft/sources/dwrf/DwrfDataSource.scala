@@ -74,7 +74,7 @@ final class DwrfDataSource extends TableProvider with DataSourceRegister {
     // partition discovery: col=value/ directory segments become columns
     // (appended after the data columns, Hive-style), typed by the
     // narrowest parse all values share
-    val specs = files.map(f => PartitionLayout.specOf(path, f))
+    val specs = files.map(f => PartitionLayout.specOf(DwrfUtil.qualify(path, conf), f))
     val keys = specs.head.map(_._1)
     require(specs.forall(_.map(_._1) == keys),
       s"dwrf: inconsistent partition directory layout under $path")
@@ -119,16 +119,26 @@ object DwrfUtil {
     if (!fs.exists(path)) return Nil
     val st = fs.getFileStatus(path)
     if (st.isFile) return Seq(path)
-    // recursive: partitioned layouts nest data under col=value/ dirs
+    // recurse ONLY into col=value partition dirs: a stray non-partition
+    // subdirectory (backups, scratch) must not silently merge into the
+    // table, matching the pre-partitioning single-level behavior
     val out = scala.collection.mutable.ArrayBuffer.empty[Path]
     def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
       val n = s.getPath.getName
       if (s.isFile && n.endsWith(".dwrf")) out += s.getPath
-      else if (s.isDirectory && !n.startsWith("_") && !n.startsWith(".")) walk(s.getPath)
+      else if (s.isDirectory && n.indexOf('=') > 0 &&
+        !n.startsWith("_") && !n.startsWith(".")) walk(s.getPath)
     }
     walk(path)
     out.sortBy(_.toString).toSeq
   }
+
+  /** Filesystem-qualified form of `p` — required before comparing against
+    * listed file paths (which are always qualified): a relative or
+    * scheme-less root would never prefix-match them.
+    */
+  def qualify(p: Path, conf: Configuration): Path =
+    p.getFileSystem(conf).makeQualified(p)
 
   /** The session's Hadoop configuration (spark.hadoop.* — filesystem
     * credentials etc.), falling back to a bare one off-session. A bare
@@ -320,10 +330,11 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
         // partition values surface as min=max stats: the regular pruner
         // then skips whole partitions for static AND runtime filters
         // (= dynamic partition pruning through one code path)
-        val spec = PartitionLayout.specOf(new Path(path), file)
+        val spec = PartitionLayout.specOf(
+          DwrfUtil.qualify(new Path(path), hadoopConf.value), file)
         val partStats = spec.flatMap { case (k, raw) =>
-          tableSchema.fields.find(_.name == k).map(f =>
-            k -> PartitionLayout.asStats(raw, f.dataType, r.footer.numRows))
+          tableSchema.fields.find(_.name == k).flatMap(f =>
+            PartitionLayout.asStats(raw, f.dataType, r.footer.numRows).map(k -> _))
         }
         DwrfFileTail(file.toString, r.footer.stripes, r.footer.numRows,
           r.footer.rawDataSize, statsByName ++ partStats, widened, spec)
@@ -574,14 +585,26 @@ private final class DwrfPartitionedDataWriter(schema: StructType, root: Path,
   private val scratchRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(scratch)
   private val writers = scala.collection.mutable.LinkedHashMap.empty[
     String, (DwrfFileWriter, java.io.OutputStream, Path)]
+  // hot-path fast path: runs of identical partition values (the common
+  // case after repartitioning by the partition columns) skip the
+  // escape/mkString key rebuild and the map lookup entirely
+  private var lastVals: Array[Any] = null
+  private var lastWriter: DwrfFileWriter = null
 
   private def writerFor(record: InternalRow): DwrfFileWriter = {
-    val dirs = partIdx.zipWithIndex.map { case (ord, j) =>
-      val v = if (record.isNullAt(ord)) null
-        else record.get(ord, schema.fields(ord).dataType)
-      PartitionLayout.dirName(partCols(j), v)
-    }.mkString("/")
-    writers.getOrElseUpdate(dirs, {
+    val vals = new Array[Any](partIdx.length)
+    var j = 0
+    while (j < partIdx.length) {
+      vals(j) = if (record.isNullAt(partIdx(j))) null
+        else record.get(partIdx(j), schema.fields(partIdx(j)).dataType)
+      j += 1
+    }
+    if (lastVals != null && java.util.Arrays.equals(
+        vals.asInstanceOf[Array[AnyRef]], lastVals.asInstanceOf[Array[AnyRef]]))
+      return lastWriter
+    val dirs = partCols.indices
+      .map(i => PartitionLayout.dirName(partCols(i), vals(i))).mkString("/")
+    val w = writers.getOrElseUpdate(dirs, {
       require(writers.size < maxOpenWriters,
         s"dwrf: task sees more than $maxOpenWriters distinct partition " +
           "values; repartition by the partition columns before writing")
@@ -592,6 +615,14 @@ private final class DwrfPartitionedDataWriter(schema: StructType, root: Path,
       (new DwrfFileWriter(dataSchema, DwrfWriteOptions.fromMap(options),
         new java.io.BufferedOutputStream(os, 1 << 16)), os, file)
     })._1
+    // UTF8String partition values can be backed by reused buffers: copy
+    // before caching them for cross-row comparison
+    lastVals = vals.map {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+      case other => other
+    }
+    lastWriter = w
+    w
   }
 
   override def write(record: InternalRow): Unit = {

@@ -19,8 +19,10 @@ import graft.format.ColumnStats
   */
 object PartitionLayout {
 
+  import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+
   /** Hive's spelling for a null partition value. */
-  val NullSentinel = "__HIVE_DEFAULT_PARTITION__"
+  val NullSentinel: String = ExternalCatalogUtils.DEFAULT_PARTITION_NAME
 
   /** Types a partition column may have: value→path→value must round-trip
     * through a plain string. (Date/timestamp internal values would print
@@ -32,27 +34,13 @@ object PartitionLayout {
     case _ => false
   }
 
-  private def needsEscape(c: Char): Boolean =
-    c < ' ' || c == '/' || c == '\\' || c == ':' || c == '=' || c == '%' ||
-      c == '#' || c == '"' || c == '*' || c == '?' || c == 0x7F.toChar
+  /** Spark's own Hive-path escaping (ExternalCatalogUtils), so layouts
+    * written here are byte-identical to Hive/Spark writers for the same
+    * values, and foreign '%' sequences that aren't valid escapes are
+    * left verbatim instead of throwing. */
+  def escape(s: String): String = ExternalCatalogUtils.escapePathName(s)
 
-  def escape(s: String): String =
-    if (!s.exists(needsEscape)) s
-    else s.flatMap(c => if (needsEscape(c)) f"%%${c.toInt}%02X" else c.toString)
-
-  def unescape(s: String): String = {
-    if (!s.contains('%')) return s
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-        i += 3
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  def unescape(s: String): String = ExternalCatalogUtils.unescapePathName(s)
 
   /** One `col=value` path segment from a partition column's row value
     * (Catalyst internal representation). */
@@ -62,6 +50,10 @@ object PartitionLayout {
   /** The `(col, rawValue)` pairs encoded in the directories between
     * `root` and `file`, outermost first; values unescaped but with the
     * null sentinel preserved. Empty for unpartitioned layouts.
+    *
+    * `root` must be filesystem-qualified (DwrfUtil.qualify) — listed file
+    * paths are, and a relative load path would otherwise never prefix-
+    * match and silently lose every partition column.
     */
   def specOf(root: Path, file: Path): Seq[(String, String)] = {
     val rootPath = root.toUri.getPath.stripSuffix("/")
@@ -91,10 +83,13 @@ object PartitionLayout {
     else StringType
   }
 
-  /** Raw path value → Catalyst internal value of the table's type. */
+  /** Raw path value → Catalyst internal value of the table's type.
+    * Parse failures name the value and type instead of surfacing a bare
+    * NumberFormatException from deep inside an executor.
+    */
   def catalystValue(raw: String, dt: DataType): Any =
     if (raw == NullSentinel) null
-    else dt match {
+    else try dt match {
       case StringType => UTF8String.fromString(raw)
       case ByteType => java.lang.Byte.valueOf(raw)
       case ShortType => java.lang.Short.valueOf(raw)
@@ -106,13 +101,23 @@ object PartitionLayout {
       case other =>
         throw new IllegalArgumentException(
           s"dwrf: unsupported partition column type ${other.simpleString}")
+    } catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"dwrf: partition directory value '$raw' does not parse as " +
+            s"${dt.simpleString}; fix the layout or read with a string-typed " +
+            "partition column")
     }
 
   /** A partition value as min=max column stats over `numRows` rows, so
-    * the regular stats pruner skips whole partitions. */
-  def asStats(raw: String, dt: DataType, numRows: Long): ColumnStats =
-    if (raw == NullSentinel) ColumnStats(count = 0, hasNull = true)
-    else dt match {
+    * the regular stats pruner skips whole partitions. None when the raw
+    * directory value doesn't parse as the table's type (a foreign dir in
+    * a user-supplied-schema read): no stats = no pruning, never an error
+    * during planning.
+    */
+  def asStats(raw: String, dt: DataType, numRows: Long): Option[ColumnStats] =
+    if (raw == NullSentinel) Some(ColumnStats(count = 0, hasNull = true))
+    else scala.util.Try(dt match {
       case ByteType | ShortType | IntegerType | LongType =>
         val v = raw.toLong
         ColumnStats(count = numRows, hasNull = false, longMin = v, longMax = v)
@@ -125,7 +130,7 @@ object PartitionLayout {
         val t = if (raw == "true") numRows else 0L
         ColumnStats(count = numRows, hasNull = false, trueCount = t)
       case _ => ColumnStats(count = numRows, hasNull = false)
-    }
+    }).toOption
 }
 
 /** Columnar-side constant filler for a partition column: every slot in

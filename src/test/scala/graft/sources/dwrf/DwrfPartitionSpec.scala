@@ -103,6 +103,33 @@ class DwrfPartitionSpec extends AnyFunSuite {
       (0L until 1200).filter(_ % 4 == 2).sum)
   }
 
+  test("partition discovery works through a relative load path") {
+    // listed file paths are fs-qualified; an unqualified root must still
+    // prefix-match (regression: relative paths silently lost all
+    // partition columns)
+    val rel = s"target/dwrf-relpart-${System.nanoTime()}"
+    spark.range(0, 40, 1, 1).select(col("id"), (col("id") % 2).as("p"))
+      .write.format("dwrf").partitionBy("p").mode("overwrite").save(rel)
+    val df = spark.read.format("dwrf").load(rel)
+    assert(df.schema.fieldNames.contains("p"), df.schema.treeString)
+    assert(df.filter(col("p") === 1L).count() == 20)
+  }
+
+  test("stray non-partition subdirectories are not merged into the table") {
+    val dir = tmp("dwrf-stray-")
+    spark.range(0, 100, 1, 1).select(col("id"))
+      .write.format("dwrf").mode("overwrite").save(dir)
+    // a backup copy nested in a non-partition subdir must stay invisible
+    val backup = new java.io.File(dir, "archive")
+    backup.mkdirs()
+    val dataFile = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".dwrf")).head
+    java.nio.file.Files.copy(dataFile.toPath,
+      backup.toPath.resolve("old.dwrf"))
+    assert(spark.read.format("dwrf").load(dir).count() == 100,
+      "rows must not double-count from archive/old.dwrf")
+  }
+
   test("null and special-character partition values round-trip") {
     val dir = tmp("dwrf-partesc-")
     spark.range(0, 20, 1, 1).select(
