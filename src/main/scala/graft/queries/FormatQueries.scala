@@ -77,6 +77,39 @@ object FormatQueries extends QueryPack {
     |ORDER BY event_type
     |""".stripMargin.trim
 
+  // Hive-style partitioned layout end to end: write orders partitioned
+  // by o_orderpriority (5 directories), read back with the partition
+  // column spliced in from the path, aggregate WITH a partition filter —
+  // so directory pruning, constant splicing, and the data columns all
+  // have to be right for the hash to match the flat-parquet oracle.
+  private def rtPartitioned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = ioDir("orders-part", dir)
+    Tables.load(s, dir, "orders")
+      .repartition($"o_orderpriority") // one file per partition dir
+      .write.format("dwrf").partitionBy("o_orderpriority")
+      .mode("overwrite").save(out)
+    s.read.format("dwrf").load(out)
+      .filter($"o_orderpriority" <= "3-MEDIUM")
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr(dsum("o_totalprice")).as("total_price"),
+        min($"o_orderdate").as("first_date"),
+        max($"o_orderdate").as("last_date"))
+      .orderBy($"o_orderpriority", $"o_orderstatus")
+  }
+
+  private val rtPartitionedOracle = s"""
+    |SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+    |  ${dsum("o_totalprice")} AS total_price,
+    |  MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date
+    |FROM orders
+    |WHERE o_orderpriority <= '3-MEDIUM'
+    |GROUP BY o_orderpriority, o_orderstatus
+    |ORDER BY o_orderpriority, o_orderstatus
+    |""".stripMargin.trim
+
   // Column projection + filter over the dwrf scan (P1: only the three
   // needed columns' streams are read).
   private def rtProjection(s: SparkSession, dir: String): DataFrame = {
@@ -266,5 +299,6 @@ object FormatQueries extends QueryPack {
     Q("dwrf_nested_types", rtNested, Some(rtNestedOracle)),
     Q("dwrf_union_roundtrip", rtUnion, Some(rtUnionOracle)),
     Q("dwrf_stripe_concat", rtConcat, Some(rtConcatOracle)),
+    Q("dwrf_partitioned_roundtrip", rtPartitioned, Some(rtPartitionedOracle)),
   )
 }
