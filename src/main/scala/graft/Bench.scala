@@ -16,7 +16,7 @@ object Bench {
     "q6_forecast_revenue", "q_events_hourly", "q_running_spend",
     "q_distinct_counts", "q_asof_join", "q_range_join",
     "dwrf_roundtrip_lineitem", "dwrf_projection_filter",
-    "dwrf_filter_columnar",
+    "dwrf_filter_columnar", "dwrf_partitioned_roundtrip",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "ann_topk_dot", "ann_lsh_cosine",
     "text_stats", "text_langid", "text_fingerprint",

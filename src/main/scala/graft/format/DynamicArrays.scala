@@ -4,6 +4,22 @@ package graft.format
   * DynamicIntArray/DynamicLongArray/DynamicByteArray, M3 in SURVEY §2.7 —
   * here simple doubling arrays; chunking buys nothing on a modern JVM).
   */
+final class ByteBuf(initial: Int = 4096) {
+  private var arr = new Array[Byte](initial)
+  private var n = 0
+  def add(b: Array[Byte], off: Int, len: Int): Unit = {
+    var cap = arr.length
+    while (n + len > cap) cap *= 2
+    if (cap != arr.length) arr = java.util.Arrays.copyOf(arr, cap)
+    System.arraycopy(b, off, arr, n, len)
+    n += len
+  }
+  def array: Array[Byte] = arr
+  def size: Int = n
+  def clear(): Unit = n = 0
+  def memory: Long = arr.length.toLong
+}
+
 final class IntBuffer(initial: Int = 1024) {
   private var arr = new Array[Int](initial)
   private var n = 0

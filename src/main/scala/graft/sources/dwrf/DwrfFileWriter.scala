@@ -21,6 +21,11 @@ final case class DwrfWriteOptions(
     dictionaryKeyStringThreshold: Double = 0.8,
     dictionaryEnabled: Boolean = true,
     maxDictionarySize: Long = 100L * 1024 * 1024,
+    // A3: mid-stripe dictionary abandonment once the accumulating
+    // dictionary is provably useless AND its bookkeeping crosses this
+    // many bytes (reference WriterImpl dict→direct conversion under
+    // MemoryManager pressure)
+    dictionaryAbandonBytes: Long = 32L * 1024 * 1024,
     strideDictionaryEnabled: Boolean = true,
     useVInts: Boolean = true,
     sortDictionaryKeys: Boolean = true,
@@ -68,6 +73,8 @@ object DwrfWriteOptions {
         .getOrElse(d.dictionaryEnabled),
       maxDictionarySize = m.get("max.dictionary.size").map(_.toLong)
         .getOrElse(d.maxDictionarySize),
+      dictionaryAbandonBytes = m.get("dictionary.abandon.bytes").map(_.toLong)
+        .getOrElse(d.dictionaryAbandonBytes),
       strideDictionaryEnabled = m.get("use.stride.dictionaries").map(_.toBoolean)
         .getOrElse(d.strideDictionaryEnabled),
       useVInts = m.get("use.vints").map(_.toBoolean).getOrElse(d.useVInts),

@@ -472,10 +472,20 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions)
   private var useDictionary = false
   private var globalDictSize = 0
   private var capturedPositions: Array[Seq[(Int, Array[Long])]] = Array.empty
+  // A3 abandonment state: once converted, values accumulate as raw bytes
+  private var abandoned = false
+  private val directBytes = new ByteBuf()
+  private val directLens = new IntBuffer()
 
   override protected def writeValue(g: SpecializedGetters, ordinal: Int): Unit = {
     val v = g.getUTF8String(ordinal)
     stats.noteString(v)
+    if (abandoned) {
+      val b = v.getBytes
+      directBytes.add(b, 0, b.length)
+      directLens.add(b.length)
+      return
+    }
     var id = dict.get(v)
     if (id == null) {
       id = Integer.valueOf(keys.size)
@@ -485,12 +495,51 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions)
       keyBytesTotal += copy.numBytes()
       counts.add(1)
       firstStride.add(math.max(strideMarkers.size - 1, 0))
+      maybeAbandon()
     } else counts.inc(id.intValue())
-    rows.add(id.intValue())
+    if (!abandoned) rows.add(id.intValue())
+    // else: maybeAbandon() already replayed this value into the direct
+    // buffers (it was in `keys` but not yet in `rows` at conversion time)
+  }
+
+  /** A3 mid-stripe dictionary abandonment (reference WriterImpl.java:
+    * 1055-1074 under MemoryManager.java:148-178 pressure): once the
+    * dictionary is provably useless — distinct density already above the
+    * encoding threshold with at least a stride of evidence — and its
+    * bookkeeping crosses `dictionary.abandon.bytes`, convert to direct
+    * accumulation: replay the buffered ids as raw bytes, drop the hash
+    * map. A unique-heavy column stops paying ~64 B/key map overhead for
+    * the rest of the stripe (the flush replay below then takes its
+    * direct branch from the flat buffer). Irreversible within the
+    * stripe, like the reference: data that later turns repetitive still
+    * writes direct — only bytes, never correctness, at stake.
+    */
+  private def maybeAbandon(): Unit = {
+    if (!opts.dictionaryEnabled) return
+    if (dictionaryMemory <= opts.dictionaryAbandonBytes) return
+    val evidence = math.max(if (opts.rowIndexStride > 0) opts.rowIndexStride else 10000, 1000)
+    if (rows.size < evidence) return
+    if (keys.size.toDouble / rows.size <= opts.dictionaryKeyStringThreshold) return
+    var i = 0
+    while (i < rows.size) {
+      val b = keys(rows(i))
+      directBytes.add(b, 0, b.length)
+      directLens.add(b.length)
+      i += 1
+    }
+    // note: the value just recorded in `keys` is replayed via its row id
+    // only when writeValue appends it — it hasn't been added to `rows`
+    // yet, so append it here before dropping the dictionary
+    val lastKey = keys(keys.size - 1)
+    directBytes.add(lastKey, 0, lastKey.length)
+    directLens.add(lastKey.length)
+    dict.clear(); keys.clear(); keyBytesTotal = 0
+    rows.clear(); counts.clear(); firstStride.clear()
+    abandoned = true
   }
 
   override protected def recordValuePositions(out: scala.collection.mutable.ArrayBuffer[(Int, Array[Long])]): Unit =
-    strideMarkers.add(rows.size)
+    strideMarkers.add(if (abandoned) directLens.size else rows.size)
 
   /** Character-diversity sample over the dictionary keys (reference
     * entropy heuristic, WriterImpl.java:1297-1363): true when the sampled
@@ -522,6 +571,7 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions)
   }
 
   override protected def finishValueStreams(): Seq[FinishedStream] = {
+    if (abandoned) return finishAbandoned()
     val n = rows.size
     val distinct = keys.size
     // Dictionary iff (1) the distinct/total density clears the plain
@@ -664,6 +714,41 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions)
     }
   }
 
+  /** Direct flush from the flat post-abandonment buffers: identical
+    * stream shape and position capture to the un-abandoned direct
+    * branch, reading (bytes, length) runs instead of key ids. */
+  private def finishAbandoned(): Seq[FinishedStream] = {
+    useDictionary = false
+    val n = directLens.size
+    val captured = scala.collection.mutable.ArrayBuffer.empty[Seq[(Int, Array[Long])]]
+    var marker = 0
+    val lengths = new RunLengthIntegerWriter(lengthOut, signed = false, opts.useVInts)
+    var off = 0
+    var i = 0
+    while (i <= n) {
+      while (marker < strideMarkers.size && strideMarkers(marker) == i) {
+        val recD = new PositionsBuilder
+        dataOut.getPosition(recD)
+        val recL = new PositionsBuilder
+        lengths.getPosition(recL)
+        captured += Seq(
+          StreamKind.Data -> recD.result(),
+          StreamKind.Length -> recL.result())
+        marker += 1
+      }
+      if (i < n) {
+        val len = directLens(i)
+        dataOut.write(directBytes.array, off, len)
+        lengths.write(len.toLong)
+        off += len
+      }
+      i += 1
+    }
+    lengths.flush()
+    capturedPositions = captured.toArray
+    finished(StreamKind.Data, dataOut) ++ finished(StreamKind.Length, lengthOut)
+  }
+
   override protected def patchEntries(entries: Seq[RowIndexEntry]): Seq[RowIndexEntry] =
     entries.zipWithIndex.map { case (e, i) =>
       if (i < capturedPositions.length)
@@ -676,7 +761,8 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions)
     else ColumnEncoding(dictionary = false)
 
   override protected def valueMemory: Long =
-    keyBytesTotal + rows.memory + 64L * keys.size
+    keyBytesTotal + rows.memory + 64L * keys.size +
+      directBytes.memory + directLens.memory
 
   override def dictionaryMemory: Long = keyBytesTotal + 64L * keys.size
 
@@ -689,6 +775,8 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions)
     useDictionary = false
     globalDictSize = 0
     capturedPositions = Array.empty
+    abandoned = false
+    directBytes.clear(); directLens.clear()
   }
 }
 

@@ -89,7 +89,11 @@ class DwrfFuzzSpec extends AnyFunSuite {
         "stripe.size" -> Seq("32768", "1048576")(rnd.nextInt(2)),
         "dictionary.enabled" -> rnd.nextBoolean().toString,
         "use.vints" -> rnd.nextBoolean().toString,
-        "use.stride.dictionaries" -> rnd.nextBoolean().toString)
+        "use.stride.dictionaries" -> rnd.nextBoolean().toString,
+        // tiny threshold exercises A3 mid-stripe dictionary abandonment
+        // on unique-heavy string columns; default leaves it dormant
+        "dictionary.abandon.bytes" ->
+          Seq("1024", (32L * 1024 * 1024).toString)(rnd.nextInt(2)))
       val dir = Files.createTempDirectory(
         java.nio.file.Paths.get("/root/repo/target"), s"fuzz-$iter-").toString
       val w = df.write.format("dwrf").mode("overwrite")

@@ -339,6 +339,47 @@ class DwrfPushdownSpec extends AnyFunSuite {
     assert(got.toSeq == (9501L until 10000L).toSeq)
   }
 
+  test("A3: dictionary abandons mid-stripe for unique-heavy strings") {
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "dwrf-abandon-").toString
+    // 30k unique strings; abandon threshold crossed after ~1k rows (29 B
+    // keys + 64 B/key bookkeeping > 64 KB), so the conversion fires
+    // mid-stripe with stride markers recorded before AND after it
+    spark.range(0, 30000, 1, 1).select(
+      col("id"),
+      concat(lit("uniq-"), format_string("%024d", col("id"))).as("u"),
+      concat(lit("cat-"), col("id") % 10).as("tag")) // stays dictionary
+      .write.format("dwrf").mode("overwrite")
+      .option("dictionary.abandon.bytes", "65536")
+      .option("row.index.stride", "1000").save(dir)
+
+    val file = DwrfUtil.listDataFiles(new Path(dir), new Configuration()).head
+    val r = new DwrfFileReader(file, new Configuration())
+    try {
+      val sf = r.readStripeFooter(r.footer.stripes.head)
+      val ids = ColumnTree.topLevelIds(r.schema)
+      val byName = r.schema.fieldNames.zip(ids).toMap
+      assert(!sf.encodings(byName("u")).dictionary,
+        "abandoned column must write DIRECT")
+      assert(sf.encodings(byName("tag")).dictionary,
+        "low-cardinality sibling keeps its dictionary")
+    } finally r.close()
+
+    // full round trip exact
+    val df = spark.read.format("dwrf").load(dir)
+    assert(df.count() == 30000)
+    val rows = df.orderBy("id").collect()
+    rows.foreach { row =>
+      val id = row.getLong(0)
+      assert(row.getString(1) == f"uniq-$id%024d", s"id $id after abandonment")
+      assert(row.getString(2) == s"cat-${id % 10}")
+    }
+    // stride seek through the abandoned column's captured positions
+    val got = df.filter(col("id") >= 14000 && col("id") < 14005)
+      .select("u").orderBy("u").collect().map(_.getString(0))
+    assert(got.toSeq == (14000L until 14005L).map(i => f"uniq-$i%024d"))
+  }
+
   test("dictionary encoding engages for low-cardinality columns") {
     val dir = writeSorted(stride = 1000)
     val file = DwrfUtil.listDataFiles(new Path(dir), new Configuration()).head
