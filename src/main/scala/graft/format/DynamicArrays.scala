@@ -8,15 +8,27 @@ final class ByteBuf(initial: Int = 4096) {
   private var arr = new Array[Byte](initial)
   private var n = 0
   def add(b: Array[Byte], off: Int, len: Int): Unit = {
-    var cap = arr.length
-    while (n + len > cap) cap *= 2
-    if (cap != arr.length) arr = java.util.Arrays.copyOf(arr, cap)
+    val need = n.toLong + len
+    if (need > Int.MaxValue - 16)
+      throw new IllegalStateException(
+        s"ByteBuf: single buffer would exceed 2 GB ($need bytes); " +
+          "lower stripe.size so the writer flushes sooner")
+    var cap = arr.length.toLong
+    while (need > cap) cap *= 2
+    if (cap != arr.length)
+      arr = java.util.Arrays.copyOf(arr, math.min(cap, Int.MaxValue - 16L).toInt)
     System.arraycopy(b, off, arr, n, len)
     n += len
   }
   def array: Array[Byte] = arr
   def size: Int = n
-  def clear(): Unit = n = 0
+  /** Reset AND release grown capacity: a stripe-sized buffer must not be
+    * retained (or keep counting toward the next stripe's memory budget)
+    * after flush. */
+  def clear(): Unit = {
+    n = 0
+    if (arr.length > initial) arr = new Array[Byte](initial)
+  }
   def memory: Long = arr.length.toLong
 }
 

@@ -74,7 +74,8 @@ final class DwrfDataSource extends TableProvider with DataSourceRegister {
     // partition discovery: col=value/ directory segments become columns
     // (appended after the data columns, Hive-style), typed by the
     // narrowest parse all values share
-    val specs = files.map(f => PartitionLayout.specOf(DwrfUtil.qualify(path, conf), f))
+    val qualifiedRoot = DwrfUtil.qualify(path, conf)
+    val specs = files.map(f => PartitionLayout.specOf(qualifiedRoot, f))
     val keys = specs.head.map(_._1)
     require(specs.forall(_.map(_._1) == keys),
       s"dwrf: inconsistent partition directory layout under $path")
@@ -314,6 +315,7 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
 
   private lazy val fileTails: Seq[DwrfFileTail] = {
     val files = DwrfUtil.listDataFiles(new Path(path), hadoopConf.value)
+    val qualifiedRoot = DwrfUtil.qualify(new Path(path), hadoopConf.value)
     DwrfUtil.parMap(files) { file =>
       val r = new DwrfFileReader(file, hadoopConf.value)
       try {
@@ -330,8 +332,7 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
         // partition values surface as min=max stats: the regular pruner
         // then skips whole partitions for static AND runtime filters
         // (= dynamic partition pruning through one code path)
-        val spec = PartitionLayout.specOf(
-          DwrfUtil.qualify(new Path(path), hadoopConf.value), file)
+        val spec = PartitionLayout.specOf(qualifiedRoot, file)
         val partStats = spec.flatMap { case (k, raw) =>
           tableSchema.fields.find(_.name == k).flatMap(f =>
             PartitionLayout.asStats(raw, f.dataType, r.footer.numRows).map(k -> _))

@@ -475,7 +475,7 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions)
   // A3 abandonment state: once converted, values accumulate as raw bytes
   private var abandoned = false
   private val directBytes = new ByteBuf()
-  private val directLens = new IntBuffer()
+  private var directLens = new IntBuffer()
 
   override protected def writeValue(g: SpecializedGetters, ordinal: Int): Unit = {
     val v = g.getUTF8String(ordinal)
@@ -688,42 +688,20 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions)
             finished(StreamKind.StrideDictionaryLength, strideDictLenOut)
         else Nil)
     } else {
-      val lengths = new RunLengthIntegerWriter(lengthOut, signed = false, opts.useVInts)
-      var i = 0
-      while (i <= n) {
-        while (marker < strideMarkers.size && strideMarkers(marker) == i) {
-          val recD = new PositionsBuilder
-          dataOut.getPosition(recD)
-          val recL = new PositionsBuilder
-          lengths.getPosition(recL)
-          captured += Seq(
-            StreamKind.Data -> recD.result(),
-            StreamKind.Length -> recL.result())
-          marker += 1
-        }
-        if (i < n) {
-          val b = keys(rows(i))
-          dataOut.write(b, 0, b.length)
-          lengths.write(b.length.toLong)
-        }
-        i += 1
-      }
-      lengths.flush()
-      capturedPositions = captured.toArray
-      finished(StreamKind.Data, dataOut) ++ finished(StreamKind.Length, lengthOut)
+      flushDirect(n, i => { val b = keys(rows(i)); (b, 0, b.length) })
     }
   }
 
-  /** Direct flush from the flat post-abandonment buffers: identical
-    * stream shape and position capture to the un-abandoned direct
-    * branch, reading (bytes, length) runs instead of key ids. */
-  private def finishAbandoned(): Seq[FinishedStream] = {
-    useDictionary = false
-    val n = directLens.size
+  /** The direct replay loop, shared by the flush-time DIRECT decision and
+    * the A3 post-abandonment flush: walk stride markers (capturing Data +
+    * Length positions), write each row's bytes, emit both streams.
+    * `sliceAt` is called exactly once per row, in order.
+    */
+  private def flushDirect(
+      n: Int, sliceAt: Int => (Array[Byte], Int, Int)): Seq[FinishedStream] = {
     val captured = scala.collection.mutable.ArrayBuffer.empty[Seq[(Int, Array[Long])]]
     var marker = 0
     val lengths = new RunLengthIntegerWriter(lengthOut, signed = false, opts.useVInts)
-    var off = 0
     var i = 0
     while (i <= n) {
       while (marker < strideMarkers.size && strideMarkers(marker) == i) {
@@ -737,16 +715,28 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions)
         marker += 1
       }
       if (i < n) {
-        val len = directLens(i)
-        dataOut.write(directBytes.array, off, len)
+        val (arr, off, len) = sliceAt(i)
+        dataOut.write(arr, off, len)
         lengths.write(len.toLong)
-        off += len
       }
       i += 1
     }
     lengths.flush()
     capturedPositions = captured.toArray
     finished(StreamKind.Data, dataOut) ++ finished(StreamKind.Length, lengthOut)
+  }
+
+  /** A3 post-abandonment flush: the same direct replay, reading the flat
+    * (bytes, length) buffers with a running offset. */
+  private def finishAbandoned(): Seq[FinishedStream] = {
+    useDictionary = false
+    var off = 0
+    flushDirect(directLens.size, { i =>
+      val len = directLens(i)
+      val slice = (directBytes.array, off, len)
+      off += len
+      slice
+    })
   }
 
   override protected def patchEntries(entries: Seq[RowIndexEntry]): Seq[RowIndexEntry] =
@@ -776,7 +766,11 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions)
     globalDictSize = 0
     capturedPositions = Array.empty
     abandoned = false
-    directBytes.clear(); directLens.clear()
+    // release, don't just reset: an abandoned stripe's buffers are
+    // stripe-sized and must not be retained (or keep counting toward the
+    // next stripe's memory budget) after flush
+    directBytes.clear()
+    directLens = new IntBuffer()
   }
 }
 
