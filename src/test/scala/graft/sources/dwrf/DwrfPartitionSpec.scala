@@ -130,6 +130,39 @@ class DwrfPartitionSpec extends AnyFunSuite {
       "rows must not double-count from archive/old.dwrf")
   }
 
+  test("partitioning composes with schema evolution (added column + widened type)") {
+    val dir = tmp("dwrf-partevo-")
+    // generation 1: (id int, p) — narrow id, no extra column
+    spark.range(0, 100, 1, 1).select(
+      col("id").cast("int").as("id"), lit("g1").as("p"))
+      .write.format("dwrf").partitionBy("p").mode("append").save(dir)
+    // generation 2: (id long, extra, p) — widened id + a new column
+    spark.range(100, 200, 1, 1).select(
+      col("id"), concat(lit("x"), col("id")).as("extra"), lit("g2").as("p"))
+      .write.format("dwrf").partitionBy("p").mode("append").save(dir)
+
+    val df = spark.read.format("dwrf").load(dir)
+    assert(df.schema("id").dataType == org.apache.spark.sql.types.LongType,
+      "id widens across generations")
+    assert(df.schema.fieldNames.toSeq == Seq("id", "extra", "p"))
+    assert(df.count() == 200)
+    val rows = df.orderBy("id").collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (id < 100) {
+        assert(r.isNullAt(1), s"id $id: extra null in g1")
+        assert(r.getString(2) == "g1")
+      } else {
+        assert(r.getString(1) == s"x$id")
+        assert(r.getString(2) == "g2")
+      }
+    }
+    // partition filter + evolved column together
+    assert(df.filter(col("p") === "g2" && col("extra") === "x150").count() == 1)
+    assert(df.filter(col("p") === "g1").agg(sum(col("id"))).collect().head.getLong(0) ==
+      (0L until 100).sum)
+  }
+
   test("null and special-character partition values round-trip") {
     val dir = tmp("dwrf-partesc-")
     spark.range(0, 20, 1, 1).select(
