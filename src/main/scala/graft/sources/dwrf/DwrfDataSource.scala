@@ -274,7 +274,7 @@ private final case class DwrfFileTail(
 final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: String,
     pushed: Array[org.apache.spark.sql.sources.Filter])
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   override def readSchema(): StructType = readSchema
   override def toBatch: Batch = this
@@ -343,6 +343,47 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
     }
   }
 
+  /** The partition-column names, when every file agrees on a layout. */
+  private lazy val layoutKeys: Seq[String] = {
+    val keySeqs = fileTails.map(_.partSpec.map(_._1)).distinct
+    if (keySeqs.size == 1) keySeqs.head else Nil
+  }
+
+  /** Typed partition-key row for Spark's split grouping (null when the
+    * spec doesn't parse as the table types — then no key is reported). */
+  private def keyRowOf(spec: Seq[(String, String)]): InternalRow =
+    try {
+      val vals = spec.map { case (k, raw) =>
+        val f = tableSchema.fields.find(_.name == k).getOrElse(return null)
+        PartitionLayout.catalystValue(raw, f.dataType).asInstanceOf[AnyRef]
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        vals.toArray[Any])
+    } catch { case _: IllegalArgumentException => null }
+
+  /** Storage-partitioned reads: a Hive-partitioned layout reports
+    * KeyGroupedPartitioning over its partition columns, so (with
+    * spark.sql.sources.v2.bucketing.enabled) joins and aggregations
+    * clustered on them skip the shuffle — at 100 TB the layout itself
+    * becomes the exchange. Unknown when the table isn't partitioned or
+    * a partition column was projected away (Spark couldn't resolve the
+    * key against the scan output).
+    */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val parts = planInputPartitions()
+    val reportable = layoutKeys.nonEmpty &&
+      layoutKeys.forall(k => readSchema.fieldNames.contains(k)) &&
+      parts.forall(_.isInstanceOf[DwrfKeyedInputPartition])
+    if (reportable)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        layoutKeys.map(k =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(k)).toArray,
+        parts.length)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        parts.length)
+  }
+
   /** One partition per stripe group of ~target split size; files whose
     * footer stats refute the (static + runtime) filters are skipped
     * entirely — no footer re-read, no task. */
@@ -353,20 +394,24 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
       filters.isEmpty ||
         StatsFilter.mayMatch(filters, tableSchema, tail.statsByName.get)
     }.flatMap { tail =>
-      val parts = scala.collection.mutable.ArrayBuffer.empty[DwrfInputPartition]
+      val keyRow = if (tail.partSpec.isEmpty) null else keyRowOf(tail.partSpec)
+      def mk(start: Long, len: Long): DwrfPartitionBase =
+        if (keyRow != null)
+          DwrfKeyedInputPartition(tail.path, start, len, tail.partSpec, keyRow)
+        else DwrfInputPartition(tail.path, start, len, tail.partSpec)
+      val parts = scala.collection.mutable.ArrayBuffer.empty[DwrfPartitionBase]
       var start = -1L
       var end = -1L
       tail.stripes.foreach { s =>
         val stripeLen = s.indexLength + s.dataLength + s.footerLength
         if (start < 0) { start = s.offset; end = s.offset + stripeLen }
         else if (end - start >= targetSplit) {
-          parts += DwrfInputPartition(tail.path, start, end - start, tail.partSpec)
+          parts += mk(start, end - start)
           start = s.offset
           end = s.offset + stripeLen
         } else end = s.offset + stripeLen
       }
-      if (start >= 0)
-        parts += DwrfInputPartition(tail.path, start, end - start, tail.partSpec)
+      if (start >= 0) parts += mk(start, end - start)
       parts.toSeq
     }.toArray
   }
@@ -394,9 +439,30 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
   }
 }
 
+sealed trait DwrfPartitionBase extends InputPartition {
+  def path: String
+  def offset: Long
+  def length: Long
+  def partSpec: Seq[(String, String)]
+}
+
 final case class DwrfInputPartition(path: String, offset: Long, length: Long,
     partSpec: Seq[(String, String)] = Nil)
-    extends InputPartition
+    extends DwrfPartitionBase
+
+/** Input partition of a Hive-partitioned table carrying its typed
+  * partition-key row: lets Spark group splits by key
+  * (SupportsReportPartitioning) so joins and aggregations clustered on
+  * the partition columns skip their shuffle entirely — the DSv2
+  * storage-partitioned join path, the biggest single shuffle saving a
+  * 100 TB layout can offer.
+  */
+final case class DwrfKeyedInputPartition(path: String, offset: Long, length: Long,
+    partSpec: Seq[(String, String)], partKey: InternalRow)
+    extends DwrfPartitionBase
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = partKey
+}
 
 final class DwrfPartitionReaderFactory(readSchemaJson: String,
     pushed: Array[org.apache.spark.sql.sources.Filter],
@@ -417,7 +483,7 @@ final class DwrfPartitionReaderFactory(readSchemaJson: String,
     !rowFallback && ColumnarSupport.supported(parsedSchema)
 
   /** Typed constants for the partition columns present in `readSchema`. */
-  private def partValuesOf(p: DwrfInputPartition): Map[String, Any] =
+  private def partValuesOf(p: DwrfPartitionBase): Map[String, Any] =
     p.partSpec.flatMap { case (k, raw) =>
       parsedSchema.fields.find(_.name == k)
         .map(f => k -> PartitionLayout.catalystValue(raw, f.dataType))
@@ -425,7 +491,7 @@ final class DwrfPartitionReaderFactory(readSchemaJson: String,
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val p = partition.asInstanceOf[DwrfInputPartition]
+    val p = partition.asInstanceOf[DwrfPartitionBase]
     val reader = new DwrfFileReader(new Path(p.path), hadoopConf.value)
     new DwrfColumnarPartitionReader(reader,
       reader.stripesInRange(p.offset, p.length), parsedSchema, pushed.toSeq,
@@ -433,7 +499,7 @@ final class DwrfPartitionReaderFactory(readSchemaJson: String,
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[DwrfInputPartition]
+    val p = partition.asInstanceOf[DwrfPartitionBase]
     val readSchema = org.apache.spark.sql.types.DataType
       .fromJson(readSchemaJson).asInstanceOf[StructType]
     val partVals = partValuesOf(p)

@@ -163,6 +163,60 @@ class DwrfPartitionSpec extends AnyFunSuite {
       (0L until 100).sum)
   }
 
+  test("storage-partitioned reads: clustered aggregation plans without a shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = tmp("dwrf-spj-")
+    spark.range(0, 4000, 1, 1).select(
+      col("id"), (col("id") % 8).as("p"))
+      .write.format("dwrf").partitionBy("p").mode("overwrite").save(dir)
+
+    def shufflesIn(df: org.apache.spark.sql.DataFrame): Int = {
+      val p = df.queryExecution.executedPlan
+      val expanded = p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+      (p +: expanded).map(_.collect { case s: ShuffleExchangeExec => s }.size).sum
+    }
+
+    val old = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val df = spark.read.format("dwrf").load(dir)
+        .groupBy("p").agg(sum(col("id")).as("s"))
+      assert(shufflesIn(df) == 0,
+        s"aggregation clustered on the partition column must not shuffle:\n${df.queryExecution.executedPlan}")
+      val got = df.orderBy("p").collect()
+      assert(got.map(_.getLong(0)).toSeq == (0L until 8L))
+      got.foreach { r =>
+        val p = r.getLong(0)
+        assert(r.getLong(1) == (0L until 4000).filter(_ % 8 == p).sum, s"p=$p")
+      }
+
+      // storage-partitioned JOIN: two tables laid out on the same key
+      // join shuffle-free (broadcast suppressed to force the issue)
+      val dir2 = tmp("dwrf-spj2-")
+      spark.range(0, 800, 1, 1).select(
+        (col("id") % 8).as("p"), concat(lit("n"), col("id") % 8).as("pname"))
+        .distinct()
+        .write.format("dwrf").partitionBy("p").mode("overwrite").save(dir2)
+      val oldBt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val a = spark.read.format("dwrf").load(dir)
+          .groupBy("p").agg(sum(col("id")).as("s"))
+        val b = spark.read.format("dwrf").load(dir2)
+        val joined = a.join(b, "p")
+        assert(shufflesIn(joined) == 0,
+          s"co-partitioned join must not shuffle:\n${joined.queryExecution.executedPlan}")
+        assert(joined.count() == 8)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBt)
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    }
+  }
+
   test("null and special-character partition values round-trip") {
     val dir = tmp("dwrf-partesc-")
     spark.range(0, 20, 1, 1).select(
