@@ -83,6 +83,14 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingle_hashes",
+      {
+        case Seq(child, Literal(n: Int, _)) => WordShingleHashes(child, n)
+        case other => throw new IllegalArgumentException(
+          s"word_shingle_hashes(text, n): got $other")
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_distinct",
       {
         case Seq(child) => KmvDistinct(child, 1024).toAggregateExpression()

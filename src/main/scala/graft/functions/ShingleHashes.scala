@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct xxhash64 values of a document's word n-gram shingles,
+  * computed over byte SPANS of the original text — zero per-shingle
+  * string building.
+  *
+  * Exact-parity contract with the declarative form the dedup tier used
+  * before (`array_distinct(transform(seq, i -> concat_ws(' ',
+  * slice(split(text, ' '), i, n))))` → `xxhash64(shingle)`): splitting
+  * on a single space and re-joining any token window with a single
+  * space reproduces the original byte span verbatim (empty tokens from
+  * runs of spaces included), so hashing the span with the same XxHash64
+  * seed yields byte-identical hash values — only the per-shingle
+  * UTF8String/array allocations and the O(words²) slice copies
+  * disappear. Distinctness is by hash (the declarative form deduped by
+  * string; equivalent modulo 64-bit collisions, the regime the pair
+  * counting already accepts). Kept in a plain object so generated code
+  * can call it statically.
+  */
+object ShingleKernel {
+  final val Seed = 42L // xxhash64(col)'s fixed seed
+
+  def compute(s: UTF8String, n: Int): GenericArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // word starts: 0 and every position after a space (split-with-
+    // limit=-1 semantics: empty tokens, trailing ones included, count)
+    var numWords = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') numWords += 1; i += 1 }
+    val starts = new Array[Int](numWords + 1)
+    var w = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    starts(numWords) = len + 1 // sentinel: word j spans starts(j)..starts(j+1)-2
+    val numShingles = math.max(numWords - (n - 1), 1)
+    val seen = new java.util.HashSet[java.lang.Long](numShingles * 2)
+    val out = new Array[Long](numShingles)
+    var m = 0
+    var j = 0
+    while (j < numShingles) {
+      val start = starts(j)
+      val lastWord = math.min(j + n - 1, numWords - 1)
+      val end = starts(lastWord + 1) - 1 // exclusive (strip the separator)
+      val span = UTF8String.fromBytes(bytes, start, end - start)
+      val h = XxHash64Function.hash(span, StringType, Seed)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      j += 1
+    }
+    new GenericArrayData(if (m == out.length) out else java.util.Arrays.copyOf(out, m))
+  }
+}
+
+/** Catalyst expression for [[ShingleKernel]] — native and codegen'd
+  * (stays inside whole-stage codegen; no UDF serialization), same shape
+  * as [[DocFingerprint]].
+  */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleKernel.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingle_hashes"
+}

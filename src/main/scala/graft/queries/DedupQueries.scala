@@ -47,11 +47,12 @@ object DedupQueries extends QueryPack {
 
   // --------------------------------------------------- n-gram jaccard
   // Word-5-gram shingles; pairs sharing ≥1 shingle get exact Jaccard.
-  // Shared by the Jaccard and MinHash tiers so both dedup metrics are over
-  // the same shingle space.
-  private val shingle5Sql = """array_distinct(transform(
-    |  sequence(1, greatest(size(split(text, ' ')) - 4, 1)),
-    |  i -> concat_ws(' ', slice(split(text, ' '), i, 5))))""".stripMargin
+  // Shared by the Jaccard and MinHash tiers so both dedup metrics are
+  // over the same shingle space. word_shingle_hashes is the native
+  // byte-span kernel (graft.functions.ShingleKernel): hash-identical to
+  // the declarative split/slice/concat_ws/xxhash64 pipeline (pinned by
+  // ShingleHashesSpec) without its per-shingle allocations.
+  private val shingle5Sql = "word_shingle_hashes(text, 5)"
 
   private def ngramJaccardFull(s: SparkSession, dir: String,
       cache: Boolean = true): (DataFrame, DataFrame) = {
@@ -64,8 +65,8 @@ object DedupQueries extends QueryPack {
     // persisted: the self-join + the counts aggregate would otherwise
     // recompute the shingling three times; the public query materializes
     // the (driver-sized) result and unpersists explicitly
-    val shingles0 = docs.select($"doc_id", explode(expr(shingle5Sql)).as("g0"))
-      .select($"doc_id", xxhash64($"g0").as("g"))
+    graft.functions.GraftFunctions.register(s)
+    val shingles0 = docs.select($"doc_id", explode(expr(shingle5Sql)).as("g"))
     val shingles = if (cache)
       shingles0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else shingles0
@@ -156,8 +157,8 @@ object DedupQueries extends QueryPack {
     // lambda would re-evaluate the shingling per hash function (Catalyst
     // CollapseProject inlines aliases into lambda bodies) — measured 30x
     // slower at sf0.1.
-    val shingleHashes = docs.select($"doc_id", explode(expr(shingle5Sql)).as("g"))
-      .select($"doc_id", xxhash64($"g").as("bh"))
+    graft.functions.GraftFunctions.register(s)
+    val shingleHashes = docs.select($"doc_id", explode(expr(shingle5Sql)).as("bh"))
     // referenced twice (band explode + per-pair signature join-back):
     // persist; the public query materializes and unpersists explicitly
     val sigs0 = shingleHashes.groupBy($"doc_id").agg(
@@ -200,9 +201,7 @@ object DedupQueries extends QueryPack {
     val candIds = pairs
       .select(explode(array($"id_a", $"id_b")).as("doc_id")).distinct()
     val sets = docs.join(broadcast(candIds), "doc_id")
-      .select($"doc_id", explode(expr(shingle5Sql)).as("g"))
-      .select($"doc_id", xxhash64($"g").as("bh"))
-      .groupBy($"doc_id").agg(collect_set($"bh").as("gs"))
+      .select($"doc_id", expr(shingle5Sql).as("gs"))
     val result = pairs
       .join(sets.select($"doc_id".as("id_a"), $"gs".as("gs_a")), "id_a")
       .join(sets.select($"doc_id".as("id_b"), $"gs".as("gs_b")), "id_b")
