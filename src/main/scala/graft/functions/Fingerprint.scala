@@ -91,6 +91,15 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature",
+      {
+        case Seq(child, Literal(n: Int, _), Literal(k: Int, _)) =>
+          MinHashSignature(child, n, k)
+        case other => throw new IllegalArgumentException(
+          s"minhash_signature(text, n, k): got $other")
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_distinct",
       {
         case Seq(child) => KmvDistinct(child, 1024).toAggregateExpression()

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Distinct xxhash64 values of a document's word n-gram shingles,
@@ -26,7 +26,36 @@ import org.apache.spark.unsafe.types.UTF8String
 object ShingleKernel {
   final val Seed = 42L // xxhash64(col)'s fixed seed
 
-  def compute(s: UTF8String, n: Int): GenericArrayData = {
+  def compute(s: UTF8String, n: Int): GenericArrayData =
+    new GenericArrayData(distinctHashes(s, n))
+
+  /** MinHash signature in the same single pass: element i is the signed
+    * min over the distinct shingle hashes of xxhash64(bh, i) — chained
+    * exactly like the two-child XxHash64 expression (seed 42 → hash the
+    * long → hash the int literal), so values are bit-identical to the
+    * explode + k×min(xxhash64(bh, i)) aggregate form it replaces, with
+    * no explode and NO shuffle (the groupBy disappears).
+    */
+  def minhashSignature(s: UTF8String, n: Int, k: Int): GenericArrayData = {
+    val hashes = distinctHashes(s, n)
+    val sig = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      var m = Long.MaxValue
+      var j = 0
+      while (j < hashes.length) {
+        val h1 = XxHash64Function.hash(hashes(j), LongType, Seed)
+        val h = XxHash64Function.hash(i, IntegerType, h1)
+        if (h < m) m = h
+        j += 1
+      }
+      sig(i) = m
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  private[functions] def distinctHashes(s: UTF8String, n: Int): Array[Long] = {
     val bytes = s.getBytes
     val len = bytes.length
     // word starts: 0 and every position after a space (split-with-
@@ -56,7 +85,7 @@ object ShingleKernel {
       if (seen.add(h)) { out(m) = h; m += 1 }
       j += 1
     }
-    new GenericArrayData(if (m == out.length) out else java.util.Arrays.copyOf(out, m))
+    if (m == out.length) out else java.util.Arrays.copyOf(out, m)
   }
 }
 
@@ -80,4 +109,27 @@ case class WordShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 
   override def prettyName: String = "word_shingle_hashes"
+}
+
+/** Whole MinHash signature per document as one native expression: the
+  * signature pass becomes a shuffle-free narrow Project (no explode, no
+  * groupBy) — at 100 TB the k×min aggregation shuffle this replaces was
+  * the signature stage's entire cost.
+  */
+case class MinHashSignature(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.minhashSignature(input.asInstanceOf[UTF8String], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleKernel.minhashSignature($c, $n, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_signature"
 }

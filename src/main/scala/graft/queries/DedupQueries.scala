@@ -70,7 +70,9 @@ object DedupQueries extends QueryPack {
     val shingles = if (cache)
       shingles0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else shingles0
-    val counts = shingles.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // per-doc distinct-shingle count straight from the kernel output —
+    // no groupBy shuffle (size of the distinct set == the exploded count)
+    val counts = docs.select($"doc_id", size(expr(shingle5Sql)).cast("long").as("n"))
     // Skew bound: the join-key distribution is the shingle DF histogram —
     // one viral boilerplate 5-gram in k docs makes k² pairs in ONE task.
     // Shingles with df > 50 are dropped from the JOIN ONLY (per-doc sizes
@@ -151,18 +153,14 @@ object DedupQueries extends QueryPack {
     val bands = 8
     val rowsPerBand = k / bands
     val docs = Tables.load(s, dir, "documents")
-    // shingle ONCE via explode, then build the k min-hashes as k min()
-    // aggregates over the per-shingle base hash (map-side combined, so the
-    // shuffle carries only k longs per doc). A projection-level transform
-    // lambda would re-evaluate the shingling per hash function (Catalyst
-    // CollapseProject inlines aliases into lambda bodies) — measured 30x
-    // slower at sf0.1.
     graft.functions.GraftFunctions.register(s)
-    val shingleHashes = docs.select($"doc_id", explode(expr(shingle5Sql)).as("bh"))
-    // referenced twice (band explode + per-pair signature join-back):
+    // whole signature in ONE native pass (minhash_signature kernel):
+    // shuffle-free narrow Project — no shingle explode, no k×min groupBy.
+    // Bit-identical to the aggregate form it replaces (ShingleHashesSpec).
+    // Referenced twice (band explode + per-pair signature join-back):
     // persist; the public query materializes and unpersists explicitly
-    val sigs0 = shingleHashes.groupBy($"doc_id").agg(
-      array((0 until k).map(i => min(xxhash64($"bh", lit(i)))): _*).as("sig"))
+    val sigs0 = docs.select($"doc_id",
+      expr(s"minhash_signature(text, 5, $k)").as("sig"))
     val sigs = if (cache)
       sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sigs0

@@ -46,4 +46,21 @@ class ShingleHashesSpec extends AnyFunSuite {
       assert(mismatches == 0, s"n=$n: shingle hash sets diverge")
     }
   }
+
+  test("minhash_signature matches the explode + k×min aggregate form bit-for-bit") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val k = 32
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val fast = docs.select($"doc_id",
+      expr(s"minhash_signature(text, 5, $k)").as("sig"))
+    val slow = docs
+      .select($"doc_id", explode(expr("word_shingle_hashes(text, 5)")).as("bh"))
+      .groupBy($"doc_id").agg(
+        array((0 until k).map(i => min(xxhash64($"bh", lit(i)))): _*).as("sig"))
+    val joined = fast.as("f").join(slow.as("s"), "doc_id")
+      .filter($"f.sig" =!= $"s.sig")
+    assert(joined.count() == 0, "signatures diverge")
+  }
 }
