@@ -110,8 +110,11 @@ object StreamingQueries extends QueryPack {
     import s.implicits._
     val (srcDir, rawSchema) = stageStreamSource(s, dir)
     val (ckDir, outDir) = freshSinkDirs("stream-window", dir)
+    // one data batch (no maxFilesPerTrigger): the watermark advances
+    // AFTER the batch, and the trailing no-data micro-batch (enabled by
+    // default) then emits+purges every closed window — same answer as
+    // file-by-file batches, one stateful commit cycle fewer
     val stream = s.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1") // real data first, sentinel after
       .parquet(srcDir)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       .withWatermark("ts", "1 hour")
@@ -236,8 +239,8 @@ object StreamingQueries extends QueryPack {
     // the event-time (watermarked) column must flow into the typed
     // Dataset for the event-time timeout to bind to it
     val stream = s.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(srcDir)
+      .parquet(srcDir) // single data batch; timeouts fire in the trailing
+      // no-data batch once the sentinel has advanced the watermark
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       .select($"user_id", $"ts", $"event_id")
       .withWatermark("ts", "1 hour")
