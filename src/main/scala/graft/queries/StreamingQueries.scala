@@ -24,6 +24,20 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingQueries extends QueryPack {
 
+  /** Staging root for source symlinks, checkpoints, and sinks. Derived
+    * from the JVM tmpdir (not the repo checkout) so the queries run from
+    * any working directory; overridable for tests via the
+    * `graft.streaming.staging` system property.
+    */
+  private def stagingRoot: java.nio.file.Path = {
+    val base = sys.props.get("graft.streaming.staging")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-streaming"))
+    java.nio.file.Files.createDirectories(base)
+    base
+  }
+
   /** Stage the streaming source dir: a symlink to events.parquet plus a
     * watermark-sentinel file (one row 2 days past the real max event
     * time, `user_id` -1 and a sentinel event_type so either query can
@@ -36,7 +50,7 @@ object StreamingQueries extends QueryPack {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     val tag = Integer.toHexString(dir.hashCode)
-    val srcDir = java.nio.file.Paths.get(s"/root/repo/target/stream-src-$tag")
+    val srcDir = stagingRoot.resolve(s"stream-src-$tag")
     java.nio.file.Files.createDirectories(srcDir)
     val link = srcDir.resolve("events.parquet")
     if (!java.nio.file.Files.exists(link))
@@ -49,7 +63,7 @@ object StreamingQueries extends QueryPack {
     val maxNs = s.read.parquet(s"$dir/events.parquet")
       .agg(max($"ts")).as[Long].head()
     val sentinelNs = maxNs + 2L * 24 * 3600 * 1000000000L
-    val sentinelDir = s"/root/repo/target/stream-sentinel-$tag"
+    val sentinelDir = stagingRoot.resolve(s"stream-sentinel-$tag").toString
     val sentinelLink = srcDir.resolve(s"zz-sentinel-$sentinelNs.parquet")
     if (!java.nio.file.Files.exists(sentinelLink)) {
       // prefix match WITHOUT the trailing dash also purges the legacy
@@ -94,8 +108,8 @@ object StreamingQueries extends QueryPack {
     * a stale sink without its checkpoint would double-count. */
   private def freshSinkDirs(name: String, dir: String): (String, String) = {
     val tag = Integer.toHexString(dir.hashCode)
-    val ckDir = java.nio.file.Paths.get(s"/root/repo/target/$name-ck-$tag")
-    val outDir = java.nio.file.Paths.get(s"/root/repo/target/$name-out-$tag")
+    val ckDir = stagingRoot.resolve(s"$name-ck-$tag")
+    val outDir = stagingRoot.resolve(s"$name-out-$tag")
     def rmTree(p: java.nio.file.Path): Unit =
       if (java.nio.file.Files.exists(p)) {
         import scala.jdk.CollectionConverters._
@@ -149,36 +163,53 @@ object StreamingQueries extends QueryPack {
     s"CAST(ROUND(SUM(CAST(($e) AS DECIMAL(18,6))), 2) AS DOUBLE)"
 
   // ------------------------------------------------------ sessionize
-  // Custom per-user session state via the typed KeyValueGroupedDataset
-  // API (flatMapGroups — the batch twin of flatMapGroupsWithState, same
-  // per-group imperative kernel a streaming deployment would keep in
-  // state). 30-minute gap rule; oracle = lag/cumulative-sum window SQL.
+  // Batch sessionization in the secondary-sort shape: hash-repartition on
+  // user_id, sort each partition by (user_id, ts, event_id), then a
+  // single streaming scan over the partition emits sessions as group
+  // boundaries and 30-minute gaps pass by. Unlike groupByKey +
+  // flatMapGroups (which materializes each user's full event history into
+  // one task's heap), this holds O(1) state per group — a power-user key
+  // at 100 TB costs nothing extra. The streaming twin below keeps the
+  // same kernel incremental in a state store.
   private def sessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val gapMicros = 30L * 60 * 1000000
     val evs = graft.Tables.load(s, dir, "events")
       .select($"user_id", expr("unix_micros(ts)").as("ts_us"), $"event_id")
       .as[(Long, Long, Long)]
-    val sessions = evs.groupByKey(_._1).flatMapGroups { (uid, it) =>
-      val sorted = it.toArray.sortBy(e => (e._2, e._3))
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
-      var sessionId = 0L
-      var start = 0L
-      var end = 0L
-      var n = 0L
-      sorted.foreach { case (_, ts, _) =>
-        if (n == 0 || ts - end > gapMicros) {
-          if (n > 0) out += ((uid, sessionId, start, end, n))
-          sessionId += 1
-          start = ts
-          n = 0
+    val sessions = evs
+      .repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"ts_us", $"event_id")
+      .mapPartitions { it =>
+        // rows arrive grouped by user and time-ordered within each user:
+        // one forward pass, constant state (current session only)
+        new Iterator[(Long, Long, Long, Long, Long)] {
+          private var pending: (Long, Long, Long, Long, Long) = _
+          private var uid, sid, start, end, n = 0L
+          private def advance(): Unit = {
+            while (pending == null) {
+              if (!it.hasNext) {
+                if (n > 0) { pending = (uid, sid, start, end, n); n = 0 }
+                return
+              }
+              val (u, ts, _) = it.next()
+              if (n == 0) { uid = u; sid = 1; start = ts; end = ts; n = 1 }
+              else if (u != uid) {
+                pending = (uid, sid, start, end, n)
+                uid = u; sid = 1; start = ts; end = ts; n = 1
+              } else if (ts - end > gapMicros) {
+                pending = (uid, sid, start, end, n)
+                sid += 1; start = ts; end = ts; n = 1
+              } else { end = ts; n += 1 }
+            }
+          }
+          override def hasNext: Boolean = { advance(); pending != null }
+          override def next(): (Long, Long, Long, Long, Long) = {
+            advance()
+            val r = pending; pending = null; r
+          }
         }
-        end = ts
-        n += 1
       }
-      if (n > 0) out += ((uid, sessionId, start, end, n))
-      out.iterator
-    }
     sessions.toDF("user_id", "session_id", "start_us", "end_us", "n_events")
       .select($"user_id", $"session_id",
         expr("timestamp_micros(start_us)").as("session_start"),

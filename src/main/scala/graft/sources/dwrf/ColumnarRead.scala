@@ -76,8 +76,14 @@ abstract class VectorDecoder(val columnId: Int) {
   final def putOne(v: OnHeapColumnVector, i: Int): Unit =
     if (present == null || present.next()) put(v, i) else v.putNull(i)
 
+  /** Batch hook for decoders that can attach a lazy dictionary to the
+    * OUTPUT vector (`fill` roots only — nested children decode through
+    * `putOne` and keep the materializing path). */
+  protected def prepare(v: OnHeapColumnVector, n: Int): Unit = ()
+
   final def fill(v: OnHeapColumnVector, n: Int): Unit = {
     beginBatchTree()
+    prepare(v, n)
     var i = 0
     while (i < n) { putOne(v, i); i += 1 }
   }
@@ -315,12 +321,34 @@ final class DoubleVectorDecoder(c: Int) extends VectorDecoder(c) {
     e.positions.get(StreamKind.Data).foreach(p => data.seek(new ArrayPositionProvider(p)))
 }
 
+/** Dictionary-encoded string columns ship 4-byte ids into the batch and
+  * decode lazily at access time (`OnHeapColumnVector.setDictionary`) —
+  * the columnar analog of the reference's lazy dictionary string reads
+  * (LazyStringDictionaryTreeReader.java:60-220): no per-row byte copy at
+  * scan time, and rows a filter drops above the scan are never decoded.
+  */
+final class ByteArrayDictionary(main: Array[Array[Byte]], stride: Array[Array[Byte]])
+    extends org.apache.spark.sql.execution.vectorized.Dictionary {
+  override def decodeToBinary(id: Int): Array[Byte] =
+    if (id < main.length) main(id) else stride(id - main.length)
+  override def decodeToInt(id: Int): Int =
+    throw new UnsupportedOperationException("string dictionary")
+  override def decodeToLong(id: Int): Long =
+    throw new UnsupportedOperationException("string dictionary")
+  override def decodeToFloat(id: Int): Float =
+    throw new UnsupportedOperationException("string dictionary")
+  override def decodeToDouble(id: Int): Double =
+    throw new UnsupportedOperationException("string dictionary")
+}
+
 final class StringVectorDecoder(c: Int) extends VectorDecoder(c) {
   private var data: InStream = null
   private var lengths: RunLengthIntegerReader = null
   private var dict: Array[Array[Byte]] = null
   private var strideDict: Array[Array[Byte]] = null
   private var ids: RunLengthIntegerReader = null
+  private var sparkDict: ByteArrayDictionary = null
+  private var idsOut: org.apache.spark.sql.execution.vectorized.WritableColumnVector = null
 
   private val emptyStream: InStream =
     InStream("empty", Array.emptyByteArray, None)
@@ -356,20 +384,36 @@ final class StringVectorDecoder(c: Int) extends VectorDecoder(c) {
         }.orNull
       ids = src.stream(c, StreamKind.Data)
         .map(new RunLengthIntegerReader(_, signed = false, src.useVInts)).orNull
+      sparkDict = new ByteArrayDictionary(dict,
+        if (strideDict == null) Array.empty else strideDict)
       data = null; lengths = null
     } else {
-      dict = null; strideDict = null; ids = null
+      dict = null; strideDict = null; ids = null; sparkDict = null
       data = src.stream(c, StreamKind.Data).orNull
       lengths = src.stream(c, StreamKind.Length)
         .map(new RunLengthIntegerReader(_, signed = false, src.useVInts)).orNull
     }
   }
 
+  /** Attach (or detach — encodings can flip between stripes) the lazy
+    * dictionary on the output vector once per batch. */
+  override protected def prepare(v: OnHeapColumnVector, n: Int): Unit =
+    if (sparkDict != null) {
+      v.setDictionary(sparkDict)
+      idsOut = v.reserveDictionaryIds(n)
+    } else {
+      v.setDictionary(null)
+      idsOut = null
+    }
+
   override protected def put(v: OnHeapColumnVector, i: Int): Unit = {
     if (dict != null) {
       val id = ids.next().toInt
-      val b = if (id < dict.length) dict(id) else strideDict(id - dict.length)
-      v.putByteArray(i, b, 0, b.length)
+      if (idsOut != null) idsOut.putInt(i, id) // lazy: decode at access
+      else { // nested under a collection/struct: materialize
+        val b = if (id < dict.length) dict(id) else strideDict(id - dict.length)
+        v.putByteArray(i, b, 0, b.length)
+      }
     } else {
       val len = lengths.next().toInt
       val b = new Array[Byte](len)

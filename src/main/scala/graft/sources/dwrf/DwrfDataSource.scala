@@ -108,7 +108,7 @@ final class DwrfDataSource extends TableProvider with DataSourceRegister {
         throw new IllegalArgumentException(s"dwrf: partition column '$c' not in schema"))
       require(PartitionLayout.supportedType(f.dataType),
         s"dwrf: partition column '$c' has unsupported type " +
-          s"${f.dataType.simpleString} (integral, float, string, boolean only)")
+          s"${f.dataType.simpleString} (integral, float, string, boolean, date only)")
     }
     new DwrfTable(schema, properties.asScala.toMap, partCols)
   }
@@ -670,7 +670,8 @@ private final class DwrfPartitionedDataWriter(schema: StructType, root: Path,
         vals.asInstanceOf[Array[AnyRef]], lastVals.asInstanceOf[Array[AnyRef]]))
       return lastWriter
     val dirs = partCols.indices
-      .map(i => PartitionLayout.dirName(partCols(i), vals(i))).mkString("/")
+      .map(i => PartitionLayout.dirName(partCols(i), vals(i),
+        schema.fields(partIdx(i)).dataType)).mkString("/")
     val w = writers.getOrElseUpdate(dirs, {
       require(writers.size < maxOpenWriters,
         s"dwrf: task sees more than $maxOpenWriters distinct partition " +

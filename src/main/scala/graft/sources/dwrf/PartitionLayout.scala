@@ -25,12 +25,13 @@ object PartitionLayout {
   val NullSentinel: String = ExternalCatalogUtils.DEFAULT_PARTITION_NAME
 
   /** Types a partition column may have: value→path→value must round-trip
-    * through a plain string. (Date/timestamp internal values would print
-    * as raw ints; exclude them rather than write misleading paths.)
+    * through a plain string. Dates print as ISO `yyyy-MM-dd` (Hive's
+    * spelling — `dt=2026-08-12` layouts). Timestamps stay excluded: their
+    * Hive path spelling is lossy below seconds and zone-ambiguous.
     */
   def supportedType(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
-         DoubleType | StringType | BooleanType => true
+         DoubleType | StringType | BooleanType | DateType => true
     case _ => false
   }
 
@@ -43,9 +44,18 @@ object PartitionLayout {
   def unescape(s: String): String = ExternalCatalogUtils.unescapePathName(s)
 
   /** One `col=value` path segment from a partition column's row value
-    * (Catalyst internal representation). */
-  def dirName(col: String, v: Any): String =
-    escape(col) + "=" + (if (v == null) NullSentinel else escape(v.toString))
+    * (Catalyst internal representation; dates arrive as epoch-day ints
+    * and print ISO). */
+  def dirName(col: String, v: Any, dt: DataType): String = {
+    val printed =
+      if (v == null) NullSentinel
+      else dt match {
+        case DateType =>
+          java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString
+        case _ => escape(v.toString)
+      }
+    escape(col) + "=" + printed
+  }
 
   /** The `(col, rawValue)` pairs encoded in the directories between
     * `root` and `file`, outermost first; values unescaped but with the
@@ -74,12 +84,16 @@ object PartitionLayout {
   /** Narrowest type all raw values of a partition column parse as —
     * long, double, boolean, else string (nulls don't vote).
     */
+  private val IsoDate = """\d{4}-\d{2}-\d{2}""".r
+
   def inferType(values: Iterable[String]): DataType = {
     val vs = values.filter(_ != NullSentinel)
     def all(p: String => Boolean) = vs.nonEmpty && vs.forall(p)
     if (all(v => v.nonEmpty && scala.util.Try(v.toLong).isSuccess)) LongType
     else if (all(v => scala.util.Try(v.toDouble).isSuccess)) DoubleType
     else if (all(v => v == "true" || v == "false")) BooleanType
+    else if (all(v => IsoDate.matches(v) &&
+      scala.util.Try(java.time.LocalDate.parse(v)).isSuccess)) DateType
     else StringType
   }
 
@@ -98,11 +112,13 @@ object PartitionLayout {
       case FloatType => java.lang.Float.valueOf(raw)
       case DoubleType => java.lang.Double.valueOf(raw)
       case BooleanType => java.lang.Boolean.valueOf(raw)
+      case DateType =>
+        java.lang.Integer.valueOf(java.time.LocalDate.parse(raw).toEpochDay.toInt)
       case other =>
         throw new IllegalArgumentException(
           s"dwrf: unsupported partition column type ${other.simpleString}")
     } catch {
-      case _: NumberFormatException =>
+      case _: NumberFormatException | _: java.time.format.DateTimeParseException =>
         throw new IllegalArgumentException(
           s"dwrf: partition directory value '$raw' does not parse as " +
             s"${dt.simpleString}; fix the layout or read with a string-typed " +
@@ -129,6 +145,11 @@ object PartitionLayout {
       case BooleanType =>
         val t = if (raw == "true") numRows else 0L
         ColumnStats(count = numRows, hasNull = false, trueCount = t)
+      case DateType =>
+        // epoch days in the long window — the same shape DateVectorDecoder
+        // columns use, so date filters prune through StatsFilter.toDays
+        val v = java.time.LocalDate.parse(raw).toEpochDay
+        ColumnStats(count = numRows, hasNull = false, longMin = v, longMax = v)
       case _ => ColumnStats(count = numRows, hasNull = false)
     }).toOption
 }
@@ -146,7 +167,7 @@ final class ConstantVectorDecoder(value: Any, dt: DataType)
     else dt match {
       case ByteType => v.putByte(i, value.asInstanceOf[Byte])
       case ShortType => v.putShort(i, value.asInstanceOf[Short])
-      case IntegerType => v.putInt(i, value.asInstanceOf[Int])
+      case IntegerType | DateType => v.putInt(i, value.asInstanceOf[Int])
       case LongType => v.putLong(i, value.asInstanceOf[Long])
       case FloatType => v.putFloat(i, value.asInstanceOf[Float])
       case DoubleType => v.putDouble(i, value.asInstanceOf[Double])

@@ -217,6 +217,106 @@ class DwrfPartitionSpec extends AnyFunSuite {
     }
   }
 
+  test("DateType partition columns: ISO dirs, typed read-back, date-filter pruning") {
+    val dir = tmp("dwrf-partdate-")
+    // dt=yyyy-MM-dd — the single most common Hive partition scheme — plus
+    // a null partition to cover the sentinel directory
+    spark.range(0, 120, 1, 1).select(
+      col("id"),
+      when(col("id") < 20, lit(null).cast("date"))
+        .otherwise(date_add(lit(java.sql.Date.valueOf("2026-08-01")),
+          (col("id") % 4).cast("int"))).as("dt"))
+      .write.format("dwrf").partitionBy("dt").mode("overwrite").save(dir)
+
+    val names = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .map(_.getName).sorted.toSeq
+    assert(names == Seq("dt=2026-08-01", "dt=2026-08-02", "dt=2026-08-03",
+      "dt=2026-08-04", s"dt=${PartitionLayout.NullSentinel}"), names.toString)
+
+    val df = spark.read.format("dwrf").load(dir)
+    assert(df.schema("dt").dataType == org.apache.spark.sql.types.DateType)
+    assert(df.schema("dt").nullable)
+    assert(df.count() == 120)
+    assert(df.filter(col("dt").isNull).count() == 20)
+    assert(df.filter(col("dt") === lit(java.sql.Date.valueOf("2026-08-02"))).count() == 25)
+
+    // date filters prune whole directories through the stats path, in
+    // both filter-value spellings Spark pushes (sql.Date / LocalDate)
+    val schema = df.schema
+    def scanWith(fs: Array[Filter]): DwrfScan = {
+      val sc = new DwrfScanBuilder(schema, dir).build().asInstanceOf[DwrfScan]
+      sc.filter(fs); sc
+    }
+    assert(scanWith(Array.empty).planInputPartitions().length == 5)
+    assert(scanWith(Array(GreaterThanOrEqual("dt", java.sql.Date.valueOf("2026-08-03"))))
+      .planInputPartitions().length == 2)
+    assert(scanWith(Array(EqualTo("dt", java.time.LocalDate.parse("2026-08-04"))))
+      .planInputPartitions().length == 1)
+    assert(scanWith(Array(IsNull("dt"))).planInputPartitions().length == 1)
+
+    // typed values round-trip exactly
+    val rows = df.filter(col("id") >= 20 && col("id") < 24).orderBy("id").collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getDate(1).toLocalDate ==
+        java.time.LocalDate.parse("2026-08-01").plusDays(id % 4), s"id $id")
+    }
+    assert(df.filter(col("dt") >= lit(java.sql.Date.valueOf("2026-08-03"))).count() == 50)
+  }
+
+  test("storage-partitioned join: two co-partitioned base tables join with zero shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def shufflesIn(df: org.apache.spark.sql.DataFrame): Int = {
+      val p = df.queryExecution.executedPlan
+      val expanded = p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+      (p +: expanded).map(_.collect { case s: ShuffleExchangeExec => s }.size).sum
+    }
+    val dirA = tmp("dwrf-spjbase-a-")
+    val dirB = tmp("dwrf-spjbase-b-")
+    // two tables laid out on the same partition key — the 100 TB shape:
+    // a fact table and a per-key side table co-clustered by ingestion
+    spark.range(0, 4000, 1, 1).select(col("id"), (col("id") % 8).as("p"))
+      .write.format("dwrf").partitionBy("p").mode("overwrite").save(dirA)
+    spark.range(0, 160, 1, 1).select((col("id") % 8).as("p"), (col("id") * 10).as("w"))
+      .write.format("dwrf").partitionBy("p").mode("overwrite").save(dirB)
+
+    val oldBucketing = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val oldBt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val a = spark.read.format("dwrf").load(dirA)
+      val b = spark.read.format("dwrf").load(dirB)
+      val joined = a.join(b, "p")
+      assert(shufflesIn(joined) == 0,
+        s"equi-join on the shared partition key must not shuffle:\n${joined.queryExecution.executedPlan}")
+      // a per-key aggregate on top stays shuffle-free too (the layout is
+      // the exchange); the global rollup below it is for value parity only
+      val perKey = joined.groupBy("p").agg(
+        count(lit(1)).as("rows"), sum(col("id") * col("w")).as("dot"))
+      assert(shufflesIn(perKey) == 0,
+        s"per-key aggregate over the join must not shuffle:\n${perKey.queryExecution.executedPlan}")
+      val got = perKey.agg(sum(col("rows")), sum(col("dot"))).collect().head
+      // cross-check values against the same join planned WITH shuffles
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val shuffled = spark.read.format("dwrf").load(dirA)
+        .join(spark.read.format("dwrf").load(dirB), "p")
+      assert(shufflesIn(shuffled) > 0, "control plan should shuffle")
+      val want = shuffled
+        .agg(count(lit(1)).as("rows"), sum(col("id") * col("w")).as("dot"))
+        .collect().head
+      assert(got.getLong(0) == 4000L / 8 * (160 / 8) * 8 && got.getLong(0) == want.getLong(0))
+      assert(got.getLong(1) == want.getLong(1), "join values must match the shuffled plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBt)
+      oldBucketing match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    }
+  }
+
   test("null and special-character partition values round-trip") {
     val dir = tmp("dwrf-partesc-")
     spark.range(0, 20, 1, 1).select(
