@@ -32,10 +32,23 @@ object StreamingQueries extends QueryPack {
   private def stagingRoot: java.nio.file.Path = {
     val base = sys.props.get("graft.streaming.staging")
       .map(java.nio.file.Paths.get(_))
-      .getOrElse(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-streaming"))
+      .getOrElse {
+        // user-scoped default: a world-shared /tmp/graft-streaming would
+        // hit permission failures when a second user owns it first
+        val who = sys.props.getOrElse("user.name", "anon")
+        java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-streaming-$who")
+      }
     java.nio.file.Files.createDirectories(base)
     base
+  }
+
+  /** Collision-resistant per-dataset tag (String.hashCode collides too
+    * easily to key checkpoint/sink dirs across datasets). */
+  private def dirTag(dir: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(dir.getBytes("UTF-8"))
+    d.take(8).map(b => f"$b%02x").mkString
   }
 
   /** Stage the streaming source dir: a symlink to events.parquet plus a
@@ -49,7 +62,7 @@ object StreamingQueries extends QueryPack {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val tag = Integer.toHexString(dir.hashCode)
+    val tag = dirTag(dir)
     val srcDir = stagingRoot.resolve(s"stream-src-$tag")
     java.nio.file.Files.createDirectories(srcDir)
     val link = srcDir.resolve("events.parquet")
@@ -107,7 +120,7 @@ object StreamingQueries extends QueryPack {
   /** Fresh checkpoint+sink dirs per run: the file sink is append-only, so
     * a stale sink without its checkpoint would double-count. */
   private def freshSinkDirs(name: String, dir: String): (String, String) = {
-    val tag = Integer.toHexString(dir.hashCode)
+    val tag = dirTag(dir)
     val ckDir = stagingRoot.resolve(s"$name-ck-$tag")
     val outDir = stagingRoot.resolve(s"$name-out-$tag")
     def rmTree(p: java.nio.file.Path): Unit =

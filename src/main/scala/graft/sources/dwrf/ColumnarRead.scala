@@ -327,10 +327,18 @@ final class DoubleVectorDecoder(c: Int) extends VectorDecoder(c) {
   * (LazyStringDictionaryTreeReader.java:60-220): no per-row byte copy at
   * scan time, and rows a filter drops above the scan are never decoded.
   */
-final class ByteArrayDictionary(main: Array[Array[Byte]], stride: Array[Array[Byte]])
+final class ByteArrayDictionary(column: Int, main: Array[Array[Byte]],
+    stride: Array[Array[Byte]])
     extends org.apache.spark.sql.execution.vectorized.Dictionary {
   override def decodeToBinary(id: Int): Array[Byte] =
-    if (id < main.length) main(id) else stride(id - main.length)
+    if (id >= 0 && id < main.length) main(id)
+    else if (id >= main.length && id - main.length < stride.length)
+      stride(id - main.length)
+    else throw new java.io.IOException(
+      // corrupt ids surface lazily at access time, far from the scan:
+      // name the column and id space so the failure is traceable
+      s"dwrf: corrupt dictionary id $id in column $column " +
+        s"(${main.length} main + ${stride.length} stride entries)")
   override def decodeToInt(id: Int): Int =
     throw new UnsupportedOperationException("string dictionary")
   override def decodeToLong(id: Int): Long =
@@ -384,7 +392,7 @@ final class StringVectorDecoder(c: Int) extends VectorDecoder(c) {
         }.orNull
       ids = src.stream(c, StreamKind.Data)
         .map(new RunLengthIntegerReader(_, signed = false, src.useVInts)).orNull
-      sparkDict = new ByteArrayDictionary(dict,
+      sparkDict = new ByteArrayDictionary(c, dict,
         if (strideDict == null) Array.empty else strideDict)
       data = null; lengths = null
     } else {

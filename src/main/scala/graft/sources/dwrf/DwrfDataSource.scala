@@ -79,11 +79,17 @@ final class DwrfDataSource extends TableProvider with DataSourceRegister {
     val keys = specs.head.map(_._1)
     require(specs.forall(_.map(_._1) == keys),
       s"dwrf: inconsistent partition directory layout under $path")
+    // date inference is opt-out (option mirrors Spark's
+    // partitionColumnTypeInference switch): a pre-existing layout whose
+    // STRING values happen to spell yyyy-MM-dd can pin strings
+    val inferDate = Option(options.get("partition.typeInference.date"))
+      .forall(_.toBoolean)
     val partFields = keys.zipWithIndex.map { case (k, i) =>
       require(!merged.contains(k),
         s"dwrf: partition column '$k' collides with a data column")
       val values = specs.map(_(i)._2)
-      org.apache.spark.sql.types.StructField(k, PartitionLayout.inferType(values),
+      org.apache.spark.sql.types.StructField(
+        k, PartitionLayout.inferType(values, inferDate),
         nullable = values.contains(PartitionLayout.NullSentinel))
     }
     StructType(dataFields ++ partFields)

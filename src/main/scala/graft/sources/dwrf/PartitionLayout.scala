@@ -82,17 +82,27 @@ object PartitionLayout {
   }
 
   /** Narrowest type all raw values of a partition column parse as —
-    * long, double, boolean, else string (nulls don't vote).
+    * long, double, boolean, date (when `inferDate`), else string (nulls
+    * don't vote). The regex accepts signed / 5+-digit years because
+    * that is what `dirName` prints for dates outside 0000-9999
+    * (LocalDate.toString emits '+10000-01-01' / '-0001-01-01'), keeping
+    * write and infer symmetric across the whole epoch-day range.
+    *
+    * Date inference is gated by the read option
+    * `partition.typeInference.date` (default true — mirroring
+    * spark.sql.sources.partitionColumnTypeInference.enabled): layouts
+    * whose STRING partition values merely look like yyyy-MM-dd can opt
+    * out instead of silently changing read schema.
     */
-  private val IsoDate = """\d{4}-\d{2}-\d{2}""".r
+  private val IsoDate = """[-+]?\d{4,10}-\d{2}-\d{2}""".r
 
-  def inferType(values: Iterable[String]): DataType = {
+  def inferType(values: Iterable[String], inferDate: Boolean = true): DataType = {
     val vs = values.filter(_ != NullSentinel)
     def all(p: String => Boolean) = vs.nonEmpty && vs.forall(p)
     if (all(v => v.nonEmpty && scala.util.Try(v.toLong).isSuccess)) LongType
     else if (all(v => scala.util.Try(v.toDouble).isSuccess)) DoubleType
     else if (all(v => v == "true" || v == "false")) BooleanType
-    else if (all(v => IsoDate.matches(v) &&
+    else if (inferDate && all(v => IsoDate.matches(v) &&
       scala.util.Try(java.time.LocalDate.parse(v)).isSuccess)) DateType
     else StringType
   }

@@ -185,8 +185,9 @@ object StatsFilter {
 
   private def toMicros(value: Any): Option[Long] = value match {
     case t: java.sql.Timestamp =>
-      Some(Math.multiplyExact(t.getTime / 1000, 1000000L) +
-        (t.getNanos / 1000).toLong)
+      // inverse of the toJavaTimestamp Spark used to build the value
+      // (same ancient-date rebase hazard as toDays)
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
     case i: java.time.Instant =>
       Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
         (i.getNano / 1000).toLong))
@@ -198,7 +199,11 @@ object StatsFilter {
   }
 
   private def toDays(value: Any): Option[Long] = value match {
-    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    // fromJavaDate is the exact inverse of the toJavaDate Spark used to
+    // build the pushed value; toLocalDate would re-interpret ancient dates
+    // in the hybrid Julian calendar and mis-prune by a few days
+    case d: java.sql.Date =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
     case d: java.time.LocalDate => Some(d.toEpochDay)
     case _ => None
   }

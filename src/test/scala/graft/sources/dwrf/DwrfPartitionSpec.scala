@@ -317,6 +317,44 @@ class DwrfPartitionSpec extends AnyFunSuite {
     }
   }
 
+  test("date inference is opt-out; out-of-range years stay write/infer symmetric") {
+    val dir = tmp("dwrf-partdateopt-")
+    spark.range(0, 20, 1, 1).select(
+      col("id"),
+      date_add(lit(java.sql.Date.valueOf("2026-08-01")),
+        (col("id") % 2).cast("int")).as("dt"))
+      .write.format("dwrf").partitionBy("dt").mode("overwrite").save(dir)
+    // default: ISO-shaped values infer DateType
+    assert(spark.read.format("dwrf").load(dir).schema("dt").dataType ==
+      org.apache.spark.sql.types.DateType)
+    // opt-out pins the pre-round-5 string schema for layouts whose string
+    // values merely look like dates
+    val asStr = spark.read.format("dwrf")
+      .option("partition.typeInference.date", "false").load(dir)
+    assert(asStr.schema("dt").dataType == org.apache.spark.sql.types.StringType)
+    assert(asStr.filter(col("dt") === "2026-08-01").count() == 10)
+
+    // years outside 0000-9999 print signed/5-digit ISO (+10000-01-01,
+    // -0001-01-01); inference must accept its own writer's spelling
+    val wide = tmp("dwrf-partdatewide-")
+    spark.range(0, 4, 1, 1).select(
+      col("id"),
+      when(col("id") < 2, lit(java.time.LocalDate.of(10000, 1, 2)))
+        .otherwise(lit(java.time.LocalDate.of(-1, 3, 4))).as("dt"))
+      .write.format("dwrf").partitionBy("dt").mode("overwrite").save(wide)
+    val wnames = new java.io.File(wide).listFiles.filter(_.isDirectory)
+      .map(_.getName).sorted.toSeq
+    assert(wnames == Seq("dt=+10000-01-02", "dt=-0001-03-04"), wnames.toString)
+    val wdf = spark.read.format("dwrf").load(wide)
+    assert(wdf.schema("dt").dataType == org.apache.spark.sql.types.DateType)
+    // compare in Catalyst (epoch days): collecting through java.sql.Date
+    // rebases ancient dates into the hybrid Julian calendar and shifts them
+    assert(wdf.filter(col("dt") === lit(java.time.LocalDate.of(10000, 1, 2)))
+      .count() == 2)
+    assert(wdf.filter(col("dt") === lit(java.time.LocalDate.of(-1, 3, 4)))
+      .count() == 2)
+  }
+
   test("null and special-character partition values round-trip") {
     val dir = tmp("dwrf-partesc-")
     spark.range(0, 20, 1, 1).select(
