@@ -199,6 +199,53 @@ object SimilarityQueries extends QueryPack {
       .withColumn("n_candidates", lit(n))
   }
 
+  // ------------------------------------------------------- LSH recall
+  // Recall as a MEASURED number, not a formula: the fraction of the exact
+  // top-20 cosine pairs (the ann_cosine_pairs fixture — vec_id < 2000,
+  // oracle-checked elsewhere) present in the LSH candidate set, reported
+  // next to the candidate count so the recall/cost trade is a pinned
+  // observable per round. One summary row; rows-only driver check (the
+  // exact side is already hash-checked via ann_cosine_pairs).
+  //
+  // Expectation calibration: the synthetic embeddings have NO true
+  // near-dups — the exact top-20 sits at cosine ≈ 0.44-0.51, where
+  // 4×8-bit bands predict 1-(1-p^8)^4 ≈ 0.15 recall (p = 1-acos(c)/π).
+  // Measured 0.10 at sf0.01 — theory-consistent. The same bands give
+  // ≈ 0.89 at c = 0.95, the regime dedup actually targets; raising
+  // recall for mid-similarity search means more/narrower bands (the
+  // knob this metric now makes visible round over round).
+  private def lshRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, candCount, caches) = lshCosineFull(s, dir)
+    val cand = caches(1) // the persisted candidate pairs (id_a < id_b)
+    // exact top-20 over the bounded verifier set, plain doubles: a recall
+    // denominator doesn't need the oracle's decimal exactness
+    val emb = Tables.load(s, dir, "embeddings").filter($"vec_id" < 2000)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm2",
+        expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (a, d) -> a + d)"))
+    val a = emb.as("a")
+    val b = emb.as("b")
+    val exactTop = a.join(b, $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+        (expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
+          (sqrt($"a.norm2") * sqrt($"b.norm2"))).as("cosine"))
+      .orderBy($"cosine".desc, $"id_a", $"id_b")
+      .limit(20)
+    val nExact = exactTop.count()
+    // 20 exact pairs vs the candidate table: broadcast the tiny side
+    val nFound = cand.join(
+      broadcast(exactTop.select($"id_a", $"id_b")), Seq("id_a", "id_b"),
+      "left_semi").count()
+    val nCand = candCount.collect().head.getLong(0)
+    caches.foreach(_.unpersist())
+    Seq((nExact, nFound,
+      BigDecimal(nFound.toDouble / nExact).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, nCand))
+      .toDF("n_exact", "n_found", "recall", "n_candidates")
+  }
+
   // -------------------------------------------------------- IVF top-k
   // Inverted-file ANN: a coarse quantizer (16 centroids, 2 deterministic
   // Lloyd iterations) partitions the vectors into cells; the query probes
@@ -280,6 +327,7 @@ object SimilarityQueries extends QueryPack {
     Q("ann_topk_dot", topkDot, Some(topkDotOracle)),
     Q("ann_cosine_pairs", cosinePairs, Some(cosinePairsOracle)),
     Q("ann_lsh_cosine", lshCosine, None),
+    Q("ann_lsh_recall", lshRecall, None),
     Q("ann_ivf_topk", ivfTopk, None),
   )
 }
