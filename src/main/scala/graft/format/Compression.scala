@@ -4,9 +4,14 @@ import java.util.zip.{Deflater, Inflater}
 
 /** Block compression codecs behind the same contract as the reference
   * (hive-dwrf compression/CompressionCodec.java:27-45): compress a block,
-  * returning None when the result would not shrink (the caller then stores
+  * signalling when the result would not shrink (the caller then stores
   * the original bytes and flags them in the chunk header), and decompress
-  * a block of known decompressed size.
+  * a block of known maximum decompressed size.
+  *
+  * The primitive API is buffer-to-buffer (`compressInto`/`decompressInto`)
+  * so the hot path — every 256 KB chunk of every column stream — allocates
+  * nothing: OutStream and CompressedInStream own one scratch buffer each
+  * and native codec state (zlib Deflater/Inflater) is pooled per thread.
   *
   * ZLIB is raw deflate (no zlib wrapper), level 4 by default, matching
   * ZlibCodec.java:44-45. SNAPPY/ZSTD use the jars Spark already ships.
@@ -32,14 +37,38 @@ object CompressionKind {
 }
 
 trait CompressionCodec {
-  /** Compress src[off, off+len); None if the result is not smaller. */
-  def compress(src: Array[Byte], off: Int, len: Int): Option[Array[Byte]]
+  /** Worst-case compressed size for a `len`-byte block — sizes the
+    * caller's reusable scratch buffer. */
+  def maxCompressedLength(len: Int): Int
 
-  /** Decompress src[off, off+len). `maxDestLen` is an upper bound (the
-    * write-side block size); the returned array is exactly the actual
-    * decompressed length.
+  /** Compress src[off, off+len) into dst[dstOff, …); returns the
+    * compressed length, or -1 when the result would not be smaller than
+    * `len` (caller stores the original). dst must have at least
+    * `maxCompressedLength(len)` bytes of room at dstOff.
     */
-  def decompress(src: Array[Byte], off: Int, len: Int, maxDestLen: Int): Array[Byte]
+  def compressInto(src: Array[Byte], off: Int, len: Int,
+      dst: Array[Byte], dstOff: Int): Int
+
+  /** Decompress src[off, off+len) into dst[dstOff, dstOff+maxDestLen);
+    * returns the actual decompressed length. `maxDestLen` is the
+    * write-side block size — no valid chunk exceeds it.
+    */
+  def decompressInto(src: Array[Byte], off: Int, len: Int,
+      dst: Array[Byte], dstOff: Int, maxDestLen: Int): Int
+
+  /** Allocating convenience (tests, cold paths). */
+  final def compress(src: Array[Byte], off: Int, len: Int): Option[Array[Byte]] = {
+    val dst = new Array[Byte](maxCompressedLength(len))
+    val n = compressInto(src, off, len, dst, 0)
+    if (n < 0) None else Some(java.util.Arrays.copyOf(dst, n))
+  }
+
+  /** Allocating convenience (tests, cold paths). */
+  final def decompress(src: Array[Byte], off: Int, len: Int, maxDestLen: Int): Array[Byte] = {
+    val dst = new Array[Byte](maxDestLen)
+    val n = decompressInto(src, off, len, dst, 0, maxDestLen)
+    java.util.Arrays.copyOf(dst, n)
+  }
 }
 
 object CompressionCodec {
@@ -57,87 +86,128 @@ object CompressionCodec {
     }
 }
 
-final class ZlibCodec(level: Int) extends CompressionCodec {
-  override def compress(src: Array[Byte], off: Int, len: Int): Option[Array[Byte]] = {
-    val deflater = new Deflater(level, /* nowrap = raw deflate */ true)
-    try {
-      deflater.setInput(src, off, len)
-      deflater.finish()
-      val out = new Array[Byte](len) // only useful if it shrinks
-      var total = 0
-      while (!deflater.finished() && total < len) {
-        val n = deflater.deflate(out, total, len - total)
-        total += n
-        if (n == 0 && !deflater.finished()) return None
-      }
-      if (deflater.finished() && total < len) Some(java.util.Arrays.copyOf(out, total))
-      else None
-    } finally deflater.end()
+object ZlibCodec {
+  // Deflater/Inflater carry ~256 KB of native state whose init dominates
+  // small-block deflate calls: pool them per thread (keyed by level for
+  // deflaters) and reset() between blocks — the classic Hadoop/Spark
+  // codec-pool pattern, bounded by threads × levels
+  private val deflaters =
+    ThreadLocal.withInitial[java.util.HashMap[Integer, Deflater]](
+      () => new java.util.HashMap[Integer, Deflater]())
+  private val inflaters =
+    ThreadLocal.withInitial[Inflater](() => new Inflater(/* nowrap */ true))
+
+  private[format] def deflater(level: Int): Deflater = {
+    val m = deflaters.get()
+    var d = m.get(level)
+    if (d == null) { d = new Deflater(level, /* nowrap */ true); m.put(level, d) }
+    else d.reset()
+    d
   }
 
-  override def decompress(src: Array[Byte], off: Int, len: Int, maxDestLen: Int): Array[Byte] = {
-    val inflater = new Inflater(true)
-    try {
-      inflater.setInput(src, off, len)
-      var out = new Array[Byte](maxDestLen)
-      var total = 0
-      while (!inflater.finished()) {
-        if (total == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
-        val n = inflater.inflate(out, total, out.length - total)
-        if (n == 0 && inflater.needsInput())
-          throw new java.io.IOException("truncated zlib block")
-        total += n
-      }
-      if (total == out.length) out else java.util.Arrays.copyOf(out, total)
-    } finally inflater.end()
+  private[format] def inflater(): Inflater = {
+    val i = inflaters.get()
+    i.reset()
+    i
+  }
+}
+
+final class ZlibCodec(level: Int) extends CompressionCodec {
+  // scratch capacity: we bail at `len` anyway, so len suffices
+  override def maxCompressedLength(len: Int): Int = len
+
+  override def compressInto(src: Array[Byte], off: Int, len: Int,
+      dst: Array[Byte], dstOff: Int): Int = {
+    val deflater = ZlibCodec.deflater(level)
+    deflater.setInput(src, off, len)
+    deflater.finish()
+    var total = 0
+    while (!deflater.finished() && total < len) {
+      val n = deflater.deflate(dst, dstOff + total, len - total)
+      total += n
+      if (n == 0 && !deflater.finished()) return -1
+    }
+    if (deflater.finished() && total < len) total else -1
+  }
+
+  override def decompressInto(src: Array[Byte], off: Int, len: Int,
+      dst: Array[Byte], dstOff: Int, maxDestLen: Int): Int = {
+    val inflater = ZlibCodec.inflater()
+    inflater.setInput(src, off, len)
+    var total = 0
+    while (!inflater.finished()) {
+      if (total == maxDestLen)
+        throw new java.io.IOException(
+          s"zlib block decompresses past the $maxDestLen-byte block size")
+      val n = inflater.inflate(dst, dstOff + total, maxDestLen - total)
+      if (n == 0 && inflater.needsInput())
+        throw new java.io.IOException("truncated zlib block")
+      total += n
+    }
+    total
   }
 }
 
 object SnappyCodec extends CompressionCodec {
   import org.xerial.snappy.Snappy
 
-  override def compress(src: Array[Byte], off: Int, len: Int): Option[Array[Byte]] = {
-    val out = new Array[Byte](Snappy.maxCompressedLength(len))
-    val n = Snappy.compress(src, off, len, out, 0)
-    if (n < len) Some(java.util.Arrays.copyOf(out, n)) else None
+  override def maxCompressedLength(len: Int): Int = Snappy.maxCompressedLength(len)
+
+  override def compressInto(src: Array[Byte], off: Int, len: Int,
+      dst: Array[Byte], dstOff: Int): Int = {
+    val n = Snappy.compress(src, off, len, dst, dstOff)
+    if (n < len) n else -1
   }
 
-  override def decompress(src: Array[Byte], off: Int, len: Int, maxDestLen: Int): Array[Byte] = {
+  override def decompressInto(src: Array[Byte], off: Int, len: Int,
+      dst: Array[Byte], dstOff: Int, maxDestLen: Int): Int = {
     val actual = Snappy.uncompressedLength(src, off, len)
-    val out = new Array[Byte](actual)
-    Snappy.uncompress(src, off, len, out, 0)
-    out
+    if (actual > maxDestLen)
+      throw new java.io.IOException(
+        s"snappy block decompresses to $actual > block size $maxDestLen")
+    Snappy.uncompress(src, off, len, dst, dstOff)
   }
 }
 
 /** LZ4 block codec (modern replacement for the reference's optional
   * reflective LZO; lz4-java ships with Spark). Fast decompress needs the
-  * exact output size, which the caller tracks via the chunk framing and
-  * an explicit 4-byte length prefix inside the block.
+  * exact output size, which rides in an explicit 4-byte length prefix
+  * inside the block (the LZ4 block format doesn't carry it).
   */
 object Lz4Codec extends CompressionCodec {
   import net.jpountz.lz4.LZ4Factory
   private val factory = LZ4Factory.fastestInstance()
 
-  override def compress(src: Array[Byte], off: Int, len: Int): Option[Array[Byte]] = {
-    val c = factory.fastCompressor()
-    val max = c.maxCompressedLength(len)
-    val out = new Array[Byte](4 + max)
-    // store decompressed length (LZ4 block format doesn't carry it)
-    out(0) = (len & 0xff).toByte
-    out(1) = ((len >> 8) & 0xff).toByte
-    out(2) = ((len >> 16) & 0xff).toByte
-    out(3) = ((len >> 24) & 0xff).toByte
-    val n = c.compress(src, off, len, out, 4, max)
-    if (n + 4 < len) Some(java.util.Arrays.copyOf(out, n + 4)) else None
+  override def maxCompressedLength(len: Int): Int =
+    4 + factory.fastCompressor().maxCompressedLength(len)
+
+  private def putLen(dst: Array[Byte], at: Int, len: Int): Unit = {
+    dst(at) = (len & 0xff).toByte
+    dst(at + 1) = ((len >> 8) & 0xff).toByte
+    dst(at + 2) = ((len >> 16) & 0xff).toByte
+    dst(at + 3) = ((len >> 24) & 0xff).toByte
   }
 
-  override def decompress(src: Array[Byte], off: Int, len: Int, maxDestLen: Int): Array[Byte] = {
-    val destLen = (src(off) & 0xff) | ((src(off + 1) & 0xff) << 8) |
-      ((src(off + 2) & 0xff) << 16) | ((src(off + 3) & 0xff) << 24)
-    val out = new Array[Byte](destLen)
-    factory.fastDecompressor().decompress(src, off + 4, out, 0, destLen)
-    out
+  private def getLen(src: Array[Byte], at: Int): Int =
+    (src(at) & 0xff) | ((src(at + 1) & 0xff) << 8) |
+      ((src(at + 2) & 0xff) << 16) | ((src(at + 3) & 0xff) << 24)
+
+  override def compressInto(src: Array[Byte], off: Int, len: Int,
+      dst: Array[Byte], dstOff: Int): Int = {
+    val c = factory.fastCompressor()
+    putLen(dst, dstOff, len)
+    val n = c.compress(src, off, len, dst, dstOff + 4, c.maxCompressedLength(len))
+    if (n + 4 < len) n + 4 else -1
+  }
+
+  override def decompressInto(src: Array[Byte], off: Int, len: Int,
+      dst: Array[Byte], dstOff: Int, maxDestLen: Int): Int = {
+    val destLen = getLen(src, off)
+    if (destLen > maxDestLen)
+      throw new java.io.IOException(
+        s"lz4 block decompresses to $destLen > block size $maxDestLen")
+    factory.fastDecompressor().decompress(src, off + 4, dst, dstOff, destLen)
+    destLen
   }
 }
 
@@ -148,40 +218,51 @@ object Lz4Codec extends CompressionCodec {
   * [[Lz4Codec]]: raw LZO blocks don't carry the decompressed size.
   */
 object LzoCodec extends CompressionCodec {
-  override def compress(src: Array[Byte], off: Int, len: Int): Option[Array[Byte]] = {
+  override def maxCompressedLength(len: Int): Int =
+    4 + new io.airlift.compress.lzo.LzoCompressor().maxCompressedLength(len)
+
+  override def compressInto(src: Array[Byte], off: Int, len: Int,
+      dst: Array[Byte], dstOff: Int): Int = {
     val c = new io.airlift.compress.lzo.LzoCompressor()
-    val max = c.maxCompressedLength(len)
-    val out = new Array[Byte](4 + max)
-    out(0) = (len & 0xff).toByte
-    out(1) = ((len >> 8) & 0xff).toByte
-    out(2) = ((len >> 16) & 0xff).toByte
-    out(3) = ((len >> 24) & 0xff).toByte
-    val n = c.compress(src, off, len, out, 4, max)
-    if (n + 4 < len) Some(java.util.Arrays.copyOf(out, n + 4)) else None
+    dst(dstOff) = (len & 0xff).toByte
+    dst(dstOff + 1) = ((len >> 8) & 0xff).toByte
+    dst(dstOff + 2) = ((len >> 16) & 0xff).toByte
+    dst(dstOff + 3) = ((len >> 24) & 0xff).toByte
+    val n = c.compress(src, off, len, dst, dstOff + 4, c.maxCompressedLength(len))
+    if (n + 4 < len) n + 4 else -1
   }
 
-  override def decompress(src: Array[Byte], off: Int, len: Int, maxDestLen: Int): Array[Byte] = {
+  override def decompressInto(src: Array[Byte], off: Int, len: Int,
+      dst: Array[Byte], dstOff: Int, maxDestLen: Int): Int = {
     val destLen = (src(off) & 0xff) | ((src(off + 1) & 0xff) << 8) |
       ((src(off + 2) & 0xff) << 16) | ((src(off + 3) & 0xff) << 24)
-    val out = new Array[Byte](destLen)
+    if (destLen > maxDestLen)
+      throw new java.io.IOException(
+        s"lzo block decompresses to $destLen > block size $maxDestLen")
     new io.airlift.compress.lzo.LzoDecompressor()
-      .decompress(src, off + 4, len - 4, out, 0, destLen)
-    out
+      .decompress(src, off + 4, len - 4, dst, dstOff, destLen)
+    destLen
   }
 }
 
 object ZstdCodec extends CompressionCodec {
   import com.github.luben.zstd.Zstd
 
-  override def compress(src: Array[Byte], off: Int, len: Int): Option[Array[Byte]] = {
-    val in = if (off == 0 && len == src.length) src else java.util.Arrays.copyOfRange(src, off, off + len)
-    val out = Zstd.compress(in, 3)
-    if (out.length < len) Some(out) else None
+  override def maxCompressedLength(len: Int): Int =
+    Zstd.compressBound(len.toLong).toInt
+
+  override def compressInto(src: Array[Byte], off: Int, len: Int,
+      dst: Array[Byte], dstOff: Int): Int = {
+    val n = Zstd.compressByteArray(dst, dstOff, dst.length - dstOff,
+      src, off, len, 3)
+    if (Zstd.isError(n)) throw new java.io.IOException(Zstd.getErrorName(n))
+    if (n < len) n.toInt else -1
   }
 
-  override def decompress(src: Array[Byte], off: Int, len: Int, maxDestLen: Int): Array[Byte] = {
-    val in = if (off == 0 && len == src.length) src else java.util.Arrays.copyOfRange(src, off, off + len)
-    val actual = Zstd.getFrameContentSize(in)
-    Zstd.decompress(in, actual.toInt)
+  override def decompressInto(src: Array[Byte], off: Int, len: Int,
+      dst: Array[Byte], dstOff: Int, maxDestLen: Int): Int = {
+    val n = Zstd.decompressByteArray(dst, dstOff, maxDestLen, src, off, len)
+    if (Zstd.isError(n)) throw new java.io.IOException(Zstd.getErrorName(n))
+    n.toInt
   }
 }

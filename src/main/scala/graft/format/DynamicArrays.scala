@@ -46,6 +46,53 @@ final class IntBuffer(initial: Int = 1024) {
   def memory: Long = arr.length.toLong * 4
 }
 
+/** Open-address long→dense-id hash over a fixed key set (the sorted
+  * dictionary): ids are positions in `keys`. Linear probing, power-of-two
+  * capacity at ≤50% load; lookups of keys known to be present never miss
+  * indefinitely. Replaces per-row binary searches on the dictionary
+  * encode path.
+  */
+final class LongIdHash(keys: Array[Long]) {
+  private val cap = {
+    var c = 4
+    while (c < keys.length * 2) c <<= 1
+    c
+  }
+  private val mask = cap - 1
+  private val table = new Array[Long](cap)
+  private val ids = new Array[Int](cap)
+  java.util.Arrays.fill(ids, -1)
+
+  private def slot(v: Long): Int = {
+    // 64→32 avalanche mix (splitmix64 finalizer), then mask
+    var h = v
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h.toInt & mask
+  }
+
+  {
+    var i = 0
+    while (i < keys.length) {
+      var s = slot(keys(i))
+      while (ids(s) >= 0) s = (s + 1) & mask
+      table(s) = keys(i); ids(s) = i
+      i += 1
+    }
+  }
+
+  /** Dense id of `v`; -1 when absent. */
+  def apply(v: Long): Int = {
+    var s = slot(v)
+    while (ids(s) >= 0) {
+      if (table(s) == v) return ids(s)
+      s = (s + 1) & mask
+    }
+    -1
+  }
+}
+
 final class LongBuffer(initial: Int = 1024) {
   private var arr = new Array[Long](initial)
   private var n = 0

@@ -27,6 +27,27 @@ object Serialization {
   def writeVslong(out: OutputStream, v: Long): Unit =
     writeVulong(out, (v << 1) ^ (v >> 63))
 
+  // ---- OutStream overloads: encode straight into the pending block ----
+  // (statically more specific than the OutputStream versions, so RLE
+  // writers pick them up with no call-site changes; a varint is <= 10 B)
+
+  def writeVulong(out: OutStream, v: Long): Unit = {
+    var p = out.reserve(10)
+    val buf = out.buffer
+    val start = p
+    var value = v
+    while ((value & ~0x7fL) != 0) {
+      buf(p) = ((value & 0x7f) | 0x80).toByte
+      p += 1
+      value >>>= 7
+    }
+    buf(p) = value.toByte
+    out.advance(p + 1 - start)
+  }
+
+  def writeVslong(out: OutStream, v: Long): Unit =
+    writeVulong(out, (v << 1) ^ (v >> 63))
+
   def readVulong(in: InputStream): Long = {
     var result = 0L
     var shift = 0
@@ -53,6 +74,17 @@ object Serialization {
     out.write((bits >> 24) & 0xff)
   }
 
+  def writeFloat(out: OutStream, f: Float): Unit = {
+    val p = out.reserve(4)
+    val buf = out.buffer
+    val bits = java.lang.Float.floatToIntBits(f)
+    buf(p) = bits.toByte
+    buf(p + 1) = (bits >> 8).toByte
+    buf(p + 2) = (bits >> 16).toByte
+    buf(p + 3) = (bits >> 24).toByte
+    out.advance(4)
+  }
+
   def readFloat(in: InputStream): Float = {
     var bits = 0
     var i = 0
@@ -75,6 +107,19 @@ object Serialization {
     }
   }
 
+  def writeDouble(out: OutStream, d: Double): Unit = {
+    val p = out.reserve(8)
+    val buf = out.buffer
+    var bits = java.lang.Double.doubleToLongBits(d)
+    var i = 0
+    while (i < 8) {
+      buf(p + i) = bits.toByte
+      bits >>>= 8
+      i += 1
+    }
+    out.advance(8)
+  }
+
   def readDouble(in: InputStream): Double = {
     var bits = 0L
     var i = 0
@@ -92,6 +137,15 @@ object Serialization {
     var bits = v
     var i = 0
     while (i < 8) { out.write((bits & 0xff).toInt); bits >>>= 8; i += 1 }
+  }
+
+  def writeLongLE(out: OutStream, v: Long): Unit = {
+    val p = out.reserve(8)
+    val buf = out.buffer
+    var bits = v
+    var i = 0
+    while (i < 8) { buf(p + i) = bits.toByte; bits >>>= 8; i += 1 }
+    out.advance(8)
   }
 
   def readLongLE(in: InputStream): Long = {

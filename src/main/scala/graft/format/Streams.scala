@@ -39,6 +39,9 @@ final class OutStream(
   private var currentLen = 0
   private val compressed = new java.io.ByteArrayOutputStream()
   private var _suppressed = false
+  // per-stream scratch for compressInto: sized lazily on first spill so
+  // suppressed/tiny streams never pay for it
+  private var scratch: Array[Byte] = null
 
   override def write(b: Int): Unit = {
     if (currentLen == current.length) spillOrGrow()
@@ -66,16 +69,40 @@ final class OutStream(
       current = java.util.Arrays.copyOf(current, current.length * 2)
   }
 
+  // ---- direct-buffer fast path (Serialization's OutStream overloads) ----
+  // Encoders write value bytes straight into the pending block instead of
+  // per-byte write(Int) calls. reserve() may spill the pending block early
+  // (a chunk slightly under blockSize is perfectly legal framing, and
+  // recorded positions stay valid: they always point within the block
+  // that eventually ships them).
+
+  /** Ensure room for `n` more bytes; returns the write offset. */
+  def reserve(n: Int): Int = {
+    if (current.length - currentLen < n) codec match {
+      case Some(_) => spillBlock() // empties the block; blockSize >= n
+      case None =>
+        while (current.length - currentLen < n)
+          current = java.util.Arrays.copyOf(current, current.length * 2)
+    }
+    currentLen
+  }
+
+  /** The pending block; valid between reserve() and advance(). */
+  def buffer: Array[Byte] = current
+
+  def advance(n: Int): Unit = currentLen += n
+
   private def spillBlock(): Unit = {
     if (currentLen == 0) return
     val c = codec.get
-    c.compress(current, 0, currentLen) match {
-      case Some(small) =>
-        writeHeader(small.length, original = false)
-        compressed.write(small, 0, small.length)
-      case None =>
-        writeHeader(currentLen, original = true)
-        compressed.write(current, 0, currentLen)
+    if (scratch == null) scratch = new Array[Byte](c.maxCompressedLength(blockSize))
+    val n = c.compressInto(current, 0, currentLen, scratch, 0)
+    if (n >= 0) {
+      writeHeader(n, original = false)
+      compressed.write(scratch, 0, n)
+    } else {
+      writeHeader(currentLen, original = true)
+      compressed.write(current, 0, currentLen)
     }
     currentLen = 0
   }
@@ -243,13 +270,20 @@ final class CompressedInStream(name: String, ranges: ByteRanges, codec: Compress
     blockSize: Int) extends InStream {
 
   private var chunkStart = 0          // offset of current chunk header in stream
-  private var block: Array[Byte] = null // decompressed current chunk
+  // decompressed current chunk: (blockArr, blockBase, blockLen). Stored-
+  // original chunks alias the pread segment directly (zero copy); real
+  // compressed chunks decode into one per-stream `decodeBuf` reused across
+  // chunks — the read path allocates nothing per chunk.
+  private var blockArr: Array[Byte] = null
+  private var blockBase = 0
+  private var blockLen = 0
   private var blockPos = 0
   private var nextChunk = 0           // offset of the chunk after current
+  private var decodeBuf: Array[Byte] = null
 
   private def ensureBlock(): Boolean = {
-    while (block == null || blockPos >= block.length) {
-      if (block != null) { chunkStart = nextChunk; block = null; blockPos = 0 }
+    while (blockArr == null || blockPos >= blockLen) {
+      if (blockArr != null) { chunkStart = nextChunk; blockArr = null; blockPos = 0 }
       if (chunkStart >= ranges.length) return false
       if (chunkStart + 3 > ranges.length)
         throw new EOFException(s"truncated chunk header in $name")
@@ -262,37 +296,41 @@ final class CompressedInStream(name: String, ranges: ByteRanges, codec: Compress
       if (dataOff + len > ranges.length)
         throw new EOFException(s"truncated chunk body in $name")
       val (arr, aOff) = ranges.view(dataOff, len)
-      block =
-        if (original) java.util.Arrays.copyOfRange(arr, aOff, aOff + len)
-        else codec.decompress(arr, aOff, len, blockSize)
+      if (original) {
+        blockArr = arr; blockBase = aOff; blockLen = len
+      } else {
+        if (decodeBuf == null) decodeBuf = new Array[Byte](blockSize)
+        blockLen = codec.decompressInto(arr, aOff, len, decodeBuf, 0, blockSize)
+        blockArr = decodeBuf; blockBase = 0
+      }
       blockPos = 0
       nextChunk = dataOff + len
-      if (block.length == 0) { chunkStart = nextChunk; block = null }
+      if (blockLen == 0) { chunkStart = nextChunk; blockArr = null }
     }
     true
   }
 
   override def read(): Int =
     if (!ensureBlock()) -1
-    else { val b = block(blockPos) & 0xff; blockPos += 1; b }
+    else { val b = blockArr(blockBase + blockPos) & 0xff; blockPos += 1; b }
 
   override def read(buf: Array[Byte], off: Int, len: Int): Int = {
     if (!ensureBlock()) return -1
-    val n = math.min(len, block.length - blockPos)
-    System.arraycopy(block, blockPos, buf, off, n)
+    val n = math.min(len, blockLen - blockPos)
+    System.arraycopy(blockArr, blockBase + blockPos, buf, off, n)
     blockPos += n
     n
   }
 
   override def available(): Int =
-    if (!ensureBlock()) 0 else block.length - blockPos
+    if (!ensureBlock()) 0 else blockLen - blockPos
 
   override def seek(positions: PositionProvider): Unit = {
     val newChunk = positions.next().toInt
     val uncompressedOffset = positions.next().toInt
-    if (newChunk != chunkStart || block == null) {
+    if (newChunk != chunkStart || blockArr == null) {
       chunkStart = newChunk
-      block = null
+      blockArr = null
     }
     // always rewind within the (possibly still-loaded) chunk: a later seek
     // may legally land back in a chunk whose block was fully consumed

@@ -340,11 +340,15 @@ final class LongTreeWriter(columnId: Int, dt: DataType, opts: DwrfWriteOptions)
       val dictWriter = new RunLengthIntegerWriter(dictOut, signed = true, opts.useVInts)
       distinct.foreach(dictWriter.write)
       dictWriter.flush()
+      // value→id via one open-address hash built from the (sorted) distinct
+      // set: O(1) per row instead of a per-row binary search — ~30% of the
+      // whole write path went to those cache-missing searches
+      val lookup = new LongIdHash(distinct)
       val ids = new RunLengthIntegerWriter(dataOut, signed = false, opts.useVInts)
       var i = 0
       while (i < n) {
         captureAt(i, ids)
-        ids.write(java.util.Arrays.binarySearch(distinct, values(i)).toLong)
+        ids.write(lookup(values(i)).toLong)
         i += 1
       }
       captureAt(n, ids)
