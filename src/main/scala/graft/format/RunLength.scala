@@ -112,6 +112,19 @@ final class RunLengthByteReader(in: InStream) {
     v
   }
 
+  /** Bulk decode `n` bytes into dst[off, off+n): per-RUN fills. */
+  def nextBytes(dst: Array[Byte], off: Int, n: Int): Unit = {
+    var o = off
+    var rem = n
+    while (rem > 0) {
+      if (used == numLiterals) readValues()
+      val take = math.min(rem, numLiterals - used)
+      if (repeat) java.util.Arrays.fill(dst, o, o + take, literals(0))
+      else System.arraycopy(literals, used, dst, o, take)
+      used += take; o += take; rem -= take
+    }
+  }
+
   def skip(n: Long): Unit = {
     var items = n
     while (items > 0) {
@@ -253,6 +266,25 @@ final class RunLengthIntegerReader(in: InStream, signed: Boolean,
     val v = if (repeat) literals(0) + used * delta else literals(used)
     used += 1
     v
+  }
+
+  /** Bulk decode `n` values into dst[off, off+n): per-RUN loops instead of
+    * per-value calls — the vectorized scan's hot path. */
+  def nextLongs(dst: Array[Long], off: Int, n: Int): Unit = {
+    var o = off
+    var rem = n
+    while (rem > 0) {
+      if (used == numLiterals) readValues()
+      val take = math.min(rem, numLiterals - used)
+      if (repeat) {
+        val base = literals(0) + used * delta
+        var i = 0
+        while (i < take) { dst(o + i) = base + i * delta; i += 1 }
+      } else {
+        System.arraycopy(literals, used, dst, o, take)
+      }
+      used += take; o += take; rem -= take
+    }
   }
 
   def skip(n: Long): Unit = {

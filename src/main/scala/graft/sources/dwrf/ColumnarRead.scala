@@ -81,9 +81,17 @@ abstract class VectorDecoder(val columnId: Int) {
     * `putOne` and keep the materializing path). */
   protected def prepare(v: OnHeapColumnVector, n: Int): Unit = ()
 
+  /** Bulk decode rows [0, n) when the column has no PRESENT stream this
+    * stripe (null-free — the suppressed-stream common case): decoders
+    * override to turn n per-value calls into per-run array ops. Return
+    * false to fall back to the per-row loop.
+    */
+  protected def fillBulk(v: OnHeapColumnVector, n: Int): Boolean = false
+
   final def fill(v: OnHeapColumnVector, n: Int): Unit = {
     beginBatchTree()
     prepare(v, n)
+    if (present == null && fillBulk(v, n)) return
     var i = 0
     while (i < n) { putOne(v, i); i += 1 }
   }
@@ -248,10 +256,18 @@ final class BoolVectorDecoder(c: Int) extends VectorDecoder(c) {
 
 final class ByteVectorDecoder(c: Int) extends VectorDecoder(c) {
   private var data: RunLengthByteReader = null
+  private var scratch: Array[Byte] = null
   override protected def startValues(src: StreamSource): Unit =
     data = src.stream(c, StreamKind.Data).map(new RunLengthByteReader(_)).orNull
   override protected def put(v: OnHeapColumnVector, i: Int): Unit =
     v.putByte(i, data.next())
+  override protected def fillBulk(v: OnHeapColumnVector, n: Int): Boolean = {
+    if (data == null) return false
+    if (scratch == null || scratch.length < n) scratch = new Array[Byte](n)
+    data.nextBytes(scratch, 0, n)
+    v.putBytes(0, n, scratch, 0)
+    true
+  }
   override protected def seekValues(e: RowIndexEntry): Unit =
     e.positions.get(StreamKind.Data).foreach(p => data.seek(new ArrayPositionProvider(p)))
 }
@@ -286,37 +302,96 @@ final class LongVectorDecoder(c: Int, dt: DataType) extends VectorDecoder(c) {
     putter(v, i, if (dict != null) dict(raw.toInt) else raw)
   }
 
+  private var scratch: Array[Long] = null
+
+  override protected def fillBulk(v: OnHeapColumnVector, n: Int): Boolean = {
+    if (data == null) return false
+    if (scratch == null || scratch.length < n) scratch = new Array[Long](n)
+    data.nextLongs(scratch, 0, n)
+    if (dict != null) {
+      var i = 0
+      while (i < n) { scratch(i) = dict(scratch(i).toInt); i += 1 }
+    }
+    dt match {
+      case ShortType =>
+        var i = 0
+        while (i < n) { v.putShort(i, scratch(i).toShort); i += 1 }
+      case IntegerType =>
+        var i = 0
+        while (i < n) { v.putInt(i, scratch(i).toInt); i += 1 }
+      case _ => v.putLongs(0, n, scratch, 0)
+    }
+    true
+  }
+
   override protected def seekValues(e: RowIndexEntry): Unit =
     e.positions.get(StreamKind.Data).foreach(p => data.seek(new ArrayPositionProvider(p)))
 }
 
 final class DateVectorDecoder(c: Int) extends VectorDecoder(c) {
   private var data: RunLengthIntegerReader = null
+  private var scratch: Array[Long] = null
   override protected def startValues(src: StreamSource): Unit =
     data = src.stream(c, StreamKind.Data)
       .map(new RunLengthIntegerReader(_, signed = true, src.useVInts)).orNull
   override protected def put(v: OnHeapColumnVector, i: Int): Unit =
     v.putInt(i, data.next().toInt)
+  override protected def fillBulk(v: OnHeapColumnVector, n: Int): Boolean = {
+    if (data == null) return false
+    if (scratch == null || scratch.length < n) scratch = new Array[Long](n)
+    data.nextLongs(scratch, 0, n)
+    var i = 0
+    while (i < n) { v.putInt(i, scratch(i).toInt); i += 1 }
+    true
+  }
   override protected def seekValues(e: RowIndexEntry): Unit =
     e.positions.get(StreamKind.Data).foreach(p => data.seek(new ArrayPositionProvider(p)))
 }
 
+private[dwrf] object BulkBytes {
+  /** Fill dst[0, len) from the stream (InStream.read is segment-bounded). */
+  def readFully(data: InStream, dst: Array[Byte], len: Int): Unit = {
+    var got = 0
+    while (got < len) {
+      val n = data.read(dst, got, len - got)
+      if (n < 0) throw new java.io.EOFException("EOF in value stream")
+      got += n
+    }
+  }
+}
+
 final class FloatVectorDecoder(c: Int) extends VectorDecoder(c) {
   private var data: InStream = null
+  private var scratch: Array[Byte] = null
   override protected def startValues(src: StreamSource): Unit =
     data = src.stream(c, StreamKind.Data).orNull
   override protected def put(v: OnHeapColumnVector, i: Int): Unit =
     v.putFloat(i, Serialization.readFloat(data))
+  override protected def fillBulk(v: OnHeapColumnVector, n: Int): Boolean = {
+    if (data == null) return false
+    if (scratch == null || scratch.length < n * 4) scratch = new Array[Byte](n * 4)
+    BulkBytes.readFully(data, scratch, n * 4)
+    v.putFloats(0, n, scratch, 0) // wire is IEEE-LE, exactly putFloats' layout
+    true
+  }
   override protected def seekValues(e: RowIndexEntry): Unit =
     e.positions.get(StreamKind.Data).foreach(p => data.seek(new ArrayPositionProvider(p)))
 }
 
 final class DoubleVectorDecoder(c: Int) extends VectorDecoder(c) {
   private var data: InStream = null
+  private var scratch: Array[Byte] = null
   override protected def startValues(src: StreamSource): Unit =
     data = src.stream(c, StreamKind.Data).orNull
   override protected def put(v: OnHeapColumnVector, i: Int): Unit =
     v.putDouble(i, Serialization.readDouble(data))
+  override protected def fillBulk(v: OnHeapColumnVector, n: Int): Boolean = {
+    if (data == null) return false
+    if (scratch == null || scratch.length < n * 8) scratch = new Array[Byte](n * 8)
+    BulkBytes.readFully(data, scratch, n * 8)
+    v.putDoubles(0, n, scratch, 0) // wire is IEEE-LE, exactly putDoubles' layout
+    true
+  }
   override protected def seekValues(e: RowIndexEntry): Unit =
     e.positions.get(StreamKind.Data).foreach(p => data.seek(new ArrayPositionProvider(p)))
 }
@@ -435,6 +510,41 @@ final class StringVectorDecoder(c: Int) extends VectorDecoder(c) {
     }
   }
 
+  private var lenScratch: Array[Long] = null
+  private var blobScratch: Array[Byte] = null
+
+  override protected def fillBulk(v: OnHeapColumnVector, n: Int): Boolean = {
+    if (dict != null) {
+      if (ids == null || idsOut == null) return false
+      if (lenScratch == null || lenScratch.length < n) lenScratch = new Array[Long](n)
+      ids.nextLongs(lenScratch, 0, n)
+      var i = 0
+      while (i < n) { idsOut.putInt(i, lenScratch(i).toInt); i += 1 }
+      true
+    } else {
+      if (lengths == null || data == null) return false
+      if (lenScratch == null || lenScratch.length < n) lenScratch = new Array[Long](n)
+      lengths.nextLongs(lenScratch, 0, n)
+      var total = 0L
+      var i = 0
+      while (i < n) { total += lenScratch(i); i += 1 }
+      if (total > Int.MaxValue / 2) return false // absurd batch: per-row path
+      val t = total.toInt
+      if (blobScratch == null || blobScratch.length < t)
+        blobScratch = new Array[Byte](math.max(t, 16 * 1024))
+      BulkBytes.readFully(data, blobScratch, t)
+      var off = 0
+      i = 0
+      while (i < n) {
+        val len = lenScratch(i).toInt
+        v.putByteArray(i, blobScratch, off, len)
+        off += len
+        i += 1
+      }
+      true
+    }
+  }
+
   override protected def seekValues(e: RowIndexEntry): Unit =
     if (dict != null)
       e.positions.get(StreamKind.Data).foreach(p => ids.seek(new ArrayPositionProvider(p)))
@@ -487,13 +597,36 @@ final class TimestampVectorDecoder(c: Int) extends VectorDecoder(c) {
   override protected def put(v: OnHeapColumnVector, i: Int): Unit = {
     val sec = seconds.next() + BaseSeconds
     val enc = nanos.next()
+    v.putLong(i, sec * 1000000L + decodeNanos(enc) / 1000L)
+  }
+
+  private def decodeNanos(enc: Long): Long = {
     val zeros = (enc & 7).toInt
     var ns = enc >>> 3
     if (zeros != 0) {
       var j = 0
       while (j < zeros + 2) { ns *= 10; j += 1 }
     }
-    v.putLong(i, sec * 1000000L + ns / 1000L)
+    ns
+  }
+
+  private var secScratch: Array[Long] = null
+  private var nanoScratch: Array[Long] = null
+
+  override protected def fillBulk(v: OnHeapColumnVector, n: Int): Boolean = {
+    if (seconds == null || nanos == null) return false
+    if (secScratch == null || secScratch.length < n) {
+      secScratch = new Array[Long](n); nanoScratch = new Array[Long](n)
+    }
+    seconds.nextLongs(secScratch, 0, n)
+    nanos.nextLongs(nanoScratch, 0, n)
+    var i = 0
+    while (i < n) {
+      v.putLong(i,
+        (secScratch(i) + BaseSeconds) * 1000000L + decodeNanos(nanoScratch(i)) / 1000L)
+      i += 1
+    }
+    true
   }
 
   override protected def seekValues(e: RowIndexEntry): Unit = {

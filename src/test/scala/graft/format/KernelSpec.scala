@@ -139,6 +139,57 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("int RLE bulk decode equals per-value decode across chunk shapes") {
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.choose(-10L, 10L),
+      Gen.choose(Long.MinValue, Long.MaxValue),
+      Gen.const(42L)))
+    forSamples(gen) { (values: List[Long]) =>
+      val vs = values.toArray
+      val out = new OutStream("t", 128, Some(new ZlibCodec(4)))
+      val w = new RunLengthIntegerWriter(out, signed = true)
+      vs.foreach(w.write)
+      w.flush()
+      // decode in irregular chunk sizes: bulk spans must stitch across
+      // runs, literal groups, and compressed-chunk boundaries
+      val r = new RunLengthIntegerReader(
+        InStream("t", out.finish(), Some(new ZlibCodec(4)), 128), signed = true)
+      val got = new Array[Long](vs.length)
+      var off = 0
+      var step = 1
+      while (off < vs.length) {
+        val take = math.min(step, vs.length - off)
+        r.nextLongs(got, off, take)
+        off += take
+        step = step * 2 + 1
+      }
+      assert(got.toSeq == vs.toSeq)
+    }
+  }
+
+  test("byte RLE bulk decode equals per-value decode") {
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.choose(-3, 3).map(_.toByte), Gen.choose(-128, 127).map(_.toByte)))
+    forSamples(gen) { (values: List[Byte]) =>
+      val vs = values.toArray
+      val out = new OutStream("t", 512, None)
+      val w = new RunLengthByteWriter(out)
+      vs.foreach(w.write)
+      w.flush()
+      val r = new RunLengthByteReader(InStream("t", out.finish(), None))
+      val got = new Array[Byte](vs.length)
+      var off = 0
+      var step = 1
+      while (off < vs.length) {
+        val take = math.min(step, vs.length - off)
+        r.nextBytes(got, off, take)
+        off += take
+        step = step * 2 + 1
+      }
+      assert(got.toSeq == vs.toSeq)
+    }
+  }
+
   test("int RLE: delta runs encode compactly") {
     val out = new OutStream("t", 1 << 16, None)
     val w = new RunLengthIntegerWriter(out, true)
