@@ -352,6 +352,40 @@ final class BitFieldReader(in: InStream) {
     ((current >>> bitsLeft) & 1) == 1
   }
 
+  /** Bulk decode `n` bits into dst[off, off+n): whole bytes expand in one
+    * step instead of a call per bit (PRESENT streams of nullable columns,
+    * BOOLEAN data streams). */
+  def nextBits(dst: Array[Boolean], off: Int, n: Int): Unit = {
+    var o = off
+    var rem = n
+    while (rem > 0 && bitsLeft > 0) {
+      bitsLeft -= 1
+      dst(o) = ((current >>> bitsLeft) & 1) == 1
+      o += 1; rem -= 1
+    }
+    while (rem >= 8) {
+      val b = byteReader.next() & 0xff
+      dst(o) = (b & 0x80) != 0
+      dst(o + 1) = (b & 0x40) != 0
+      dst(o + 2) = (b & 0x20) != 0
+      dst(o + 3) = (b & 0x10) != 0
+      dst(o + 4) = (b & 8) != 0
+      dst(o + 5) = (b & 4) != 0
+      dst(o + 6) = (b & 2) != 0
+      dst(o + 7) = (b & 1) != 0
+      o += 8; rem -= 8
+    }
+    if (rem > 0) {
+      current = byteReader.next() & 0xff
+      bitsLeft = 8
+      while (rem > 0) {
+        bitsLeft -= 1
+        dst(o) = ((current >>> bitsLeft) & 1) == 1
+        o += 1; rem -= 1
+      }
+    }
+  }
+
   def skip(n: Long): Unit = {
     val fromCurrent = math.min(n, bitsLeft.toLong)
     bitsLeft -= fromCurrent.toInt

@@ -88,10 +88,32 @@ abstract class VectorDecoder(val columnId: Int) {
     */
   protected def fillBulk(v: OnHeapColumnVector, n: Int): Boolean = false
 
+  /** Nullable twin: decoders that also bulk-decode under a PRESENT
+    * stream override this — decodePresent() + a gather/scatter pass. */
+  protected def fillBulkNullable(v: OnHeapColumnVector, n: Int): Boolean = false
+
+  /** Bulk-decode n PRESENT bits into `presentScratch`, null the absent
+    * slots on v, and return the non-null count (= how many values the
+    * value streams actually hold for this batch). */
+  protected var presentScratch: Array[Boolean] = null
+  protected final def decodePresent(v: OnHeapColumnVector, n: Int): Int = {
+    if (presentScratch == null || presentScratch.length < n)
+      presentScratch = new Array[Boolean](n)
+    present.nextBits(presentScratch, 0, n)
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (presentScratch(i)) c += 1 else v.putNull(i)
+      i += 1
+    }
+    c
+  }
+
   final def fill(v: OnHeapColumnVector, n: Int): Unit = {
     beginBatchTree()
     prepare(v, n)
-    if (present == null && fillBulk(v, n)) return
+    if (present == null) { if (fillBulk(v, n)) return }
+    else if (fillBulkNullable(v, n)) return
     var i = 0
     while (i < n) { putOne(v, i); i += 1 }
   }
@@ -246,10 +268,32 @@ final class StructVectorDecoder(c: Int, st: StructType) extends VectorDecoder(c)
 
 final class BoolVectorDecoder(c: Int) extends VectorDecoder(c) {
   private var data: BitFieldReader = null
+  private var scratch: Array[Boolean] = null
   override protected def startValues(src: StreamSource): Unit =
     data = src.stream(c, StreamKind.Data).map(new BitFieldReader(_)).orNull
   override protected def put(v: OnHeapColumnVector, i: Int): Unit =
     v.putBoolean(i, data.next())
+  override protected def fillBulk(v: OnHeapColumnVector, n: Int): Boolean = {
+    if (data == null) return false
+    if (scratch == null || scratch.length < n) scratch = new Array[Boolean](n)
+    data.nextBits(scratch, 0, n)
+    var i = 0
+    while (i < n) { v.putBoolean(i, scratch(i)); i += 1 }
+    true
+  }
+  override protected def fillBulkNullable(v: OnHeapColumnVector, n: Int): Boolean = {
+    if (data == null) return false
+    val c = decodePresent(v, n)
+    if (scratch == null || scratch.length < c) scratch = new Array[Boolean](c)
+    data.nextBits(scratch, 0, c)
+    var i = 0
+    var j = 0
+    while (i < n) {
+      if (presentScratch(i)) { v.putBoolean(i, scratch(j)); j += 1 }
+      i += 1
+    }
+    true
+  }
   override protected def seekValues(e: RowIndexEntry): Unit =
     e.positions.get(StreamKind.Data).foreach(p => data.seek(new ArrayPositionProvider(p)))
 }
@@ -266,6 +310,19 @@ final class ByteVectorDecoder(c: Int) extends VectorDecoder(c) {
     if (scratch == null || scratch.length < n) scratch = new Array[Byte](n)
     data.nextBytes(scratch, 0, n)
     v.putBytes(0, n, scratch, 0)
+    true
+  }
+  override protected def fillBulkNullable(v: OnHeapColumnVector, n: Int): Boolean = {
+    if (data == null) return false
+    val c = decodePresent(v, n)
+    if (scratch == null || scratch.length < c) scratch = new Array[Byte](c)
+    data.nextBytes(scratch, 0, c)
+    var i = 0
+    var j = 0
+    while (i < n) {
+      if (presentScratch(i)) { v.putByte(i, scratch(j)); j += 1 }
+      i += 1
+    }
     true
   }
   override protected def seekValues(e: RowIndexEntry): Unit =
@@ -304,14 +361,18 @@ final class LongVectorDecoder(c: Int, dt: DataType) extends VectorDecoder(c) {
 
   private var scratch: Array[Long] = null
 
-  override protected def fillBulk(v: OnHeapColumnVector, n: Int): Boolean = {
-    if (data == null) return false
+  private def decodeValues(n: Int): Unit = {
     if (scratch == null || scratch.length < n) scratch = new Array[Long](n)
     data.nextLongs(scratch, 0, n)
     if (dict != null) {
       var i = 0
       while (i < n) { scratch(i) = dict(scratch(i).toInt); i += 1 }
     }
+  }
+
+  override protected def fillBulk(v: OnHeapColumnVector, n: Int): Boolean = {
+    if (data == null) return false
+    decodeValues(n)
     dt match {
       case ShortType =>
         var i = 0
@@ -320,6 +381,19 @@ final class LongVectorDecoder(c: Int, dt: DataType) extends VectorDecoder(c) {
         var i = 0
         while (i < n) { v.putInt(i, scratch(i).toInt); i += 1 }
       case _ => v.putLongs(0, n, scratch, 0)
+    }
+    true
+  }
+
+  override protected def fillBulkNullable(v: OnHeapColumnVector, n: Int): Boolean = {
+    if (data == null) return false
+    val c = decodePresent(v, n)
+    decodeValues(c)
+    var i = 0
+    var j = 0
+    while (i < n) {
+      if (presentScratch(i)) { putter(v, i, scratch(j)); j += 1 }
+      i += 1
     }
     true
   }
@@ -342,6 +416,19 @@ final class DateVectorDecoder(c: Int) extends VectorDecoder(c) {
     data.nextLongs(scratch, 0, n)
     var i = 0
     while (i < n) { v.putInt(i, scratch(i).toInt); i += 1 }
+    true
+  }
+  override protected def fillBulkNullable(v: OnHeapColumnVector, n: Int): Boolean = {
+    if (data == null) return false
+    val c = decodePresent(v, n)
+    if (scratch == null || scratch.length < c) scratch = new Array[Long](c)
+    data.nextLongs(scratch, 0, c)
+    var i = 0
+    var j = 0
+    while (i < n) {
+      if (presentScratch(i)) { v.putInt(i, scratch(j).toInt); j += 1 }
+      i += 1
+    }
     true
   }
   override protected def seekValues(e: RowIndexEntry): Unit =
@@ -374,6 +461,20 @@ final class FloatVectorDecoder(c: Int) extends VectorDecoder(c) {
     v.putFloats(0, n, scratch, 0) // wire is IEEE-LE, exactly putFloats' layout
     true
   }
+  override protected def fillBulkNullable(v: OnHeapColumnVector, n: Int): Boolean = {
+    if (data == null) return false
+    val c = decodePresent(v, n)
+    if (scratch == null || scratch.length < c * 4) scratch = new Array[Byte](c * 4)
+    BulkBytes.readFully(data, scratch, c * 4)
+    val bb = java.nio.ByteBuffer.wrap(scratch).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    var j = 0
+    while (i < n) {
+      if (presentScratch(i)) { v.putFloat(i, bb.getFloat(j * 4)); j += 1 }
+      i += 1
+    }
+    true
+  }
   override protected def seekValues(e: RowIndexEntry): Unit =
     e.positions.get(StreamKind.Data).foreach(p => data.seek(new ArrayPositionProvider(p)))
 }
@@ -390,6 +491,20 @@ final class DoubleVectorDecoder(c: Int) extends VectorDecoder(c) {
     if (scratch == null || scratch.length < n * 8) scratch = new Array[Byte](n * 8)
     BulkBytes.readFully(data, scratch, n * 8)
     v.putDoubles(0, n, scratch, 0) // wire is IEEE-LE, exactly putDoubles' layout
+    true
+  }
+  override protected def fillBulkNullable(v: OnHeapColumnVector, n: Int): Boolean = {
+    if (data == null) return false
+    val c = decodePresent(v, n)
+    if (scratch == null || scratch.length < c * 8) scratch = new Array[Byte](c * 8)
+    BulkBytes.readFully(data, scratch, c * 8)
+    val bb = java.nio.ByteBuffer.wrap(scratch).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    var j = 0
+    while (i < n) {
+      if (presentScratch(i)) { v.putDouble(i, bb.getDouble(j * 8)); j += 1 }
+      i += 1
+    }
     true
   }
   override protected def seekValues(e: RowIndexEntry): Unit =
@@ -513,6 +628,22 @@ final class StringVectorDecoder(c: Int) extends VectorDecoder(c) {
   private var lenScratch: Array[Long] = null
   private var blobScratch: Array[Byte] = null
 
+  override protected def fillBulkNullable(v: OnHeapColumnVector, n: Int): Boolean = {
+    // dictionary-encoded only: the lazy ids vector makes the scatter
+    // cheap; direct encoding under nulls keeps the per-row path
+    if (dict == null || ids == null || idsOut == null) return false
+    val c = decodePresent(v, n)
+    if (lenScratch == null || lenScratch.length < c) lenScratch = new Array[Long](c)
+    ids.nextLongs(lenScratch, 0, c)
+    var i = 0
+    var j = 0
+    while (i < n) {
+      if (presentScratch(i)) { idsOut.putInt(i, lenScratch(j).toInt); j += 1 }
+      i += 1
+    }
+    true
+  }
+
   override protected def fillBulk(v: OnHeapColumnVector, n: Int): Boolean = {
     if (dict != null) {
       if (ids == null || idsOut == null) return false
@@ -624,6 +755,26 @@ final class TimestampVectorDecoder(c: Int) extends VectorDecoder(c) {
     while (i < n) {
       v.putLong(i,
         (secScratch(i) + BaseSeconds) * 1000000L + decodeNanos(nanoScratch(i)) / 1000L)
+      i += 1
+    }
+    true
+  }
+  override protected def fillBulkNullable(v: OnHeapColumnVector, n: Int): Boolean = {
+    if (seconds == null || nanos == null) return false
+    val c = decodePresent(v, n)
+    if (secScratch == null || secScratch.length < c) {
+      secScratch = new Array[Long](c); nanoScratch = new Array[Long](c)
+    }
+    seconds.nextLongs(secScratch, 0, c)
+    nanos.nextLongs(nanoScratch, 0, c)
+    var i = 0
+    var j = 0
+    while (i < n) {
+      if (presentScratch(i)) {
+        v.putLong(i,
+          (secScratch(j) + BaseSeconds) * 1000000L + decodeNanos(nanoScratch(j)) / 1000L)
+        j += 1
+      }
       i += 1
     }
     true

@@ -190,6 +190,29 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("bitfield bulk decode equals per-bit decode at unaligned spans") {
+    val gen = Gen.listOf(Gen.oneOf(Gen.const(true), Gen.const(false),
+      Gen.const(true))) // bias creates runs and literals both
+    forSamples(gen) { (values: List[Boolean]) =>
+      val vs = values.toArray
+      val out = new OutStream("t", 512, None)
+      val w = new BitFieldWriter(out)
+      vs.foreach(w.write)
+      w.flush()
+      val r = new BitFieldReader(InStream("t", out.finish(), None))
+      val got = new Array[Boolean](vs.length)
+      var off = 0
+      var step = 3 // deliberately byte-misaligned spans
+      while (off < vs.length) {
+        val take = math.min(step, vs.length - off)
+        r.nextBits(got, off, take)
+        off += take
+        step += 2
+      }
+      assert(got.toSeq == vs.toSeq)
+    }
+  }
+
   test("int RLE: delta runs encode compactly") {
     val out = new OutStream("t", 1 << 16, None)
     val w = new RunLengthIntegerWriter(out, true)
