@@ -156,11 +156,123 @@ object TextQueries extends QueryPack {
     |ORDER BY source
     |""".stripMargin.trim
 
+  // -------------------------------------------------------- PII scrub
+  // Redaction pipeline — the compliance pass every training corpus runs
+  // before tokenization. Three sequential patterns (emails, then IPv4s,
+  // then phone-shaped digit runs, each counted against the previous
+  // stage's text so a redacted email's digits can't double-count as a
+  // phone). Patterns use only portable syntax (no lookaround/backrefs)
+  // so Java regex and RE2 match identically; DuckDB needs the 'g' flag
+  // where Spark's regexp_replace is global by default — hence the
+  // DF + oracle pair rather than shared SQL. Per-source rollup keeps the
+  // whole thing one narrow projection + one partial-aggregated groupBy:
+  // at 100 TB this is a pure map pass, no shuffle beyond the tiny rollup.
+  private val emailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val ipPat = """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"""
+  private val phonePat = """\+?[0-9][0-9()\- ]{7,}[0-9]"""
+
+  private def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.load(s, dir, "documents")
+      .select(col("source"), col("text"),
+        regexp_replace(col("text"), emailPat, "<EMAIL>").as("e"))
+      .withColumn("i", regexp_replace(col("e"), ipPat, "<IP>"))
+      .withColumn("p", regexp_replace(col("i"), phonePat, "<PHONE>"))
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit(emailPat), lit(0)))
+          .cast("long").as("n_em"),
+        size(regexp_extract_all(col("e"), lit(ipPat), lit(0)))
+          .cast("long").as("n_ip"),
+        size(regexp_extract_all(col("i"), lit(phonePat), lit(0)))
+          .cast("long").as("n_ph"),
+        (length(col("text")) - length(col("p"))).cast("long").as("delta"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("n_em") + col("n_ip") + col("n_ph") > 0, 1)).as("docs_with_pii"),
+        sum(col("n_em")).cast("long").as("n_emails"),
+        sum(col("n_ip")).cast("long").as("n_ips"),
+        sum(col("n_ph")).cast("long").as("n_phones"),
+        sum(col("delta")).cast("long").as("chars_redacted"))
+      .orderBy("source")
+  }
+
+  private val piiScrubOracle = s"""
+    |WITH staged AS (
+    |  SELECT source, text,
+    |    regexp_replace(text, '$emailPat', '<EMAIL>', 'g') AS e
+    |  FROM documents),
+    |staged2 AS (
+    |  SELECT source, text, e,
+    |    regexp_replace(e, '$ipPat', '<IP>', 'g') AS i
+    |  FROM staged),
+    |counted AS (
+    |  SELECT source,
+    |    CAST(len(regexp_extract_all(text, '$emailPat')) AS BIGINT) AS n_em,
+    |    CAST(len(regexp_extract_all(e, '$ipPat')) AS BIGINT) AS n_ip,
+    |    CAST(len(regexp_extract_all(i, '$phonePat')) AS BIGINT) AS n_ph,
+    |    CAST(length(text) - length(regexp_replace(i, '$phonePat', '<PHONE>', 'g')) AS BIGINT) AS delta
+    |  FROM staged2)
+    |SELECT source, COUNT(*) AS n_docs,
+    |  COUNT(CASE WHEN n_em + n_ip + n_ph > 0 THEN 1 END) AS docs_with_pii,
+    |  CAST(SUM(n_em) AS BIGINT) AS n_emails,
+    |  CAST(SUM(n_ip) AS BIGINT) AS n_ips,
+    |  CAST(SUM(n_ph) AS BIGINT) AS n_phones,
+    |  CAST(SUM(delta) AS BIGINT) AS chars_redacted
+    |FROM counted
+    |GROUP BY source
+    |ORDER BY source
+    |""".stripMargin.trim
+
+  // ------------------------------------------- stratified hash split
+  // Deterministic train/val/test assignment — the split must be a pure
+  // function of CONTENT (not row order, partitioning, or a seed table)
+  // so re-runs, backfills, and incremental ingests land every doc in the
+  // same fold on any engine. Bucket = first 16 bits of md5(text) mod 100
+  // (content-keyed so exact dups fall in the same fold and can't leak
+  // train→test); 90/5/5. One narrow map + tiny rollup: shuffle-free at
+  // any scale. Spark spells hex→int as conv(); DuckDB as CAST('0x'...).
+  private def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.load(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        (expr("CAST(conv(substring(md5(text), 1, 4), 16, 10) AS BIGINT)") % 100)
+          .as("bucket"))
+      .withColumn("fold",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .groupBy("lang", "fold")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("lang", "fold")
+  }
+
+  private val sampleStratifiedOracle = """
+    |WITH folded AS (
+    |  SELECT lang, doc_id, n_chars,
+    |    CAST(('0x' || substring(md5(text), 1, 4)) AS BIGINT) % 100 AS bucket
+    |  FROM documents)
+    |SELECT lang,
+    |  CASE WHEN bucket < 90 THEN 'train'
+    |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS fold,
+    |  COUNT(*) AS n_docs,
+    |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+    |  MIN(doc_id) AS first_doc
+    |FROM folded
+    |GROUP BY 1, 2
+    |ORDER BY lang, fold
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     shared("text_stats", statsSql),
     shared("text_langid", langidSql),
     Q("text_fingerprint", fingerprint, None),
     Q("text_token_freq", tokenFreq, Some(tokenFreqOracle)),
     Q("text_token_bpe", tokenBpe, Some(tokenBpeOracle)),
+    Q("text_pii_scrub", piiScrub, Some(piiScrubOracle)),
+    Q("sample_stratified", sampleStratified, Some(sampleStratifiedOracle)),
   )
 }
