@@ -126,4 +126,24 @@ class PlanQualitySpec extends AnyFunSuite {
     val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
     assert(shuffles.size <= 2, s"hash-dedup should shuffle at most twice:\n$p")
   }
+
+  test("pii scrub and stratified split are narrow maps + one rollup shuffle") {
+    // both are pure per-doc functions followed by a tiny per-group rollup:
+    // at 100 TB the map side must stay join-free and shuffle only the
+    // partially-aggregated rollup rows
+    for (name <- Seq("text_pii_scrub", "sample_stratified")) {
+      val p = planOf(name)
+      assert(collectAll(p) { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty,
+        s"$name must not join:\n$p")
+      // rollup exchange + output ordering's range exchange at most
+      val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+      assert(shuffles.size <= 2, s"$name should shuffle at most twice:\n$p")
+      import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+      val aggs = collectAll(p) {
+        case a: HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      }
+      assert(aggs.size >= 2, s"$name rollup must partial-aggregate map-side:\n$p")
+    }
+  }
 }
