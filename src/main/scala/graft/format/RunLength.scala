@@ -95,12 +95,11 @@ final class RunLengthByteReader(in: InStream) {
     } else {
       repeat = false
       numLiterals = 0x100 - control
-      var i = 0
-      while (i < numLiterals) {
-        val b = in.read()
-        if (b == -1) throw new EOFException("EOF in byte RLE literals")
-        literals(i) = b.toByte
-        i += 1
+      var got = 0
+      while (got < numLiterals) {
+        val n = in.read(literals, got, numLiterals - got)
+        if (n < 0) throw new EOFException("EOF in byte RLE literals")
+        got += n
       }
     }
   }

@@ -66,6 +66,35 @@ object Serialization {
     (v >>> 1) ^ -(v & 1)
   }
 
+  // ---- InStream overloads: decode from the buffered block directly ----
+  // (a varint is <= 10 bytes, so with >= 10 buffered it cannot cross the
+  // span; shorter spans take the per-byte path, which also handles
+  // varints straddling chunk boundaries in files from older writers)
+
+  def readVulong(in: InStream): Long = {
+    if (in.ensureSpan() >= 10) {
+      val arr = in.spanArray
+      val start = in.spanOffset
+      var p = start
+      var result = 0L
+      var shift = 0
+      var b = 0
+      do {
+        b = arr(p)
+        p += 1
+        result |= (b & 0x7fL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      in.advanceSpan(p - start)
+      result
+    } else readVulong(in: InputStream)
+  }
+
+  def readVslong(in: InStream): Long = {
+    val v = readVulong(in)
+    (v >>> 1) ^ -(v & 1)
+  }
+
   def writeFloat(out: OutputStream, f: Float): Unit = {
     val bits = java.lang.Float.floatToIntBits(f)
     out.write(bits & 0xff)
@@ -95,6 +124,17 @@ object Serialization {
       i += 1
     }
     java.lang.Float.intBitsToFloat(bits)
+  }
+
+  def readFloat(in: InStream): Float = {
+    if (in.ensureSpan() >= 4) {
+      val arr = in.spanArray
+      val p = in.spanOffset
+      val bits = (arr(p) & 0xff) | ((arr(p + 1) & 0xff) << 8) |
+        ((arr(p + 2) & 0xff) << 16) | ((arr(p + 3) & 0xff) << 24)
+      in.advanceSpan(4)
+      java.lang.Float.intBitsToFloat(bits)
+    } else readFloat(in: InputStream)
   }
 
   def writeDouble(out: OutputStream, d: Double): Unit = {
@@ -132,6 +172,18 @@ object Serialization {
     java.lang.Double.longBitsToDouble(bits)
   }
 
+  def readDouble(in: InStream): Double = {
+    if (in.ensureSpan() >= 8) {
+      val arr = in.spanArray
+      val p = in.spanOffset
+      var bits = 0L
+      var i = 0
+      while (i < 8) { bits |= (arr(p + i) & 0xffL) << (i * 8); i += 1 }
+      in.advanceSpan(8)
+      java.lang.Double.longBitsToDouble(bits)
+    } else readDouble(in: InputStream)
+  }
+
   // ---- fixed-width (vints-off) long serde, reference useVInts=false ----
   def writeLongLE(out: OutputStream, v: Long): Unit = {
     var bits = v
@@ -158,6 +210,18 @@ object Serialization {
       i += 1
     }
     bits
+  }
+
+  def readLongLE(in: InStream): Long = {
+    if (in.ensureSpan() >= 8) {
+      val arr = in.spanArray
+      val p = in.spanOffset
+      var bits = 0L
+      var i = 0
+      while (i < 8) { bits |= (arr(p + i) & 0xffL) << (i * 8); i += 1 }
+      in.advanceSpan(8)
+      bits
+    } else readLongLE(in: InputStream)
   }
 
   // ---- fixed-width helpers for metadata ----

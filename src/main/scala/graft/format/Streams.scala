@@ -222,9 +222,24 @@ object InStream {
 
 /** Read-side counterpart: a seekable stream over one column stream's
   * on-disk bytes (reference InStream.java:135-443).
+  *
+  * The direct-span API (`ensureSpan`/`spanArray`/`spanOffset`/
+  * `advanceSpan`) is the read-side analog of OutStream.reserve(): hot
+  * decoders (varints, IEEE doubles) work on the buffered block's array
+  * directly instead of per-byte virtual read() calls, falling back to
+  * read() near span boundaries. A span never silently crosses a chunk,
+  * so a decoder that checks `ensureSpan() >= k` for a k-byte value is
+  * boundary-safe.
   */
 sealed abstract class InStream extends InputStream {
   def seek(positions: PositionProvider): Unit
+
+  /** Contiguous buffered bytes at the current position: 0 at EOF,
+    * otherwise `spanArray`/`spanOffset` address at least one byte. */
+  def ensureSpan(): Int
+  var spanArray: Array[Byte] = null
+  var spanOffset: Int = 0
+  def advanceSpan(n: Int): Unit
 }
 
 final class UncompressedInStream(name: String, ranges: ByteRanges) extends InStream {
@@ -257,6 +272,16 @@ final class UncompressedInStream(name: String, ranges: ByteRanges) extends InStr
   }
 
   override def available(): Int = ranges.length - pos
+
+  override def ensureSpan(): Int = {
+    if (pos >= ranges.length) return 0
+    if (segArr == null || pos < segBase || pos >= segEnd) refresh()
+    spanArray = segArr
+    spanOffset = segOff + (pos - segBase)
+    segEnd - pos
+  }
+
+  override def advanceSpan(n: Int): Unit = pos += n
 
   override def seek(positions: PositionProvider): Unit = {
     pos = positions.next().toInt
@@ -324,6 +349,15 @@ final class CompressedInStream(name: String, ranges: ByteRanges, codec: Compress
 
   override def available(): Int =
     if (!ensureBlock()) 0 else blockLen - blockPos
+
+  override def ensureSpan(): Int = {
+    if (!ensureBlock()) return 0
+    spanArray = blockArr
+    spanOffset = blockBase + blockPos
+    blockLen - blockPos
+  }
+
+  override def advanceSpan(n: Int): Unit = blockPos += n
 
   override def seek(positions: PositionProvider): Unit = {
     val newChunk = positions.next().toInt
