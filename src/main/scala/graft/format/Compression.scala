@@ -90,10 +90,23 @@ object ZlibCodec {
   // Deflater/Inflater carry ~256 KB of native state whose init dominates
   // small-block deflate calls: pool them per thread (keyed by level for
   // deflaters) and reset() between blocks — the classic Hadoop/Spark
-  // codec-pool pattern, bounded by threads × levels
+  // codec-pool pattern, bounded by threads × levels. Native state of a
+  // dead thread's pool is reclaimed by the JDK's own Cleaner once the
+  // ThreadLocal map becomes unreachable; the cap below additionally
+  // end()s old levels eagerly so a thread that cycles through many zlib
+  // levels (level is a per-writer option) holds at most MaxPooledLevels
+  // native contexts at a time.
+  private val MaxPooledLevels = 4
   private val deflaters =
-    ThreadLocal.withInitial[java.util.HashMap[Integer, Deflater]](
-      () => new java.util.HashMap[Integer, Deflater]())
+    ThreadLocal.withInitial[java.util.LinkedHashMap[Integer, Deflater]](
+      () => new java.util.LinkedHashMap[Integer, Deflater](8, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Integer, Deflater]): Boolean = {
+          val evict = size() > MaxPooledLevels
+          if (evict) e.getValue.end()
+          evict
+        }
+      })
   private val inflaters =
     ThreadLocal.withInitial[Inflater](() => new Inflater(/* nowrap */ true))
 

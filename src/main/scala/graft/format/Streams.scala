@@ -35,6 +35,13 @@ final class OutStream(
     blockSize: Int,
     codec: Option[CompressionCodec]) extends OutputStream {
 
+  // reserve() on the compressed path empties the pending block and then
+  // assumes the request fits in a fresh one; 10 bytes covers the widest
+  // single encoder reservation (a max-length vulong). Checked once here so
+  // a misconfigured tiny block fails at construction, not mid-encode.
+  require(codec.isEmpty || blockSize >= 10,
+    s"compressed OutStream needs blockSize >= 10, got $blockSize")
+
   private var current = new Array[Byte](if (codec.isDefined) blockSize else math.min(blockSize, 16 * 1024))
   private var currentLen = 0
   private val compressed = new java.io.ByteArrayOutputStream()

@@ -117,9 +117,20 @@ object SimilarityQueries extends QueryPack {
   // 8-bit bands keep 256 buckets/band so occupancy (and the bucket join)
   // stays sub-quadratic. At 100 TB you'd raise bits-per-band to keep
   // bucket occupancy flat; the plan shape is unchanged.
-  private def lshCosineFull(s: SparkSession, dir: String,
-      cache: Boolean = true): (DataFrame, DataFrame, Seq[DataFrame]) = {
-    import s.implicits._
+  /** The per-vector LSH signature pass, factored out so the planted-twin
+    * recall probe hashes its twins with the IDENTICAL hyperplanes: input
+    * (vec_id, embedding) → one row per band (vec_id, norm2, band_idx,
+    * band_val). Every projection is a statically-indexed higher-order
+    * expression over the vector — each of the 32 plane weights is a
+    * constant-folded literal array, each projection evaluated EXACTLY once
+    * per vector. No posexplode over planes, no groupBy: the whole
+    * signature pass is one shuffle-free narrow Project (an earlier
+    * explode + 33-aggregate variant paid a full shuffle plus seconds of
+    * whole-stage-codegen compile time for the same arithmetic — r2
+    * bench's 9-12 s was mostly that compile).
+    */
+  private def bandedSignatures(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
     val planes = 32
     val bandBits = 8
     val bands = planes / bandBits
@@ -127,15 +138,6 @@ object SimilarityQueries extends QueryPack {
     val rnd = new scala.util.Random(42)
     val hyper: Array[Array[Double]] =
       Array.fill(planes)(Array.fill(dims)(if (rnd.nextBoolean()) 1.0 else -1.0))
-
-    val emb = Tables.load(s, dir, "embeddings")
-    // Every projection is a statically-indexed higher-order expression over
-    // the vector — each of the 32 plane weights is a constant-folded
-    // literal array, each projection evaluated EXACTLY once per vector.
-    // No posexplode, no groupBy: the whole signature pass is one shuffle-
-    // free narrow Project (an earlier explode + 33-aggregate variant paid
-    // a full shuffle plus seconds of whole-stage-codegen compile time for
-    // the same arithmetic — r2 bench's 9-12 s was mostly that compile).
     def proj(p: Int) = aggregate(
       zip_with($"embedding", typedlit(hyper(p).toSeq),
         (x, w) => x.cast("double") * w),
@@ -149,10 +151,17 @@ object SimilarityQueries extends QueryPack {
         lit(0d), (acc, v) => acc + v).as("norm2"), // plain double: rows-only
       // check, no decimal-exactness needed for a sqrt-normalized metric
       array((0 until bands).map(bandVal): _*).as("band_vals"))
+    sigs.select($"vec_id", $"norm2",
+      posexplode($"band_vals").as(Seq("band_idx", "band_val")))
+  }
+
+  private def lshCosineFull(s: SparkSession, dir: String,
+      cache: Boolean = true): (DataFrame, DataFrame, Seq[DataFrame]) = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
     // persisted: the self-join would otherwise evaluate the signature
     // projection twice (a narrow project has no exchange to reuse)
-    val banded0 = sigs.select($"vec_id", $"norm2",
-      posexplode($"band_vals").as(Seq("band_idx", "band_val")))
+    val banded0 = bandedSignatures(emb)
     val banded = if (cache)
       banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else banded0
@@ -200,50 +209,87 @@ object SimilarityQueries extends QueryPack {
   }
 
   // ------------------------------------------------------- LSH recall
-  // Recall as a MEASURED number, not a formula: the fraction of the exact
-  // top-20 cosine pairs (the ann_cosine_pairs fixture — vec_id < 2000,
-  // oracle-checked elsewhere) present in the LSH candidate set, reported
-  // next to the candidate count so the recall/cost trade is a pinned
-  // observable per round. One summary row; rows-only driver check (the
-  // exact side is already hash-checked via ann_cosine_pairs).
+  // Recall as a MEASURED number, not a formula — two regimes in one row:
   //
-  // Expectation calibration: the synthetic embeddings have NO true
-  // near-dups — the exact top-20 sits at cosine ≈ 0.44-0.51, where
-  // 4×8-bit bands predict 1-(1-p^8)^4 ≈ 0.15 recall (p = 1-acos(c)/π).
-  // Measured 0.10 at sf0.01 — theory-consistent. The same bands give
-  // ≈ 0.89 at c = 0.95, the regime dedup actually targets; raising
-  // recall for mid-similarity search means more/narrower bands (the
-  // knob this metric now makes visible round over round).
+  //  1. Top-20 recall: the fraction of the exact top-20 cosine pairs
+  //     (the ann_cosine_pairs plan — vec_id < 2000, oracle-checked
+  //     elsewhere; its arithmetic is REUSED here, not recomputed) present
+  //     in the LSH candidate set. The synthetic embeddings have NO true
+  //     near-dups — the exact top-20 sits at cosine ≈ 0.44-0.51, where
+  //     4×8-bit bands predict 1-(1-p^8)^4 ≈ 0.15 (p = 1-acos(c)/π).
+  //     Measured 0.10 at sf0.01 — theory-consistent.
+  //
+  //  2. PLANTED recall at c = 0.95, the regime dedup actually targets:
+  //     100 deterministic twins (seeded per vec_id, constructed as
+  //     c·v + √(1-c²)·|v|·ŵ with ŵ ⊥ v, so cos(v, twin) = c exactly up
+  //     to float rounding) are hashed with the identical hyperplanes and
+  //     probed against the already-persisted band table with a broadcast
+  //     join — band collision is a pairwise property, so this measures
+  //     exactly what a full corpus-with-twins run would, at the cost of
+  //     one tiny broadcast instead of a second LSH pass. Theory predicts
+  //     ≈ 0.89 at c = 0.95; `LshPlantedRecallSpec` pins measured ≥ 0.8.
+  private val PlantCount = 100
+  private val PlantCosine = 0.95
+  private val PlantIdOffset = 10000000L
+
+  /** Deterministic near-duplicate twins of the first `PlantCount` vectors:
+    * twin = c·v + √(1-c²)·|v|·ŵ with ŵ a seeded unit vector ⊥ v, giving
+    * cos(v, twin) = c and |twin| = |v| exactly (driver-side, ~100 rows).
+    */
+  private[queries] def plantedTwins(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orig = Tables.load(s, dir, "embeddings")
+      .orderBy($"vec_id").limit(PlantCount)
+      .select($"vec_id", $"embedding").collect()
+    val c = PlantCosine
+    val twins = orig.map { row =>
+      val id = row.getLong(0)
+      val v = row.getSeq[Float](1).map(_.toDouble).toArray
+      val rnd = new scala.util.Random(1234 + id)
+      val r = Array.fill(v.length)(rnd.nextGaussian())
+      val vv = v.map(x => x * x).sum
+      val rv = r.zip(v).map { case (a, b) => a * b }.sum
+      val w = r.zip(v).map { case (a, b) => a - (rv / vv) * b }
+      val wn = math.sqrt(w.map(x => x * x).sum)
+      val scale = math.sqrt(1 - c * c) * math.sqrt(vv) / wn
+      val twin = v.zip(w).map { case (x, y) => (c * x + scale * y).toFloat }
+      (id + PlantIdOffset, twin.toSeq)
+    }.toSeq
+    twins.toDF("vec_id", "embedding")
+  }
+
   private def lshRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (_, candCount, caches) = lshCosineFull(s, dir)
-    val cand = caches(1) // the persisted candidate pairs (id_a < id_b)
-    // exact top-20 over the bounded verifier set, plain doubles: a recall
-    // denominator doesn't need the oracle's decimal exactness
-    val emb = Tables.load(s, dir, "embeddings").filter($"vec_id" < 2000)
-      .select($"vec_id",
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("norm2",
-        expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (a, d) -> a + d)"))
-    val a = emb.as("a")
-    val b = emb.as("b")
-    val exactTop = a.join(b, $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
-        (expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
-          (sqrt($"a.norm2") * sqrt($"b.norm2"))).as("cosine"))
-      .orderBy($"cosine".desc, $"id_a", $"id_b")
-      .limit(20)
+    val banded = caches(0) // persisted per-band signatures of the corpus
+    val cand = caches(1)   // persisted candidate pairs (id_a < id_b)
+    // exact top-20: the ann_cosine_pairs plan itself (oracle-checked
+    // arithmetic), not a second all-pairs join
+    val exactTop = cosinePairs(s, dir).select($"id_a", $"id_b")
     val nExact = exactTop.count()
     // 20 exact pairs vs the candidate table: broadcast the tiny side
-    val nFound = cand.join(
-      broadcast(exactTop.select($"id_a", $"id_b")), Seq("id_a", "id_b"),
+    val nFound = cand.join(broadcast(exactTop), Seq("id_a", "id_b"),
       "left_semi").count()
     val nCand = candCount.collect().head.getLong(0)
+    // planted probe: a twin is recalled iff it collides with its original
+    // in ANY band — equi-join the ~400 twin band rows (broadcast) against
+    // the corpus band table, keyed back to the original by the id offset
+    val twinBanded = bandedSignatures(plantedTwins(s, dir))
+      .select($"vec_id".as("t_id"), $"band_idx".as("t_band"),
+        $"band_val".as("t_val"))
+    val plantedFound = banded.join(broadcast(twinBanded),
+        banded("band_idx") === $"t_band" && banded("band_val") === $"t_val" &&
+          banded("vec_id") === $"t_id" - PlantIdOffset)
+      .select($"t_id").distinct().count()
     caches.foreach(_.unpersist())
-    Seq((nExact, nFound,
-      BigDecimal(nFound.toDouble / nExact).setScale(4,
-        BigDecimal.RoundingMode.HALF_UP).toDouble, nCand))
-      .toDF("n_exact", "n_found", "recall", "n_candidates")
+    def ratio(num: Long, den: Long): Double =
+      if (den == 0) 0.0
+      else BigDecimal(num.toDouble / den).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((nExact, nFound, ratio(nFound, nExact), nCand,
+      PlantCount.toLong, plantedFound, ratio(plantedFound, PlantCount)))
+      .toDF("n_exact", "n_found", "recall", "n_candidates",
+        "planted_pairs", "planted_found", "planted_recall")
   }
 
   // -------------------------------------------------------- IVF top-k

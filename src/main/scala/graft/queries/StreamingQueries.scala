@@ -54,7 +54,12 @@ object StreamingQueries extends QueryPack {
   private val maxTsCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Long]
 
-  /** Cache key that invalidates when the fixture file is regenerated. */
+  /** Cache key that invalidates when the fixture file is regenerated.
+    * Invalidation contract: keyed by (path, mtime, size), so a fixture
+    * overwritten within the filesystem's mtime resolution to the exact
+    * same byte length would serve a stale sentinel — acceptable for the
+    * driver's fixed fixtures; regenerate into a fresh path to be safe.
+    */
   private def sourceKey(path: String): (String, Long, Long) = {
     val f = new java.io.File(path)
     (path, f.lastModified(), f.length())

@@ -659,18 +659,32 @@ final class StringVectorDecoder(c: Int) extends VectorDecoder(c) {
       var total = 0L
       var i = 0
       while (i < n) { total += lenScratch(i); i += 1 }
-      if (total > Int.MaxValue / 2) return false // absurd batch: per-row path
-      val t = total.toInt
-      if (blobScratch == null || blobScratch.length < t)
-        blobScratch = new Array[Byte](math.max(t, 16 * 1024))
-      BulkBytes.readFully(data, blobScratch, t)
-      var off = 0
-      i = 0
-      while (i < n) {
-        val len = lenScratch(i).toInt
-        v.putByteArray(i, blobScratch, off, len)
-        off += len
-        i += 1
+      if (total > Int.MaxValue / 2) {
+        // Oversized batch (>1 GiB of string payload). The LENGTH stream is
+        // already consumed, so falling back to the per-row put() would
+        // re-read lengths and desync LENGTH vs DATA. Stay on this path and
+        // read each value directly from the already-decoded lenScratch.
+        i = 0
+        while (i < n) {
+          val len = lenScratch(i).toInt
+          val b = new Array[Byte](len)
+          BulkBytes.readFully(data, b, len)
+          v.putByteArray(i, b, 0, len)
+          i += 1
+        }
+      } else {
+        val t = total.toInt
+        if (blobScratch == null || blobScratch.length < t)
+          blobScratch = new Array[Byte](math.max(t, 16 * 1024))
+        BulkBytes.readFully(data, blobScratch, t)
+        var off = 0
+        i = 0
+        while (i < n) {
+          val len = lenScratch(i).toInt
+          v.putByteArray(i, blobScratch, off, len)
+          off += len
+          i += 1
+        }
       }
       true
     }
