@@ -6,9 +6,17 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line the driver records as BENCH_r{N}.json.
   *
   * Headliners cover every subsystem (scan/join/agg/window, dwrf write+
-  * read round trip, dedup, similarity, text, multimodal) but exclude
-  * `ann_cosine_pairs` — the all-pairs exact verifier that exists to
-  * check the LSH path at small SF, quadratic by design.
+  * read round trip, dedup, similarity, text, multimodal, streaming,
+  * scrub/split) but exclude `ann_cosine_pairs` — the all-pairs exact
+  * verifier that exists to check the LSH path at small SF, quadratic by
+  * design.
+  *
+  * Timing discipline: this host's single-run numbers swing ±30%
+  * run-to-run (VM contention), so each reported number is the MEDIAN of
+  * `SPARK_GRAFT_BENCH_PASSES` (default 3) full interleaved passes —
+  * pass-interleaved rather than back-to-back per query so every sample
+  * sees the same JIT/page-cache regime and round-over-round deltas
+  * outrun the noise. `value` is the sum of the per-query medians.
   */
 object Bench {
   private val headline: Seq[String] = Seq(
@@ -18,14 +26,21 @@ object Bench {
     "dwrf_roundtrip_lineitem", "dwrf_projection_filter",
     "dwrf_filter_columnar", "dwrf_partitioned_roundtrip",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "ann_topk_dot", "ann_lsh_cosine",
-    "text_stats", "text_langid", "text_fingerprint",
-    "multimodal_meta", "sessionize_events", "stream_events_window",
-    "stream_sessionize")
+    "ann_topk_dot", "ann_lsh_cosine", "ann_lsh_recall",
+    "text_stats", "text_langid", "text_fingerprint", "text_pii_scrub",
+    "sample_stratified", "multimodal_meta", "sessionize_events",
+    "stream_events_window", "stream_sessionize", "stream_dedup_exact")
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -38,18 +53,22 @@ object Bench {
     // one warmup pass of the cheapest query to absorb JVM/session startup
     try queries("q6_forecast_revenue")(spark, sfDir).count()
     catch { case _: Throwable => }
-    val results = headline.filter(queries.contains).map { name =>
-      val t0 = System.nanoTime()
-      try queries(name)(spark, sfDir).count()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+    val names = headline.filter(queries.contains)
+    val samples = (1 to passes).map { _ =>
+      names.map { name =>
+        val t0 = System.nanoTime()
+        try queries(name)(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
+    val results = names.map(n => n -> median(samples.map(_(n))))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","samples":$passes,"stat":"median"}"""
     // three sinks so the metrics line is machine-parseable however this
     // main is launched: target/bench.json (file), the raw process stdout
     // (bypasses sbt's [info] log prefix), and the sbt-captured stdout
