@@ -133,18 +133,19 @@ object StreamingQueries extends QueryPack {
     try f finally s.conf.set(key, old)
   }
 
+  private def rmTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+
   /** Fresh checkpoint+sink dirs per run: the file sink is append-only, so
     * a stale sink without its checkpoint would double-count. */
   private def freshSinkDirs(name: String, dir: String): (String, String) = {
     val tag = dirTag(dir)
     val ckDir = stagingRoot.resolve(s"$name-ck-$tag")
     val outDir = stagingRoot.resolve(s"$name-out-$tag")
-    def rmTree(p: java.nio.file.Path): Unit =
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
     rmTree(ckDir); rmTree(outDir)
     (ckDir.toString, outDir.toString)
   }
@@ -389,9 +390,9 @@ object StreamingQueries extends QueryPack {
     * hash-exact against the same DISTINCT in DuckDB, so this is the one
     * stateful streaming query whose state contents are fully
     * oracle-checked. State holds one entry per distinct hash; unbounded
-    * corpora would bound it with dropDuplicatesWithinWatermark on
-    * ingestion time (same plan, a horizon knob) or fall back to the
-    * batch tier.
+    * corpora bound it with dropDuplicatesWithinWatermark on event time —
+    * the same plan with a horizon knob, exercised for real by
+    * [[streamDedupWithinWm]] below.
     */
   private def streamDedupExact(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
     import s.implicits._
@@ -422,10 +423,106 @@ object StreamingQueries extends QueryPack {
     |SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h
     |""".stripMargin.trim
 
+  // ------------------------------------- bounded-state streaming dedup
+  /** Stage the events table as four time-ordered chunk files (equal ts
+    * ranges, strictly increasing mtimes) so AvailableNow +
+    * maxFilesPerTrigger=1 replays the corpus as four micro-batches with
+    * a genuinely advancing watermark — the arrival shape that exercises
+    * horizon-based state eviction. Memoized per dataset; the marker file
+    * records the source's (mtime, size) so a regenerated fixture
+    * restages (same invalidation contract as [[sourceKey]]).
+    */
+  private def stageChunkedEvents(s: SparkSession, dir: String): (String,
+      org.apache.spark.sql.types.StructType) = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcFile = s"$dir/events.parquet"
+    val rawSchema = s.read.parquet(srcFile).schema
+    val srcDir = stagingRoot.resolve(s"stream-chunks-${dirTag(dir)}")
+    val marker = srcDir.resolve("_staged")
+    val key = { val k = sourceKey(srcFile); s"${k._2}:${k._3}" }
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == key
+    if (!fresh) {
+      rmTree(srcDir)
+      java.nio.file.Files.createDirectories(srcDir)
+      val Array(lo, hi) = s.read.parquet(srcFile)
+        .agg(min($"ts"), max($"ts")).as[(Long, Long)].head() match {
+          case (a, b) => Array(a, b)
+        }
+      val chunks = 4
+      val width = math.max(1L, (hi - lo) / chunks + 1)
+      val base = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(srcFile)).toMillis
+      (0 until chunks).foreach { i =>
+        val tmp = stagingRoot.resolve(s"stream-chunks-tmp-${dirTag(dir)}")
+        s.read.parquet(srcFile)
+          .filter($"ts" >= lo + i * width && $"ts" < lo + (i + 1) * width)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = scala.util.Using.resource(java.nio.file.Files.list(tmp)) {
+          st => st.filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+        }
+        val dst = srcDir.resolve(f"chunk-$i%02d.parquet")
+        java.nio.file.Files.move(part, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // strictly increasing mtimes pin the micro-batch order (the file
+        // source dequeues oldest-mtime first)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(base + (i + 1) * 1000))
+        rmTree(tmp)
+      }
+      java.nio.file.Files.write(marker, key.getBytes("UTF-8"))
+    }
+    (srcDir.toString, rawSchema)
+  }
+
+  /** Exact dedup with a BOUNDED-state horizon — the 100 TB ingestion
+    * plan named by [[streamDedupExact]]'s scaladoc, now exercised:
+    * `dropDuplicatesWithinWatermark` keys on (user_id, event_type, hr)
+    * with a 2-hour watermark on the hour-truncated event time, so state
+    * entries expire once the watermark passes their horizon instead of
+    * accumulating one entry per distinct key forever.
+    *
+    * Oracle exactness: every column emitted IS a key column (the
+    * surviving row is fully determined by the key, not arrival order),
+    * the four staged chunks are time-ordered so no row is ever late,
+    * and a key's occurrences all share its hour — duplicates always
+    * arrive inside the horizon, so the emitted set equals plain
+    * DISTINCT while state stays horizon-bounded. Hash-exact vs DuckDB.
+    */
+  private def streamDedupWithinWm(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+    import s.implicits._
+    val (srcDir, rawSchema) = stageChunkedEvents(s, dir)
+    val (ckDir, outDir) = freshSinkDirs("stream-dedup-wm", dir)
+    val q = s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .select($"user_id", $"event_type",
+        date_trunc("hour", expr("timestamp_micros(ts DIV 1000)")).as("hr"))
+      .withWatermark("hr", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "hr")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir).orderBy($"user_id", $"event_type", $"hr")
+  }
+
+  private val streamDedupWmOracle = """
+    |SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+    |FROM events ORDER BY user_id, event_type, hr
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     Q("stream_events_window", eventsWindow, Some(eventsWindowOracle)),
     Q("sessionize_events", sessionize, Some(sessionizeOracle)),
     Q("stream_sessionize", sessionizeStream, Some(sessionizeOracle)),
     Q("stream_dedup_exact", streamDedupExact, Some(streamDedupOracle)),
+    Q("stream_dedup_within_wm", streamDedupWithinWm, Some(streamDedupWmOracle)),
   )
 }
