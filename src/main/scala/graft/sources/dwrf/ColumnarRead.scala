@@ -118,6 +118,20 @@ abstract class VectorDecoder(val columnId: Int) {
     while (i < n) { putOne(v, i); i += 1 }
   }
 
+  /** `fill` minus the batch reset and the root-only `prepare`: used by
+    * collection/struct parents to bulk-decode a child's next `n` values
+    * into slots [0, n) of the child vector. The parent's `fill` already
+    * reset the whole decoder tree, and `prepare`'s lazy-dictionary
+    * attachment is root-only (nested children keep the materializing
+    * path), so neither may run again here.
+    */
+  private[dwrf] final def fillChild(v: OnHeapColumnVector, n: Int): Unit = {
+    if (present == null) { if (fillBulk(v, n)) return }
+    else if (fillBulkNullable(v, n)) return
+    var i = 0
+    while (i < n) { putOne(v, i); i += 1 }
+  }
+
   protected def put(v: OnHeapColumnVector, i: Int): Unit
 }
 
@@ -185,6 +199,59 @@ final class ListVectorDecoder(c: Int, at: ArrayType) extends VectorDecoder(c) {
     elemCount += n
   }
 
+  private var lenScratch: Array[Long] = null
+
+  /** Bulk: one `nextLongs` over the LENGTH stream, one recursive
+    * `fillChild` for ALL of the batch's elements (the element decoder's
+    * own bulk kernel then runs over the whole element run), then offsets
+    * from the prefix sum — no per-row virtual calls on the offsets path.
+    */
+  override protected def fillBulk(v: OnHeapColumnVector, n: Int): Boolean = {
+    if (lengths == null) return false
+    if (lenScratch == null || lenScratch.length < n) lenScratch = new Array[Long](n)
+    lengths.nextLongs(lenScratch, 0, n)
+    fillFromLengths(v, n, n)
+    true
+  }
+
+  override protected def fillBulkNullable(v: OnHeapColumnVector, n: Int): Boolean = {
+    if (lengths == null) return false
+    val c = decodePresent(v, n)
+    if (lenScratch == null || lenScratch.length < c) lenScratch = new Array[Long](c)
+    lengths.nextLongs(lenScratch, 0, c)
+    fillFromLengths(v, n, c)
+    true
+  }
+
+  /** Decode `c` length-prefixed arrays (already in lenScratch) and scatter
+    * them over `n` row slots (null rows — flagged in presentScratch when
+    * c < n — consume no length and no elements, matching the writer). */
+  private def fillFromLengths(v: OnHeapColumnVector, n: Int, c: Int): Unit = {
+    var total = 0L
+    var i = 0
+    while (i < c) { total += lenScratch(i); i += 1 }
+    // child vectors are Int-indexed, so >2^31 elements per batch is
+    // unrepresentable on ANY path — fail loudly, not by overflow
+    require(total <= Int.MaxValue, s"dwrf: $total array elements in one batch")
+    val t = total.toInt
+    val child = v.getChild(0).asInstanceOf[OnHeapColumnVector]
+    VectorUtil.reserveRows(child, t)
+    elem.fillChild(child, t)
+    var off = 0
+    var j = 0
+    i = 0
+    while (i < n) {
+      if (c == n || presentScratch(i)) {
+        val len = lenScratch(j).toInt
+        v.putArray(i, off, len)
+        off += len
+        j += 1
+      }
+      i += 1
+    }
+    elemCount = t
+  }
+
   override protected def seekValues(e: RowIndexEntry): Unit =
     e.positions.get(StreamKind.Length).foreach(p => lengths.seek(new ArrayPositionProvider(p)))
 }
@@ -221,6 +288,57 @@ final class MapVectorDecoder(c: Int, mt: MapType) extends VectorDecoder(c) {
     }
     v.putArray(i, entryCount, n)
     entryCount += n
+  }
+
+  private var lenScratch: Array[Long] = null
+
+  /** Same bulk shape as [[ListVectorDecoder]]: batch the LENGTH stream,
+    * bulk-fill the key and value runs once each, offsets from the prefix
+    * sum. Key and value streams are independent, so each child run
+    * decodes contiguously.
+    */
+  override protected def fillBulk(v: OnHeapColumnVector, n: Int): Boolean = {
+    if (lengths == null) return false
+    if (lenScratch == null || lenScratch.length < n) lenScratch = new Array[Long](n)
+    lengths.nextLongs(lenScratch, 0, n)
+    fillFromLengths(v, n, n)
+    true
+  }
+
+  override protected def fillBulkNullable(v: OnHeapColumnVector, n: Int): Boolean = {
+    if (lengths == null) return false
+    val c = decodePresent(v, n)
+    if (lenScratch == null || lenScratch.length < c) lenScratch = new Array[Long](c)
+    lengths.nextLongs(lenScratch, 0, c)
+    fillFromLengths(v, n, c)
+    true
+  }
+
+  private def fillFromLengths(v: OnHeapColumnVector, n: Int, c: Int): Unit = {
+    var total = 0L
+    var i = 0
+    while (i < c) { total += lenScratch(i); i += 1 }
+    require(total <= Int.MaxValue, s"dwrf: $total map entries in one batch")
+    val t = total.toInt
+    val keys = v.getChild(0).asInstanceOf[OnHeapColumnVector]
+    val values = v.getChild(1).asInstanceOf[OnHeapColumnVector]
+    VectorUtil.reserveRows(keys, t)
+    VectorUtil.reserveRows(values, t)
+    key.fillChild(keys, t)
+    value.fillChild(values, t)
+    var off = 0
+    var j = 0
+    i = 0
+    while (i < n) {
+      if (c == n || presentScratch(i)) {
+        val len = lenScratch(j).toInt
+        v.putArray(i, off, len)
+        off += len
+        j += 1
+      }
+      i += 1
+    }
+    entryCount = t
   }
 
   override protected def seekValues(e: RowIndexEntry): Unit =
@@ -261,6 +379,21 @@ final class StructVectorDecoder(c: Int, st: StructType) extends VectorDecoder(c)
       children(j).putOne(v.getChild(j).asInstanceOf[OnHeapColumnVector], i)
       j += 1
     }
+  }
+
+  /** Null-free struct: each child's n values are exactly the batch's n
+    * rows in order, so every child bulk-fills its own column directly.
+    * A NULLABLE struct stays on the per-row path: null parents consume
+    * no child values, so child value k lands at the k-th non-null row —
+    * a parent-hole scatter the child kernels don't model.
+    */
+  override protected def fillBulk(v: OnHeapColumnVector, n: Int): Boolean = {
+    var j = 0
+    while (j < children.length) {
+      children(j).fillChild(v.getChild(j).asInstanceOf[OnHeapColumnVector], n)
+      j += 1
+    }
+    true
   }
 
   override protected def seekValues(e: RowIndexEntry): Unit = ()
