@@ -9,6 +9,15 @@ import org.apache.spark.sql.functions._
   * line; README's recorded evidence comes from here.
   *
   * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.BenchFormats"
+  *
+  * Scale-stress mode (`runMain graft.BenchFormats scale`): writes a
+  * ~9.6M-row lineitem (sf0.1 ×16, keys perturbed per copy so stats and
+  * dictionaries see 16× the key space, not 16 repeats) through the dwrf
+  * writer with a deliberately small 64 MB stripe budget, then verifies
+  * from the file footers that the A4 flush policy actually bounded every
+  * stripe — the on-disk proxy for "writer memory stays flat no matter how
+  * many rows stream through one task". Also records aggregate write/scan
+  * MB/s over the raw (uncompressed) bytes; README quotes these numbers.
   */
 object BenchFormats {
   private def time[A](f: => A): (Double, A) = {
@@ -34,6 +43,12 @@ object BenchFormats {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+
+    if (args.contains("scale")) {
+      runScale(spark, sfDir)
+      spark.stop()
+      return
+    }
 
     val li = Tables.load(spark, sfDir, "lineitem").cache()
     li.count() // materialize, so writes time the format not the source scan
@@ -90,5 +105,105 @@ object BenchFormats {
     }.mkString("{", ",", "}")
     println(json)
     spark.stop()
+  }
+
+  /** ~100× pressure without an sf1 fixture: 16 key-perturbed copies of
+    * sf0.1 lineitem (~9.6M rows) through the dwrf writer with a 64 MB
+    * stripe budget, 8 writer tasks (~1.2M rows / >100 MB raw each, so
+    * every task crosses the budget several times). Footer audit then
+    * asserts the A4 flush policy held: >1 stripe per file and no stripe's
+    * on-disk footprint above the raw budget (compressed stripes must land
+    * UNDER the raw-bytes trigger; blowing past it means buffered memory
+    * wasn't bounded).
+    */
+  private def runScale(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    import graft.sources.dwrf.{DwrfFileReader, DwrfUtil}
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+
+    val copies = 16
+    val stripeBytes = 64L * 1024 * 1024
+    val base = "/root/repo/target/fmt-bench"
+    val path = s"$base/scale-dwrf"
+
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val big = (0 until copies).map { i =>
+      li.withColumn("l_orderkey", $"l_orderkey" + lit(i.toLong * 100000000L))
+    }.reduce(_ unionAll _)
+      .repartition(8) // 8 big files: each task must flush repeatedly
+      .cache()
+    val nRows = big.count() // materialize: time the writer, not the source
+
+    val (tWrite, _) = time {
+      big.write.format("dwrf").mode("overwrite")
+        .option("compress", "ZLIB")
+        .option("stripe.size", stripeBytes.toString)
+        .save(path)
+    }
+    big.unpersist()
+
+    // footer audit across every data file written
+    val conf = new Configuration()
+    val files = DwrfUtil.listDataFiles(new Path(path), conf)
+    var nStripes = 0
+    var maxStripeBytes = 0L
+    var maxStripeRows = 0L
+    var minStripesPerFile = Int.MaxValue
+    var rawBytes = 0L
+    files.foreach { p =>
+      val rdr = new DwrfFileReader(p, conf)
+      try {
+        val f = rdr.footer
+        rawBytes += f.rawDataSize
+        minStripesPerFile = math.min(minStripesPerFile, f.stripes.size)
+        f.stripes.foreach { si =>
+          nStripes += 1
+          maxStripeBytes = math.max(maxStripeBytes,
+            si.indexLength + si.dataLength + si.footerLength)
+          maxStripeRows = math.max(maxStripeRows, si.numRows)
+        }
+      } finally rdr.close()
+    }
+    val bounded = minStripesPerFile > 1 && maxStripeBytes <= stripeBytes
+
+    def scanAgg(): Double = time {
+      spark.read.format("dwrf").load(path)
+        .agg(sum($"l_quantity"), sum($"l_extendedprice")).collect()
+    }._1
+    def scanFiltered(): Double = time {
+      spark.read.format("dwrf").load(path)
+        .filter($"l_orderkey" >= 100000L && $"l_orderkey" < 200000L)
+        .agg(sum($"l_quantity"), count(lit(1))).collect()
+    }._1
+    scanAgg(); scanFiltered() // warm page cache; report the second run
+    val tScan = scanAgg()
+    val tFiltered = scanFiltered()
+
+    def mb(b: Long): Double = b / 1e6
+    val r = scala.collection.immutable.ListMap[String, Any](
+      "rows" -> nRows,
+      "files" -> files.size,
+      "raw_mb" -> mb(rawBytes),
+      "disk_mb" -> mb(dirSize(path)),
+      "write_s" -> tWrite,
+      "write_raw_mb_s" -> mb(rawBytes) / tWrite,
+      "scan_agg_s" -> tScan,
+      "scan_raw_mb_s" -> mb(rawBytes) / tScan,
+      "scan_filtered_s" -> tFiltered,
+      "n_stripes" -> nStripes,
+      "min_stripes_per_file" -> minStripesPerFile,
+      "max_stripe_mb" -> mb(maxStripeBytes),
+      "max_stripe_rows" -> maxStripeRows,
+      "stripe_budget_mb" -> mb(stripeBytes),
+      "stripe_bounded" -> bounded)
+    val json = r.map {
+      case (k, v: Double) => s""""$k":${math.round(v * 1000) / 1000.0}"""
+      case (k, v) => s""""$k":$v"""
+    }.mkString("{", ",", "}")
+    println(json)
+    require(bounded, s"A4 stripe flush policy violated: " +
+      s"min stripes/file $minStripesPerFile, max stripe ${mb(maxStripeBytes)} MB " +
+      s"vs budget ${mb(stripeBytes)} MB")
   }
 }

@@ -42,7 +42,14 @@ final class IntBuffer(initial: Int = 1024) {
   def apply(i: Int): Int = arr(i)
   def inc(i: Int): Unit = arr(i) += 1
   def size: Int = n
-  def clear(): Unit = n = 0
+  /** Reset AND release grown capacity (same contract as ByteBuf): `memory`
+    * reports capacity, so a stripe-sized buffer retained across clear()
+    * would keep the flush policy permanently over budget — every
+    * subsequent memory check would flush a tiny stripe. */
+  def clear(): Unit = {
+    n = 0
+    if (arr.length > initial) arr = new Array[Int](initial)
+  }
   def memory: Long = arr.length.toLong * 4
 }
 
@@ -113,6 +120,10 @@ final class LongBuffer(initial: Int = 1024) {
     }
     java.util.Arrays.copyOf(copy, distinct)
   }
-  def clear(): Unit = n = 0
+  /** Reset AND release grown capacity — see IntBuffer.clear. */
+  def clear(): Unit = {
+    n = 0
+    if (arr.length > initial) arr = new Array[Long](initial)
+  }
   def memory: Long = arr.length.toLong * 8
 }
