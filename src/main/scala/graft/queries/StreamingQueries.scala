@@ -518,11 +518,50 @@ object StreamingQueries extends QueryPack {
     |FROM events ORDER BY user_id, event_type, hr
     |""".stripMargin.trim
 
+  // ------------------------------------------------ streaming dwrf sink
+  /** Streaming ingestion INTO the native format: readStream over the
+    * events dir → stateless filter/projection → `writeStream.format
+    * ("dwrf")` (the V2 STREAMING_WRITE path — epoch-deterministic file
+    * names, idempotent under replay) → read back through the batch dwrf
+    * reader. This is the 100 TB arrival shape writing dwrf directly with
+    * no parquet staging hop; the whole loop (streaming engine → dwrf
+    * writer → footer → columnar reader) is oracle-checked hash-exact.
+    * Stateless, so no watermark/state store — sink throughput is the
+    * thing under test.
+    */
+  private def streamDwrfSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (srcDir, rawSchema) = stageStreamSource(s, dir)
+    val (ckDir, outDir) = freshSinkDirs("stream-dwrf-sink", dir)
+    val q = s.readStream.schema(rawSchema)
+      .parquet(srcDir)
+      .filter($"user_id" >= 0 && $"event_type" === "purchase")
+      .select($"event_id", $"user_id", expr("ts DIV 1000").as("ts_us"),
+        $"value", $"props")
+      .writeStream
+      .format("dwrf")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.format("dwrf").load(outDir).orderBy($"event_id")
+  }
+
+  // DuckDB reads the TIMESTAMP(NANOS) parquet at micros (truncating, same
+  // as `ts DIV 1000` on the raw nanos), so epoch_us matches bit-for-bit
+  private val streamDwrfSinkOracle = """
+    |SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, props
+    |FROM events WHERE event_type = 'purchase' ORDER BY event_id
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     Q("stream_events_window", eventsWindow, Some(eventsWindowOracle)),
     Q("sessionize_events", sessionize, Some(sessionizeOracle)),
     Q("stream_sessionize", sessionizeStream, Some(sessionizeOracle)),
     Q("stream_dedup_exact", streamDedupExact, Some(streamDedupOracle)),
     Q("stream_dedup_within_wm", streamDedupWithinWm, Some(streamDedupWmOracle)),
+    Q("stream_dwrf_sink", streamDwrfSink, Some(streamDwrfSinkOracle)),
   )
 }

@@ -204,6 +204,7 @@ final class DwrfTable(tableSchema: StructType, properties: Map[String, String],
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -562,6 +563,65 @@ final class DwrfWriteBuilder(schema: StructType, path: String,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new DwrfBatchWrite(schema, path, options, doTruncate, partCols)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new DwrfStreamingWrite(schema, path, options, partCols)
+  }
+}
+
+/** Structured-Streaming sink: `df.writeStream.format("dwrf")` — the 100 TB
+  * ingestion path writes the native format directly (no parquet staging +
+  * rewrite). Files are named `part-e<epoch>-p<partition>.dwrf`, a
+  * DETERMINISTIC function of (epoch, partition): a replayed epoch (failure
+  * before the checkpoint commit) or a retried task re-creates the same
+  * file with `overwrite = true`, so the sink is idempotent per epoch and
+  * end-to-end effectively-once for deterministic queries — the same
+  * contract Spark's own file sink gets from its manifest log, here with
+  * zero extra metadata because the name IS the manifest key. (Speculative
+  * execution could race two attempts onto one file; like the reference's
+  * Hive OutputFormat the sink targets speculation-off ETL writes.)
+  */
+final class DwrfStreamingWrite(schema: StructType, path: String,
+    options: Map[String, String], partCols: Seq[String] = Nil)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    // driver-side, before any epoch: prepare the output dir
+    val conf = DwrfUtil.sessionHadoopConf()
+    val p = new Path(path)
+    p.getFileSystem(conf).mkdirs(p)
+    new DwrfStreamingDataWriterFactory(schema.json, path, options,
+      new SerializableHadoopConf(conf), partCols)
+  }
+
+  // epoch visibility is files-on-disk (task commit); the streaming engine's
+  // checkpoint, not a sink-side log, is the source of truth for replays
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class DwrfStreamingDataWriterFactory(schemaJson: String, path: String,
+    options: Map[String, String], hadoopConf: SerializableHadoopConf,
+    partCols: Seq[String] = Nil)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(schemaJson).asInstanceOf[StructType]
+    val conf = hadoopConf.value
+    val userMeta: Map[String, Array[Byte]] = options.collect {
+      case (k, v) if k.toLowerCase.startsWith("metadata.") =>
+        k.substring("metadata.".length) -> v.getBytes("UTF-8")
+    }
+    // no taskId in the name: idempotent under replay/retry (scaladoc above)
+    val fileName = f"part-e$epochId%05d-p$partitionId%05d.dwrf"
+    if (partCols.isEmpty)
+      new DwrfFlatDataWriter(schema, new Path(path, fileName),
+        options, userMeta, conf)
+    else
+      new DwrfPartitionedDataWriter(schema, new Path(path), partCols, options,
+        userMeta, conf, partitionId, taskId, fileName = Some(fileName))
   }
 }
 
@@ -646,7 +706,9 @@ private final class DwrfFlatDataWriter(schema: StructType, file: Path,
 private final class DwrfPartitionedDataWriter(schema: StructType, root: Path,
     partCols: Seq[String], options: Map[String, String],
     userMeta: Map[String, Array[Byte]], conf: Configuration,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long,
+    // streaming writes pass an epoch-deterministic name (idempotent replay)
+    fileName: Option[String] = None) extends DataWriter[InternalRow] {
 
   private val maxOpenWriters = 256
   private val fs = root.getFileSystem(conf)
@@ -684,7 +746,8 @@ private final class DwrfPartitionedDataWriter(schema: StructType, root: Path,
           "values; repartition by the partition columns before writing")
       val dir = new Path(root, dirs)
       fs.mkdirs(dir)
-      val file = new Path(dir, f"part-$partitionId%05d-$taskId.dwrf")
+      val file = new Path(dir,
+        fileName.getOrElse(f"part-$partitionId%05d-$taskId.dwrf"))
       val os = fs.create(file, true)
       (new DwrfFileWriter(dataSchema, DwrfWriteOptions.fromMap(options),
         new java.io.BufferedOutputStream(os, 1 << 16)), os, file)
