@@ -518,6 +518,101 @@ object StreamingQueries extends QueryPack {
     |FROM events ORDER BY user_id, event_type, hr
     |""".stripMargin.trim
 
+  // ---------------------------------------------- streaming dwrf source
+  /** Stage the events table as four time-ordered DWRF chunk files plus a
+    * watermark sentinel (strictly increasing mtimes), the landing-dir
+    * shape [[DwrfMicroBatchStream]]'s offset contract names. Mirrors
+    * [[stageChunkedEvents]] but writes the native format, with `ts`
+    * converted to a real timestamp column so the dwrf E9 split encoding
+    * is exercised through the streaming read. Memoized per dataset.
+    */
+  private def stageDwrfChunks(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcFile = s"$dir/events.parquet"
+    val srcDir = stagingRoot.resolve(s"stream-dwrf-chunks-${dirTag(dir)}")
+    val marker = srcDir.resolve("_staged")
+    val key = { val k = sourceKey(srcFile); s"${k._2}:${k._3}" }
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == key
+    if (!fresh) {
+      rmTree(srcDir)
+      java.nio.file.Files.createDirectories(srcDir)
+      val Array(lo, hi) = s.read.parquet(srcFile)
+        .agg(min($"ts"), max($"ts")).as[(Long, Long)].head() match {
+          case (a, b) => Array(a, b)
+        }
+      val chunks = 4
+      val width = math.max(1L, (hi - lo) / chunks + 1)
+      val base = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(srcFile)).toMillis
+      val sentinelNs = hi + 2L * 24 * 3600 * 1000000000L
+      def stageOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = stagingRoot.resolve(s"stream-dwrf-chunks-tmp-${dirTag(dir)}")
+        df.select($"event_id", $"user_id", $"event_type",
+            expr("timestamp_micros(ts DIV 1000)").as("ts"), $"value")
+          .coalesce(1).write.mode("overwrite").format("dwrf").save(tmp.toString)
+        val part = scala.util.Using.resource(java.nio.file.Files.list(tmp)) {
+          st => st.filter(_.getFileName.toString.endsWith(".dwrf"))
+            .findFirst().get()
+        }
+        val dst = srcDir.resolve(name)
+        java.nio.file.Files.move(part, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+        rmTree(tmp)
+      }
+      (0 until chunks).foreach { i =>
+        stageOne(
+          s.read.parquet(srcFile)
+            .filter($"ts" >= lo + i * width && $"ts" < lo + (i + 1) * width),
+          f"chunk-$i%02d.dwrf", base + (i + 1) * 1000)
+      }
+      stageOne(
+        s.read.parquet(srcFile).limit(1)
+          .withColumn("ts", lit(sentinelNs))
+          .withColumn("event_type", lit("__wm_sentinel__"))
+          .withColumn("user_id", lit(-1L)),
+        "zz-sentinel.dwrf", base + (chunks + 1) * 1000)
+      java.nio.file.Files.write(marker, key.getBytes("UTF-8"))
+    }
+    srcDir.toString
+  }
+
+  /** The eventsWindow rollup computed FROM a dwrf landing directory:
+    * `readStream.format("dwrf")` tails the staged chunks one file per
+    * micro-batch (admission control), the watermark advances across
+    * epochs, and append mode emits+purges closed windows — the read half
+    * of the native ingestion loop, hash-exact against the batch answer.
+    */
+  private def streamDwrfSource(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+    import s.implicits._
+    val srcDir = stageDwrfChunks(s, dir)
+    val (ckDir, outDir) = freshSinkDirs("stream-dwrf-src", dir)
+    val q = s.readStream
+      .format("dwrf")
+      .option("maxFilesPerTrigger", "1")
+      .load(srcDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr(dsum("value")).as("total_value"))
+      .select($"window.start".as("day_ts"), $"event_type", $"n_events", $"total_value")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+      .filter($"event_type" =!= "__wm_sentinel__")
+      .orderBy($"day_ts", $"event_type")
+  }
+
   // ------------------------------------------------ streaming dwrf sink
   /** Streaming ingestion INTO the native format: readStream over the
     * events dir → stateless filter/projection → `writeStream.format
@@ -563,5 +658,6 @@ object StreamingQueries extends QueryPack {
     Q("stream_dedup_exact", streamDedupExact, Some(streamDedupOracle)),
     Q("stream_dedup_within_wm", streamDedupWithinWm, Some(streamDedupWmOracle)),
     Q("stream_dwrf_sink", streamDwrfSink, Some(streamDwrfSinkOracle)),
+    Q("stream_dwrf_source", streamDwrfSource, Some(eventsWindowOracle)),
   )
 }

@@ -204,11 +204,13 @@ final class DwrfTable(tableSchema: StructType, properties: Map[String, String],
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DwrfScanBuilder(tableSchema, options.get("path"))
+    new DwrfScanBuilder(tableSchema, options.get("path"),
+      options.asCaseSensitiveMap().asScala.toMap)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DwrfWriteBuilder(info.schema(), info.options().get("path"),
@@ -217,7 +219,8 @@ final class DwrfTable(tableSchema: StructType, properties: Map[String, String],
 
 // --------------------------------------------------------------- read
 
-final class DwrfScanBuilder(tableSchema: StructType, path: String)
+final class DwrfScanBuilder(tableSchema: StructType, path: String,
+    options: Map[String, String] = Map.empty)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -250,7 +253,8 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String)
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
-  override def build(): Scan = new DwrfScan(tableSchema, readSchema, path, pushed)
+  override def build(): Scan =
+    new DwrfScan(tableSchema, readSchema, path, pushed, options)
 }
 
 /** Multi-part column reference for nested struct leaves (`st.ok`) — the
@@ -279,12 +283,17 @@ private final case class DwrfFileTail(
     partSpec: Seq[(String, String)])
 
 final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: String,
-    pushed: Array[org.apache.spark.sql.sources.Filter])
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    options: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   override def readSchema(): StructType = readSchema
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new DwrfMicroBatchStream(tableSchema, readSchema, path, pushed, options,
+      hadoopConf)
 
   private val hadoopConf = new SerializableHadoopConf(DwrfUtil.sessionHadoopConf())
 
@@ -395,7 +404,6 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
     * footer stats refute the (static + runtime) filters are skipped
     * entirely — no footer re-read, no task. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val targetSplit = 128L * 1024 * 1024
     val filters = allFilters.toSeq
     fileTails.filter { tail =>
       filters.isEmpty ||
@@ -406,20 +414,7 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
         if (keyRow != null)
           DwrfKeyedInputPartition(tail.path, start, len, tail.partSpec, keyRow)
         else DwrfInputPartition(tail.path, start, len, tail.partSpec)
-      val parts = scala.collection.mutable.ArrayBuffer.empty[DwrfPartitionBase]
-      var start = -1L
-      var end = -1L
-      tail.stripes.foreach { s =>
-        val stripeLen = s.indexLength + s.dataLength + s.footerLength
-        if (start < 0) { start = s.offset; end = s.offset + stripeLen }
-        else if (end - start >= targetSplit) {
-          parts += mk(start, end - start)
-          start = s.offset
-          end = s.offset + stripeLen
-        } else end = s.offset + stripeLen
-      }
-      if (start >= 0) parts += mk(start, end - start)
-      parts.toSeq
+      DwrfSplits.stripeGroups(tail.stripes).map { case (off, len) => mk(off, len) }
     }.toArray
   }
 

@@ -1,0 +1,71 @@
+package graft.sources.dwrf
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `readStream.format("dwrf")` — the micro-batch read path.
+  *
+  * Covers: multi-epoch drain with admission control (maxFilesPerTrigger),
+  * stream-batch parity on the same landing dir, and the offset JSON
+  * round trip.
+  */
+class DwrfStreamSourceSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("offset json round-trips") {
+    val o = DwrfSourceOffset(42L)
+    assert(DwrfSourceOffset.parse(o.json()) == 42L)
+    intercept[IllegalArgumentException](DwrfSourceOffset.parse("{}"))
+  }
+
+  test("landing dir drains epoch by epoch; stream == batch") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "streamsrc-").toString
+
+    // three arrival files with strictly increasing mtimes
+    (0 until 3).foreach { i =>
+      val tmp = s"$dir/tmp"
+      (0 until 100).map(j => (i * 100L + j, s"tag${j % 5}", j * 1.5))
+        .toDF("id", "tag", "v")
+        .coalesce(1).write.mode("overwrite").format("dwrf").save(tmp)
+      val part = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(tmp))) { st =>
+        st.filter(_.getFileName.toString.endsWith(".dwrf")).findFirst().get()
+      }
+      val dst = java.nio.file.Paths.get(dir, f"arrive-$i%02d.dwrf")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000))
+    }
+
+    val q = s.readStream
+      .format("dwrf")
+      .option("maxFilesPerTrigger", "1")
+      .load(dir)
+      .filter($"id" % 2 === 0)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$dir-out")
+      .option("checkpointLocation", s"$dir-ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = s.read.parquet(s"$dir-out")
+      .orderBy($"id").as[(Long, String, Double)].collect().toSeq
+    val batch = s.read.format("dwrf").load(dir)
+      .filter($"id" % 2 === 0)
+      .orderBy($"id").as[(Long, String, Double)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 150)
+
+    // one epoch per file: the offset log must show three committed batches
+    val commits = new java.io.File(s"$dir-ck/commits").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).sorted
+    assert(commits.length == 3, commits.toSeq)
+  }
+}
