@@ -101,7 +101,7 @@ final class DwrfDataSource extends TableProvider with DataSourceRegister {
       properties: JMap[String, String]): Table = {
     // Hive-style directory partitioning: identity transforms only (the
     // reference's OrcOutputFormat files lived under Hive partition dirs)
-    val partCols = partitioning.map { t =>
+    val fromTransforms = partitioning.map { t =>
       require(t.name == "identity",
         s"dwrf: only identity partition transforms are supported, got $t")
       val ref = t.references.head.fieldNames
@@ -109,6 +109,25 @@ final class DwrfDataSource extends TableProvider with DataSourceRegister {
         s"dwrf: partition columns must be top-level, got ${ref.mkString(".")}")
       ref.head
     }.toSeq
+    // Streaming writes can't express partitioning as transforms:
+    // DataStreamWriter.start(path) silently DROPS .partitionBy for V2
+    // path-based sinks (measured — only checkpointLocation/path survive
+    // into the table properties), and the toTable route encodes it as the
+    // __partition_columns JSON option instead. Accept both that key and
+    // an explicit comma-separated `partition.columns` option, so
+    // partitioned streaming ingestion is spellable:
+    //   .writeStream.format("dwrf").option("partition.columns", "ds")
+    val fromOptions =
+      Option(properties.get(
+          org.apache.spark.sql.execution.datasources.DataSourceUtils.PARTITIONING_COLUMNS_KEY))
+        .map(org.apache.spark.sql.execution.datasources.DataSourceUtils.decodePartitioningColumns)
+        .orElse(Option(properties.get("partition.columns"))
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
+        .getOrElse(Nil)
+    require(fromTransforms.isEmpty || fromOptions.isEmpty ||
+        fromTransforms == fromOptions,
+      s"dwrf: conflicting partition specs: $fromTransforms vs $fromOptions")
+    val partCols = if (fromTransforms.nonEmpty) fromTransforms else fromOptions
     partCols.foreach { c =>
       val f = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"dwrf: partition column '$c' not in schema"))
