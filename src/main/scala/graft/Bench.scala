@@ -25,10 +25,12 @@ object Bench {
     "q_distinct_counts", "q_asof_join", "q_range_join",
     "dwrf_roundtrip_lineitem", "dwrf_projection_filter",
     "dwrf_filter_columnar", "dwrf_partitioned_roundtrip",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
+    "dedup_minhash_lsh",
     "ann_topk_dot", "ann_lsh_cosine", "ann_lsh_recall",
     "text_stats", "text_langid", "text_fingerprint", "text_pii_scrub",
-    "sample_stratified", "multimodal_meta", "sessionize_events",
+    "sample_stratified", "pack_sequences", "text_decontaminate",
+    "multimodal_meta", "sessionize_events",
     "stream_events_window", "stream_sessionize", "stream_dedup_exact",
     "stream_dwrf_sink", "stream_dwrf_source")
 

@@ -139,6 +139,97 @@ object DedupQueries extends QueryPack {
     |ORDER BY id_a, id_b
     |""".stripMargin.trim
 
+  // ------------------------------------------------- near-dup clusters
+  /** The step between pair generation and actually dropping duplicates:
+    * connected components over the near-dup pair graph, so transitive
+    * chains (A~B, B~C) collapse to ONE keeper instead of pairwise
+    * survivors. Edges are the oracle-exact Jaccard pairs above; labels
+    * flood to the component minimum by iterative min-label propagation —
+    * one equi-join + one partial-aggregated groupBy per round, O(diameter)
+    * rounds (near-dup clusters are shallow; the 50-round cap is a
+    * fail-loud guard, not a tuning knob). At 100 TB the same loop runs
+    * with the large-star/small-star step to cut rounds to O(log n) and a
+    * checkpoint every few rounds to truncate lineage — plan shape per
+    * round is identical to this one. The per-round driver action is ONE
+    * count (the convergence check), not data.
+    *
+    * Oracle: DuckDB recursive-CTE reachability closure → min reachable id
+    * per node — exact, so the whole clustering is hash-checked.
+    */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val (pairsDf, shingles) = ngramJaccardFull(s, dir)
+    val half = pairsDf.select($"id_a".as("a"), $"id_b".as("b"))
+    val edges = half.union(half.select($"b".as("a"), $"a".as("b")))
+      .persist(lvl)
+    var labels = edges.select($"a".as("doc_id")).distinct()
+      .withColumn("lab", $"doc_id").persist(lvl)
+    val retired = scala.collection.mutable.ArrayBuffer[DataFrame](labels)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "b"), "b")
+        .select($"a".as("doc_id"), $"lab")
+      val next = labels.union(viaNeighbors)
+        .groupBy($"doc_id").agg(min($"lab").as("lab"))
+        .persist(lvl)
+      retired += next
+      val changed = next
+        .join(labels.withColumnRenamed("lab", "prev"), "doc_id")
+        .filter($"lab" < $"prev").count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    require(converged, s"dedup_clusters: no fixpoint after $rounds rounds")
+    val result = labels
+      .groupBy($"lab".as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_removable", $"n_docs" - 1)
+      .orderBy($"cluster_id")
+    val rows = result.collect() // driver-sized: one row per dup cluster
+    retired.foreach(_.unpersist())
+    edges.unpersist()
+    shingles.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+  }
+
+  private val dedupClustersOracle = """
+    |WITH RECURSIVE toks AS (
+    |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    |sh AS (
+    |  SELECT DISTINCT doc_id,
+    |    array_to_string(w[CAST(t.i AS BIGINT):CAST(t.i AS BIGINT)+4], ' ') AS g
+    |  FROM toks, unnest(range(1, greatest(len(w) - 4, 1) + 1)) AS t(i)),
+    |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    |hot AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) > 50),
+    |shj AS (SELECT * FROM sh WHERE g NOT IN (SELECT g FROM hot)),
+    |inter AS (
+    |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+    |  FROM shj a JOIN shj b ON a.g = b.g AND a.doc_id < b.doc_id
+    |  GROUP BY 1, 2),
+    |pairs AS (
+    |  SELECT id_a, id_b FROM inter
+    |  JOIN counts ca ON ca.doc_id = id_a
+    |  JOIN counts cb ON cb.doc_id = id_b
+    |  WHERE n_common / (ca.n + cb.n - n_common) >= 0.5),
+    |edges AS (
+    |  SELECT id_a AS a, id_b AS b FROM pairs
+    |  UNION SELECT id_b, id_a FROM pairs),
+    |reach(src, dst) AS (
+    |  SELECT a, b FROM edges
+    |  UNION
+    |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    |lab AS (
+    |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+    |  FROM reach GROUP BY src)
+    |SELECT cluster_id, COUNT(*) AS n_docs,
+    |  CAST(COUNT(*) - 1 AS BIGINT) AS n_removable
+    |FROM lab GROUP BY cluster_id ORDER BY cluster_id
+    |""".stripMargin.trim
+
   // ------------------------------------------------------ minhash LSH
   // k=32 hash functions, 8 bands × 4 rows over word-5-gram shingles (same
   // shingle space as the Jaccard tier — 3-grams collide far more across
@@ -315,6 +406,7 @@ object DedupQueries extends QueryPack {
   override val all: Seq[Q] = Seq(
     Q("dedup_exact", exact, Some(exactSql)),
     Q("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
+    Q("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     Q("dedup_minhash_lsh", minhashLsh, None),
     Q("dedup_simhash", simhash, None),
     Q("dedup_embedding", embeddingDedup, Some(embeddingDedupOracle)),

@@ -266,6 +266,80 @@ object TextQueries extends QueryPack {
     |ORDER BY lang, fold
     |""".stripMargin.trim
 
+  // ------------------------------------------------ sequence packing
+  // Concat-then-chunk packing, the standard LLM-pretraining shape: each
+  // shard's documents are concatenated in doc_id order into one token
+  // stream, chunked into 2048-token sequences; a document's placement is
+  // pure integer arithmetic over the running token total that PRECEDES it
+  // (a doc may span a chunk boundary — n_seqs counts the sequences it
+  // touches). Shared-SQL query (identical text runs in Catalyst and
+  // DuckDB), so the check is hash-exact by construction.
+  //
+  // 100 TB design: PARTITION BY shard windows are per-shard sorts after
+  // one hash shuffle on the shard key — no global sort anywhere; shards
+  // pack independently and deterministically (re-runs and backfills
+  // reproduce the exact same sequence ids). FLOOR(x / 2048.0) stays
+  // exact far beyond any real shard's token count (doubles are exact to
+  // 2^53).
+  private val packSequencesSql = """
+    |WITH d AS (
+    |  SELECT doc_id, doc_id % 8 AS shard,
+    |    CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1 AS BIGINT) AS n_tokens
+    |  FROM documents),
+    |c AS (
+    |  SELECT doc_id, shard, n_tokens,
+    |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+    |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+    |  FROM d)
+    |SELECT doc_id, shard, n_tokens,
+    |  CAST(FLOOR(tok_before / 2048.0) AS BIGINT) AS start_seq,
+    |  CAST(FLOOR((tok_before + n_tokens - 1) / 2048.0) AS BIGINT)
+    |    - CAST(FLOOR(tok_before / 2048.0) AS BIGINT) + 1 AS n_seqs
+    |FROM c
+    |ORDER BY doc_id
+    |""".stripMargin.trim
+
+  // -------------------------------------------------- decontamination
+  // Benchmark decontamination: training documents sharing any word-8-gram
+  // with the holdout set (here doc_id % 10 = 0 stands in for the
+  // benchmark suite) are flagged with their overlap size. The Spark side
+  // joins on the 64-bit shingle hashes from the native kernel (8-byte
+  // shuffle keys, same trade as dedup_ngram_jaccard); the oracle joins
+  // the strings themselves. At 100 TB the holdout is a benchmark suite —
+  // tiny — so its gram set broadcasts and the scan stays one pass; the
+  // 10%-holdout fixture exercises the general shuffle-join shape instead.
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    GraftFunctions.register(s)
+    // kernel output is the DISTINCT hash set per doc, so per-doc overlap
+    // counts need no extra distinct
+    val sh = docs.select($"doc_id",
+      explode(expr("word_shingle_hashes(text, 8)")).as("g"))
+    val hold = sh.filter($"doc_id" % 10 === 0).select($"g").distinct()
+    sh.filter($"doc_id" % 10 =!= 0)
+      .join(hold, "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy($"doc_id")
+  }
+
+  private val decontaminateOracle = """
+    |WITH toks AS (
+    |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    |sh AS (
+    |  SELECT DISTINCT doc_id,
+    |    array_to_string(w[CAST(t.i AS BIGINT):CAST(t.i AS BIGINT)+7], ' ') AS g
+    |  FROM toks, unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS t(i)),
+    |hold AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 0)
+    |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    |FROM sh s JOIN hold h ON s.g = h.g
+    |WHERE s.doc_id % 10 <> 0
+    |GROUP BY s.doc_id
+    |ORDER BY s.doc_id
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     shared("text_stats", statsSql),
     shared("text_langid", langidSql),
@@ -274,5 +348,7 @@ object TextQueries extends QueryPack {
     Q("text_token_bpe", tokenBpe, Some(tokenBpeOracle)),
     Q("text_pii_scrub", piiScrub, Some(piiScrubOracle)),
     Q("sample_stratified", sampleStratified, Some(sampleStratifiedOracle)),
+    shared("pack_sequences", packSequencesSql),
+    Q("text_decontaminate", decontaminate, Some(decontaminateOracle)),
   )
 }

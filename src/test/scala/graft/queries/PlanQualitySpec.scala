@@ -127,6 +127,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(shuffles.size <= 2, s"hash-dedup should shuffle at most twice:\n$p")
   }
 
+  test("pack_sequences: per-shard windows after ONE hash shuffle, no global sort") {
+    val p = planOf("pack_sequences")
+    assert(collectAll(p) { case w: org.apache.spark.sql.execution.window.WindowExec => w }.nonEmpty,
+      s"running-total window must be present:\n$p")
+    assert(collectAll(p) { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty,
+      s"packing must not join:\n$p")
+    // the window's hash exchange on shard + the final ORDER BY's range
+    // exchange: anything more means a global sort snuck in before packing
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 2, s"pack_sequences should shuffle at most twice:\n$p")
+  }
+
+  test("text_decontaminate: equi-join on gram hashes, never nested-loop") {
+    val p = planOf("text_decontaminate")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
+      s"decontamination must not plan a cartesian:\n$p")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"decontamination must not plan a nested loop:\n$p")
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    assert(collectAll(p) { case a: HashAggregateExec => a }.size >= 2,
+      s"overlap count must partial-aggregate map-side:\n$p")
+  }
+
   test("pii scrub and stratified split are narrow maps + one rollup shuffle") {
     // both are pure per-doc functions followed by a tiny per-group rollup:
     // at 100 TB the map side must stay join-free and shuffle only the
