@@ -159,41 +159,57 @@ object DedupQueries extends QueryPack {
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // label tables are bounded by the near-dup doc population (a small
+    // fraction of the corpus even at 100 TB), so the loop's shuffles run
+    // at 8 partitions — per-round wall time is action overhead, not data
+    val partKey = "spark.sql.shuffle.partitions"
+    val oldParts = s.conf.get(partKey)
+    // the heavy shingle join materializes at FULL parallelism (count()
+    // below, before the partition cut) — only the loop's tiny label
+    // shuffles run at 8
     val (pairsDf, shingles) = ngramJaccardFull(s, dir)
     val half = pairsDf.select($"id_a".as("a"), $"id_b".as("b"))
     val edges = half.union(half.select($"b".as("a"), $"a".as("b")))
       .persist(lvl)
-    var labels = edges.select($"a".as("doc_id")).distinct()
-      .withColumn("lab", $"doc_id").persist(lvl)
-    val retired = scala.collection.mutable.ArrayBuffer[DataFrame](labels)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 50) {
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "b"), "b")
-        .select($"a".as("doc_id"), $"lab")
-      val next = labels.union(viaNeighbors)
-        .groupBy($"doc_id").agg(min($"lab").as("lab"))
-        .persist(lvl)
-      retired += next
-      val changed = next
-        .join(labels.withColumnRenamed("lab", "prev"), "doc_id")
-        .filter($"lab" < $"prev").count()
-      labels = next
-      converged = changed == 0
-      rounds += 1
-    }
-    require(converged, s"dedup_clusters: no fixpoint after $rounds rounds")
-    val result = labels
-      .groupBy($"lab".as("cluster_id"))
-      .agg(count(lit(1)).as("n_docs"))
-      .withColumn("n_removable", $"n_docs" - 1)
-      .orderBy($"cluster_id")
-    val rows = result.collect() // driver-sized: one row per dup cluster
-    retired.foreach(_.unpersist())
-    edges.unpersist()
-    shingles.unpersist()
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    edges.count()
+    s.conf.set(partKey, "8")
+    try {
+      var labels = edges.select($"a".as("doc_id")).distinct()
+        .withColumn("lab", $"doc_id").persist(lvl)
+      val retired = scala.collection.mutable.ArrayBuffer[DataFrame](labels)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        // each doc aggregates its own label (tagged `own`, exactly one row)
+        // with its neighbors' labels: min = the new label, min-of-own = the
+        // previous one — so ONE groupBy yields both the propagation step
+        // and the convergence comparison, and the round costs one action
+        val viaNeighbors = edges
+          .join(labels.withColumnRenamed("doc_id", "b"), "b")
+          .select($"a".as("doc_id"), $"lab", lit(false).as("own"))
+        val next2 = labels.select($"doc_id", $"lab", lit(true).as("own"))
+          .union(viaNeighbors)
+          .groupBy($"doc_id")
+          .agg(min($"lab").as("lab"), min(when($"own", $"lab")).as("prev"))
+          .persist(lvl)
+        retired += next2
+        val changed = next2.filter($"lab" < $"prev").count()
+        labels = next2.select($"doc_id", $"lab")
+        converged = changed == 0
+        rounds += 1
+      }
+      require(converged, s"dedup_clusters: no fixpoint after $rounds rounds")
+      val result = labels
+        .groupBy($"lab".as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("n_removable", $"n_docs" - 1)
+        .orderBy($"cluster_id")
+      val rows = result.collect() // driver-sized: one row per dup cluster
+      retired.foreach(_.unpersist())
+      edges.unpersist()
+      shingles.unpersist()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally s.conf.set(partKey, oldParts)
   }
 
   private val dedupClustersOracle = """

@@ -340,6 +340,50 @@ object TextQueries extends QueryPack {
     |ORDER BY s.doc_id
     |""".stripMargin.trim
 
+  // ------------------------------------------------ repetition signal
+  // Intra-document repetition (the Gopher-style duplicate-bigram
+  // fraction): 1 − distinct_bigrams / total_bigrams per doc, top-20 most
+  // repetitive. Distinct counts come from the native shingle kernel (the
+  // DISTINCT hash set, one narrow projection — no explode/groupBy);
+  // totals are pure length arithmetic. Double division is CAST-exact on
+  // both engines (a bare `* 1.0` would silently switch Spark to DECIMAL
+  // arithmetic and break the hash match).
+  private def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    GraftFunctions.register(s)
+    val spaces = "CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) AS BIGINT)"
+    val r = docs.select($"doc_id",
+      expr(s"GREATEST($spaces, 1)").as("total_bigrams"),
+      size(expr("word_shingle_hashes(text, 2)")).cast("long").as("n_distinct"))
+    val rep = lit(1d) -
+      $"n_distinct".cast("double") / $"total_bigrams".cast("double")
+    r.select($"doc_id", $"total_bigrams", $"n_distinct",
+        round(rep, 6).as("repetition"))
+      .orderBy(rep.desc, $"doc_id")
+      .limit(20)
+  }
+
+  private val textRepetitionOracle = """
+    |WITH toks AS (
+    |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    |g AS (
+    |  SELECT doc_id,
+    |    array_to_string(w[CAST(t.i AS BIGINT):CAST(t.i AS BIGINT)+1], ' ') AS g
+    |  FROM toks, unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS t(i)),
+    |r AS (
+    |  SELECT doc_id, COUNT(*) AS total_bigrams, COUNT(DISTINCT g) AS n_distinct
+    |  FROM g GROUP BY doc_id)
+    |SELECT doc_id, total_bigrams, n_distinct,
+    |  ROUND(1 - CAST(n_distinct AS DOUBLE) / CAST(total_bigrams AS DOUBLE), 6)
+    |    AS repetition
+    |FROM r
+    |ORDER BY 1 - CAST(n_distinct AS DOUBLE) / CAST(total_bigrams AS DOUBLE) DESC,
+    |  doc_id
+    |LIMIT 20
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     shared("text_stats", statsSql),
     shared("text_langid", langidSql),
@@ -350,5 +394,6 @@ object TextQueries extends QueryPack {
     Q("sample_stratified", sampleStratified, Some(sampleStratifiedOracle)),
     shared("pack_sequences", packSequencesSql),
     Q("text_decontaminate", decontaminate, Some(decontaminateOracle)),
+    Q("text_repetition", textRepetition, Some(textRepetitionOracle)),
   )
 }
