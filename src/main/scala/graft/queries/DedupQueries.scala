@@ -176,7 +176,10 @@ object DedupQueries extends QueryPack {
     try {
       var labels = edges.select($"a".as("doc_id")).distinct()
         .withColumn("lab", $"doc_id").persist(lvl)
-      val retired = scala.collection.mutable.ArrayBuffer[DataFrame](labels)
+      // round k depends only on round k-1: once k materializes (the
+      // `changed` count), the k-1 cache is dead — unpersist it then, so
+      // the loop holds at most TWO label tables instead of O(rounds)
+      var prevCache: DataFrame = labels
       var converged = false
       var rounds = 0
       while (!converged && rounds < 50) {
@@ -192,8 +195,9 @@ object DedupQueries extends QueryPack {
           .groupBy($"doc_id")
           .agg(min($"lab").as("lab"), min(when($"own", $"lab")).as("prev"))
           .persist(lvl)
-        retired += next2
         val changed = next2.filter($"lab" < $"prev").count()
+        prevCache.unpersist()
+        prevCache = next2
         labels = next2.select($"doc_id", $"lab")
         converged = changed == 0
         rounds += 1
@@ -205,7 +209,7 @@ object DedupQueries extends QueryPack {
         .withColumn("n_removable", $"n_docs" - 1)
         .orderBy($"cluster_id")
       val rows = result.collect() // driver-sized: one row per dup cluster
-      retired.foreach(_.unpersist())
+      prevCache.unpersist()
       edges.unpersist()
       shingles.unpersist()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)

@@ -433,12 +433,26 @@ object StreamingQueries extends QueryPack {
     * restages (same invalidation contract as [[sourceKey]]).
     */
   private def stageChunkedEvents(s: SparkSession, dir: String): (String,
+      org.apache.spark.sql.types.StructType) =
+    stageChunks(s, dir, name = "stream-chunks", fmt = "parquet",
+      project = identity, withSentinel = false)
+
+  /** The shared chunk stager behind [[stageChunkedEvents]] (parquet, raw
+    * columns) and [[stageDwrfChunks]] (dwrf, timestamp projection +
+    * watermark sentinel): equal-ts-range chunk files, strictly
+    * increasing mtimes pin the micro-batch order (the file source
+    * dequeues oldest-mtime first). One staging contract, one staleness
+    * story.
+    */
+  private def stageChunks(s: SparkSession, dir: String, name: String,
+      fmt: String, project: DataFrame => DataFrame, withSentinel: Boolean): (String,
       org.apache.spark.sql.types.StructType) = {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ext = fmt // both formats use their name as the file extension
     val srcFile = s"$dir/events.parquet"
     val rawSchema = s.read.parquet(srcFile).schema
-    val srcDir = stagingRoot.resolve(s"stream-chunks-${dirTag(dir)}")
+    val srcDir = stagingRoot.resolve(s"$name-${dirTag(dir)}")
     val marker = srcDir.resolve("_staged")
     val key = { val k = sourceKey(srcFile); s"${k._2}:${k._3}" }
     val fresh = java.nio.file.Files.exists(marker) &&
@@ -454,24 +468,34 @@ object StreamingQueries extends QueryPack {
       val width = math.max(1L, (hi - lo) / chunks + 1)
       val base = java.nio.file.Files.getLastModifiedTime(
         java.nio.file.Paths.get(srcFile)).toMillis
-      (0 until chunks).foreach { i =>
-        val tmp = stagingRoot.resolve(s"stream-chunks-tmp-${dirTag(dir)}")
-        s.read.parquet(srcFile)
-          .filter($"ts" >= lo + i * width && $"ts" < lo + (i + 1) * width)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      def stageOne(df: DataFrame, fileName: String, mtime: Long): Unit = {
+        val tmp = stagingRoot.resolve(s"$name-tmp-${dirTag(dir)}")
+        project(df).coalesce(1).write.mode("overwrite")
+          .format(fmt).save(tmp.toString)
         val part = scala.util.Using.resource(java.nio.file.Files.list(tmp)) {
-          st => st.filter(_.getFileName.toString.endsWith(".parquet"))
+          st => st.filter(_.getFileName.toString.endsWith(s".$ext"))
             .findFirst().get()
         }
-        val dst = srcDir.resolve(f"chunk-$i%02d.parquet")
+        val dst = srcDir.resolve(fileName)
         java.nio.file.Files.move(part, dst,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        // strictly increasing mtimes pin the micro-batch order (the file
-        // source dequeues oldest-mtime first)
         java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(base + (i + 1) * 1000))
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
         rmTree(tmp)
       }
+      (0 until chunks).foreach { i =>
+        stageOne(
+          s.read.parquet(srcFile)
+            .filter($"ts" >= lo + i * width && $"ts" < lo + (i + 1) * width),
+          f"chunk-$i%02d.$ext", base + (i + 1) * 1000)
+      }
+      if (withSentinel)
+        stageOne(
+          s.read.parquet(srcFile).limit(1)
+            .withColumn("ts", lit(hi + 2L * 24 * 3600 * 1000000000L))
+            .withColumn("event_type", lit("__wm_sentinel__"))
+            .withColumn("user_id", lit(-1L)),
+          s"zz-sentinel.$ext", base + (chunks + 1) * 1000)
       java.nio.file.Files.write(marker, key.getBytes("UTF-8"))
     }
     (srcDir.toString, rawSchema)
@@ -521,63 +545,17 @@ object StreamingQueries extends QueryPack {
   // ---------------------------------------------- streaming dwrf source
   /** Stage the events table as four time-ordered DWRF chunk files plus a
     * watermark sentinel (strictly increasing mtimes), the landing-dir
-    * shape [[DwrfMicroBatchStream]]'s offset contract names. Mirrors
-    * [[stageChunkedEvents]] but writes the native format, with `ts`
-    * converted to a real timestamp column so the dwrf E9 split encoding
-    * is exercised through the streaming read. Memoized per dataset.
+    * shape [[DwrfMicroBatchStream]]'s offset contract names. Same stager
+    * as [[stageChunkedEvents]] ([[stageChunks]]), writing the native
+    * format with `ts` converted to a real timestamp column so the dwrf
+    * E9 split encoding is exercised through the streaming read.
     */
   private def stageDwrfChunks(s: SparkSession, dir: String): String = {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val srcFile = s"$dir/events.parquet"
-    val srcDir = stagingRoot.resolve(s"stream-dwrf-chunks-${dirTag(dir)}")
-    val marker = srcDir.resolve("_staged")
-    val key = { val k = sourceKey(srcFile); s"${k._2}:${k._3}" }
-    val fresh = java.nio.file.Files.exists(marker) &&
-      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == key
-    if (!fresh) {
-      rmTree(srcDir)
-      java.nio.file.Files.createDirectories(srcDir)
-      val Array(lo, hi) = s.read.parquet(srcFile)
-        .agg(min($"ts"), max($"ts")).as[(Long, Long)].head() match {
-          case (a, b) => Array(a, b)
-        }
-      val chunks = 4
-      val width = math.max(1L, (hi - lo) / chunks + 1)
-      val base = java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(srcFile)).toMillis
-      val sentinelNs = hi + 2L * 24 * 3600 * 1000000000L
-      def stageOne(df: DataFrame, name: String, mtime: Long): Unit = {
-        val tmp = stagingRoot.resolve(s"stream-dwrf-chunks-tmp-${dirTag(dir)}")
-        df.select($"event_id", $"user_id", $"event_type",
-            expr("timestamp_micros(ts DIV 1000)").as("ts"), $"value")
-          .coalesce(1).write.mode("overwrite").format("dwrf").save(tmp.toString)
-        val part = scala.util.Using.resource(java.nio.file.Files.list(tmp)) {
-          st => st.filter(_.getFileName.toString.endsWith(".dwrf"))
-            .findFirst().get()
-        }
-        val dst = srcDir.resolve(name)
-        java.nio.file.Files.move(part, dst,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(mtime))
-        rmTree(tmp)
-      }
-      (0 until chunks).foreach { i =>
-        stageOne(
-          s.read.parquet(srcFile)
-            .filter($"ts" >= lo + i * width && $"ts" < lo + (i + 1) * width),
-          f"chunk-$i%02d.dwrf", base + (i + 1) * 1000)
-      }
-      stageOne(
-        s.read.parquet(srcFile).limit(1)
-          .withColumn("ts", lit(sentinelNs))
-          .withColumn("event_type", lit("__wm_sentinel__"))
-          .withColumn("user_id", lit(-1L)),
-        "zz-sentinel.dwrf", base + (chunks + 1) * 1000)
-      java.nio.file.Files.write(marker, key.getBytes("UTF-8"))
-    }
-    srcDir.toString
+    stageChunks(s, dir, name = "stream-dwrf-chunks", fmt = "dwrf",
+      project = df => df.select($"event_id", $"user_id", $"event_type",
+        expr("timestamp_micros(ts DIV 1000)").as("ts"), $"value"),
+      withSentinel = true)._1
   }
 
   /** The eventsWindow rollup computed FROM a dwrf landing directory:

@@ -308,21 +308,43 @@ object TextQueries extends QueryPack {
   // the strings themselves. At 100 TB the holdout is a benchmark suite —
   // tiny — so its gram set broadcasts and the scan stays one pass; the
   // 10%-holdout fixture exercises the general shuffle-join shape instead.
-  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+  // cache = false: plan-only callers (the plan gate) must not register
+  // persist entries they can never unpersist (same contract as
+  // DedupQueries.ngramJaccardPlan)
+  private def decontaminateFull(s: SparkSession, dir: String,
+      cache: Boolean): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions._
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     GraftFunctions.register(s)
     // kernel output is the DISTINCT hash set per doc, so per-doc overlap
-    // counts need no extra distinct
-    val sh = docs.select($"doc_id",
+    // counts need no extra distinct. Persisted: holdout and training
+    // branches are two filters of the same narrow plan with no exchange
+    // to reuse — unpersisted, the corpus would be re-shingled twice.
+    val sh0 = docs.select($"doc_id",
       explode(expr("word_shingle_hashes(text, 8)")).as("g"))
+    val sh = if (cache)
+      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh0
     val hold = sh.filter($"doc_id" % 10 === 0).select($"g").distinct()
-    sh.filter($"doc_id" % 10 =!= 0)
+    val result = sh.filter($"doc_id" % 10 =!= 0)
       .join(hold, "g")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shared_grams"))
       .orderBy($"doc_id")
+    (result, sh)
+  }
+
+  private[queries] def decontaminatePlan(s: SparkSession, dir: String): DataFrame =
+    decontaminateFull(s, dir, cache = false)._1
+
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val (result, sh) = decontaminateFull(s, dir, cache = true)
+    // contaminated-doc list is driver-sized by design (it is the flag
+    // list a pipeline acts on): materialize, then free the shingle cache
+    val rows = result.collect()
+    sh.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
   private val decontaminateOracle = """

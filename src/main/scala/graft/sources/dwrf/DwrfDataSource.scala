@@ -117,11 +117,16 @@ final class DwrfDataSource extends TableProvider with DataSourceRegister {
     // an explicit comma-separated `partition.columns` option, so
     // partitioned streaming ingestion is spellable:
     //   .writeStream.format("dwrf").option("partition.columns", "ds")
+    // case-insensitive lookups: option keys arrive case-preserving here,
+    // but Spark's option contract is case-insensitive
+    def propCI(name: String): Option[String] =
+      properties.asScala.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(name) => v
+      }
     val fromOptions =
-      Option(properties.get(
-          org.apache.spark.sql.execution.datasources.DataSourceUtils.PARTITIONING_COLUMNS_KEY))
+      propCI(org.apache.spark.sql.execution.datasources.DataSourceUtils.PARTITIONING_COLUMNS_KEY)
         .map(org.apache.spark.sql.execution.datasources.DataSourceUtils.decodePartitioningColumns)
-        .orElse(Option(properties.get("partition.columns"))
+        .orElse(propCI("partition.columns")
           .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
         .getOrElse(Nil)
     require(fromTransforms.isEmpty || fromOptions.isEmpty ||
@@ -140,23 +145,30 @@ final class DwrfDataSource extends TableProvider with DataSourceRegister {
 }
 
 object DwrfUtil {
-  def listDataFiles(path: Path, conf: Configuration): Seq[Path] = {
+  def listDataFiles(path: Path, conf: Configuration): Seq[Path] =
+    listDataFileStatuses(path, conf).map(_.getPath)
+
+  /** Like [[listDataFiles]] but keeps the FileStatus the directory walk
+    * already holds — callers needing mtimes (the streaming source's
+    * per-trigger listing) must not pay a second status RPC per file.
+    */
+  def listDataFileStatuses(path: Path, conf: Configuration): Seq[org.apache.hadoop.fs.FileStatus] = {
     val fs = path.getFileSystem(conf)
     if (!fs.exists(path)) return Nil
     val st = fs.getFileStatus(path)
-    if (st.isFile) return Seq(path)
+    if (st.isFile) return Seq(st)
     // recurse ONLY into col=value partition dirs: a stray non-partition
     // subdirectory (backups, scratch) must not silently merge into the
     // table, matching the pre-partitioning single-level behavior
-    val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
     def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
       val n = s.getPath.getName
-      if (s.isFile && n.endsWith(".dwrf")) out += s.getPath
+      if (s.isFile && n.endsWith(".dwrf")) out += s
       else if (s.isDirectory && n.indexOf('=') > 0 &&
         !n.startsWith("_") && !n.startsWith(".")) walk(s.getPath)
     }
     walk(path)
-    out.sortBy(_.toString).toSeq
+    out.sortBy(_.getPath.toString).toSeq
   }
 
   /** Filesystem-qualified form of `p` — required before comparing against
@@ -628,8 +640,11 @@ final class DwrfStreamingDataWriterFactory(schemaJson: String, path: String,
       case (k, v) if k.toLowerCase.startsWith("metadata.") =>
         k.substring("metadata.".length) -> v.getBytes("UTF-8")
     }
-    // no taskId in the name: idempotent under replay/retry (scaladoc above)
-    val fileName = f"part-e$epochId%05d-p$partitionId%05d.dwrf"
+    // no taskId in the name: idempotent under replay/retry (scaladoc above).
+    // 9-digit epoch pad: the source's equal-mtime tie-break is NAME order,
+    // and 5 digits would sort epoch 100000 before 99999 on a long-lived
+    // sink (one epoch/second ≈ 31 years before 9 digits widen)
+    val fileName = f"part-e$epochId%09d-p$partitionId%05d.dwrf"
     if (partCols.isEmpty)
       new DwrfFlatDataWriter(schema, new Path(path, fileName),
         options, userMeta, conf)

@@ -40,14 +40,14 @@ final class DwrfMicroBatchStream(
 
   private case class Listed(path: String, mtime: Long)
 
-  /** Stable sorted listing (monotone-arrival contract above). */
+  /** Stable sorted listing (monotone-arrival contract above). One
+    * directory walk — mtimes come from the FileStatus the walk already
+    * holds, no per-file status RPCs.
+    */
   private def listSorted(): IndexedSeq[Listed] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(hadoopConf.value)
-    if (!fs.exists(p)) return IndexedSeq.empty
-    DwrfUtil.listDataFiles(p, hadoopConf.value).map { f =>
-      Listed(f.toString, fs.getFileStatus(f).getModificationTime)
-    }.sortBy(l => (l.mtime, l.path)).toIndexedSeq
+    DwrfUtil.listDataFileStatuses(new Path(path), hadoopConf.value)
+      .map(s => Listed(s.getPath.toString, s.getModificationTime))
+      .sortBy(l => (l.mtime, l.path)).toIndexedSeq
   }
 
   // AvailableNow snapshot: fixed drain endpoint captured once per run
@@ -67,8 +67,13 @@ final class DwrfMicroBatchStream(
   private def currentListing(): IndexedSeq[Listed] =
     availableNowSnapshot.getOrElse(listSorted())
 
+  // options arrive as the case-preserving map; honor Spark's
+  // case-insensitive option contract for the lookup
+  private def option(name: String): Option[String] =
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+
   override def getDefaultReadLimit: ReadLimit =
-    options.get("maxFilesPerTrigger").map(n => ReadLimit.maxFiles(n.toInt))
+    option("maxFilesPerTrigger").map(n => ReadLimit.maxFiles(n.toInt))
       .getOrElse(ReadLimit.allAvailable())
 
   override def initialOffset(): Offset = DwrfSourceOffset(0L)
@@ -108,19 +113,25 @@ final class DwrfMicroBatchStream(
       s"dwrf stream: offset $to beyond ${listing.length} listed files — " +
         "files were deleted from the landing dir under an active checkpoint")
     val slice = listing.slice(from, to)
+    // partition-dir values must ride each split exactly like the batch
+    // scan's, or a partitioned landing dir would stream its partition
+    // columns as all-NULL (the reader maps absent columns to null fill)
+    val qualifiedRoot = DwrfUtil.qualify(new Path(path), hadoopConf.value)
     val tails = DwrfUtil.parMap(slice.toSeq) { l =>
-      val r = new DwrfFileReader(new Path(l.path), hadoopConf.value)
+      val file = new Path(l.path)
+      val r = new DwrfFileReader(file, hadoopConf.value)
       try {
         val widened = readSchema.fields.exists { f =>
           r.schema.fields.find(_.name == f.name).exists(_.dataType != f.dataType)
         }
-        (l.path, r.footer.stripes, widened)
+        (l.path, r.footer.stripes, widened,
+          PartitionLayout.specOf(qualifiedRoot, file))
       } finally r.close()
     }
     if (tails.exists(_._3)) sawWidened = true
-    tails.flatMap { case (file, stripes, _) =>
+    tails.flatMap { case (file, stripes, _, partSpec) =>
       DwrfSplits.stripeGroups(stripes).map { case (off, len) =>
-        DwrfInputPartition(file, off, len)
+        DwrfInputPartition(file, off, len, partSpec)
       }
     }.toArray
   }

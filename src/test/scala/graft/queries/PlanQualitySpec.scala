@@ -140,7 +140,9 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("text_decontaminate: equi-join on gram hashes, never nested-loop") {
-    val p = planOf("text_decontaminate")
+    // the public query materializes eagerly (collect + unpersist), so
+    // gate the lazy plan builder, not the LocalRelation it returns
+    val p = TextQueries.decontaminatePlan(spark, sf).queryExecution.executedPlan
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
       s"decontamination must not plan a cartesian:\n$p")
     assert(collectAll(p) {

@@ -19,6 +19,30 @@ class DwrfStreamSourceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](DwrfSourceOffset.parse("{}"))
   }
 
+  test("partitioned landing dir streams partition-column VALUES, not nulls") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "streamsrcpart-").toString
+    // Hive-partitioned landing dir, as the partitioned streaming sink lays out
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "ds")
+      .write.format("dwrf").partitionBy("ds").mode("overwrite").save(dir)
+    s.readStream
+      .format("dwrf")
+      .load(dir)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$dir-out")
+      .option("checkpointLocation", s"$dir-ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val streamed = s.read.parquet(s"$dir-out")
+      .select($"id", $"ds").orderBy($"id").as[(Long, String)].collect().toSeq
+    assert(streamed == Seq((1L, "a"), (2L, "b"), (3L, "a")),
+      "partition values must ride the streamed splits")
+  }
+
   test("landing dir drains epoch by epoch; stream == batch") {
     val s = spark
     import s.implicits._

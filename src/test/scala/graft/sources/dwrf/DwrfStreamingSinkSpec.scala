@@ -47,7 +47,7 @@ class DwrfStreamingSinkSpec extends AnyFunSuite {
     val names = new java.io.File(s"$dir/out").listFiles
       .map(_.getName).filter(_.endsWith(".dwrf")).sorted
     assert(names.nonEmpty &&
-      names.forall(_.matches("part-e\\d{5}-p\\d{5}\\.dwrf")), names.toSeq)
+      names.forall(_.matches("part-e\\d{9}-p\\d{5}\\.dwrf")), names.toSeq)
   }
 
   test("partitioned streaming write: partition.columns option → Hive dirs") {
