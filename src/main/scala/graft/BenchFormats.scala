@@ -141,6 +141,12 @@ object BenchFormats {
         .option("stripe.size", stripeBytes.toString)
         .save(path)
     }
+    // parquet at the same 16× scale, from the same cached input: the
+    // parity claim must hold under pressure, not just at 600k rows
+    val pqPath = s"$base/scale-pq"
+    val (tWritePq, _) = time {
+      big.write.mode("overwrite").parquet(pqPath)
+    }
     big.unpersist()
 
     // footer audit across every data file written
@@ -167,18 +173,21 @@ object BenchFormats {
     }
     val bounded = minStripesPerFile > 1 && maxStripeBytes <= stripeBytes
 
-    def scanAgg(): Double = time {
-      spark.read.format("dwrf").load(path)
+    def scanAgg(fmt: String, p: String): Double = time {
+      spark.read.format(fmt).load(p)
         .agg(sum($"l_quantity"), sum($"l_extendedprice")).collect()
     }._1
-    def scanFiltered(): Double = time {
-      spark.read.format("dwrf").load(path)
+    def scanFiltered(fmt: String, p: String): Double = time {
+      spark.read.format(fmt).load(p)
         .filter($"l_orderkey" >= 100000L && $"l_orderkey" < 200000L)
         .agg(sum($"l_quantity"), count(lit(1))).collect()
     }._1
-    scanAgg(); scanFiltered() // warm page cache; report the second run
-    val tScan = scanAgg()
-    val tFiltered = scanFiltered()
+    scanAgg("dwrf", path); scanFiltered("dwrf", path) // warm page cache
+    val tScan = scanAgg("dwrf", path)
+    val tFiltered = scanFiltered("dwrf", path)
+    scanAgg("parquet", pqPath); scanFiltered("parquet", pqPath)
+    val tScanPq = scanAgg("parquet", pqPath)
+    val tFilteredPq = scanFiltered("parquet", pqPath)
 
     def mb(b: Long): Double = b / 1e6
     val r = scala.collection.immutable.ListMap[String, Any](
@@ -191,6 +200,10 @@ object BenchFormats {
       "scan_agg_s" -> tScan,
       "scan_raw_mb_s" -> mb(rawBytes) / tScan,
       "scan_filtered_s" -> tFiltered,
+      "pq_disk_mb" -> mb(dirSize(pqPath)),
+      "pq_write_s" -> tWritePq,
+      "pq_scan_agg_s" -> tScanPq,
+      "pq_scan_filtered_s" -> tFilteredPq,
       "n_stripes" -> nStripes,
       "min_stripes_per_file" -> minStripesPerFile,
       "max_stripe_mb" -> mb(maxStripeBytes),
