@@ -643,14 +643,19 @@ final class DwrfStreamingDataWriterFactory(schemaJson: String, path: String,
     // no taskId in the name: idempotent under replay/retry (scaladoc above).
     // 9-digit epoch pad: the source's equal-mtime tie-break is NAME order,
     // and 5 digits would sort epoch 100000 before 99999 on a long-lived
-    // sink (one epoch/second ≈ 31 years before 9 digits widen)
+    // sink (one epoch/second ≈ 31 years before 9 digits widen).
+    // Bytes stream into an invisible `.…inprogress` temp (no .dwrf suffix
+    // — a reader tailing this dir never lists a half-written file) and
+    // rename to the final name atomically at task commit.
     val fileName = f"part-e$epochId%09d-p$partitionId%05d.dwrf"
+    val tempName = s".$fileName.inprogress"
     if (partCols.isEmpty)
-      new DwrfFlatDataWriter(schema, new Path(path, fileName),
-        options, userMeta, conf)
+      new DwrfFlatDataWriter(schema, new Path(path, tempName),
+        options, userMeta, conf, renameTo = Some(new Path(path, fileName)))
     else
       new DwrfPartitionedDataWriter(schema, new Path(path), partCols, options,
-        userMeta, conf, partitionId, taskId, fileName = Some(fileName))
+        userMeta, conf, partitionId, taskId,
+        fileName = Some(tempName), renameTo = Some(fileName))
   }
 }
 
@@ -706,7 +711,11 @@ final class DwrfDataWriterFactory(schemaJson: String, path: String,
 
 private final class DwrfFlatDataWriter(schema: StructType, file: Path,
     options: Map[String, String], userMeta: Map[String, Array[Byte]],
-    conf: Configuration) extends DataWriter[InternalRow] {
+    conf: Configuration,
+    // streaming sinks write to an invisible temp name (no .dwrf suffix, so
+    // a concurrent reader tailing the dir never lists a half-written file)
+    // and atomically rename to `renameTo` at task commit
+    renameTo: Option[Path] = None) extends DataWriter[InternalRow] {
   private val fs = file.getFileSystem(conf)
   private val os = fs.create(file, true)
   private val writer = new DwrfFileWriter(schema,
@@ -716,7 +725,16 @@ private final class DwrfFlatDataWriter(schema: StructType, file: Path,
   override def commit(): WriterCommitMessage = {
     writer.close(userMeta)
     os.close()
-    DwrfCommitMessage(file.toString, writer.rowCount)
+    val finalPath = renameTo match {
+      case Some(dst) =>
+        // epoch replay overwrites: clear the previous attempt's file first
+        // (rename-to-existing is not an overwrite on every filesystem)
+        if (fs.exists(dst)) fs.delete(dst, false)
+        require(fs.rename(file, dst), s"dwrf: rename $file -> $dst failed")
+        dst
+      case None => file
+    }
+    DwrfCommitMessage(finalPath.toString, writer.rowCount)
   }
   override def abort(): Unit = {
     try os.close() catch { case _: Throwable => }
@@ -737,7 +755,10 @@ private final class DwrfPartitionedDataWriter(schema: StructType, root: Path,
     userMeta: Map[String, Array[Byte]], conf: Configuration,
     partitionId: Int, taskId: Long,
     // streaming writes pass an epoch-deterministic name (idempotent replay)
-    fileName: Option[String] = None) extends DataWriter[InternalRow] {
+    // plus the visible final name to rename to at commit (the temp name is
+    // invisible to readers tailing the dir)
+    fileName: Option[String] = None,
+    renameTo: Option[String] = None) extends DataWriter[InternalRow] {
 
   private val maxOpenWriters = 256
   private val fs = root.getFileSystem(conf)
@@ -805,10 +826,15 @@ private final class DwrfPartitionedDataWriter(schema: StructType, root: Path,
 
   override def commit(): WriterCommitMessage = {
     var rows = 0L
-    writers.values.foreach { case (w, os, _) =>
+    writers.values.foreach { case (w, os, file) =>
       w.close(userMeta)
       os.close()
       rows += w.rowCount
+      renameTo.foreach { finalName =>
+        val dst = new Path(file.getParent, finalName)
+        if (fs.exists(dst)) fs.delete(dst, false) // epoch replay overwrite
+        require(fs.rename(file, dst), s"dwrf: rename $file -> $dst failed")
+      }
     }
     DwrfCommitMessage(root.toString, rows)
   }

@@ -77,6 +77,33 @@ class DwrfStreamingSinkSpec extends AnyFunSuite {
     assert(back == Seq((1L, "a"), (2L, "b"), (3L, "a")))
   }
 
+  test("uncommitted epoch files are invisible to a concurrent reader") {
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "streaminflight-").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val factory = new DwrfStreamingDataWriterFactory(
+      schema.json, dir, Map.empty,
+      new SerializableHadoopConf(new org.apache.hadoop.conf.Configuration()))
+    val w = factory.createWriter(partitionId = 0, taskId = 1, epochId = 0)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    row.update(0, 1L)
+    w.write(row)
+    // mid-write: bytes live in `.….inprogress` — the landing-dir lister
+    // (what a tailing stream reader uses) must see NOTHING yet
+    assert(DwrfUtil.listDataFiles(
+      new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.conf.Configuration()).isEmpty,
+      "half-written epoch file leaked into the listing")
+    w.commit()
+    w.close()
+    val visible = DwrfUtil.listDataFiles(
+      new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.conf.Configuration())
+    assert(visible.map(_.getName) == Seq("part-e000000000-p00000.dwrf"))
+  }
+
   test("replaying an epoch overwrites its file instead of duplicating") {
     val s = spark
     import s.implicits._
