@@ -67,7 +67,10 @@ class DwrfStreamSourceSpec extends AnyFunSuite {
 
     val q = s.readStream
       .format("dwrf")
-      .option("maxFilesPerTrigger", "1")
+      // odd casing on purpose: Spark's option contract is case-insensitive,
+      // and admission control silently ignored would merge the three
+      // arrival files into one epoch (the commit-count assert below)
+      .option("maxfilespertrigger", "1")
       .load(dir)
       .filter($"id" % 2 === 0)
       .writeStream
