@@ -32,6 +32,25 @@ object BenchFormats {
     else d.listFiles.filter(_.isFile).map(_.length).sum
   }
 
+  // shared benchmark scans (both modes time the SAME queries — a change
+  // to the aggregate or the filter range cannot desynchronize them)
+  private def scanAgg(spark: SparkSession, fmt: String, path: String): Double = {
+    import spark.implicits._
+    time {
+      spark.read.format(fmt).load(path)
+        .agg(sum($"l_quantity"), sum($"l_extendedprice")).collect()
+    }._1
+  }
+
+  private def scanFiltered(spark: SparkSession, fmt: String, path: String): Double = {
+    import spark.implicits._
+    time {
+      spark.read.format(fmt).load(path)
+        .filter($"l_orderkey" >= 100000L && $"l_orderkey" < 200000L)
+        .agg(sum($"l_quantity"), count(lit(1))).collect()
+    }._1
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -63,22 +82,10 @@ object BenchFormats {
       t
     }
 
-    def scanAgg(fmt: String, path: String): Double = {
-      val (t, _) = time {
-        spark.read.format(fmt).load(path)
-          .agg(sum($"l_quantity"), sum($"l_extendedprice")).collect()
-      }
-      t
-    }
-
-    def scanFiltered(fmt: String, path: String): Double = {
-      val (t, _) = time {
-        spark.read.format(fmt).load(path)
-          .filter($"l_orderkey" >= 100000L && $"l_orderkey" < 200000L)
-          .agg(sum($"l_quantity"), count(lit(1))).collect()
-      }
-      t
-    }
+    def scanAgg(fmt: String, path: String): Double =
+      BenchFormats.scanAgg(spark, fmt, path)
+    def scanFiltered(fmt: String, path: String): Double =
+      BenchFormats.scanFiltered(spark, fmt, path)
 
     // warmup both write paths once
     writeTo("parquet", s"$base/warm-pq", Map.empty)
@@ -173,21 +180,12 @@ object BenchFormats {
     }
     val bounded = minStripesPerFile > 1 && maxStripeBytes <= stripeBytes
 
-    def scanAgg(fmt: String, p: String): Double = time {
-      spark.read.format(fmt).load(p)
-        .agg(sum($"l_quantity"), sum($"l_extendedprice")).collect()
-    }._1
-    def scanFiltered(fmt: String, p: String): Double = time {
-      spark.read.format(fmt).load(p)
-        .filter($"l_orderkey" >= 100000L && $"l_orderkey" < 200000L)
-        .agg(sum($"l_quantity"), count(lit(1))).collect()
-    }._1
-    scanAgg("dwrf", path); scanFiltered("dwrf", path) // warm page cache
-    val tScan = scanAgg("dwrf", path)
-    val tFiltered = scanFiltered("dwrf", path)
-    scanAgg("parquet", pqPath); scanFiltered("parquet", pqPath)
-    val tScanPq = scanAgg("parquet", pqPath)
-    val tFilteredPq = scanFiltered("parquet", pqPath)
+    scanAgg(spark, "dwrf", path); scanFiltered(spark, "dwrf", path) // warm cache
+    val tScan = scanAgg(spark, "dwrf", path)
+    val tFiltered = scanFiltered(spark, "dwrf", path)
+    scanAgg(spark, "parquet", pqPath); scanFiltered(spark, "parquet", pqPath)
+    val tScanPq = scanAgg(spark, "parquet", pqPath)
+    val tFilteredPq = scanFiltered(spark, "parquet", pqPath)
 
     def mb(b: Long): Double = b / 1e6
     val r = scala.collection.immutable.ListMap[String, Any](

@@ -117,16 +117,15 @@ final class DwrfDataSource extends TableProvider with DataSourceRegister {
     // an explicit comma-separated `partition.columns` option, so
     // partitioned streaming ingestion is spellable:
     //   .writeStream.format("dwrf").option("partition.columns", "ds")
-    // case-insensitive lookups: option keys arrive case-preserving here,
-    // but Spark's option contract is case-insensitive
-    def propCI(name: String): Option[String] =
-      properties.asScala.collectFirst {
-        case (k, v) if k.equalsIgnoreCase(name) => v
-      }
+    // lookups below are case-insensitive: getTable's properties are
+    // wrapped in CaseInsensitiveMap at the boundary (Spark's option
+    // contract), so a plain .get honors any spelling
+    val props = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(
+      properties.asScala.toMap)
     val fromOptions =
-      propCI(org.apache.spark.sql.execution.datasources.DataSourceUtils.PARTITIONING_COLUMNS_KEY)
+      props.get(org.apache.spark.sql.execution.datasources.DataSourceUtils.PARTITIONING_COLUMNS_KEY)
         .map(org.apache.spark.sql.execution.datasources.DataSourceUtils.decodePartitioningColumns)
-        .orElse(propCI("partition.columns")
+        .orElse(props.get("partition.columns")
           .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
         .getOrElse(Nil)
     require(fromTransforms.isEmpty || fromOptions.isEmpty ||
@@ -177,6 +176,26 @@ object DwrfUtil {
     */
   def qualify(p: Path, conf: Configuration): Path =
     p.getFileSystem(conf).makeQualified(p)
+
+  /** Atomic rename that replaces an existing destination in ONE
+    * filesystem operation (FileContext + Rename.OVERWRITE — POSIX rename
+    * on local, atomic on HDFS). A delete-then-rename pair would open a
+    * window where a previously visible file is absent from the landing
+    * dir, which a tailing streaming reader observes as deleted files
+    * under its checkpoint. Falls back to delete+rename only on stores
+    * whose FileContext lacks overwrite semantics.
+    */
+  def renameOverwrite(src: Path, dst: Path, conf: Configuration): Unit = {
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+        .rename(src, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException =>
+        val fs = dst.getFileSystem(conf)
+        if (fs.exists(dst)) fs.delete(dst, false)
+        require(fs.rename(src, dst), s"dwrf: rename $src -> $dst failed")
+    }
+  }
 
   /** The session's Hadoop configuration (spark.hadoop.* — filesystem
     * credentials etc.), falling back to a bare one off-session. A bare
@@ -239,9 +258,14 @@ final class DwrfTable(tableSchema: StructType, properties: Map[String, String],
       TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
 
+  // scan options are point-lookup only, so re-wrap in CaseInsensitiveMap
+  // at the boundary (Spark's option contract) — plain .get downstream
+  // honors any spelling. Write options are NOT wrapped: they are iterated
+  // key-preserving (`metadata.MyKey` must keep its case in the footer).
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DwrfScanBuilder(tableSchema, options.get("path"),
-      options.asCaseSensitiveMap().asScala.toMap)
+      org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(
+        options.asCaseSensitiveMap().asScala.toMap))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DwrfWriteBuilder(info.schema(), info.options().get("path"),
@@ -727,10 +751,9 @@ private final class DwrfFlatDataWriter(schema: StructType, file: Path,
     os.close()
     val finalPath = renameTo match {
       case Some(dst) =>
-        // epoch replay overwrites: clear the previous attempt's file first
-        // (rename-to-existing is not an overwrite on every filesystem)
-        if (fs.exists(dst)) fs.delete(dst, false)
-        require(fs.rename(file, dst), s"dwrf: rename $file -> $dst failed")
+        // epoch replay overwrites atomically: a tailing reader must never
+        // observe the previous attempt's file as missing
+        DwrfUtil.renameOverwrite(file, dst, conf)
         dst
       case None => file
     }
@@ -831,9 +854,8 @@ private final class DwrfPartitionedDataWriter(schema: StructType, root: Path,
       os.close()
       rows += w.rowCount
       renameTo.foreach { finalName =>
-        val dst = new Path(file.getParent, finalName)
-        if (fs.exists(dst)) fs.delete(dst, false) // epoch replay overwrite
-        require(fs.rename(file, dst), s"dwrf: rename $file -> $dst failed")
+        // atomic replace: epoch replay must never leave a visibility gap
+        DwrfUtil.renameOverwrite(file, new Path(file.getParent, finalName), conf)
       }
     }
     DwrfCommitMessage(root.toString, rows)

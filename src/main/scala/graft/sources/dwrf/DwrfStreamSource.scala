@@ -67,13 +67,10 @@ final class DwrfMicroBatchStream(
   private def currentListing(): IndexedSeq[Listed] =
     availableNowSnapshot.getOrElse(listSorted())
 
-  // options arrive as the case-preserving map; honor Spark's
-  // case-insensitive option contract for the lookup
-  private def option(name: String): Option[String] =
-    options.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
-
+  // options arrive wrapped in CaseInsensitiveMap (DwrfTable.newScanBuilder
+  // boundary), so a plain get honors Spark's case-insensitive contract
   override def getDefaultReadLimit: ReadLimit =
-    option("maxFilesPerTrigger").map(n => ReadLimit.maxFiles(n.toInt))
+    options.get("maxFilesPerTrigger").map(n => ReadLimit.maxFiles(n.toInt))
       .getOrElse(ReadLimit.allAvailable())
 
   override def initialOffset(): Offset = DwrfSourceOffset(0L)

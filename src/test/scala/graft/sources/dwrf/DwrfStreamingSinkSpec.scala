@@ -104,6 +104,36 @@ class DwrfStreamingSinkSpec extends AnyFunSuite {
     assert(visible.map(_.getName) == Seq("part-e000000000-p00000.dwrf"))
   }
 
+  test("uncommitted PARTITIONED epoch files are invisible too") {
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "streaminflightpart-").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType)))
+    val factory = new DwrfStreamingDataWriterFactory(
+      schema.json, dir, Map.empty,
+      new SerializableHadoopConf(new org.apache.hadoop.conf.Configuration()),
+      partCols = Seq("tag"))
+    val w = factory.createWriter(partitionId = 0, taskId = 1, epochId = 0)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    row.update(0, 1L)
+    row.update(1, org.apache.spark.unsafe.types.UTF8String.fromString("a"))
+    w.write(row)
+    assert(DwrfUtil.listDataFiles(
+      new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.conf.Configuration()).isEmpty,
+      "half-written partitioned epoch file leaked into the listing")
+    w.commit()
+    w.close()
+    val visible = DwrfUtil.listDataFiles(
+      new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.conf.Configuration())
+    assert(visible.map(_.getName) == Seq("part-e000000000-p00000.dwrf") &&
+      visible.head.getParent.getName == "tag=a", visible)
+  }
+
   test("replaying an epoch overwrites its file instead of duplicating") {
     val s = spark
     import s.implicits._
