@@ -27,7 +27,7 @@ object Bench {
     "dwrf_filter_columnar", "dwrf_partitioned_roundtrip",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
     "dedup_minhash_lsh",
-    "ann_topk_dot", "ann_lsh_cosine", "ann_lsh_recall",
+    "ann_topk_dot", "ann_lsh_cosine", "ann_lsh_recall", "ann_ivf_recall",
     "text_stats", "text_langid", "text_fingerprint", "text_pii_scrub",
     "sample_stratified", "pack_sequences", "text_decontaminate",
     "text_repetition", "multimodal_meta", "sessionize_events",

@@ -331,7 +331,10 @@ object SimilarityQueries extends QueryPack {
   // driver per iteration and broadcasts back — at 100 TB the assignment
   // pass is the only full-data scan per iteration, and search touches
   // nprobe/k of the data.
-  private def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+  /** IVF candidate rows (vec_id, cell, dot) — the core of [[ivfTopk]],
+    * shared with the recall probe so both report the identical search.
+    */
+  private def ivfRows(s: SparkSession, dir: String): (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) = {
     import s.implicits._
     val k = 16
     val nprobe = 4
@@ -397,7 +400,44 @@ object SimilarityQueries extends QueryPack {
     val rows = result.collect()
     emb.unpersist()
     assigned.unpersist()
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    (rows, result.schema)
+  }
+
+  private def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+    val (rows, schema) = ivfRows(s, dir)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  // ------------------------------------------------------- IVF recall
+  // The IVF tier's measured instrument (the LSH tier has ann_lsh_recall):
+  // fraction of the EXACT dot-product top-10 the nprobe=4/16 search
+  // returns. The exact side is ann_topk_dot's plan in plain-double
+  // arithmetic (identical top-10 MEMBERSHIP, ~10× cheaper than the
+  // decimal-exact oracle form) — one narrow pass over the corpus, not a
+  // pairwise join. Recall < 1 is the honest cost of probing 4 of 16
+  // cells; the number makes the recall/cost trade a per-round observable
+  // instead of prose.
+  private def ivfRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (rows, _) = ivfRows(s, dir)
+    val ivfIds = rows.map(_.getLong(0)).toSet
+    val emb = Tables.load(s, dir, "embeddings")
+    val query = emb.filter($"vec_id" === 0).select($"embedding".as("q"))
+    val exactIds = emb.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(query))
+      .select($"vec_id",
+        expr("aggregate(zip_with(embedding, q, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)")
+          .as("dot"))
+      .orderBy($"dot".desc, $"vec_id")
+      .limit(10)
+      .select($"vec_id").as[Long].collect().toSet
+    val found = (ivfIds & exactIds).size.toLong
+    val recall =
+      if (exactIds.isEmpty) 0.0
+      else BigDecimal(found.toDouble / exactIds.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((exactIds.size.toLong, found, recall, 4L, 16L))
+      .toDF("n_exact", "n_found", "recall", "nprobe", "n_cells")
   }
 
   override val all: Seq[Q] = Seq(
@@ -406,5 +446,6 @@ object SimilarityQueries extends QueryPack {
     Q("ann_lsh_cosine", lshCosine, None),
     Q("ann_lsh_recall", lshRecall, None),
     Q("ann_ivf_topk", ivfTopk, None),
+    Q("ann_ivf_recall", ivfRecall, None),
   )
 }
