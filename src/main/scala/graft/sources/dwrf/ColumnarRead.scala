@@ -978,9 +978,12 @@ final class DwrfColumnarPartitionReader(
   }
 
   /** A maximal run of contiguous surviving strides: seek to `entries`
-    * (None = stripe start, no seek needed), then `rows` rows are valid. */
-  private final case class Segment(
-      entries: Option[Map[Int, RowIndexEntry]], rows: Long)
+    * (None = stripe start, no seek needed), then `rows` rows are valid.
+    * Plain class (never pattern-matched): a nested case class would
+    * synthesize an equals whose outer-instance type test scalac rightly
+    * warns cannot be checked. */
+  private final class Segment(
+      val entries: Option[Map[Int, RowIndexEntry]], val rows: Long)
 
   private val stripeIt = stripes.iterator
   private var segments: Iterator[Segment] = Iterator.empty
@@ -1003,7 +1006,7 @@ final class DwrfColumnarPartitionReader(
           reader.counters.stripesRead += 1
           val src = reader.openStripe(si, sf, wanted)
           decoders.foreach(_.start(src))
-          segments = Iterator(Segment(None, si.numRows))
+          segments = Iterator(new Segment(None, si.numRows))
           true
         }
         if (filters.isEmpty || stride <= 0 || si.numRows <= stride) return fullRead()
@@ -1034,7 +1037,7 @@ final class DwrfColumnarPartitionReader(
           segments = runs.iterator.map { case (a, b) =>
             val base = a.toLong * stride
             val rows = math.min(b.toLong * stride, si.numRows) - base
-            Segment(Some(indexes.map { case (id, es) => id -> es(a) }), rows)
+            new Segment(Some(indexes.map { case (id, es) => id -> es(a) }), rows)
           }
           return true
         }
