@@ -30,7 +30,7 @@ object Bench {
     "ann_topk_dot", "ann_lsh_cosine", "ann_lsh_recall", "ann_ivf_recall",
     "text_stats", "text_langid", "text_fingerprint", "text_pii_scrub",
     "sample_stratified", "pack_sequences", "text_decontaminate",
-    "text_repetition", "multimodal_meta", "sessionize_events",
+    "text_repetition", "pipeline_clean", "multimodal_meta", "sessionize_events",
     "stream_events_window", "stream_sessionize", "stream_dedup_exact",
     "stream_dwrf_sink", "stream_dwrf_source")
 

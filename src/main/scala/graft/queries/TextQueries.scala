@@ -362,6 +362,72 @@ object TextQueries extends QueryPack {
     |ORDER BY s.doc_id
     |""".stripMargin.trim
 
+  // ------------------------------------------------ cleaning pipeline
+  // The composed cleaning pass a training-data pipeline actually runs,
+  // as ONE declarative plan: token-count quality gate → exact dedup
+  // (keeper = min doc_id per content hash) → deterministic md5-bucket
+  // fold assignment → per-fold rollup. Join-free: one narrow scan+filter,
+  // one dedup groupBy, one partial-aggregated rollup — at 100 TB this is
+  // two shuffles over ever-shrinking data, and because the fold is a pure
+  // content hash the split is stable under re-runs and backfills (same
+  // contract as sample_stratified). Every stage reuses semantics an
+  // individual query already oracle-checks; the composition itself is
+  // hash-exact here.
+  private def pipelineClean(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1 AS BIGINT)")
+          .as("n_tokens"),
+        md5(col("text")).as("h"))
+      .filter(col("n_tokens").between(20, 1000))
+    d.groupBy("h")
+      .agg(
+        min("doc_id").as("keeper"),
+        min("n_tokens").as("n_tokens"), // identical within h (same text)
+        count(lit(1)).as("n_copies"))
+      .withColumn("bucket",
+        expr("CAST(conv(substring(h, 1, 4), 16, 10) AS BIGINT) % 100"))
+      .withColumn("fold",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .groupBy("fold")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        sum(col("n_copies") - 1).cast("long").as("n_dups_removed"),
+        min(col("keeper")).as("first_keeper"))
+      .orderBy("fold")
+  }
+
+  private val pipelineCleanOracle = """
+    |WITH d AS (
+    |  SELECT doc_id,
+    |    CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1 AS BIGINT) AS n_tokens,
+    |    md5(text) AS h
+    |  FROM documents
+    |  WHERE CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1 AS BIGINT)
+    |    BETWEEN 20 AND 1000),
+    |dedup AS (
+    |  SELECT h, MIN(doc_id) AS keeper, MIN(n_tokens) AS n_tokens,
+    |    COUNT(*) AS n_copies
+    |  FROM d GROUP BY h),
+    |folded AS (
+    |  SELECT keeper, n_tokens, n_copies,
+    |    CAST(('0x' || substring(h, 1, 4)) AS BIGINT) % 100 AS bucket
+    |  FROM dedup)
+    |SELECT CASE WHEN bucket < 90 THEN 'train'
+    |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS fold,
+    |  COUNT(*) AS n_docs,
+    |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+    |  CAST(SUM(n_copies - 1) AS BIGINT) AS n_dups_removed,
+    |  MIN(keeper) AS first_keeper
+    |FROM folded
+    |GROUP BY 1
+    |ORDER BY fold
+    |""".stripMargin.trim
+
   // ------------------------------------------------ repetition signal
   // Intra-document repetition (the Gopher-style duplicate-bigram
   // fraction): 1 − distinct_bigrams / total_bigrams per doc, top-20 most
@@ -417,5 +483,6 @@ object TextQueries extends QueryPack {
     shared("pack_sequences", packSequencesSql),
     Q("text_decontaminate", decontaminate, Some(decontaminateOracle)),
     Q("text_repetition", textRepetition, Some(textRepetitionOracle)),
+    Q("pipeline_clean", pipelineClean, Some(pipelineCleanOracle)),
   )
 }

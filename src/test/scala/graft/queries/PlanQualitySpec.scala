@@ -153,6 +153,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"overlap count must partial-aggregate map-side:\n$p")
   }
 
+  test("pipeline_clean composes join-free: gate, dedup, fold rollup") {
+    val p = planOf("pipeline_clean")
+    assert(collectAll(p) { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty,
+      s"the cleaning pipeline must not join:\n$p")
+    // dedup groupBy + fold rollup + final ORDER BY range exchange
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 3, s"pipeline_clean should shuffle at most thrice:\n$p")
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    assert(collectAll(p) { case a: HashAggregateExec => a }.size >= 4,
+      s"both aggregations must partial-aggregate map-side:\n$p")
+  }
+
   test("pii scrub and stratified split are narrow maps + one rollup shuffle") {
     // both are pure per-doc functions followed by a tiny per-group rollup:
     // at 100 TB the map side must stay join-free and shuffle only the
