@@ -331,16 +331,31 @@ object SimilarityQueries extends QueryPack {
   // driver per iteration and broadcasts back — at 100 TB the assignment
   // pass is the only full-data scan per iteration, and search touches
   // nprobe/k of the data.
-  /** IVF candidate rows (vec_id, cell, dot) — the core of [[ivfTopk]],
-    * shared with the recall probe so both report the identical search.
+  // single source of truth for the search parameters: the recall row
+  // reports exactly what the search ran with
+  private val IvfCells = 16
+  private val IvfNprobe = 4
+
+  /** The corpus as persisted double vectors (vec_id, v) — shared by the
+    * search and the recall probe's exact pass so neither re-reads the
+    * table. Caller unpersists.
     */
-  private def ivfRows(s: SparkSession, dir: String): (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) = {
+  private def loadVecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val k = 16
-    val nprobe = 4
-    val emb = Tables.load(s, dir, "embeddings")
+    Tables.load(s, dir, "embeddings")
       .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** IVF candidate rows (vec_id, cell, dot) — the core of [[ivfTopk]],
+    * shared with the recall probe so both report the identical search.
+    * `emb` must be the persisted [[loadVecs]] frame; caller unpersists.
+    */
+  private def ivfRows(emb: DataFrame): (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val k = IvfCells
+    val nprobe = IvfNprobe
 
     def centroidCol(cents: Array[Array[Double]]) =
       typedlit(cents.map(_.toSeq).toSeq)
@@ -395,17 +410,19 @@ object SimilarityQueries extends QueryPack {
       .orderBy($"dot".desc, $"vec_id")
       .limit(10)
       .select($"vec_id", $"cell", round($"dot", 6).as("dot"))
-    // top-10 is driver-sized: materialize it, then drop BOTH caches so a
-    // long-lived session doesn't accumulate blocks across invocations
+    // top-10 is driver-sized: materialize it, then drop the assignment
+    // cache (the caller owns the input frame's lifecycle)
     val rows = result.collect()
-    emb.unpersist()
     assigned.unpersist()
     (rows, result.schema)
   }
 
   private def ivfTopk(s: SparkSession, dir: String): DataFrame = {
-    val (rows, schema) = ivfRows(s, dir)
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val emb = loadVecs(s, dir)
+    try {
+      val (rows, schema) = ivfRows(emb)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally emb.unpersist()
   }
 
   // ------------------------------------------------------- IVF recall
@@ -419,25 +436,29 @@ object SimilarityQueries extends QueryPack {
   // instead of prose.
   private def ivfRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (rows, _) = ivfRows(s, dir)
-    val ivfIds = rows.map(_.getLong(0)).toSet
-    val emb = Tables.load(s, dir, "embeddings")
-    val query = emb.filter($"vec_id" === 0).select($"embedding".as("q"))
-    val exactIds = emb.filter($"vec_id" =!= 0)
-      .crossJoin(broadcast(query))
-      .select($"vec_id",
-        expr("aggregate(zip_with(embedding, q, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)")
-          .as("dot"))
-      .orderBy($"dot".desc, $"vec_id")
-      .limit(10)
-      .select($"vec_id").as[Long].collect().toSet
-    val found = (ivfIds & exactIds).size.toLong
-    val recall =
-      if (exactIds.isEmpty) 0.0
-      else BigDecimal(found.toDouble / exactIds.size)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    Seq((exactIds.size.toLong, found, recall, 4L, 16L))
-      .toDF("n_exact", "n_found", "recall", "nprobe", "n_cells")
+    val emb = loadVecs(s, dir)
+    try {
+      val (rows, _) = ivfRows(emb)
+      val ivfIds = rows.map(_.getLong(0)).toSet
+      // exact side runs on the SAME persisted frame the search just used
+      val query = emb.filter($"vec_id" === 0).select($"v".as("q"))
+      val exactIds = emb.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(query))
+        .select($"vec_id",
+          expr("aggregate(zip_with(v, q, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+            .as("dot"))
+        .orderBy($"dot".desc, $"vec_id")
+        .limit(10)
+        .select($"vec_id").as[Long].collect().toSet
+      val found = (ivfIds & exactIds).size.toLong
+      val recall =
+        if (exactIds.isEmpty) 0.0
+        else BigDecimal(found.toDouble / exactIds.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((exactIds.size.toLong, found, recall,
+        IvfNprobe.toLong, IvfCells.toLong))
+        .toDF("n_exact", "n_found", "recall", "nprobe", "n_cells")
+    } finally emb.unpersist()
   }
 
   override val all: Seq[Q] = Seq(

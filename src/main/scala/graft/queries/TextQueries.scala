@@ -377,8 +377,9 @@ object TextQueries extends QueryPack {
     import org.apache.spark.sql.functions._
     val d = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
-        expr("CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1 AS BIGINT)")
-          .as("n_tokens"),
+        // the file's ONE tokenization rule (`tokens`): gate semantics stay
+        // in lockstep with text_stats / pack_sequences
+        expr(s"CAST($tokens AS BIGINT)").as("n_tokens"),
         md5(col("text")).as("h"))
       .filter(col("n_tokens").between(20, 1000))
     d.groupBy("h")
@@ -401,14 +402,13 @@ object TextQueries extends QueryPack {
       .orderBy("fold")
   }
 
-  private val pipelineCleanOracle = """
+  private val pipelineCleanOracle = s"""
     |WITH d AS (
     |  SELECT doc_id,
-    |    CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1 AS BIGINT) AS n_tokens,
+    |    CAST($tokens AS BIGINT) AS n_tokens,
     |    md5(text) AS h
     |  FROM documents
-    |  WHERE CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1 AS BIGINT)
-    |    BETWEEN 20 AND 1000),
+    |  WHERE CAST($tokens AS BIGINT) BETWEEN 20 AND 1000),
     |dedup AS (
     |  SELECT h, MIN(doc_id) AS keeper, MIN(n_tokens) AS n_tokens,
     |    COUNT(*) AS n_copies

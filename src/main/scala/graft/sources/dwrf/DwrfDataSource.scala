@@ -177,24 +177,21 @@ object DwrfUtil {
   def qualify(p: Path, conf: Configuration): Path =
     p.getFileSystem(conf).makeQualified(p)
 
-  /** Atomic rename that replaces an existing destination in ONE
-    * filesystem operation (FileContext + Rename.OVERWRITE — POSIX rename
-    * on local, atomic on HDFS). A delete-then-rename pair would open a
-    * window where a previously visible file is absent from the landing
-    * dir, which a tailing streaming reader observes as deleted files
-    * under its checkpoint. Falls back to delete+rename only on stores
-    * whose FileContext lacks overwrite semantics.
+  /** Publish a committed temp file at its final name WITHOUT ever making
+    * a previously visible file disappear. If `dst` already exists, a
+    * prior attempt's commit completed — epochs are deterministic, so the
+    * existing bytes are the same answer; keep them and discard the temp
+    * (the same skip-if-committed semantics Spark's file sink gets from
+    * its manifest log). Otherwise one plain rename publishes the file.
+    * No rename-over-existing and no delete-then-rename pair anywhere, so
+    * a tailing reader can never observe a visibility gap — on ANY store
+    * (rename-with-overwrite is not atomic on local FS and object stores
+    * anyway; this sidesteps the question entirely).
     */
-  def renameOverwrite(src: Path, dst: Path, conf: Configuration): Unit = {
-    try {
-      org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
-        .rename(src, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: UnsupportedOperationException =>
-        val fs = dst.getFileSystem(conf)
-        if (fs.exists(dst)) fs.delete(dst, false)
-        require(fs.rename(src, dst), s"dwrf: rename $src -> $dst failed")
-    }
+  def publishCommitted(src: Path, dst: Path, conf: Configuration): Unit = {
+    val fs = dst.getFileSystem(conf)
+    if (fs.exists(dst)) fs.delete(src, false)
+    else require(fs.rename(src, dst), s"dwrf: rename $src -> $dst failed")
   }
 
   /** The session's Hadoop configuration (spark.hadoop.* — filesystem
@@ -622,13 +619,14 @@ final class DwrfWriteBuilder(schema: StructType, path: String,
   * ingestion path writes the native format directly (no parquet staging +
   * rewrite). Files are named `part-e<epoch>-p<partition>.dwrf`, a
   * DETERMINISTIC function of (epoch, partition): a replayed epoch (failure
-  * before the checkpoint commit) or a retried task re-creates the same
-  * file with `overwrite = true`, so the sink is idempotent per epoch and
-  * end-to-end effectively-once for deterministic queries — the same
-  * contract Spark's own file sink gets from its manifest log, here with
-  * zero extra metadata because the name IS the manifest key. (Speculative
-  * execution could race two attempts onto one file; like the reference's
-  * Hive OutputFormat the sink targets speculation-off ETL writes.)
+  * before the checkpoint commit) or a retried task finds its file already
+  * published and keeps it (deterministic epochs produce the same bytes),
+  * so the sink is idempotent per epoch and end-to-end effectively-once
+  * for deterministic queries — the same contract Spark's own file sink
+  * gets from its manifest log, here with zero extra metadata because the
+  * name IS the manifest key. (Speculative execution could race two
+  * attempts onto one file; like the reference's Hive OutputFormat the
+  * sink targets speculation-off ETL writes.)
   */
 final class DwrfStreamingWrite(schema: StructType, path: String,
     options: Map[String, String], partCols: Seq[String] = Nil)
@@ -751,9 +749,9 @@ private final class DwrfFlatDataWriter(schema: StructType, file: Path,
     os.close()
     val finalPath = renameTo match {
       case Some(dst) =>
-        // epoch replay overwrites atomically: a tailing reader must never
-        // observe the previous attempt's file as missing
-        DwrfUtil.renameOverwrite(file, dst, conf)
+        // replayed epochs keep the prior attempt's identical file — a
+        // tailing reader must never observe a visible file going missing
+        DwrfUtil.publishCommitted(file, dst, conf)
         dst
       case None => file
     }
@@ -854,8 +852,8 @@ private final class DwrfPartitionedDataWriter(schema: StructType, root: Path,
       os.close()
       rows += w.rowCount
       renameTo.foreach { finalName =>
-        // atomic replace: epoch replay must never leave a visibility gap
-        DwrfUtil.renameOverwrite(file, new Path(file.getParent, finalName), conf)
+        // replay keeps the prior attempt's file: no visibility gap, ever
+        DwrfUtil.publishCommitted(file, new Path(file.getParent, finalName), conf)
       }
     }
     DwrfCommitMessage(root.toString, rows)
