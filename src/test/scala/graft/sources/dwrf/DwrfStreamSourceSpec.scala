@@ -43,6 +43,47 @@ class DwrfStreamSourceSpec extends AnyFunSuite {
       "partition values must ride the streamed splits")
   }
 
+  test("widened files mid-stream flip to the row path and upcast correctly") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "streamwiden-").toString
+    def stageOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$dir/tmp"
+      df.coalesce(1).write.mode("overwrite").format("dwrf").save(tmp)
+      val part = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(tmp))) { st =>
+        st.filter(_.getFileName.toString.endsWith(".dwrf")).findFirst().get()
+      }
+      val dst = java.nio.file.Paths.get(dir, name)
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    // older generation: INT on disk; newer: LONG — the stream reads LONG
+    stageOne(Seq(1, 2).toDF("id")
+      .select($"id".cast("int").as("id")), "old-ints.dwrf", 1700000000000L)
+    stageOne(Seq(3L, 4L).toDF("id"), "new-longs.dwrf", 1700000001000L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    s.readStream
+      .format("dwrf")
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .load(dir)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$dir-out")
+      .option("checkpointLocation", s"$dir-ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val back = s.read.parquet(s"$dir-out").orderBy($"id").as[Long].collect()
+    assert(back.toSeq == Seq(1L, 2L, 3L, 4L),
+      "int files must upcast through the streamed read")
+  }
+
   test("landing dir drains epoch by epoch; stream == batch") {
     val s = spark
     import s.implicits._
