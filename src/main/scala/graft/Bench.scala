@@ -22,15 +22,17 @@ object Bench {
   private val headline: Seq[String] = Seq(
     "q1_pricing", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue", "q_events_hourly", "q_running_spend",
-    "q_distinct_counts", "q_asof_join", "q_range_join",
+    "q_distinct_counts", "q_asof_join", "q_range_join", "q_events_funnel",
+    "q_user_retention",
     "dwrf_roundtrip_lineitem", "dwrf_projection_filter",
     "dwrf_filter_columnar", "dwrf_partitioned_roundtrip",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
-    "dedup_minhash_lsh",
+    "dedup_minhash_lsh", "dedup_substring",
     "ann_topk_dot", "ann_lsh_cosine", "ann_lsh_recall", "ann_ivf_recall",
     "text_stats", "text_langid", "text_fingerprint", "text_pii_scrub",
     "sample_stratified", "pack_sequences", "text_decontaminate",
-    "text_repetition", "pipeline_clean", "multimodal_meta", "sessionize_events",
+    "text_repetition", "pipeline_clean", "text_quality_gopher",
+    "pipeline_mix", "multimodal_meta", "sessionize_events",
     "stream_events_window", "stream_sessionize", "stream_dedup_exact",
     "stream_dwrf_sink", "stream_dwrf_source")
 

@@ -359,6 +359,83 @@ object CoreQueries extends QueryPack {
       |""".stripMargin.trim)
   }
 
+  // -------------------------------------------------------- funnel
+  // Ordered-sequence funnel over the event stream: earliest view per
+  // user, earliest click strictly after that view, earliest purchase
+  // strictly after that click. Each stage is one aggregate + one equi-
+  // join on user_id; at 100 TB all three stages share the user_id
+  // shuffle key, so a cluster co-partitions them into a single exchange
+  // (and the per-stage tables shrink monotonically — the purchase join
+  // probes only users who already clicked). Shared-SQL, so hash-exact
+  // by construction; event ts has no sub-microsecond component (checked
+  // against the fixture), so strict `>` agrees between Spark's
+  // microsecond timestamps and DuckDB's nanosecond ones.
+  private val qFunnelSql = """
+    |WITH v AS (
+    |  SELECT user_id, MIN(ts) AS t_view
+    |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+    |c AS (
+    |  SELECT e.user_id, MIN(e.ts) AS t_click
+    |  FROM events e JOIN v ON e.user_id = v.user_id
+    |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+    |  GROUP BY e.user_id),
+    |p AS (
+    |  SELECT e.user_id, MIN(e.ts) AS t_buy
+    |  FROM events e JOIN c ON e.user_id = c.user_id
+    |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    |  GROUP BY e.user_id)
+    |SELECT stage, stage_ord, n_users FROM (
+    |  SELECT 'view' AS stage, 1 AS stage_ord, COUNT(*) AS n_users FROM v
+    |  UNION ALL
+    |  SELECT 'view_click', 2, COUNT(*) FROM c
+    |  UNION ALL
+    |  SELECT 'view_click_purchase', 3, COUNT(*) FROM p) f
+    |ORDER BY stage_ord
+    |""".stripMargin.trim
+
+  // ------------------------------------------------ cohort retention
+  // Daily-cohort retention: users grouped by first-active day, counted
+  // on each later day they return (offsets 0–7). Day ids are exact
+  // integer division of the epoch-microsecond timestamp, so Spark and
+  // DuckDB agree bit-for-bit (both see the same µs after the ns→µs
+  // read truncation). 100 TB design: the cohort table and the activity
+  // join share the user_id shuffle key (one co-partitioned exchange);
+  // DISTINCT (user, day) collapses map-side before the rollup.
+  private val dayUs = 86400000000L
+
+  private def qRetention(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(s"""
+      |WITH firsts AS (
+      |  SELECT user_id, MIN(unix_micros(ts) DIV $dayUs) AS cohort_day
+      |  FROM events GROUP BY user_id),
+      |activity AS (
+      |  SELECT DISTINCT e.user_id, f.cohort_day,
+      |    (unix_micros(e.ts) DIV $dayUs) - f.cohort_day AS day_offset
+      |  FROM events e JOIN firsts f ON e.user_id = f.user_id)
+      |SELECT cohort_day, day_offset, COUNT(*) AS n_users
+      |FROM activity
+      |WHERE day_offset <= 7
+      |GROUP BY cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset
+      |""".stripMargin.trim)
+  }
+
+  private val qRetentionOracle = s"""
+    |WITH firsts AS (
+    |  SELECT user_id, MIN(epoch_us(ts) // $dayUs) AS cohort_day
+    |  FROM events GROUP BY user_id),
+    |activity AS (
+    |  SELECT DISTINCT e.user_id, f.cohort_day,
+    |    (epoch_us(e.ts) // $dayUs) - f.cohort_day AS day_offset
+    |  FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    |SELECT cohort_day, day_offset, COUNT(*) AS n_users
+    |FROM activity
+    |WHERE day_offset <= 7
+    |GROUP BY cohort_day, day_offset
+    |ORDER BY cohort_day, day_offset
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     shared("q1_pricing", q1Sql),
     shared("q6_forecast_revenue", q6Sql),
@@ -374,5 +451,7 @@ object CoreQueries extends QueryPack {
     Q("q_running_spend", qRunning, Some(qRunningOracle)),
     Q("q_nation_balance", qNationBal, Some(qNationBalOracle)),
     Q("q_semi_anti_join", qSemiAnti, Some(qSemiAntiOracle)),
+    shared("q_events_funnel", qFunnelSql),
+    Q("q_user_retention", qRetention, Some(qRetentionOracle)),
   )
 }

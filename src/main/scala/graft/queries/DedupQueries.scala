@@ -423,6 +423,56 @@ object DedupQueries extends QueryPack {
     |ORDER BY id_keep, id_drop
     |""".stripMargin.trim
 
+  // ------------------------------------------------ substring spans
+  // Exact duplicated-span detection (the "substring dedup" of Lee et
+  // al. 2022, public — arXiv:2107.06499): every word-8-gram span is
+  // hashed; spans occurring in more than one document are duplicated
+  // training text that exact- and near-dedup both miss when the
+  // containing documents differ elsewhere. Top-100 most-shared spans
+  // with full tiebreak.
+  //
+  // 100 TB design: this is the distributed alternative to the paper's
+  // suffix array — spans meet in ONE hash-partitioned groupBy on the
+  // span key (no pairwise join, no global sort); partial aggregation
+  // collapses each document's repeats map-side. md5 here (not the
+  // native 8-byte shingle kernel) so DuckDB computes the identical key;
+  // at scale the 8-byte `word_shingle_hashes` kernel halves shuffle
+  // bytes — same plan shape, cheaper key.
+  private def substringDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 8
+    Tables.load(s, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .filter(size($"ws") >= k)
+      .selectExpr("doc_id",
+        s"explode(transform(sequence(1, size(ws) - ${k - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(ws, i, $k))))) AS span_h")
+      .groupBy("span_h")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .filter($"n_docs" > 1)
+      .orderBy($"n_docs".desc, $"span_h")
+      .limit(100)
+  }
+
+  private val substringDedupOracle = """
+    |WITH w AS (
+    |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    |spans AS (
+    |  SELECT doc_id,
+    |    md5(array_to_string(ws[CAST(t.i AS BIGINT):CAST(t.i AS BIGINT) + 7], ' '))
+    |      AS span_h
+    |  FROM w, unnest(range(1, greatest(len(ws) - 6, 1))) AS t(i))
+    |SELECT span_h, COUNT(DISTINCT doc_id) AS n_docs,
+    |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    |FROM spans
+    |GROUP BY span_h
+    |HAVING COUNT(DISTINCT doc_id) > 1
+    |ORDER BY n_docs DESC, span_h
+    |LIMIT 100
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     Q("dedup_exact", exact, Some(exactSql)),
     Q("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
@@ -430,5 +480,6 @@ object DedupQueries extends QueryPack {
     Q("dedup_minhash_lsh", minhashLsh, None),
     Q("dedup_simhash", simhash, None),
     Q("dedup_embedding", embeddingDedup, Some(embeddingDedupOracle)),
+    Q("dedup_substring", substringDedup, Some(substringDedupOracle)),
   )
 }

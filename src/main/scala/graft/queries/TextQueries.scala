@@ -472,6 +472,146 @@ object TextQueries extends QueryPack {
     |LIMIT 20
     |""".stripMargin.trim
 
+  // --------------------------------------------- Gopher rule battery
+  // Document-quality rule filter in the style of the Gopher paper (Rae
+  // et al. 2021, public): per-language counts of documents passing each
+  // rule and all rules, plus the token mass retained by the full
+  // battery. Rules kept to the replace-trick / length-arithmetic subset
+  // so the IDENTICAL SQL runs in Catalyst and DuckDB (regexp flags
+  // differ between engines, so digits count via a REPLACE chain):
+  //   word count in [20, 100k]; mean word length in [3, 10]; >= 2
+  //   English stopword hits (the battery is English-centric by design —
+  //   the per-lang breakdown makes that bias visible); digit ratio
+  //   < 0.2; symbol ('#'/'...') to word ratio < 0.1.
+  // 100 TB design: one narrow map over documents followed by a 5-group
+  // partial-aggregated rollup — no join, no explode; ratios divide as
+  // DOUBLE via explicit CAST (a bare `* 1.0` is DECIMAL in Spark and
+  // would diverge from DuckDB).
+  private val digitChain =
+    (0 to 9).foldLeft("text")((e, d) => s"REPLACE($e, '$d', '')")
+
+  private val qualityGopherSql = s"""
+    |WITH m AS (
+    |  SELECT lang,
+    |    LENGTH(text) AS n_chars_t,
+    |    $tokens AS n_words,
+    |    LENGTH(REPLACE(text, ' ', '')) AS n_nonspace,
+    |    LENGTH(text) - LENGTH($digitChain) AS n_digits,
+    |    ${score(Seq(" the ", " and ", " of "))} AS n_stops,
+    |    (LENGTH(text) - LENGTH(REPLACE(text, '#', '')))
+    |      + ${occurrences("...")} AS n_syms
+    |  FROM documents),
+    |r AS (
+    |  SELECT lang, n_words,
+    |    CASE WHEN n_words BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS r_words,
+    |    CASE WHEN CAST(n_nonspace AS DOUBLE) / n_words BETWEEN 3 AND 10
+    |         THEN 1 ELSE 0 END AS r_mwl,
+    |    CASE WHEN n_stops >= 2 THEN 1 ELSE 0 END AS r_stop,
+    |    CASE WHEN CAST(n_digits AS DOUBLE) / n_chars_t < 0.2
+    |         THEN 1 ELSE 0 END AS r_digit,
+    |    CASE WHEN CAST(n_syms AS DOUBLE) / n_words < 0.1
+    |         THEN 1 ELSE 0 END AS r_sym
+    |  FROM m)
+    |SELECT lang, COUNT(*) AS n_docs,
+    |  CAST(SUM(r_words) AS BIGINT) AS pass_word_count,
+    |  CAST(SUM(r_mwl) AS BIGINT) AS pass_mean_word_len,
+    |  CAST(SUM(r_stop) AS BIGINT) AS pass_stopwords,
+    |  CAST(SUM(r_digit) AS BIGINT) AS pass_digit_ratio,
+    |  CAST(SUM(r_sym) AS BIGINT) AS pass_symbol_ratio,
+    |  CAST(SUM(r_words * r_mwl * r_stop * r_digit * r_sym) AS BIGINT)
+    |    AS pass_all,
+    |  CAST(COALESCE(SUM(CASE WHEN r_words * r_mwl * r_stop * r_digit * r_sym = 1
+    |    THEN n_words END), 0) AS BIGINT) AS retained_tokens
+    |FROM r
+    |GROUP BY lang
+    |ORDER BY lang
+    |""".stripMargin.trim
+
+  // ------------------------------------------------- mixture sampling
+  // Data-mixture resampling: given target per-mille weights per language
+  // and the available counts, find the largest total T with
+  // p_lang * T <= n_lang for every language (so no group is oversampled),
+  // then down-sample each group deterministically to rate
+  // p_lang * T / n_lang via an md5 content bucket — re-runs and backfills
+  // pick the identical subset, and exact duplicate texts land in the same
+  // bucket on every executor.
+  //
+  // 100 TB design: the rate table is five rows (counts aggregate
+  // partially, the min folds on the driver-side plan as a 1-row
+  // broadcast); sampling itself is a narrow map + broadcast join —
+  // no global shuffle of the corpus.
+  private def pipelineMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val targets = Map("de" -> 150L, "en" -> 500L, "es" -> 150L,
+      "fr" -> 100L, "zh" -> 100L)
+    // The per-language count is driver-sized by definition (bounded by
+    // the language inventory), so the rate table is computed ON the
+    // driver from one aggregate scan — the corpus itself never shuffles.
+    // JVM double division is the same IEEE op DuckDB runs, so thresholds
+    // match the oracle bit-for-bit.
+    val avail: Seq[(String, Long)] = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_avail"))
+      .collect().toSeq
+      .map(r => r.getString(0) -> r.getLong(1))
+      .filter { case (l, _) => targets.contains(l) }
+    val tMax = avail
+      .map { case (l, n) => math.floor(n * 1000.0 / targets(l)).toLong }.min
+    val rates = avail.map { case (l, n) =>
+      (l, n, targets(l),
+        math.floor((targets(l) * tMax) * 10.0 / n).toLong)
+    }.toDF("lang", "n_avail", "wt", "threshold")
+    val picked = docs
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(text), 1, 6), 16, 10) AS BIGINT) % 10000"))
+      .join(broadcast(rates.select("lang", "threshold")), "lang")
+      .filter($"bucket" < $"threshold")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum("n_chars").cast("long").as("sampled_chars"),
+        min("doc_id").as("first_doc"))
+    rates.join(broadcast(picked), Seq("lang"), "left")
+      .select($"lang", $"n_avail", $"wt".as("target_permille"), $"threshold",
+        coalesce($"n_sampled", lit(0L)).as("n_sampled"),
+        coalesce($"sampled_chars", lit(0L)).as("sampled_chars"),
+        $"first_doc")
+      .orderBy("lang")
+  }
+
+  private val pipelineMixOracle = """
+    |WITH targets AS (
+    |  SELECT * FROM (VALUES ('de', 150), ('en', 500), ('es', 150),
+    |    ('fr', 100), ('zh', 100)) AS w(lang, wt)),
+    |avail AS (
+    |  SELECT d.lang, COUNT(*) AS n_avail, MIN(t.wt) AS wt
+    |  FROM documents d JOIN targets t ON d.lang = t.lang
+    |  GROUP BY d.lang),
+    |cap AS (
+    |  SELECT MIN(CAST(FLOOR(CAST(n_avail AS DOUBLE) * 1000.0 / wt) AS BIGINT))
+    |    AS t_max FROM avail),
+    |rates AS (
+    |  SELECT a.lang, a.n_avail, a.wt,
+    |    CAST(FLOOR(CAST(a.wt * c.t_max AS DOUBLE) * 10.0 / a.n_avail) AS BIGINT)
+    |      AS threshold
+    |  FROM avail a CROSS JOIN cap c),
+    |picked AS (
+    |  SELECT d.lang, COUNT(*) AS n_sampled,
+    |    CAST(SUM(d.n_chars) AS BIGINT) AS sampled_chars,
+    |    MIN(d.doc_id) AS first_doc
+    |  FROM documents d JOIN rates r ON d.lang = r.lang
+    |  WHERE CAST(('0x' || substring(md5(d.text), 1, 6)) AS BIGINT) % 10000
+    |        < r.threshold
+    |  GROUP BY d.lang)
+    |SELECT r.lang, r.n_avail, CAST(r.wt AS BIGINT) AS target_permille,
+    |  r.threshold,
+    |  COALESCE(p.n_sampled, 0) AS n_sampled,
+    |  COALESCE(p.sampled_chars, 0) AS sampled_chars,
+    |  p.first_doc
+    |FROM rates r LEFT JOIN picked p ON r.lang = p.lang
+    |ORDER BY r.lang
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     shared("text_stats", statsSql),
     shared("text_langid", langidSql),
@@ -484,5 +624,7 @@ object TextQueries extends QueryPack {
     Q("text_decontaminate", decontaminate, Some(decontaminateOracle)),
     Q("text_repetition", textRepetition, Some(textRepetitionOracle)),
     Q("pipeline_clean", pipelineClean, Some(pipelineCleanOracle)),
+    shared("text_quality_gopher", qualityGopherSql),
+    Q("pipeline_mix", pipelineMix, Some(pipelineMixOracle)),
   )
 }

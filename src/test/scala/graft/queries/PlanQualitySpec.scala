@@ -184,4 +184,41 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(aggs.size >= 2, s"$name rollup must partial-aggregate map-side:\n$p")
     }
   }
+
+  test("dedup_substring: spans meet in ONE groupBy — no join, partial agg") {
+    val p = planOf("dedup_substring")
+    assert(collectAll(p) { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty,
+      s"substring dedup must not join (the groupBy IS the meeting point):\n$p")
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+    val aggs = collectAll(p) {
+      case a: HashAggregateExec => a
+      case a: ObjectHashAggregateExec => a
+    }
+    assert(aggs.size >= 2,
+      s"span counting must partial-aggregate map-side (each doc's repeats collapse pre-shuffle):\n$p")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("pipeline_mix: corpus joins the 5-row rate table by broadcast only") {
+    val p = planOf("pipeline_mix")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
+      s"mixture sampling must not plan a cartesian over the corpus:\n$p")
+    // every join in the plan carries a broadcast side (rate/target tables
+    // are bounded by the language count): no shuffled corpus join allowed
+    val shuffled = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.ShuffledJoin => j
+    }
+    assert(shuffled.isEmpty,
+      s"the corpus must never shuffle to meet the tiny rate table:\n$p")
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"rate-table joins must broadcast:\n$p")
+  }
+
+  test("q_events_funnel: every stage joins/aggregates on the user_id key, no cartesian") {
+    val p = planOf("q_events_funnel")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"funnel stage joins must stay equi-joins on user_id:\n$p")
+  }
 }
