@@ -217,6 +217,54 @@ object AdvancedQueries extends QueryPack {
     |ORDER BY l_returnflag
     |""".stripMargin.trim
 
+  // Window frame battery: explicit ROWS frames (moving + running sums)
+  // and a value-RANGE frame over a numeric order key, plus FIRST_VALUE
+  // over a partitioned order. Window sums go through exact DECIMAL so
+  // frame evaluation order can never change a bit of the output.
+  private val windowFramesSql = """
+    |SELECT s_suppkey,
+    |  CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,6))) OVER
+    |    (ORDER BY s_suppkey ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 2)
+    |    AS DOUBLE) AS mov_sum,
+    |  CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,6))) OVER
+    |    (ORDER BY s_suppkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+    |    AS DOUBLE) AS run_sum,
+    |  CAST(COUNT(*) OVER
+    |    (ORDER BY s_nationkey RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+    |    AS BIGINT) AS near_nation_n,
+    |  CAST(FIRST_VALUE(s_suppkey) OVER
+    |    (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    |    AS BIGINT) AS nation_top
+    |FROM supplier
+    |ORDER BY s_suppkey
+    |""".stripMargin.trim
+
+  // Ordered string aggregation (LISTAGG semantics). The Spark side sorts
+  // the collected list explicitly (sort_array), so the result is
+  // deterministic regardless of collect_list's arrival order; the oracle
+  // is DuckDB's string_agg with an in-aggregate ORDER BY.
+  private def listAgg(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      |SELECT s_nationkey,
+      |  array_join(sort_array(collect_list(s_name)), ',') AS names,
+      |  COUNT(*) AS n_suppliers
+      |FROM supplier
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey
+      |""".stripMargin.trim)
+  }
+
+  private val listAggOracle = """
+    |SELECT s_nationkey,
+    |  string_agg(s_name, ',' ORDER BY s_name) AS names,
+    |  COUNT(*) AS n_suppliers
+    |FROM supplier
+    |GROUP BY s_nationkey
+    |ORDER BY s_nationkey
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     shared("adv_grouping_sets", groupingSetsSql),
     shared("adv_lateral", lateralSql),
@@ -233,5 +281,7 @@ object AdvancedQueries extends QueryPack {
     shared("adv_window_battery", windowsSql),
     shared("adv_having", havingSql),
     shared("adv_scalar_funcs", scalarsSql),
+    shared("adv_window_frames", windowFramesSql),
+    Q("adv_listagg", listAgg, Some(listAggOracle)),
   )
 }
