@@ -607,11 +607,52 @@ final class DwrfWriteBuilder(schema: StructType, path: String,
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new DwrfBatchWrite(schema, path, options, doTruncate, partCols)
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new DwrfStreamingWrite(schema, path, options, partCols)
+  /** `sort.columns` (comma-separated, case-insensitive) asks Spark to
+    * sort each write task's rows before they reach the writer, via the
+    * DSv2 `RequiresDistributionAndOrdering` contract — no manual
+    * `df.sortWithinPartitions` needed. Sorted input is what makes the
+    * per-stride/stripe min-max stats selective: a range predicate on the
+    * sort key then skips whole strides instead of finding every stride's
+    * [min,max] spanning the full domain. At 100 TB this is the difference
+    * between stats pruning being decorative and being the I/O plan.
+    * When the write is Hive-partitioned, the input is additionally
+    * clustered by the partition columns (each task sees few partition
+    * values, bounding open writers) and the partition columns lead the
+    * sort so partition runs stay contiguous.
+    */
+  override def build(): Write = {
+    val requested: Seq[String] = options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("sort.columns") => v
+    }.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val sortCols = requested.map { c =>
+      schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"dwrf: sort.columns references unknown column '$c' " +
+            s"(schema: ${schema.fieldNames.mkString(", ")})"))
+    }.filterNot(partCols.contains)
+    if (requested.isEmpty) new Write {
+      override def toBatch: BatchWrite =
+        new DwrfBatchWrite(schema, path, options, doTruncate, partCols)
+      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new DwrfStreamingWrite(schema, path, options, partCols)
+    } else new Write with RequiresDistributionAndOrdering {
+      import org.apache.spark.sql.connector.{distributions => dist}
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => VSortOrder}
+      override def requiredDistribution(): dist.Distribution =
+        if (partCols.nonEmpty)
+          dist.Distributions.clustered(
+            partCols.map(c => Expressions.identity(c)
+              : org.apache.spark.sql.connector.expressions.Expression).toArray)
+        else dist.Distributions.unspecified()
+      override def distributionStrictlyRequired(): Boolean = false
+      override def requiredOrdering(): Array[VSortOrder] =
+        (partCols ++ sortCols).map(c =>
+          Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
+      override def toBatch: BatchWrite =
+        new DwrfBatchWrite(schema, path, options, doTruncate, partCols)
+      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new DwrfStreamingWrite(schema, path, options, partCols)
+    }
   }
 }
 
