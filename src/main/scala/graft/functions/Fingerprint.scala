@@ -100,6 +100,16 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "z_order",
+      {
+        case Seq(a, b) => ZOrder2(
+          org.apache.spark.sql.catalyst.expressions.Cast(a, LongType),
+          org.apache.spark.sql.catalyst.expressions.Cast(b, LongType))
+        case other => throw new IllegalArgumentException(
+          s"z_order(x, y): got ${other.size} args")
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_distinct",
       {
         case Seq(child) => KmvDistinct(child, 1024).toAggregateExpression()

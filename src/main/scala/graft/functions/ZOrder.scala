@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Morton (Z-order) interleave of two integral sort keys: the classic
+  * multi-dimension clustering code (Delta/Iceberg's Z-ORDER, public
+  * technique). Sorting a table by `z_order(x, y)` and writing it with
+  * `sort.columns` gives BOTH `x` and `y` range predicates stride-skip
+  * leverage from the same single sort — a plain sort on `x` leaves `y`
+  * stats spanning the full domain in every stride.
+  *
+  * Each input is clamped to 32 bits through an order-preserving
+  * offset-binary code (signed order of the input == unsigned order of
+  * the code), the two codes are bit-interleaved (x takes the even
+  * positions counted from the top), and the final sign bit is flipped so
+  * SIGNED long comparison of the result equals unsigned comparison of
+  * the interleave — i.e. `ORDER BY z_order(x, y)` just works.
+  * Kept in a plain object so generated code can call it statically.
+  */
+object ZOrderKernel {
+
+  /** Order-preserving 32-bit code: clamp, then offset-binary flip. */
+  def orderCode(v: Long): Int = {
+    val c = if (v > Int.MaxValue) Int.MaxValue
+            else if (v < Int.MinValue) Int.MinValue
+            else v.toInt
+    c ^ 0x80000000
+  }
+
+  /** Spread the 32 bits of `i` onto the even bit positions of a long. */
+  def spread(i: Int): Long = {
+    var x = i.toLong & 0xffffffffL
+    x = (x | (x << 16)) & 0x0000ffff0000ffffL
+    x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  def interleave2(a: Long, b: Long): Long = {
+    val z = (spread(orderCode(a)) << 1) | spread(orderCode(b))
+    z ^ java.lang.Long.MIN_VALUE // signed order == unsigned interleave order
+  }
+}
+
+/** Catalyst expression for [[ZOrderKernel]] — native and codegen'd, so a
+  * `SELECT *, z_order(x, y) AS z` projection stays inside whole-stage
+  * codegen on the write path.
+  */
+case class ZOrder2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ZOrderKernel.interleave2(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ZOrderKernel.interleave2($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrder2 =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "z_order"
+}
