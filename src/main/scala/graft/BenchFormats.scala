@@ -63,31 +63,15 @@ object BenchFormats {
     }._1
   }
 
-  /** Rows the stride index surfaces (and strides it skips) for the
-    * partkey range predicate, straight through the file reader — the
-    * deterministic I/O instrument behind the timed partkey scans.
+  /** Rows the stride/stripe indexes surface for the partkey range
+    * predicate — the deterministic I/O instrument behind the timed
+    * partkey scans (see DwrfUtil.surfacedRows for why both skip counters
+    * are reported: a stripe pruned whole never reaches the stride one).
     */
-  private def partkeyRowsSurfaced(dir: String): (Long, Long) = {
-    import graft.sources.dwrf.{DwrfFileReader, DwrfUtil}
-    import org.apache.hadoop.conf.Configuration
-    import org.apache.hadoop.fs.Path
-    val conf = new Configuration()
-    var rows = 0L
-    var skipped = 0L
-    DwrfUtil.listDataFiles(new Path(dir), conf).foreach { f =>
-      val r = new DwrfFileReader(f, conf)
-      try {
-        val readSchema = org.apache.spark.sql.types.StructType(
-          r.schema.fields.filter(_.name == "l_partkey"))
-        val it = r.rows(r.footer.stripes, readSchema, Seq(
-          org.apache.spark.sql.sources.GreaterThanOrEqual("l_partkey", 1000L),
-          org.apache.spark.sql.sources.LessThan("l_partkey", 1200L)))
-        while (it.hasNext) { it.next(); rows += 1 }
-        skipped += r.counters.stridesSkipped
-      } finally r.close()
-    }
-    (rows, skipped)
-  }
+  private def partkeyRowsSurfaced(dir: String): (Long, Long, Long) =
+    graft.sources.dwrf.DwrfUtil.surfacedRows(dir, "l_partkey", Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("l_partkey", 1000L),
+      org.apache.spark.sql.sources.LessThan("l_partkey", 1200L)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -153,12 +137,14 @@ object BenchFormats {
     scanPartkey(spark, s"$base/dw-zlib"); scanPartkey(spark, s"$base/dw-sorted")
     r("scan_partkey_natural_s") = scanPartkey(spark, s"$base/dw-zlib")
     r("scan_partkey_sorted_s") = scanPartkey(spark, s"$base/dw-sorted")
-    val (nNat, sNat) = partkeyRowsSurfaced(s"$base/dw-zlib")
-    val (nSrt, sSrt) = partkeyRowsSurfaced(s"$base/dw-sorted")
+    val (nNat, sNat, pNat) = partkeyRowsSurfaced(s"$base/dw-zlib")
+    val (nSrt, sSrt, pSrt) = partkeyRowsSurfaced(s"$base/dw-sorted")
     r("partkey_rows_surfaced_natural") = nNat
     r("partkey_rows_surfaced_sorted") = nSrt
     r("partkey_strides_skipped_natural") = sNat
     r("partkey_strides_skipped_sorted") = sSrt
+    r("partkey_stripes_skipped_natural") = pNat
+    r("partkey_stripes_skipped_sorted") = pSrt
 
     val json = r.map {
       case (k, v: Double) => s""""$k":${math.round(v * 1000) / 1000.0}"""

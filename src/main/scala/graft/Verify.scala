@@ -17,8 +17,16 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Optional local-iteration filter (the driver never sets this):
     // SPARK_GRAFT_ONLY=a,b,c restricts the dump to the named queries.
+    // Point filtered runs at a FRESH outDir — oracle_sql.json is written
+    // for the subset only, so mixing with a previous full dump would let
+    // the stale queries go unchecked by check_oracle.py.
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     val selected = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))
     }

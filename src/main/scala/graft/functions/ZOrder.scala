@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -54,6 +55,17 @@ case class ZOrder2(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
+
+  // BIGINT children only (the SQL registration wraps args in Cast):
+  // without the check a bare Int child would CCE in interpreted
+  // nullSafeEval yet silently widen in generated Java — the same plan
+  // succeeding or failing depending on whether codegen kicks in
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"z_order requires BIGINT inputs, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
 
   override def nullSafeEval(a: Any, b: Any): Any =
     ZOrderKernel.interleave2(a.asInstanceOf[Long], b.asInstanceOf[Long])

@@ -556,6 +556,13 @@ object TextQueries extends QueryPack {
       .collect().toSeq
       .map(r => r.getString(0) -> r.getLong(1))
       .filter { case (l, _) => targets.contains(l) }
+    // no target language present => the oracle's joins are all empty;
+    // return the same empty shape instead of letting .min throw
+    if (avail.isEmpty) {
+      return Seq.empty[(String, Long, Long, Long, Long, Long, Option[Long])]
+        .toDF("lang", "n_avail", "target_permille", "threshold",
+          "n_sampled", "sampled_chars", "first_doc")
+    }
     val tMax = avail
       .map { case (l, n) => math.floor(n * 1000.0 / targets(l)).toLong }.min
     val rates = avail.map { case (l, n) =>

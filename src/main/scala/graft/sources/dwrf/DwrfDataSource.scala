@@ -177,6 +177,30 @@ object DwrfUtil {
   def qualify(p: Path, conf: Configuration): Path =
     p.getFileSystem(conf).makeQualified(p)
 
+  /** Rows the stride/stripe indexes surface for `filters` over every file
+    * under `dir`, reading only `column`, plus the skip counters summed
+    * across files: (rowsSurfaced, stridesSkipped, stripesSkipped). The
+    * deterministic I/O instrument used by BenchFormats and the layout
+    * specs — a stripe pruned whole never reaches the stride counter, so
+    * honest reporting needs BOTH counters.
+    */
+  def surfacedRows(dir: String, column: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      conf: Configuration = new Configuration()): (Long, Long, Long) = {
+    var rows = 0L; var strides = 0L; var stripes = 0L
+    listDataFiles(new Path(dir), conf).foreach { f =>
+      val r = new DwrfFileReader(f, conf)
+      try {
+        val readSchema = StructType(r.schema.fields.filter(_.name == column))
+        val it = r.rows(r.footer.stripes, readSchema, filters)
+        while (it.hasNext) { it.next(); rows += 1 }
+        strides += r.counters.stridesSkipped
+        stripes += r.counters.stripesSkipped
+      } finally r.close()
+    }
+    (rows, strides, stripes)
+  }
+
   /** Publish a committed temp file at its final name WITHOUT ever making
     * a previously visible file disappear. If `dst` already exists, a
     * prior attempt's commit completed — epochs are deterministic, so the

@@ -2,13 +2,11 @@ package graft.functions
 
 import java.nio.file.Files
 
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.dwrf.{DwrfFileReader, DwrfUtil, TestSpark}
+import graft.sources.dwrf.{DwrfUtil, TestSpark}
 
 /** z_order(x, y): Morton clustering code. Kernel laws first, then the
   * property the feature exists for — a z-sorted dwrf file stride-skips
@@ -42,26 +40,14 @@ class ZOrderSpec extends AnyFunSuite {
   test("expression evaluates in SQL and matches the kernel") {
     GraftFunctions.register(spark)
     val rows = spark.sql(
-      "SELECT z_order(3, 5) AS z1, z_order(-1, 7) AS z2").head
+      "SELECT z_order(3, 5) AS z1, z_order(-1, 7) AS z2").head()
     assert(rows.getLong(0) == ZOrderKernel.interleave2(3L, 5L))
     assert(rows.getLong(1) == ZOrderKernel.interleave2(-1L, 7L))
   }
 
   // ------------------------------------------- both-dimension skipping
-  private def surfaced(dir: String, filters: Seq[Filter], col: String): Long = {
-    val conf = new Configuration()
-    DwrfUtil.listDataFiles(new Path(dir), conf).map { f =>
-      val r = new DwrfFileReader(f, conf)
-      try {
-        val readSchema = org.apache.spark.sql.types.StructType(
-          r.schema.fields.filter(_.name == col))
-        var n = 0L
-        val it = r.rows(r.footer.stripes, readSchema, filters)
-        while (it.hasNext) { it.next(); n += 1 }
-        n
-      } finally r.close()
-    }.sum
-  }
+  private def surfaced(dir: String, filters: Seq[Filter], col: String): Long =
+    DwrfUtil.surfacedRows(dir, col, filters)._1
 
   test("z-sorted layout stride-skips ranges on BOTH dimensions; x-sort only on x") {
     GraftFunctions.register(spark)
@@ -69,7 +55,7 @@ class ZOrderSpec extends AnyFunSuite {
     // scrambled 256x256 grid: x and y fully uncorrelated with row order
     val grid = spark.range(0, n, 1, 1).select(
       pmod(col("id") * 2654435761L, lit(n.toLong)).as("k"))
-      .select((col("k") % 256).as("x"), (col("k") / 256).as("y"))
+      .select((col("k") % 256).as("x"), (col("k") / 256).cast("long").as("y"))
 
     def tmp(tag: String) = Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), s"dwrf-z-$tag-").toString

@@ -33,6 +33,8 @@ class DwrfSortedWriteSpec extends AnyFunSuite {
   private def tmp(): String = Files.createTempDirectory(
     java.nio.file.Paths.get("/root/repo/target"), "dwrf-sorted-").toString
 
+  // order-sensitive (asserts file order == key order), so this one keeps
+  // its own reader loop rather than DwrfUtil.surfacedRows' count
   private def keysInFileOrder(dir: String, filters: Seq[Filter] = Nil): Seq[Long] = {
     val conf = new Configuration()
     DwrfUtil.listDataFiles(new Path(dir), conf).flatMap { f =>
@@ -113,6 +115,6 @@ class DwrfSortedWriteSpec extends AnyFunSuite {
     // round trip intact (partition col reattached, all rows present)
     val back = spark.read.format("dwrf").load(dir)
     assert(back.count() == 7000)
-    assert(back.agg(sum("key")).head.getLong(0) == (0L until 7000L).sum)
+    assert(back.agg(sum("key")).head().getLong(0) == (0L until 7000L).sum)
   }
 }
