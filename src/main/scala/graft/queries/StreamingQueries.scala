@@ -629,6 +629,121 @@ object StreamingQueries extends QueryPack {
     |FROM events WHERE event_type = 'purchase' ORDER BY event_id
     |""".stripMargin.trim
 
+  // --------------------------------------------------- streaming funnel
+  /** Per-user funnel accumulator: every funnel-relevant (ts, kind) seen
+    * so far. The exact view→click→purchase minima are not incrementally
+    * collapsible — a late-but-in-horizon view can lower t_view and make a
+    * previously-ineligible click the stage-2 answer — so the state keeps
+    * the full candidate list until the watermark passes the user's last
+    * event, then computes the chain once and purges. Bounded by per-user
+    * funnel-relevant activity inside the watermark horizon (the same
+    * shape as the sessionizer's open-session state); a production
+    * deployment bounds it absolutely with a "funnel completes within N
+    * days" horizon on the same timeout.
+    */
+  final case class FunnelBuf(evs: List[(Long, Int)])
+
+  /** TRUE streaming funnel: `flatMapGroupsWithState` + event-time
+    * timeout. Stage chain is computed once per user when the watermark
+    * passes their last event; output is the per-user stage-times table,
+    * hash-exact against the batch three-CTE oracle (stream-batch
+    * parity, 150 users at sf0.01). The staged sentinel drives the
+    * watermark past every user's horizon so the available-now drain
+    * finalizes everyone.
+    */
+  private def streamFunnel(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val (srcDir, rawSchema) = stageStreamSource(s, dir)
+    val (ckDir, outDir) = freshSinkDirs("stream-funnel", dir)
+    val kinds = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    val stream = s.readStream.schema(rawSchema)
+      .parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .select($"user_id", $"ts", $"event_type")
+      .withWatermark("ts", "1 hour")
+      // the sentinel type MUST survive this filter: Catalyst pushes the
+      // predicate below the watermark operator, so a filter that dropped
+      // the sentinel would also stop its far-future event time from ever
+      // advancing the watermark — users active in the last real hour
+      // would then never finalize. The sentinel group (user_id -1, no
+      // view) emits nothing from the state function instead.
+      .filter($"event_type".isin("view", "click", "purchase", "__wm_sentinel__"))
+      .as[(Long, java.sql.Timestamp, String)]
+    val perUser = stream.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelBuf,
+        (Long, Long, Option[Long], Option[Long])](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rawIt, state) =>
+          def micros(t: java.sql.Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          if (state.hasTimedOut) {
+            val evs = state.get.evs
+            state.remove()
+            val views = evs.collect { case (ts, 0) => ts }
+            if (views.isEmpty) Iterator.empty
+            else {
+              val tView = views.min
+              val tClick = evs.collect {
+                case (ts, 1) if ts > tView => ts
+              }.minOption
+              val tBuy = tClick.flatMap(c => evs.collect {
+                case (ts, 2) if ts > c => ts
+              }.minOption)
+              Iterator((uid, tView, tClick, tBuy))
+            }
+          } else {
+            val add = rawIt.map(e =>
+              (micros(e._2), kinds.getOrElse(e._3, -1))).toList
+            val evs = state.getOption.map(_.evs).getOrElse(Nil) ::: add
+            state.update(FunnelBuf(evs))
+            // finalize once nothing later than this user's last event can
+            // arrive; clamp above the current watermark (GroupState
+            // rejects timeouts at/below it)
+            state.setTimeoutTimestamp(math.max(
+              evs.iterator.map(_._1).max / 1000 + 1,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+    val q = perUser
+      .toDF("user_id", "view_us", "click_us", "buy_us")
+      .select($"user_id",
+        expr("timestamp_micros(view_us)").as("t_view"),
+        expr("timestamp_micros(click_us)").as("t_click"),
+        expr("timestamp_micros(buy_us)").as("t_buy"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir).orderBy($"user_id")
+  }
+
+  private val streamFunnelOracle = """
+    |WITH v AS (
+    |  SELECT user_id, MIN(ts) AS t_view
+    |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+    |c AS (
+    |  SELECT e.user_id, MIN(e.ts) AS t_click
+    |  FROM events e JOIN v ON e.user_id = v.user_id
+    |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+    |  GROUP BY e.user_id),
+    |p AS (
+    |  SELECT e.user_id, MIN(e.ts) AS t_buy
+    |  FROM events e JOIN c ON e.user_id = c.user_id
+    |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    |  GROUP BY e.user_id)
+    |SELECT v.user_id, v.t_view, c.t_click, p.t_buy
+    |FROM v
+    |LEFT JOIN c ON v.user_id = c.user_id
+    |LEFT JOIN p ON v.user_id = p.user_id
+    |ORDER BY v.user_id
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     Q("stream_events_window", eventsWindow, Some(eventsWindowOracle)),
     Q("sessionize_events", sessionize, Some(sessionizeOracle)),
@@ -637,5 +752,6 @@ object StreamingQueries extends QueryPack {
     Q("stream_dedup_within_wm", streamDedupWithinWm, Some(streamDedupWmOracle)),
     Q("stream_dwrf_sink", streamDwrfSink, Some(streamDwrfSinkOracle)),
     Q("stream_dwrf_source", streamDwrfSource, Some(eventsWindowOracle)),
+    Q("stream_funnel", streamFunnel, Some(streamFunnelOracle)),
   )
 }
