@@ -653,11 +653,29 @@ object StreamingQueries extends QueryPack {
     */
   private def streamFunnel(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
     import s.implicits._
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val (srcDir, rawSchema) = stageStreamSource(s, dir)
     val (ckDir, outDir) = freshSinkDirs("stream-funnel", dir)
+    funnelStream(s, srcDir, rawSchema, ckDir, outDir)
+    s.read.parquet(outDir).orderBy($"user_id")
+  }
+
+  /** The funnel stream itself, parameterized over the landing dir so the
+    * multi-batch spec can drive it with crafted chunk files
+    * (maxFilesPerTrigger=1 → one chunk per micro-batch) while the public
+    * query uses the standard staged source. Blocks until the
+    * available-now drain finishes; results land in `outDir`.
+    */
+  private[queries] def funnelStream(s: SparkSession, srcDir: String,
+      rawSchema: org.apache.spark.sql.types.StructType,
+      ckDir: String, outDir: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val kinds = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
-    val stream = s.readStream.schema(rawSchema)
+    val reader = s.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    val stream = reader
       .parquet(srcDir)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       .select($"user_id", $"ts", $"event_type")
@@ -720,7 +738,6 @@ object StreamingQueries extends QueryPack {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(outDir).orderBy($"user_id")
   }
 
   private val streamFunnelOracle = """
