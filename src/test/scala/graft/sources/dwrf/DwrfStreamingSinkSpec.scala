@@ -166,4 +166,38 @@ class DwrfStreamingSinkSpec extends AnyFunSuite {
       .map(_.getName).filter(_.endsWith(".dwrf"))
     assert(files.length == 2, files.toSeq) // one per epoch, not per attempt
   }
+
+  test("sort.columns holds on the STREAMING write path too") {
+    // micro-batch planning honors RequiresDistributionAndOrdering
+    // (SPARK-34183), so the epoch's rows reach the writer sorted and the
+    // landing files carry selective stride stats from day one
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "streamsort-").toString
+    val stream = MemoryStream[Long]
+    val q = stream.toDF().toDF("raw")
+      .selectExpr("pmod(raw * 2654435761, 1000) AS key") // scrambled
+      .writeStream
+      .format("dwrf")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ck")
+      .option("sort.columns", "key")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+    stream.addData(0L until 1000L: _*)
+    q.start().awaitTermination()
+
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val keys = DwrfUtil.listDataFiles(
+        new org.apache.hadoop.fs.Path(s"$dir/out"), conf).flatMap { f =>
+      val r = new DwrfFileReader(f, conf)
+      try r.rows(r.footer.stripes, r.schema, Nil).map(_.getLong(0)).toVector
+      finally r.close()
+    }
+    assert(keys.nonEmpty && keys == keys.sorted,
+      s"epoch rows must arrive at the streaming writer sorted (head: ${keys.take(10)})")
+    assert(keys.toSet == (0L until 1000L).toSet) // permutation intact
+  }
 }
