@@ -310,8 +310,6 @@ object StreamingQueries extends QueryPack {
       .flatMapGroupsWithState[OpenSession, (Long, Long, Long, Long, Long)](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (uid, rawIt, state) =>
-          def micros(t: java.sql.Timestamp): Long =
-            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
           val retentionMs = 30L * 24 * 3600 * 1000 // tombstone lifetime
           // timeouts must never be set below the current watermark
           // (GroupState rejects that): clamp — a clamped tombstone just
@@ -634,14 +632,17 @@ object StreamingQueries extends QueryPack {
     * so far. The exact view→click→purchase minima are not incrementally
     * collapsible — a late-but-in-horizon view can lower t_view and make a
     * previously-ineligible click the stage-2 answer — so the state keeps
-    * the full candidate list until the watermark passes the user's last
-    * event, then computes the chain once and purges. Bounded by per-user
-    * funnel-relevant activity inside the watermark horizon (the same
-    * shape as the sessionizer's open-session state); a production
-    * deployment bounds it absolutely with a "funnel completes within N
-    * days" horizon on the same timeout.
+    * the full candidate list until the user's completion horizon elapses
+    * (watermark passes last activity + horizon), then computes the chain
+    * once and purges. Bounded by per-user funnel-relevant activity
+    * inside the horizon (the same shape as the sessionizer's
+    * open-session state).
     */
   final case class FunnelBuf(evs: List[(Long, Int)])
+
+  /** Timestamp → exact epoch micros (floorDiv keeps pre-1970 correct). */
+  private def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   /** TRUE streaming funnel: `flatMapGroupsWithState` + event-time
     * timeout. Stage chain is computed once per user when the watermark
@@ -693,8 +694,22 @@ object StreamingQueries extends QueryPack {
         (Long, Long, Option[Long], Option[Long])](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (uid, rawIt, state) =>
-          def micros(t: java.sql.Timestamp): Long =
-            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          // funnel-completion horizon: a user's funnel closes after one
+          // day of event-time inactivity. The timeout MUST encode a
+          // horizon — a watermark past the last event only proves
+          // nothing EARLIER can still arrive; a user could always
+          // return later, so "complete" is necessarily a policy
+          // decision, and users idle past it finalize with their prefix
+          // chain (standard funnel-window semantics). Parity with the
+          // unbounded batch oracle is still exact for this query: the
+          // staged source delivers all real data in ONE batch, and the
+          // watermark only advances at batch boundaries — so no horizon
+          // can elapse between a user's events, whatever their gaps.
+          // (A multi-batch replay with gaps above the horizon finalizes
+          // early by design — StreamFunnelSpec exercises multi-batch
+          // arrival inside the horizon.) The value must stay under the
+          // sentinel's 2-day headroom or the drain would never fire.
+          val horizonMs = 24L * 3600 * 1000
           if (state.hasTimedOut) {
             val evs = state.get.evs
             state.remove()
@@ -715,11 +730,10 @@ object StreamingQueries extends QueryPack {
               (micros(e._2), kinds.getOrElse(e._3, -1))).toList
             val evs = state.getOption.map(_.evs).getOrElse(Nil) ::: add
             state.update(FunnelBuf(evs))
-            // finalize once nothing later than this user's last event can
-            // arrive; clamp above the current watermark (GroupState
-            // rejects timeouts at/below it)
+            // finalize at last activity + horizon, clamped above the
+            // current watermark (GroupState rejects timeouts at/below it)
             state.setTimeoutTimestamp(math.max(
-              evs.iterator.map(_._1).max / 1000 + 1,
+              evs.iterator.map(_._1).max / 1000 + horizonMs,
               state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }

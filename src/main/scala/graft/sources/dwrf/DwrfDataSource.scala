@@ -182,17 +182,23 @@ object DwrfUtil {
     * across files: (rowsSurfaced, stridesSkipped, stripesSkipped). The
     * deterministic I/O instrument used by BenchFormats and the layout
     * specs — a stripe pruned whole never reaches the stride counter, so
-    * honest reporting needs BOTH counters.
+    * honest reporting needs BOTH counters. The column resolves
+    * case-insensitively and a miss fails loud: an empty read schema
+    * would silently disable skipping and inflate the row count into a
+    * plausible-looking lie.
     */
   def surfacedRows(dir: String, column: String,
       filters: Seq[org.apache.spark.sql.sources.Filter],
-      conf: Configuration = new Configuration()): (Long, Long, Long) = {
+      conf: Configuration = sessionHadoopConf()): (Long, Long, Long) = {
     var rows = 0L; var strides = 0L; var stripes = 0L
     listDataFiles(new Path(dir), conf).foreach { f =>
       val r = new DwrfFileReader(f, conf)
       try {
-        val readSchema = StructType(r.schema.fields.filter(_.name == column))
-        val it = r.rows(r.footer.stripes, readSchema, filters)
+        val field = r.schema.fields.find(_.name.equalsIgnoreCase(column))
+          .getOrElse(throw new IllegalArgumentException(
+            s"surfacedRows: no column '$column' in $f " +
+              s"(schema: ${r.schema.fieldNames.mkString(", ")})"))
+        val it = r.rows(r.footer.stripes, StructType(Seq(field)), filters)
         while (it.hasNext) { it.next(); rows += 1 }
         strides += r.counters.stridesSkipped
         stripes += r.counters.stripesSkipped
@@ -654,23 +660,22 @@ final class DwrfWriteBuilder(schema: StructType, path: String,
           s"dwrf: sort.columns references unknown column '$c' " +
             s"(schema: ${schema.fieldNames.mkString(", ")})"))
     }.filterNot(partCols.contains)
-    if (requested.isEmpty) new Write {
-      override def toBatch: BatchWrite =
-        new DwrfBatchWrite(schema, path, options, doTruncate, partCols)
-      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-        new DwrfStreamingWrite(schema, path, options, partCols)
-    } else new Write with RequiresDistributionAndOrdering {
+    // one Write for both cases: an empty requiredOrdering + unspecified
+    // distribution means "no requirement" to Spark, so the plain-write
+    // path needs no second implementation that could drift
+    new Write with RequiresDistributionAndOrdering {
       import org.apache.spark.sql.connector.{distributions => dist}
       import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => VSortOrder}
       override def requiredDistribution(): dist.Distribution =
-        if (partCols.nonEmpty)
+        if (requested.nonEmpty && partCols.nonEmpty)
           dist.Distributions.clustered(
             partCols.map(c => Expressions.identity(c)
               : org.apache.spark.sql.connector.expressions.Expression).toArray)
         else dist.Distributions.unspecified()
       override def distributionStrictlyRequired(): Boolean = false
       override def requiredOrdering(): Array[VSortOrder] =
-        (partCols ++ sortCols).map(c =>
+        if (requested.isEmpty) Array.empty
+        else (partCols ++ sortCols).map(c =>
           Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
       override def toBatch: BatchWrite =
         new DwrfBatchWrite(schema, path, options, doTruncate, partCols)
