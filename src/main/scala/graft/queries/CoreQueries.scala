@@ -436,6 +436,49 @@ object CoreQueries extends QueryPack {
     |ORDER BY cohort_day, day_offset
     |""".stripMargin.trim
 
+  // ----------------------------------------------- JSON property stats
+  // Semi-structured extraction: events carry a JSON `props` payload; the
+  // query pulls a typed field out and aggregates per event_type — the
+  // everyday log-pipeline shape (extract → cast → roll up). Spark side
+  // is codegen'd get_json_object; the oracle uses DuckDB's
+  // json_extract_string over the same path. Integer SUM is exact, so
+  // the check is hash-exact. At 100 TB the extraction is a narrow map
+  // fused into the scan stage; only the 5-group rollup shuffles.
+  private def qJsonProps(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      |SELECT event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS sum_k,
+      |  CAST(MIN(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS min_k,
+      |  CAST(MAX(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS max_k,
+      |  COUNT(DISTINCT CAST(get_json_object(props, '$.k') AS BIGINT) DIV 10)
+      |    AS n_k_buckets
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type
+      |""".stripMargin.trim)
+  }
+
+  private val qJsonPropsOracle = """
+    |SELECT event_type,
+    |  COUNT(*) AS n_events,
+    |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+    |    AS sum_k,
+    |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+    |    AS min_k,
+    |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+    |    AS max_k,
+    |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10)
+    |    AS n_k_buckets
+    |FROM events
+    |GROUP BY event_type
+    |ORDER BY event_type
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     shared("q1_pricing", q1Sql),
     shared("q6_forecast_revenue", q6Sql),
@@ -453,5 +496,6 @@ object CoreQueries extends QueryPack {
     Q("q_semi_anti_join", qSemiAnti, Some(qSemiAntiOracle)),
     shared("q_events_funnel", qFunnelSql),
     Q("q_user_retention", qRetention, Some(qRetentionOracle)),
+    Q("q_json_props", qJsonProps, Some(qJsonPropsOracle)),
   )
 }
