@@ -305,10 +305,135 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
     options: Map[String, String] = Map.empty)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var readSchema: StructType = tableSchema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var pushedAgg: Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = None
+
+  // ------------------------------------------- aggregate pushdown (P6)
+  // COUNT(*) / COUNT(col) / MIN / MAX answered entirely from file
+  // footers — the scan collapses to a driver-side LocalScan and no data
+  // page is ever read. At 100 TB this turns "how many rows / what's the
+  // key range" from a cluster job into a metadata listing. Spark only
+  // attempts the pushdown when no Filter sits between the Aggregate and
+  // the relation (we re-evaluate all filters post-scan, so filtered
+  // aggregates keep the normal path), and we accept only ungrouped
+  // queries whose every column is stats-covered in EVERY file —
+  // schema-evolved or partition-column references fall back to the
+  // normal distributed plan.
+
+  /** Per-file (schema names, numRows, stats-by-path), read once on a
+    * bounded pool and only if an aggregate actually reaches us.
+    */
+  private lazy val aggTails: Seq[(Set[String], Long, Map[String, graft.format.ColumnStats])] = {
+    val conf = DwrfUtil.sessionHadoopConf()
+    val files = DwrfUtil.listDataFiles(new Path(path), conf)
+    DwrfUtil.parMap(files) { file =>
+      val r = new DwrfFileReader(file, conf)
+      try {
+        val statsByName = ColumnTree.pathIds(r.schema).flatMap {
+          case (p, (id, _)) => r.footer.fileStats.get(id).map(p -> _)
+        }
+        (r.schema.fieldNames.toSet, r.footer.numRows, statsByName)
+      } finally r.close()
+    }
+  }
+
+  /** Types whose footer stats are EXACT under the writer's contract:
+    * integral longs (+ date days, timestamp micros) and full-length
+    * strings in unsigned-UTF8 order. Float/double stay excluded (NaN
+    * ordering differs), as do booleans/decimals/binary.
+    */
+  private def statsExact(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.StringType => true
+    case _ => false
+  }
+
+  private def topColumn(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+    case nr: org.apache.spark.sql.connector.expressions.NamedReference
+        if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
+  /** Column usable for footer aggregation: exact-stats type, present in
+    * every file's schema with a stats entry (or the file is empty).
+    */
+  private def coveredEverywhere(name: String): Boolean =
+    tableSchema.fields.find(_.name == name).exists(f => statsExact(f.dataType)) &&
+      aggTails.forall { case (names, n, stats) =>
+        n == 0 || (names.contains(name) && stats.contains(name))
+      }
+
+  private def canPush(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    pushed.isEmpty && agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall {
+        case _: CountStar => true
+        case c: Count =>
+          !c.isDistinct && topColumn(c.column).exists(coveredEverywhere)
+        case m: Min => topColumn(m.column).exists(coveredEverywhere)
+        case m: Max => topColumn(m.column).exists(coveredEverywhere)
+        case _ => false
+      }
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    canPush(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (canPush(agg)) { pushedAgg = Some(agg); true } else false
+  }
+
+  /** One row, straight from the merged footers. */
+  private def aggScan(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Scan = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.types._
+    def merged(name: String): graft.format.ColumnStats =
+      aggTails.iterator.flatMap(_._3.get(name))
+        .foldLeft(graft.format.ColumnStats(0L, hasNull = false))(_ merge _)
+    def minMax(name: String, isMin: Boolean): (DataType, Any) = {
+      val dt = tableSchema(name).dataType
+      val st = merged(name)
+      val v: Any =
+        if (st.count == 0) null
+        else dt match {
+          case ByteType => (if (isMin) st.longMin else st.longMax).toByte
+          case ShortType => (if (isMin) st.longMin else st.longMax).toShort
+          case IntegerType | DateType => (if (isMin) st.longMin else st.longMax).toInt
+          case LongType | TimestampType => if (isMin) st.longMin else st.longMax
+          case StringType => org.apache.spark.unsafe.types.UTF8String
+            .fromString(if (isMin) st.stringMin else st.stringMax)
+          case other => throw new IllegalStateException(
+            s"unreachable: $other passed statsExact")
+        }
+      (dt, v)
+    }
+    val cols = agg.aggregateExpressions().map {
+      case _: CountStar => (LongType: DataType, aggTails.map(_._2).sum: Any)
+      case c: Count =>
+        val name = topColumn(c.column).get
+        (LongType: DataType, merged(name).count: Any)
+      case m: Min => minMax(topColumn(m.column).get, isMin = true)
+      case m: Max => minMax(topColumn(m.column).get, isMin = false)
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+    val schema = StructType(cols.zipWithIndex.map { case ((dt, _), i) =>
+      StructField(s"agg_$i", dt, nullable = true)
+    })
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      cols.map(_._2))
+    new DwrfAggScan(schema, row)
+  }
 
   /** Catalyst's ColumnPruning lands here (reference P1's include[]).
     *
@@ -335,8 +460,21 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
-  override def build(): Scan =
-    new DwrfScan(tableSchema, readSchema, path, pushed, options)
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => aggScan(agg)
+    case None => new DwrfScan(tableSchema, readSchema, path, pushed, options)
+  }
+}
+
+/** Metadata-only result of a completely-pushed aggregation: one row,
+  * computed on the driver from file footers. Spark plans it as a local
+  * table scan — no executors, no data pages, no shuffle.
+  */
+final class DwrfAggScan(out: StructType, row: org.apache.spark.sql.catalyst.InternalRow)
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = out
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+  override def description(): String = "DwrfAggScan(footer-stats aggregate)"
 }
 
 /** Multi-part column reference for nested struct leaves (`st.ok`) — the

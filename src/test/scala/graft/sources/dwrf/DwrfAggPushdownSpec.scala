@@ -1,0 +1,142 @@
+package graft.sources.dwrf
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LocalTableScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Footer-stats aggregate pushdown: ungrouped, unfiltered COUNT/MIN/MAX
+  * collapse to a driver-side LocalScan — no data page read, no executor
+  * task. Everything else must keep the normal distributed plan.
+  */
+class DwrfAggPushdownSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def plan(df: DataFrame) = df.queryExecution.executedPlan
+
+  private def collectAll[A](p: org.apache.spark.sql.execution.SparkPlan)(
+      f: PartialFunction[org.apache.spark.sql.execution.SparkPlan, A]): Seq[A] = {
+    val expanded = p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    (p +: expanded).flatMap(_.collect(f))
+  }
+
+  private def isLocal(df: DataFrame): Boolean = {
+    val p = plan(df)
+    collectAll(p) { case b: BatchScanExec => b }.isEmpty &&
+      collectAll(p) { case l: LocalTableScanExec => l }.nonEmpty
+  }
+
+  private def writeFixture(): String = {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "dwrf-aggpush-").toString
+    // two files (two write partitions), nulls in `maybe`, strings incl.
+    // an empty one, a timestamp column — every supported stats shape
+    spark.range(0, 10000, 1, 2).select(
+      col("id"),
+      when(col("id") % 7 =!= 0, col("id") * 3).as("maybe"),
+      concat(lit("s-"), format_string("%05d", lit(99999L) - col("id"))).as("s"),
+      expr("timestamp_micros(1700000000000000 + id * 1000000)").as("ts"))
+      .write.format("dwrf").mode("overwrite").save(dir)
+    dir
+  }
+
+  test("ungrouped COUNT/MIN/MAX collapse to a LocalScan with exact values") {
+    val dir = writeFixture()
+    val agg = spark.read.format("dwrf").load(dir).agg(
+      count(lit(1)).as("n"),
+      count(col("maybe")).as("n_maybe"),
+      min(col("id")).as("min_id"),
+      max(col("id")).as("max_id"),
+      min(col("s")).as("min_s"),
+      max(col("s")).as("max_s"),
+      min(col("ts")).as("min_ts"),
+      max(col("ts")).as("max_ts"))
+    assert(isLocal(agg), s"must plan as a local footer scan:\n${plan(agg)}")
+    val r = agg.head()
+    assert(r.getLong(0) == 10000)
+    assert(r.getLong(1) == 10000 - 10000 / 7 - 1) // multiples of 7 in [0,10000)
+    assert(r.getLong(2) == 0 && r.getLong(3) == 9999)
+    assert(r.getString(4) == "s-90000" && r.getString(5) == "s-99999")
+    assert(r.getTimestamp(6).getTime == 1700000000000L)
+    assert(r.getTimestamp(7).getTime == 1700000000000L + 9999 * 1000L)
+  }
+
+  test("all-null and empty-table edges return SQL-correct nulls/zeros") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "dwrf-aggnull-").toString
+    spark.range(0, 100, 1, 1)
+      .select(col("id"), lit(null).cast("long").as("allnull"))
+      .write.format("dwrf").mode("overwrite").save(dir)
+    val agg = spark.read.format("dwrf").load(dir).agg(
+      count(col("allnull")).as("n"), min(col("allnull")).as("mn"),
+      max(col("allnull")).as("mx"))
+    assert(isLocal(agg), s"${plan(agg)}")
+    val r = agg.head()
+    assert(r.getLong(0) == 0 && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("filters, grouping, and inexact types keep the distributed plan") {
+    val dir = writeFixture()
+    val base = spark.read.format("dwrf").load(dir)
+    // WHERE clause => Filter above the relation => no pushdown attempted
+    assert(!isLocal(base.filter(col("id") > 10).agg(count(lit(1)))))
+    // grouped
+    assert(!isLocal(base.groupBy(col("maybe") % 2).agg(count(lit(1)))))
+    // avg is not a footer aggregate
+    assert(!isLocal(base.agg(avg(col("id")))))
+    // double min/max is excluded (NaN ordering)
+    val ddir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "dwrf-aggdbl-").toString
+    spark.range(100).select(col("id"), (col("id") * 1.5).as("d"))
+      .write.format("dwrf").mode("overwrite").save(ddir)
+    assert(!isLocal(spark.read.format("dwrf").load(ddir).agg(min(col("d")))))
+    // and each fallback still computes correctly through the real scan
+    assert(base.filter(col("id") > 10).count() == 9989)
+  }
+
+  test("schema evolution (column missing in an older file) falls back") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "dwrf-aggevo-").toString
+    spark.range(0, 50, 1, 1).select(col("id"))
+      .write.format("dwrf").mode("overwrite").save(dir)
+    spark.range(50, 100, 1, 1).select(col("id"), (col("id") * 2).as("extra"))
+      .write.format("dwrf").mode("append").save(dir)
+    val back = spark.read.format("dwrf").load(dir)
+    // `extra` is absent in the first file => no footer answer for it
+    assert(!isLocal(back.agg(min(col("extra")))))
+    assert(back.agg(min(col("extra"))).head().getLong(0) == 100)
+    // COUNT(*) only needs numRows, which every footer has
+    val cnt = back.agg(count(lit(1)))
+    assert(isLocal(cnt), s"${plan(cnt)}")
+    assert(cnt.head().getLong(0) == 100)
+  }
+
+  test("partitioned table: partition-column aggregates fall back, data ones push") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "dwrf-aggpart-").toString
+    spark.range(0, 1000, 1, 2)
+      .select(col("id"), (col("id") % 5).as("p"))
+      .write.format("dwrf").partitionBy("p").mode("overwrite").save(dir)
+    val back = spark.read.format("dwrf").load(dir)
+    // partition column never lives in the data files
+    assert(!isLocal(back.agg(max(col("p")))))
+    assert(back.agg(max(col("p"))).head().getLong(0) == 4)
+    val pushed = back.agg(count(lit(1)), min(col("id")), max(col("id")))
+    assert(isLocal(pushed), s"${plan(pushed)}")
+    val r = pushed.head()
+    assert(r.getLong(0) == 1000 && r.getLong(1) == 0 && r.getLong(2) == 999)
+  }
+}
