@@ -25,7 +25,7 @@ object Bench {
     "q_distinct_counts", "q_asof_join", "q_range_join", "q_events_funnel",
     "q_user_retention",
     "dwrf_roundtrip_lineitem", "dwrf_projection_filter",
-    "dwrf_filter_columnar", "dwrf_partitioned_roundtrip",
+    "dwrf_filter_columnar", "dwrf_partitioned_roundtrip", "dwrf_footer_agg",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
     "dedup_minhash_lsh", "dedup_substring",
     "ann_topk_dot", "ann_lsh_cosine", "ann_lsh_recall", "ann_ivf_recall",

@@ -52,6 +52,46 @@ object FormatQueries extends QueryPack {
     |ORDER BY l_returnflag, l_linestatus
     |""".stripMargin.trim
 
+  // Footer-stats aggregate pushdown end to end: the ungrouped,
+  // unfiltered COUNT/MIN/MAX over the round-tripped orders table plans
+  // as a driver-side LocalScan (SupportsPushDownAggregates) — zero data
+  // pages read — and still hash-matches DuckDB computing the same
+  // aggregates the hard way from the original parquet. The assert makes
+  // the plan shape part of the correctness contract: if pushdown
+  // regresses to a distributed scan, this query FAILS rather than
+  // silently keeping the slow path.
+  private def footerAgg(s: SparkSession, dir: String): DataFrame = {
+    val back = viaDwrf(s, dir, "orders")
+    val agg = back.agg(
+      count(lit(1)).as("n_orders"),
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"),
+      count(col("o_orderstatus")).as("n_status"),
+      min(col("o_orderpriority")).as("min_prio"),
+      max(col("o_orderpriority")).as("max_prio"),
+      min(col("o_orderdate")).as("min_date"),
+      max(col("o_orderdate")).as("max_date"))
+    val p = agg.queryExecution.executedPlan
+    val local = (p +: p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+    }).flatMap(_.collect {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+    })
+    require(local.nonEmpty,
+      s"footer aggregate must plan as a LocalScan, got:\n$p")
+    agg
+  }
+
+  private val footerAggOracle = """
+    |SELECT COUNT(*) AS n_orders,
+    |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+    |  COUNT(o_orderstatus) AS n_status,
+    |  MIN(o_orderpriority) AS min_prio, MAX(o_orderpriority) AS max_prio,
+    |  MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+    |FROM orders
+    |""".stripMargin.trim
+
   // Timestamp + low-cardinality strings (dictionary path once M4 lands).
   private def rtEvents(s: SparkSession, dir: String): DataFrame = {
     viaDwrf(s, dir, "events", Map("compress" -> "SNAPPY"))
@@ -293,6 +333,7 @@ object FormatQueries extends QueryPack {
 
   override val all: Seq[Q] = Seq(
     Q("dwrf_roundtrip_lineitem", rtLineitem, Some(rtLineitemOracle)),
+    Q("dwrf_footer_agg", footerAgg, Some(footerAggOracle)),
     Q("dwrf_roundtrip_events", rtEvents, Some(rtEventsOracle)),
     Q("dwrf_projection_filter", rtProjection, Some(rtProjectionOracle)),
     Q("dwrf_filter_columnar", rtFilterColumnar, Some(rtFilterColumnarOracle)),

@@ -350,6 +350,7 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
     case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
          org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
          org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType |
          org.apache.spark.sql.types.StringType => true
     case _ => false
   }
@@ -410,7 +411,8 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
           case ByteType => (if (isMin) st.longMin else st.longMax).toByte
           case ShortType => (if (isMin) st.longMin else st.longMax).toShort
           case IntegerType | DateType => (if (isMin) st.longMin else st.longMax).toInt
-          case LongType | TimestampType => if (isMin) st.longMin else st.longMax
+          case LongType | TimestampType | TimestampNTZType =>
+            if (isMin) st.longMin else st.longMax
           case StringType => org.apache.spark.unsafe.types.UTF8String
             .fromString(if (isMin) st.stringMin else st.stringMax)
           case other => throw new IllegalStateException(
