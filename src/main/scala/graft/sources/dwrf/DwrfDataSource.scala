@@ -324,11 +324,13 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
   // schema-evolved or partition-column references fall back to the
   // normal distributed plan.
 
-  /** Per-file (schema names, numRows, stats-by-path), read once on a
-    * bounded pool and only if an aggregate actually reaches us.
+  /** Per-file (schema names, numRows, stats-by-path, partition spec),
+    * read once on a bounded pool and only if an aggregate actually
+    * reaches us.
     */
-  private lazy val aggTails: Seq[(Set[String], Long, Map[String, graft.format.ColumnStats])] = {
+  private lazy val aggTails: Seq[(Set[String], Long, Map[String, graft.format.ColumnStats], Seq[(String, String)])] = {
     val conf = DwrfUtil.sessionHadoopConf()
+    val qualifiedRoot = DwrfUtil.qualify(new Path(path), conf)
     val files = DwrfUtil.listDataFiles(new Path(path), conf)
     DwrfUtil.parMap(files) { file =>
       val r = new DwrfFileReader(file, conf)
@@ -336,7 +338,8 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
         val statsByName = ColumnTree.pathIds(r.schema).flatMap {
           case (p, (id, _)) => r.footer.fileStats.get(id).map(p -> _)
         }
-        (r.schema.fieldNames.toSet, r.footer.numRows, statsByName)
+        (r.schema.fieldNames.toSet, r.footer.numRows, statsByName,
+          PartitionLayout.specOf(qualifiedRoot, file))
       } finally r.close()
     }
   }
@@ -366,14 +369,31 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
     */
   private def coveredEverywhere(name: String): Boolean =
     tableSchema.fields.find(_.name == name).exists(f => statsExact(f.dataType)) &&
-      aggTails.forall { case (names, n, stats) =>
+      aggTails.forall { case (names, n, stats, _) =>
         n == 0 || (names.contains(name) && stats.contains(name))
+      }
+
+  /** Grouping column usable for footer aggregation: a partition column
+    * (its value is a per-file constant carried by the directory name)
+    * present and cleanly typed in every file's spec. The Hive
+    * default-partition marker (null value) bails — conservative.
+    */
+  private def groupableEverywhere(name: String): Boolean =
+    tableSchema.fields.find(_.name == name).exists(f =>
+      PartitionLayout.supportedType(f.dataType)) && aggTails.nonEmpty &&
+      aggTails.forall { case (_, _, _, spec) =>
+        spec.exists { case (k, raw) =>
+          k == name && PartitionLayout.catalystValue(
+            raw, tableSchema(name).dataType) != null
+        }
       }
 
   private def canPush(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate._
-    pushed.isEmpty && agg.groupByExpressions().isEmpty &&
+    pushed.isEmpty &&
+      agg.groupByExpressions().forall(e =>
+        topColumn(e).exists(groupableEverywhere)) &&
       agg.aggregateExpressions().nonEmpty &&
       agg.aggregateExpressions().forall {
         case _: CountStar => true
@@ -394,17 +414,21 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
     if (canPush(agg)) { pushedAgg = Some(agg); true } else false
   }
 
-  /** One row, straight from the merged footers. */
+  /** One row per group (one total when ungrouped), straight from the
+    * merged footers. Per the SupportsPushDownAggregates contract the
+    * output schema is the grouping columns followed by the aggregates.
+    */
   private def aggScan(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Scan = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.types._
-    def merged(name: String): graft.format.ColumnStats =
-      aggTails.iterator.flatMap(_._3.get(name))
+    type Tail = (Set[String], Long, Map[String, graft.format.ColumnStats], Seq[(String, String)])
+    def merged(tails: Seq[Tail], name: String): graft.format.ColumnStats =
+      tails.iterator.flatMap(_._3.get(name))
         .foldLeft(graft.format.ColumnStats(0L, hasNull = false))(_ merge _)
-    def minMax(name: String, isMin: Boolean): (DataType, Any) = {
+    def minMax(tails: Seq[Tail], name: String, isMin: Boolean): (DataType, Any) = {
       val dt = tableSchema(name).dataType
-      val st = merged(name)
+      val st = merged(tails, name)
       val v: Any =
         if (st.count == 0) null
         else dt match {
@@ -420,21 +444,37 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
         }
       (dt, v)
     }
-    val cols = agg.aggregateExpressions().map {
-      case _: CountStar => (LongType: DataType, aggTails.map(_._2).sum: Any)
+    val groupCols = agg.groupByExpressions().map(e => topColumn(e).get)
+    // group files by their (raw) partition values for the grouping cols;
+    // raw string equality is value equality within one typed column
+    val groups: Seq[(Seq[String], Seq[Tail])] =
+      if (groupCols.isEmpty) Seq((Nil, aggTails))
+      else aggTails.groupBy { case (_, _, _, spec) =>
+        groupCols.toSeq.map(c => spec.find(_._1 == c).get._2)
+      }.toSeq.sortBy(_._1.mkString(" ")).map { case (k, v) => (k, v) }
+    def aggCols(tails: Seq[Tail]) = agg.aggregateExpressions().map {
+      case _: CountStar => (LongType: DataType, tails.map(_._2).sum: Any)
       case c: Count =>
         val name = topColumn(c.column).get
-        (LongType: DataType, merged(name).count: Any)
-      case m: Min => minMax(topColumn(m.column).get, isMin = true)
-      case m: Max => minMax(topColumn(m.column).get, isMin = false)
+        (LongType: DataType, merged(tails, name).count: Any)
+      case m: Min => minMax(tails, topColumn(m.column).get, isMin = true)
+      case m: Max => minMax(tails, topColumn(m.column).get, isMin = false)
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
-    val schema = StructType(cols.zipWithIndex.map { case ((dt, _), i) =>
-      StructField(s"agg_$i", dt, nullable = true)
-    })
-    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      cols.map(_._2))
-    new DwrfAggScan(schema, row)
+    val rows = groups.map { case (rawKey, tails) =>
+      val keyVals = groupCols.toSeq.zip(rawKey).map { case (c, raw) =>
+        PartitionLayout.catalystValue(raw, tableSchema(c).dataType)
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        (keyVals ++ aggCols(tails).map(_._2)).toArray)
+    }
+    val schema = StructType(
+      groupCols.toSeq.map(c => StructField(c, tableSchema(c).dataType,
+        nullable = false)) ++
+      aggCols(aggTails).zipWithIndex.map { case ((dt, _), i) =>
+        StructField(s"agg_$i", dt, nullable = true)
+      })
+    new DwrfAggScan(schema, rows.toArray)
   }
 
   /** Catalyst's ColumnPruning lands here (reference P1's include[]).
@@ -468,14 +508,16 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
   }
 }
 
-/** Metadata-only result of a completely-pushed aggregation: one row,
-  * computed on the driver from file footers. Spark plans it as a local
-  * table scan — no executors, no data pages, no shuffle.
+/** Metadata-only result of a completely-pushed aggregation: one row per
+  * group (one total when ungrouped), computed on the driver from file
+  * footers. Spark plans it as a local table scan — no executors, no
+  * data pages, no shuffle.
   */
-final class DwrfAggScan(out: StructType, row: org.apache.spark.sql.catalyst.InternalRow)
+final class DwrfAggScan(out: StructType,
+    resultRows: Array[org.apache.spark.sql.catalyst.InternalRow])
     extends org.apache.spark.sql.connector.read.LocalScan {
   override def readSchema(): StructType = out
-  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = resultRows
   override def description(): String = "DwrfAggScan(footer-stats aggregate)"
 }
 

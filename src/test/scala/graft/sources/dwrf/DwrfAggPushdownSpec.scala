@@ -122,6 +122,27 @@ class DwrfAggPushdownSpec extends AnyFunSuite {
     assert(cnt.head().getLong(0) == 100)
   }
 
+  test("GROUP BY partition column answers per-group from footers") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "dwrf-agggrp-").toString
+    spark.range(0, 1200, 1, 3)
+      .select(col("id"), (col("id") % 4).as("p"))
+      .write.format("dwrf").partitionBy("p").mode("overwrite").save(dir)
+    val back = spark.read.format("dwrf").load(dir)
+    val grouped = back.groupBy(col("p")).agg(
+      count(lit(1)).as("n"), min(col("id")).as("mn"), max(col("id")).as("mx"))
+    assert(isLocal(grouped), s"grouped footer rollup must be local:\n${plan(grouped)}")
+    val got = grouped.orderBy("p").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = (0L until 4L).map(p =>
+      (p, 300L, p, 1196L + p)) // ids p, p+4, ... 1196+p
+    assert(got == want)
+    // grouping by a DATA column has no per-file constant => distributed
+    assert(!isLocal(back.groupBy(col("id")).agg(count(lit(1)))))
+  }
+
   test("partitioned table: partition-column aggregates fall back, data ones push") {
     val s = spark
     import s.implicits._
