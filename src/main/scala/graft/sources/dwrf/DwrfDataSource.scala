@@ -388,10 +388,45 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
         }
       }
 
+  private type Tail = (Set[String], Long, Map[String, graft.format.ColumnStats], Seq[(String, String)])
+
+  /** Files grouped by their partition values for `groupCols` (one group
+    * holding everything when ungrouped), deterministic order.
+    */
+  private def groupedTails(groupCols: Seq[String]): Seq[(Seq[String], Seq[Tail])] =
+    if (groupCols.isEmpty) Seq((Nil, aggTails))
+    else aggTails.groupBy { case (_, _, _, spec) =>
+      groupCols.map(c => spec.find(_._1 == c).get._2)
+    }.toSeq.sortBy(_._1.mkString(" ")).map { case (k, v) => (k, v.toSeq) }
+
+  /** Exact sum of `name` across `tails`, None when any file's own sum
+    * overflowed or the cross-file fold would — ColumnStats.merge adds
+    * sums unchecked, so the checked fold lives here.
+    */
+  private def safeSum(tails: Seq[Tail], name: String): Option[Long] = {
+    val sts = tails.flatMap(_._3.get(name))
+    if (sts.exists(_.longSumOverflowed)) None
+    else try Some(sts.foldLeft(0L)((a, s) => Math.addExact(a, s.longSum)))
+    catch { case _: ArithmeticException => None }
+  }
+
+  private def sumType(name: String): Boolean =
+    tableSchema.fields.find(_.name == name).exists(_.dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })
+
   private def canPush(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate._
-    pushed.isEmpty &&
+    lazy val groups = groupedTails(
+      agg.groupByExpressions().toSeq.map(e => topColumn(e).get))
+    // opt-out: a LocalScan result carries no KeyGroupedPartitioning, so
+    // a grouped aggregate FEEDING a co-partitioned join may prefer the
+    // storage-partitioned scan — aggregate.pushdown=false keeps it
+    options.get("aggregate.pushdown").forall(_.toBoolean) &&
+      pushed.isEmpty &&
       agg.groupByExpressions().forall(e =>
         topColumn(e).exists(groupableEverywhere)) &&
       agg.aggregateExpressions().nonEmpty &&
@@ -401,6 +436,10 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
           !c.isDistinct && topColumn(c.column).exists(coveredEverywhere)
         case m: Min => topColumn(m.column).exists(coveredEverywhere)
         case m: Max => topColumn(m.column).exists(coveredEverywhere)
+        case s: Sum =>
+          !s.isDistinct && topColumn(s.column).exists(n =>
+            sumType(n) && coveredEverywhere(n) &&
+              groups.forall { case (_, ts) => safeSum(ts, n).isDefined })
         case _ => false
       }
   }
@@ -422,7 +461,6 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Scan = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.types._
-    type Tail = (Set[String], Long, Map[String, graft.format.ColumnStats], Seq[(String, String)])
     def merged(tails: Seq[Tail], name: String): graft.format.ColumnStats =
       tails.iterator.flatMap(_._3.get(name))
         .foldLeft(graft.format.ColumnStats(0L, hasNull = false))(_ merge _)
@@ -447,11 +485,7 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
     val groupCols = agg.groupByExpressions().map(e => topColumn(e).get)
     // group files by their (raw) partition values for the grouping cols;
     // raw string equality is value equality within one typed column
-    val groups: Seq[(Seq[String], Seq[Tail])] =
-      if (groupCols.isEmpty) Seq((Nil, aggTails))
-      else aggTails.groupBy { case (_, _, _, spec) =>
-        groupCols.toSeq.map(c => spec.find(_._1 == c).get._2)
-      }.toSeq.sortBy(_._1.mkString(" ")).map { case (k, v) => (k, v) }
+    val groups = groupedTails(groupCols.toSeq)
     def aggCols(tails: Seq[Tail]) = agg.aggregateExpressions().map {
       case _: CountStar => (LongType: DataType, tails.map(_._2).sum: Any)
       case c: Count =>
@@ -459,6 +493,13 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
         (LongType: DataType, merged(tails, name).count: Any)
       case m: Min => minMax(tails, topColumn(m.column).get, isMin = true)
       case m: Max => minMax(tails, topColumn(m.column).get, isMin = false)
+      case s: Sum =>
+        val name = topColumn(s.column).get
+        // SQL SUM over zero rows is NULL, not 0
+        val v: Any =
+          if (merged(tails, name).count == 0) null
+          else safeSum(tails, name).get
+        (LongType: DataType, v)
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
     val rows = groups.map { case (rawKey, tails) =>

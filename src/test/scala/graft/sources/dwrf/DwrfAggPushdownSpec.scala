@@ -91,8 +91,13 @@ class DwrfAggPushdownSpec extends AnyFunSuite {
     assert(!isLocal(base.filter(col("id") > 10).agg(count(lit(1)))))
     // grouped
     assert(!isLocal(base.groupBy(col("maybe") % 2).agg(count(lit(1)))))
-    // avg is not a footer aggregate
-    assert(!isLocal(base.agg(avg(col("id")))))
+    // avg pushes via Spark's own avg -> sum/count rewrite (both footer-
+    // answerable), and the division happens above the scan — exact
+    val av = base.agg(avg(col("id")))
+    assert(isLocal(av), s"avg must ride the sum/count rewrite:\n${plan(av)}")
+    assert(av.head().getDouble(0) == 4999.5)
+    // stddev needs the data — not footer-answerable
+    assert(!isLocal(base.agg(stddev(col("id")))))
     // double min/max is excluded (NaN ordering)
     val ddir = Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "dwrf-aggdbl-").toString
@@ -120,6 +125,32 @@ class DwrfAggPushdownSpec extends AnyFunSuite {
     val cnt = back.agg(count(lit(1)))
     assert(isLocal(cnt), s"${plan(cnt)}")
     assert(cnt.head().getLong(0) == 100)
+  }
+
+  test("SUM pushes for integrals, falls back on overflow/distinct") {
+    val dir = writeFixture()
+    val back = spark.read.format("dwrf").load(dir)
+    val agg = back.agg(sum(col("id")).as("s"), sum(col("maybe")).as("sm"))
+    assert(isLocal(agg), s"${plan(agg)}")
+    val r = agg.head()
+    assert(r.getLong(0) == (0L until 10000L).sum)
+    assert(r.getLong(1) == (0L until 10000L).filter(_ % 7 != 0).map(_ * 3).sum)
+    // sum over an all-null column is NULL
+    val ndir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "dwrf-sumnull-").toString
+    spark.range(10).select(lit(null).cast("long").as("n"))
+      .write.format("dwrf").mode("overwrite").save(ndir)
+    val nagg = spark.read.format("dwrf").load(ndir).agg(sum(col("n")))
+    assert(isLocal(nagg) && nagg.head().isNullAt(0))
+    // a file whose own running sum overflowed keeps the distributed plan
+    val odir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "dwrf-sumovf-").toString
+    spark.range(3).select(
+      when(col("id") < 2, lit(Long.MaxValue / 2 + 1)).otherwise(lit(-1L)).as("v"))
+      .write.format("dwrf").mode("overwrite").save(odir)
+    assert(!isLocal(spark.read.format("dwrf").load(odir).agg(sum(col("v")))))
+    // DISTINCT sums are not footer-answerable
+    assert(!isLocal(back.agg(sum_distinct(col("maybe")))))
   }
 
   test("GROUP BY partition column answers per-group from footers") {

@@ -180,7 +180,11 @@ class DwrfPartitionSpec extends AnyFunSuite {
     val old = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     try {
-      val df = spark.read.format("dwrf").load(dir)
+      // aggregate.pushdown=false pins the STORAGE-PARTITIONED plan this
+      // test exists to gate (the default would answer the rollup from
+      // footers as a LocalScan — that path is DwrfAggPushdownSpec's)
+      val df = spark.read.format("dwrf")
+        .option("aggregate.pushdown", "false").load(dir)
         .groupBy("p").agg(sum(col("id")).as("s"))
       assert(shufflesIn(df) == 0,
         s"aggregation clustered on the partition column must not shuffle:\n${df.queryExecution.executedPlan}")
@@ -201,7 +205,8 @@ class DwrfPartitionSpec extends AnyFunSuite {
       val oldBt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
-        val a = spark.read.format("dwrf").load(dir)
+        val a = spark.read.format("dwrf")
+          .option("aggregate.pushdown", "false").load(dir)
           .groupBy("p").agg(sum(col("id")).as("s"))
         val b = spark.read.format("dwrf").load(dir2)
         val joined = a.join(b, "p")
