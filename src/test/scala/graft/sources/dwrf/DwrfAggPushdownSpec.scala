@@ -174,6 +174,34 @@ class DwrfAggPushdownSpec extends AnyFunSuite {
     assert(!isLocal(back.groupBy(col("id")).agg(count(lit(1)))))
   }
 
+  test("fuzz: footer answers equal the distributed plan across seeds") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(1, 7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 500 + rnd.nextInt(2000)
+      val nullEvery = 2 + rnd.nextInt(9)
+      val dir = Files.createTempDirectory(
+        java.nio.file.Paths.get("/root/repo/target"), s"dwrf-aggfuzz-").toString
+      val base = rnd.nextLong() % 1000000
+      spark.range(0, n, 1, 1 + rnd.nextInt(3)).select(
+        (col("id") * (rnd.nextInt(100) - 50) + base).as("v"),
+        when(col("id") % nullEvery =!= 0,
+          concat(lit(s"k$seed-"), col("id") % 37)).as("t"))
+        .write.format("dwrf").mode("overwrite").save(dir)
+      val pushedDf = spark.read.format("dwrf").load(dir)
+        .agg(count(lit(1)), count(col("t")), min(col("v")), max(col("v")),
+          sum(col("v")), min(col("t")), max(col("t")))
+      val plainDf = spark.read.format("dwrf")
+        .option("aggregate.pushdown", "false").load(dir)
+        .agg(count(lit(1)), count(col("t")), min(col("v")), max(col("v")),
+          sum(col("v")), min(col("t")), max(col("t")))
+      assert(isLocal(pushedDf), s"seed=$seed must push:\n${plan(pushedDf)}")
+      assert(!isLocal(plainDf), s"seed=$seed opt-out must not push")
+      assert(pushedDf.head() == plainDf.head(), s"seed=$seed answers differ")
+    }
+  }
+
   test("partitioned table: partition-column aggregates fall back, data ones push") {
     val s = spark
     import s.implicits._
