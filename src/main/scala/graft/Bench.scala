@@ -16,7 +16,11 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_BENCH_PASSES` (default 3) full interleaved passes —
   * pass-interleaved rather than back-to-back per query so every sample
   * sees the same JIT/page-cache regime and round-over-round deltas
-  * outrun the noise. `value` is the sum of the per-query medians.
+  * outrun the noise. Within each pass the query order is a seeded
+  * shuffle (seed varies per pass, fixed across runs) so no pair of
+  * queries is adjacent in every pass. `value` is the sum of the
+  * per-query medians; `samples` carries every raw per-pass time so a
+  * regression can be attributed to noise vs code without a re-run.
   */
 object Bench {
   private val headline: Seq[String] = Seq(
@@ -59,8 +63,13 @@ object Bench {
     try queries("q6_forecast_revenue")(spark, sfDir).count()
     catch { case _: Throwable => }
     val names = headline.filter(queries.contains)
-    val samples = (1 to passes).map { _ =>
-      names.map { name =>
+    // Each pass runs the queries in a seeded-shuffled order so adjacent
+    // cache/GC-heavy queries (e.g. ann_lsh_cosine ↔ ann_lsh_recall) can't
+    // systematically warm or contaminate each other across every pass;
+    // the seed is fixed so runs stay reproducible.
+    val samples = (1 to passes).map { pass =>
+      val order = new scala.util.Random(0x9e3779b9L + pass).shuffle(names)
+      order.map { name =>
         val t0 = System.nanoTime()
         try queries(name)(spark, sfDir).count()
         catch { case e: Throwable =>
@@ -72,8 +81,13 @@ object Bench {
     val results = names.map(n => n -> median(samples.map(_(n))))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // every raw sample, in pass order, so noise-vs-code is decidable
+    // after the fact without re-running
+    val perSample = names.map { n =>
+      "\"" + n + "\":[" + samples.map(_(n)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","samples":$passes,"stat":"median"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"stat":"median","order":"seeded-shuffle-per-pass","samples":$perSample}"""
     // three sinks so the metrics line is machine-parseable however this
     // main is launched: target/bench.json (file), the raw process stdout
     // (bypasses sbt's [info] log prefix), and the sbt-captured stdout
