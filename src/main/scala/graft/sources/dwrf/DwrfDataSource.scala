@@ -390,14 +390,20 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
 
   private type Tail = (Set[String], Long, Map[String, graft.format.ColumnStats], Seq[(String, String)])
 
-  /** Files grouped by their partition values for `groupCols` (one group
-    * holding everything when ungrouped), deterministic order.
+  /** Files grouped by the TYPED partition values of `groupCols` (one
+    * group holding everything when ungrouped), deterministic order.
+    * Grouping on the parsed value — not the raw directory string —
+    * merges two spellings of one value (`ds=01` vs `ds=1` on an int
+    * column, possible on externally-written layouts) exactly as the
+    * distributed plan would.
     */
-  private def groupedTails(groupCols: Seq[String]): Seq[(Seq[String], Seq[Tail])] =
+  private def groupedTails(groupCols: Seq[String]): Seq[(Seq[Any], Seq[Tail])] =
     if (groupCols.isEmpty) Seq((Nil, aggTails))
     else aggTails.groupBy { case (_, _, _, spec) =>
-      groupCols.map(c => spec.find(_._1 == c).get._2)
-    }.toSeq.sortBy(_._1.mkString(" ")).map { case (k, v) => (k, v.toSeq) }
+      groupCols.map(c => PartitionLayout.catalystValue(
+        spec.find(_._1 == c).get._2, tableSchema(c).dataType))
+    }.toSeq.sortBy(_._1.map(String.valueOf).mkString(" "))
+      .map { case (k, v) => (k, v.toSeq) }
 
   /** Exact sum of `name` across `tails`, None when any file's own sum
     * overflowed or the cross-file fold would — ColumnStats.merge adds
@@ -464,56 +470,54 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
     def merged(tails: Seq[Tail], name: String): graft.format.ColumnStats =
       tails.iterator.flatMap(_._3.get(name))
         .foldLeft(graft.format.ColumnStats(0L, hasNull = false))(_ merge _)
-    def minMax(tails: Seq[Tail], name: String, isMin: Boolean): (DataType, Any) = {
-      val dt = tableSchema(name).dataType
+    def minMax(tails: Seq[Tail], name: String, isMin: Boolean): Any = {
       val st = merged(tails, name)
-      val v: Any =
-        if (st.count == 0) null
-        else dt match {
-          case ByteType => (if (isMin) st.longMin else st.longMax).toByte
-          case ShortType => (if (isMin) st.longMin else st.longMax).toShort
-          case IntegerType | DateType => (if (isMin) st.longMin else st.longMax).toInt
-          case LongType | TimestampType | TimestampNTZType =>
-            if (isMin) st.longMin else st.longMax
-          case StringType => org.apache.spark.unsafe.types.UTF8String
-            .fromString(if (isMin) st.stringMin else st.stringMax)
-          case other => throw new IllegalStateException(
-            s"unreachable: $other passed statsExact")
-        }
-      (dt, v)
+      if (st.count == 0) null
+      else tableSchema(name).dataType match {
+        case ByteType => (if (isMin) st.longMin else st.longMax).toByte
+        case ShortType => (if (isMin) st.longMin else st.longMax).toShort
+        case IntegerType | DateType => (if (isMin) st.longMin else st.longMax).toInt
+        case LongType | TimestampType | TimestampNTZType =>
+          if (isMin) st.longMin else st.longMax
+        case StringType => org.apache.spark.unsafe.types.UTF8String
+          .fromString(if (isMin) st.stringMin else st.stringMax)
+        case other => throw new IllegalStateException(
+          s"unreachable: $other passed statsExact")
+      }
     }
     val groupCols = agg.groupByExpressions().map(e => topColumn(e).get)
-    // group files by their (raw) partition values for the grouping cols;
-    // raw string equality is value equality within one typed column
     val groups = groupedTails(groupCols.toSeq)
-    def aggCols(tails: Seq[Tail]) = agg.aggregateExpressions().map {
-      case _: CountStar => (LongType: DataType, tails.map(_._2).sum: Any)
-      case c: Count =>
-        val name = topColumn(c.column).get
-        (LongType: DataType, merged(tails, name).count: Any)
+    def aggCols(tails: Seq[Tail]): Seq[Any] = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => tails.map(_._2).sum
+      case c: Count => merged(tails, topColumn(c.column).get).count
       case m: Min => minMax(tails, topColumn(m.column).get, isMin = true)
       case m: Max => minMax(tails, topColumn(m.column).get, isMin = false)
       case s: Sum =>
         val name = topColumn(s.column).get
-        // SQL SUM over zero rows is NULL, not 0
-        val v: Any =
-          if (merged(tails, name).count == 0) null
-          else safeSum(tails, name).get
-        (LongType: DataType, v)
+        // SQL SUM over zero rows is NULL, not 0; canPush validated
+        // safeSum per group, so the .get here (per-group only) is safe
+        if (merged(tails, name).count == 0) null
+        else safeSum(tails, name).get
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
-    val rows = groups.map { case (rawKey, tails) =>
-      val keyVals = groupCols.toSeq.zip(rawKey).map { case (c, raw) =>
-        PartitionLayout.catalystValue(raw, tableSchema(c).dataType)
-      }
+    // output types derived statically — no value evaluation here, so a
+    // grouped SUM whose per-group totals fit in Long never trips on a
+    // hypothetical cross-group overflow during schema derivation
+    def aggOutType(e: AggregateFunc): DataType = e match {
+      case _: CountStar | _: Count | _: Sum => LongType
+      case m: Min => tableSchema(topColumn(m.column).get).dataType
+      case m: Max => tableSchema(topColumn(m.column).get).dataType
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+    val rows = groups.map { case (keyVals, tails) =>
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        (keyVals ++ aggCols(tails).map(_._2)).toArray)
+        (keyVals ++ aggCols(tails)).toArray)
     }
     val schema = StructType(
       groupCols.toSeq.map(c => StructField(c, tableSchema(c).dataType,
         nullable = false)) ++
-      aggCols(aggTails).zipWithIndex.map { case ((dt, _), i) =>
-        StructField(s"agg_$i", dt, nullable = true)
+      agg.aggregateExpressions().toSeq.zipWithIndex.map { case (e, i) =>
+        StructField(s"agg_$i", aggOutType(e), nullable = true)
       })
     new DwrfAggScan(schema, rows.toArray)
   }
