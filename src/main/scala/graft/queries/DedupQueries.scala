@@ -160,60 +160,62 @@ object DedupQueries extends QueryPack {
     import s.implicits._
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // label tables are bounded by the near-dup doc population (a small
-    // fraction of the corpus even at 100 TB), so the loop's shuffles run
-    // at 8 partitions — per-round wall time is action overhead, not data
-    val partKey = "spark.sql.shuffle.partitions"
-    val oldParts = s.conf.get(partKey)
+    // fraction of the corpus even at 100 TB), so the loop's label
+    // aggregation runs at 8 partitions — enforced with an explicit
+    // repartition on each label table, NOT a session-global
+    // shuffle-partitions override (a global knob would silently reshape
+    // any query running concurrently on the session)
+    val labelParts = 8
     // the heavy shingle join materializes at FULL parallelism (count()
-    // below, before the partition cut) — only the loop's tiny label
-    // shuffles run at 8
+    // below) — only the loop's tiny label tables get the partition cut
     val (pairsDf, shingles) = ngramJaccardFull(s, dir)
     val half = pairsDf.select($"id_a".as("a"), $"id_b".as("b"))
     val edges = half.union(half.select($"b".as("a"), $"a".as("b")))
       .persist(lvl)
     edges.count()
-    s.conf.set(partKey, "8")
-    try {
-      var labels = edges.select($"a".as("doc_id")).distinct()
-        .withColumn("lab", $"doc_id").persist(lvl)
-      // round k depends only on round k-1: once k materializes (the
-      // `changed` count), the k-1 cache is dead — unpersist it then, so
-      // the loop holds at most TWO label tables instead of O(rounds)
-      var prevCache: DataFrame = labels
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 50) {
-        // each doc aggregates its own label (tagged `own`, exactly one row)
-        // with its neighbors' labels: min = the new label, min-of-own = the
-        // previous one — so ONE groupBy yields both the propagation step
-        // and the convergence comparison, and the round costs one action
-        val viaNeighbors = edges
-          .join(labels.withColumnRenamed("doc_id", "b"), "b")
-          .select($"a".as("doc_id"), $"lab", lit(false).as("own"))
-        val next2 = labels.select($"doc_id", $"lab", lit(true).as("own"))
-          .union(viaNeighbors)
-          .groupBy($"doc_id")
-          .agg(min($"lab").as("lab"), min(when($"own", $"lab")).as("prev"))
-          .persist(lvl)
-        val changed = next2.filter($"lab" < $"prev").count()
-        prevCache.unpersist()
-        prevCache = next2
-        labels = next2.select($"doc_id", $"lab")
-        converged = changed == 0
-        rounds += 1
-      }
-      require(converged, s"dedup_clusters: no fixpoint after $rounds rounds")
-      val result = labels
-        .groupBy($"lab".as("cluster_id"))
-        .agg(count(lit(1)).as("n_docs"))
-        .withColumn("n_removable", $"n_docs" - 1)
-        .orderBy($"cluster_id")
-      val rows = result.collect() // driver-sized: one row per dup cluster
+    var labels = edges.select($"a".as("doc_id")).distinct()
+      .withColumn("lab", $"doc_id")
+      .repartition(labelParts, $"doc_id").persist(lvl)
+    // round k depends only on round k-1: once k materializes (the
+    // `changed` count), the k-1 cache is dead — unpersist it then, so
+    // the loop holds at most TWO label tables instead of O(rounds)
+    var prevCache: DataFrame = labels
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      // each doc aggregates its own label (tagged `own`, exactly one row)
+      // with its neighbors' labels: min = the new label, min-of-own = the
+      // previous one — so ONE groupBy yields both the propagation step
+      // and the convergence comparison, and the round costs one action.
+      // repartition(doc_id) ahead of the groupBy hash-satisfies the
+      // aggregate's distribution, so the final agg adds no exchange
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "b"), "b")
+        .select($"a".as("doc_id"), $"lab", lit(false).as("own"))
+      val next2 = labels.select($"doc_id", $"lab", lit(true).as("own"))
+        .union(viaNeighbors)
+        .repartition(labelParts, $"doc_id")
+        .groupBy($"doc_id")
+        .agg(min($"lab").as("lab"), min(when($"own", $"lab")).as("prev"))
+        .persist(lvl)
+      val changed = next2.filter($"lab" < $"prev").count()
       prevCache.unpersist()
-      edges.unpersist()
-      shingles.unpersist()
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-    } finally s.conf.set(partKey, oldParts)
+      prevCache = next2
+      labels = next2.select($"doc_id", $"lab")
+      converged = changed == 0
+      rounds += 1
+    }
+    require(converged, s"dedup_clusters: no fixpoint after $rounds rounds")
+    val result = labels
+      .groupBy($"lab".as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_removable", $"n_docs" - 1)
+      .orderBy($"cluster_id")
+    val rows = result.collect() // driver-sized: one row per dup cluster
+    prevCache.unpersist()
+    edges.unpersist()
+    shingles.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
   private val dedupClustersOracle = """
