@@ -290,18 +290,42 @@ object SimilarityQueries extends QueryPack {
 
   private def lshRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (_, candCount, caches) = lshCosineFull(s, dir)
-    val banded = caches(0) // persisted per-band signatures of the corpus
-    val cand = caches(1)   // persisted candidate pairs (id_a < id_b)
+    // The probe needs exactly two distributed artifacts: the corpus band
+    // table (band-collision membership) and the DISTINCT colliding-pair
+    // count (the cost axis of the recall/cost trade). They are built
+    // directly here instead of running the full ann_lsh_cosine pipeline:
+    // that skips the norm payload on every candidate row, the
+    // multi-million-row candidate cache, and the top-20 exact-cosine
+    // verify machinery the probe never reads — metrology should not cost
+    // more than the operator it measures.
+    val emb = Tables.load(s, dir, "embeddings")
+    val banded = bandedSignatures(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = banded.as("a")
+    val b = banded.as("b")
+    // bare 16-byte pairs ride the bucket join; dedup-and-count in one pass
+    val nCand = a.join(b,
+        $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
+          $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"))
+      .distinct().count()
     // exact top-20: the ann_cosine_pairs plan (shared builder, double
-    // arithmetic — identical membership), not a second all-pairs join
+    // arithmetic — identical membership), memoized per dataset
     val exactPairs = exactTopPairs(s, dir)
     val nExact = exactPairs.length.toLong
-    val exactTop = exactPairs.toSeq.toDF("id_a", "id_b")
-    // 20 exact pairs vs the candidate table: broadcast the tiny side
-    val nFound = cand.join(broadcast(exactTop), Seq("id_a", "id_b"),
-      "left_semi").count()
-    val nCand = candCount.collect().head.getLong(0)
+    // top-20 recall numerator: a pair is an LSH candidate iff its two
+    // vectors share a (band_idx, band_val) bucket — a pairwise property,
+    // so the ≤40 distinct ids' ≤160 band rows collect to the driver and
+    // intersect in memory instead of semi-joining the full pair table
+    val exactIds = exactPairs.flatMap(p => Seq(p._1, p._2)).distinct.toSeq
+    val sigsById = banded.filter($"vec_id".isin(exactIds: _*))
+      .select($"vec_id", $"band_idx", $"band_val").collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r.getInt(1), r.getLong(2))).toSet }
+    val nFound = exactPairs.count { case (x, y) =>
+      (sigsById.getOrElse(x, Set.empty[(Int, Long)]) &
+        sigsById.getOrElse(y, Set.empty[(Int, Long)])).nonEmpty }.toLong
     // planted probe: a twin is recalled iff it collides with its original
     // in ANY band — equi-join the ~400 twin band rows (broadcast) against
     // the corpus band table, keyed back to the original by the id offset
@@ -312,7 +336,7 @@ object SimilarityQueries extends QueryPack {
         banded("band_idx") === $"t_band" && banded("band_val") === $"t_val" &&
           banded("vec_id") === $"t_id" - PlantIdOffset)
       .select($"t_id").distinct().count()
-    caches.foreach(_.unpersist())
+    banded.unpersist()
     def ratio(num: Long, den: Long): Double =
       if (den == 0) 0.0
       else BigDecimal(num.toDouble / den).setScale(4,
