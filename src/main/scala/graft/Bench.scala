@@ -30,6 +30,7 @@ object Bench {
     "q_user_retention",
     "dwrf_roundtrip_lineitem", "dwrf_projection_filter",
     "dwrf_filter_columnar", "dwrf_partitioned_roundtrip", "dwrf_footer_agg",
+    "dwrf_zorder_scan",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
     "dedup_minhash_lsh", "dedup_substring",
     "ann_topk_dot", "ann_lsh_cosine", "ann_lsh_recall", "ann_ivf_recall",

@@ -206,6 +206,91 @@ object FormatQueries extends QueryPack {
     |ORDER BY l_returnflag
     |""".stripMargin.trim
 
+  // Z-ordered layout end to end under the driver's oracle: lineitem is
+  // written clustered by z_order(l_partkey, l_suppkey) — range-split
+  // across files on z, sorted within each task by `sort.columns` through
+  // the DSv2 write contract — then a range scan on EACH axis must
+  // stride-skip. The surfaced-row counts are require()d in-band exactly
+  // like dwrf_footer_agg requires its LocalScan: if the sorted write or
+  // the stride stats regress, the query FAILS instead of silently
+  // reading everything. The same two range aggregates hash-match DuckDB
+  // computing them from the original parquet, so the z-clustered bytes
+  // are also proven lossless. Band bounds are the low 1/16 of each key's
+  // observed domain, derived from the data so query and oracle stay
+  // SF-independent.
+  private def rtZorder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.sources.LessThanOrEqual
+    graft.functions.GraftFunctions.register(s)
+    val out = ioDir("lineitem_zorder", dir)
+    val src = Tables.load(s, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey", $"l_quantity", $"l_extendedprice")
+    val (pkMax, skMax, total) = {
+      val r = src.agg(max($"l_partkey"), max($"l_suppkey"), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (pkHi, skHi) = (pkMax / 16, skMax / 16)
+    // interleave SCALED keys: each dimension is normalized to 0..255
+    // before the Morton code (the rank/scale step every production
+    // z-order does) — raw interleave would let the wider domain's extra
+    // high bits dominate the sort and the narrow axis would never skip
+    src.withColumn("z", expr(
+        s"z_order(l_partkey * 256L DIV ${pkMax + 1}, " +
+          s"l_suppkey * 256L DIV ${skMax + 1})"))
+      .repartitionByRange(4, $"z")
+      .write.format("dwrf").mode("overwrite")
+      .option("row.index.stride", "1024")
+      .option("sort.columns", "z")
+      .save(out)
+    val (pkRows, pkSkip, _) = graft.sources.dwrf.DwrfUtil.surfacedRows(
+      out, "l_partkey", Seq(LessThanOrEqual("l_partkey", pkHi)))
+    val (skRows, skSkip, _) = graft.sources.dwrf.DwrfUtil.surfacedRows(
+      out, "l_suppkey", Seq(LessThanOrEqual("l_suppkey", skHi)))
+    // the band selects ~1/16 of rows; ≤1/4 surfaced allows generous
+    // stride-boundary overhang while still failing loudly if the sorted
+    // write or the stride stats regress to reading everything. The
+    // 4-stride floor keeps the bound meaningful at tiny SFs where the
+    // whole table is only a handful of strides.
+    val cap = math.max(total / 4, 4 * 1024L)
+    // the strides-skipped>0 assertion needs enough strides for the z
+    // geometry to exist at all (a ~6-stride sf0.001 table has no
+    // sub-quad to skip); the row cap always applies
+    val enoughStrides = total >= 16 * 1024L
+    require(pkRows <= cap && (!enoughStrides || pkSkip > 0),
+      s"z-ordered scan must stride-skip on l_partkey: " +
+        s"surfaced $pkRows of $total rows (cap $cap), $pkSkip strides skipped")
+    require(skRows <= cap && (!enoughStrides || skSkip > 0),
+      s"z-ordered scan must stride-skip on l_suppkey: " +
+        s"surfaced $skRows of $total rows (cap $cap), $skSkip strides skipped")
+    val back = s.read.format("dwrf").load(out)
+    def band(name: String, cond: org.apache.spark.sql.Column) =
+      back.filter(cond).agg(
+        count(lit(1)).as("n_rows"),
+        expr(dsum("l_quantity")).as("sum_qty"),
+        expr(dsum("l_extendedprice")).as("sum_price"))
+      .select(lit(name).as("axis"), $"n_rows", $"sum_qty", $"sum_price")
+    band("partkey_band", $"l_partkey" <= pkHi)
+      .union(band("suppkey_band", $"l_suppkey" <= skHi))
+      .orderBy($"axis")
+  }
+
+  private val rtZorderOracle = s"""
+    |WITH b AS (
+    |  SELECT CAST(FLOOR(MAX(l_partkey) / 16) AS BIGINT) AS pk_hi,
+    |         CAST(FLOOR(MAX(l_suppkey) / 16) AS BIGINT) AS sk_hi
+    |  FROM lineitem)
+    |SELECT 'partkey_band' AS axis, COUNT(*) AS n_rows,
+    |  ${dsum("l_quantity")} AS sum_qty,
+    |  ${dsum("l_extendedprice")} AS sum_price
+    |FROM lineitem, b WHERE l_partkey <= b.pk_hi
+    |UNION ALL
+    |SELECT 'suppkey_band' AS axis, COUNT(*) AS n_rows,
+    |  ${dsum("l_quantity")} AS sum_qty,
+    |  ${dsum("l_extendedprice")} AS sum_price
+    |FROM lineitem, b WHERE l_suppkey <= b.sk_hi
+    |ORDER BY axis
+    |""".stripMargin.trim
+
   // Nested struct/array/map shapes through the format (FIXTURES F2 shape
   // over real data), flattened back for the SQL oracle.
   private def rtNested(s: SparkSession, dir: String): DataFrame = {
@@ -337,6 +422,7 @@ object FormatQueries extends QueryPack {
     Q("dwrf_roundtrip_events", rtEvents, Some(rtEventsOracle)),
     Q("dwrf_projection_filter", rtProjection, Some(rtProjectionOracle)),
     Q("dwrf_filter_columnar", rtFilterColumnar, Some(rtFilterColumnarOracle)),
+    Q("dwrf_zorder_scan", rtZorder, Some(rtZorderOracle)),
     Q("dwrf_nested_types", rtNested, Some(rtNestedOracle)),
     Q("dwrf_union_roundtrip", rtUnion, Some(rtUnionOracle)),
     Q("dwrf_stripe_concat", rtConcat, Some(rtConcatOracle)),
