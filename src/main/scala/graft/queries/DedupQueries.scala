@@ -343,7 +343,11 @@ object DedupQueries extends QueryPack {
   // 8 differing bits land in 8 distinct bytes. The output's `hamming`
   // column is itself the exact metric (popcount of the XOR), so the
   // rows-only check self-validates.
-  private def simhash(s: SparkSession, dir: String): DataFrame = {
+  /** The 64-bit simhash signature pass (doc_id, sim), factored out so
+    * `SimhashPigeonholeSpec` can brute-force all-pairs hamming over the
+    * IDENTICAL signatures and assert the recall bound below.
+    */
+  private[graft] def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     // one explode + 64 per-bit sums (same CollapseProject trap as minhash:
@@ -351,7 +355,7 @@ object DedupQueries extends QueryPack {
     val wordHashes = docs.select($"doc_id",
       explode(split($"text", " ")).as("w"))
       .select($"doc_id", xxhash64($"w").as("wh"))
-    val sigs = wordHashes.groupBy($"doc_id").agg(
+    wordHashes.groupBy($"doc_id").agg(
       (0 until 64).map { bit =>
         sum(when(expr(s"(shiftright(wh, $bit) & 1) = 1"), 1L).otherwise(-1L))
           .as(s"b$bit")
@@ -362,6 +366,11 @@ object DedupQueries extends QueryPack {
       .select($"doc_id",
         expr((0 until 64).map(b => s"IF(b$b > 0, shiftleft(1L, $b), 0L)")
           .mkString("(", " + ", ")")).as("sim"))
+  }
+
+  private def simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = simhashSignatures(s, dir)
     val banded = sigs.select($"doc_id", $"sim",
       posexplode(expr(
         "transform(sequence(0, 7), b -> (shiftright(sim, b * 8) & 255))"))
