@@ -70,7 +70,11 @@ object FormatQueries extends QueryPack {
       min(col("o_orderpriority")).as("min_prio"),
       max(col("o_orderpriority")).as("max_prio"),
       min(col("o_orderdate")).as("min_date"),
-      max(col("o_orderdate")).as("max_date"))
+      max(col("o_orderdate")).as("max_date"),
+      // double MIN/MAX rides the footer too — sound because the writer's
+      // NaN-poisoned doubleSum proves each file NaN-free (noNaNEverywhere)
+      min(col("o_totalprice")).as("min_price"),
+      max(col("o_totalprice")).as("max_price"))
     val p = agg.queryExecution.executedPlan
     val local = (p +: p.collect {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -88,7 +92,8 @@ object FormatQueries extends QueryPack {
     |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
     |  COUNT(o_orderstatus) AS n_status,
     |  MIN(o_orderpriority) AS min_prio, MAX(o_orderpriority) AS max_prio,
-    |  MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+    |  MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date,
+    |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
     |FROM orders
     |""".stripMargin.trim
 

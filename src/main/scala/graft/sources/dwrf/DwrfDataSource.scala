@@ -345,18 +345,42 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
   }
 
   /** Types whose footer stats are EXACT under the writer's contract:
-    * integral longs (+ date days, timestamp micros) and full-length
-    * strings in unsigned-UTF8 order. Float/double stay excluded (NaN
-    * ordering differs), as do booleans/decimals/binary.
+    * integral longs (+ date days, timestamp micros), full-length strings
+    * in unsigned-UTF8 order, and float/double (NaN-free files only —
+    * see [[noNaNEverywhere]]). Booleans/decimals/binary stay excluded.
     */
   private def statsExact(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
          org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
          org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
          org.apache.spark.sql.types.TimestampNTZType |
-         org.apache.spark.sql.types.StringType => true
+         org.apache.spark.sql.types.StringType |
+         org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => true
     case _ => false
   }
+
+  private def floating(name: String): Boolean =
+    tableSchema.fields.find(_.name == name).exists(f =>
+      f.dataType == org.apache.spark.sql.types.FloatType ||
+        f.dataType == org.apache.spark.sql.types.DoubleType)
+
+  /** MIN/MAX on float/double is exact only when no file may hold a NaN:
+    * Spark orders NaN above every double (so MAX returns NaN when one
+    * exists) while the writer's `v < min` / `v > max` comparisons are
+    * always false for NaN — footer bounds silently ignore it. Detection
+    * needs no format change: `StatsBuilder.noteDouble` folds every value
+    * into `doubleSum`, and NaN poisons a float sum permanently, so a
+    * non-NaN per-file sum PROVES the file is NaN-free (the same
+    * soundness argument StatsFilter uses for stride skipping).
+    * Inf-cancellation (`+Inf + -Inf`) can also NaN the sum — that only
+    * costs a conservative fallback to the distributed plan. (-0.0 vs 0.0
+    * needs no gate: Java `<` and Spark's nanSafeCompare both treat them
+    * as equal, so both plans return whichever spelling arrived first.)
+    */
+  private def noNaNEverywhere(name: String): Boolean =
+    !floating(name) || aggTails.forall { case (_, n, stats, _) =>
+      n == 0 || stats.get(name).forall(st => !st.doubleSum.isNaN)
+    }
 
   private def topColumn(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
     case nr: org.apache.spark.sql.connector.expressions.NamedReference
@@ -440,8 +464,10 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
         case _: CountStar => true
         case c: Count =>
           !c.isDistinct && topColumn(c.column).exists(coveredEverywhere)
-        case m: Min => topColumn(m.column).exists(coveredEverywhere)
-        case m: Max => topColumn(m.column).exists(coveredEverywhere)
+        case m: Min => topColumn(m.column).exists(n =>
+          coveredEverywhere(n) && noNaNEverywhere(n))
+        case m: Max => topColumn(m.column).exists(n =>
+          coveredEverywhere(n) && noNaNEverywhere(n))
         case s: Sum =>
           !s.isDistinct && topColumn(s.column).exists(n =>
             sumType(n) && coveredEverywhere(n) &&
@@ -479,6 +505,8 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
         case IntegerType | DateType => (if (isMin) st.longMin else st.longMax).toInt
         case LongType | TimestampType | TimestampNTZType =>
           if (isMin) st.longMin else st.longMax
+        case FloatType => (if (isMin) st.doubleMin else st.doubleMax).toFloat
+        case DoubleType => if (isMin) st.doubleMin else st.doubleMax
         case StringType => org.apache.spark.unsafe.types.UTF8String
           .fromString(if (isMin) st.stringMin else st.stringMax)
         case other => throw new IllegalStateException(

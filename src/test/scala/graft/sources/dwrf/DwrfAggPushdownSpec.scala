@@ -98,14 +98,55 @@ class DwrfAggPushdownSpec extends AnyFunSuite {
     assert(av.head().getDouble(0) == 4999.5)
     // stddev needs the data — not footer-answerable
     assert(!isLocal(base.agg(stddev(col("id")))))
-    // double min/max is excluded (NaN ordering)
-    val ddir = Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target"), "dwrf-aggdbl-").toString
-    spark.range(100).select(col("id"), (col("id") * 1.5).as("d"))
-      .write.format("dwrf").mode("overwrite").save(ddir)
-    assert(!isLocal(spark.read.format("dwrf").load(ddir).agg(min(col("d")))))
     // and each fallback still computes correctly through the real scan
     assert(base.filter(col("id") > 10).count() == 9989)
+  }
+
+  test("double/float MIN/MAX push when NaN-free, fall back when a NaN exists") {
+    val ddir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "dwrf-aggdbl-").toString
+    spark.range(0, 100, 1, 2).select(
+      col("id"),
+      (col("id") * 1.5 - 20.25).as("d"),
+      (col("id").cast("float") * 0.5f).as("f"),
+      when(col("id") % 3 =!= 0, col("id") * -2.0).as("dn"))
+      .write.format("dwrf").mode("overwrite").save(ddir)
+    val clean = spark.read.format("dwrf").load(ddir).agg(
+      min(col("d")).as("mnd"), max(col("d")).as("mxd"),
+      min(col("f")).as("mnf"), max(col("f")).as("mxf"),
+      min(col("dn")).as("mnn"), max(col("dn")).as("mxn"),
+      count(col("dn")).as("cn"))
+    assert(isLocal(clean), s"NaN-free double stats must push:\n${plan(clean)}")
+    val r = clean.head()
+    assert(r.getDouble(0) == -20.25 && r.getDouble(1) == 99 * 1.5 - 20.25)
+    assert(r.getFloat(2) == 0.0f && r.getFloat(3) == 49.5f)
+    assert(r.getDouble(4) == -2.0 * 98 && r.getDouble(5) == -2.0)
+    assert(r.getLong(6) == 100 - 34) // multiples of 3 in [0,100) are null
+    // infinities are ordinary bounds (sum stays ±Inf, not NaN)
+    val idir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "dwrf-agginf-").toString
+    spark.range(10).select(
+      when(col("id") === 0, lit(Double.PositiveInfinity))
+        .otherwise(col("id") * 1.0).as("v"))
+      .write.format("dwrf").mode("overwrite").save(idir)
+    val inf = spark.read.format("dwrf").load(idir).agg(min(col("v")), max(col("v")))
+    assert(isLocal(inf), s"${plan(inf)}")
+    assert(inf.head().getDouble(1).isPosInfinity)
+    // one NaN anywhere => the footer bounds are wrong for MAX (Spark
+    // orders NaN above every double) => must keep the distributed plan,
+    // which then returns the NaN
+    val ndir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "dwrf-aggnan-").toString
+    spark.range(10).select(
+      when(col("id") === 7, lit(Double.NaN)).otherwise(col("id") * 1.0).as("v"))
+      .write.format("dwrf").mode("overwrite").save(ndir)
+    val nan = spark.read.format("dwrf").load(ndir).agg(min(col("v")), max(col("v")))
+    assert(!isLocal(nan), s"NaN file must not push:\n${plan(nan)}")
+    val nr = nan.head()
+    assert(nr.getDouble(0) == 0.0 && nr.getDouble(1).isNaN)
+    // COUNT on the NaN column is still footer-answerable (NaN is a value)
+    val cnt = spark.read.format("dwrf").load(ndir).agg(count(col("v")))
+    assert(isLocal(cnt) && cnt.head().getLong(0) == 10)
   }
 
   test("schema evolution (column missing in an older file) falls back") {
