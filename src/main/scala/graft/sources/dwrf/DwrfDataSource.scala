@@ -630,7 +630,7 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
 
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new DwrfMicroBatchStream(tableSchema, readSchema, path, pushed, options,
-      hadoopConf)
+      hadoopConf, checkpointLocation)
 
   private val hadoopConf = new SerializableHadoopConf(DwrfUtil.sessionHadoopConf())
 

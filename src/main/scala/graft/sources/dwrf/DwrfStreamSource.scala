@@ -9,21 +9,35 @@ import org.apache.spark.sql.types.StructType
   * as a micro-batch stream (the read half of the native ingestion loop;
   * the write half is [[DwrfStreamingWrite]]).
   *
-  * Offset model: the number of files consumed from the directory's file
-  * list sorted by (mtime, name). That makes offsets replayable from the
-  * checkpoint alone — no sink-side seen-files log — under the landing-dir
-  * contract the sink itself produces: files are immutable once visible,
-  * never deleted while a checkpoint is active, and arrivals are monotone
-  * (a later file gets a later mtime, or an equal mtime with a later name —
-  * epoch-tagged sink names satisfy this by construction). A producer that
-  * rewrites history under a checkpoint breaks replay exactly like it
-  * would break Spark's own file source.
+  * Offset model: the number of files consumed from a DURABLE per-query
+  * registry ([[DwrfSourceLog]] under the checkpoint location). Each
+  * trigger lists the landing dir once, sorted by (mtime, name), and
+  * appends previously-unseen files to the registry before answering
+  * `latestOffset`; offsets index the registry, never the live listing.
+  * Replay after a restart therefore returns byte-identical batches even
+  * when already-committed files have since been removed — which is what
+  * makes retention possible:
+  *
+  *  - `cleanSource=archive` + `sourceArchiveDir=<dir>` moves each
+  *    committed file (Spark's FileStreamSource option names) into the
+  *    archive dir, preserving its path relative to the landing root;
+  *  - `cleanSource=delete` deletes committed files;
+  *  - `cleanSource=off` (default) leaves the landing dir untouched.
+  *
+  * Cleanup runs in `commit(end)` — i.e. strictly after the offset log
+  * committed the batch — and is best-effort per file, like Spark's own
+  * source cleaner: a failed rename warns and retries at the next commit
+  * (after a restart, `commit` simply finds already-moved files absent
+  * and skips them). Files must still be immutable once visible, and a
+  * file must not vanish before the batch that reads it commits; but
+  * "never delete anything while a checkpoint is active" is no longer
+  * part of the contract.
   *
   * Each micro-batch plans the new files' stripe groups with the same
   * split logic as the batch scan, so one giant backfill file still fans
   * out across the cluster. Admission control honors `maxFilesPerTrigger`,
-  * and Trigger.AvailableNow snapshots the listing once so a drain has a
-  * fixed endpoint. Listing cost is one directory walk per trigger
+  * and Trigger.AvailableNow snapshots the registry end once so a drain
+  * has a fixed endpoint. Listing cost is one directory walk per trigger
   * (footers are read only for NEW files); a production deployment with
   * huge dirs would layer mtime-partitioned landing paths on top, same as
   * any file stream.
@@ -34,41 +48,63 @@ final class DwrfMicroBatchStream(
     path: String,
     pushed: Array[org.apache.spark.sql.sources.Filter],
     options: Map[String, String],
-    hadoopConf: SerializableHadoopConf)
+    hadoopConf: SerializableHadoopConf,
+    checkpointLocation: String)
     extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  private case class Listed(path: String, mtime: Long)
+  private val log = new DwrfSourceLog(
+    new Path(checkpointLocation, "dwrf-source-log"), hadoopConf.value)
 
-  /** Stable sorted listing (monotone-arrival contract above). One
-    * directory walk — mtimes come from the FileStatus the walk already
-    * holds, no per-file status RPCs.
+  // options arrive wrapped in CaseInsensitiveMap (DwrfTable.newScanBuilder
+  // boundary), so a plain get honors Spark's case-insensitive contract
+  private val cleanSource =
+    options.getOrElse("cleanSource", "off").toLowerCase(java.util.Locale.ROOT)
+  private val qualifiedRoot =
+    DwrfUtil.qualify(new Path(path), hadoopConf.value)
+  private val archiveRoot: Option[Path] = cleanSource match {
+    case "off" | "delete" => None
+    case "archive" =>
+      val dir = options.getOrElse("sourceArchiveDir", throw new
+          IllegalArgumentException("cleanSource=archive requires sourceArchiveDir"))
+      val q = DwrfUtil.qualify(new Path(dir), hadoopConf.value)
+      val (a, b) = (q.toString + "/", qualifiedRoot.toString + "/")
+      require(!a.startsWith(b) && !b.startsWith(a),
+        s"sourceArchiveDir $q must not overlap the landing dir $qualifiedRoot")
+      Some(q)
+    case other => throw new IllegalArgumentException(
+      s"cleanSource must be off|archive|delete, got '$other'")
+  }
+
+  /** One directory walk; discovery order for new files is (mtime, name),
+    * so registry order matches arrival under the sink's epoch-tagged
+    * monotone naming. mtimes come from the FileStatus the walk already
+    * holds — no per-file status RPCs.
     */
-  private def listSorted(): IndexedSeq[Listed] = {
-    DwrfUtil.listDataFileStatuses(new Path(path), hadoopConf.value)
-      .map(s => Listed(s.getPath.toString, s.getModificationTime))
-      .sortBy(l => (l.mtime, l.path)).toIndexedSeq
+  private def discover(): Unit = {
+    val fresh = DwrfUtil.listDataFileStatuses(new Path(path), hadoopConf.value)
+      .map(s => (s.getPath.toString, s.getModificationTime))
+      .filterNot(l => log.contains(l._1))
+      .sortBy { case (p, m) => (m, p) }
+    log.register(fresh)
   }
 
   // AvailableNow snapshot: fixed drain endpoint captured once per run
-  @volatile private var availableNowSnapshot: Option[IndexedSeq[Listed]] = None
-  // last listing used to answer latestOffset — planInputPartitions slices
-  // it so the planned files are exactly the ones the offset counted
-  @volatile private var lastListing: IndexedSeq[Listed] = IndexedSeq.empty
+  @volatile private var availableNowEnd: Option[Long] = None
   // sticky row fallback: once ANY planned file needs a widening upcast,
   // later factories stay on the row path (monotone, so the factory/plan
   // evaluation order inside a micro-batch can't race it back to columnar)
   @volatile private var sawWidened = false
 
   override def prepareForTriggerAvailableNow(): Unit = {
-    availableNowSnapshot = Some(listSorted())
+    discover()
+    availableNowEnd = Some(log.size.toLong)
   }
 
-  private def currentListing(): IndexedSeq[Listed] =
-    availableNowSnapshot.getOrElse(listSorted())
+  private def registeredEnd(): Long = availableNowEnd.getOrElse {
+    discover(); log.size.toLong
+  }
 
-  // options arrive wrapped in CaseInsensitiveMap (DwrfTable.newScanBuilder
-  // boundary), so a plain get honors Spark's case-insensitive contract
   override def getDefaultReadLimit: ReadLimit =
     options.get("maxFilesPerTrigger").map(n => ReadLimit.maxFiles(n.toInt))
       .getOrElse(ReadLimit.allAvailable())
@@ -80,19 +116,24 @@ final class DwrfMicroBatchStream(
       "latestOffset(Offset, ReadLimit) should be called instead")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val listing = currentListing()
-    lastListing = listing
     val from = start.asInstanceOf[DwrfSourceOffset].index
+    // `start` is the durably committed restart point (the engine only
+    // asks for a new offset once the previous batch has committed), so
+    // cleaning below it here catches the final batch of a drained run
+    // on the next trigger or restart — commit() alone always lags one
+    // batch, exactly like Spark's FileStreamSource cleaner
+    clean(from.toInt)
+    val total = registeredEnd()
     def cap(l: ReadLimit): Long = l match {
-      case mf: ReadMaxFiles => math.min(listing.length.toLong, from + mf.maxFiles())
+      case mf: ReadMaxFiles => math.min(total, from + mf.maxFiles())
       case c: CompositeReadLimit => c.getReadLimits.map(cap).min
-      case _ => listing.length.toLong
+      case _ => total
     }
     DwrfSourceOffset(math.max(from, cap(limit)))
   }
 
   override def reportLatestOffset(): Offset =
-    DwrfSourceOffset(currentListing().length.toLong)
+    DwrfSourceOffset(log.size.toLong)
 
   override def deserializeOffset(json: String): Offset =
     DwrfSourceOffset(DwrfSourceOffset.parse(json))
@@ -100,28 +141,24 @@ final class DwrfMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[DwrfSourceOffset].index.toInt
     val to = end.asInstanceOf[DwrfSourceOffset].index.toInt
-    // replay after restart re-lists; live batches slice the listing the
-    // offset was computed from
-    val listing = {
-      val l = lastListing
-      if (to <= l.length) l else currentListing()
-    }
-    require(to <= listing.length,
-      s"dwrf stream: offset $to beyond ${listing.length} listed files — " +
-        "files were deleted from the landing dir under an active checkpoint")
-    val slice = listing.slice(from, to)
+    // a replayed batch reads the registry the offsets were minted from —
+    // the registry is loaded from the checkpoint, so this holds across
+    // restarts unless the checkpoint itself was mutilated
+    require(to <= log.size,
+      s"dwrf stream: offset $to beyond ${log.size} registered files — " +
+        "the checkpoint's dwrf-source-log does not cover this offset")
+    val slice = log.slice(from, to)
     // partition-dir values must ride each split exactly like the batch
     // scan's, or a partitioned landing dir would stream its partition
     // columns as all-NULL (the reader maps absent columns to null fill)
-    val qualifiedRoot = DwrfUtil.qualify(new Path(path), hadoopConf.value)
-    val tails = DwrfUtil.parMap(slice.toSeq) { l =>
-      val file = new Path(l.path)
+    val tails = DwrfUtil.parMap(slice.toSeq) { case (lp, _) =>
+      val file = new Path(lp)
       val r = new DwrfFileReader(file, hadoopConf.value)
       try {
         val widened = readSchema.fields.exists { f =>
           r.schema.fields.find(_.name == f.name).exists(_.dataType != f.dataType)
         }
-        (l.path, r.footer.stripes, widened,
+        (lp, r.footer.stripes, widened,
           PartitionLayout.specOf(qualifiedRoot, file))
       } finally r.close()
     }
@@ -137,13 +174,61 @@ final class DwrfMicroBatchStream(
     new DwrfPartitionReaderFactory(readSchema.json, pushed, hadoopConf,
       rowFallback = sawWidened)
 
-  override def commit(end: Offset): Unit = ()
+  // retention: earliest registry index whose file may still be present.
+  // Resets to 0 on restart — commit then just re-skips absent files.
+  @volatile private var cleanedUpTo = 0
+
+  /** Cleanup below a durably committed offset — invoked from `commit`
+    * (next-batch time) and from `latestOffset` (idle triggers and
+    * restarts), so every committed file is removed no later than the
+    * trigger after its batch. Best-effort per file, matching Spark's
+    * FileStreamSource cleaner: a failure warns and is retried at the
+    * next opportunity rather than failing the query.
+    */
+  override def commit(end: Offset): Unit =
+    clean(end.asInstanceOf[DwrfSourceOffset].index.toInt)
+
+  private def clean(to: Int): Unit = {
+    if (cleanSource == "off") return
+    if (to <= cleanedUpTo) return
+    val fs = qualifiedRoot.getFileSystem(hadoopConf.value)
+    var allOk = true
+    log.slice(cleanedUpTo, to).foreach { case (lp, _) =>
+      val src = new Path(lp)
+      try {
+        if (fs.exists(src)) archiveRoot match {
+          case None => fs.delete(src, false)
+          case Some(root) =>
+            // preserve the path relative to the landing root so a
+            // partitioned landing dir keeps its layout in the archive
+            val rel = src.toString.stripPrefix(qualifiedRoot.toString)
+              .stripPrefix("/")
+            val dst = new Path(root, rel)
+            fs.mkdirs(dst.getParent)
+            if (!fs.rename(src, dst)) {
+              allOk = false
+              System.err.println(
+                s"[dwrf-source] WARN: could not archive $src -> $dst; will retry")
+            }
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          allOk = false
+          System.err.println(
+            s"[dwrf-source] WARN: cleanup of $src failed: $e; will retry")
+      }
+    }
+    // only advance past a fully-cleaned prefix — a failed file is
+    // retried at the next commit (absent files skip cheaply via exists)
+    if (allOk) cleanedUpTo = to
+  }
+
   override def stop(): Unit = ()
 
   override def toString: String = s"DwrfMicroBatchStream[$path]"
 }
 
-/** Count of files consumed from the sorted landing-dir listing. */
+/** Count of files consumed from the checkpoint's dwrf-source-log. */
 final case class DwrfSourceOffset(index: Long) extends Offset {
   override def json(): String = s"""{"index":$index}"""
 }
