@@ -379,6 +379,45 @@ object FormatQueries extends QueryPack {
     |ORDER BY tag
     |""".stripMargin.trim
 
+  // Small-file compaction (maintenance op over S3/S4): customer written
+  // as 16 small files, compacted byte-wise one-group-per-task, then
+  // aggregated. The query REQUIRES the file-count collapse — if
+  // compaction silently stops merging, this fails rather than keeping a
+  // correct-but-fragmented layout — and the oracle hash proves no row
+  // was lost or duplicated through the delete-and-promote swap.
+  private def rtCompact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import graft.sources.dwrf.{DwrfCompact, DwrfUtil}
+    val out = ioDir("compact_many", dir)
+    Tables.load(s, dir, "customer").repartition(16)
+      .write.format("dwrf").mode("overwrite").save(out)
+    val res = DwrfCompact.compact(s, out, targetBytes = 1L << 30)
+    val after = DwrfUtil.listDataFiles(new Path(out), new Configuration()).length
+    require(res.filesBefore == 16 && after == 1,
+      s"compaction must collapse 16 small files to 1, got $res")
+    s.read.format("dwrf").load(out).createOrReplaceTempView("customer_compact")
+    s.sql(s"""
+      |SELECT c_mktsegment, COUNT(*) AS n_cust,
+      |  ${dsum("c_acctbal")} AS total_bal,
+      |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+      |  MIN(c_name) AS min_name, MAX(c_name) AS max_name
+      |FROM customer_compact
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment
+      |""".stripMargin.trim)
+  }
+
+  private val rtCompactOracle = s"""
+    |SELECT c_mktsegment, COUNT(*) AS n_cust,
+    |  ${dsum("c_acctbal")} AS total_bal,
+    |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+    |  MIN(c_name) AS min_name, MAX(c_name) AS max_name
+    |FROM customer
+    |GROUP BY c_mktsegment
+    |ORDER BY c_mktsegment
+    |""".stripMargin.trim
+
   // Raw-stripe concatenation (S3/S4): two dwrf datasets merged byte-wise
   // (no decode), then aggregated; the oracle computes the same from the
   // source parquet, so a hash match proves the merge is lossless.
@@ -431,6 +470,7 @@ object FormatQueries extends QueryPack {
     Q("dwrf_nested_types", rtNested, Some(rtNestedOracle)),
     Q("dwrf_union_roundtrip", rtUnion, Some(rtUnionOracle)),
     Q("dwrf_stripe_concat", rtConcat, Some(rtConcatOracle)),
+    Q("dwrf_compact_scan", rtCompact, Some(rtCompactOracle)),
     Q("dwrf_partitioned_roundtrip", rtPartitioned, Some(rtPartitionedOracle)),
   )
 }

@@ -98,7 +98,8 @@ object DwrfConcat {
     println(s"wrote ${args.head} from ${inputs.length} inputs")
   }
 
-  def concat(out: Path, inputs: Seq[Path], conf: Configuration): Unit = {
+  def concat(out: Path, inputs: Seq[Path], conf: Configuration,
+      userMetadata: Map[String, Array[Byte]] = Map.empty): Unit = {
     require(inputs.nonEmpty, "no inputs")
     val readers = inputs.map(p => new DwrfFileReader(p, conf))
     try {
@@ -156,7 +157,7 @@ object DwrfConcat {
       }
 
       val footer = Footer(first.footer.schemaJson, newStripes.toSeq, mergedStats,
-        numRows, first.footer.rowIndexStride, rawSize, Map.empty)
+        numRows, first.footer.rowIndexStride, rawSize, userMetadata)
       val codecKind = first.postScript.compression
       val fOut = new OutStream("footer", first.postScript.blockSize,
         CompressionCodec.forKind(codecKind, first.postScript.writerZlibLevel))
@@ -171,5 +172,137 @@ object DwrfConcat {
       os.write(psBytes.length)
       os.close()
     } finally readers.foreach(_.close())
+  }
+}
+
+/** Small-file compaction — the maintenance operation a streaming landing
+  * dir or over-parallel batch write needs at scale (10k tasks writing
+  * hourly = millions of files whose listing/footer overhead swamps the
+  * scan). Built on raw stripe concat (S3/S4): groups are merged
+  * byte-wise with NO decode, so compaction cost is pure sequential I/O
+  * regardless of schema width or encoding.
+  *
+  * Distribution: groups are planned driver-side from one listing, then
+  * executed one-group-per-task via the SparkContext — at 100 TB the
+  * rewrite bandwidth is the cluster's aggregate sequential I/O, not a
+  * driver loop. Files ≥ the target size are left untouched; groups
+  * never cross partition directories (different partition values must
+  * stay in different files).
+  *
+  * Crash safety without a transaction log: each group writes its merged
+  * output as an invisible `.compact-<id>.dwrf.inprogress` temp whose
+  * footer user-metadata records the input file names, then deletes the
+  * inputs, then renames the temp visible. [[DwrfCompact.recover]] (run
+  * automatically at the start of every [[DwrfCompact.compact]]) makes
+  * any crash point converge: an unreadable temp aborted before its
+  * deletes started and is dropped; a readable temp proves all merged
+  * data durable, so its listed inputs are removed and the temp promoted
+  * — every row exactly once either way. Readers racing a compaction see
+  * either the inputs or the output (never both visible), but a batch
+  * query that listed files BEFORE the swap can fail on the vanished
+  * input, the same caveat as Hive/Iceberg compaction without snapshot
+  * isolation; run it as a maintenance pass, not against live scans.
+  */
+object DwrfCompact {
+  private val ManifestKey = "compact.inputs"
+
+  final case class Result(groups: Int, filesBefore: Int, filesAfter: Int,
+      filesCompacted: Int)
+
+  /** Greedy arrival-order bin packing per partition directory: keeps
+    * time-locality (neighboring files hold neighboring data under the
+    * epoch-tagged sink naming), which preserves stride/footer stat
+    * selectivity in the merged files.
+    */
+  private[dwrf] def plan(dir: Path, conf: Configuration, targetBytes: Long)
+      : Seq[Seq[Path]] = {
+    DwrfUtil.listDataFileStatuses(dir, conf)
+      .groupBy(_.getPath.getParent.toString).toSeq.sortBy(_._1)
+      .flatMap { case (_, statuses) =>
+        val small = statuses.filter(_.getLen < targetBytes)
+          .sortBy(s => (s.getModificationTime, s.getPath.getName))
+        val groups = scala.collection.mutable.ArrayBuffer.empty[Vector[Path]]
+        var cur = Vector.empty[Path]
+        var curBytes = 0L
+        small.foreach { s =>
+          if (cur.nonEmpty && curBytes + s.getLen > targetBytes) {
+            groups += cur; cur = Vector.empty; curBytes = 0L
+          }
+          cur :+= s.getPath; curBytes += s.getLen
+        }
+        if (cur.nonEmpty) groups += cur
+        groups.filter(_.size >= 2).toSeq
+      }
+  }
+
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long): Result = {
+    val conf = DwrfUtil.sessionHadoopConf()
+    val root = new Path(dir)
+    recover(root, conf)
+    val before = DwrfUtil.listDataFiles(root, conf).length
+    val groups = plan(root, conf, targetBytes)
+    if (groups.nonEmpty) {
+      val ser = new SerializableHadoopConf(conf)
+      val groupStrs = groups.map(_.map(_.toString))
+      spark.sparkContext
+        .parallelize(groupStrs, groupStrs.length)
+        .foreach { g => compactGroup(g.map(new Path(_)), ser.value) }
+    }
+    val afterList = DwrfUtil.listDataFileStatuses(root, conf)
+    Result(groups.length, before, afterList.length, groups.map(_.size).sum)
+  }
+
+  /** One group: merge → temp with manifest → delete inputs → promote. */
+  private def compactGroup(inputs: Seq[Path], conf: Configuration): Unit = {
+    val parent = inputs.head.getParent
+    val id = java.util.UUID.randomUUID().toString.take(12)
+    val visible = new Path(parent, s"compact-$id.dwrf")
+    val temp = new Path(parent, s".compact-$id.dwrf.inprogress")
+    val manifest = inputs.map(_.getName).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    DwrfConcat.concat(temp, inputs, conf, Map(ManifestKey -> manifest))
+    val fs = parent.getFileSystem(conf)
+    inputs.foreach(p => fs.delete(p, false))
+    if (!fs.rename(temp, visible)) throw new java.io.IOException(
+      s"compaction: could not promote $temp -> $visible")
+  }
+
+  /** Converges any interrupted compaction (see object scaladoc). */
+  def recover(root: Path, conf: Configuration): Int = {
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return 0
+    var fixed = 0
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory) walk(s.getPath)
+      else if (n.startsWith(".compact-") && n.endsWith(".dwrf.inprogress")) {
+        val parent = s.getPath.getParent
+        val readable =
+          try {
+            val r = new DwrfFileReader(s.getPath, conf)
+            try Some(r.footer.userMetadata.get(ManifestKey).map(b =>
+              new String(b, java.nio.charset.StandardCharsets.UTF_8)))
+            finally r.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        readable.flatten match {
+          case None =>
+            // torn write: deletes never started, inputs intact
+            fs.delete(s.getPath, false)
+          case Some(m) =>
+            m.split('\n').filter(_.nonEmpty).foreach { name =>
+              val in = new Path(parent, name)
+              if (fs.exists(in)) fs.delete(in, false)
+            }
+            val visible = new Path(parent,
+              n.stripPrefix(".").stripSuffix(".inprogress"))
+            if (!fs.rename(s.getPath, visible)) throw new java.io.IOException(
+              s"compaction recovery: could not promote ${s.getPath}")
+            fixed += 1
+        }
+      }
+    }
+    walk(root)
+    fixed
   }
 }
