@@ -125,5 +125,16 @@ object GraftFunctions {
           s"kmv_distinct(col[, k]): got ${other.size} args")
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mg_topk",
+      {
+        case Seq(child, Literal(k: Int, _)) =>
+          MgTopK(child, k).toAggregateExpression()
+        case Seq(child, Literal(k: Long, _)) =>
+          MgTopK(child, k.toInt).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"mg_topk(col, k): k must be an integer literal, got $other")
+      },
+      "built-in")
   }
 }

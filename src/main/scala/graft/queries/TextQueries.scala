@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
 import graft.functions.GraftFunctions
@@ -114,6 +116,61 @@ object TextQueries extends QueryPack {
     |GROUP BY token
     |ORDER BY n_occurrences DESC, token
     |LIMIT 50
+    |""".stripMargin.trim
+
+  // ------------------------------------------------ exact heavy hitters
+  // Sketch-then-confirm top-30 tokens: a Misra-Gries pass (native
+  // TypedImperativeAggregate, <= 4096 counters per partial buffer — the
+  // shuffle carries the sketch, never the token domain) nominates
+  // candidates with the mergeable-summaries guarantee that every token
+  // with count > N/4097 survives; the candidate keys broadcast back and
+  // ONE filtered groupBy computes exact counts for candidates only. The
+  // result is provably exact top-k — the require fails loud if the
+  // 30th count does not clear the MG threshold (k too small for this
+  // corpus) instead of returning a silently-wrong answer. At 100 TB this
+  // replaces text_token_freq's full-vocabulary shuffle with a
+  // fixed-size sketch + a long-tail-free confirm.
+  private def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(s)
+    val counters = 4096
+    def tokens = Tables.load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val sketch = tokens
+      .agg(expr(s"mg_topk(token, $counters)").as("mg"), count(lit(1)).as("n"))
+      .head() // driver-sized: one row, <= 4096 map entries
+    val n = sketch.getLong(1)
+    val cand = sketch.getMap[String, Long](0).keys.toSeq.sorted
+    val candDf = s.createDataFrame(
+      cand.map(org.apache.spark.sql.Row(_)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    val top = tokens
+      .join(broadcast(candDf), Seq("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(30)
+      .collect() // driver-sized: 30 rows
+    require(top.length == 30 && top.last.getLong(1) > n / (counters + 1L),
+      s"mg_topk($counters) cannot certify top-30 here: 30th count " +
+        s"${top.lastOption.map(_.getLong(1))} vs threshold ${n / (counters + 1L)}")
+    s.createDataFrame(top.toSeq.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("token",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_occurrences",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  private val heavyHittersOracle = """
+    |SELECT token, COUNT(*) AS n_occurrences
+    |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    |WHERE length(token) > 0
+    |GROUP BY token
+    |ORDER BY n_occurrences DESC, token
+    |LIMIT 30
     |""".stripMargin.trim
 
   // --------------------------------------------- BPE-ish token counts
@@ -624,6 +681,7 @@ object TextQueries extends QueryPack {
     shared("text_langid", langidSql),
     Q("text_fingerprint", fingerprint, None),
     Q("text_token_freq", tokenFreq, Some(tokenFreqOracle)),
+    Q("text_heavy_hitters", heavyHitters, Some(heavyHittersOracle)),
     Q("text_token_bpe", tokenBpe, Some(tokenBpeOracle)),
     Q("text_pii_scrub", piiScrub, Some(piiScrubOracle)),
     Q("sample_stratified", sampleStratified, Some(sampleStratifiedOracle)),
