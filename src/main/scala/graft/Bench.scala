@@ -32,7 +32,8 @@ object Bench {
     "dwrf_filter_columnar", "dwrf_partitioned_roundtrip", "dwrf_footer_agg",
     "dwrf_zorder_scan",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
-    "dedup_minhash_lsh", "dedup_substring",
+    "dedup_minhash_lsh", "dedup_substring", "dedup_semantic",
+    "text_heavy_hitters", "dwrf_compact_scan",
     "ann_topk_dot", "ann_lsh_cosine", "ann_lsh_recall", "ann_ivf_recall",
     "text_stats", "text_langid", "text_fingerprint", "text_pii_scrub",
     "sample_stratified", "pack_sequences", "text_decontaminate",

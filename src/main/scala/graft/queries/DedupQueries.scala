@@ -434,6 +434,116 @@ object DedupQueries extends QueryPack {
     |ORDER BY id_keep, id_drop
     |""".stripMargin.trim
 
+  // ------------------------------------------------ semantic dedup
+  // SemDeDup (Abbas et al. 2023, arXiv:2303.09540, public): k-means the
+  // normalized embeddings into cells, then look for near-duplicate
+  // pairs ONLY within a cell — the quadratic search shrinks from N² to
+  // Σ|cell|², the clustering trade every production semantic dedup
+  // makes. This query is the measured instrument for that trade: the
+  // corpus is seeded with the same 100 planted cos=0.95 twins the LSH
+  // recall probe uses, the exact tier (bounded quadratic, the verifier
+  // dedup_embedding already establishes) computes ALL true pairs, and
+  // the row reports what fraction the within-cell tier captured —
+  // semantic-dedup recall as a per-round observable, not prose. At
+  // 100 TB the cell count grows ~√N so cells stay bounded, and the
+  // exact tier is replaced by sampling the same instrument.
+  private def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Cells = 16
+    val Thresh = 0.9 // planted twins sit at 0.95; base corpus tops out ~0.51
+    val corpus = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+      .unionByName(SimilarityQueries.plantedTwins(s, dir))
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("raw"))
+      .withColumn("nrm",
+        expr("sqrt(aggregate(transform(raw, x -> x * x), 0D, (a, d) -> a + d))"))
+      .select($"vec_id", expr("transform(raw, x -> x / nrm)").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = corpus.count()
+      require(n <= 200000,
+        s"dedup_semantic's exact verifier tier is bounded-quadratic; $n " +
+          "vectors exceeds the documented verifier budget")
+
+      def withCell(df: DataFrame, cents: Array[Array[Double]]): DataFrame =
+        df.withColumn("cents", typedlit(cents.map(_.toSeq).toSeq))
+          .withColumn("dists", expr(
+            """transform(cents, c ->
+              |  aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
+              |            0D, (acc, d) -> acc + d))""".stripMargin))
+          .withColumn("cell",
+            expr("array_position(dists, array_min(dists)) - 1").cast("int"))
+          .drop("cents", "dists")
+
+      // deterministic init (first Cells ids) + 2 Lloyd iterations, the
+      // same driver-sized centroid round-trip ann_ivf_topk documents
+      var centroids: Array[Array[Double]] = corpus.filter($"vec_id" < Cells)
+        .orderBy($"vec_id").collect().map(_.getSeq[Double](1).toArray)
+      for (_ <- 0 until 2) {
+        val means = withCell(corpus, centroids)
+          .select($"cell", posexplode($"v").as(Seq("pos", "x")))
+          .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
+          .groupBy($"cell")
+          .agg(expr("transform(sort_array(collect_list(struct(pos, m))), p -> p.m)")
+            .as("c"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        centroids = centroids.indices
+          .map(i => means.getOrElse(i, centroids(i))).toArray
+      }
+      val assigned = withCell(corpus, centroids)
+        .select($"vec_id", $"v", $"cell")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        def cosPairs(joined: DataFrame): DataFrame = joined
+          .select($"id_a", $"id_b",
+            expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, d) -> a + d)")
+              .as("cos"))
+          .filter($"cos" >= Thresh)
+
+        val withinJoin = assigned.as("a")
+          .join(assigned.as("b"),
+            $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+          .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+            $"a.v".as("va"), $"b.v".as("vb"))
+        // the within-cell tier must be an equi-join on cell — if it ever
+        // degrades to a nested-loop over the corpus, fail rather than
+        // quietly running the quadratic plan the clustering exists to avoid
+        val planStr = withinJoin.queryExecution.executedPlan.toString
+        require(!planStr.contains("CartesianProduct") &&
+          !planStr.contains("BroadcastNestedLoopJoin"),
+          s"within-cell pair search must stay an equi-join:\n$planStr")
+        val within = cosPairs(withinJoin)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // exact tier: the bounded quadratic verifier over the same frame
+        val exact = cosPairs(
+          assigned.as("a").join(assigned.as("b"), $"a.vec_id" < $"b.vec_id")
+            .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+              $"a.v".as("va"), $"b.v".as("vb")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val off = SimilarityQueries.PlantIdOffset
+          val nWithin = within.count()
+          val nExact = exact.count()
+          val nDropped = within.select($"id_b").distinct().count()
+          val plantedExact = exact.filter($"id_b" === $"id_a" + off).count()
+          val plantedWithin = within.filter($"id_b" === $"id_a" + off).count()
+          def ratio(a: Long, b: Long): Double =
+            if (b == 0) 0.0
+            else BigDecimal(a.toDouble / b).setScale(4,
+              BigDecimal.RoundingMode.HALF_UP).toDouble
+          Seq((n, Cells, Thresh, nExact, nWithin, ratio(nWithin, nExact),
+            plantedExact, plantedWithin, ratio(plantedWithin, plantedExact),
+            nDropped))
+            .toDF("n_vectors", "cells", "threshold", "pairs_exact",
+              "pairs_within_cell", "recall", "planted_pairs",
+              "planted_within_cell", "planted_recall", "n_dropped")
+        } finally { within.unpersist(); exact.unpersist() }
+      } finally assigned.unpersist()
+    } finally corpus.unpersist()
+  }
+
   // ------------------------------------------------ substring spans
   // Exact duplicated-span detection (the "substring dedup" of Lee et
   // al. 2022, public — arXiv:2107.06499): every word-8-gram span is
@@ -491,6 +601,7 @@ object DedupQueries extends QueryPack {
     Q("dedup_minhash_lsh", minhashLsh, None),
     Q("dedup_simhash", simhash, None),
     Q("dedup_embedding", embeddingDedup, Some(embeddingDedupOracle)),
+    Q("dedup_semantic", semanticDedup, None),
     Q("dedup_substring", substringDedup, Some(substringDedupOracle)),
   )
 }

@@ -241,8 +241,8 @@ object SimilarityQueries extends QueryPack {
   //     one tiny broadcast instead of a second LSH pass. Theory predicts
   //     ≈ 0.89 at c = 0.95; `LshRecallSpec` pins measured ≥ 0.8.
   private val PlantCount = 100
-  private val PlantCosine = 0.95
-  private val PlantIdOffset = 10000000L
+  private[queries] val PlantCosine = 0.95
+  private[queries] val PlantIdOffset = 10000000L
 
   /** Deterministic near-duplicate twins of the first `PlantCount` vectors:
     * twin = c·v + √(1-c²)·|v|·ŵ with ŵ a seeded unit vector ⊥ v, giving
