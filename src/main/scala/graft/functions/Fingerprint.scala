@@ -126,6 +126,14 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot",
+      {
+        case Seq(a, b) => VecDot(a, b)
+        case other => throw new IllegalArgumentException(
+          s"vec_dot(a, b): got ${other.size} args")
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mg_topk",
       {
         case Seq(child, Literal(k: Int, _)) =>

@@ -449,6 +449,7 @@ object DedupQueries extends QueryPack {
   // exact tier is replaced by sampling the same instrument.
   private def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val Cells = 16
     val Thresh = 0.9 // planted twins sit at 0.95; base corpus tops out ~0.51
     val corpus = Tables.load(s, dir, "embeddings")
@@ -466,18 +467,24 @@ object DedupQueries extends QueryPack {
         s"dedup_semantic's exact verifier tier is bounded-quadratic; $n " +
           "vectors exceeds the documented verifier budget")
 
+      // on unit vectors argmin ||v-c||² == argmax v·c, so assignment runs
+      // on the native vec_dot kernel instead of interpreted SQL lambdas
       def withCell(df: DataFrame, cents: Array[Array[Double]]): DataFrame =
         df.withColumn("cents", typedlit(cents.map(_.toSeq).toSeq))
-          .withColumn("dists", expr(
-            """transform(cents, c ->
-              |  aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
-              |            0D, (acc, d) -> acc + d))""".stripMargin))
+          .withColumn("dots", expr("transform(cents, c -> vec_dot(v, c))"))
           .withColumn("cell",
-            expr("array_position(dists, array_min(dists)) - 1").cast("int"))
-          .drop("cents", "dists")
+            expr("array_position(dots, array_max(dots)) - 1").cast("int"))
+          .drop("cents", "dots")
 
-      // deterministic init (first Cells ids) + 2 Lloyd iterations, the
-      // same driver-sized centroid round-trip ann_ivf_topk documents
+      // deterministic init (first Cells ids) + 2 spherical-k-means
+      // iterations (assign by max dot, mean, renormalize — the mean of
+      // unit vectors is not unit, and argmax dot needs equal-norm
+      // centroids to equal argmin L2), the same driver-sized centroid
+      // round-trip ann_ivf_topk documents
+      def unit(v: Array[Double]): Array[Double] = {
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) v else v.map(_ / n)
+      }
       var centroids: Array[Array[Double]] = corpus.filter($"vec_id" < Cells)
         .orderBy($"vec_id").collect().map(_.getSeq[Double](1).toArray)
       for (_ <- 0 until 2) {
@@ -488,7 +495,7 @@ object DedupQueries extends QueryPack {
           .agg(expr("transform(sort_array(collect_list(struct(pos, m))), p -> p.m)")
             .as("c"))
           .collect()
-          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+          .map(r => r.getInt(0) -> unit(r.getSeq[Double](1).toArray)).toMap
         centroids = centroids.indices
           .map(i => means.getOrElse(i, centroids(i))).toArray
       }
@@ -497,9 +504,7 @@ object DedupQueries extends QueryPack {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         def cosPairs(joined: DataFrame): DataFrame = joined
-          .select($"id_a", $"id_b",
-            expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, d) -> a + d)")
-              .as("cos"))
+          .select($"id_a", $"id_b", expr("vec_dot(va, vb)").as("cos"))
           .filter($"cos" >= Thresh)
 
         val withinJoin = assigned.as("a")
@@ -516,18 +521,37 @@ object DedupQueries extends QueryPack {
           s"within-cell pair search must stay an equi-join:\n$planStr")
         val within = cosPairs(withinJoin)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // exact tier: the bounded quadratic verifier over the same frame
-        val exact = cosPairs(
-          assigned.as("a").join(assigned.as("b"), $"a.vec_id" < $"b.vec_id")
-            .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
-              $"a.v".as("va"), $"b.v".as("vb")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // exact tier: the verifier is driver-side brute force over the
+        // size-gated corpus (n ≤ 200k was required above; n·d doubles
+        // collect, n²/2 dot products in a tight loop) — metrology should
+        // not out-cost the operator it measures, and a distributed
+        // pairwise join spends its time materializing 2·d-double join
+        // rows, not multiplying (measured 38 s vs ~1 s here at n=2100)
+        val vecs = corpus.orderBy($"vec_id")
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        var nExact = 0L
+        var plantedExact = 0L
+        val off = SimilarityQueries.PlantIdOffset
+        var i = 0
+        while (i < vecs.length) {
+          var j = i + 1
+          while (j < vecs.length) {
+            val (ia, va) = vecs(i)
+            val (ib, vb) = vecs(j)
+            var dot = 0.0
+            var p = 0
+            while (p < va.length) { dot += va(p) * vb(p); p += 1 }
+            if (dot >= Thresh) {
+              nExact += 1
+              if (ib == ia + off) plantedExact += 1
+            }
+            j += 1
+          }
+          i += 1
+        }
         try {
-          val off = SimilarityQueries.PlantIdOffset
           val nWithin = within.count()
-          val nExact = exact.count()
           val nDropped = within.select($"id_b").distinct().count()
-          val plantedExact = exact.filter($"id_b" === $"id_a" + off).count()
           val plantedWithin = within.filter($"id_b" === $"id_a" + off).count()
           def ratio(a: Long, b: Long): Double =
             if (b == 0) 0.0
@@ -539,7 +563,7 @@ object DedupQueries extends QueryPack {
             .toDF("n_vectors", "cells", "threshold", "pairs_exact",
               "pairs_within_cell", "recall", "planted_pairs",
               "planted_within_cell", "planted_recall", "n_dropped")
-        } finally { within.unpersist(); exact.unpersist() }
+        } finally within.unpersist()
       } finally assigned.unpersist()
     } finally corpus.unpersist()
   }

@@ -379,6 +379,44 @@ object FormatQueries extends QueryPack {
     |ORDER BY tag
     |""".stripMargin.trim
 
+  // Per-file Bloom pruning end to end: customer written as 8 hash-
+  // distributed files with bloom.columns=c_name (every file's min/max
+  // spans the name domain, so ONLY the bloom can prune), then a 2-name
+  // IN scan. The query REQUIRES that planning kept under half the files
+  // — if bloom pruning regresses, this fails rather than silently
+  // scanning everything — and the oracle hash proves the pruned scan
+  // returns exactly the right rows.
+  private def bloomScan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val out = ioDir("bloom_scan", dir)
+    val cust = Tables.load(s, dir, "customer")
+    cust.repartition(8).write.format("dwrf").mode("overwrite")
+      .option("bloom.columns", "c_name").save(out)
+    // driver-side literal lookup (2 rows) so the IN pushes as a static
+    // In filter — the shape a user's point query has
+    val names = cust.filter(col("c_custkey").isin(1L, 42L))
+      .select("c_name").collect().map(_.getString(0)).sorted
+    val q = s.read.format("dwrf").load(out)
+      .filter(col("c_name").isin(names.toSeq: _*))
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+    val p = q.queryExecution.executedPlan
+    val parts = (p +: p.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+    }).flatMap(_.collect { case b: BatchScanExec => b.inputPartitions.size }).sum
+    require(parts > 0 && parts <= 4,
+      s"bloom pruning must keep <= half of the 8 files, kept $parts")
+    q
+  }
+
+  private val bloomScanOracle = """
+    |SELECT c_custkey, c_name, c_mktsegment
+    |FROM customer
+    |WHERE c_name IN (SELECT c_name FROM customer WHERE c_custkey IN (1, 42))
+    |ORDER BY c_custkey
+    |""".stripMargin.trim
+
   // Small-file compaction (maintenance op over S3/S4): customer written
   // as 16 small files, compacted byte-wise one-group-per-task, then
   // aggregated. The query REQUIRES the file-count collapse — if
@@ -471,6 +509,7 @@ object FormatQueries extends QueryPack {
     Q("dwrf_union_roundtrip", rtUnion, Some(rtUnionOracle)),
     Q("dwrf_stripe_concat", rtConcat, Some(rtConcatOracle)),
     Q("dwrf_compact_scan", rtCompact, Some(rtCompactOracle)),
+    Q("dwrf_bloom_scan", bloomScan, Some(bloomScanOracle)),
     Q("dwrf_partitioned_roundtrip", rtPartitioned, Some(rtPartitionedOracle)),
   )
 }

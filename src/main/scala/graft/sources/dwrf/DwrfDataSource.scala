@@ -617,7 +617,8 @@ private final case class DwrfFileTail(
     rawDataSize: Long,
     statsByName: Map[String, graft.format.ColumnStats],
     widened: Boolean,
-    partSpec: Seq[(String, String)])
+    partSpec: Seq[(String, String)],
+    blooms: Map[String, graft.format.BloomFilter] = Map.empty)
 
 final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: String,
     pushed: Array[org.apache.spark.sql.sources.Filter],
@@ -690,8 +691,15 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
           tableSchema.fields.find(_.name == k).flatMap(f =>
             PartitionLayout.asStats(raw, f.dataType, r.footer.numRows).map(k -> _))
         }
+        // per-column bloom filters ride the footer's user metadata
+        val blooms = r.footer.userMetadata.collect {
+          case (k, bytes) if k.startsWith(DwrfBloom.MetaPrefix) =>
+            graft.format.BloomFilter.deserialize(bytes)
+              .map(k.stripPrefix(DwrfBloom.MetaPrefix) -> _)
+        }.flatten.toMap
         DwrfFileTail(file.toString, r.footer.stripes, r.footer.numRows,
-          r.footer.rawDataSize, statsByName ++ partStats, widened, spec)
+          r.footer.rawDataSize, statsByName ++ partStats, widened, spec,
+          blooms)
       } finally r.close()
     }
   }
@@ -740,11 +748,42 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
   /** One partition per stripe group of ~target split size; files whose
     * footer stats refute the (static + runtime) filters are skipped
     * entirely — no footer re-read, no task. */
+  /** Bloom refutation of top-level equality/IN conjuncts: a filter value
+    * whose hash the column's per-file bloom rules out cannot match any
+    * row of the file (false positives only ever KEEP a file). Covers
+    * static pushed filters AND runtime filters — a broadcast join's
+    * IN-set of keys prunes whole files here before any task launches,
+    * the lookup rung min/max stats can't provide on unsorted
+    * high-cardinality columns.
+    */
+  private def bloomSurvives(tail: DwrfFileTail,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Boolean = {
+    import org.apache.spark.sql.sources._
+    def might(col: String, v: Any): Boolean =
+      if (v == null) true
+      else tail.blooms.get(col) match {
+        case None => true
+        case Some(bf) =>
+          tableSchema.fields.find(_.name == col) match {
+            case Some(f) => DwrfBloom.hashFilterValue(f.dataType, v)
+              .forall(bf.mightContain)
+            case None => true
+          }
+      }
+    filters.forall {
+      case EqualTo(col, v) => might(col, v)
+      case EqualNullSafe(col, v) if v != null => might(col, v)
+      case In(col, vs) => vs.isEmpty || vs.exists(might(col, _))
+      case _ => true
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val filters = allFilters.toSeq
     fileTails.filter { tail =>
       filters.isEmpty ||
-        StatsFilter.mayMatch(filters, tableSchema, tail.statsByName.get)
+        (StatsFilter.mayMatch(filters, tableSchema, tail.statsByName.get) &&
+          bloomSurvives(tail, filters))
     }.flatMap { tail =>
       val keyRow = if (tail.partSpec.isEmpty) null else keyRowOf(tail.partSpec)
       def mk(start: Long, len: Long): DwrfPartitionBase =

@@ -35,7 +35,13 @@ final case class DwrfWriteOptions(
     entropyKeySizeThreshold: Double = 0.9,
     entropyMinSamples: Int = 100,
     entropyDictSampleFraction: Double = 0.001,
-    entropyStringThreshold: Int = 20)
+    entropyStringThreshold: Int = 20,
+    // per-file Bloom filters for equality pruning at planning time
+    // (bloom.columns=a,b); carried in footer user metadata, see
+    // graft.format.BloomFilter
+    bloomColumns: Seq[String] = Nil,
+    bloomFpp: Double = 0.02,
+    bloomMaxDistinct: Int = 1000000)
 
 object DwrfWriteOptions {
   /** Parse `.option(...)` strings (names follow OrcConf / OrcFile).
@@ -87,7 +93,46 @@ object DwrfWriteOptions {
       entropyDictSampleFraction = m.get("entropy.string.dict.sample.fraction")
         .map(_.toDouble).getOrElse(d.entropyDictSampleFraction),
       entropyStringThreshold = m.get("entropy.string.threshold")
-        .map(_.toInt).getOrElse(d.entropyStringThreshold))
+        .map(_.toInt).getOrElse(d.entropyStringThreshold),
+      bloomColumns = m.get("bloom.columns")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(d.bloomColumns),
+      bloomFpp = m.get("bloom.fpp").map(_.toDouble).getOrElse(d.bloomFpp),
+      bloomMaxDistinct = m.get("bloom.max.distinct").map(_.toInt)
+        .getOrElse(d.bloomMaxDistinct))
+  }
+}
+
+/** Value hashing shared by the bloom writer and the planning-time probe —
+  * both sides MUST hash identical bytes: strings as their UTF-8 bytes,
+  * every integral width as its widened long.
+  */
+private[dwrf] object DwrfBloom {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val MetaPrefix = "bloom."
+  private val Seed = 0x9747b28cL
+
+  def supported(dt: DataType): Boolean = dt match {
+    case StringType | ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  def hashString(u: UTF8String): Long =
+    XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), Seed)
+
+  def hashLong(v: Long): Long = XXH64.hashLong(v, Seed)
+
+  /** Hash of a planning-time filter value (external Scala type), None
+    * when the value's type doesn't match the column (no pruning then). */
+  def hashFilterValue(dt: DataType, v: Any): Option[Long] = (dt, v) match {
+    case (StringType, s: String) => Some(hashString(UTF8String.fromString(s)))
+    case (ByteType, n: Byte) => Some(hashLong(n.toLong))
+    case (ShortType, n: Short) => Some(hashLong(n.toLong))
+    case (IntegerType, n: Int) => Some(hashLong(n.toLong))
+    case (LongType, n: Long) => Some(hashLong(n))
+    case _ => None
   }
 }
 
@@ -114,6 +159,19 @@ final class DwrfFileWriter(
   }
 
   private val root = new StructTreeWriter(0, schema, opts)
+
+  // bloom accumulation reads top-level values straight off the row —
+  // fully decoupled from the encoder tree (one getter per column per row)
+  private val bloomAccs: Seq[(Int, DataType, graft.format.BloomAccumulator)] =
+    opts.bloomColumns.map { name =>
+      val i = schema.fieldNames.indexOf(name)
+      require(i >= 0, s"bloom.columns: no such column '$name'")
+      require(DwrfBloom.supported(schema.fields(i).dataType),
+        s"bloom.columns: unsupported type ${schema.fields(i).dataType.simpleString} " +
+          s"for '$name' (string and integral columns only)")
+      (i, schema.fields(i).dataType,
+        new graft.format.BloomAccumulator(opts.bloomMaxDistinct))
+    }
   private val stripes = scala.collection.mutable.ArrayBuffer.empty[StripeInformation]
   private val stripeStatsHistory = scala.collection.mutable.ArrayBuffer.empty[Map[Int, ColumnStats]]
   private var rowsInStripe = 0L
@@ -127,6 +185,16 @@ final class DwrfFileWriter(
   def addRow(row: InternalRow): Unit = {
     if (opts.rowIndexStride > 0 && rowsInStripe % opts.rowIndexStride == 0)
       root.recordStride()
+    bloomAccs.foreach { case (i, dt, acc) =>
+      if (!row.isNullAt(i)) dt match {
+        case StringType => acc.add(DwrfBloom.hashString(row.getUTF8String(i)))
+        case ByteType => acc.add(DwrfBloom.hashLong(row.getByte(i).toLong))
+        case ShortType => acc.add(DwrfBloom.hashLong(row.getShort(i).toLong))
+        case IntegerType => acc.add(DwrfBloom.hashLong(row.getInt(i).toLong))
+        case LongType => acc.add(DwrfBloom.hashLong(row.getLong(i)))
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+    }
     root.writeRoot(row)
     rowsInStripe += 1
     totalRows += 1
@@ -234,6 +302,10 @@ final class DwrfFileWriter(
           }
         }.toMap
       }
+    val bloomMeta: Map[String, Array[Byte]] = bloomAccs.flatMap {
+      case (i, _, acc) => acc.build(opts.bloomFpp).map(bf =>
+        (DwrfBloom.MetaPrefix + schema.fields(i).name) -> bf.serialize())
+    }.toMap
     val footer = Footer(
       schemaJson = schema.json,
       stripes = stripes.toSeq,
@@ -241,7 +313,7 @@ final class DwrfFileWriter(
       numRows = totalRows,
       rowIndexStride = opts.rowIndexStride,
       rawDataSize = rawDataSize(fileStats),
-      userMetadata = userMetadata)
+      userMetadata = userMetadata ++ bloomMeta)
     val fOut = new OutStream("footer", opts.blockSize,
       CompressionCodec.forKind(opts.kind, opts.zlibLevel))
     MetaIO.writeFooter(fOut, footer)
