@@ -379,6 +379,54 @@ object FormatQueries extends QueryPack {
     |ORDER BY tag
     |""".stripMargin.trim
 
+  // Short-decimal round trip (beyond-reference: DWRF predates ORC
+  // DECIMAL; unscaled values ride the long kernels, precision/scale come
+  // from the Spark-native schema). Decimal columns derived by the SAME
+  // cast expressions on both sides; aggregation happens in exact decimal
+  // and only the OUTPUT drops to DOUBLE (the dsum convention — DuckDB's
+  // pandas bridge floats every decimal, so decimal-typed outputs can't
+  // hash-compare). A carry error anywhere in write → encode → decode
+  // still shifts the exact sums and breaks the hash.
+  private def rtDecimal(s: SparkSession, dir: String): DataFrame = {
+    val out = ioDir("decimal_rt", dir)
+    Tables.load(s, dir, "orders")
+      .selectExpr("o_orderstatus",
+        "CAST(o_orderkey AS DECIMAL(15,2)) AS dk",
+        "CAST(o_totalprice AS DECIMAL(18,6)) AS dp")
+      .write.format("dwrf").mode("overwrite").save(out)
+    s.read.format("dwrf").load(out).createOrReplaceTempView("orders_decimal")
+    s.sql("""
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(dk) AS DOUBLE) AS sum_key,
+      |  CAST(MIN(dk) AS DOUBLE) AS min_key,
+      |  CAST(MAX(dk) AS DOUBLE) AS max_key,
+      |  CAST(SUM(dp) AS DOUBLE) AS sum_price,
+      |  CAST(MIN(dp) AS DOUBLE) AS min_price,
+      |  CAST(MAX(dp) AS DOUBLE) AS max_price
+      |FROM orders_decimal
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus
+      |""".stripMargin.trim)
+  }
+
+  private val rtDecimalOracle = """
+    |WITH d AS (
+    |  SELECT o_orderstatus,
+    |    CAST(o_orderkey AS DECIMAL(15,2)) AS dk,
+    |    CAST(o_totalprice AS DECIMAL(18,6)) AS dp
+    |  FROM orders)
+    |SELECT o_orderstatus, COUNT(*) AS n,
+    |  CAST(SUM(dk) AS DOUBLE) AS sum_key,
+    |  CAST(MIN(dk) AS DOUBLE) AS min_key,
+    |  CAST(MAX(dk) AS DOUBLE) AS max_key,
+    |  CAST(SUM(dp) AS DOUBLE) AS sum_price,
+    |  CAST(MIN(dp) AS DOUBLE) AS min_price,
+    |  CAST(MAX(dp) AS DOUBLE) AS max_price
+    |FROM d
+    |GROUP BY o_orderstatus
+    |ORDER BY o_orderstatus
+    |""".stripMargin.trim
+
   // Per-file Bloom pruning end to end: customer written as 8 hash-
   // distributed files with bloom.columns=c_name (every file's min/max
   // spans the name domain, so ONLY the bloom can prune), then a 2-name
@@ -510,6 +558,7 @@ object FormatQueries extends QueryPack {
     Q("dwrf_stripe_concat", rtConcat, Some(rtConcatOracle)),
     Q("dwrf_compact_scan", rtCompact, Some(rtCompactOracle)),
     Q("dwrf_bloom_scan", bloomScan, Some(bloomScanOracle)),
+    Q("dwrf_decimal_roundtrip", rtDecimal, Some(rtDecimalOracle)),
     Q("dwrf_partitioned_roundtrip", rtPartitioned, Some(rtPartitionedOracle)),
   )
 }

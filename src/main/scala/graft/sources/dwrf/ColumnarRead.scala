@@ -26,6 +26,7 @@ object ColumnarSupport {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
          FloatType | DoubleType | StringType | BinaryType |
          TimestampType | TimestampNTZType | DateType => true
+    case d: DecimalType if d.precision <= 18 => true
     case s: StructType => s.fields.forall(f => supportedType(f.dataType))
     case a: ArrayType => supportedType(a.elementType)
     case m: MapType => supportedType(m.keyType) && supportedType(m.valueType)
@@ -140,6 +141,9 @@ object VectorDecoder {
     case BooleanType => new BoolVectorDecoder(columnId)
     case ByteType => new ByteVectorDecoder(columnId)
     case ShortType | IntegerType | LongType => new LongVectorDecoder(columnId, dt)
+    // short decimals decode through the long kernels; the vector stores
+    // unscaled ints (p <= 9) or longs, Spark's own decimal vector layout
+    case d: DecimalType if d.precision <= 18 => new LongVectorDecoder(columnId, d)
     case DateType => new DateVectorDecoder(columnId)
     case FloatType => new FloatVectorDecoder(columnId)
     case DoubleType => new DoubleVectorDecoder(columnId)
@@ -481,9 +485,17 @@ final class LongVectorDecoder(c: Int, dt: DataType) extends VectorDecoder(c) {
     }
   }
 
+  // decimals of precision <= MAX_INT_DIGITS live in int vectors — this
+  // must mirror WritableColumnVector's storage choice or reads misalign
+  private val asInt: Boolean = dt match {
+    case ShortType | IntegerType => true
+    case d: DecimalType =>
+      d.precision <= org.apache.spark.sql.types.Decimal.MAX_INT_DIGITS
+    case _ => false
+  }
   private val putter: (OnHeapColumnVector, Int, Long) => Unit = dt match {
     case ShortType => (v, i, x) => v.putShort(i, x.toShort)
-    case IntegerType => (v, i, x) => v.putInt(i, x.toInt)
+    case _ if asInt => (v, i, x) => v.putInt(i, x.toInt)
     case _ => (v, i, x) => v.putLong(i, x)
   }
 
@@ -510,7 +522,7 @@ final class LongVectorDecoder(c: Int, dt: DataType) extends VectorDecoder(c) {
       case ShortType =>
         var i = 0
         while (i < n) { v.putShort(i, scratch(i).toShort); i += 1 }
-      case IntegerType =>
+      case _ if asInt =>
         var i = 0
         while (i < n) { v.putInt(i, scratch(i).toInt); i += 1 }
       case _ => v.putLongs(0, n, scratch, 0)

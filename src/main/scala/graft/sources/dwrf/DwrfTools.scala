@@ -31,6 +31,9 @@ object DwrfDump {
         sb.append(s"Compression size: ${r.postScript.blockSize}\n")
       sb.append(s"Row index stride: ${f.rowIndexStride}\n")
       sb.append(s"Raw data size: ${f.rawDataSize}\n")
+      if (f.userMetadata.nonEmpty)
+        sb.append(s"User metadata: ${f.userMetadata.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k(${v.length}B)" }.mkString(", ")}\n")
       sb.append(s"Type: ${r.schema.simpleString}\n")
       sb.append("\nStatistics:\n")
       f.fileStats.toSeq.sortBy(_._1).foreach { case (col, st) =>
@@ -202,9 +205,30 @@ object DwrfConcat {
   * query that listed files BEFORE the swap can fail on the vanished
   * input, the same caveat as Hive/Iceberg compaction without snapshot
   * isolation; run it as a maintenance pass, not against live scans.
+  *
+  * Merged files keep merged min/max/sum stats (aggregate and stride
+  * pruning survive) but DROP per-file Bloom filters — bloom union needs
+  * equal sizing and rebuilding needs a decode, so the merge stays
+  * byte-wise and the absent bloom just means no planning-time equality
+  * pruning for that file until a decoded rewrite re-adds it.
   */
 object DwrfCompact {
   private val ManifestKey = "compact.inputs"
+
+  /** CLI: runMain graft.sources.dwrf.DwrfCompact <dir> [targetMB=128] —
+    * driver-side convenience over the same group plan (one local Spark
+    * session; the library entry point [[compact]] distributes groups
+    * across the caller's cluster).
+    */
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: DwrfCompact <dir> [targetMB]")
+    val target = (if (args.length > 1) args(1).toLong else 128L) * 1024 * 1024
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("dwrf-compact")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try println(compact(spark, args(0), target))
+    finally spark.stop()
+  }
 
   final case class Result(groups: Int, filesBefore: Int, filesAfter: Int,
       filesCompacted: Int)

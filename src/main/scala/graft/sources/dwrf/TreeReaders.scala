@@ -24,6 +24,8 @@ object TreeReader {
     case ShortType => new LongTreeReader(columnId, v => v.toShort)
     case IntegerType => new LongTreeReader(columnId, v => v.toInt)
     case LongType => new LongTreeReader(columnId, v => v)
+    case d: DecimalType if d.precision <= 18 =>
+      new LongTreeReader(columnId, v => Decimal(v, d.precision, d.scale))
     case FloatType => new FloatTreeReader(columnId)
     case DoubleType => new DoubleTreeReader(columnId)
     case StringType => new StringTreeReader(columnId)

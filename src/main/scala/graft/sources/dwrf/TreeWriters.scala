@@ -84,6 +84,13 @@ object TreeWriter {
       case BooleanType => new BooleanTreeWriter(columnId, opts)
       case ByteType => new ByteTreeWriter(columnId, opts)
       case ShortType | IntegerType | LongType => new LongTreeWriter(columnId, dt, opts)
+      // beyond-reference: DWRF predates ORC's DECIMAL kind, but our
+      // schema is Spark-native JSON, so a short decimal rides the long
+      // kernels as its unscaled value — the reader reconstructs
+      // precision/scale from the schema. (p > 18 stays unsupported:
+      // unscaled no longer fits the integer streams.)
+      case d: DecimalType if d.precision <= 18 =>
+        new LongTreeWriter(columnId, d, opts)
       case FloatType => new FloatTreeWriter(columnId, opts)
       case DoubleType => new DoubleTreeWriter(columnId, opts)
       case StringType => new StringTreeWriter(columnId, opts)
@@ -308,6 +315,8 @@ final class LongTreeWriter(columnId: Int, dt: DataType, opts: DwrfWriteOptions)
     val v = dt match {
       case ShortType => g.getShort(ordinal).toLong
       case IntegerType => g.getInt(ordinal).toLong
+      case d: DecimalType =>
+        g.getDecimal(ordinal, d.precision, d.scale).toUnscaledLong
       case _ => g.getLong(ordinal)
     }
     stats.noteLong(v)
