@@ -356,6 +356,10 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
          org.apache.spark.sql.types.TimestampNTZType |
          org.apache.spark.sql.types.StringType |
          org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => true
+    // short decimals: unscaled-long stats at a fixed scale are
+    // order-preserving, so min/max (and count) are exact; SUM stays
+    // excluded (aggOutType would need the widened decimal sum type)
+    case d: org.apache.spark.sql.types.DecimalType if d.precision <= 18 => true
     case _ => false
   }
 
@@ -507,6 +511,8 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
           if (isMin) st.longMin else st.longMax
         case FloatType => (if (isMin) st.doubleMin else st.doubleMax).toFloat
         case DoubleType => if (isMin) st.doubleMin else st.doubleMax
+        case d: DecimalType =>
+          Decimal(if (isMin) st.longMin else st.longMax, d.precision, d.scale)
         case StringType => org.apache.spark.unsafe.types.UTF8String
           .fromString(if (isMin) st.stringMin else st.stringMax)
         case other => throw new IllegalStateException(

@@ -116,6 +116,7 @@ private[dwrf] object DwrfBloom {
 
   def supported(dt: DataType): Boolean = dt match {
     case StringType | ByteType | ShortType | IntegerType | LongType => true
+    case d: DecimalType if d.precision <= 18 => true
     case _ => false
   }
 
@@ -132,6 +133,10 @@ private[dwrf] object DwrfBloom {
     case (ShortType, n: Short) => Some(hashLong(n.toLong))
     case (IntegerType, n: Int) => Some(hashLong(n.toLong))
     case (LongType, n: Long) => Some(hashLong(n))
+    case (d: DecimalType, _) =>
+      // a value that doesn't rescale exactly can't equal any stored one,
+      // but "prune" needs the writer's hash space — stay conservative
+      StatsFilter.decimalUnscaled(v, d.scale).map(hashLong)
     case _ => None
   }
 }
@@ -192,6 +197,8 @@ final class DwrfFileWriter(
         case ShortType => acc.add(DwrfBloom.hashLong(row.getShort(i).toLong))
         case IntegerType => acc.add(DwrfBloom.hashLong(row.getInt(i).toLong))
         case LongType => acc.add(DwrfBloom.hashLong(row.getLong(i)))
+        case d: DecimalType => acc.add(DwrfBloom.hashLong(
+          row.getDecimal(i, d.precision, d.scale).toUnscaledLong))
         case other => throw new IllegalStateException(s"unreachable: $other")
       }
     }

@@ -68,6 +68,7 @@ object StatsFilter {
         case ByteType | ShortType | IntegerType | LongType | FloatType |
              DoubleType | StringType | BooleanType | TimestampType |
              TimestampNTZType | DateType => true
+        case d: DecimalType if d.precision <= 18 => true
         case _ => false
       }
     }
@@ -135,6 +136,18 @@ object StatsFilter {
         if (st.longMin > st.longMax) return true
         // check(sign(v-min), sign(max-v)): e.g. EqualTo needs v>=min && max>=v
         check(java.lang.Long.compare(v, st.longMin), java.lang.Long.compare(st.longMax, v))
+      case d: DecimalType if d.precision <= 18 =>
+        // stats hold unscaled longs at the column's scale; rescale the
+        // filter value exactly or refuse to skip (a value that needs
+        // rounding could straddle the window either way under range
+        // predicates, so conservatism is the only sound answer)
+        decimalUnscaled(value, d.scale) match {
+          case Some(v) =>
+            if (st.longMin > st.longMax) return true
+            check(java.lang.Long.compare(v, st.longMin),
+              java.lang.Long.compare(st.longMax, v))
+          case None => true
+        }
       case FloatType | DoubleType =>
         val v = value.asInstanceOf[Number].doubleValue()
         // NaN soundness: Spark orders NaN = NaN and NaN > every double, but
@@ -182,6 +195,20 @@ object StatsFilter {
       case _ => true
     }
   }
+
+  /** Exact unscaled-long form of a decimal filter value at the column's
+    * scale — None when rescaling would round or overflow 18 digits.
+    */
+  private[dwrf] def decimalUnscaled(value: Any, scale: Int): Option[Long] =
+    try {
+      val bd = value match {
+        case b: java.math.BigDecimal => b
+        case b: scala.math.BigDecimal => b.underlying()
+        case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+        case _ => return None
+      }
+      Some(bd.setScale(scale).unscaledValue().longValueExact())
+    } catch { case _: ArithmeticException => None }
 
   private def toMicros(value: Any): Option[Long] = value match {
     case t: java.sql.Timestamp =>

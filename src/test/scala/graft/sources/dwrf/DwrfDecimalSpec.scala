@@ -48,6 +48,52 @@ class DwrfDecimalSpec extends AnyFunSuite {
     assert(sums == expect)
   }
 
+  test("decimal stats drive stride skipping, footer MIN/MAX pushdown, and bloom pruning") {
+    val s = spark
+    import s.implicits._
+    val dir = mkdir()
+    // sorted by the decimal column => selective stride windows
+    spark.range(0, 60000, 1, 1)
+      .select(col("id"), (col("id").cast("decimal(12,2)") / 4).as("d"))
+      .orderBy("d")
+      .write.format("dwrf").option("bloom.columns", "d")
+      .mode("overwrite").save(dir)
+
+    // stride skip: a 1-stride-wide range on the sorted decimal column
+    val lo = new java.math.BigDecimal("100.00")
+    val hi = new java.math.BigDecimal("120.00")
+    val (rows, strides, _) = DwrfUtil.surfacedRows(dir, "d",
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("d", lo),
+        org.apache.spark.sql.sources.LessThan("d", hi)))
+    assert(strides > 0, "decimal range filter must skip strides")
+    assert(rows < 60000 / 2, s"surfaced $rows of 60000 — no skipping happened")
+
+    // footer aggregate pushdown: MIN/MAX/COUNT collapse to a LocalScan
+    val back = spark.read.format("dwrf").load(dir)
+    val agg = back.agg(min(col("d")).as("mn"), max(col("d")).as("mx"),
+      count(col("d")).as("n"))
+    val p = agg.queryExecution.executedPlan
+    val expanded = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+    }
+    val local = (p +: expanded).flatMap(_.collect {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+    })
+    assert(local.nonEmpty, s"decimal MIN/MAX must ride the footer:\n$p")
+    val r = agg.head()
+    assert(r.getDecimal(0).compareTo(new java.math.BigDecimal("0.00")) == 0)
+    assert(r.getDecimal(1).compareTo(new java.math.BigDecimal("14999.75")) == 0)
+    assert(r.getLong(2) == 60000)
+
+    // bloom: equality on a value that rescales exactly but is absent
+    // (x.37 can never be id/4) prunes the whole (sorted, in-range) file
+    val absent = back.filter(col("d") === new java.math.BigDecimal("100.37"))
+    assert(absent.count() == 0)
+    val present = back.filter(col("d") === new java.math.BigDecimal("100.25"))
+    assert(present.count() == 1)
+  }
+
   test("p > 18 fails loud instead of writing garbage") {
     val s = spark
     import s.implicits._
