@@ -29,11 +29,12 @@ final class DwrfDataSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = true
 
-  private def pathOf(options: CaseInsensitiveStringMap): Path = {
-    val p = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("dwrf: 'path' option required"))
-    new Path(p)
-  }
+  // catalog tables (CREATE TABLE … USING dwrf LOCATION …) surface the
+  // directory as 'location'; path-based reads as 'path' — accept both
+  private def pathOf(options: CaseInsensitiveStringMap): Path =
+    new Path(DwrfUtil.pathOption(options.asCaseSensitiveMap().asScala.toMap)
+      .getOrElse(throw new IllegalArgumentException(
+        "dwrf: 'path' (or table LOCATION) required")))
 
   /** Union of all files' top-level fields, in first-appearance order
     * (schema evolution: files written before a column was added simply
@@ -144,6 +145,14 @@ final class DwrfDataSource extends TableProvider with DataSourceRegister {
 }
 
 object DwrfUtil {
+  /** The table directory from options/properties: 'path' (path-based
+    * reads) or 'location' (catalog DDL), case-insensitively.
+    */
+  def pathOption(m: Map[String, String]): Option[String] = {
+    val ci = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(m)
+    ci.get("path").orElse(ci.get("location")).filter(_.nonEmpty)
+  }
+
   def listDataFiles(path: Path, conf: Configuration): Seq[Path] =
     listDataFileStatuses(path, conf).map(_.getPath)
 
@@ -270,7 +279,8 @@ final class DwrfTable(tableSchema: StructType, properties: Map[String, String],
     partCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite {
 
-  override def name(): String = s"dwrf:${properties.getOrElse("path", "?")}"
+  override def name(): String =
+    s"dwrf:${DwrfUtil.pathOption(properties).getOrElse("?")}"
   override def schema(): StructType = tableSchema
 
   override def partitioning(): Array[Transform] =
@@ -289,14 +299,23 @@ final class DwrfTable(tableSchema: StructType, properties: Map[String, String],
   // at the boundary (Spark's option contract) — plain .get downstream
   // honors any spelling. Write options are NOT wrapped: they are iterated
   // key-preserving (`metadata.MyKey` must keep its case in the footer).
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DwrfScanBuilder(tableSchema, options.get("path"),
-      org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(
-        options.asCaseSensitiveMap().asScala.toMap))
+  // scans/writes from a catalog table get no 'path' option — fall back
+  // to the table properties' location captured at getTable time
+  private def resolvedPath(opts: Map[String, String]): String =
+    DwrfUtil.pathOption(opts).orElse(DwrfUtil.pathOption(properties))
+      .getOrElse(throw new IllegalArgumentException(
+        "dwrf: 'path' (or table LOCATION) required"))
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new DwrfWriteBuilder(info.schema(), info.options().get("path"),
-      info.options().asCaseSensitiveMap().asScala.toMap, partCols)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val opts = options.asCaseSensitiveMap().asScala.toMap
+    new DwrfScanBuilder(tableSchema, resolvedPath(opts),
+      org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(opts))
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val opts = info.options().asCaseSensitiveMap().asScala.toMap
+    new DwrfWriteBuilder(info.schema(), resolvedPath(opts), opts, partCols)
+  }
 }
 
 // --------------------------------------------------------------- read
