@@ -233,17 +233,32 @@ object DwrfCompact {
   final case class Result(groups: Int, filesBefore: Int, filesAfter: Int,
       filesCompacted: Int)
 
-  /** Greedy arrival-order bin packing per partition directory: keeps
-    * time-locality (neighboring files hold neighboring data under the
-    * epoch-tagged sink naming), which preserves stride/footer stat
-    * selectivity in the merged files.
+  /** Greedy arrival-order bin packing per partition directory AND
+    * per byte-compatibility class (schema, codec, block size, vints,
+    * stride — exactly the preconditions [[DwrfConcat.concat]] requires),
+    * so a directory whose write options changed over time compacts each
+    * generation separately instead of failing the merge. Arrival order
+    * keeps time-locality (neighboring files hold neighboring data under
+    * the epoch-tagged sink naming), which preserves stride/footer stat
+    * selectivity in the merged files. Plan cost: one footer read per
+    * small file, on the bounded pool.
     */
   private[dwrf] def plan(dir: Path, conf: Configuration, targetBytes: Long)
       : Seq[Seq[Path]] = {
-    DwrfUtil.listDataFileStatuses(dir, conf)
-      .groupBy(_.getPath.getParent.toString).toSeq.sortBy(_._1)
+    val all = DwrfUtil.listDataFileStatuses(dir, conf)
+      .filter(_.getLen < targetBytes)
+    val compat: Map[String, String] = DwrfUtil.parMap(all.map(_.getPath)) { p =>
+      val r = new DwrfFileReader(p, conf)
+      try p.toString -> Seq(r.footer.schemaJson, r.postScript.compression.name,
+        r.postScript.blockSize, r.postScript.useVInts,
+        r.footer.rowIndexStride).mkString("|")
+      finally r.close()
+    }.toMap
+    all
+      .groupBy(s => (s.getPath.getParent.toString, compat(s.getPath.toString)))
+      .toSeq.sortBy(_._1)
       .flatMap { case (_, statuses) =>
-        val small = statuses.filter(_.getLen < targetBytes)
+        val small = statuses
           .sortBy(s => (s.getModificationTime, s.getPath.getName))
         val groups = scala.collection.mutable.ArrayBuffer.empty[Vector[Path]]
         var cur = Vector.empty[Path]

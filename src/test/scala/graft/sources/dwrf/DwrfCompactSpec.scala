@@ -74,6 +74,25 @@ class DwrfCompactSpec extends AnyFunSuite {
     assert(res.groups == 0 && files(dir) == names)
   }
 
+  test("mixed write generations compact per compatibility class, not fail") {
+    val s = spark
+    import s.implicits._
+    val dir = mkdir("compactmix-")
+    // two generations with different codecs in ONE directory
+    spark.range(0, 200, 1, 2).select(col("id"))
+      .write.format("dwrf").option("compress", "ZLIB")
+      .mode("overwrite").save(dir)
+    spark.range(200, 400, 1, 2).select(col("id"))
+      .write.format("dwrf").option("compress", "SNAPPY")
+      .mode("append").save(dir)
+    assert(files(dir).size == 4)
+    val res = DwrfCompact.compact(spark, dir, targetBytes = 1L << 30)
+    assert(res.groups == 2 && res.filesAfter == 2,
+      s"one merged file per codec generation: $res")
+    assert(spark.read.format("dwrf").load(dir).as[Long].collect().toSet
+      == (0L until 400L).toSet)
+  }
+
   test("recovery converges both crash points, every row exactly once") {
     val s = spark
     import s.implicits._
