@@ -379,6 +379,40 @@ object FormatQueries extends QueryPack {
     |ORDER BY tag
     |""".stripMargin.trim
 
+  // Catalog route end to end: CTAS into a dwrf table, then the
+  // aggregate reads THROUGH the session catalog (no path option
+  // anywhere) — the route a SQL-first user takes. A regression in
+  // location resolution or catalog writes fails here per round, not
+  // just in sbt.
+  private def ddlScan(s: SparkSession, dir: String): DataFrame = {
+    val out = ioDir("ddl_scan", dir)
+    // idempotent re-runs: clear the location before CTAS re-creates it
+    val p = new org.apache.hadoop.fs.Path(out)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .delete(p, true)
+    s.sql("DROP TABLE IF EXISTS graft_ddl_supplier")
+    Tables.load(s, dir, "supplier").createOrReplaceTempView("supplier_src")
+    s.sql(s"""CREATE TABLE graft_ddl_supplier USING dwrf LOCATION '$out'
+             |AS SELECT * FROM supplier_src""".stripMargin)
+    s.sql("""
+      |SELECT s_nationkey, COUNT(*) AS n_supp,
+      |  CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal,
+      |  MIN(s_name) AS min_name, MAX(s_name) AS max_name
+      |FROM graft_ddl_supplier
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey
+      |""".stripMargin.trim)
+  }
+
+  private val ddlScanOracle = """
+    |SELECT s_nationkey, COUNT(*) AS n_supp,
+    |  CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal,
+    |  MIN(s_name) AS min_name, MAX(s_name) AS max_name
+    |FROM supplier
+    |GROUP BY s_nationkey
+    |ORDER BY s_nationkey
+    |""".stripMargin.trim
+
   // Short-decimal round trip (beyond-reference: DWRF predates ORC
   // DECIMAL; unscaled values ride the long kernels, precision/scale come
   // from the Spark-native schema). Decimal columns derived by the SAME
@@ -559,6 +593,7 @@ object FormatQueries extends QueryPack {
     Q("dwrf_compact_scan", rtCompact, Some(rtCompactOracle)),
     Q("dwrf_bloom_scan", bloomScan, Some(bloomScanOracle)),
     Q("dwrf_decimal_roundtrip", rtDecimal, Some(rtDecimalOracle)),
+    Q("dwrf_ddl_scan", ddlScan, Some(ddlScanOracle)),
     Q("dwrf_partitioned_roundtrip", rtPartitioned, Some(rtPartitionedOracle)),
   )
 }
