@@ -167,16 +167,26 @@ object DwrfUtil {
     if (st.isFile) return Seq(st)
     // recurse ONLY into col=value partition dirs: a stray non-partition
     // subdirectory (backups, scratch) must not silently merge into the
-    // table, matching the pre-partitioning single-level behavior
-    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
-    def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
-      val n = s.getPath.getName
-      if (s.isFile && n.endsWith(".dwrf")) out += s
-      else if (s.isDirectory && n.indexOf('=') > 0 &&
-        !n.startsWith("_") && !n.startsWith(".")) walk(s.getPath)
-    }
-    walk(path)
-    out.sortBy(_.getPath.toString).toSeq
+    // table, matching the pre-partitioning single-level behavior.
+    // First-level partition dirs list on the bounded pool — at 100 TB a
+    // table has thousands of them and one listStatus RPC each, so a
+    // sequential walk makes LISTING the planning bottleneck; deeper
+    // levels stay sequential per branch (fan-out already achieved).
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (s.isFile && n.endsWith(".dwrf")) Seq(s)
+        else if (s.isDirectory && n.indexOf('=') > 0 &&
+          !n.startsWith("_") && !n.startsWith(".")) walk(s.getPath)
+        else Nil
+      }
+    val top = fs.listStatus(path).toSeq
+    val (dirs, files) = top.partition(s => s.isDirectory &&
+      s.getPath.getName.indexOf('=') > 0 &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    val out = files.filter(s => s.isFile && s.getPath.getName.endsWith(".dwrf")) ++
+      parMap(dirs)(d => walk(d.getPath)).flatten
+    out.sortBy(_.getPath.toString)
   }
 
   /** Filesystem-qualified form of `p` — required before comparing against
