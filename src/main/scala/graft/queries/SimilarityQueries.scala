@@ -73,9 +73,14 @@ object SimilarityQueries extends QueryPack {
   private def cosinePairsPlan(s: SparkSession, dir: String,
       exactDecimal: Boolean): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    // the instrument tier (exactDecimal=false) runs the native vec_dot
+    // kernel — bit-identical to the CAST-inside-lambda spelling (same
+    // widening, same accumulation order) at a fraction of the cost; the
+    // oracle-checked tier keeps the decimal-exact SQL form
     def dot(x: String, y: String) =
       if (exactDecimal) expr(s"CAST(${decimalDot(x, y)} AS DOUBLE)")
-      else expr(s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * q), 0D, (acc, v) -> acc + v)")
+      else expr(s"vec_dot($x, $y)")
     val emb = Tables.load(s, dir, "embeddings")
       .filter($"vec_id" < 2000)
       .select($"vec_id", $"embedding",
