@@ -288,9 +288,47 @@ object SimilarityQueries extends QueryPack {
   private def exactTopPairs(s: SparkSession, dir: String): Array[(Long, Long)] = {
     import s.implicits._
     val f = new java.io.File(s"$dir/embeddings.parquet")
-    exactTopCache.getOrElseUpdate((f.getPath, f.lastModified(), f.length()),
-      cosinePairsPlan(s, dir, exactDecimal = false)
-        .select($"id_a", $"id_b").as[(Long, Long)].collect())
+    exactTopCache.getOrElseUpdate((f.getPath, f.lastModified(), f.length()), {
+      // driver-side brute force over the bounded corpus (≤2000 × 64
+      // floats = 512 KB collected): a distributed pairwise join spends
+      // its cold pass materializing join rows carrying both float
+      // arrays, not multiplying — the dedup_semantic lesson. The
+      // arithmetic replicates cosinePairsPlan's double tier term for
+      // term (left-to-right accumulation, sqrt·sqrt then divide), so
+      // the selected pair SET is identical to the plan it replaces.
+      val vecs = Tables.load(s, dir, "embeddings")
+        .filter($"vec_id" < 2000).select($"vec_id", $"embedding")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      def dot(a: Array[Float], b: Array[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i).toDouble * b(i); i += 1 }
+        acc
+      }
+      val norms = vecs.map { case (_, v) => math.sqrt(dot(v, v)) }
+      // top-20 under (cosine desc, id_a, id_b) by sorted insertion
+      val best = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Long)]
+      def better(p: (Double, Long, Long), q: (Double, Long, Long)): Boolean =
+        p._1 > q._1 || (p._1 == q._1 &&
+          (p._2 < q._2 || (p._2 == q._2 && p._3 < q._3)))
+      var i = 0
+      while (i < vecs.length) {
+        var j = i + 1
+        while (j < vecs.length) {
+          val c = dot(vecs(i)._2, vecs(j)._2) / (norms(i) * norms(j))
+          val cand = (c, vecs(i)._1, vecs(j)._1)
+          if (best.size < 20 || better(cand, best.last)) {
+            val at = best.indexWhere(b => better(cand, b))
+            if (at < 0) best += cand else best.insert(at, cand)
+            if (best.size > 20) best.remove(20)
+          }
+          j += 1
+        }
+        i += 1
+      }
+      best.map(b => (b._2, b._3)).toArray
+    })
   }
 
   private def lshRecall(s: SparkSession, dir: String): DataFrame = {
