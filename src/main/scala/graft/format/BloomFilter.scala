@@ -70,13 +70,16 @@ object BloomFilter {
     new BloomFilter(k, new Array[Long](words))
   }
 
-  /** None on an unknown version byte — forward-compatible: a newer
-    * writer's filter is simply not used for pruning. */
+  /** None on an unknown version byte, a truncated buffer, or nonsense
+    * header fields — forward-compatible: a newer or foreign writer's
+    * filter is simply not used for pruning, never a planning crash. */
   def deserialize(bytes: Array[Byte]): Option[BloomFilter] = {
+    if (bytes.length < 1 + 4 + 4) return None
     val bb = java.nio.ByteBuffer.wrap(bytes)
     if (bb.get() != 1.toByte) return None
     val k = bb.getInt
     val n = bb.getInt
+    if (k <= 0 || n <= 0 || bb.remaining() < n.toLong * 8) return None
     val words = new Array[Long](n)
     var i = 0
     while (i < n) { words(i) = bb.getLong; i += 1 }

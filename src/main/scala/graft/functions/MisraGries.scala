@@ -130,7 +130,11 @@ case class MgTopK(
     val it = buffer.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey)
+      // length-prefixed UTF-8, not writeUTF: one unbroken >64 KiB token
+      // (base64/minified blob) must be countable, not a serialize crash
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
       out.writeLong(e.getValue)
     }
     out.flush()
@@ -142,7 +146,13 @@ case class MgTopK(
     val buf = new MgBuffer(in.readInt())
     val n = in.readInt()
     var i = 0
-    while (i < n) { buf.counts.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.counts.put(
+        new String(kb, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     buf
   }
 

@@ -153,6 +153,12 @@ object DwrfUtil {
     ci.get("path").orElse(ci.get("location")).filter(_.nonEmpty)
   }
 
+  /** Hidden marker a [[DwrfMicroBatchStream]] drops in its landing dir
+    * (content: the checkpoint location) so maintenance tooling can
+    * detect an active streaming source; never matched by data listing.
+    */
+  val StreamMarkerName = ".dwrf-stream-active"
+
   def listDataFiles(path: Path, conf: Configuration): Seq[Path] =
     listDataFileStatuses(path, conf).map(_.getPath)
 
@@ -459,7 +465,7 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
     else aggTails.groupBy { case (_, _, _, spec) =>
       groupCols.map(c => PartitionLayout.catalystValue(
         spec.find(_._1 == c).get._2, tableSchema(c).dataType))
-    }.toSeq.sortBy(_._1.map(String.valueOf).mkString(" "))
+    }.toSeq.sortBy(_._1.map(String.valueOf).mkString("\u0000"))
       .map { case (k, v) => (k, v.toSeq) }
 
   /** Exact sum of `name` across `tails`, None when any file's own sum

@@ -129,6 +129,8 @@ private[dwrf] object DwrfBloom {
     * when the value's type doesn't match the column (no pruning then). */
   def hashFilterValue(dt: DataType, v: Any): Option[Long] = (dt, v) match {
     case (StringType, s: String) => Some(hashString(UTF8String.fromString(s)))
+    // runtime V2 filters (broadcast-join IN sets) carry internal values
+    case (StringType, u: UTF8String) => Some(hashString(u))
     case (ByteType, n: Byte) => Some(hashLong(n.toLong))
     case (ShortType, n: Short) => Some(hashLong(n.toLong))
     case (IntegerType, n: Int) => Some(hashLong(n.toLong))

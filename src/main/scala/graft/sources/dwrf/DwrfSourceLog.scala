@@ -84,14 +84,31 @@ final class DwrfSourceLog(dir: Path, conf: Configuration) {
 }
 
 private[dwrf] object DwrfSourceLog {
+  // control characters must be escaped too: the log is line-oriented, so
+  // a raw '\n' inside a path would tear the entry and poison every
+  // restart's parse of the remainder of that log file
   private def esc(s: String): String =
-    s.flatMap { case '\\' => "\\\\"; case '"' => "\\\""; case c => c.toString }
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
   private def unesc(s: String): String = {
     val b = new StringBuilder
     var i = 0
     while (i < s.length) {
-      if (s.charAt(i) == '\\' && i + 1 < s.length) { b += s.charAt(i + 1); i += 2 }
-      else { b += s.charAt(i); i += 1 }
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b += '\n'; i += 2
+          case 'r' => b += '\r'; i += 2
+          case 'u' if i + 5 < s.length =>
+            b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case c => b += c; i += 2
+        }
+      } else { b += s.charAt(i); i += 1 }
     }
     b.toString
   }

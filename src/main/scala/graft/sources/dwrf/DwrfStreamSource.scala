@@ -56,6 +56,23 @@ final class DwrfMicroBatchStream(
   private val log = new DwrfSourceLog(
     new Path(checkpointLocation, "dwrf-source-log"), hadoopConf.value)
 
+  // Best-effort marker so maintenance tooling (DwrfCompact) can tell this
+  // directory is a live streaming landing dir: compacting one would merge
+  // committed files into NEW paths the source log re-registers, i.e.
+  // duplicate every already-ingested row. The marker names the checkpoint
+  // for the operator reading the refusal message. Failure to write it is
+  // non-fatal (read-only landing dirs with cleanSource=off still work).
+  locally {
+    try {
+      val fs = qualifiedRoot.getFileSystem(hadoopConf.value)
+      val marker = new Path(qualifiedRoot, DwrfUtil.StreamMarkerName)
+      val out = fs.create(marker, true)
+      try out.write(checkpointLocation.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   // options arrive wrapped in CaseInsensitiveMap (DwrfTable.newScanBuilder
   // boundary), so a plain get honors Spark's case-insensitive contract
   private val cleanSource =

@@ -205,6 +205,15 @@ object DwrfConcat {
   * query that listed files BEFORE the swap can fail on the vanished
   * input, the same caveat as Hive/Iceberg compaction without snapshot
   * isolation; run it as a maintenance pass, not against live scans.
+  * Streaming sources are WORSE than a transient failure: compacting an
+  * active [[DwrfMicroBatchStream]] landing dir re-ingests everything —
+  * merged `compact-*.dwrf` outputs are new paths the durable source log
+  * registers, duplicating every already-committed row (and in-flight
+  * batches fail on the vanished inputs). [[compact]] therefore REFUSES
+  * when the landing-dir marker ([[DwrfUtil.StreamMarkerName]], written
+  * by the stream source at start) is present, unless `force = true` —
+  * force only when the query is provably stopped and its checkpoint
+  * will be discarded.
   *
   * Merged files keep merged min/max/sum stats (aggregate and stride
   * pruning survive) but DROP per-file Bloom filters — bloom union needs
@@ -275,9 +284,25 @@ object DwrfCompact {
   }
 
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
-      targetBytes: Long): Result = {
+      targetBytes: Long, force: Boolean = false): Result = {
     val conf = DwrfUtil.sessionHadoopConf()
     val root = new Path(dir)
+    if (!force) {
+      val fs = root.getFileSystem(conf)
+      val marker = new Path(root, DwrfUtil.StreamMarkerName)
+      if (fs.exists(marker)) {
+        val ckpt = try {
+          val in = fs.open(marker)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => "<unreadable>" }
+        throw new IllegalStateException(
+          s"$dir is (or was) a dwrf streaming source landing dir " +
+            s"(checkpoint: $ckpt): compaction would re-ingest every " +
+            "committed row as new files. Stop the query and pass " +
+            "force=true only if its checkpoint will be discarded.")
+      }
+    }
     recover(root, conf)
     val before = DwrfUtil.listDataFiles(root, conf).length
     val groups = plan(root, conf, targetBytes)

@@ -63,6 +63,15 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(back.k == b.k && back.counts == b.counts)
   }
 
+  test("a token whose UTF-8 exceeds 64 KiB serializes (no writeUTF limit)") {
+    val agg = MgTopK(org.apache.spark.sql.catalyst.expressions.Literal("x"), 8)
+    val b = new MgBuffer(8)
+    val blob = "é" * 40000 // 80 KB of UTF-8, over the 65535 writeUTF cap
+    b.add(blob); b.add(blob); b.add("small")
+    val back = agg.deserialize(agg.serialize(b))
+    assert(back.counts == b.counts)
+  }
+
   test("sql surface: sketch-then-confirm equals a full exact top-k") {
     val s = spark
     import s.implicits._

@@ -106,6 +106,32 @@ class DwrfBloomSpec extends AnyFunSuite {
       s"fpp drifted: $falsePos/2000 false positives at target 0.02")
   }
 
+  test("truncated or foreign footer bloom bytes mean no pruning, not a crash") {
+    val good = {
+      val bf = BloomFilter.sized(100, 0.02)
+      (1 to 100).foreach(i => bf.add(DwrfBloom.hashLong(i.toLong)))
+      bf.serialize()
+    }
+    assert(BloomFilter.deserialize(good).isDefined)
+    // truncated at every prefix length, foreign version, nonsense header
+    for (n <- 0 until good.length)
+      assert(BloomFilter.deserialize(good.take(n)).isEmpty, s"prefix $n")
+    assert(BloomFilter.deserialize(Array[Byte](2) ++ good.drop(1)).isEmpty)
+    val hostile = good.clone()
+    // declare an enormous word count: must be rejected, not allocated
+    java.nio.ByteBuffer.wrap(hostile).put(0, 1.toByte).putInt(5, Int.MaxValue)
+    assert(BloomFilter.deserialize(hostile).isEmpty)
+  }
+
+  test("internal UTF8String filter values hash like their external form") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types.StringType
+    val ext = DwrfBloom.hashFilterValue(StringType, "user-42")
+    val int = DwrfBloom.hashFilterValue(
+      StringType, UTF8String.fromString("user-42"))
+    assert(ext.isDefined && ext == int)
+  }
+
   test("misconfiguration fails loud at write time") {
     val dir = Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "dwrf-bloombad-").toString

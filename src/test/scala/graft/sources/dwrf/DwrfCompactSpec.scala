@@ -93,6 +93,30 @@ class DwrfCompactSpec extends AnyFunSuite {
       == (0L until 400L).toSet)
   }
 
+  test("an active streaming landing dir is refused unless forced") {
+    val s = spark
+    import s.implicits._
+    val dir = mkdir("compactstream-")
+    spark.range(0, 100, 1, 4).select(col("id"))
+      .write.format("dwrf").mode("overwrite").save(dir)
+    val fs = new Path(dir).getFileSystem(conf)
+    val marker = new Path(dir, DwrfUtil.StreamMarkerName)
+    val out = fs.create(marker, true)
+    out.write("/ckpt/of/some/query".getBytes("UTF-8")); out.close()
+
+    val e = intercept[IllegalStateException](
+      DwrfCompact.compact(spark, dir, targetBytes = 1L << 30))
+    assert(e.getMessage.contains("landing dir") &&
+      e.getMessage.contains("/ckpt/of/some/query"))
+    assert(files(dir).size == 4, "refusal must leave the dir untouched")
+
+    val res = DwrfCompact.compact(spark, dir, targetBytes = 1L << 30,
+      force = true)
+    assert(res.filesAfter == 1)
+    assert(spark.read.format("dwrf").load(dir).as[Long].collect().toSet
+      == (0L until 100L).toSet)
+  }
+
   test("recovery converges both crash points, every row exactly once") {
     val s = spark
     import s.implicits._

@@ -36,9 +36,20 @@ class DwrfSourceLogSpec extends AnyFunSuite {
   }
 
   test("render/parse are exact inverses") {
-    for (p <- Seq("a", "a\"b", "a\\b", "a\\\"b", "\\\\\"\"", "uénicode"))
+    for (p <- Seq("a", "a\"b", "a\\b", "a\\\"b", "\\\\\"\"", "uénicode",
+        "new\nline", "carriage\rreturn", "tab\tandctl"))
       assert(DwrfSourceLog.parse(DwrfSourceLog.render((p, 7L))) == (p, 7L))
     intercept[IllegalArgumentException](DwrfSourceLog.parse("not json"))
+  }
+
+  test("a path containing a newline survives the line-oriented restart") {
+    val dir = mkdir()
+    val log = new DwrfSourceLog(dir, conf)
+    val entries = Seq(("/data/evil\nname.dwrf", 1L), ("/data/after.dwrf", 2L))
+    log.register(entries)
+    val back = new DwrfSourceLog(dir, conf)
+    assert(back.size == 2)
+    assert(back.slice(0, 2) == entries.toIndexedSeq)
   }
 
   test("a gap in the log files fails loud instead of renumbering") {
