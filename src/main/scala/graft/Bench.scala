@@ -48,6 +48,20 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
   }
 
+  /** Total stop-the-world GC milliseconds accumulated so far, summed
+    * across collectors — per-pass deltas make a slow pass self-explaining
+    * (GC storm vs external load vs real regression). */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** 1-minute system load average (-1 where unsupported). */
+  private def load1(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -65,13 +79,22 @@ object Bench {
     try queries("q6_forecast_revenue")(spark, sfDir).count()
     catch { case _: Throwable => }
     val names = headline.filter(queries.contains)
+    // a host already under load poisons every sample the same way the
+    // builder's own notes describe (concurrent sbt ≈ 2× noise) — warn
+    // loudly up front; the per-pass load1 in the JSON proves it after
+    val startLoad = load1()
+    if (startLoad > cpus.toInt / 2.0)
+      System.err.println(f"[bench] WARNING: 1-min load average $startLoad%.1f" +
+        s" on a local[$cpus] run — concurrent work will inflate samples")
     // Each pass runs the queries in a seeded-shuffled order so adjacent
     // cache/GC-heavy queries (e.g. ann_lsh_cosine ↔ ann_lsh_recall) can't
     // systematically warm or contaminate each other across every pass;
     // the seed is fixed so runs stay reproducible.
+    val passCtx = Array.ofDim[(Double, Double, Double)](passes) // (gcSec, load1, wallSec)
     val samples = (1 to passes).map { pass =>
       val order = new scala.util.Random(0x9e3779b9L + pass).shuffle(names)
-      order.map { name =>
+      val gc0 = gcMillis(); val w0 = System.nanoTime()
+      val out = order.map { name =>
         val t0 = System.nanoTime()
         try queries(name)(spark, sfDir).count()
         catch { case e: Throwable =>
@@ -79,6 +102,9 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
+      passCtx(pass - 1) =
+        ((gcMillis() - gc0) / 1e3, load1(), (System.nanoTime() - w0) / 1e9)
+      out
     }
     val results = names.map(n => n -> median(samples.map(_(n))))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -89,7 +115,16 @@ object Bench {
       "\"" + n + "\":[" + samples.map(_(n)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"stat":"median","order":"seeded-shuffle-per-pass","samples":$perSample}"""
+    // per-pass execution context: a 10× single-pass spike should be
+    // self-explaining from the artifact (GC storm / loaded host / code)
+    val ctx = s""""pass_gc_sec":[${passCtx.map(c => f"${c._1}%.2f").mkString(",")}],""" +
+      s""""pass_load1":[${passCtx.map(c => f"${c._2}%.2f").mkString(",")}],""" +
+      s""""pass_wall_sec":[${passCtx.map(c => f"${c._3}%.2f").mkString(",")}]"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"stat":"median","order":"seeded-shuffle-per-pass",$ctx,"samples":$perSample}"""
+    // compact reprint WITHOUT the samples array: the driver's tail
+    // capture truncates the front of long output, so the last line must
+    // be the one that carries the total and every per-query median
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"stat":"median",$ctx,"note":"summary reprint; full per-sample line precedes"}"""
     // three sinks so the metrics line is machine-parseable however this
     // main is launched: target/bench.json (file), the raw process stdout
     // (bypasses sbt's [info] log prefix), and the sbt-captured stdout
@@ -97,11 +132,14 @@ object Bench {
     if (benchFile.getParent != null) // cwd may lack target/ outside sbt
       java.nio.file.Files.createDirectories(benchFile.getParent)
     java.nio.file.Files.write(benchFile,
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (line + "\n" + summary + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val raw = new java.io.PrintStream(new java.io.FileOutputStream(
       java.io.FileDescriptor.out), true, "UTF-8")
     raw.println(line)
     println(line)
+    raw.println(summary)
+    println(summary)
     spark.stop()
   }
 }
