@@ -371,20 +371,56 @@ object DedupQueries extends QueryPack {
   private def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sigs = simhashSignatures(s, dir)
-    val banded = sigs.select($"doc_id", $"sim",
-      posexplode(expr(
-        "transform(sequence(0, 7), b -> (shiftright(sim, b * 8) & 255))"))
-        .as(Seq("band_idx", "band_val")))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b,
-      $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
-        $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
-        bit_count($"a.sim".bitwiseXOR($"b.sim")).cast("long").as("hamming"))
-      .distinct()
-      .filter($"hamming" <= 8)
-      .orderBy($"id_a", $"id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val banded = sigs.select($"doc_id", $"sim",
+        posexplode(expr(
+          "transform(sequence(0, 7), b -> (shiftright(sim, b * 8) & 255))"))
+          .as(Seq("band_idx", "band_val")))
+      val a = banded.as("a")
+      val b = banded.as("b")
+      val surfaced = a.join(b,
+        $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
+          $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+          bit_count($"a.sim".bitwiseXOR($"b.sim")).cast("long").as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 8)
+        .orderBy($"id_a", $"id_b")
+        .collect()
+
+      // In-band pigeonhole audit (the guarantee SimhashPigeonholeSpec
+      // proves once, made a per-round observable): every pair at hamming
+      // ≤ 7 MUST be in the band join's output, so `missed_le7_pairs`
+      // is 0 by mathematics, not by luck — a nonzero value in
+      // CORRECTNESS means the banding itself broke. Brute force over
+      // collected (id, sig) longs is driver-sized metrology, the same
+      // bounded-loop trade ann_lsh_recall documents: n·16 bytes held,
+      // n²/2 XOR+popcounts (5k docs → 12.5M, milliseconds); the gate
+      // fails loud at the size where sampling should replace it.
+      val idSigs = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      require(idSigs.length <= 100000,
+        s"simhash audit tier is bounded-quadratic; ${idSigs.length} docs " +
+          "exceeds the audit budget (sample the audit at this scale)")
+      val surfacedSet = surfaced.map(r => (r.getLong(0), r.getLong(1))).toSet
+      var missed = 0L
+      var i = 0
+      while (i < idSigs.length) {
+        var j = i + 1
+        while (j < idSigs.length) {
+          if (java.lang.Long.bitCount(idSigs(i)._2 ^ idSigs(j)._2) <= 7) {
+            val p = (math.min(idSigs(i)._1, idSigs(j)._1),
+              math.max(idSigs(i)._1, idSigs(j)._1))
+            if (!surfacedSet.contains(p)) missed += 1
+          }
+          j += 1
+        }
+        i += 1
+      }
+      surfaced.toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), missed))
+        .toDF("id_a", "id_b", "hamming", "missed_le7_pairs")
+    } finally sigs.unpersist()
   }
 
   // ------------------------------------------------ embedding near-dup
@@ -444,13 +480,22 @@ object DedupQueries extends QueryPack {
   // recall probe uses, the exact tier (bounded quadratic, the verifier
   // dedup_embedding already establishes) computes ALL true pairs, and
   // the row reports what fraction the within-cell tier captured —
-  // semantic-dedup recall as a per-round observable, not prose. At
-  // 100 TB the cell count grows ~√N so cells stay bounded, and the
-  // exact tier is replaced by sampling the same instrument.
+  // semantic-dedup recall as a per-round observable, not prose.
+  //
+  // The cell count is CORPUS-PROPORTIONAL: cells = ⌈n / 128⌉, so the
+  // expected cell population stays ~TargetCellSize regardless of corpus
+  // size and the within-cell pair work is Σ|cell|² ≈ n·TargetCellSize/2
+  // — LINEAR in n, not O(n²/k) with a fixed k. The output row carries
+  // max_cell_pop so a clustering collapse (everything in one cell, the
+  // quadratic plan sneaking back in) is visible in CORRECTNESS, and a
+  // 16×-target fail-loud bound refuses to run it. At 100 TB only the
+  // driver-side pieces change: centroids move from a plan literal to a
+  // broadcast + hierarchical (two-level) assignment, and the exact
+  // verifier tier is replaced by sampling the same instrument.
   private def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val Cells = 16
+    val TargetCellSize = 128
     val Thresh = 0.9 // planted twins sit at 0.95; base corpus tops out ~0.51
     val corpus = Tables.load(s, dir, "embeddings")
       .select($"vec_id", $"embedding")
@@ -464,8 +509,10 @@ object DedupQueries extends QueryPack {
     try {
       val n = corpus.count()
       require(n <= 200000,
-        s"dedup_semantic's exact verifier tier is bounded-quadratic; $n " +
-          "vectors exceeds the documented verifier budget")
+        s"dedup_semantic's exact VERIFIER tier is bounded-quadratic; $n " +
+          "vectors exceeds the documented verifier budget (the operator " +
+          "tier itself is linear in n via corpus-proportional cells)")
+      val Cells = math.max(4, ((n + TargetCellSize - 1) / TargetCellSize).toInt)
 
       // on unit vectors argmin ||v-c||² == argmax v·c, so assignment runs
       // on the native vec_dot kernel instead of interpreted SQL lambdas
@@ -503,6 +550,15 @@ object DedupQueries extends QueryPack {
         .select($"vec_id", $"v", $"cell")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // the linearity claim rests on bounded cell populations, so
+        // measure them and refuse on collapse: one mega-cell means the
+        // quadratic plan the clustering exists to avoid is back
+        val maxCellPop = assigned.groupBy($"cell").count()
+          .agg(max($"count")).head().getLong(0)
+        require(maxCellPop <= 16L * TargetCellSize,
+          s"semantic-dedup clustering collapsed: largest cell has " +
+            s"$maxCellPop vectors (target $TargetCellSize, bound 16×) — " +
+            "the within-cell tier would degrade toward the quadratic plan")
         def cosPairs(joined: DataFrame): DataFrame = joined
           .select($"id_a", $"id_b", expr("vec_dot(va, vb)").as("cos"))
           .filter($"cos" >= Thresh)
@@ -557,11 +613,12 @@ object DedupQueries extends QueryPack {
             if (b == 0) 0.0
             else BigDecimal(a.toDouble / b).setScale(4,
               BigDecimal.RoundingMode.HALF_UP).toDouble
-          Seq((n, Cells, Thresh, nExact, nWithin, ratio(nWithin, nExact),
+          Seq((n, Cells, maxCellPop, Thresh, nExact, nWithin,
+            ratio(nWithin, nExact),
             plantedExact, plantedWithin, ratio(plantedWithin, plantedExact),
             nDropped))
-            .toDF("n_vectors", "cells", "threshold", "pairs_exact",
-              "pairs_within_cell", "recall", "planted_pairs",
+            .toDF("n_vectors", "cells", "max_cell_pop", "threshold",
+              "pairs_exact", "pairs_within_cell", "recall", "planted_pairs",
               "planted_within_cell", "planted_recall", "n_dropped")
         } finally within.unpersist()
       } finally assigned.unpersist()

@@ -25,6 +25,13 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(row.getAs[Long]("planted_pairs") == 100L)
     val recall = row.getAs[Double]("planted_recall")
     assert(recall >= 0.8, s"semantic dedup recall collapsed: $recall")
+    // corpus-proportional cells: expected population ~128, so the
+    // in-band maximum must sit well under the 16x fail-loud bound
+    assert(row.getAs[Int]("cells") ==
+      math.max(4, (row.getAs[Long]("n_vectors") + 127) / 128),
+      "cell count must be corpus-proportional")
+    assert(row.getAs[Long]("max_cell_pop") <= 16L * 128,
+      "largest cell breached the collapse bound")
     assert(row.getAs[Long]("n_dropped") ==
       row.getAs[Long]("pairs_within_cell"),
       "each twin pair drops exactly its twin id")
