@@ -379,11 +379,15 @@ object FormatQueries extends QueryPack {
     |ORDER BY tag
     |""".stripMargin.trim
 
-  // Catalog route end to end: CTAS into a dwrf table, then the
-  // aggregate reads THROUGH the session catalog (no path option
-  // anywhere) — the route a SQL-first user takes. A regression in
-  // location resolution or catalog writes fails here per round, not
-  // just in sbt.
+  // Catalog route end to end: CTAS into a dwrf table, ALTER TABLE ADD
+  // COLUMNS, a second INSERT generation carrying the new column, then
+  // the aggregate reads BOTH generations THROUGH the session catalog
+  // (no path option anywhere) — the route a SQL-first user takes,
+  // including the schema-evolution step they hit early. Pre-ALTER files
+  // read the added column as NULL (the format's absent-column readers),
+  // so COUNT(gen) counts exactly the post-ALTER rows; a regression in
+  // location resolution, catalog writes, or mixed-generation reads
+  // fails here per round, not just in sbt.
   private def ddlScan(s: SparkSession, dir: String): DataFrame = {
     val out = ioDir("ddl_scan", dir)
     // idempotent re-runs: clear the location before CTAS re-creates it
@@ -394,8 +398,13 @@ object FormatQueries extends QueryPack {
     Tables.load(s, dir, "supplier").createOrReplaceTempView("supplier_src")
     s.sql(s"""CREATE TABLE graft_ddl_supplier USING dwrf LOCATION '$out'
              |AS SELECT * FROM supplier_src""".stripMargin)
+    s.sql("ALTER TABLE graft_ddl_supplier ADD COLUMNS (gen INT)")
+    s.sql("""INSERT INTO graft_ddl_supplier
+            |SELECT *, 2 AS gen FROM supplier_src
+            |WHERE s_suppkey % 10 = 0""".stripMargin)
     s.sql("""
       |SELECT s_nationkey, COUNT(*) AS n_supp,
+      |  COUNT(gen) AS n_gen2,
       |  CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal,
       |  MIN(s_name) AS min_name, MAX(s_name) AS max_name
       |FROM graft_ddl_supplier
@@ -405,10 +414,17 @@ object FormatQueries extends QueryPack {
   }
 
   private val ddlScanOracle = """
+    |WITH t AS (
+    |  SELECT s_nationkey, s_acctbal, s_name, CAST(NULL AS INT) AS gen
+    |  FROM supplier
+    |  UNION ALL
+    |  SELECT s_nationkey, s_acctbal, s_name, 2 AS gen
+    |  FROM supplier WHERE s_suppkey % 10 = 0)
     |SELECT s_nationkey, COUNT(*) AS n_supp,
+    |  COUNT(gen) AS n_gen2,
     |  CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal,
     |  MIN(s_name) AS min_name, MAX(s_name) AS max_name
-    |FROM supplier
+    |FROM t
     |GROUP BY s_nationkey
     |ORDER BY s_nationkey
     |""".stripMargin.trim

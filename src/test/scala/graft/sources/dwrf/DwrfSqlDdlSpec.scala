@@ -41,6 +41,33 @@ class DwrfSqlDdlSpec extends AnyFunSuite {
     s.sql("DROP TABLE dwrf_ddl_t")
   }
 
+  test("ALTER TABLE ADD COLUMNS: mixed write generations read coherently") {
+    val s = spark
+    import s.implicits._
+    val dir = mkdir()
+    s.sql("DROP TABLE IF EXISTS dwrf_ddl_alter")
+    s.sql(s"""CREATE TABLE dwrf_ddl_alter (id BIGINT, tag STRING)
+             |USING dwrf LOCATION '$dir'""".stripMargin)
+    s.sql("INSERT INTO dwrf_ddl_alter VALUES (1, 'a'), (2, 'b')")
+    s.sql("ALTER TABLE dwrf_ddl_alter ADD COLUMNS (note STRING, score DOUBLE)")
+    // rows written BEFORE the ALTER read the new columns as null;
+    // rows written after carry values — one scan over both generations
+    s.sql("INSERT INTO dwrf_ddl_alter VALUES (3, 'c', 'fresh', 0.5)")
+    val got = s.sql(
+      """SELECT id, tag, note, score FROM dwrf_ddl_alter ORDER BY id""")
+      .as[(Long, String, Option[String], Option[Double])].collect().toSeq
+    assert(got == Seq((1L, "a", None, None), (2L, "b", None, None),
+      (3L, "c", Some("fresh"), Some(0.5))))
+    // predicates on the added column still push down / evaluate sanely
+    assert(s.sql(
+      "SELECT COUNT(*) FROM dwrf_ddl_alter WHERE note = 'fresh'")
+      .head().getLong(0) == 1)
+    assert(s.sql(
+      "SELECT COUNT(*) FROM dwrf_ddl_alter WHERE note IS NULL")
+      .head().getLong(0) == 2)
+    s.sql("DROP TABLE dwrf_ddl_alter")
+  }
+
   test("CTAS materializes a queryable dwrf table") {
     val s = spark
     val dir = mkdir()
