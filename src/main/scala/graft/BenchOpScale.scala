@@ -6,12 +6,20 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.queries.{DedupQueries, SimilarityQueries}
+
 /** Operator-tier scale stress: the dedup pipeline (ngram-Jaccard edges →
   * connected components, and MinHash+LSH) on a corpus ~16× the largest
   * fixture, with the numbers RECORDED — wall time, shuffle read/write
   * bytes, and the df-cap skew counters — so the "scale-safe by plan
   * shape" claims are measurements, the same way the format writer's
-  * 9.6M-row stress is.
+  * 9.6M-row stress is. The embedding tier gets the same treatment on a
+  * 16× permuted-replica corpus: the semantic-dedup OPERATOR tier
+  * (recall must survive the scale-up; the within-cell tier must surface
+  * ONLY the planted twins) and the LSH band-width knob (fixed 8-bit
+  * bands must blow up super-linearly in candidates at 16×, occupancy-
+  * scaled 12-bit bands must restore ~linear — the documented 100 TB
+  * trade, measured).
   *
   * Corpus construction (weak scaling, the honest kind): `copies`
   * word-prefixed replicas of the base documents table. Prefixing every
@@ -73,6 +81,32 @@ object BenchOpScale {
     }.reduce(_ unionAll _)
   }
 
+  /** N-replica embedding corpus: (base table ∪ its 100 planted cos=0.95
+    * twins), then per copy a SEEDED DIMENSION PERMUTATION plus a 10^8·i
+    * id offset. A permutation is orthogonal, so every within-copy angle —
+    * twin geometry included — is preserved exactly (up to summation-order
+    * rounding ~1e-7, far from every threshold in play), while cross-copy
+    * cosines are pseudo-random (the harness proves they stay under the
+    * 0.9 dedup threshold by asserting the within-cell tier surfaces ONLY
+    * twin pairs). Copy 0 is the identity, so the base corpus embeds
+    * verbatim.
+    */
+  private[graft] def scaledEmbeddings(spark: SparkSession, baseDir: String,
+      copies: Int): DataFrame = {
+    import spark.implicits._
+    val base = Tables.load(spark, baseDir, "embeddings")
+      .select($"vec_id", $"embedding")
+      .unionByName(SimilarityQueries.plantedTwins(spark, baseDir))
+    val dims = 64
+    (0 until copies).map { i =>
+      val perm: Seq[Int] =
+        if (i == 0) 0 until dims
+        else new scala.util.Random(777 + i).shuffle((0 until dims).toVector)
+      base.select(($"vec_id" + lit(i.toLong * 100000000L)).as("vec_id"),
+        array(perm.map(p => $"embedding".getItem(p)): _*).as("embedding"))
+    }.reduce(_ unionAll _)
+  }
+
   /** (hot shingles over the df cap, max df, shingle rows dropped from the
     * join) — the skew counters behind the df ≤ 50 cap, measured over the
     * given documents dir. */
@@ -124,16 +158,24 @@ object BenchOpScale {
         cur = (listener.read.get(), listener.write.get())
       }
     }
-    def measured(name: String, dir: String): (Double, Long, Long, Long) = {
+    def measuredF[A](f: => A): (Double, A, Long, Long) = {
       settle()
       val (r0, w0) = (listener.read.get(), listener.write.get())
-      val (t, rows) = time(SparkEntry.queries(name)(spark, dir).count())
+      val (t, a) = time(f)
       settle()
-      (t, rows, listener.read.get() - r0, listener.write.get() - w0)
+      (t, a, listener.read.get() - r0, listener.write.get() - w0)
     }
+    def measured(name: String, dir: String): (Double, Long, Long, Long) =
+      measuredF(SparkEntry.queries(name)(spark, dir).count())
 
     val r = scala.collection.mutable.LinkedHashMap[String, Any](
       "copies" -> copies, "base_sf" -> baseDir, "corpus_build_s" -> tBuild)
+    // stress invariants are collected, not thrown: a violated claim must
+    // never destroy the evidence — the JSON (with a "failures" array)
+    // prints first, the nonzero exit comes after
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    def check(cond: Boolean, msg: => String): Unit =
+      if (!cond) failures += msg
 
     // skew counters first (cheap, independent jobs): the df-cap replica
     // claim — hot count and dropped rows scale by exactly `copies`,
@@ -144,7 +186,7 @@ object BenchOpScale {
       "max_df_base" -> maxDf1, "max_df_scaled" -> maxDfN,
       "dropped_shingle_rows_base" -> drop1,
       "dropped_shingle_rows_scaled" -> dropN)
-    require(hotN == copies * hot1 && maxDfN == maxDf1 &&
+    check(hotN == copies * hot1 && maxDfN == maxDf1 &&
       dropN == copies * drop1,
       s"df histogram did not replicate per copy: hot $hot1->$hotN, " +
         s"maxDf $maxDf1->$maxDfN, dropped $drop1->$dropN")
@@ -166,25 +208,113 @@ object BenchOpScale {
       if (q == "dedup_clusters")
         // exact tier: per-copy isomorphism makes N× an equality, and a
         // miss means the operator (or the cap) broke under scale
-        require(rowsN == copies * rows1,
+        check(rowsN == copies * rows1,
           s"$q rows: expected ${copies}x${rows1}, got $rowsN")
       else {
         // hash-dependent tier: bound the drift around N× instead
         val drift = math.abs(rowsN.toDouble / (copies.toDouble * rows1) - 1)
-        require(drift <= 0.15,
+        check(drift <= 0.15,
           s"$q rows drifted ${math.round(drift * 100)}% from ${copies}x " +
             s"($rows1 -> $rowsN)")
         r += s"${q}_rows_drift_from_linear" -> drift
       }
     }
+    // ------------------------------------------------- embedding tier
+    // dedup_semantic's OPERATOR tier (the query minus its bounded-
+    // quadratic verifier — at 33k+ vectors the verifier would dominate
+    // the measurement) and the LSH band-width knob, both on a 16×
+    // permuted-replica corpus with per-copy planted twins.
+    import spark.implicits._
+    val offT = SimilarityQueries.PlantIdOffset
+    val embBase = s"$scaledDir/emb_base"
+    val embScaled = s"$scaledDir/emb_scaled"
+    val (tEmbBuild, _) = time {
+      scaledEmbeddings(spark, baseDir, 1).write.mode("overwrite").parquet(embBase)
+      scaledEmbeddings(spark, baseDir, copies).write.mode("overwrite")
+        .parquet(embScaled)
+    }
+    r += "emb_build_s" -> tEmbBuild
+    // a 9 MB parquet file arrives as ~1 split; spread it like the
+    // many-partition scan a real corpus gets (the repartition's ~MBs of
+    // shuffle are measured too — negligible vs the join volumes)
+    def readEmb(path: String): DataFrame =
+      spark.read.parquet(path).repartition(cpus.toInt)
+
+    var semRecall = Map.empty[String, Double]
+    for ((label, path, mult) <- Seq(("base", embBase, 1), ("scaled", embScaled, copies))) {
+      val (t, tier, sr, sw) = measuredF(DedupQueries.semanticTier(spark, readEmb(path)))
+      try {
+        // tier construction materializes `within`, so t covers the whole
+        // operator: normalize, k-means, assignment, within-cell pairs
+        val plantedWithin = tier.within
+          .filter($"id_b" === $"id_a" + offT).count()
+        val impostors = tier.pairsWithin - plantedWithin
+        check(impostors == 0L,
+          s"within-cell tier surfaced $impostors non-twin pairs at $label — " +
+            "cross-copy cosines reached the 0.9 threshold, the permuted-" +
+            "replica construction's disjointness claim is broken")
+        val recall = plantedWithin.toDouble /
+          (mult.toLong * SimilarityQueries.PlantCount)
+        semRecall += label -> recall
+        r ++= Seq(s"sem_${label}_s" -> t, s"sem_${label}_n" -> tier.n,
+          s"sem_${label}_cells" -> tier.cells,
+          s"sem_${label}_max_cell_pop" -> tier.maxCellPop,
+          s"sem_${label}_pairs_within" -> tier.pairsWithin,
+          s"sem_${label}_planted_recall" -> recall,
+          s"sem_${label}_shuffle_read_mb" -> sr / 1e6,
+          s"sem_${label}_shuffle_write_mb" -> sw / 1e6)
+      } finally tier.unpersist()
+    }
+    r += "sem_time_ratio" ->
+      (r("sem_scaled_s").asInstanceOf[Double] / r("sem_base_s").asInstanceOf[Double])
+    // the operator's RECALL must survive the scale-up, not just its cost
+    check(semRecall("scaled") >= semRecall("base") - 0.1,
+      s"semantic-dedup planted recall degraded under 16×: " +
+        s"base ${semRecall("base")} -> scaled ${semRecall("scaled")}")
+
+    // LSH: candidate volume is Σ occupancy² per bucket, so FIXED 8-bit
+    // bands at 16× corpus must blow up super-linearly (occupancy 8→130) —
+    // and raising to 12-bit bands (the documented 100 TB knob) must bring
+    // candidates back to ~linear, at a measured recall cost.
+    var lshCand = Map.empty[String, Long]
+    for ((label, path, mult, planes, bits) <- Seq(
+        ("base_8bit", embBase, 1, 32, 8),
+        ("scaled_8bit", embScaled, copies, 32, 8),
+        ("scaled_12bit", embScaled, copies, 48, 12))) {
+      val (t, (cand, twins), sr, sw) =
+        measuredF(SimilarityQueries.lshScaleStats(readEmb(path), planes, bits))
+      lshCand += label -> cand
+      r ++= Seq(s"lsh_${label}_s" -> t, s"lsh_${label}_candidates" -> cand,
+        s"lsh_${label}_twin_recall" ->
+          (twins.toDouble / (mult.toLong * SimilarityQueries.PlantCount)),
+        s"lsh_${label}_shuffle_read_mb" -> sr / 1e6,
+        s"lsh_${label}_shuffle_write_mb" -> sw / 1e6)
+    }
+    val linear = copies.toDouble * lshCand("base_8bit")
+    r ++= Seq(
+      "lsh_scaled_8bit_vs_linear" -> lshCand("scaled_8bit") / linear,
+      "lsh_scaled_12bit_vs_linear" -> lshCand("scaled_12bit") / linear)
+    check(lshCand("scaled_8bit") > 4 * linear,
+      "fixed 8-bit bands stayed ~linear at 16× — the occupancy model " +
+        "behind the documented band-width knob is wrong, investigate")
+    check(lshCand("scaled_12bit") < 3 * linear,
+      s"occupancy-scaled 12-bit bands did not restore ~linear candidates " +
+        s"(${lshCand("scaled_12bit")} vs linear $linear)")
+
     spark.sparkContext.removeSparkListener(listener)
 
-    val json = r.map {
+    val json = (r ++ Seq("failures" ->
+      failures.map(f => "\"" + f.replace("\\", "\\\\")
+        .replace("\"", "\\\"") + "\"").mkString("[", ",", "]"))).map {
       case (k, v: Double) => s""""$k":${math.round(v * 1000) / 1000.0}"""
+      case (k, v: String) if k == "failures" => s""""$k":$v"""
       case (k, v: String) => s""""$k":"$v""""
       case (k, v) => s""""$k":$v"""
     }.mkString("{", ",", "}")
     println(json)
     spark.stop()
+    require(failures.isEmpty,
+      s"${failures.size} stress invariant(s) violated (evidence JSON above):\n" +
+        failures.mkString("\n"))
   }
 }

@@ -492,14 +492,31 @@ object DedupQueries extends QueryPack {
   // driver-side pieces change: centroids move from a plan literal to a
   // broadcast + hierarchical (two-level) assignment, and the exact
   // verifier tier is replaced by sampling the same instrument.
-  private def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+  /** The operator-tier state `semanticTier` hands back: both frames are
+    * persisted (`within` already materialized — `pairsWithin` counted it)
+    * and the k-means assignment cache is released; callers `unpersist()`.
+    */
+  private[graft] final case class SemanticTier(corpus: DataFrame,
+      within: DataFrame, n: Long, cells: Int, maxCellPop: Long,
+      pairsWithin: Long) {
+    def unpersist(): Unit = { within.unpersist(); corpus.unpersist(); () }
+  }
+
+  private[graft] val SemanticTargetCellSize = 128
+  // planted twins sit at 0.95; base corpus tops out ~0.51
+  private[graft] val SemanticThresh = 0.9
+
+  /** The SemDeDup OPERATOR tier (normalize → corpus-proportional spherical
+    * k-means → top-2 multi-probe within-cell exact-cosine pairs),
+    * factored out of `dedup_semantic` so the 16× scale stress
+    * (`BenchOpScale`) can run the linear operator WITHOUT the query's
+    * bounded-quadratic exact verifier. `raw` = (vec_id, embedding) with
+    * planted twins already unioned in.
+    */
+  private[graft] def semanticTier(s: SparkSession, raw: DataFrame): SemanticTier = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val TargetCellSize = 128
-    val Thresh = 0.9 // planted twins sit at 0.95; base corpus tops out ~0.51
-    val corpus = Tables.load(s, dir, "embeddings")
-      .select($"vec_id", $"embedding")
-      .unionByName(SimilarityQueries.plantedTwins(s, dir))
+    val corpus = raw
       .select($"vec_id",
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("raw"))
       .withColumn("nrm",
@@ -508,11 +525,8 @@ object DedupQueries extends QueryPack {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = corpus.count()
-      require(n <= 200000,
-        s"dedup_semantic's exact VERIFIER tier is bounded-quadratic; $n " +
-          "vectors exceeds the documented verifier budget (the operator " +
-          "tier itself is linear in n via corpus-proportional cells)")
-      val Cells = math.max(4, ((n + TargetCellSize - 1) / TargetCellSize).toInt)
+      val Cells =
+        math.max(4, ((n + SemanticTargetCellSize - 1) / SemanticTargetCellSize).toInt)
 
       // on unit vectors argmin ||v-c||² == argmax v·c, so assignment runs
       // on the native vec_dot kernel instead of interpreted SQL lambdas
@@ -523,17 +537,21 @@ object DedupQueries extends QueryPack {
             expr("array_position(dots, array_max(dots)) - 1").cast("int"))
           .drop("cents", "dots")
 
-      // deterministic init (first Cells ids) + 2 spherical-k-means
-      // iterations (assign by max dot, mean, renormalize — the mean of
-      // unit vectors is not unit, and argmax dot needs equal-norm
-      // centroids to equal argmin L2), the same driver-sized centroid
-      // round-trip ann_ivf_topk documents
+      // deterministic init (first Cells ids — spelled orderBy/limit so a
+      // corpus whose ids are not dense from 0, e.g. the stress's
+      // copy-offset replicas, still seeds a full centroid set; identical
+      // rows to the old vec_id < Cells filter on the dense fixtures) +
+      // 2 spherical-k-means iterations (assign by max dot, mean,
+      // renormalize — the mean of unit vectors is not unit, and argmax
+      // dot needs equal-norm centroids to equal argmin L2), the same
+      // driver-sized centroid round-trip ann_ivf_topk documents
       def unit(v: Array[Double]): Array[Double] = {
         val n = math.sqrt(v.map(x => x * x).sum)
         if (n == 0) v else v.map(_ / n)
       }
-      var centroids: Array[Array[Double]] = corpus.filter($"vec_id" < Cells)
-        .orderBy($"vec_id").collect().map(_.getSeq[Double](1).toArray)
+      var centroids: Array[Array[Double]] = corpus
+        .orderBy($"vec_id").limit(Cells).collect()
+        .map(_.getSeq[Double](1).toArray)
       for (_ <- 0 until 2) {
         val means = withCell(corpus, centroids)
           .select($"cell", posexplode($"v").as(Seq("pos", "x")))
@@ -546,27 +564,52 @@ object DedupQueries extends QueryPack {
         centroids = centroids.indices
           .map(i => means.getOrElse(i, centroids(i))).toArray
       }
-      val assigned = withCell(corpus, centroids)
-        .select($"vec_id", $"v", $"cell")
+      // FINAL assignment is MULTI-PROBE: the primary cell plus the
+      // runner-up by centroid dot. A cos-0.95 twin pair that k-means
+      // splits lands in ADJACENT cells, and the partner's cell is almost
+      // always the runner-up choice — so the pair search joins each
+      // vector's two probe cells against primary members. Measured
+      // motivation (BenchOpScale, sf0.1): single-probe recall fell
+      // 0.91 → 0.75 at a 16× corpus, because proportional cells get
+      // angularly finer as n grows and boundary splits multiply; the
+      // second probe recovers them for ~2× join volume — still linear
+      // in n, which is the trade the 100× story needs.
+      val assigned = corpus
+        .withColumn("cents", typedlit(centroids.map(_.toSeq).toSeq))
+        .withColumn("dots", expr("transform(cents, c -> vec_dot(v, c))"))
+        .withColumn("cell",
+          expr("array_position(dots, array_max(dots)) - 1").cast("int"))
+        // runner-up = best strictly-below-max dot; coalesce covers the
+        // degenerate all-dots-equal corner (duplicate probe, deduped below)
+        .withColumn("cell2", expr(
+          "coalesce(array_position(dots, array_max(filter(dots, " +
+            "d -> d < array_max(dots)))) - 1, " +
+            "array_position(dots, array_max(dots)) - 1)").cast("int"))
+        .select($"vec_id", $"v", $"cell", $"cell2")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // the linearity claim rests on bounded cell populations, so
-        // measure them and refuse on collapse: one mega-cell means the
-        // quadratic plan the clustering exists to avoid is back
+        // measure them (on PRIMARY cells) and refuse on collapse: one
+        // mega-cell means the quadratic plan the clustering exists to
+        // avoid is back
         val maxCellPop = assigned.groupBy($"cell").count()
           .agg(max($"count")).head().getLong(0)
-        require(maxCellPop <= 16L * TargetCellSize,
+        require(maxCellPop <= 16L * SemanticTargetCellSize,
           s"semantic-dedup clustering collapsed: largest cell has " +
-            s"$maxCellPop vectors (target $TargetCellSize, bound 16×) — " +
+            s"$maxCellPop vectors (target $SemanticTargetCellSize, bound 16×) — " +
             "the within-cell tier would degrade toward the quadratic plan")
         def cosPairs(joined: DataFrame): DataFrame = joined
           .select($"id_a", $"id_b", expr("vec_dot(va, vb)").as("cos"))
-          .filter($"cos" >= Thresh)
+          .filter($"cos" >= SemanticThresh)
 
-        val withinJoin = assigned.as("a")
-          .join(assigned.as("b"),
-            $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
-          .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+        val primary = assigned.select($"vec_id", $"v", $"cell")
+        val probes = assigned.select($"vec_id", $"v",
+          explode(array($"cell", $"cell2")).as("cell"))
+        val withinJoin = probes.as("a")
+          .join(primary.as("b"),
+            $"a.cell" === $"b.cell" && $"a.vec_id" =!= $"b.vec_id")
+          .select(least($"a.vec_id", $"b.vec_id").as("id_a"),
+            greatest($"a.vec_id", $"b.vec_id").as("id_b"),
             $"a.v".as("va"), $"b.v".as("vb"))
         // the within-cell tier must be an equi-join on cell — if it ever
         // degrades to a nested-loop over the corpus, fail rather than
@@ -575,54 +618,81 @@ object DedupQueries extends QueryPack {
         require(!planStr.contains("CartesianProduct") &&
           !planStr.contains("BroadcastNestedLoopJoin"),
           s"within-cell pair search must stay an equi-join:\n$planStr")
-        val within = cosPairs(withinJoin)
+        // threshold BEFORE dedup: the cos filter runs streamed inside
+        // codegen (no shuffle), so a pair surfacing through 2-4
+        // probe/primary row combinations pays duplicate arithmetic
+        // (cheap; vec_dot is positionally symmetric, so every
+        // orientation computes the bit-identical double) instead of a
+        // full-candidate-volume dropDuplicates shuffle dragging 0.5 KB
+        // vector payloads — only the tiny survivor set is deduped
+        val within = cosPairs(withinJoin).dropDuplicates("id_a", "id_b")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // exact tier: the verifier is driver-side brute force over the
-        // size-gated corpus (n ≤ 200k was required above; n·d doubles
-        // collect, n²/2 dot products in a tight loop) — metrology should
-        // not out-cost the operator it measures, and a distributed
-        // pairwise join spends its time materializing 2·d-double join
-        // rows, not multiplying (measured 38 s vs ~1 s here at n=2100)
-        val vecs = corpus.orderBy($"vec_id")
-          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        var nExact = 0L
-        var plantedExact = 0L
-        val off = SimilarityQueries.PlantIdOffset
-        var i = 0
-        while (i < vecs.length) {
-          var j = i + 1
-          while (j < vecs.length) {
-            val (ia, va) = vecs(i)
-            val (ib, vb) = vecs(j)
-            var dot = 0.0
-            var p = 0
-            while (p < va.length) { dot += va(p) * vb(p); p += 1 }
-            if (dot >= Thresh) {
-              nExact += 1
-              if (ib == ia + off) plantedExact += 1
-            }
-            j += 1
-          }
-          i += 1
-        }
-        try {
-          val nWithin = within.count()
-          val nDropped = within.select($"id_b").distinct().count()
-          val plantedWithin = within.filter($"id_b" === $"id_a" + off).count()
-          def ratio(a: Long, b: Long): Double =
-            if (b == 0) 0.0
-            else BigDecimal(a.toDouble / b).setScale(4,
-              BigDecimal.RoundingMode.HALF_UP).toDouble
-          Seq((n, Cells, maxCellPop, Thresh, nExact, nWithin,
-            ratio(nWithin, nExact),
-            plantedExact, plantedWithin, ratio(plantedWithin, plantedExact),
-            nDropped))
-            .toDF("n_vectors", "cells", "max_cell_pop", "threshold",
-              "pairs_exact", "pairs_within_cell", "recall", "planted_pairs",
-              "planted_within_cell", "planted_recall", "n_dropped")
-        } finally within.unpersist()
+        // materialize while `assigned` is still cached — the count doubles
+        // as the pairs_within_cell metric, so nothing is paid twice
+        val pairsWithin = within.count()
+        SemanticTier(corpus, within, n, Cells, maxCellPop, pairsWithin)
       } finally assigned.unpersist()
-    } finally corpus.unpersist()
+    } catch {
+      case t: Throwable => corpus.unpersist(); throw t
+    }
+  }
+
+  private def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+      .unionByName(SimilarityQueries.plantedTwins(s, dir))
+    val tier = semanticTier(s, raw)
+    try {
+      val n = tier.n
+      require(n <= 200000,
+        s"dedup_semantic's exact VERIFIER tier is bounded-quadratic; $n " +
+          "vectors exceeds the documented verifier budget (the operator " +
+          "tier itself is linear in n via corpus-proportional cells)")
+      val within = tier.within
+      // exact tier: the verifier is driver-side brute force over the
+      // size-gated corpus (n ≤ 200k was required above; n·d doubles
+      // collect, n²/2 dot products in a tight loop) — metrology should
+      // not out-cost the operator it measures, and a distributed
+      // pairwise join spends its time materializing 2·d-double join
+      // rows, not multiplying (measured 38 s vs ~1 s here at n=2100)
+      val vecs = tier.corpus.orderBy($"vec_id")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      var nExact = 0L
+      var plantedExact = 0L
+      val off = SimilarityQueries.PlantIdOffset
+      var i = 0
+      while (i < vecs.length) {
+        var j = i + 1
+        while (j < vecs.length) {
+          val (ia, va) = vecs(i)
+          val (ib, vb) = vecs(j)
+          var dot = 0.0
+          var p = 0
+          while (p < va.length) { dot += va(p) * vb(p); p += 1 }
+          if (dot >= SemanticThresh) {
+            nExact += 1
+            if (ib == ia + off) plantedExact += 1
+          }
+          j += 1
+        }
+        i += 1
+      }
+      val nWithin = tier.pairsWithin
+      val nDropped = within.select($"id_b").distinct().count()
+      val plantedWithin = within.filter($"id_b" === $"id_a" + off).count()
+      def ratio(a: Long, b: Long): Double =
+        if (b == 0) 0.0
+        else BigDecimal(a.toDouble / b).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((n, tier.cells, tier.maxCellPop, SemanticThresh, nExact, nWithin,
+        ratio(nWithin, nExact),
+        plantedExact, plantedWithin, ratio(plantedWithin, plantedExact),
+        nDropped))
+        .toDF("n_vectors", "cells", "max_cell_pop", "threshold",
+          "pairs_exact", "pairs_within_cell", "recall", "planted_pairs",
+          "planted_within_cell", "planted_recall", "n_dropped")
+    } finally tier.unpersist()
   }
 
   // ------------------------------------------------ substring spans

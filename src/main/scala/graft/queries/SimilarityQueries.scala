@@ -146,10 +146,9 @@ object SimilarityQueries extends QueryPack {
     * whole-stage-codegen compile time for the same arithmetic — r2
     * bench's 9-12 s was mostly that compile).
     */
-  private def bandedSignatures(emb: DataFrame): DataFrame = {
+  private[graft] def bandedSignatures(emb: DataFrame, planes: Int = 32,
+      bandBits: Int = 8): DataFrame = {
     import emb.sparkSession.implicits._
-    val planes = 32
-    val bandBits = 8
     val bands = planes / bandBits
     val dims = 64
     val rnd = new scala.util.Random(42)
@@ -245,15 +244,15 @@ object SimilarityQueries extends QueryPack {
   //     exactly what a full corpus-with-twins run would, at the cost of
   //     one tiny broadcast instead of a second LSH pass. Theory predicts
   //     ≈ 0.89 at c = 0.95; `LshRecallSpec` pins measured ≥ 0.8.
-  private val PlantCount = 100
+  private[graft] val PlantCount = 100
   private[queries] val PlantCosine = 0.95
-  private[queries] val PlantIdOffset = 10000000L
+  private[graft] val PlantIdOffset = 10000000L
 
   /** Deterministic near-duplicate twins of the first `PlantCount` vectors:
     * twin = c·v + √(1-c²)·|v|·ŵ with ŵ a seeded unit vector ⊥ v, giving
     * cos(v, twin) = c and |twin| = |v| exactly (driver-side, ~100 rows).
     */
-  private[queries] def plantedTwins(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def plantedTwins(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val orig = Tables.load(s, dir, "embeddings")
       .orderBy($"vec_id").limit(PlantCount)
@@ -388,6 +387,42 @@ object SimilarityQueries extends QueryPack {
       PlantCount.toLong, plantedFound, ratio(plantedFound, PlantCount)))
       .toDF("n_exact", "n_found", "recall", "n_candidates",
         "planted_pairs", "planted_found", "planted_recall")
+  }
+
+  /** LSH cost/recall instrument for the operator scale stress
+    * (`BenchOpScale`): one (planes, bandBits) parameterization measured
+    * over an arbitrary embedding corpus that already CONTAINS its planted
+    * twins (vec_id = original + PlantIdOffset). Returns (distinct
+    * candidate-pair count — the bucket-join cost axis; distinct twins
+    * colliding with their original in ≥1 band — the recall numerator).
+    * This turns the documented 100 TB knob ("raise bits per band as n
+    * grows so bucket occupancy stays flat", `bandedSignatures` scaladoc)
+    * into a measurement: fixed 8-bit bands at 16× corpus show the
+    * super-linear candidate blowup, occupancy-scaled bands restore
+    * ~linear candidates at a quantified recall cost.
+    */
+  private[graft] def lshScaleStats(emb: DataFrame, planes: Int,
+      bandBits: Int): (Long, Long) = {
+    import emb.sparkSession.implicits._
+    val banded = bandedSignatures(emb, planes, bandBits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val a = banded.as("a")
+      val b = banded.as("b")
+      val nCand = a.join(b,
+          $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
+            $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"))
+        .distinct().count()
+      // a twin is recalled iff it shares any (band_idx, band_val) bucket
+      // with its original — the id offset keys the pair, so this stays an
+      // equi-join on the band columns
+      val twinsFound = a.join(b,
+          $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
+            $"b.vec_id" === $"a.vec_id" + lit(PlantIdOffset))
+        .select($"b.vec_id").distinct().count()
+      (nCand, twinsFound)
+    } finally { banded.unpersist(); () }
   }
 
   // -------------------------------------------------------- IVF top-k
