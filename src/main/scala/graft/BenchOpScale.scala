@@ -273,33 +273,51 @@ object BenchOpScale {
         s"base ${semRecall("base")} -> scaled ${semRecall("scaled")}")
 
     // LSH: candidate volume is Σ occupancy² per bucket, so FIXED 8-bit
-    // bands at 16× corpus must blow up super-linearly (occupancy 8→130) —
-    // and raising to 12-bit bands (the documented 100 TB knob) must bring
-    // candidates back to ~linear, at a measured recall cost.
+    // bands at 16× corpus must blow up super-linearly (occupancy 8→130);
+    // naively raising to 12-bit bands at the same 4-band count restores
+    // ~linear candidates but pays recall (measured 0.888 → 0.724) — and
+    // the SHIPPED autoBandGeometry (occupancy-constant bits, recall-
+    // compensated band count — what ann_lsh_cosine/ann_lsh_recall now
+    // run) must restore ~linear candidates WITHOUT the recall loss.
+    val nScaled = spark.read.parquet(embScaled).count()
+    val (autoPlanes, autoBits) = SimilarityQueries.autoBandGeometry(nScaled)
+    r ++= Seq("lsh_auto_bits" -> autoBits,
+      "lsh_auto_bands" -> autoPlanes / autoBits)
     var lshCand = Map.empty[String, Long]
+    var lshRecall = Map.empty[String, Double]
     for ((label, path, mult, planes, bits) <- Seq(
         ("base_8bit", embBase, 1, 32, 8),
         ("scaled_8bit", embScaled, copies, 32, 8),
-        ("scaled_12bit", embScaled, copies, 48, 12))) {
+        ("scaled_12bit", embScaled, copies, 48, 12),
+        ("scaled_auto", embScaled, copies, autoPlanes, autoBits))) {
       val (t, (cand, twins), sr, sw) =
         measuredF(SimilarityQueries.lshScaleStats(readEmb(path), planes, bits))
       lshCand += label -> cand
+      lshRecall += label ->
+        (twins.toDouble / (mult.toLong * SimilarityQueries.PlantCount))
       r ++= Seq(s"lsh_${label}_s" -> t, s"lsh_${label}_candidates" -> cand,
-        s"lsh_${label}_twin_recall" ->
-          (twins.toDouble / (mult.toLong * SimilarityQueries.PlantCount)),
+        s"lsh_${label}_twin_recall" -> lshRecall(label),
         s"lsh_${label}_shuffle_read_mb" -> sr / 1e6,
         s"lsh_${label}_shuffle_write_mb" -> sw / 1e6)
     }
     val linear = copies.toDouble * lshCand("base_8bit")
     r ++= Seq(
       "lsh_scaled_8bit_vs_linear" -> lshCand("scaled_8bit") / linear,
-      "lsh_scaled_12bit_vs_linear" -> lshCand("scaled_12bit") / linear)
+      "lsh_scaled_12bit_vs_linear" -> lshCand("scaled_12bit") / linear,
+      "lsh_scaled_auto_vs_linear" -> lshCand("scaled_auto") / linear)
     check(lshCand("scaled_8bit") > 4 * linear,
       "fixed 8-bit bands stayed ~linear at 16× — the occupancy model " +
         "behind the documented band-width knob is wrong, investigate")
     check(lshCand("scaled_12bit") < 3 * linear,
       s"occupancy-scaled 12-bit bands did not restore ~linear candidates " +
         s"(${lshCand("scaled_12bit")} vs linear $linear)")
+    check(lshCand("scaled_auto") < 3 * linear,
+      s"autoBandGeometry did not restore ~linear candidates " +
+        s"(${lshCand("scaled_auto")} vs linear $linear)")
+    check(lshRecall("scaled_auto") >= 0.8,
+      s"autoBandGeometry's recall compensation failed: twin recall " +
+        s"${lshRecall("scaled_auto")} < 0.8 at ${autoPlanes / autoBits}×" +
+        s"$autoBits-bit (theory ≥ 0.85 by construction)")
 
     spark.sparkContext.removeSparkListener(listener)
 

@@ -155,6 +155,71 @@ object FormatQueries extends QueryPack {
     |ORDER BY o_orderpriority, o_orderstatus
     |""".stripMargin.trim
 
+  // Storage-partitioned join end to end (SupportsReportPartitioning):
+  // customer and supplier both land dwrf-partitioned by nationkey, and
+  // with V2 bucketing on (broadcast suppressed to force the issue) the
+  // per-nation join + rollup plans with ZERO shuffle exchanges — the
+  // KeyGroupedPartitioning both scans report makes the directory layout
+  // itself the exchange. The plan shape is REQUIREd as part of the
+  // correctness contract: at 100 TB the win is a whole fact-fact shuffle
+  // that never happens, and a silent regression to shuffle-join would
+  // still hash-match — only the gate makes it visible.
+  private def spjJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val custDir = ioDir("customer-spj", dir)
+    val suppDir = ioDir("supplier-spj", dir)
+    Tables.load(s, dir, "customer")
+      .select($"c_custkey", $"c_acctbal", $"c_nationkey".as("nationkey"))
+      .repartition($"nationkey") // one file per partition dir
+      .write.format("dwrf").partitionBy("nationkey").mode("overwrite")
+      .save(custDir)
+    Tables.load(s, dir, "supplier")
+      .select($"s_suppkey", $"s_acctbal", $"s_nationkey".as("nationkey"))
+      .repartition($"nationkey")
+      .write.format("dwrf").partitionBy("nationkey").mode("overwrite")
+      .save(suppDir)
+    // the SPJ plan must MATERIALIZE under these session overrides (a
+    // lazily-returned frame would re-plan under whatever confs the
+    // caller runs with), so the 25-row rollup is computed here and
+    // returned local; every conf is restored before returning
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val cust = s.read.format("dwrf").load(custDir)
+      val supp = s.read.format("dwrf").load(suppDir)
+      val rolled = cust.join(supp, "nationkey")
+        .groupBy($"nationkey")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr(dsum("c_acctbal + s_acctbal")).as("total_bal"))
+      val plan = rolled.queryExecution.executedPlan
+      val expanded =
+        plan +: plan.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+      val nShuffles =
+        expanded.map(_.collect { case x: ShuffleExchangeExec => x }.size).sum
+      require(nShuffles == 0,
+        s"storage-partitioned join must plan with zero shuffles, found " +
+          s"$nShuffles:\n$plan")
+      val rows = rolled.orderBy($"nationkey").collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), rolled.schema)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  private val spjJoinOracle = s"""
+    |SELECT c_nationkey AS nationkey, COUNT(*) AS n_pairs,
+    |  ${dsum("c_acctbal + s_acctbal")} AS total_bal
+    |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+    |GROUP BY c_nationkey
+    |ORDER BY nationkey
+    |""".stripMargin.trim
+
   // Column projection + filter over the dwrf scan (P1: only the three
   // needed columns' streams are read).
   private def rtProjection(s: SparkSession, dir: String): DataFrame = {
@@ -611,5 +676,6 @@ object FormatQueries extends QueryPack {
     Q("dwrf_decimal_roundtrip", rtDecimal, Some(rtDecimalOracle)),
     Q("dwrf_ddl_scan", ddlScan, Some(ddlScanOracle)),
     Q("dwrf_partitioned_roundtrip", rtPartitioned, Some(rtPartitionedOracle)),
+    Q("dwrf_spj_join", spjJoin, Some(spjJoinOracle)),
   )
 }

@@ -123,17 +123,20 @@ object SimilarityQueries extends QueryPack {
     |""".stripMargin.trim
 
   // ------------------------------------------------------- LSH cosine
-  // 32 deterministic Rademacher hyperplanes (seeded) in 4 bands × 8 bits:
+  // Deterministic Rademacher hyperplanes (seeded) in b bands × r bits:
   // vectors colliding in ANY band become candidates (sub-quadratic: only
   // same-bucket vectors meet in the join), candidates get EXACT cosine
   // (the self-validating confirm step), output = top-20 candidates.
-  // Recall target: a pair at cosine c matches one 8-bit band with
-  // p^8 where p = 1 - acos(c)/π, so any-of-4-bands recall is
-  // 1-(1-p^8)^4 ≈ 0.89 at c=0.95, 0.75 at c=0.90 — 4× the band count
-  // (and recall) of a 2×16 split at the same signature width, while
-  // 8-bit bands keep 256 buckets/band so occupancy (and the bucket join)
-  // stays sub-quadratic. At 100 TB you'd raise bits-per-band to keep
-  // bucket occupancy flat; the plan shape is unchanged.
+  // Recall: a pair at cosine c matches one r-bit band with p^r where
+  // p = 1 - acos(c)/π, so any-of-b-bands recall is 1-(1-p^r)^b.
+  // The GEOMETRY IS SELF-TUNING (autoBandGeometry): candidate volume is
+  // Σ occupancy² per bucket, so fixed-width bands go super-linear as the
+  // corpus grows (measured at 16×: 10.47M candidates = 16.0× linear for
+  // fixed 8-bit bands, BenchOpScale) — r rises with log₂(n) to hold
+  // bucket occupancy ~constant, and b rises with r to hold theoretical
+  // recall at the planted cosine, trading a wider (still narrow,
+  // shuffle-free) signature for a ~linear bucket join. At sf≤0.01 the
+  // knob resolves to the historical 4×8-bit geometry exactly.
   /** The per-vector LSH signature pass, factored out so the planted-twin
     * recall probe hashes its twins with the IDENTICAL hyperplanes: input
     * (vec_id, embedding) → one row per band (vec_id, norm2, band_idx,
@@ -146,6 +149,31 @@ object SimilarityQueries extends QueryPack {
     * whole-stage-codegen compile time for the same arithmetic — r2
     * bench's 9-12 s was mostly that compile).
     */
+  /** Corpus-size-driven band geometry: (planes, bitsPerBand).
+    *
+    * Bits per band r = clamp(⌈log₂(n / targetOccupancy)⌉, 8, 16) keeps
+    * EXPECTED BUCKET OCCUPANCY flat as the corpus grows — the bucket
+    * join's candidate volume is Σ occupancy² per bucket, so constant
+    * occupancy is what makes it ~linear in n (the 16× stress measures
+    * the fixed-width alternative blowing up 16.0× over linear). Band
+    * count b is then the smallest with 1-(1-p^r)^b ≥ targetRecall at
+    * the planted cosine (p = 1-acos(c)/π): recall is HELD by
+    * construction while r moves, paying only signature width (a narrow
+    * shuffle-free project). At n ≤ ~4k this resolves to the historical
+    * (32, 8) / 4-band geometry, so small-SF results are bit-identical.
+    */
+  private[graft] def autoBandGeometry(n: Long,
+      targetOccupancy: Double = 16.0, targetRecall: Double = 0.85,
+      atCosine: Double = PlantCosine): (Int, Int) = {
+    val bits = math.max(8, math.min(16, math.ceil(
+      math.log(math.max(1.0, n / targetOccupancy)) / math.log(2)).toInt))
+    val p = 1.0 - math.acos(atCosine) / math.Pi
+    val pBand = math.pow(p, bits)
+    val bands = math.max(1,
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt)
+    (bands * bits, bits)
+  }
+
   private[graft] def bandedSignatures(emb: DataFrame, planes: Int = 32,
       bandBits: Int = 8): DataFrame = {
     import emb.sparkSession.implicits._
@@ -172,12 +200,14 @@ object SimilarityQueries extends QueryPack {
   }
 
   private def lshCosineFull(s: SparkSession, dir: String,
-      cache: Boolean = true): (DataFrame, DataFrame, Seq[DataFrame]) = {
+      cache: Boolean = true): (DataFrame, DataFrame, Seq[DataFrame], (Int, Int)) = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
+    // one footer-only count job buys the size-driven geometry
+    val geo @ (planes, bits) = autoBandGeometry(emb.count())
     // persisted: the self-join would otherwise evaluate the signature
     // projection twice (a narrow project has no exchange to reuse)
-    val banded0 = bandedSignatures(emb)
+    val banded0 = bandedSignatures(emb, planes, bits)
     val banded = if (cache)
       banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else banded0
@@ -207,7 +237,7 @@ object SimilarityQueries extends QueryPack {
       .orderBy($"cosine".desc, $"id_a", $"id_b")
       .limit(20)
       .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
-    (result, candCount, Seq(banded, cand))
+    (result, candCount, Seq(banded, cand), geo)
   }
 
   private[queries] def lshCosinePlan(s: SparkSession, dir: String): DataFrame =
@@ -216,12 +246,15 @@ object SimilarityQueries extends QueryPack {
   private def lshCosine(s: SparkSession, dir: String): DataFrame = {
     // top-20 + candidate count is driver-sized: materialize, then free the
     // candidate cache (same pattern as ann_ivf_topk)
-    val (result, candCount, caches) = lshCosineFull(s, dir)
+    val (result, candCount, caches, (planes, bits)) = lshCosineFull(s, dir)
     val rows = result.collect()
     val n = candCount.collect().head.getLong(0)
     caches.foreach(_.unpersist())
     s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
       .withColumn("n_candidates", lit(n))
+      // the geometry the run actually used, in-band (self-tuned from n)
+      .withColumn("band_bits", lit(bits))
+      .withColumn("n_bands", lit(planes / bits))
   }
 
   // ------------------------------------------------------- LSH recall
@@ -341,7 +374,8 @@ object SimilarityQueries extends QueryPack {
     // verify machinery the probe never reads — metrology should not cost
     // more than the operator it measures.
     val emb = Tables.load(s, dir, "embeddings")
-    val banded = bandedSignatures(emb)
+    val (planes, bits) = autoBandGeometry(emb.count())
+    val banded = bandedSignatures(emb, planes, bits)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a")
     val b = banded.as("b")
@@ -371,7 +405,8 @@ object SimilarityQueries extends QueryPack {
     // planted probe: a twin is recalled iff it collides with its original
     // in ANY band — equi-join the ~400 twin band rows (broadcast) against
     // the corpus band table, keyed back to the original by the id offset
-    val twinBanded = bandedSignatures(plantedTwins(s, dir))
+    // twins hash with the corpus's exact geometry — collision is pairwise
+    val twinBanded = bandedSignatures(plantedTwins(s, dir), planes, bits)
       .select($"vec_id".as("t_id"), $"band_idx".as("t_band"),
         $"band_val".as("t_val"))
     val plantedFound = banded.join(broadcast(twinBanded),
@@ -384,9 +419,11 @@ object SimilarityQueries extends QueryPack {
       else BigDecimal(num.toDouble / den).setScale(4,
         BigDecimal.RoundingMode.HALF_UP).toDouble
     Seq((nExact, nFound, ratio(nFound, nExact), nCand,
-      PlantCount.toLong, plantedFound, ratio(plantedFound, PlantCount)))
+      PlantCount.toLong, plantedFound, ratio(plantedFound, PlantCount),
+      bits, planes / bits))
       .toDF("n_exact", "n_found", "recall", "n_candidates",
-        "planted_pairs", "planted_found", "planted_recall")
+        "planted_pairs", "planted_found", "planted_recall",
+        "band_bits", "n_bands")
   }
 
   /** LSH cost/recall instrument for the operator scale stress

@@ -46,4 +46,31 @@ class LshRecallSpec extends AnyFunSuite {
     assert(plantedRecall >= 0.8,
       s"planted recall $plantedRecall ($plantedFound/$plantedPairs) below the 0.8 floor")
   }
+
+  test("autoBandGeometry: historical geometry at small n, occupancy-constant bits and recall-held bands as n grows") {
+    // small corpora resolve to the pinned 4×8-bit geometry exactly —
+    // the sf0.001/sf0.01 correctness surface cannot move
+    assert(SimilarityQueries.autoBandGeometry(200L) == (32, 8))
+    assert(SimilarityQueries.autoBandGeometry(2100L) == (32, 8))
+    val p = 1.0 - math.acos(0.95) / math.Pi
+    for (n <- Seq(20000L, 33600L, 1000000L, 100000000L)) {
+      val (planes, bits) = SimilarityQueries.autoBandGeometry(n)
+      assert(planes % bits == 0)
+      // occupancy stays within [8, 32) while bits is inside the clamp:
+      // ⌈log₂(n/16)⌉ bits means 2^bits ∈ [n/16, n/8)
+      if (bits < 16)
+        assert(n / math.pow(2, bits) <= 16.0 + 1e-9 &&
+          n / math.pow(2, bits) > 4.0,
+          s"occupancy drifted at n=$n: bits=$bits")
+      // the band count must hold theoretical recall at the planted cosine
+      val bands = planes / bits
+      val recall = 1 - math.pow(1 - math.pow(p, bits), bands)
+      assert(recall >= 0.85, s"n=$n geometry $bands×$bits-bit " +
+        s"theoretical recall $recall below target")
+      // and not overshoot: one band fewer would drop below target
+      // (minimality is what keeps the signature narrow)
+      val recallLess = 1 - math.pow(1 - math.pow(p, bits), bands - 1)
+      assert(recallLess < 0.85, s"n=$n band count $bands not minimal")
+    }
+  }
 }
