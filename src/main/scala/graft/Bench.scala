@@ -41,7 +41,8 @@ object Bench {
     "text_repetition", "pipeline_clean", "text_quality_gopher",
     "pipeline_mix", "multimodal_meta", "sessionize_events",
     "stream_events_window", "stream_sessionize", "stream_dedup_exact",
-    "stream_funnel", "stream_dwrf_sink", "stream_dwrf_source")
+    "stream_funnel", "stream_join_attrib",
+    "stream_dwrf_sink", "stream_dwrf_source")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

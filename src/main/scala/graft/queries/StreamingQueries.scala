@@ -754,6 +754,88 @@ object StreamingQueries extends QueryPack {
     q.awaitTermination()
   }
 
+  // ------------------------------------- stream-stream interval join
+  // Click→purchase attribution as a STREAM-STREAM self-join: each
+  // purchase joins every click by the same user in the PRECEDING 30
+  // minutes (event time). The time-interval condition bounds both
+  // sides' state — a click can be purged once the purchase-side
+  // watermark passes click.ts + 30 min, a purchase once the click side
+  // passes purchase.ts — so state is watermark-horizon-bounded exactly
+  // like Spark's documented interval-join shape; at 100 TB/day the
+  // join state never grows beyond the horizon. Inner-join emissions
+  // are eager (no watermark wait), so the available-now drain emits
+  // every pair; the per-user rollup happens as a BATCH read of the
+  // pair sink (chaining a second stateful aggregate after a
+  // stream-stream join in append mode would gate emissions on the
+  // sentinel's own never-closing window instead).
+  private def streamJoinAttrib(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+    import s.implicits._
+    val (srcDir, rawSchema) = stageStreamSource(s, dir)
+    val (ckDir, outDir) = freshSinkDirs("stream-join-attrib", dir)
+    attribJoinStream(s, srcDir, rawSchema, ckDir, outDir)
+    s.read.parquet(outDir)
+      .filter($"user_id" =!= -1L)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"p_ts").as("n_purchases"))
+      .orderBy($"user_id")
+  }
+
+  /** The interval-join stream itself, parameterized over the landing dir
+    * so the multi-batch spec can drive it with crafted chunk files
+    * (maxFilesPerTrigger=1 → one chunk per micro-batch, clicks arriving
+    * batches before their purchases — pairs must meet through the join
+    * STATE, not within one batch). Blocks until the available-now drain
+    * finishes; raw (user_id, c_ts, p_ts) pairs land in `outDir`.
+    */
+  private[queries] def attribJoinStream(s: SparkSession, srcDir: String,
+      rawSchema: org.apache.spark.sql.types.StructType,
+      ckDir: String, outDir: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    import s.implicits._
+    val reader = s.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    val base = reader.parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .select($"user_id", $"ts", $"event_type")
+      .withWatermark("ts", "1 hour")
+    // each leg KEEPS the sentinel row (Catalyst pushes these filters
+    // below the watermark operator — dropping it there would stop the
+    // watermark advancing, see funnelStream); the join's STRICT
+    // p.ts > c.ts excludes the sentinel self-pair (equal timestamps),
+    // and user -1 never matches a real row
+    val clicks = base
+      .filter($"event_type".isin("click", "__wm_sentinel__"))
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+    val purchases = base
+      .filter($"event_type".isin("purchase", "__wm_sentinel__"))
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+    val q = clicks.join(purchases,
+        $"c_user" === $"p_user" &&
+          $"p_ts" > $"c_ts" &&
+          $"p_ts" <= $"c_ts" + expr("INTERVAL 30 MINUTES"))
+      .select($"c_user".as("user_id"), $"c_ts", $"p_ts")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private val streamJoinAttribOracle = """
+    |SELECT c.user_id, COUNT(*) AS n_pairs,
+    |  COUNT(DISTINCT p.ts) AS n_purchases
+    |FROM events c JOIN events p ON p.user_id = c.user_id
+    |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    |  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    |GROUP BY c.user_id
+    |ORDER BY c.user_id
+    |""".stripMargin.trim
+
   private val streamFunnelOracle = """
     |WITH v AS (
     |  SELECT user_id, MIN(ts) AS t_view
@@ -784,5 +866,6 @@ object StreamingQueries extends QueryPack {
     Q("stream_dwrf_sink", streamDwrfSink, Some(streamDwrfSinkOracle)),
     Q("stream_dwrf_source", streamDwrfSource, Some(eventsWindowOracle)),
     Q("stream_funnel", streamFunnel, Some(streamFunnelOracle)),
+    Q("stream_join_attrib", streamJoinAttrib, Some(streamJoinAttribOracle)),
   )
 }
