@@ -220,6 +220,64 @@ object FormatQueries extends QueryPack {
     |ORDER BY nationkey
     |""".stripMargin.trim
 
+  // SQL DELETE FROM on a dwrf catalog table, both tiers REQUIREd
+  // (graft.sources.dwrf.DwrfDelete): a partition-column DELETE must
+  // remove whole directories without touching any kept file
+  // (byte-identical file listing — the stats fast path never decodes),
+  // then a data-column DELETE must copy-on-write exactly the files
+  // containing matches. The surviving table aggregates hash-exact
+  // against DuckDB computing the same rollup over orders with both
+  // delete conditions negated.
+  private def deleteScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.dwrf.DwrfUtil
+    import org.apache.hadoop.fs.Path
+    val out = ioDir("orders-del", dir)
+    val tbl = s"graft_del_orders_${Integer.toHexString(dir.hashCode)}"
+    val conf = DwrfUtil.sessionHadoopConf()
+    val fs = new Path(out).getFileSystem(conf)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    Tables.load(s, dir, "orders")
+      .repartition($"o_orderpriority") // one file per partition dir
+      .write.format("dwrf").partitionBy("o_orderpriority")
+      .mode("overwrite").save(out)
+    s.sql(s"CREATE TABLE $tbl USING dwrf LOCATION '$out'")
+    try {
+      def listing: Set[(String, Long, Long)] =
+        DwrfUtil.listDataFileStatuses(new Path(out), conf)
+          .map(st => (st.getPath.toString, st.getLen,
+            st.getModificationTime)).toSet
+      val before = listing
+      s.sql(s"DELETE FROM $tbl WHERE o_orderpriority = '5-LOW'")
+      val afterPart = listing
+      require(afterPart == before.filterNot(_._1.contains("o_orderpriority=5-LOW")),
+        "partition DELETE must drop exactly the 5-LOW directory files and " +
+          s"leave every kept file byte-identical:\n$before\nvs\n$afterPart")
+      s.sql(s"DELETE FROM $tbl WHERE o_orderstatus = 'P'")
+      val afterRow = listing
+      require(afterRow.exists(_._1.contains("/delete-")),
+        s"data-column DELETE must promote copy-on-write rewrites:\n$afterRow")
+      val rolled = s.sql(s"""
+        |SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+        |  ${dsum("o_totalprice")} AS total_price
+        |FROM $tbl
+        |GROUP BY o_orderpriority, o_orderstatus
+        |ORDER BY o_orderpriority, o_orderstatus
+        |""".stripMargin.trim)
+      val rows = rolled.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), rolled.schema)
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  private val deleteScanOracle = s"""
+    |SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+    |  ${dsum("o_totalprice")} AS total_price
+    |FROM orders
+    |WHERE o_orderpriority <> '5-LOW' AND o_orderstatus <> 'P'
+    |GROUP BY o_orderpriority, o_orderstatus
+    |ORDER BY o_orderpriority, o_orderstatus
+    |""".stripMargin.trim
+
   // Column projection + filter over the dwrf scan (P1: only the three
   // needed columns' streams are read).
   private def rtProjection(s: SparkSession, dir: String): DataFrame = {
@@ -677,5 +735,6 @@ object FormatQueries extends QueryPack {
     Q("dwrf_ddl_scan", ddlScan, Some(ddlScanOracle)),
     Q("dwrf_partitioned_roundtrip", rtPartitioned, Some(rtPartitionedOracle)),
     Q("dwrf_spj_join", spjJoin, Some(spjJoinOracle)),
+    Q("dwrf_delete_scan", deleteScan, Some(deleteScanOracle)),
   )
 }

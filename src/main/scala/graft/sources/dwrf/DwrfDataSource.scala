@@ -293,7 +293,8 @@ final class SerializableHadoopConf(@transient var value: Configuration)
 
 final class DwrfTable(tableSchema: StructType, properties: Map[String, String],
     partCols: Seq[String] = Nil)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String =
     s"dwrf:${DwrfUtil.pathOption(properties).getOrElse("?")}"
@@ -332,6 +333,19 @@ final class DwrfTable(tableSchema: StructType, properties: Map[String, String],
     val opts = info.options().asCaseSensitiveMap().asScala.toMap
     new DwrfWriteBuilder(info.schema(), resolvedPath(opts), opts, partCols)
   }
+
+  // `DELETE FROM <table> WHERE ...` — see [[DwrfDelete]]: refuse
+  // anything the exact row evaluator can't decide; apply via the
+  // stats-tiered copy-on-write (untouched / whole-file drop / per-file
+  // rewrite with crash-safe manifest swap)
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => DwrfDelete.supportedExact(f, tableSchema))
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    DwrfDelete.deleteWhere(org.apache.spark.sql.SparkSession.active,
+      resolvedPath(Map.empty), tableSchema, filters)
 }
 
 // --------------------------------------------------------------- read

@@ -332,7 +332,11 @@ object DwrfCompact {
       s"compaction: could not promote $temp -> $visible")
   }
 
-  /** Converges any interrupted compaction (see object scaladoc). */
+  /** Converges any interrupted compaction OR delete rewrite (both use
+    * the same temp-with-manifest swap protocol; see object scaladoc and
+    * [[DwrfDelete]]): torn temp → removed, inputs intact; complete
+    * temp → inputs removed, temp promoted.
+    */
   def recover(root: Path, conf: Configuration): Int = {
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return 0
@@ -340,12 +344,16 @@ object DwrfCompact {
     def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
       val n = s.getPath.getName
       if (s.isDirectory) walk(s.getPath)
-      else if (n.startsWith(".compact-") && n.endsWith(".dwrf.inprogress")) {
+      else if ((n.startsWith(".compact-") || n.startsWith(".delete-")) &&
+          n.endsWith(".dwrf.inprogress")) {
+        val key =
+          if (n.startsWith(".compact-")) ManifestKey
+          else DwrfDelete.ManifestKey
         val parent = s.getPath.getParent
         val readable =
           try {
             val r = new DwrfFileReader(s.getPath, conf)
-            try Some(r.footer.userMetadata.get(ManifestKey).map(b =>
+            try Some(r.footer.userMetadata.get(key).map(b =>
               new String(b, java.nio.charset.StandardCharsets.UTF_8)))
             finally r.close()
           } catch { case scala.util.control.NonFatal(_) => None }

@@ -130,70 +130,144 @@ object StatsFilter {
       check: (Int, Int) => Boolean): Boolean = {
     if (value == null) return true
     if (st.count == 0) return false // all null: no non-null value can match
+    // None = window not authoritative => can't skip
+    windowResolved(field, st, value).map { case (lo, hi) => check(lo, hi) }
+      .getOrElse(true)
+  }
+
+  /** The (sign(v - min), sign(max - v)) window of filter value `v`
+    * against the column's stats — None whenever the window is NOT
+    * authoritative (stats never observed a value, the type isn't
+    * comparable, the value can't be converted exactly, or float/double
+    * NaN poisoning). Callers choose the conservative default per
+    * direction: `mayMatch` treats None as true, `allMatch` as false.
+    */
+  private def windowResolved(
+      field: StructField, st: ColumnStats, value: Any): Option[(Int, Int)] =
     field.dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
         val v = value.asInstanceOf[Number].longValue()
-        if (st.longMin > st.longMax) return true
-        // check(sign(v-min), sign(max-v)): e.g. EqualTo needs v>=min && max>=v
-        check(java.lang.Long.compare(v, st.longMin), java.lang.Long.compare(st.longMax, v))
+        if (st.longMin > st.longMax) None
+        // (sign(v-min), sign(max-v)): e.g. EqualTo-may needs v>=min && max>=v
+        else Some((java.lang.Long.compare(v, st.longMin),
+          java.lang.Long.compare(st.longMax, v)))
       case d: DecimalType if d.precision <= 18 =>
         // stats hold unscaled longs at the column's scale; rescale the
-        // filter value exactly or refuse to skip (a value that needs
-        // rounding could straddle the window either way under range
-        // predicates, so conservatism is the only sound answer)
+        // filter value exactly or refuse (a value that needs rounding
+        // could straddle the window either way under range predicates,
+        // so conservatism is the only sound answer)
         decimalUnscaled(value, d.scale) match {
           case Some(v) =>
-            if (st.longMin > st.longMax) return true
-            check(java.lang.Long.compare(v, st.longMin),
-              java.lang.Long.compare(st.longMax, v))
-          case None => true
+            if (st.longMin > st.longMax) None
+            else Some((java.lang.Long.compare(v, st.longMin),
+              java.lang.Long.compare(st.longMax, v)))
+          case None => None
         }
       case FloatType | DoubleType =>
         val v = value.asInstanceOf[Number].doubleValue()
         // NaN soundness: Spark orders NaN = NaN and NaN > every double, but
         // min/max never observe NaN (its comparisons are all false) while
         // doubleSum poisons to NaN the moment one is noted. So a NaN on
-        // either side means the min/max window is not authoritative —
-        // cannot skip. (Inf-cancellation can also NaN the sum; that only
-        // costs skipping, never correctness.)
-        if (v.isNaN || st.doubleSum.isNaN) return true
-        if (st.doubleMin > st.doubleMax) return true
-        // primitive comparisons, NOT Double.compare: the stats builder
-        // records min/max with primitive < / > (so -0.0 and 0.0 are
-        // interchangeable there), and Spark normalizes -0.0 to 0.0 in
-        // comparisons. Double.compare orders -0.0 < 0.0 and would
-        // sanction skipping a stride whose max was recorded as -0.0 for
-        // a filter matching 0.0 — silently dropping rows.
-        def sgn(a: Double, b: Double): Int = if (a > b) 1 else if (a == b) 0 else -1
-        check(sgn(v, st.doubleMin), sgn(st.doubleMax, v))
+        // either side means the min/max window is not authoritative.
+        // (Inf-cancellation can also NaN the sum; that only costs
+        // skipping, never correctness.)
+        if (v.isNaN || st.doubleSum.isNaN) None
+        else if (st.doubleMin > st.doubleMax) None
+        else {
+          // primitive comparisons, NOT Double.compare: the stats builder
+          // records min/max with primitive < / > (so -0.0 and 0.0 are
+          // interchangeable there), and Spark normalizes -0.0 to 0.0 in
+          // comparisons. Double.compare orders -0.0 < 0.0 and would
+          // sanction skipping a stride whose max was recorded as -0.0 for
+          // a filter matching 0.0 — silently dropping rows.
+          def sgn(a: Double, b: Double): Int =
+            if (a > b) 1 else if (a == b) 0 else -1
+          Some((sgn(v, st.doubleMin), sgn(st.doubleMax, v)))
+        }
       case StringType =>
-        if (st.stringMin == null || st.stringMax == null) return true
-        val v = UTF8String.fromString(value.toString)
-        val mn = UTF8String.fromString(st.stringMin)
-        val mx = UTF8String.fromString(st.stringMax)
-        check(v.compareTo(mn), mx.compareTo(v))
+        if (st.stringMin == null || st.stringMax == null) None
+        else {
+          val v = UTF8String.fromString(value.toString)
+          val mn = UTF8String.fromString(st.stringMin)
+          val mx = UTF8String.fromString(st.stringMax)
+          Some((v.compareTo(mn), mx.compareTo(v)))
+        }
       case BooleanType =>
         val v = value.asInstanceOf[Boolean]
         val mn = if (st.trueCount == st.count) 1L else 0L // min observed (false=0)
         val mx = if (st.trueCount > 0) 1L else 0L
         val vl = if (v) 1L else 0L
-        check(java.lang.Long.compare(vl, mn), java.lang.Long.compare(mx, vl))
+        Some((java.lang.Long.compare(vl, mn), java.lang.Long.compare(mx, vl)))
       case TimestampType | TimestampNTZType =>
-        toMicros(value) match {
-          case Some(v) =>
-            if (st.longMin > st.longMax) return true
-            check(java.lang.Long.compare(v, st.longMin), java.lang.Long.compare(st.longMax, v))
-          case None => true
+        toMicros(value).flatMap { v =>
+          if (st.longMin > st.longMax) None
+          else Some((java.lang.Long.compare(v, st.longMin),
+            java.lang.Long.compare(st.longMax, v)))
         }
       case DateType =>
-        toDays(value) match {
-          case Some(v) =>
-            if (st.longMin > st.longMax) return true
-            check(java.lang.Long.compare(v, st.longMin), java.lang.Long.compare(st.longMax, v))
-          case None => true
+        toDays(value).flatMap { v =>
+          if (st.longMin > st.longMax) None
+          else Some((java.lang.Long.compare(v, st.longMin),
+            java.lang.Long.compare(st.longMax, v)))
         }
-      case _ => true
+      case _ => None
     }
+
+  /** True only when PROVABLY every row of the stats' domain matches
+    * `filters` (conjunction) — the dual of [[mayMatch]], driving
+    * whole-file fast paths (DELETE drops the file without decoding a
+    * row). Anything unprovable returns false: value predicates
+    * additionally require a null-free column (SQL comparisons reject
+    * null rows), and a non-authoritative window never proves.
+    */
+  def allMatch(
+      filters: Seq[Filter],
+      schema: StructType,
+      statsOf: String => Option[ColumnStats]): Boolean =
+    filters.forall(f => allMatchOne(f, schema, statsOf))
+
+  private def allMatchOne(
+      f: Filter,
+      schema: StructType,
+      statsOf: String => Option[ColumnStats]): Boolean = f match {
+    case And(l, r) =>
+      allMatchOne(l, schema, statsOf) && allMatchOne(r, schema, statsOf)
+    // sound but incomplete: all-match-l OR all-match-r implies every row
+    // matches (l OR r); rows split across the disjuncts stay unprovable
+    case Or(l, r) =>
+      allMatchOne(l, schema, statsOf) || allMatchOne(r, schema, statsOf)
+    // every row matches NOT g iff no row can match g
+    case Not(g) => !mayMatchOne(g, schema, statsOf)
+    case IsNull(a) => statsOf(a).exists(_.count == 0)
+    case IsNotNull(a) => statsOf(a).exists(st => !st.hasNull)
+    case EqualTo(a, v) => wholeDomain(a, v, schema, statsOf) {
+      (lo, hi) => lo == 0 && hi == 0 } // min == v == max
+    case GreaterThan(a, v) => wholeDomain(a, v, schema, statsOf) {
+      (lo, _) => lo < 0 } // v < min
+    case GreaterThanOrEqual(a, v) => wholeDomain(a, v, schema, statsOf) {
+      (lo, _) => lo <= 0 }
+    case LessThan(a, v) => wholeDomain(a, v, schema, statsOf) {
+      (_, hi) => hi < 0 } // max < v
+    case LessThanOrEqual(a, v) => wholeDomain(a, v, schema, statsOf) {
+      (_, hi) => hi <= 0 }
+    case In(a, vs) => vs.nonEmpty && vs.exists(v =>
+      wholeDomain(a, v, schema, statsOf) { (lo, hi) => lo == 0 && hi == 0 })
+    case _ => false
+  }
+
+  /** allMatch leg for a single value predicate: provable only with a
+    * resolved field, authoritative window, a convertible non-null value,
+    * a null-free column, and at least one row.
+    */
+  private def wholeDomain(
+      attr: String, value: Any, schema: StructType,
+      statsOf: String => Option[ColumnStats])(
+      check: (Int, Int) => Boolean): Boolean = {
+    if (value == null) return false
+    val field = resolve(attr, schema).getOrElse(return false)
+    val st = statsOf(attr).getOrElse(return false)
+    if (st.hasNull || st.count == 0) return false
+    windowResolved(field, st, value).exists { case (lo, hi) => check(lo, hi) }
   }
 
   /** Exact unscaled-long form of a decimal filter value at the column's
@@ -210,7 +284,7 @@ object StatsFilter {
       Some(bd.setScale(scale).unscaledValue().longValueExact())
     } catch { case _: ArithmeticException => None }
 
-  private def toMicros(value: Any): Option[Long] = value match {
+  private[dwrf] def toMicros(value: Any): Option[Long] = value match {
     case t: java.sql.Timestamp =>
       // inverse of the toJavaTimestamp Spark used to build the value
       // (same ancient-date rebase hazard as toDays)
@@ -225,7 +299,7 @@ object StatsFilter {
     case _ => None
   }
 
-  private def toDays(value: Any): Option[Long] = value match {
+  private[dwrf] def toDays(value: Any): Option[Long] = value match {
     // fromJavaDate is the exact inverse of the toJavaDate Spark used to
     // build the pushed value; toLocalDate would re-interpret ancient dates
     // in the hybrid Julian calendar and mis-prune by a few days
