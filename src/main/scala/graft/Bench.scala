@@ -80,7 +80,15 @@ object Bench {
     // one warmup pass of the cheapest query to absorb JVM/session startup
     try queries("q6_forecast_revenue")(spark, sfDir).count()
     catch { case _: Throwable => }
-    val names = headline.filter(queries.contains)
+    // SPARK_GRAFT_BENCH_ONLY=a,b restricts the suite — the local
+    // iteration loop for a single query's perf work; the driver always
+    // runs unfiltered
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(only) =>
+        val keep = only.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        headline.filter(n => queries.contains(n) && keep(n))
+      case None => headline.filter(queries.contains)
+    }
     // a host already under load poisons every sample the same way the
     // builder's own notes describe (concurrent sbt ≈ 2× noise) — warn
     // loudly up front; the per-pass load1 in the JSON proves it after

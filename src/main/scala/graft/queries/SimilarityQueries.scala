@@ -165,6 +165,12 @@ object SimilarityQueries extends QueryPack {
   private[graft] def autoBandGeometry(n: Long,
       targetOccupancy: Double = 16.0, targetRecall: Double = 0.85,
       atCosine: Double = PlantCosine): (Int, Int) = {
+    // operational escape hatch (also the A/B harness): force
+    // "planes:bits" regardless of corpus size
+    sys.env.get("SPARK_GRAFT_LSH_GEOMETRY").foreach { s =>
+      val Array(p, b) = s.split(':')
+      return (p.toInt, b.toInt)
+    }
     val bits = math.max(8, math.min(16, math.ceil(
       math.log(math.max(1.0, n / targetOccupancy)) / math.log(2)).toInt))
     val p = 1.0 - math.acos(atCosine) / math.Pi
@@ -471,9 +477,17 @@ object SimilarityQueries extends QueryPack {
   // pass is the only full-data scan per iteration, and search touches
   // nprobe/k of the data.
   // single source of truth for the search parameters: the recall row
-  // reports exactly what the search ran with
-  private val IvfCells = 16
-  private val IvfNprobe = 4
+  // reports exactly what the search ran with. Corpus-proportional coarse
+  // quantization (round 9, mirroring autoBandGeometry's shape): cells ≈
+  // √n — the IVF balance point where assignment work (n·cells) and
+  // per-query probe volume (n·nprobe/cells) grow n^1.5 and n^0.5 instead
+  // of either going quadratic — with nprobe holding the PROBED FRACTION
+  // at the historical 4/16 = 25%, so measured recall is geometry-stable
+  // as the corpus grows. Small corpora resolve to (16, 4) exactly.
+  private[graft] def ivfGeometry(n: Long): (Int, Int) = {
+    val cells = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    (cells, math.max(4, (cells + 3) / 4))
+  }
 
   /** The corpus as persisted double vectors (vec_id, v) — shared by the
     * search and the recall probe's exact pass so neither re-reads the
@@ -490,11 +504,10 @@ object SimilarityQueries extends QueryPack {
     * shared with the recall probe so both report the identical search.
     * `emb` must be the persisted [[loadVecs]] frame; caller unpersists.
     */
-  private def ivfRows(emb: DataFrame): (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) = {
+  private def ivfRows(emb: DataFrame): (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType, Int, Int) = {
     val s = emb.sparkSession
     import s.implicits._
-    val k = IvfCells
-    val nprobe = IvfNprobe
+    val (k, nprobe) = ivfGeometry(emb.count())
 
     def centroidCol(cents: Array[Array[Double]]) =
       typedlit(cents.map(_.toSeq).toSeq)
@@ -511,8 +524,9 @@ object SimilarityQueries extends QueryPack {
             |            0D, (acc, d) -> acc + d))""".stripMargin))
 
     // deterministic init: the first k vectors seed the centroids
-    var centroids: Array[Array[Double]] = emb.filter($"vec_id" < k)
-      .orderBy($"vec_id").collect()
+    // (orderBy/limit, not vec_id < k: ids need not be dense)
+    var centroids: Array[Array[Double]] = emb
+      .orderBy($"vec_id").limit(k).collect()
       .map(_.getSeq[Double](1).toArray)
     // 2 Lloyd iterations: assign + per-dimension mean
     for (_ <- 0 until 2) {
@@ -553,13 +567,13 @@ object SimilarityQueries extends QueryPack {
     // cache (the caller owns the input frame's lifecycle)
     val rows = result.collect()
     assigned.unpersist()
-    (rows, result.schema)
+    (rows, result.schema, k, nprobe)
   }
 
   private def ivfTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = loadVecs(s, dir)
     try {
-      val (rows, schema) = ivfRows(emb)
+      val (rows, schema, _, _) = ivfRows(emb)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     } finally emb.unpersist()
   }
@@ -577,7 +591,7 @@ object SimilarityQueries extends QueryPack {
     import s.implicits._
     val emb = loadVecs(s, dir)
     try {
-      val (rows, _) = ivfRows(emb)
+      val (rows, _, nCells, nprobe) = ivfRows(emb)
       val ivfIds = rows.map(_.getLong(0)).toSet
       // exact side runs on the SAME persisted frame the search just used
       val query = emb.filter($"vec_id" === 0).select($"v".as("q"))
@@ -595,7 +609,7 @@ object SimilarityQueries extends QueryPack {
         else BigDecimal(found.toDouble / exactIds.size)
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       Seq((exactIds.size.toLong, found, recall,
-        IvfNprobe.toLong, IvfCells.toLong))
+        nprobe.toLong, nCells.toLong))
         .toDF("n_exact", "n_found", "recall", "nprobe", "n_cells")
     } finally emb.unpersist()
   }

@@ -334,8 +334,14 @@ object DwrfDelete {
         .collect()
       rowsDeleted += results.map(_._1).sum
       rewritten = results.count(_._2)
+      // a rewrite that found nothing kept its input; one that kept
+      // nothing deleted it outright — neither is a promoted rewrite
+      return Result(
+        kept + results.count(r => !r._2 && r._1 == 0),
+        deleted + results.count(r => !r._2 && r._1 > 0),
+        rewritten, rowsDeleted)
     }
-    Result(kept + (rewrites.length - rewritten), deleted, rewritten, rowsDeleted)
+    Result(kept, deleted, rewritten, rowsDeleted)
   }
 
   /** One file's copy-on-write pass; returns (rowsDeleted, didRewrite). */
