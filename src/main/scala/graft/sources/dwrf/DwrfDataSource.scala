@@ -145,6 +145,12 @@ final class DwrfDataSource extends TableProvider with DataSourceRegister {
 }
 
 object DwrfUtil {
+  /** Name of the row-provenance metadata column (Spark's file-source
+    * spelling is the nested `_metadata`; a flat `_file` keeps the
+    * constant-splice path trivial and reads naturally in SQL).
+    */
+  val FileMetaColumn = "_file"
+
   /** The table directory from options/properties: 'path' (path-based
     * reads) or 'location' (catalog DDL), case-insensitively.
     */
@@ -294,7 +300,25 @@ final class SerializableHadoopConf(@transient var value: Configuration)
 final class DwrfTable(tableSchema: StructType, properties: Map[String, String],
     partCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** Row provenance: `SELECT _file FROM t` names the data file each row
+    * came from — a per-partition constant riding the same splice path as
+    * partition columns (zero decode cost). Omitted if a data column
+    * shadows the name.
+    */
+  override def metadataColumns(): Array[
+      org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (tableSchema.fieldNames.contains(DwrfUtil.FileMetaColumn)) Array.empty
+    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = DwrfUtil.FileMetaColumn
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "path of the dwrf data file this row was read from"
+    })
 
   override def name(): String =
     s"dwrf:${DwrfUtil.pathOption(properties).getOrElse("?")}"
@@ -615,7 +639,16 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
     * field back to its full file type; Catalyst projects the subfield.
     */
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    readSchema = StructType(requiredSchema.fields.map(f => tableSchema(f.name)))
+    // `_file` is a metadata column (SupportsMetadataColumns), not in the
+    // table schema: synthesize its field when Spark asks for it
+    readSchema = StructType(requiredSchema.fields.map { f =>
+      if (f.name == DwrfUtil.FileMetaColumn &&
+          !tableSchema.fieldNames.contains(f.name))
+        org.apache.spark.sql.types.StructField(
+          DwrfUtil.FileMetaColumn, org.apache.spark.sql.types.StringType,
+          nullable = false)
+      else tableSchema(f.name)
+    })
   }
 
   /** We use filters for stats-based stripe/stride SKIPPING only, so all of
@@ -854,7 +887,11 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
     // rejects mixed scans), so ONE widened file sends the whole scan down
     // the row path — the rare evolution case pays, the common case doesn't
     new DwrfPartitionReaderFactory(readSchema.json, allFilters, hadoopConf,
-      rowFallback = fileTails.exists(_.widened))
+      rowFallback = fileTails.exists(_.widened),
+      // `_file` is the METADATA column only when no data column shadows it
+      fileMetaRequested =
+        readSchema.fieldNames.contains(DwrfUtil.FileMetaColumn) &&
+          !tableSchema.fieldNames.contains(DwrfUtil.FileMetaColumn))
 
   override def description(): String =
     s"dwrf scan of $path, PushedFilters: [${pushed.mkString(", ")}]"
@@ -900,7 +937,8 @@ final case class DwrfKeyedInputPartition(path: String, offset: Long, length: Lon
 final class DwrfPartitionReaderFactory(readSchemaJson: String,
     pushed: Array[org.apache.spark.sql.sources.Filter],
     hadoopConf: SerializableHadoopConf,
-    rowFallback: Boolean = false)
+    rowFallback: Boolean = false,
+    fileMetaRequested: Boolean = false)
     extends PartitionReaderFactory {
 
   @transient private lazy val parsedSchema =
@@ -915,12 +953,20 @@ final class DwrfPartitionReaderFactory(readSchemaJson: String,
   override def supportColumnarReads(partition: InputPartition): Boolean =
     !rowFallback && ColumnarSupport.supported(parsedSchema)
 
-  /** Typed constants for the partition columns present in `readSchema`. */
-  private def partValuesOf(p: DwrfPartitionBase): Map[String, Any] =
-    p.partSpec.flatMap { case (k, raw) =>
+  /** Typed constants for the partition columns present in `readSchema`,
+    * plus the `_file` metadata column when requested — a per-partition
+    * constant exactly like them.
+    */
+  private def partValuesOf(p: DwrfPartitionBase): Map[String, Any] = {
+    val parts = p.partSpec.flatMap { case (k, raw) =>
       parsedSchema.fields.find(_.name == k)
         .map(f => k -> PartitionLayout.catalystValue(raw, f.dataType))
     }.toMap
+    if (fileMetaRequested && !parts.contains(DwrfUtil.FileMetaColumn))
+      parts + (DwrfUtil.FileMetaColumn ->
+        org.apache.spark.unsafe.types.UTF8String.fromString(p.path))
+    else parts
+  }
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
