@@ -282,6 +282,18 @@ object DwrfDelete {
       tableSchema: StructType, filters: Array[Filter]): Result = {
     val conf = DwrfUtil.sessionHadoopConf()
     val rootPath = new Path(root)
+    // same hazard as compaction: rewriting files under an active
+    // streaming SOURCE landing dir re-ingests every rewritten file as a
+    // new path through the durable source log (and in-flight batches
+    // fail on vanished inputs) — refuse outright; stop the query and
+    // discard its checkpoint first
+    val markerFs = rootPath.getFileSystem(conf)
+    val marker = new Path(rootPath, DwrfUtil.StreamMarkerName)
+    if (markerFs.exists(marker)) throw new IllegalStateException(
+      s"$root is (or was) a dwrf streaming source landing dir: DELETE " +
+        "would re-ingest rewritten files as duplicates through the " +
+        "source log. Stop the streaming query and remove the marker " +
+        s"($marker) only if its checkpoint will be discarded.")
     DwrfCompact.recover(rootPath, conf)
     val qualifiedRoot = DwrfUtil.qualify(rootPath, conf)
     val files = DwrfUtil.listDataFiles(rootPath, conf)

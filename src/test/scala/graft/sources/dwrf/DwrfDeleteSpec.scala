@@ -144,6 +144,27 @@ class DwrfDeleteSpec extends AnyFunSuite {
     s.sql("DROP TABLE dwrf_del_evo")
   }
 
+  test("DELETE refuses an active streaming landing dir") {
+    val s = spark
+    import s.implicits._
+    val dir = mkdir()
+    Seq(1L, 2L).toDF("id").coalesce(1)
+      .write.format("dwrf").mode("overwrite").save(dir)
+    val fs = new Path(dir).getFileSystem(conf)
+    val marker = new Path(new Path(dir), DwrfUtil.StreamMarkerName)
+    fs.create(marker, true).close()
+    s.sql("DROP TABLE IF EXISTS dwrf_del_stream")
+    s.sql(s"CREATE TABLE dwrf_del_stream USING dwrf LOCATION '$dir'")
+    val e = intercept[Exception] {
+      s.sql("DELETE FROM dwrf_del_stream WHERE id = 1")
+    }
+    assert(e.getMessage.contains("landing dir") ||
+      Option(e.getCause).exists(_.getMessage.contains("landing dir")),
+      s"unexpected error: $e")
+    assert(s.sql("SELECT COUNT(*) FROM dwrf_del_stream").head().getLong(0) == 2)
+    s.sql("DROP TABLE dwrf_del_stream")
+  }
+
   test("interrupted rewrite converges: complete temp promotes, torn temp rolls back") {
     val s = spark
     import s.implicits._
