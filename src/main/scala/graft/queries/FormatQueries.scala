@@ -278,6 +278,77 @@ object FormatQueries extends QueryPack {
     |ORDER BY o_orderpriority, o_orderstatus
     |""".stripMargin.trim
 
+  // SQL MERGE INTO on a dwrf catalog table — the group-based
+  // copy-on-write route (SupportsRowLevelOperations): one statement
+  // carrying matched-DELETE, matched-UPDATE and not-matched-INSERT
+  // actions against a changes feed derived deterministically from the
+  // customer table (nation 5 → balance credit, nation 7 → re-keyed
+  // insert, nation 9 → delete). The query REQUIREs a promoted rlo-*
+  // rewrite file (the copy-on-write actually ran) and the post-merge
+  // rollup hash-matches DuckDB computing the same upsert arithmetic
+  // from the source table.
+  private def mergeScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tag = Integer.toHexString(dir.hashCode)
+    val out = ioDir("customer-merge", dir)
+    val tbl = s"graft_merge_cust_$tag"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    Tables.load(s, dir, "customer")
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+      .repartition(4)
+      .write.format("dwrf").mode("overwrite").save(out)
+    s.sql(s"CREATE TABLE $tbl USING dwrf LOCATION '$out'")
+    try {
+      Tables.load(s, dir, "customer")
+        .filter($"c_nationkey".isin(5, 7, 9))
+        .select(
+          when($"c_nationkey" === 7, $"c_custkey" + 1000000L)
+            .otherwise($"c_custkey").as("id"),
+          $"c_nationkey".as("nk"), $"c_acctbal".as("bal"),
+          when($"c_nationkey" === 5, "upd")
+            .when($"c_nationkey" === 7, "ins")
+            .otherwise("del").as("op"))
+        .createOrReplaceTempView(s"merge_changes_$tag")
+      s.sql(s"""
+        |MERGE INTO $tbl t USING merge_changes_$tag c ON t.c_custkey = c.id
+        |WHEN MATCHED AND c.op = 'del' THEN DELETE
+        |WHEN MATCHED AND c.op = 'upd' THEN UPDATE
+        |  SET c_acctbal = t.c_acctbal + 100
+        |WHEN NOT MATCHED THEN INSERT (c_custkey, c_nationkey, c_acctbal)
+        |  VALUES (c.id, c.nk, c.bal)
+        |""".stripMargin.trim)
+      val files = graft.sources.dwrf.DwrfUtil.listDataFiles(
+        new org.apache.hadoop.fs.Path(out),
+        graft.sources.dwrf.DwrfUtil.sessionHadoopConf())
+      require(files.exists(_.getName.startsWith("rlo-")),
+        s"MERGE must promote copy-on-write rewrite files, saw: " +
+          files.map(_.getName).mkString(", "))
+      val rolled = s.sql(s"""
+        |SELECT c_nationkey, COUNT(*) AS n_cust,
+        |  ${dsum("c_acctbal")} AS total_bal
+        |FROM $tbl
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey
+        |""".stripMargin.trim)
+      val rows = rolled.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), rolled.schema)
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  private val mergeScanOracle = s"""
+    |WITH after AS (
+    |  SELECT c_custkey, c_nationkey,
+    |    CASE WHEN c_nationkey = 5 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+    |  FROM customer WHERE c_nationkey <> 9
+    |  UNION ALL
+    |  SELECT c_custkey + 1000000, c_nationkey, c_acctbal
+    |  FROM customer WHERE c_nationkey = 7)
+    |SELECT c_nationkey, COUNT(*) AS n_cust, ${dsum("c_acctbal")} AS total_bal
+    |FROM after
+    |GROUP BY c_nationkey
+    |ORDER BY c_nationkey
+    |""".stripMargin.trim
+
   // Column projection + filter over the dwrf scan (P1: only the three
   // needed columns' streams are read).
   private def rtProjection(s: SparkSession, dir: String): DataFrame = {
@@ -736,5 +807,6 @@ object FormatQueries extends QueryPack {
     Q("dwrf_partitioned_roundtrip", rtPartitioned, Some(rtPartitionedOracle)),
     Q("dwrf_spj_join", spjJoin, Some(spjJoinOracle)),
     Q("dwrf_delete_scan", deleteScan, Some(deleteScanOracle)),
+    Q("dwrf_merge_scan", mergeScan, Some(mergeScanOracle)),
   )
 }

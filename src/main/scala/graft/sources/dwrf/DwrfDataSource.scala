@@ -301,7 +301,18 @@ final class DwrfTable(tableSchema: StructType, properties: Map[String, String],
     partCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** UPDATE / MERGE INTO / non-translatable DELETE: group-based
+    * copy-on-write (see [[DwrfRowLevelOperationBuilder]]). Simple
+    * DELETEs keep the cheaper SupportsDelete tiers above.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new DwrfRowLevelOperationBuilder(info, tableSchema,
+      resolvedPath(Map.empty), properties, partCols)
 
   /** Row provenance: `SELECT _file FROM t` names the data file each row
     * came from — a per-partition constant riding the same splice path as
@@ -663,10 +674,20 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
-  override def build(): Scan = pushedAgg match {
-    case Some(agg) => aggScan(agg)
-    case None => new DwrfScan(tableSchema, readSchema, path, pushed, options)
-  }
+  // set by DwrfRowLevelOperation before Spark builds the scan: flips the
+  // scan into copy-on-write mode (file-granularity filtering + planned-
+  // file capture); aggregate pushdown never applies to a replace scan
+  private[dwrf] var replacedFilesOut:
+      java.util.concurrent.atomic.AtomicReference[Seq[String]] = null
+
+  override def build(): Scan =
+    if (replacedFilesOut != null)
+      new DwrfScan(tableSchema, readSchema, path, pushed, options,
+        replacedFilesOut)
+    else pushedAgg match {
+      case Some(agg) => aggScan(agg)
+      case None => new DwrfScan(tableSchema, readSchema, path, pushed, options)
+    }
 }
 
 /** Metadata-only result of a completely-pushed aggregation: one row per
@@ -710,7 +731,13 @@ private final case class DwrfFileTail(
 
 final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: String,
     pushed: Array[org.apache.spark.sql.sources.Filter],
-    options: Map[String, String] = Map.empty)
+    options: Map[String, String] = Map.empty,
+    // row-level-operation (copy-on-write) mode: pushed/runtime filters
+    // prune at FILE granularity only — stripe/stride row skipping would
+    // silently drop the copied (non-matching) rows of rewritten files —
+    // and every planning pass records the exact file set here; the
+    // replace commit deletes precisely these files
+    replacedFilesOut: java.util.concurrent.atomic.AtomicReference[Seq[String]] = null)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -868,11 +895,16 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
 
   override def planInputPartitions(): Array[InputPartition] = {
     val filters = allFilters.toSeq
-    fileTails.filter { tail =>
+    val survivors = fileTails.filter { tail =>
       filters.isEmpty ||
         (StatsFilter.mayMatch(filters, tableSchema, tail.statsByName.get) &&
           bloomSurvives(tail, filters))
-    }.flatMap { tail =>
+    }
+    // copy-on-write mode: the replace commit deletes exactly the files
+    // this (final, runtime-filtered) planning selected
+    if (replacedFilesOut != null)
+      replacedFilesOut.set(survivors.map(_.path))
+    survivors.flatMap { tail =>
       val keyRow = if (tail.partSpec.isEmpty) null else keyRowOf(tail.partSpec)
       def mk(start: Long, len: Long): DwrfPartitionBase =
         if (keyRow != null)
@@ -886,7 +918,11 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
     // supportColumnarReads must be uniform across partitions (Spark
     // rejects mixed scans), so ONE widened file sends the whole scan down
     // the row path — the rare evolution case pays, the common case doesn't
-    new DwrfPartitionReaderFactory(readSchema.json, allFilters, hadoopConf,
+    new DwrfPartitionReaderFactory(readSchema.json,
+      // copy-on-write: no reader-level (stripe/stride) row skipping —
+      // surviving files must stream back EVERY row for the rewrite
+      if (replacedFilesOut != null) Array.empty else allFilters,
+      hadoopConf,
       rowFallback = fileTails.exists(_.widened),
       // `_file` is the METADATA column only when no data column shadows it
       fileMetaRequested =
@@ -1220,7 +1256,8 @@ private final class DwrfFlatDataWriter(schema: StructType, file: Path,
         dst
       case None => file
     }
-    DwrfCommitMessage(finalPath.toString, writer.rowCount)
+    DwrfCommitMessage(finalPath.toString, writer.rowCount,
+      Seq(finalPath.toString))
   }
   override def abort(): Unit = {
     try os.close() catch { case _: Throwable => }
@@ -1312,16 +1349,22 @@ private final class DwrfPartitionedDataWriter(schema: StructType, root: Path,
 
   override def commit(): WriterCommitMessage = {
     var rows = 0L
+    val produced = scala.collection.mutable.ArrayBuffer.empty[String]
     writers.values.foreach { case (w, os, file) =>
       w.close(userMeta)
       os.close()
       rows += w.rowCount
-      renameTo.foreach { finalName =>
-        // replay keeps the prior attempt's file: no visibility gap, ever
-        DwrfUtil.publishCommitted(file, new Path(file.getParent, finalName), conf)
+      val finalPath = renameTo match {
+        case Some(finalName) =>
+          // replay keeps the prior attempt's file: no visibility gap, ever
+          val dst = new Path(file.getParent, finalName)
+          DwrfUtil.publishCommitted(file, dst, conf)
+          dst
+        case None => file
       }
+      produced += finalPath.toString
     }
-    DwrfCommitMessage(root.toString, rows)
+    DwrfCommitMessage(root.toString, rows, produced.toSeq)
   }
 
   override def abort(): Unit = writers.values.foreach { case (_, os, file) =>
@@ -1332,5 +1375,6 @@ private final class DwrfPartitionedDataWriter(schema: StructType, root: Path,
   override def close(): Unit = ()
 }
 
-final case class DwrfCommitMessage(path: String, rows: Long)
+final case class DwrfCommitMessage(path: String, rows: Long,
+    files: Seq[String] = Nil)
     extends WriterCommitMessage

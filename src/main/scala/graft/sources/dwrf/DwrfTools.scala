@@ -340,7 +340,9 @@ object DwrfCompact {
   def recover(root: Path, conf: Configuration): Int = {
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return 0
-    var fixed = 0
+    // row-level (UPDATE/MERGE/complex-DELETE) swap manifests + orphan
+    // temps converge on the same maintenance pass
+    var fixed = DwrfReplaceCommit.recover(root, conf)
     def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
       val n = s.getPath.getName
       if (s.isDirectory) walk(s.getPath)

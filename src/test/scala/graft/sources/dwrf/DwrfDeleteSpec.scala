@@ -60,13 +60,9 @@ class DwrfDeleteSpec extends AnyFunSuite {
     s.sql("DROP TABLE IF EXISTS dwrf_del_rows")
     s.sql(s"CREATE TABLE dwrf_del_rows USING dwrf LOCATION '$dir'")
     val before = dataFiles(dir)
-    // modulo isn't a translatable/supported delete filter — the DELETE
-    // must be REFUSED loudly (canDeleteWhere false), data intact
-    intercept[Exception] {
-      s.sql("DELETE FROM dwrf_del_rows WHERE id % 2 = 0 AND id < 50")
-    }
-    assert(dataFiles(dir).toSet == before.toSet)
-    // the supported spelling works: IN + range
+    // (a modulo condition canDeleteWhere refuses now routes through the
+    // copy-on-write row-level path instead — DwrfRowLevelSpec covers it;
+    // this test pins the cheaper SupportsDelete tiers)
     s.sql("DELETE FROM dwrf_del_rows WHERE id IN (0, 2, 4, 6, 8) AND id < 50")
     assert(s.sql("SELECT id FROM dwrf_del_rows WHERE id < 50 ORDER BY id")
       .as[Long].collect().toSeq == Seq(1L, 3L, 5L, 7L, 9L))
