@@ -248,7 +248,33 @@ object BenchFormats {
       "max_stripe_rows" -> maxStripeRows,
       "stripe_budget_mb" -> mb(stripeBytes),
       "stripe_bounded" -> bounded)
-    val json = r.map {
+
+    // DML rehearsal at the same 9.6M rows: a copy-on-write DELETE whose
+    // predicate (l_quantity = 25, ~2% of rows) hits EVERY file — the
+    // worst case: no file escapes on stats, all ~660 raw MB decode,
+    // filter, and re-encode through the manifest swap. Invariants:
+    // exactly the matching rows vanish, nothing else moves.
+    val expectDel = spark.read.format("dwrf").load(path)
+      .filter($"l_quantity" === 25.0).count()
+    val (tDelete, delRes) = time {
+      graft.sources.dwrf.DwrfDelete.deleteWhere(spark, path,
+        spark.read.format("dwrf").load(path).schema,
+        Array(org.apache.spark.sql.sources.EqualTo("l_quantity", 25.0)))
+    }
+    val afterRows = spark.read.format("dwrf").load(path).count()
+    require(delRes.rowsDeleted == expectDel &&
+      afterRows == nRows - expectDel,
+      s"scale DELETE mismatch: expected $expectDel deleted, " +
+        s"got ${delRes.rowsDeleted}; rows $nRows -> $afterRows")
+    require(delRes.filesRewritten + delRes.filesDeleted > 0,
+      "scale DELETE touched no files — predicate fixture broken")
+
+    val r2 = r ++ scala.collection.immutable.ListMap[String, Any](
+      "delete_s" -> tDelete,
+      "delete_rows" -> delRes.rowsDeleted,
+      "delete_files_rewritten" -> delRes.filesRewritten,
+      "delete_rewrite_raw_mb_s" -> mb(rawBytes) / tDelete)
+    val json = r2.map {
       case (k, v: Double) => s""""$k":${math.round(v * 1000) / 1000.0}"""
       case (k, v) => s""""$k":$v"""
     }.mkString("{", ",", "}")
