@@ -21,11 +21,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * copy-on-write shape):
   *
   *  1. Spark asks the operation for a SCAN of candidate rows. The scan
-  *     runs in copy-on-write mode: pushed + runtime filters (a MERGE's
-  *     broadcast join keys included) prune at FILE granularity only —
-  *     a surviving file streams back EVERY row, because the rewritten
-  *     output must carry its non-matching rows too — and the planning
-  *     pass records exactly which files survived.
+  *     runs in copy-on-write mode: filters prune at FILE granularity
+  *     only — a surviving file streams back EVERY row, because the
+  *     rewritten output must carry its non-matching rows too — and the
+  *     planning pass records exactly which files survived. What prunes
+  *     today is the statement's STATIC pushed condition (stats + bloom
+  *     per file — an UPDATE/DELETE WHERE on a selective or partition
+  *     column rewrites only its files); Spark's runtime group-filter
+  *     subquery arrives as a struct-IN dynamic-pruning expression the
+  *     V1 filter API cannot express, so a join-keyed MERGE rewrites
+  *     the statically-surviving set. (The refinement path — declare
+  *     `_file` in requiredMetadataAttributes + SupportsRuntimeV2Filtering
+  *     so the group filter becomes `_file IN (matched)` — is the
+  *     documented follow-up; it changes the write-task row layout.)
   *  2. Spark computes the replacement rows (updated/merged + copied)
   *     and writes them through the operation's WriteBuilder. Tasks
   *     write INVISIBLE temps (`.rlo-*.tmp` — listings only admit
