@@ -236,8 +236,23 @@ object StatsFilter {
     // matches (l OR r); rows split across the disjuncts stay unprovable
     case Or(l, r) =>
       allMatchOne(l, schema, statsOf) || allMatchOne(r, schema, statsOf)
-    // every row matches NOT g iff no row can match g
-    case Not(g) => !mayMatchOne(g, schema, statsOf)
+    // every row matches NOT g iff no row can match g AND g never
+    // evaluates to NULL (a null cell makes NOT g NULL — not TRUE — so
+    // the row must survive; value predicates therefore also need a
+    // null-free column, while IS [NOT] NULL never returns NULL)
+    case Not(g) =>
+      def nullFree(a: String): Boolean = statsOf(a).exists(st => !st.hasNull)
+      val neverNull = g match {
+        case IsNull(_) | IsNotNull(_) => true
+        case EqualTo(a, v) => v != null && nullFree(a)
+        case GreaterThan(a, v) => v != null && nullFree(a)
+        case GreaterThanOrEqual(a, v) => v != null && nullFree(a)
+        case LessThan(a, v) => v != null && nullFree(a)
+        case LessThanOrEqual(a, v) => v != null && nullFree(a)
+        case In(a, vs) => vs.nonEmpty && !vs.contains(null) && nullFree(a)
+        case _ => false // nested/unknown: don't prove
+      }
+      neverNull && !mayMatchOne(g, schema, statsOf)
     case IsNull(a) => statsOf(a).exists(_.count == 0)
     case IsNotNull(a) => statsOf(a).exists(st => !st.hasNull)
     case EqualTo(a, v) => wholeDomain(a, v, schema, statsOf) {

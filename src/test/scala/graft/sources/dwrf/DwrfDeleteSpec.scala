@@ -95,6 +95,34 @@ class DwrfDeleteSpec extends AnyFunSuite {
     s.sql("DROP TABLE dwrf_del_null")
   }
 
+  test("NOT predicates never whole-file-delete null rows (three-valued NOT)") {
+    val s = spark
+    import s.implicits._
+    val dir = mkdir()
+    // one file where NO row matches id = 5 but a NULL row exists:
+    // NOT(id = 5) is TRUE for id=7, NULL for the null row — the null
+    // row must survive, so the whole-file fast path must NOT fire
+    Seq[java.lang.Long](7L, null).toDF("id")
+      .coalesce(1).write.format("dwrf").mode("overwrite").save(dir)
+    s.sql("DROP TABLE IF EXISTS dwrf_del_not")
+    s.sql(s"CREATE TABLE dwrf_del_not USING dwrf LOCATION '$dir'")
+    s.sql("DELETE FROM dwrf_del_not WHERE NOT (id = 5)")
+    val left = s.sql("SELECT id FROM dwrf_del_not").collect()
+      .map(r => if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)))
+    assert(left.toSeq == Seq(null), s"null row must survive NOT: ${left.toSeq}")
+    // and on a null-free file the fast path still proves: both rows
+    // vanish without a rewrite (file deleted whole)
+    val dir2 = mkdir()
+    Seq(7L, 9L).toDF("id")
+      .coalesce(1).write.format("dwrf").mode("overwrite").save(dir2)
+    s.sql("DROP TABLE IF EXISTS dwrf_del_not2")
+    s.sql(s"CREATE TABLE dwrf_del_not2 USING dwrf LOCATION '$dir2'")
+    s.sql("DELETE FROM dwrf_del_not2 WHERE NOT (id = 5)")
+    assert(dataFiles(dir2).isEmpty, s"null-free file should drop whole: ${dataFiles(dir2)}")
+    s.sql("DROP TABLE dwrf_del_not")
+    s.sql("DROP TABLE dwrf_del_not2")
+  }
+
   test("zero-survivor rewrite removes the file; whole-table delete empties") {
     val s = spark
     import s.implicits._
