@@ -24,9 +24,22 @@ object Tables {
     if (!spark.conf.getOption(nanosKey).contains("true"))
       spark.conf.set(nanosKey, "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // The driver has shipped events.ts as both TIMESTAMP(NANOS) (read as
+    // int64 under nanosAsLong) and plain timestamp[us] (read as
+    // TIMESTAMP_NTZ) across testdata generations. Normalize BY SCHEMA to
+    // session-TZ TimestampType so every downstream query sees one type;
+    // with the UTC session TZ the NTZ cast is value-preserving and lands
+    // on the same instants the nanos path produced.
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts DIV 1000)"))
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     else df
   }
 

@@ -30,10 +30,18 @@ object Verify {
     val selected = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))
     }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    // Deterministic name order: if the driver kills a long run partway,
+    // the surviving subset is an alphabetic prefix (diagnosable), not a
+    // hash-order lottery. Per-query wall time goes to stderr so a slow
+    // query is attributable from the driver log.
+    val t0 = System.nanoTime()
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val tq = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(f"[verify] $name ok ${(System.nanoTime() - tq) / 1e9}%.1fs (total ${(System.nanoTime() - t0) / 1e9}%.0fs)")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -54,6 +54,41 @@ object StreamingQueries extends QueryPack {
   private val maxTsCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Long]
 
+  // ---------------------------------------------- raw-ts normalization
+  // The driver has shipped events.ts as int64 TIMESTAMP(NANOS) (read as
+  // BIGINT under nanosAsLong) and as plain timestamp[us] (read as
+  // TIMESTAMP_NTZ) across testdata generations. All staging math below
+  // stays in the original epoch-NANOS convention; these helpers adapt
+  // the boundary in both directions by SCHEMA, so either generation
+  // streams identically.
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.types.{DataType, LongType, StructType,
+    TimestampNTZType, TimestampType}
+
+  /** Raw ts column → epoch nanos BIGINT (micros-resolution for the
+    * timestamp generations, same truncation DuckDB applies to nanos). */
+  private def tsNs(c: Column, dt: DataType): Column = dt match {
+    case LongType => c
+    case _ => unix_micros(c.cast(TimestampType)) * 1000L
+  }
+
+  /** Epoch-nanos literal → the source's raw ts representation, so staged
+    * sentinel/chunk files keep the exact reader schema. */
+  private def tsLit(ns: Long, dt: DataType): Column = dt match {
+    case LongType => lit(ns)
+    case TimestampNTZType => timestamp_micros(lit(ns / 1000L)).cast(TimestampNTZType)
+    case _ => timestamp_micros(lit(ns / 1000L))
+  }
+
+  /** Normalize a raw-schema frame (batch or streaming) to a session-TZ
+    * TimestampType `ts`, whichever generation the files carry. */
+  private def withEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+
   /** Cache key that invalidates when the fixture file is regenerated.
     * Invalidation contract: keyed by (path, mtime, size), so a fixture
     * overwritten within the filesystem's mtime resolution to the exact
@@ -89,8 +124,10 @@ object StreamingQueries extends QueryPack {
     // new data by mtime, jumping the watermark and dropping everything.
     // Memoized per (path, mtime, size): both streaming queries and every
     // bench iteration would otherwise rescan 1M rows for the same max.
-    val maxNs = maxTsCache.getOrElseUpdate(sourceKey(s"$dir/events.parquet"),
-      s.read.parquet(s"$dir/events.parquet").agg(max($"ts")).as[Long].head())
+    val maxNs = maxTsCache.getOrElseUpdate(sourceKey(s"$dir/events.parquet"), {
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      raw.agg(max(tsNs($"ts", raw.schema("ts").dataType))).as[Long].head()
+    })
     val sentinelNs = maxNs + 2L * 24 * 3600 * 1000000000L
     val sentinelDir = stagingRoot.resolve(s"stream-sentinel-$tag").toString
     val sentinelLink = srcDir.resolve(s"zz-sentinel-$sentinelNs.parquet")
@@ -104,7 +141,7 @@ object StreamingQueries extends QueryPack {
           .foreach(java.nio.file.Files.delete)
       }
       s.read.parquet(s"$dir/events.parquet").limit(1)
-        .withColumn("ts", lit(sentinelNs))
+        .withColumn("ts", tsLit(sentinelNs, rawSchema("ts").dataType))
         .withColumn("event_type", lit("__wm_sentinel__"))
         .withColumn("user_id", lit(-1L))
         .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
@@ -160,7 +197,7 @@ object StreamingQueries extends QueryPack {
     // file-by-file batches, one stateful commit cycle fewer
     val stream = s.readStream.schema(rawSchema)
       .parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(withEventTs)
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 day"), $"event_type")
       .agg(
@@ -302,7 +339,7 @@ object StreamingQueries extends QueryPack {
     val stream = s.readStream.schema(rawSchema)
       .parquet(srcDir) // single data batch; timeouts fire in the trailing
       // no-data batch once the sentinel has advanced the watermark
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(withEventTs)
       .select($"user_id", $"ts", $"event_id")
       .withWatermark("ts", "1 hour")
       .as[(Long, java.sql.Timestamp, Long)]
@@ -458,8 +495,10 @@ object StreamingQueries extends QueryPack {
     if (!fresh) {
       rmTree(srcDir)
       java.nio.file.Files.createDirectories(srcDir)
+      val rawDt = rawSchema("ts").dataType
       val Array(lo, hi) = s.read.parquet(srcFile)
-        .agg(min($"ts"), max($"ts")).as[(Long, Long)].head() match {
+        .agg(min(tsNs($"ts", rawDt)), max(tsNs($"ts", rawDt)))
+        .as[(Long, Long)].head() match {
           case (a, b) => Array(a, b)
         }
       val chunks = 4
@@ -484,13 +523,14 @@ object StreamingQueries extends QueryPack {
       (0 until chunks).foreach { i =>
         stageOne(
           s.read.parquet(srcFile)
-            .filter($"ts" >= lo + i * width && $"ts" < lo + (i + 1) * width),
+            .filter(tsNs($"ts", rawDt) >= lo + i * width &&
+              tsNs($"ts", rawDt) < lo + (i + 1) * width),
           f"chunk-$i%02d.$ext", base + (i + 1) * 1000)
       }
       if (withSentinel)
         stageOne(
           s.read.parquet(srcFile).limit(1)
-            .withColumn("ts", lit(hi + 2L * 24 * 3600 * 1000000000L))
+            .withColumn("ts", tsLit(hi + 2L * 24 * 3600 * 1000000000L, rawDt))
             .withColumn("event_type", lit("__wm_sentinel__"))
             .withColumn("user_id", lit(-1L)),
           s"zz-sentinel.$ext", base + (chunks + 1) * 1000)
@@ -520,8 +560,9 @@ object StreamingQueries extends QueryPack {
     val q = s.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
+      .transform(withEventTs)
       .select($"user_id", $"event_type",
-        date_trunc("hour", expr("timestamp_micros(ts DIV 1000)")).as("hr"))
+        date_trunc("hour", $"ts").as("hr"))
       .withWatermark("hr", "2 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type", "hr")
       .writeStream
@@ -551,8 +592,8 @@ object StreamingQueries extends QueryPack {
   private def stageDwrfChunks(s: SparkSession, dir: String): String = {
     import s.implicits._
     stageChunks(s, dir, name = "stream-dwrf-chunks", fmt = "dwrf",
-      project = df => df.select($"event_id", $"user_id", $"event_type",
-        expr("timestamp_micros(ts DIV 1000)").as("ts"), $"value"),
+      project = df => withEventTs(df).select($"event_id", $"user_id",
+        $"event_type", $"ts", $"value"),
       withSentinel = true)._1
   }
 
@@ -606,8 +647,9 @@ object StreamingQueries extends QueryPack {
     val (ckDir, outDir) = freshSinkDirs("stream-dwrf-sink", dir)
     val q = s.readStream.schema(rawSchema)
       .parquet(srcDir)
+      .transform(withEventTs)
       .filter($"user_id" >= 0 && $"event_type" === "purchase")
-      .select($"event_id", $"user_id", expr("ts DIV 1000").as("ts_us"),
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
         $"value", $"props")
       .writeStream
       .format("dwrf")
@@ -678,7 +720,7 @@ object StreamingQueries extends QueryPack {
       reader.option("maxFilesPerTrigger", n.toString))
     val stream = reader
       .parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(withEventTs)
       .select($"user_id", $"ts", $"event_type")
       .withWatermark("ts", "1 hour")
       // the sentinel type MUST survive this filter: Catalyst pushes the
@@ -797,7 +839,7 @@ object StreamingQueries extends QueryPack {
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
     val base = reader.parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(withEventTs)
       .select($"user_id", $"ts", $"event_type")
       .withWatermark("ts", "1 hour")
     // each leg KEEPS the sentinel row (Catalyst pushes these filters
