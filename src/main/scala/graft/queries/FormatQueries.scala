@@ -790,6 +790,75 @@ object FormatQueries extends QueryPack {
     |ORDER BY c_mktsegment
     |""".stripMargin.trim
 
+  // Snapshot log (DwrfLog): DELETE on a log-enabled table commits one
+  // atomic manifest swap — the replaced files stay on disk, so the
+  // pre-delete version remains readable (`versionAsOf`), and VACUUM
+  // later reclaims the bytes past retention. The query proves all three
+  // states against one oracle: the v0 rollup must equal the FULL
+  // customer table (read through retained copy-on-write inputs), the
+  // current rollup the filtered one — and it REQUIREs the version
+  // advance, the retained inputs, and vacuum's physical reclaim, so a
+  // log that silently degrades to directory semantics fails loud rather
+  // than returning plausible rows.
+  private def timeTravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.dwrf.{DwrfLog, DwrfUtil}
+    import org.apache.hadoop.fs.Path
+    val out = ioDir("customer-tt", dir)
+    val tbl = s"graft_tt_customer_${Integer.toHexString(dir.hashCode)}"
+    val conf = DwrfUtil.sessionHadoopConf()
+    val root = new Path(out)
+    val fs = root.getFileSystem(conf)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    if (fs.exists(root)) fs.delete(root, true) // fresh history per run
+    Tables.load(s, dir, "customer").repartition(4)
+      .write.format("dwrf").mode("overwrite").save(out)
+    s.sql(s"CREATE TABLE $tbl USING dwrf LOCATION '$out'")
+    try {
+      DwrfLog.enable(root, conf)
+      val filesBefore = DwrfUtil.listDataFiles(root, conf).map(_.toString).toSet
+      s.sql(s"DELETE FROM $tbl WHERE c_mktsegment = 'BUILDING'")
+      val v1 = DwrfLog.latest(root, conf).getOrElse(
+        throw new IllegalStateException("snapshot log vanished"))
+      require(v1.version == 1L && v1.op == "delete",
+        s"DELETE must commit exactly one snapshot version, got $v1")
+      require(filesBefore.subsetOf(
+        DwrfUtil.listDataFiles(root, conf).map(_.toString).toSet),
+        "copy-on-write inputs must stay on disk for time travel")
+      def rollup(snapshot: String, df: DataFrame): DataFrame = {
+        df.createOrReplaceTempView(s"${tbl}_v")
+        s.sql(s"""
+          |SELECT '$snapshot' AS snapshot, c_mktsegment, COUNT(*) AS n_cust,
+          |  ${dsum("c_acctbal")} AS total_bal
+          |FROM ${tbl}_v GROUP BY c_mktsegment
+          |""".stripMargin.trim)
+      }
+      // v0 materializes BEFORE vacuum (its files are about to be dropped)
+      val v0Rows = rollup("v0",
+        s.read.format("dwrf").option("versionAsOf", 0).load(out)).collect()
+      val vac = DwrfLog.vacuum(root, conf, retainLast = 1)
+      require(vac.dataFilesDeleted > 0 && vac.manifestsDeleted == 1,
+        s"vacuum must reclaim the replaced v0 files, got $vac")
+      val curRolled = rollup("current", s.read.format("dwrf").load(out))
+      val cur = curRolled.collect()
+      val schema = curRolled.schema
+      s.createDataFrame(
+        java.util.Arrays.asList((v0Rows ++ cur): _*), schema)
+        .orderBy($"snapshot", $"c_mktsegment")
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  private val timeTravelOracle = s"""
+    |SELECT 'v0' AS snapshot, c_mktsegment, COUNT(*) AS n_cust,
+    |  ${dsum("c_acctbal")} AS total_bal
+    |FROM customer GROUP BY c_mktsegment
+    |UNION ALL
+    |SELECT 'current' AS snapshot, c_mktsegment, COUNT(*) AS n_cust,
+    |  ${dsum("c_acctbal")} AS total_bal
+    |FROM customer WHERE c_mktsegment <> 'BUILDING' GROUP BY c_mktsegment
+    |ORDER BY snapshot, c_mktsegment
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     Q("dwrf_roundtrip_lineitem", rtLineitem, Some(rtLineitemOracle)),
     Q("dwrf_footer_agg", footerAgg, Some(footerAggOracle)),
@@ -808,5 +877,6 @@ object FormatQueries extends QueryPack {
     Q("dwrf_spj_join", spjJoin, Some(spjJoinOracle)),
     Q("dwrf_delete_scan", deleteScan, Some(deleteScanOracle)),
     Q("dwrf_merge_scan", mergeScan, Some(mergeScanOracle)),
+    Q("dwrf_time_travel", timeTravel, Some(timeTravelOracle)),
   )
 }

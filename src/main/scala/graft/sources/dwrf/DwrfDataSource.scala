@@ -43,7 +43,10 @@ final class DwrfDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = pathOf(options)
     val conf = DwrfUtil.sessionHadoopConf()
-    val files = DwrfUtil.listDataFiles(path, conf)
+    // snapshot tables infer from the manifest's files (a versionAsOf read
+    // gets that version's schema, pre-evolution)
+    val files = DwrfUtil.scanFiles(path, conf,
+      options.asCaseSensitiveMap().asScala.toMap)
     require(files.nonEmpty, s"dwrf: no .dwrf files under $path")
     val schemas = DwrfUtil.parMap(files) { f =>
       val r = new DwrfFileReader(f, conf)
@@ -167,6 +170,29 @@ object DwrfUtil {
 
   def listDataFiles(path: Path, conf: Configuration): Seq[Path] =
     listDataFileStatuses(path, conf).map(_.getPath)
+
+  /** `versionAsOf` from scan options (any case — option maps at this
+    * boundary are case-insensitive).
+    */
+  def versionOption(m: Map[String, String]): Option[Long] = {
+    val ci = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(m)
+    ci.get(DwrfLog.VersionAsOfKey).map(v => v.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"dwrf: ${DwrfLog.VersionAsOfKey} must be a version number, got '$v'")))
+  }
+
+  /** The file set a batch scan plans from: the snapshot-log manifest
+    * when the table has one (latest, or the `versionAsOf` the options
+    * pin), the recursive directory listing otherwise. Snapshot tables
+    * get repeatable reads for free — the manifest resolves once per
+    * scan and concurrent DML never mutates referenced files.
+    */
+  def scanFiles(root: Path, conf: Configuration,
+      options: Map[String, String]): Seq[Path] =
+    DwrfLog.resolve(root, conf, versionOption(options)) match {
+      case Some(snap) => snap.resolved(DwrfUtil.qualify(root, conf))
+      case None => listDataFiles(root, conf)
+    }
 
   /** Like [[listDataFiles]] but keeps the FileStatus the directory walk
     * already holds — callers needing mtimes (the streaming source's
@@ -415,7 +441,7 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
   private lazy val aggTails: Seq[(Set[String], Long, Map[String, graft.format.ColumnStats], Seq[(String, String)])] = {
     val conf = DwrfUtil.sessionHadoopConf()
     val qualifiedRoot = DwrfUtil.qualify(new Path(path), conf)
-    val files = DwrfUtil.listDataFiles(new Path(path), conf)
+    val files = DwrfUtil.scanFiles(new Path(path), conf, options)
     DwrfUtil.parMap(files) { file =>
       val r = new DwrfFileReader(file, conf)
       try {
@@ -783,7 +809,10 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
     pushed ++ runtimeFilters
 
   private lazy val fileTails: Seq[DwrfFileTail] = {
-    val files = DwrfUtil.listDataFiles(new Path(path), hadoopConf.value)
+    // snapshot tables: the manifest resolves ONCE here (lazy), pinning
+    // this scan's file set for the life of the query — concurrent DML
+    // commits new versions but never touches these files
+    val files = DwrfUtil.scanFiles(new Path(path), hadoopConf.value, options)
     val qualifiedRoot = DwrfUtil.qualify(new Path(path), hadoopConf.value)
     DwrfUtil.parMap(files) { file =>
       val r = new DwrfFileReader(file, hadoopConf.value)
@@ -1144,8 +1173,22 @@ final class DwrfStreamingWrite(schema: StructType, path: String,
   }
 
   // epoch visibility is files-on-disk (task commit); the streaming engine's
-  // checkpoint, not a sink-side log, is the source of truth for replays
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  // checkpoint, not a sink-side log, is the source of truth for replays.
+  // On a SNAPSHOT table the epoch additionally appends to the manifest —
+  // commitAppend dedupes already-referenced files, so a replayed epoch
+  // (deterministic names) is a no-op, keeping the sink idempotent.
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = DwrfUtil.sessionHadoopConf()
+    val root = new Path(path)
+    if (DwrfLog.isEnabled(root, conf)) {
+      val written = messages.toSeq.flatMap {
+        case DwrfCommitMessage(_, _, files) => files.map(new Path(_))
+        case _ => Nil
+      }
+      if (written.nonEmpty)
+        DwrfLog.commitAppend(root, conf, written, op = s"stream-epoch-$epochId")
+    }
+  }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
@@ -1186,19 +1229,41 @@ final class DwrfBatchWrite(schema: StructType, path: String,
     options: Map[String, String], truncate: Boolean,
     partCols: Seq[String] = Nil) extends BatchWrite {
 
+  private def logged(conf: Configuration): Boolean =
+    DwrfLog.isEnabled(new Path(path), conf)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // runs on the driver before any task: prepare the output dir
     val conf = DwrfUtil.sessionHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    if (truncate && fs.exists(p)) fs.delete(p, true)
+    val snapshots = logged(conf)
+    // snapshot tables NEVER physically truncate: history (and the log)
+    // must survive an INSERT OVERWRITE — the truncation is the manifest
+    // commit below, and vacuum reclaims the bytes later
+    if (truncate && !snapshots && fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
+    // job-unique file prefix on snapshot tables: retained historic files
+    // stay in the directory, so a replayed (partitionId, taskId) pair
+    // from a different job must not overwrite one
+    val prefix =
+      if (snapshots) s"part-${java.util.UUID.randomUUID().toString.take(12)}-"
+      else "part-"
     new DwrfDataWriterFactory(schema.json, path, options,
-      new SerializableHadoopConf(conf), partCols)
+      new SerializableHadoopConf(conf), partCols, prefix)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = DwrfUtil.sessionHadoopConf()
+    if (logged(conf)) {
+      val root = new Path(path)
+      val written = messages.toSeq.flatMap {
+        case DwrfCommitMessage(_, _, files) => files.map(new Path(_))
+        case _ => Nil
+      }
+      if (truncate) DwrfLog.commitTruncate(root, conf, written)
+      else DwrfLog.commitAppend(root, conf, written)
+    }
     val p = new Path(path, "_SUCCESS")
     val fs = p.getFileSystem(conf)
     val out = fs.create(p, true)
@@ -1210,7 +1275,7 @@ final class DwrfBatchWrite(schema: StructType, path: String,
 
 final class DwrfDataWriterFactory(schemaJson: String, path: String,
     options: Map[String, String], hadoopConf: SerializableHadoopConf,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil, filePrefix: String = "part-")
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -1223,12 +1288,13 @@ final class DwrfDataWriterFactory(schemaJson: String, path: String,
       case (k, v) if k.toLowerCase.startsWith("metadata.") =>
         k.substring("metadata.".length) -> v.getBytes("UTF-8")
     }
+    val name = f"$filePrefix$partitionId%05d-$taskId.dwrf"
     if (partCols.isEmpty)
-      new DwrfFlatDataWriter(schema, new Path(path, f"part-$partitionId%05d-$taskId.dwrf"),
+      new DwrfFlatDataWriter(schema, new Path(path, name),
         options, userMeta, conf)
     else
       new DwrfPartitionedDataWriter(schema, new Path(path), partCols, options,
-        userMeta, conf, partitionId, taskId)
+        userMeta, conf, partitionId, taskId, fileName = Some(name))
   }
 }
 

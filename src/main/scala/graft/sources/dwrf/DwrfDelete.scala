@@ -296,7 +296,11 @@ object DwrfDelete {
         s"($marker) only if its checkpoint will be discarded.")
     DwrfCompact.recover(rootPath, conf)
     val qualifiedRoot = DwrfUtil.qualify(rootPath, conf)
-    val files = DwrfUtil.listDataFiles(rootPath, conf)
+    // snapshot tables: candidates are the LIVE manifest set; replaced
+    // files stay on disk for time travel and leave through one atomic
+    // commitReplace below, so concurrent readers never see a half-swap
+    val snapshots = DwrfLog.isEnabled(rootPath, conf)
+    val files = DwrfUtil.scanFiles(rootPath, conf, Map.empty)
     val fs = rootPath.getFileSystem(conf)
 
     // classify from footer stats + partition pseudo-stats (exactly the
@@ -324,15 +328,18 @@ object DwrfDelete {
 
     val kept = classified.count(_._2 == 0)
     var rowsDeleted = 0L
+    val removed = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val added = scala.collection.mutable.ArrayBuffer.empty[Path]
     classified.filter(_._2 == 1).foreach { case (file, _, n) =>
-      fs.delete(file, false)
+      if (!snapshots) fs.delete(file, false)
+      removed += file
       rowsDeleted += n
     }
     val deleted = classified.count(_._2 == 1)
 
     val rewrites = classified.filter(_._2 == 2).map(_._1.toString)
     var rewritten = 0
-    if (rewrites.nonEmpty) {
+    val result = if (rewrites.nonEmpty) {
       val ser = new SerializableHadoopConf(conf)
       val schemaJson = tableSchema.json
       val rootStr = qualifiedRoot.toString
@@ -341,25 +348,39 @@ object DwrfDelete {
         .map { f =>
           rewriteFile(new Path(f), new Path(rootStr),
             DataType.fromJson(schemaJson).asInstanceOf[StructType],
-            filters, ser.value)
+            filters, ser.value, snapshots)
         }
         .collect()
       rowsDeleted += results.map(_._1).sum
       rewritten = results.count(_._2)
+      results.zip(rewrites).foreach { case (r, in) =>
+        if (r._4) removed += new Path(in)
+        r._3.foreach(n => added += new Path(n))
+      }
       // a rewrite that found nothing kept its input; one that kept
       // nothing deleted it outright — neither is a promoted rewrite
-      return Result(
+      Result(
         kept + results.count(r => !r._2 && r._1 == 0),
         deleted + results.count(r => !r._2 && r._1 > 0),
         rewritten, rowsDeleted)
-    }
-    Result(kept, deleted, rewritten, rowsDeleted)
+    } else Result(kept, deleted, rewritten, rowsDeleted)
+
+    if (snapshots && (removed.nonEmpty || added.nonEmpty))
+      DwrfLog.commitReplace(rootPath, conf, removed.toSeq, added.toSeq, "delete")
+    result
   }
 
-  /** One file's copy-on-write pass; returns (rowsDeleted, didRewrite). */
+  /** One file's copy-on-write pass; returns (rowsDeleted, didRewrite,
+    * promotedReplacement, inputLeavesLiveSet). In snapshot mode the
+    * input is never physically deleted (it backs time travel) and the
+    * temp carries NO delete-protocol footer manifest — a crash must
+    * leave an inert orphan for [[DwrfCompact.recover]] to sweep, never
+    * an authoritative instruction to delete a manifest-referenced input.
+    */
   private def rewriteFile(file: Path, qualifiedRoot: Path,
       tableSchema: StructType, filters: Array[Filter],
-      conf: org.apache.hadoop.conf.Configuration): (Long, Boolean) = {
+      conf: org.apache.hadoop.conf.Configuration,
+      snapshots: Boolean = false): (Long, Boolean, Option[String], Boolean) = {
     val fs = file.getFileSystem(conf)
     val id = java.util.UUID.randomUUID().toString.take(12)
     val temp = new Path(file.getParent, s".delete-$id.dwrf.inprogress")
@@ -397,8 +418,9 @@ object DwrfDelete {
         }
         // the manifest-carrying close happens ONLY on a fully-iterated
         // file: a temp with a readable manifest is authoritative to
-        // recovery, so a partial one must never gain a footer
-        w.close(Map(ManifestKey ->
+        // recovery, so a partial one must never gain a footer (and a
+        // snapshot-mode temp never carries one at all — scaladoc above)
+        w.close(if (snapshots) Map.empty else Map(ManifestKey ->
           file.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         out.close()
       } catch {
@@ -412,21 +434,22 @@ object DwrfDelete {
 
     if (survivors == total) { // nothing matched: keep the input untouched
       fs.delete(temp, false)
-      (0L, false)
+      (0L, false, None, false)
     } else if (survivors == 0L) { // everything matched: no replacement file
       fs.delete(temp, false)
-      fs.delete(file, false)
-      (total, false)
+      if (!snapshots) fs.delete(file, false)
+      (total, false, None, true)
     } else {
       // same converge-forward order as compaction: a complete temp's
       // manifest is authoritative, so recovery after any crash below
-      // finishes exactly these two steps
-      fs.delete(file, false)
+      // finishes exactly these two steps. Snapshot mode promotes only —
+      // the input's removal is the driver's manifest commit.
+      if (!snapshots) fs.delete(file, false)
       val visible = new Path(file.getParent,
         temp.getName.stripPrefix(".").stripSuffix(".inprogress"))
       if (!fs.rename(temp, visible)) throw new java.io.IOException(
         s"delete rewrite: could not promote $temp -> $visible")
-      (total - survivors, true)
+      (total - survivors, true, Some(visible.toString), true)
     }
   }
 }

@@ -1,0 +1,338 @@
+package graft.sources.dwrf
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+
+/** Snapshot log: multi-file atomic commits, snapshot-isolated reads,
+  * time travel, and retention-based VACUUM for a dwrf table directory.
+  *
+  * Without a log, every maintenance operation here (copy-on-write
+  * DELETE/UPDATE/MERGE, compaction) is atomic per FILE but not per
+  * TABLE: a reader listing the directory mid-swap can see a partial
+  * state — acceptable for a landing dir, not for a 100 TB lake table
+  * under concurrent readers. The log closes that gap the way modern
+  * table formats do (Delta/Iceberg shape, re-expressed minimally):
+  *
+  *  - `_graft_log/v<version>.json` manifests each name the COMPLETE
+  *    data-file set of one table version (paths relative to the table
+  *    root, so the table can be relocated).
+  *  - Readers plan from the latest manifest (or `versionAsOf`), never
+  *    from a directory listing — a scan's file set is immutable for the
+  *    life of the query, whatever writers do concurrently.
+  *  - Writers never mutate or delete a referenced file; they add new
+  *    files and publish a NEW manifest. Publication is the atomic
+  *    commit point: content is written to a hidden temp in the log dir
+  *    and renamed to its final version name (rename-if-absent =
+  *    optimistic concurrency; losers re-read and retry or abort).
+  *  - Old versions stay readable until [[vacuum]] drops manifests past
+  *    the retention count and deletes data files no retained version
+  *    references (crash-orphaned files from interrupted commits
+  *    converge here too).
+  *
+  * Concurrency contract: append/truncate commits retry on version
+  * conflicts (append merges against the new parent — appends commute);
+  * replace commits (DML, compaction) REQUIRE their replaced files to
+  * still be live in the winning parent and fail with a concurrent-
+  * modification error otherwise — first writer wins, like Delta's
+  * conflict rule. The exclusive-rename arbitration is exact on
+  * HDFS-semantics stores; on a raw local FS two same-instant cross-JVM
+  * commits could race the exists-check, which the single-host test
+  * reality never exercises (in-JVM commits serialize on a lock).
+  *
+  * The log is OPT-IN per table ([[enable]]): streaming landing dirs and
+  * plain directories keep their existing listing semantics untouched.
+  */
+object DwrfLog {
+  val LogDirName = "_graft_log"
+
+  /** Read-side option: `spark.read.format("dwrf").option("versionAsOf", 3)`. */
+  val VersionAsOfKey = "versionAsOf"
+
+  final case class Snapshot(version: Long, op: String, files: Seq[String]) {
+    def resolved(root: Path): Seq[Path] = files.map(new Path(root, _))
+  }
+
+  final case class VacuumResult(dataFilesDeleted: Int, manifestsDeleted: Int,
+      retainedVersion: Long)
+
+  def logDir(root: Path): Path = new Path(root, LogDirName)
+
+  def isEnabled(root: Path, conf: Configuration): Boolean = {
+    val fs = root.getFileSystem(conf)
+    fs.exists(logDir(root))
+  }
+
+  // in-JVM commit serialization per table root (cross-JVM arbitration is
+  // the exclusive rename below)
+  private val locks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def lockFor(root: Path): Object =
+    locks.getOrElseUpdate(root.toString, new Object)
+
+  // ------------------------------------------------------------ naming
+
+  private def manifestName(v: Long): String = f"v$v%020d.json"
+
+  private def versionOf(name: String): Option[Long] =
+    if (name.startsWith("v") && name.endsWith(".json"))
+      name.stripPrefix("v").stripSuffix(".json").toLongOption
+    else None
+
+  // ------------------------------------------------------------- serde
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private[dwrf] def render(s: Snapshot): String =
+    s"""{"version":${s.version},"op":"${esc(s.op)}","files":[""" +
+      s.files.map(f => "\"" + esc(f) + "\"").mkString(",") + "]}"
+
+  /** Minimal parser for exactly the shape [[render]] writes. */
+  private[dwrf] def parse(body: String): Snapshot = {
+    def fail(why: String) =
+      throw new IllegalStateException(s"unreadable dwrf log manifest ($why): " +
+        body.take(200))
+    val vM = """"version":(\d+)""".r.findFirstMatchIn(body).getOrElse(fail("version"))
+    val oM = """"op":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(body).getOrElse(fail("op"))
+    val fStart = body.indexOf("\"files\":[")
+    if (fStart < 0) fail("files")
+    val arr = body.substring(fStart + "\"files\":[".length, body.lastIndexOf(']'))
+    val files = """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(arr).map(m => unesc(m.group(1))).toSeq
+    Snapshot(vM.group(1).toLong, unesc(oM.group(1)), files)
+  }
+
+  private def unesc(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b.append('\n'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'u' => b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case other => b.append(other); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  // -------------------------------------------------------------- read
+
+  private def listVersions(root: Path, conf: Configuration): Seq[(Long, Path)] = {
+    val ld = logDir(root)
+    val fs = ld.getFileSystem(conf)
+    if (!fs.exists(ld)) return Nil
+    fs.listStatus(ld).toSeq.flatMap(s =>
+      versionOf(s.getPath.getName).map(_ -> s.getPath)).sortBy(_._1)
+  }
+
+  def latestVersion(root: Path, conf: Configuration): Option[Long] =
+    listVersions(root, conf).lastOption.map(_._1)
+
+  def read(root: Path, conf: Configuration, version: Long): Snapshot = {
+    val p = new Path(logDir(root), manifestName(version))
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) throw new IllegalArgumentException(
+      s"dwrf: no snapshot version $version under $root " +
+        s"(available: ${listVersions(root, conf).map(_._1).mkString(", ")})")
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val snap = parse(body)
+    require(snap.version == version,
+      s"dwrf log manifest $p names version ${snap.version}")
+    snap
+  }
+
+  def latest(root: Path, conf: Configuration): Option[Snapshot] =
+    latestVersion(root, conf).map(read(root, conf, _))
+
+  /** The file set a scan of `root` should plan from, or None when the
+    * table has no log (fall back to directory listing). `versionAsOf`
+    * pins a historic snapshot; vacuumed versions fail loud in [[read]].
+    */
+  def resolve(root: Path, conf: Configuration,
+      versionAsOf: Option[Long]): Option[Snapshot] =
+    versionAsOf match {
+      case Some(v) =>
+        if (!isEnabled(root, conf)) throw new IllegalArgumentException(
+          s"dwrf: versionAsOf=$v but $root has no snapshot log " +
+            s"(enable one with DwrfLog.enable)")
+        Some(read(root, conf, v))
+      case None => latest(root, conf)
+    }
+
+  // ------------------------------------------------------------ commit
+
+  def relativize(root: Path, conf: Configuration, file: Path): String = {
+    val q = DwrfUtil.qualify(root, conf).toString
+    val f = DwrfUtil.qualify(file, conf).toString
+    require(f.startsWith(q + "/") || f == q,
+      s"dwrf log: $file is not under table root $root")
+    f.stripPrefix(q).stripPrefix("/")
+  }
+
+  /** Publish `snap` as the next version after `parent`. Returns the
+    * committed snapshot, or None when another writer took the version
+    * slot first (caller re-reads and retries/aborts).
+    */
+  private def tryPublish(root: Path, conf: Configuration,
+      snap: Snapshot): Boolean = {
+    val ld = logDir(root)
+    val fs = ld.getFileSystem(conf)
+    fs.mkdirs(ld)
+    val target = new Path(ld, manifestName(snap.version))
+    if (fs.exists(target)) return false
+    val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    val out = fs.create(tmp, false)
+    try out.write(render(snap).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // the rename is the atomic commit point; a lost race (target appeared
+    // after the exists-check) returns false and the temp is withdrawn
+    if (fs.exists(target) || !fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      false
+    } else true
+  }
+
+  /** Initialize the log at version 0 from the directory's current data
+    * files. Idempotent: an existing log is returned as-is. Refuses
+    * streaming landing dirs (their file set is owned by the source's
+    * own durable log).
+    */
+  def enable(root: Path, conf: Configuration): Snapshot = lockFor(root).synchronized {
+    val fs = root.getFileSystem(conf)
+    val marker = new Path(root, DwrfUtil.StreamMarkerName)
+    if (fs.exists(marker)) throw new IllegalStateException(
+      s"$root is a dwrf streaming source landing dir: its file set is " +
+        "owned by the streaming source's own log; a snapshot log would " +
+        "fight it. Use snapshots on downstream tables instead.")
+    latest(root, conf) match {
+      case Some(s) => s
+      case None =>
+        DwrfCompact.recover(root, conf) // converge older swap protocols first
+        val files = DwrfUtil.listDataFiles(root, conf)
+          .map(relativize(root, conf, _)).sorted
+        val snap = Snapshot(0L, "init", files)
+        require(tryPublish(root, conf, snap),
+          s"dwrf: concurrent log initialization under $root")
+        snap
+    }
+  }
+
+  private def requireEnabled(root: Path, conf: Configuration): Snapshot =
+    latest(root, conf).getOrElse(throw new IllegalStateException(
+      s"dwrf: no snapshot log under $root (DwrfLog.enable first)"))
+
+  /** Commit `added` on top of whatever the latest version is when the
+    * rename wins — appends commute, so conflicts just retry against the
+    * new parent. Already-referenced files dedupe (idempotent epoch
+    * replay in the streaming sink).
+    */
+  def commitAppend(root: Path, conf: Configuration, added: Seq[Path],
+      op: String = "append"): Snapshot = lockFor(root).synchronized {
+    val rel = added.map(relativize(root, conf, _))
+    var attempt = 0
+    while (attempt < 64) {
+      val parent = requireEnabled(root, conf)
+      if (rel.forall(parent.files.contains))
+        return parent // pure replay: everything already referenced
+      val merged = (parent.files ++ rel.filterNot(parent.files.contains)).sorted
+      val snap = Snapshot(parent.version + 1, op, merged)
+      if (tryPublish(root, conf, snap)) return snap
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"dwrf: append commit under $root lost ${64} version races")
+  }
+
+  /** Commit a full replacement file set (INSERT OVERWRITE / truncate). */
+  def commitTruncate(root: Path, conf: Configuration, files: Seq[Path],
+      op: String = "overwrite"): Snapshot = lockFor(root).synchronized {
+    val rel = files.map(relativize(root, conf, _)).sorted
+    var attempt = 0
+    while (attempt < 64) {
+      val parent = requireEnabled(root, conf)
+      val snap = Snapshot(parent.version + 1, op, rel)
+      if (tryPublish(root, conf, snap)) return snap
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"dwrf: overwrite commit under $root lost ${64} version races")
+  }
+
+  /** Commit a copy-on-write swap: `removed` leave the live set (files
+    * stay on disk for time travel), `added` join it. Fails with a
+    * concurrent-modification error if any removed file is no longer
+    * live in the winning parent — the rewrite was computed against a
+    * superseded snapshot and applying it would lose the other writer's
+    * work (first writer wins).
+    */
+  def commitReplace(root: Path, conf: Configuration,
+      removed: Seq[Path], added: Seq[Path], op: String): Snapshot =
+    lockFor(root).synchronized {
+      val relRemoved = removed.map(relativize(root, conf, _))
+      val relAdded = added.map(relativize(root, conf, _))
+      var attempt = 0
+      while (attempt < 64) {
+        val parent = requireEnabled(root, conf)
+        val live = parent.files.toSet
+        val gone = relRemoved.filterNot(live.contains)
+        if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"dwrf: copy-on-write commit under $root was computed against a " +
+            s"superseded snapshot: ${gone.take(3).mkString(", ")} no longer " +
+            s"live in v${parent.version}. Re-run the statement.")
+        val snap = Snapshot(parent.version + 1, op,
+          (parent.files.filterNot(relRemoved.contains) ++ relAdded).sorted)
+        if (tryPublish(root, conf, snap)) return snap
+        attempt += 1
+      }
+      throw new IllegalStateException(
+        s"dwrf: replace commit under $root lost ${64} version races")
+    }
+
+  // ------------------------------------------------------------ vacuum
+
+  /** Drop history: retain the newest `retainLast` versions (≥ 1), delete
+    * every older manifest, then delete every data file under `root` that
+    * no RETAINED version references — replaced copy-on-write inputs past
+    * retention and crash-orphaned files (written, never committed) both
+    * go here. Run it from a maintenance window: a concurrent reader
+    * pinned to a dropped version loses its files mid-query, exactly like
+    * VACUUM on any snapshot store.
+    */
+  def vacuum(root: Path, conf: Configuration, retainLast: Int = 2): VacuumResult =
+    lockFor(root).synchronized {
+      require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
+      val fs = root.getFileSystem(conf)
+      val versions = listVersions(root, conf)
+      require(versions.nonEmpty,
+        s"dwrf: no snapshot log under $root (DwrfLog.enable first)")
+      val (drop, keep) = versions.splitAt(math.max(0, versions.size - retainLast))
+      val referenced: Set[String] =
+        keep.flatMap { case (v, _) => read(root, conf, v).files }.toSet
+      var dataDeleted = 0
+      DwrfUtil.listDataFiles(root, conf).foreach { f =>
+        if (!referenced.contains(relativize(root, conf, f))) {
+          fs.delete(f, false)
+          dataDeleted += 1
+        }
+      }
+      drop.foreach { case (_, p) => fs.delete(p, false) }
+      // withdraw commit temps from crashed publishers
+      fs.listStatus(logDir(root)).foreach { s =>
+        if (s.getPath.getName.startsWith(".tmp-")) fs.delete(s.getPath, false)
+      }
+      VacuumResult(dataDeleted, drop.size, keep.last._1)
+    }
+}

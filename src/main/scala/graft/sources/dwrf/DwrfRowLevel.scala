@@ -95,17 +95,24 @@ final class DwrfRowLevelOperation(cmd: RowLevelOperation.Command,
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new DwrfReplaceBatchWrite(info.schema(), path, writeOptions,
-            layoutPartCols(), replacedFiles)
+            layoutPartCols(), replacedFiles, cmd.toString.toLowerCase)
       }
     }
 
   override def description(): String = s"dwrf $cmd copy-on-write of $path"
 }
 
-/** The replace write: temps in, swap manifest, replaced files out. */
+/** The replace write: temps in, swap manifest, replaced files out. On a
+  * snapshot table the swap only PROMOTES the temps — the replaced files
+  * stay on disk for time travel and leave the live set through a
+  * [[DwrfLog.commitReplace]] manifest commit, which is the atomic point
+  * concurrent readers observe (and the conflict detector against a
+  * concurrent rewrite of the same files).
+  */
 final class DwrfReplaceBatchWrite(writeSchema: StructType, path: String,
     options: Map[String, String], partCols: Seq[String],
-    replacedFiles: AtomicReference[Seq[String]]) extends BatchWrite {
+    replacedFiles: AtomicReference[Seq[String]],
+    opName: String = "rowlevel") extends BatchWrite {
 
   // Spark's rewrite plans project table columns for group-based writes,
   // but guard anyway: a `_file` metadata attribute must never land as a
@@ -137,7 +144,16 @@ final class DwrfReplaceBatchWrite(writeSchema: StructType, path: String,
       t -> new Path(p.getParent,
         p.getName.stripPrefix(".").stripSuffix(".tmp") + ".dwrf").toString
     }
-    DwrfReplaceCommit.run(root, conf, renames, replacedFiles.get())
+    if (DwrfLog.isEnabled(root, conf)) {
+      // promote temps only; the manifest commit is the swap. A crash
+      // between the two leaves promoted-but-unreferenced files —
+      // invisible to every reader, reclaimed by vacuum.
+      DwrfReplaceCommit.run(root, conf, renames, Nil)
+      DwrfLog.commitReplace(root, conf,
+        replacedFiles.get().map(new Path(_)),
+        renames.map { case (_, dst) => new Path(dst) }, opName)
+    } else
+      DwrfReplaceCommit.run(root, conf, renames, replacedFiles.get())
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -252,9 +252,12 @@ object DwrfCompact {
     * selectivity in the merged files. Plan cost: one footer read per
     * small file, on the bounded pool.
     */
-  private[dwrf] def plan(dir: Path, conf: Configuration, targetBytes: Long)
-      : Seq[Seq[Path]] = {
+  private[dwrf] def plan(dir: Path, conf: Configuration, targetBytes: Long,
+      live: Option[Set[String]] = None): Seq[Seq[Path]] = {
     val all = DwrfUtil.listDataFileStatuses(dir, conf)
+      // snapshot tables: only live files compact — retained historic
+      // files in the same directory are not candidates
+      .filter(s => live.forall(_.contains(s.getPath.toString)))
       .filter(_.getLen < targetBytes)
     val compat: Map[String, String] = DwrfUtil.parMap(all.map(_.getPath)) { p =>
       val r = new DwrfFileReader(p, conf)
@@ -304,32 +307,60 @@ object DwrfCompact {
       }
     }
     recover(root, conf)
-    val before = DwrfUtil.listDataFiles(root, conf).length
-    val groups = plan(root, conf, targetBytes)
+    // snapshot tables compact the LIVE manifest set and swap through one
+    // atomic commitReplace — merged inputs stay on disk for time travel
+    // and concurrent readers keep their pinned snapshot throughout
+    val snapshots = DwrfLog.isEnabled(root, conf)
+    val live: Option[Set[String]] =
+      if (snapshots) Some(DwrfUtil.scanFiles(root, conf, Map.empty)
+        .map(_.toString).toSet)
+      else None
+    val before = live.map(_.size)
+      .getOrElse(DwrfUtil.listDataFiles(root, conf).length)
+    val groups = plan(root, conf, targetBytes, live)
+    var merged = Seq.empty[String]
     if (groups.nonEmpty) {
       val ser = new SerializableHadoopConf(conf)
       val groupStrs = groups.map(_.map(_.toString))
-      spark.sparkContext
+      merged = spark.sparkContext
         .parallelize(groupStrs, groupStrs.length)
-        .foreach { g => compactGroup(g.map(new Path(_)), ser.value) }
+        .map { g => compactGroup(g.map(new Path(_)), ser.value, snapshots) }
+        .collect().toSeq
     }
-    val afterList = DwrfUtil.listDataFileStatuses(root, conf)
-    Result(groups.length, before, afterList.length, groups.map(_.size).sum)
+    if (snapshots) {
+      if (groups.nonEmpty)
+        DwrfLog.commitReplace(root, conf, groups.flatten.toSeq,
+          merged.map(new Path(_)), "compact")
+      val after = before - groups.map(_.size).sum + groups.length
+      Result(groups.length, before, after, groups.map(_.size).sum)
+    } else {
+      val afterList = DwrfUtil.listDataFileStatuses(root, conf)
+      Result(groups.length, before, afterList.length, groups.map(_.size).sum)
+    }
   }
 
-  /** One group: merge → temp with manifest → delete inputs → promote. */
-  private def compactGroup(inputs: Seq[Path], conf: Configuration): Unit = {
+  /** One group: merge → temp with manifest → delete inputs → promote.
+    * Snapshot mode promotes WITHOUT the footer manifest or the input
+    * deletes (a crashed temp must stay inert — the inputs are
+    * manifest-referenced); the driver's commitReplace is the swap.
+    * Returns the merged file's path.
+    */
+  private def compactGroup(inputs: Seq[Path], conf: Configuration,
+      snapshots: Boolean = false): String = {
     val parent = inputs.head.getParent
     val id = java.util.UUID.randomUUID().toString.take(12)
     val visible = new Path(parent, s"compact-$id.dwrf")
     val temp = new Path(parent, s".compact-$id.dwrf.inprogress")
-    val manifest = inputs.map(_.getName).mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    DwrfConcat.concat(temp, inputs, conf, Map(ManifestKey -> manifest))
+    val meta: Map[String, Array[Byte]] =
+      if (snapshots) Map.empty
+      else Map(ManifestKey -> inputs.map(_.getName).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    DwrfConcat.concat(temp, inputs, conf, meta)
     val fs = parent.getFileSystem(conf)
-    inputs.foreach(p => fs.delete(p, false))
+    if (!snapshots) inputs.foreach(p => fs.delete(p, false))
     if (!fs.rename(temp, visible)) throw new java.io.IOException(
       s"compaction: could not promote $temp -> $visible")
+    visible.toString
   }
 
   /** Converges any interrupted compaction OR delete rewrite (both use
