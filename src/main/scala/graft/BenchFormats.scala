@@ -182,6 +182,16 @@ object BenchFormats {
       .cache()
     val nRows = big.count() // materialize: time the writer, not the source
 
+    // fresh slate: a prior run's snapshot log (from the DML rehearsal
+    // below) would otherwise turn this overwrite into a log commit that
+    // retains last run's files and shifts the rehearsal's version
+    // numbers — the stress measures a cold table, not accumulated history
+    {
+      val fs = new Path(path).getFileSystem(
+        graft.sources.dwrf.DwrfUtil.sessionHadoopConf())
+      fs.delete(new Path(path), true)
+    }
+
     val (tWrite, _) = time {
       big.write.format("dwrf").mode("overwrite")
         .option("compress", "ZLIB")
@@ -269,11 +279,48 @@ object BenchFormats {
     require(delRes.filesRewritten + delRes.filesDeleted > 0,
       "scale DELETE touched no files — predicate fixture broken")
 
+    // Snapshot-log rehearsal at the same scale: enable the log on the
+    // post-delete table, run the SAME worst-case copy-on-write DELETE
+    // (every file decodes + rewrites) in log mode, then time-travel and
+    // vacuum. Invariants: the pre-delete version stays exactly readable
+    // at 9.4M rows, the commit is one manifest (log overhead must be
+    // noise against the rewrite), and vacuum physically reclaims every
+    // replaced input. This is the "per-TABLE atomicity costs nothing at
+    // scale" measurement behind the DwrfLog design.
+    import org.apache.hadoop.fs.Path
+    val hconf = graft.sources.dwrf.DwrfUtil.sessionHadoopConf()
+    val root = new Path(path)
+    graft.sources.dwrf.DwrfLog.enable(root, hconf)
+    val expectDel2 = spark.read.format("dwrf").load(path)
+      .filter($"l_quantity" === 30.0).count()
+    val (tDeleteLog, delRes2) = time {
+      graft.sources.dwrf.DwrfDelete.deleteWhere(spark, path,
+        spark.read.format("dwrf").load(path).schema,
+        Array(org.apache.spark.sql.sources.EqualTo("l_quantity", 30.0)))
+    }
+    val v0Rows = spark.read.format("dwrf")
+      .option("versionAsOf", 0).load(path).count()
+    val curRows = spark.read.format("dwrf").load(path).count()
+    require(delRes2.rowsDeleted == expectDel2 && v0Rows == afterRows &&
+      curRows == afterRows - expectDel2,
+      s"snapshot DELETE mismatch: deleted ${delRes2.rowsDeleted}/$expectDel2, " +
+        s"v0 $v0Rows (want $afterRows), current $curRows")
+    val (tVacuum, vac) = time {
+      graft.sources.dwrf.DwrfLog.vacuum(root, hconf, retainLast = 1)
+    }
+    require(vac.dataFilesDeleted > 0 &&
+      spark.read.format("dwrf").load(path).count() == curRows,
+      s"vacuum broke the live set: $vac")
+
     val r2 = r ++ scala.collection.immutable.ListMap[String, Any](
       "delete_s" -> tDelete,
       "delete_rows" -> delRes.rowsDeleted,
       "delete_files_rewritten" -> delRes.filesRewritten,
-      "delete_rewrite_raw_mb_s" -> mb(rawBytes) / tDelete)
+      "delete_rewrite_raw_mb_s" -> mb(rawBytes) / tDelete,
+      "log_delete_s" -> tDeleteLog,
+      "log_delete_rows" -> delRes2.rowsDeleted,
+      "log_vacuum_s" -> tVacuum,
+      "log_vacuum_files" -> vac.dataFilesDeleted)
     val json = r2.map {
       case (k, v: Double) => s""""$k":${math.round(v * 1000) / 1000.0}"""
       case (k, v) => s""""$k":$v"""

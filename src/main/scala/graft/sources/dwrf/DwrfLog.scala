@@ -157,6 +157,10 @@ object DwrfLog {
   def latest(root: Path, conf: Configuration): Option[Snapshot] =
     latestVersion(root, conf).map(read(root, conf, _))
 
+  /** All retained versions, oldest first — the DESCRIBE HISTORY analog. */
+  def history(root: Path, conf: Configuration): Seq[Snapshot] =
+    listVersions(root, conf).map { case (v, _) => read(root, conf, v) }
+
   /** The file set a scan of `root` should plan from, or None when the
     * table has no log (fall back to directory listing). `versionAsOf`
     * pins a historic snapshot; vacuumed versions fail loud in [[read]].
@@ -300,6 +304,28 @@ object DwrfLog {
       throw new IllegalStateException(
         s"dwrf: replace commit under $root lost ${64} version races")
     }
+
+  // --------------------------------------------------------------- cli
+
+  /** Ops CLI, mirroring [[DwrfCompact.main]]:
+    * `runMain graft.sources.dwrf.DwrfLog <enable|history|vacuum> <dir> [retainLast]`.
+    */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: DwrfLog <enable|history|vacuum> <dir> [retainLast=2]")
+    val conf = new Configuration()
+    val root = new Path(args(1))
+    args(0) match {
+      case "enable" => println(enable(root, conf))
+      case "history" => history(root, conf).foreach(s =>
+        println(s"v${s.version}\t${s.op}\t${s.files.size} files"))
+      case "vacuum" =>
+        val retain = if (args.length > 2) args(2).toInt else 2
+        println(vacuum(root, conf, retain))
+      case other => throw new IllegalArgumentException(
+        s"unknown DwrfLog command '$other' (enable|history|vacuum)")
+    }
+  }
 
   // ------------------------------------------------------------ vacuum
 
