@@ -53,6 +53,17 @@ final class DwrfMicroBatchStream(
     extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
+  // A snapshot table is the wrong shape for the file-tailing source: the
+  // mtime-ordered listing would ingest RETAINED historic files (pre-DML
+  // copies still on disk for time travel) as if they were live data —
+  // silent duplicates. Refuse up front; batch reads + versionAsOf are
+  // the snapshot surfaces, landing dirs the streaming one.
+  require(!DwrfLog.isEnabled(new Path(path), hadoopConf.value),
+    s"$path has a snapshot log (_graft_log): streaming-reading a " +
+      "snapshot table would re-ingest retained historic files as " +
+      "duplicates. Stream the upstream landing dir instead, or read " +
+      "the table in batch (optionally with versionAsOf).")
+
   private val log = new DwrfSourceLog(
     new Path(checkpointLocation, "dwrf-source-log"), hadoopConf.value)
 

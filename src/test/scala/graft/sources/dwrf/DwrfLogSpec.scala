@@ -193,6 +193,73 @@ class DwrfLogSpec extends AnyFunSuite {
     s.sql("DROP TABLE dwrf_log_dml")
   }
 
+  test("concurrent readers never observe a torn version during write/compact churn") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir()
+    val rows = 100
+    def writeGen(g: Int, mode: String): Unit =
+      (0 until rows).map(i => (g, i.toLong)).toDF("gen", "id")
+        .repartition(4).write.format("dwrf").mode(mode).save(dir)
+    writeGen(0, "overwrite")
+    DwrfLog.enable(new Path(dir), conf)
+
+    @volatile var done = false
+    val gens = 12
+    val writer = Future {
+      (1 until gens).foreach { g =>
+        writeGen(g, "overwrite") // atomic commitTruncate
+        if (g % 3 == 0) DwrfCompact.compact(s, dir, targetBytes = 1L << 30)
+      }
+      done = true
+    }
+    val reader = Future {
+      var checks = 0
+      val seen = scala.collection.mutable.Set.empty[Int]
+      while (!done) {
+        val got = s.read.format("dwrf").load(dir)
+          .select($"gen", $"id").as[(Int, Long)].collect()
+        // the atomicity claim: every read is ONE complete generation —
+        // never a mix of two, never a partial file set
+        assert(got.length === rows,
+          s"torn read: ${got.length} rows (gens ${got.map(_._1).distinct.toSeq})")
+        assert(got.map(_._1).distinct.length === 1,
+          s"torn read mixes generations: ${got.map(_._1).distinct.toSeq}")
+        assert(got.map(_._2).sorted.toSeq === (0L until rows))
+        seen += got.head._1
+        checks += 1
+      }
+      (checks, seen.size)
+    }
+    Await.result(writer, 120.seconds)
+    val (checks, distinctGens) = Await.result(reader, 120.seconds)
+    assert(checks > 5, s"reader only completed $checks checks — no overlap")
+    info(s"$checks concurrent reads over $distinctGens distinct generations, zero torn")
+  }
+
+  test("streaming read of a snapshot table is refused (would re-ingest history)") {
+    val dir = tmpDir()
+    writeRange(dir, 0, 10)
+    DwrfLog.enable(new Path(dir), conf)
+    val schema = spark.read.format("dwrf").load(dir).schema
+    val err = intercept[Exception] {
+      val q = spark.readStream.format("dwrf").schema(schema).load(dir)
+        .writeStream.format("noop")
+        .option("checkpointLocation", tmpDir())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(c =>
+      c.getMessage != null && c.getMessage.contains("snapshot log")),
+      s"expected the snapshot-log refusal, got: $err")
+  }
+
   test("streaming sink epochs append to a snapshot table idempotently") {
     val s = spark
     import s.implicits._
