@@ -859,6 +859,58 @@ object FormatQueries extends QueryPack {
     |ORDER BY snapshot, c_mktsegment
     |""".stripMargin.trim
 
+  // OPTIMIZE through the snapshot log: an out-of-order table (shuffled
+  // write) is rewritten globally sorted by l_orderkey in one atomic
+  // commit (DwrfOptimize → commitReplace), history vacuumed, and the
+  // query REQUIREs (a) the op=optimize version advance, (b) a measured
+  // surfaced-row collapse on a key-range scan vs the pre-optimize
+  // layout — the layout must BECOME selective, not just stay correct —
+  // then hash-checks a rollup so the rewrite provably lost no row.
+  private def optimizeScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.dwrf.{DwrfLog, DwrfOptimize, DwrfUtil}
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.sources.LessThan
+    val out = ioDir("lineitem-opt", dir)
+    val conf = DwrfUtil.sessionHadoopConf()
+    val root = new Path(out)
+    val fs = root.getFileSystem(conf)
+    if (fs.exists(root)) fs.delete(root, true) // fresh history per run
+    val src = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
+    val keyMax = src.agg(max($"l_orderkey")).head().getLong(0)
+    src.repartition(6) // hash-shuffled: every file spans the key domain
+      .write.format("dwrf").mode("overwrite")
+      .option("row.index.stride", "1024").save(out)
+    DwrfLog.enable(root, conf)
+    val band = LessThan("l_orderkey", keyMax / 16 + 1)
+    val (preRows, _, _) = DwrfUtil.surfacedRows(out, "l_orderkey", Seq(band))
+    val res = DwrfOptimize.rewrite(s, out, Seq("l_orderkey"),
+      targetBytes = 16L * 1024 * 1024)
+    require(res.version == 1L &&
+      DwrfLog.latest(root, conf).exists(_.op == "optimize"),
+      s"optimize must commit one op=optimize version, got $res")
+    DwrfLog.vacuum(root, conf, retainLast = 1)
+    val (postRows, postStrides, postStripes) =
+      DwrfUtil.surfacedRows(out, "l_orderkey", Seq(band))
+    require(postRows * 4 <= preRows && postStrides + postStripes > 0,
+      s"optimize must make the range scan selective: surfaced " +
+        s"$preRows -> $postRows rows, ${postStrides + postStripes} skips")
+    s.read.format("dwrf").load(out)
+      .filter($"l_orderkey" < keyMax / 16 + 1)
+      .agg(count(lit(1)).as("n_rows"),
+        expr(dsum("l_quantity")).as("sum_qty"),
+        expr(dsum("l_extendedprice")).as("sum_price"))
+  }
+
+  private val optimizeScanOracle = s"""
+    |SELECT COUNT(*) AS n_rows,
+    |  ${dsum("l_quantity")} AS sum_qty,
+    |  ${dsum("l_extendedprice")} AS sum_price
+    |FROM lineitem
+    |WHERE l_orderkey < (SELECT MAX(l_orderkey) FROM lineitem) // 16 + 1
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     Q("dwrf_roundtrip_lineitem", rtLineitem, Some(rtLineitemOracle)),
     Q("dwrf_footer_agg", footerAgg, Some(footerAggOracle)),
@@ -878,5 +930,6 @@ object FormatQueries extends QueryPack {
     Q("dwrf_delete_scan", deleteScan, Some(deleteScanOracle)),
     Q("dwrf_merge_scan", mergeScan, Some(mergeScanOracle)),
     Q("dwrf_time_travel", timeTravel, Some(timeTravelOracle)),
+    Q("dwrf_optimize_scan", optimizeScan, Some(optimizeScanOracle)),
   )
 }

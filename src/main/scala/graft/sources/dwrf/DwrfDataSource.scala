@@ -1261,8 +1261,20 @@ final class DwrfBatchWrite(schema: StructType, path: String,
         case DwrfCommitMessage(_, _, files) => files.map(new Path(_))
         case _ => Nil
       }
-      if (truncate) DwrfLog.commitTruncate(root, conf, written)
-      else DwrfLog.commitAppend(root, conf, written)
+      val rewriteOf = org.apache.spark.sql.catalyst.util
+        .CaseInsensitiveMap(options).get(DwrfLog.RewriteOfKey)
+      (truncate, rewriteOf) match {
+        case (true, Some(v)) =>
+          // an optimize-style rewrite of base version v: replace exactly
+          // that version's files, so concurrent appends survive and
+          // concurrent row-changing commits conflict (DwrfOptimize)
+          val base = DwrfLog.read(root, conf, v.toLong)
+          DwrfLog.commitReplace(root, conf,
+            base.resolved(DwrfUtil.qualify(root, conf)), written,
+            op = "optimize")
+        case (true, None) => DwrfLog.commitTruncate(root, conf, written)
+        case (false, _) => DwrfLog.commitAppend(root, conf, written)
+      }
     }
     val p = new Path(path, "_SUCCESS")
     val fs = p.getFileSystem(conf)

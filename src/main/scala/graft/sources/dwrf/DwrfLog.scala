@@ -48,6 +48,13 @@ object DwrfLog {
   /** Read-side option: `spark.read.format("dwrf").option("versionAsOf", 3)`. */
   val VersionAsOfKey = "versionAsOf"
 
+  /** Write-side option ([[DwrfOptimize]]): an overwrite that is a
+    * REWRITE of the named base version commits via [[commitReplace]]
+    * against that version's files instead of [[commitTruncate]] — a
+    * concurrent append survives, a concurrent delete conflicts.
+    */
+  val RewriteOfKey = "log.rewrite.of"
+
   final case class Snapshot(version: Long, op: String, files: Seq[String]) {
     def resolved(root: Path): Seq[Path] = files.map(new Path(root, _))
   }

@@ -1,0 +1,131 @@
+package graft.sources.dwrf
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, expr, max}
+
+/** OPTIMIZE for snapshot tables: rewrite the live file set globally
+  * sorted (plain range sort, or scaled-Morton z-order for multi-column
+  * point/range workloads) and publish the swap as ONE atomic log commit.
+  *
+  * Sorting is what makes the format's stride/file min-max stats
+  * selective — `dwrf_zorder_scan` measures the ~30× surfaced-row cut at
+  * write time; this op retrofits that layout to a table that accreted
+  * out of order (streaming epochs, upsert churn). The write path:
+  *
+  *  - the read pins the CURRENT snapshot (`versionAsOf`), so the rewrite
+  *    is stable whatever lands concurrently;
+  *  - output is `repartitionByRange` over the sort key into
+  *    ceil(bytes/target) files — disjoint key ranges per file, so FILE
+  *    stats prune before stride stats even engage;
+  *  - z-order interleaves the dimensions after normalizing each to
+  *    0..255 by its max (the rank/scale step raw interleave lacks; best
+  *    clustering for non-negative integral keys) on an EPHEMERAL column
+  *    dropped before the write — the table schema never changes;
+  *  - the commit is [[DwrfLog.commitReplace]] against the base version's
+  *    files via the writer's `log.rewrite.of` option: a concurrent
+  *    APPEND survives the optimize untouched (its file stays live), a
+  *    concurrent DELETE/UPDATE aborts it with a conflict instead of
+  *    being silently resurrected — rewrites that change no rows must
+  *    never win races against rewrites that do.
+  *
+  * Unpartitioned tables only for now: a partitioned optimize must sort
+  * within each directory's file group (per-partition range partitioning),
+  * which needs the grouped write the compactor has and the V2 writer
+  * doesn't — refused loudly rather than silently flattening the layout.
+  */
+object DwrfOptimize {
+
+  final case class Result(version: Long, filesBefore: Int, filesAfter: Int,
+      bytesRewritten: Long)
+
+  def rewrite(spark: SparkSession, dir: String, sortCols: Seq[String],
+      zOrder: Boolean = false,
+      targetBytes: Long = 256L * 1024 * 1024): Result = {
+    require(sortCols.nonEmpty, "optimize: sort columns required")
+    val conf = DwrfUtil.sessionHadoopConf()
+    val root = new Path(dir)
+    val snap = DwrfLog.latest(root, conf).getOrElse(
+      throw new IllegalStateException(
+        s"optimize targets snapshot tables: no log under $dir " +
+          "(DwrfLog.enable first — plain dirs have no atomic swap to " +
+          "publish the rewrite through)"))
+    val qualified = DwrfUtil.qualify(root, conf)
+    val live = snap.resolved(qualified)
+    require(live.nonEmpty, s"optimize: version ${snap.version} has no files")
+    require(live.forall(f => PartitionLayout.specOf(qualified, f).isEmpty),
+      s"optimize supports unpartitioned tables only (see scaladoc); " +
+        s"$dir carries a col=value layout")
+    val fs = root.getFileSystem(conf)
+    val bytes = live.map(f => fs.getFileStatus(f).getLen).sum
+    val n = math.max(1L, math.min(4096L,
+      (bytes + targetBytes - 1) / targetBytes)).toInt
+
+    // preserve the table's write characteristics (codec, block size,
+    // index stride, vints) from the first live file, like the delete
+    // rewriter does — an optimize must not silently re-encode the table
+    // under default options
+    val inherited: Map[String, String] = {
+      val r = new DwrfFileReader(live.head, conf)
+      try Map(
+        "compress" -> r.postScript.compression.name,
+        "compress.size" -> r.postScript.blockSize.toString,
+        "row.index.stride" -> r.footer.rowIndexStride.toString,
+        "use.vints" -> r.postScript.useVInts.toString)
+      finally r.close()
+    }
+
+    val df = spark.read.format("dwrf")
+      .option(DwrfLog.VersionAsOfKey, snap.version).load(dir)
+    sortCols.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"optimize: no column '$c' (schema: ${df.schema.fieldNames.mkString(", ")})"))
+
+    val staged =
+      if (!zOrder)
+        df.repartitionByRange(n, sortCols.map(col): _*)
+          .write.format("dwrf").mode("overwrite")
+          .option("sort.columns", sortCols.mkString(","))
+      else {
+        require(sortCols.size >= 2,
+          "z-order needs >= 2 columns (one column is a plain sort)")
+        sortCols.foreach { c =>
+          val dt = df.schema(c).dataType
+          require(dt == org.apache.spark.sql.types.LongType ||
+            dt == org.apache.spark.sql.types.IntegerType ||
+            dt == org.apache.spark.sql.types.ShortType,
+            s"z-order column '$c' must be integral, got ${dt.simpleString}")
+        }
+        graft.functions.GraftFunctions.register(spark)
+        val maxes = df.agg(max(col(sortCols.head)),
+          sortCols.tail.map(c => max(col(c))): _*).head()
+        val scaled = sortCols.zipWithIndex.map { case (c, i) =>
+          val hi = math.max(0L, maxes.getAs[Number](i).longValue()) + 1
+          s"`$c` * 256L DIV $hi"
+        }
+        df.withColumn("__graft_z", expr(s"z_order(${scaled.mkString(", ")})"))
+          .repartitionByRange(n, col("__graft_z"))
+          .sortWithinPartitions("__graft_z")
+          .drop("__graft_z") // plain write preserves task row order
+          .write.format("dwrf").mode("overwrite")
+      }
+    inherited.foreach { case (k, v) => staged.option(k, v) }
+    staged
+      .option(DwrfLog.RewriteOfKey, snap.version.toString)
+      .save(dir)
+    val after = DwrfLog.latest(root, conf).getOrElse(
+      throw new IllegalStateException(s"optimize commit vanished under $dir"))
+    Result(after.version, live.size, after.files.size, bytes)
+  }
+
+  /** CLI: `runMain graft.sources.dwrf.DwrfOptimize <dir> <col[,col...]> [zorder]`. */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: DwrfOptimize <dir> <col[,col...]> [zorder]")
+    val spark = SparkSession.builder()
+      .master("local[4]").appName("dwrf-optimize")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try println(rewrite(spark, args(0),
+      args(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+      zOrder = args.contains("zorder")))
+    finally spark.stop()
+  }
+}
