@@ -29,10 +29,12 @@ import org.apache.spark.sql.functions.{col, expr, max}
   *    being silently resurrected — rewrites that change no rows must
   *    never win races against rewrites that do.
   *
-  * Unpartitioned tables only for now: a partitioned optimize must sort
-  * within each directory's file group (per-partition range partitioning),
-  * which needs the grouped write the compactor has and the V2 writer
-  * doesn't — refused loudly rather than silently flattening the layout.
+  * Hive-partitioned layouts are preserved: the rewrite re-publishes
+  * through `partitionBy(layoutKeys)` — the V2 writer clusters tasks by
+  * the partition columns and leads the sort with them, so each
+  * directory's files come out sorted by the requested key with the
+  * layout intact (and storage-partitioned joins keep their zero-shuffle
+  * plans over the optimized table).
   */
 object DwrfOptimize {
 
@@ -53,9 +55,19 @@ object DwrfOptimize {
     val qualified = DwrfUtil.qualify(root, conf)
     val live = snap.resolved(qualified)
     require(live.nonEmpty, s"optimize: version ${snap.version} has no files")
-    require(live.forall(f => PartitionLayout.specOf(qualified, f).isEmpty),
-      s"optimize supports unpartitioned tables only (see scaladoc); " +
-        s"$dir carries a col=value layout")
+    // preserve an existing Hive layout: every live file must agree on
+    // the partition keys (mixed layouts have no single partitionBy)
+    val layoutKeys: Seq[String] = {
+      val keySeqs = live.map(f =>
+        PartitionLayout.specOf(qualified, f).map(_._1)).distinct
+      require(keySeqs.size == 1,
+        s"optimize: inconsistent partition layouts under $dir: $keySeqs")
+      keySeqs.head
+    }
+    require(!sortCols.exists(layoutKeys.contains),
+      s"optimize: sort columns ${sortCols.mkString(",")} overlap the " +
+        s"partition layout (${layoutKeys.mkString(",")}) — partition " +
+        "columns are per-directory constants, sorting them is a no-op")
     val fs = root.getFileSystem(conf)
     val bytes = live.map(f => fs.getFileStatus(f).getLen).sum
     val n = math.max(1L, math.min(4096L,
@@ -80,9 +92,13 @@ object DwrfOptimize {
     sortCols.foreach(c => require(df.schema.fieldNames.contains(c),
       s"optimize: no column '$c' (schema: ${df.schema.fieldNames.mkString(", ")})"))
 
+    // range-partition over (layout keys, sort key): tasks see few
+    // partition values (bounded open writers) and within a directory the
+    // writer's ordering contract sorts by the requested key
+    val rangeKeys = (layoutKeys ++ sortCols).map(col)
     val staged =
       if (!zOrder)
-        df.repartitionByRange(n, sortCols.map(col): _*)
+        df.repartitionByRange(n, rangeKeys: _*)
           .write.format("dwrf").mode("overwrite")
           .option("sort.columns", sortCols.mkString(","))
       else {
@@ -102,13 +118,15 @@ object DwrfOptimize {
           val hi = math.max(0L, maxes.getAs[Number](i).longValue()) + 1
           s"`$c` * 256L DIV $hi"
         }
+        val zKeys = layoutKeys.map(col) :+ col("__graft_z")
         df.withColumn("__graft_z", expr(s"z_order(${scaled.mkString(", ")})"))
-          .repartitionByRange(n, col("__graft_z"))
-          .sortWithinPartitions("__graft_z")
+          .repartitionByRange(n, zKeys: _*)
+          .sortWithinPartitions(zKeys: _*)
           .drop("__graft_z") // plain write preserves task row order
           .write.format("dwrf").mode("overwrite")
       }
     inherited.foreach { case (k, v) => staged.option(k, v) }
+    if (layoutKeys.nonEmpty) staged.partitionBy(layoutKeys: _*)
     staged
       .option(DwrfLog.RewriteOfKey, snap.version.toString)
       .save(dir)

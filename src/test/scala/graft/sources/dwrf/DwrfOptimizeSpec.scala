@@ -124,7 +124,7 @@ class DwrfOptimizeSpec extends AnyFunSuite {
       s"expected a conflict, got: $err")
   }
 
-  test("optimize refuses plain dirs and partitioned layouts") {
+  test("optimize refuses plain dirs and partition-column sort keys") {
     val s = spark
     import s.implicits._
     val plain = tmpDir()
@@ -138,7 +138,38 @@ class DwrfOptimizeSpec extends AnyFunSuite {
       .write.format("dwrf").partitionBy("p").mode("overwrite").save(parted)
     DwrfLog.enable(new Path(parted), conf)
     val e2 = intercept[IllegalArgumentException](
-      DwrfOptimize.rewrite(spark, parted, Seq("id")))
-    assert(e2.getMessage.contains("unpartitioned"))
+      DwrfOptimize.rewrite(spark, parted, Seq("p")))
+    assert(e2.getMessage.contains("per-directory constants"))
+  }
+
+  test("partitioned optimize sorts within each directory and preserves the layout") {
+    import org.apache.spark.sql.sources.LessThan
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir()
+    val n = 9000
+    (0 until n).map(i => (((i * 7919) % n).toLong, s"g${i % 3}"))
+      .toDF("id", "p").repartition(6)
+      .write.format("dwrf").partitionBy("p").mode("overwrite")
+      .option("row.index.stride", "1024").save(dir)
+    DwrfLog.enable(new Path(dir), conf)
+    val res = DwrfOptimize.rewrite(spark, dir, Seq("id"),
+      targetBytes = 1L << 20)
+    assert(res.version === 1L)
+    val back = spark.read.format("dwrf").load(dir)
+    assert(back.count() === n)
+    // layout preserved: partition column still directory-encoded
+    val qualified = DwrfUtil.qualify(new Path(dir), conf)
+    val liveNow = DwrfLog.latest(new Path(dir), conf).get.resolved(qualified)
+    assert(liveNow.forall(f =>
+      PartitionLayout.specOf(qualified, f).map(_._1) == Seq("p")))
+    DwrfLog.vacuum(new Path(dir), conf, retainLast = 1)
+    // every directory's files are sorted by id, so a prefix band skips
+    // within EACH of the 3 partitions (≤ one 1024-row stride surfaces
+    // per file; 9000 rows would surface if the sort silently degraded)
+    val (rows, strides, stripes) = DwrfUtil.surfacedRows(
+      dir, "id", Seq(LessThan("id", 300L)))
+    assert(rows <= 4096, s"partitioned optimize not selective: $rows rows")
+    assert(strides + stripes > 0)
   }
 }
