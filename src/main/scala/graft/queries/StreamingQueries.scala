@@ -899,6 +899,67 @@ object StreamingQueries extends QueryPack {
     |ORDER BY v.user_id
     |""".stripMargin.trim
 
+  // ------------------------------------------- snapshot-log streaming
+  /** Stream a SNAPSHOT TABLE's log (DwrfLogMicroBatchStream): events
+    * lands in a log-enabled dwrf table as three append commits (v0
+    * enable-snapshot + two INSERTs), and `readStream.format("dwrf")`
+    * tails the LOG — offsets are versions, each batch is a manifest
+    * set-difference, so retained history never re-ingests and every
+    * append flows exactly once. The drained rollup is hash-exact
+    * against the batch events oracle (initial-snapshot-then-changes
+    * parity, the Delta-source shape).
+    */
+  private def streamLogFollow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.hadoop.fs.Path
+    import graft.sources.dwrf.{DwrfLog, DwrfUtil}
+    val tag = dirTag(dir)
+    val tblDir = stagingRoot.resolve(s"log-follow-$tag").toString
+    val conf = DwrfUtil.sessionHadoopConf()
+    val root = new Path(tblDir)
+    val fs = root.getFileSystem(conf)
+    if (fs.exists(root)) fs.delete(root, true) // fresh history per run
+    val ev = graft.Tables.load(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    // three append-shaped commits: thirds by event_id
+    val Array(lo, hi) = ev.agg(min($"event_id"), max($"event_id")).head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val w = math.max(1L, (hi - lo) / 3 + 1)
+    ev.filter($"event_id" < lo + w)
+      .write.format("dwrf").mode("overwrite").save(tblDir)
+    DwrfLog.enable(root, conf)
+    ev.filter($"event_id" >= lo + w && $"event_id" < lo + 2 * w)
+      .write.format("dwrf").mode("append").save(tblDir)
+    ev.filter($"event_id" >= lo + 2 * w)
+      .write.format("dwrf").mode("append").save(tblDir)
+    require(DwrfLog.latestVersion(root, conf).contains(2L),
+      "log-follow staging must commit exactly v0 + two appends")
+    val (ckDir, outDir) = freshSinkDirs("stream-log-follow", dir)
+    val q = s.readStream.format("dwrf")
+      .option("maxVersionsPerTrigger", "1") // one commit per micro-batch
+      .load(tblDir)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        expr(dsum("value")).as("total_value"))
+      .orderBy($"event_type")
+  }
+
+  private val streamLogFollowOracle = s"""
+    |SELECT event_type, COUNT(*) AS n_events,
+    |  ${dsumStatic("value")} AS total_value
+    |FROM events
+    |GROUP BY event_type
+    |ORDER BY event_type
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     Q("stream_events_window", eventsWindow, Some(eventsWindowOracle)),
     Q("sessionize_events", sessionize, Some(sessionizeOracle)),
@@ -909,5 +970,6 @@ object StreamingQueries extends QueryPack {
     Q("stream_dwrf_source", streamDwrfSource, Some(eventsWindowOracle)),
     Q("stream_funnel", streamFunnel, Some(streamFunnelOracle)),
     Q("stream_join_attrib", streamJoinAttrib, Some(streamJoinAttribOracle)),
+    Q("stream_log_follow", streamLogFollow, Some(streamLogFollowOracle)),
   )
 }

@@ -771,8 +771,14 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new DwrfMicroBatchStream(tableSchema, readSchema, path, pushed, options,
-      hadoopConf, checkpointLocation)
+    // snapshot tables tail the LOG (append commits, exactly once);
+    // plain landing dirs tail the directory (mtime registry)
+    if (DwrfLog.isEnabled(new Path(path), hadoopConf.value))
+      new DwrfLogMicroBatchStream(tableSchema, readSchema, path, pushed,
+        options, hadoopConf, checkpointLocation)
+    else
+      new DwrfMicroBatchStream(tableSchema, readSchema, path, pushed, options,
+        hadoopConf, checkpointLocation)
 
   private val hadoopConf = new SerializableHadoopConf(DwrfUtil.sessionHadoopConf())
 

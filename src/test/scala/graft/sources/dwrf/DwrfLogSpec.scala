@@ -240,24 +240,74 @@ class DwrfLogSpec extends AnyFunSuite {
     info(s"$checks concurrent reads over $distinctGens distinct generations, zero torn")
   }
 
-  test("streaming read of a snapshot table is refused (would re-ingest history)") {
+  private def drainToParquet(dir: String, ck: String, out: String,
+      extraOptions: Map[String, String] = Map.empty): Unit = {
+    val schema = spark.read.format("dwrf").load(dir).schema
+    val reader = spark.readStream.format("dwrf").schema(schema)
+    extraOptions.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load(dir)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("snapshot table streams its log: initial snapshot then appends, exactly once") {
     val dir = tmpDir()
     writeRange(dir, 0, 10)
     DwrfLog.enable(new Path(dir), conf)
-    val schema = spark.read.format("dwrf").load(dir).schema
+    writeRange(dir, 10, 17, mode = "append")
+    val (ck, out) = (tmpDir(), tmpDir())
+    drainToParquet(dir, ck, out)
+    def sunk(): Seq[Long] = spark.read.parquet(out)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(sunk() === (0L until 17L)) // v0 snapshot + the append, once
+
+    // new commits after the drain: the SAME checkpoint picks up only the
+    // delta — retained history and already-streamed versions never rerun
+    writeRange(dir, 17, 21, mode = "append")
+    drainToParquet(dir, ck, out)
+    assert(sunk() === (0L until 21L))
+  }
+
+  test("change commits fail the log stream unless skipChangeCommits") {
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    val dir = tmpDir()
+    writeRange(dir, 0, 10)
+    DwrfLog.enable(new Path(dir), conf)
+    DwrfDelete.deleteWhere(spark, dir,
+      spark.read.format("dwrf").load(dir).schema,
+      Array(GreaterThanOrEqual("id", 8L)))
     val err = intercept[Exception] {
-      val q = spark.readStream.format("dwrf").schema(schema).load(dir)
-        .writeStream.format("noop")
-        .option("checkpointLocation", tmpDir())
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
+      drainToParquet(dir, tmpDir(), tmpDir())
     }
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: causes(t.getCause)
-    assert(causes(err).exists(c =>
-      c.getMessage != null && c.getMessage.contains("snapshot log")),
-      s"expected the snapshot-log refusal, got: $err")
+    assert(causes(err).exists(c => c.getMessage != null &&
+      c.getMessage.contains("not append-shaped")), s"got: $err")
+
+    // skipChangeCommits: the delete commit is skipped whole — the stream
+    // reflects appends only (deleted rows still present, documented)
+    val out = tmpDir()
+    drainToParquet(dir, tmpDir(), out,
+      Map("skipChangeCommits" -> "true"))
+    assert(spark.read.parquet(out).count() === 10L)
+  }
+
+  test("startingVersion=latest streams only future appends") {
+    val dir = tmpDir()
+    writeRange(dir, 0, 10)
+    DwrfLog.enable(new Path(dir), conf)
+    val (ck, out) = (tmpDir(), tmpDir())
+    drainToParquet(dir, ck, out, Map("startingVersion" -> "latest"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out)) ||
+      spark.read.parquet(out).count() === 0L)
+    writeRange(dir, 50, 55, mode = "append")
+    drainToParquet(dir, ck, out, Map("startingVersion" -> "latest"))
+    assert(spark.read.parquet(out).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === (50L until 55L))
   }
 
   test("streaming sink epochs append to a snapshot table idempotently") {
