@@ -386,8 +386,17 @@ final class DwrfTable(tableSchema: StructType, properties: Map[String, String],
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val opts = options.asCaseSensitiveMap().asScala.toMap
+    // a time-travel catalog load (SELECT ... VERSION AS OF n) pins the
+    // version in the TABLE properties; surface it to the scan unless the
+    // read options already carry one
+    val pinned = DwrfUtil.versionOption(opts).map(_ => opts).getOrElse {
+      DwrfUtil.versionOption(properties) match {
+        case Some(v) => opts + (DwrfLog.VersionAsOfKey -> v.toString)
+        case None => opts
+      }
+    }
     new DwrfScanBuilder(tableSchema, resolvedPath(opts),
-      org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(opts))
+      org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(pinned))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

@@ -1,0 +1,286 @@
+package graft.sources.dwrf
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A V2 `TableCatalog` over a warehouse directory of dwrf tables —
+  * `spark.sql.catalog.graft = graft.sources.dwrf.GraftCatalog` (+
+  * `spark.sql.catalog.graft.warehouse = <dir>`) makes every table-shaped
+  * SQL surface work against the native format through one catalog name:
+  *
+  * {{{
+  *   CREATE NAMESPACE graft.lake;
+  *   CREATE TABLE graft.lake.events (...) USING dwrf;
+  *   INSERT INTO graft.lake.events ...;
+  *   SELECT ... FROM graft.lake.events VERSION AS OF 0;   -- time travel
+  *   DELETE / UPDATE / MERGE INTO graft.lake.events ...;  -- via DwrfTable
+  * }}}
+  *
+  * Layout is self-describing: namespace = `warehouse/<ns>/`, table =
+  * `warehouse/<ns>/<table>/` (a plain dwrf dir, snapshot log optional).
+  * `CREATE TABLE` persists the declared schema + partition columns in a
+  * `_graft_table.json` sidecar (underscore-prefixed — invisible to data
+  * listings); a directory dropped into the warehouse WITHOUT a sidecar
+  * still loads by schema inference, so external dwrf output is adoptable
+  * by just moving it in. `LOCATION` makes a table external: the sidecar
+  * lives with the data, and DROP removes only the catalog's view of it.
+  *
+  * SQL `VERSION AS OF n` routes through `loadTable(ident, version)`: the
+  * returned table pins the version in its properties (schema included —
+  * a pre-evolution snapshot reads with its own columns), and
+  * [[DwrfTable.newScanBuilder]] surfaces the pin to the scan.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+  private def conf: Configuration = DwrfUtil.sessionHadoopConf()
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name: set spark.sql.catalog.$name.warehouse to a directory"))
+    warehouse = new Path(w)
+    warehouse.getFileSystem(conf).mkdirs(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  // ------------------------------------------------------------ layout
+
+  private def nsDir(namespace: Array[String]): Path =
+    namespace.foldLeft(warehouse)(new Path(_, _))
+
+  private val SidecarName = "_graft_table.json"
+
+  /** Managed location; the sidecar may redirect to an external one. */
+  private def managedDir(ident: Identifier): Path =
+    new Path(nsDir(ident.namespace), ident.name)
+
+  private final case class Sidecar(schema: StructType, partCols: Seq[String],
+      location: Option[String])
+
+  private def writeSidecar(dir: Path, s: Sidecar): Unit = {
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val body =
+      s"""{"schemaJson":${quote(s.schema.json)},"partCols":[${s.partCols.map(quote).mkString(",")}]""" +
+        s.location.map(l => s""","location":${quote(l)}""").getOrElse("") + "}"
+    val out = fs.create(new Path(dir, SidecarName), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def quote(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def readSidecar(dir: Path): Option[Sidecar] = {
+    val p = new Path(dir, SidecarName)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def str(key: String): Option[String] =
+      (s""""$key":"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(body)
+        .map(m => unquote(m.group(1)))
+    val schemaJson = str("schemaJson").getOrElse(throw new IllegalStateException(
+      s"corrupt $p: no schemaJson"))
+    val arr = """"partCols":\[([^\]]*)\]""".r.findFirstMatchIn(body)
+      .map(_.group(1)).getOrElse("")
+    val partCols = """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(arr)
+      .map(m => unquote(m.group(1))).toSeq
+    Some(Sidecar(DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      partCols, str("location")))
+  }
+
+  private def unquote(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b.append('\n'); i += 2
+          case 'u' => b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case c => b.append(c); i += 2
+        }
+      } else { b.append(s.charAt(i)); i += 1 }
+    }
+    b.toString
+  }
+
+  private def dataLocation(ident: Identifier, sc: Option[Sidecar]): Path =
+    sc.flatMap(_.location).map(new Path(_)).getOrElse(managedDir(ident))
+
+  // ------------------------------------------------------------ tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsDir(namespace)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(
+      name() +: namespace)
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .map(Identifier.of(namespace, _))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val dir = managedDir(ident)
+    val fs = dir.getFileSystem(conf)
+    fs.exists(new Path(dir, SidecarName)) ||
+      (fs.exists(dir) && (DwrfLog.isEnabled(dir, conf) ||
+        DwrfUtil.listDataFiles(dir, conf).nonEmpty))
+  }
+
+  private def load(ident: Identifier, versionAsOf: Option[Long]): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val sc = readSidecar(managedDir(ident))
+    val location = dataLocation(ident, sc)
+    val verProps: Map[String, String] =
+      versionAsOf.map(v => DwrfLog.VersionAsOfKey -> v.toString).toMap
+    val props = Map(
+      TableCatalog.PROP_LOCATION -> location.toString,
+      TableCatalog.PROP_PROVIDER -> "dwrf") ++ verProps
+    (sc, versionAsOf) match {
+      // a time-travel read ALWAYS re-infers from the pinned manifest:
+      // the sidecar tracks the current schema, not version n's
+      case (Some(side), None) =>
+        new DwrfTable(side.schema,
+          org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(props),
+          side.partCols)
+      case _ =>
+        val opts = new CaseInsensitiveStringMap(
+          (Map("path" -> location.toString) ++ verProps).asJava)
+        val source = new DwrfDataSource
+        val schema = source.inferSchema(opts)
+        val partCols = {
+          val qualified = DwrfUtil.qualify(location, conf)
+          DwrfUtil.scanFiles(location, conf,
+            verProps).headOption
+            .map(f => PartitionLayout.specOf(qualified, f).map(_._1))
+            .getOrElse(Nil)
+        }
+        new DwrfTable(schema,
+          org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(props),
+          partCols)
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** SQL time travel: `SELECT ... FROM graft.ns.t VERSION AS OF 3`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog: VERSION AS OF wants a numeric dwrf log version, got '$version'"))))
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.map { t =>
+      require(t.name == "identity",
+        s"graft catalog: only identity partitioning, got $t")
+      t.references.head.fieldNames.mkString(".")
+    }.toSeq
+    val external = Option(properties.get(TableCatalog.PROP_LOCATION))
+    writeSidecar(managedDir(ident),
+      Sidecar(schema, partCols, external))
+    external.foreach(l =>
+      new Path(l).getFileSystem(conf).mkdirs(new Path(l)))
+    load(ident, None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = managedDir(ident)
+    val sc = readSidecar(dir).getOrElse {
+      // adopt the inferred schema so the ALTER has a base to evolve
+      val t = load(ident, None)
+      Sidecar(t.schema(), t.partitioning().map(
+        _.references.head.fieldNames.mkString(".")).toSeq, None)
+    }
+    val newSchema = changes.foldLeft(sc.schema) {
+      case (s, add: TableChange.AddColumn) =>
+        require(add.fieldNames.length == 1,
+          "graft catalog: only top-level ADD COLUMN")
+        s.add(add.fieldNames()(0), add.dataType(), nullable = true)
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER ${other.getClass.getSimpleName}")
+    }
+    writeSidecar(dir, sc.copy(schema = newSchema))
+    load(ident, None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    val dir = managedDir(ident)
+    val fs = dir.getFileSystem(conf)
+    // external data outlives the catalog entry; managed data does not
+    val external = readSidecar(dir).exists(_.location.isDefined)
+    if (external) fs.delete(new Path(dir, SidecarName), false)
+    else fs.delete(dir, true)
+    true
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    val fs = warehouse.getFileSystem(conf)
+    if (!fs.rename(managedDir(from), managedDir(to)))
+      throw new IllegalStateException(s"graft catalog: rename $from -> $to failed")
+  }
+
+  // -------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val fs = warehouse.getFileSystem(conf)
+    fs.listStatus(warehouse).filter(_.isDirectory)
+      .map(s => Array(s.getPath.getName))
+      .filterNot(_.head.startsWith("_"))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(name() +: namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    nsDir(namespace).getFileSystem(conf).exists(nsDir(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] =
+    if (namespaceExists(namespace)) java.util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(name() +: namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit =
+    nsDir(namespace).getFileSystem(conf).mkdirs(nsDir(namespace))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft catalog: ALTER NAMESPACE")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val dir = nsDir(namespace)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return false
+    if (!cascade && fs.listStatus(dir).nonEmpty)
+      throw new IllegalStateException(
+        s"graft catalog: namespace ${namespace.mkString(".")} not empty " +
+          "(use CASCADE)")
+    fs.delete(dir, true)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.sources.dwrf
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `graft` V2 catalog ([[GraftCatalog]]): namespace/table CRUD, SQL
+  * time travel via VERSION AS OF, external-dir adoption, ALTER, DML.
+  */
+class GraftCatalogSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.graftcat",
+      classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftcat.warehouse", warehouse)
+    s
+  }
+  private lazy val warehouse = Files.createTempDirectory(
+    java.nio.file.Paths.get("/root/repo/target"), "graft-cat-").toString
+  private val conf = new Configuration()
+
+  test("namespace + table CRUD with INSERT/SELECT through the catalog") {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("CREATE TABLE graftcat.lake.t1 (id BIGINT, tag STRING) USING dwrf")
+    s.sql("INSERT INTO graftcat.lake.t1 VALUES (1, 'a'), (2, 'b')")
+    assert(s.sql("SELECT id, tag FROM graftcat.lake.t1 ORDER BY id")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b")))
+    assert(s.sql("SHOW TABLES IN graftcat.lake").collect()
+      .map(_.getString(1)).contains("t1"))
+    s.sql("DROP TABLE graftcat.lake.t1")
+    assert(!s.sql("SHOW TABLES IN graftcat.lake").collect()
+      .map(_.getString(1)).contains("t1"))
+  }
+
+  test("SQL VERSION AS OF reads a pinned snapshot through the catalog") {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("CREATE TABLE graftcat.lake.tt (id BIGINT) USING dwrf")
+    s.sql("INSERT INTO graftcat.lake.tt VALUES (1), (2), (3)")
+    DwrfLog.enable(new Path(s"$warehouse/lake/tt"), conf)
+    s.sql("INSERT INTO graftcat.lake.tt VALUES (4), (5)")
+    s.sql("DELETE FROM graftcat.lake.tt WHERE id <= 2")
+    def ids(sql: String): Seq[Long] =
+      s.sql(sql).as[Long].collect().sorted.toSeq
+    assert(ids("SELECT id FROM graftcat.lake.tt") === Seq(3L, 4L, 5L))
+    assert(ids("SELECT id FROM graftcat.lake.tt VERSION AS OF 1") ===
+      Seq(1L, 2L, 3L, 4L, 5L))
+    assert(ids("SELECT id FROM graftcat.lake.tt VERSION AS OF 0") ===
+      Seq(1L, 2L, 3L))
+    s.sql("DROP TABLE graftcat.lake.tt")
+  }
+
+  test("an external dwrf dir dropped into the warehouse loads by inference") {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    Seq((7L, 1.5), (8L, 2.5)).toDF("k", "v")
+      .write.format("dwrf").mode("overwrite")
+      .save(s"$warehouse/lake/adopted")
+    assert(s.sql("SELECT k, v FROM graftcat.lake.adopted ORDER BY k")
+      .as[(Long, Double)].collect().toSeq === Seq((7L, 1.5), (8L, 2.5)))
+  }
+
+  test("ALTER TABLE ADD COLUMNS evolves the sidecar schema") {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("CREATE TABLE graftcat.lake.ev (id BIGINT) USING dwrf")
+    s.sql("INSERT INTO graftcat.lake.ev VALUES (1)")
+    s.sql("ALTER TABLE graftcat.lake.ev ADD COLUMNS (note STRING)")
+    s.sql("INSERT INTO graftcat.lake.ev VALUES (2, 'fresh')")
+    assert(s.sql("SELECT id, note FROM graftcat.lake.ev ORDER BY id")
+      .as[(Long, Option[String])].collect().toSeq ===
+      Seq((1L, None), (2L, Some("fresh"))))
+    s.sql("DROP TABLE graftcat.lake.ev")
+  }
+}
