@@ -911,6 +911,59 @@ object FormatQueries extends QueryPack {
     |WHERE l_orderkey < (SELECT MAX(l_orderkey) FROM lineitem) // 16 + 1
     |""".stripMargin.trim
 
+  // The graft V2 catalog end to end under the driver gate: a namespaced
+  // table is created THROUGH the catalog (no path option anywhere),
+  // filled from customer, log-enabled, mutated by catalog-SQL DELETE,
+  // and read back both current and via SQL `VERSION AS OF` — the two
+  // rollups hash-check against one DuckDB oracle, so catalog routing,
+  // sidecar schemas, and time-travel loadTable(ident, version) are all
+  // on the correctness gate, not just sbt.
+  private def catalogScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.dwrf.{DwrfLog, DwrfUtil}
+    import org.apache.hadoop.fs.Path
+    val wh = ioDir("graft-cat-wh", dir)
+    val conf = DwrfUtil.sessionHadoopConf()
+    val fs = new Path(wh).getFileSystem(conf)
+    if (fs.exists(new Path(wh))) fs.delete(new Path(wh), true)
+    s.conf.set("spark.sql.catalog.graft_gate",
+      "graft.sources.dwrf.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_gate.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.lake")
+    s.sql("""CREATE TABLE graft_gate.lake.cust
+            |(c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)
+            |USING dwrf""".stripMargin)
+    Tables.registerAll(s, dir)
+    s.sql("""INSERT INTO graft_gate.lake.cust
+            |SELECT c_custkey, c_mktsegment, c_acctbal FROM customer""".stripMargin)
+    DwrfLog.enable(new Path(s"$wh/lake/cust"), conf)
+    s.sql("DELETE FROM graft_gate.lake.cust WHERE c_mktsegment = 'MACHINERY'")
+    require(DwrfLog.latestVersion(new Path(s"$wh/lake/cust"), conf)
+      .contains(1L), "catalog DELETE must commit v1")
+    def rollup(tag: String, from: String) = s.sql(s"""
+      |SELECT '$tag' AS snapshot, c_mktsegment, COUNT(*) AS n_cust,
+      |  ${dsum("c_acctbal")} AS total_bal
+      |FROM $from GROUP BY c_mktsegment
+      |""".stripMargin.trim)
+    val out = rollup("current", "graft_gate.lake.cust")
+      .union(rollup("v0", "graft_gate.lake.cust VERSION AS OF 0"))
+      .orderBy($"snapshot", $"c_mktsegment")
+    val rows = out.collect() // materialize before dropping the table
+    s.sql("DROP TABLE graft_gate.lake.cust")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  private val catalogScanOracle = s"""
+    |SELECT 'current' AS snapshot, c_mktsegment, COUNT(*) AS n_cust,
+    |  ${dsum("c_acctbal")} AS total_bal
+    |FROM customer WHERE c_mktsegment <> 'MACHINERY' GROUP BY c_mktsegment
+    |UNION ALL
+    |SELECT 'v0' AS snapshot, c_mktsegment, COUNT(*) AS n_cust,
+    |  ${dsum("c_acctbal")} AS total_bal
+    |FROM customer GROUP BY c_mktsegment
+    |ORDER BY snapshot, c_mktsegment
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     Q("dwrf_roundtrip_lineitem", rtLineitem, Some(rtLineitemOracle)),
     Q("dwrf_footer_agg", footerAgg, Some(footerAggOracle)),
@@ -931,5 +984,6 @@ object FormatQueries extends QueryPack {
     Q("dwrf_merge_scan", mergeScan, Some(mergeScanOracle)),
     Q("dwrf_time_travel", timeTravel, Some(timeTravelOracle)),
     Q("dwrf_optimize_scan", optimizeScan, Some(optimizeScanOracle)),
+    Q("dwrf_catalog_scan", catalogScan, Some(catalogScanOracle)),
   )
 }
