@@ -55,7 +55,14 @@ object DwrfLog {
     */
   val RewriteOfKey = "log.rewrite.of"
 
-  final case class Snapshot(version: Long, op: String, files: Seq[String]) {
+  /** `ts` = commit wall-clock millis (0 for manifests written before the
+    * field existed) — the TIMESTAMP AS OF resolution key. Commit clocks
+    * only need to be monotonic per table for time travel to be sane;
+    * every commit stamps `max(now, parent.ts + 1)` so a stepped-back
+    * clock can't make history non-monotonic.
+    */
+  final case class Snapshot(version: Long, op: String, files: Seq[String],
+      ts: Long = 0L) {
     def resolved(root: Path): Seq[Path] = files.map(new Path(root, _))
   }
 
@@ -98,7 +105,7 @@ object DwrfLog {
   }
 
   private[dwrf] def render(s: Snapshot): String =
-    s"""{"version":${s.version},"op":"${esc(s.op)}","files":[""" +
+    s"""{"version":${s.version},"ts":${s.ts},"op":"${esc(s.op)}","files":[""" +
       s.files.map(f => "\"" + esc(f) + "\"").mkString(",") + "]}"
 
   /** Minimal parser for exactly the shape [[render]] writes. */
@@ -112,7 +119,10 @@ object DwrfLog {
     if (fStart < 0) fail("files")
     val arr = body.substring(fStart + "\"files\":[".length, body.lastIndexOf(']'))
     val files = """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(arr).map(m => unesc(m.group(1))).toSeq
-    Snapshot(vM.group(1).toLong, unesc(oM.group(1)), files)
+    // ts is optional: manifests written before the field read as 0
+    val ts = """"ts":(\d+)""".r.findFirstMatchIn(body)
+      .map(_.group(1).toLong).getOrElse(0L)
+    Snapshot(vM.group(1).toLong, unesc(oM.group(1)), files, ts)
   }
 
   private def unesc(s: String): String = {
@@ -168,6 +178,21 @@ object DwrfLog {
   def history(root: Path, conf: Configuration): Seq[Snapshot] =
     listVersions(root, conf).map { case (v, _) => read(root, conf, v) }
 
+  /** The newest retained version committed at or before `tsMillis`
+    * (TIMESTAMP AS OF resolution). Fails loud when the instant predates
+    * all retained history — vacuum may have dropped the version that
+    * would have answered, and silently serving a newer one would lie.
+    */
+  def versionAt(root: Path, conf: Configuration, tsMillis: Long): Long = {
+    val hist = history(root, conf)
+    require(hist.nonEmpty, s"dwrf: no snapshot log under $root")
+    hist.filter(_.ts <= tsMillis).lastOption.map(_.version).getOrElse(
+      throw new IllegalArgumentException(
+        s"dwrf: no snapshot of $root at or before timestamp $tsMillis " +
+          s"(earliest retained: v${hist.head.version} at ${hist.head.ts}; " +
+          "history before it was vacuumed or predates the log)"))
+  }
+
   /** The file set a scan of `root` should plan from, or None when the
     * table has no log (fall back to directory listing). `versionAsOf`
     * pins a historic snapshot; vacuumed versions fail loud in [[read]].
@@ -216,6 +241,13 @@ object DwrfLog {
     } else true
   }
 
+
+  /** Commit wall-clock stamp, clamped monotonic over the parent so a
+    * stepped-back host clock cannot reorder TIMESTAMP AS OF history. */
+  private def stampOver(parent: Option[Snapshot]): Long =
+    math.max(System.currentTimeMillis(),
+      parent.map(_.ts + 1).getOrElse(Long.MinValue))
+
   /** Initialize the log at version 0 from the directory's current data
     * files. Idempotent: an existing log is returned as-is. Refuses
     * streaming landing dirs (their file set is owned by the source's
@@ -234,7 +266,7 @@ object DwrfLog {
         DwrfCompact.recover(root, conf) // converge older swap protocols first
         val files = DwrfUtil.listDataFiles(root, conf)
           .map(relativize(root, conf, _)).sorted
-        val snap = Snapshot(0L, "init", files)
+        val snap = Snapshot(0L, "init", files, stampOver(None))
         require(tryPublish(root, conf, snap),
           s"dwrf: concurrent log initialization under $root")
         snap
@@ -259,7 +291,7 @@ object DwrfLog {
       if (rel.forall(parent.files.contains))
         return parent // pure replay: everything already referenced
       val merged = (parent.files ++ rel.filterNot(parent.files.contains)).sorted
-      val snap = Snapshot(parent.version + 1, op, merged)
+      val snap = Snapshot(parent.version + 1, op, merged, stampOver(Some(parent)))
       if (tryPublish(root, conf, snap)) return snap
       attempt += 1
     }
@@ -274,7 +306,7 @@ object DwrfLog {
     var attempt = 0
     while (attempt < 64) {
       val parent = requireEnabled(root, conf)
-      val snap = Snapshot(parent.version + 1, op, rel)
+      val snap = Snapshot(parent.version + 1, op, rel, stampOver(Some(parent)))
       if (tryPublish(root, conf, snap)) return snap
       attempt += 1
     }
@@ -304,7 +336,8 @@ object DwrfLog {
             s"superseded snapshot: ${gone.take(3).mkString(", ")} no longer " +
             s"live in v${parent.version}. Re-run the statement.")
         val snap = Snapshot(parent.version + 1, op,
-          (parent.files.filterNot(relRemoved.contains) ++ relAdded).sorted)
+          (parent.files.filterNot(relRemoved.contains) ++ relAdded).sorted,
+          stampOver(Some(parent)))
         if (tryPublish(root, conf, snap)) return snap
         attempt += 1
       }

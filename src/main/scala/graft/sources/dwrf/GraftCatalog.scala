@@ -188,6 +188,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalArgumentException(
         s"graft catalog: VERSION AS OF wants a numeric dwrf log version, got '$version'"))))
 
+  /** SQL time travel by instant: `... TIMESTAMP AS OF '2026-08-13 ...'`.
+    * Spark hands micros since epoch; resolution is the newest retained
+    * commit at or before it ([[DwrfLog.versionAt]]).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val location = dataLocation(ident, readSidecar(managedDir(ident)))
+    load(ident, Some(DwrfLog.versionAt(location, conf, timestampMicros / 1000L)))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)

@@ -56,6 +56,35 @@ class GraftCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graftcat.lake.tt")
   }
 
+  test("SQL TIMESTAMP AS OF resolves the newest commit at or before the instant") {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("CREATE TABLE graftcat.lake.ts (id BIGINT) USING dwrf")
+    s.sql("INSERT INTO graftcat.lake.ts VALUES (1)")
+    DwrfLog.enable(new Path(s"$warehouse/lake/ts"), conf)
+    Thread.sleep(10)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(10)
+    s.sql("INSERT INTO graftcat.lake.ts VALUES (2)")
+    val lit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(mid))
+    def ids(sql: String): Seq[Long] = s.sql(sql).as[Long].collect().sorted.toSeq
+    assert(ids("SELECT id FROM graftcat.lake.ts") === Seq(1L, 2L))
+    assert(ids(s"SELECT id FROM graftcat.lake.ts TIMESTAMP AS OF '$lit'") ===
+      Seq(1L))
+    // an instant before all retained history fails loud
+    val err = intercept[Exception](
+      ids("SELECT id FROM graftcat.lake.ts TIMESTAMP AS OF '1999-01-01 00:00:00'"))
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(c => c.getMessage != null &&
+      c.getMessage.contains("no snapshot of")), s"got: $err")
+    s.sql("DROP TABLE graftcat.lake.ts")
+  }
+
   test("an external dwrf dir dropped into the warehouse loads by inference") {
     val s = spark
     import s.implicits._
