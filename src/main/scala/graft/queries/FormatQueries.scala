@@ -170,16 +170,34 @@ object FormatQueries extends QueryPack {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val custDir = ioDir("customer-spj", dir)
     val suppDir = ioDir("supplier-spj", dir)
-    Tables.load(s, dir, "customer")
-      .select($"c_custkey", $"c_acctbal", $"c_nationkey".as("nationkey"))
-      .repartition($"nationkey") // one file per partition dir
-      .write.format("dwrf").partitionBy("nationkey").mode("overwrite")
-      .save(custDir)
-    Tables.load(s, dir, "supplier")
-      .select($"s_suppkey", $"s_acctbal", $"s_nationkey".as("nationkey"))
-      .repartition($"nationkey")
-      .write.format("dwrf").partitionBy("nationkey").mode("overwrite")
-      .save(suppDir)
+    // memoized staging (same (mtime, size) invalidation contract as the
+    // streaming fixtures): the partitioned layouts are pure functions of
+    // the source tables, and re-writing them every bench pass would bill
+    // the JOIN measurement ~2s of fixture I/O
+    def staged(out: String, src: String, write: () => Unit): Unit = {
+      import java.nio.file.{Files, Paths}
+      val f = new java.io.File(s"$dir/$src.parquet")
+      val key = s"${f.lastModified()}:${f.length()}"
+      val marker = Paths.get(out, "_staged")
+      val fresh = Files.exists(marker) &&
+        new String(Files.readAllBytes(marker), "UTF-8") == key
+      if (!fresh) {
+        write()
+        Files.write(marker, key.getBytes("UTF-8"))
+      }
+    }
+    staged(custDir, "customer", () =>
+      Tables.load(s, dir, "customer")
+        .select($"c_custkey", $"c_acctbal", $"c_nationkey".as("nationkey"))
+        .repartition($"nationkey") // one file per partition dir
+        .write.format("dwrf").partitionBy("nationkey").mode("overwrite")
+        .save(custDir))
+    staged(suppDir, "supplier", () =>
+      Tables.load(s, dir, "supplier")
+        .select($"s_suppkey", $"s_acctbal", $"s_nationkey".as("nationkey"))
+        .repartition($"nationkey")
+        .write.format("dwrf").partitionBy("nationkey").mode("overwrite")
+        .save(suppDir))
     // the SPJ plan must MATERIALIZE under these session overrides (a
     // lazily-returned frame would re-plan under whatever confs the
     // caller runs with), so the 25-row rollup is computed here and
