@@ -33,6 +33,7 @@ object Bench {
     "dwrf_zorder_scan", "dwrf_bloom_scan", "dwrf_decimal_roundtrip",
     "dwrf_spj_join", "dwrf_delete_scan", "dwrf_merge_scan",
     "dwrf_time_travel", "dwrf_optimize_scan", "dwrf_catalog_scan",
+    "dwrf_dv_scan",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
     "dedup_minhash_lsh", "dedup_substring", "dedup_semantic",
     "text_heavy_hitters", "dwrf_compact_scan",
@@ -133,9 +134,15 @@ object Bench {
       s""""pass_wall_sec":[${passCtx.map(c => f"${c._3}%.2f").mkString(",")}]"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"stat":"median","order":"seeded-shuffle-per-pass",$ctx,"samples":$perSample}"""
     // compact reprint WITHOUT the samples array: the driver's tail
-    // capture truncates the front of long output, so the last line must
-    // be the one that carries the total and every per-query median
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"stat":"median",$ctx,"note":"summary reprint; full per-sample line precedes"}"""
+    // capture truncates the FRONT of long output, so the last line must
+    // carry the total and every per-query median AND fit the tail
+    // window (~2.9 KB; the r9 reprint at full double precision missed
+    // by ~30 bytes). Millisecond precision halves the value bytes —
+    // medians on this host swing ±30% run-to-run, so nothing real
+    // lives below 1 ms — and the full-precision line precedes anyway.
+    val qsShort = results.map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val summary = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsShort,"sf":"$sfDir","passes":$passes,"stat":"median",$ctx}"""
     // three sinks so the metrics line is machine-parseable however this
     // main is launched: target/bench.json (file), the raw process stdout
     // (bypasses sbt's [info] log prefix), and the sbt-captured stdout

@@ -883,6 +883,69 @@ object FormatQueries extends QueryPack {
     |ORDER BY snapshot, c_mktsegment
     |""".stripMargin.trim
 
+  // Merge-on-read DELETE (delete vectors): a catalog table opting into
+  // delete.mode=merge-on-read takes a SQL DELETE as positional sidecar
+  // rebindings in ONE atomic log commit — and the query REQUIREs the
+  // merge-on-read contract a 100 TB point-delete lives on: (a) every
+  // data file byte-identical and mtime-identical after the DELETE (no
+  // rewrite happened), (b) the op=delete-mor version advance with at
+  // least one DV bound, (c) the sidecar bytes a small fraction of the
+  // data bytes (cost ∝ rows deleted, not rows stored). The rollup over
+  // the masked scan then hash-matches DuckDB applying the negated
+  // condition to the source parquet — the masking is provably exact.
+  private def dvScan(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.dwrf.{DwrfDv, DwrfLog, DwrfUtil}
+    import org.apache.hadoop.fs.Path
+    val out = ioDir("customer-dv", dir)
+    val tbl = s"graft_dv_customer_${Integer.toHexString(dir.hashCode)}"
+    val conf = DwrfUtil.sessionHadoopConf()
+    val root = new Path(out)
+    val fs = root.getFileSystem(conf)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    if (fs.exists(root)) fs.delete(root, true) // fresh history per run
+    Tables.load(s, dir, "customer").repartition(4)
+      .write.format("dwrf").mode("overwrite").save(out)
+    s.sql(s"CREATE TABLE $tbl USING dwrf LOCATION '$out' " +
+      s"TBLPROPERTIES ('${DwrfDv.DeleteModeKey}'='${DwrfDv.ModeMergeOnRead}')")
+    try {
+      DwrfLog.enable(root, conf)
+      def stamps() = DwrfUtil.listDataFileStatuses(root, conf)
+        .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+        .toSet
+      val before = stamps()
+      val dataBytes = before.toSeq.map(_._2).sum
+      s.sql(s"DELETE FROM $tbl WHERE c_mktsegment = 'BUILDING'")
+      require(stamps() == before,
+        "merge-on-read DELETE must not rewrite or remove any data file")
+      val v1 = DwrfLog.latest(root, conf).getOrElse(
+        throw new IllegalStateException("snapshot log vanished"))
+      require(v1.version == 1L && v1.op == "delete-mor" && v1.dvs.nonEmpty,
+        s"DELETE must commit one op=delete-mor version with DVs, got $v1")
+      val dvBytes = v1.dvs.values.map(rel =>
+        fs.getFileStatus(new Path(root, rel)).getLen).sum
+      require(dvBytes * 10 < dataBytes,
+        s"delete vectors must be small vs the data ($dvBytes B vs $dataBytes B)")
+      // materialize before the finally's DROP TABLE unbinds the name
+      val rolled = s.sql(s"""
+        |SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |  ${dsum("c_acctbal")} AS total_bal,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+        |FROM $tbl GROUP BY c_mktsegment ORDER BY c_mktsegment
+        |""".stripMargin.trim)
+      val rows = rolled.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), rolled.schema)
+        .orderBy(col("c_mktsegment"))
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  private val dvScanOracle = s"""
+    |SELECT c_mktsegment, COUNT(*) AS n_cust,
+    |  ${dsum("c_acctbal")} AS total_bal,
+    |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    |FROM customer WHERE c_mktsegment <> 'BUILDING'
+    |GROUP BY c_mktsegment ORDER BY c_mktsegment
+    |""".stripMargin.trim
+
   // OPTIMIZE through the snapshot log: an out-of-order table (shuffled
   // write) is rewritten globally sorted by l_orderkey in one atomic
   // commit (DwrfOptimize → commitReplace), history vacuumed, and the
@@ -1007,6 +1070,7 @@ object FormatQueries extends QueryPack {
     Q("dwrf_delete_scan", deleteScan, Some(deleteScanOracle)),
     Q("dwrf_merge_scan", mergeScan, Some(mergeScanOracle)),
     Q("dwrf_time_travel", timeTravel, Some(timeTravelOracle)),
+    Q("dwrf_dv_scan", dvScan, Some(dvScanOracle)),
     Q("dwrf_optimize_scan", optimizeScan, Some(optimizeScanOracle)),
     Q("dwrf_catalog_scan", catalogScan, Some(catalogScanOracle)),
   )

@@ -404,18 +404,33 @@ final class DwrfTable(tableSchema: StructType, properties: Map[String, String],
     new DwrfWriteBuilder(info.schema(), resolvedPath(opts), opts, partCols)
   }
 
-  // `DELETE FROM <table> WHERE ...` — see [[DwrfDelete]]: refuse
-  // anything the exact row evaluator can't decide; apply via the
-  // stats-tiered copy-on-write (untouched / whole-file drop / per-file
-  // rewrite with crash-safe manifest swap)
+  // `DELETE FROM <table> WHERE ...` — refuse anything the exact row
+  // evaluator can't decide, then apply via the tier the table selects:
+  // copy-on-write (default; [[DwrfDelete]] — untouched / whole-file
+  // drop / per-file rewrite) or merge-on-read ([[DwrfDv]] — positional
+  // delete-vector sidecars, `delete.mode=merge-on-read` in the table
+  // properties, snapshot-log tables only)
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     filters.forall(f => DwrfDelete.supportedExact(f, tableSchema))
 
   override def deleteWhere(
-      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
-    DwrfDelete.deleteWhere(org.apache.spark.sql.SparkSession.active,
-      resolvedPath(Map.empty), tableSchema, filters)
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val mode = org.apache.spark.sql.catalyst.util
+      .CaseInsensitiveMap(properties).getOrElse(DwrfDv.DeleteModeKey,
+        DwrfDv.ModeCopyOnWrite)
+    mode.toLowerCase match {
+      case DwrfDv.ModeCopyOnWrite =>
+        DwrfDelete.deleteWhere(org.apache.spark.sql.SparkSession.active,
+          resolvedPath(Map.empty), tableSchema, filters)
+      case DwrfDv.ModeMergeOnRead =>
+        DwrfDv.deleteWhere(org.apache.spark.sql.SparkSession.active,
+          resolvedPath(Map.empty), tableSchema, filters)
+      case other => throw new IllegalArgumentException(
+        s"dwrf: unknown ${DwrfDv.DeleteModeKey} '$other' " +
+          s"(${DwrfDv.ModeCopyOnWrite} | ${DwrfDv.ModeMergeOnRead})")
+    }
+  }
 }
 
 // --------------------------------------------------------------- read
@@ -579,6 +594,11 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
     // a grouped aggregate FEEDING a co-partitioned join may prefer the
     // storage-partitioned scan — aggregate.pushdown=false keeps it
     options.get("aggregate.pushdown").forall(_.toBoolean) &&
+      // delete vectors make footer stats overcount (they still describe
+      // the masked rows) — every aggregate goes distributed until a
+      // rewrite purges the DVs
+      !DwrfLog.resolve(new Path(path), DwrfUtil.sessionHadoopConf(),
+        DwrfUtil.versionOption(options)).exists(_.dvs.nonEmpty) &&
       pushed.isEmpty &&
       agg.groupByExpressions().forall(e =>
         topColumn(e).exists(groupableEverywhere)) &&
@@ -713,7 +733,7 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
   // scan into copy-on-write mode (file-granularity filtering + planned-
   // file capture); aggregate pushdown never applies to a replace scan
   private[dwrf] var replacedFilesOut:
-      java.util.concurrent.atomic.AtomicReference[Seq[String]] = null
+      java.util.concurrent.atomic.AtomicReference[ReplacedSet] = null
 
   override def build(): Scan =
     if (replacedFilesOut != null)
@@ -762,7 +782,9 @@ private final case class DwrfFileTail(
     statsByName: Map[String, graft.format.ColumnStats],
     widened: Boolean,
     partSpec: Seq[(String, String)],
-    blooms: Map[String, graft.format.BloomFilter] = Map.empty)
+    blooms: Map[String, graft.format.BloomFilter] = Map.empty,
+    dvPath: Option[String] = None,
+    dvCount: Long = 0L)
 
 final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: String,
     pushed: Array[org.apache.spark.sql.sources.Filter],
@@ -772,7 +794,7 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
     // silently drop the copied (non-matching) rows of rewritten files —
     // and every planning pass records the exact file set here; the
     // replace commit deletes precisely these files
-    replacedFilesOut: java.util.concurrent.atomic.AtomicReference[Seq[String]] = null)
+    replacedFilesOut: java.util.concurrent.atomic.AtomicReference[ReplacedSet] = null)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -823,12 +845,27 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
   private def allFilters: Array[org.apache.spark.sql.sources.Filter] =
     pushed ++ runtimeFilters
 
+  // snapshot tables: the manifest resolves ONCE here (lazy), pinning
+  // this scan's file set AND delete-vector bindings for the life of the
+  // query — concurrent DML commits new versions but never touches these
+  private lazy val resolvedSnapshot: Option[DwrfLog.Snapshot] =
+    DwrfLog.resolve(new Path(path), hadoopConf.value,
+      DwrfUtil.versionOption(options))
+
   private lazy val fileTails: Seq[DwrfFileTail] = {
-    // snapshot tables: the manifest resolves ONCE here (lazy), pinning
-    // this scan's file set for the life of the query — concurrent DML
-    // commits new versions but never touches these files
-    val files = DwrfUtil.scanFiles(new Path(path), hadoopConf.value, options)
     val qualifiedRoot = DwrfUtil.qualify(new Path(path), hadoopConf.value)
+    val (files, dvOf) = resolvedSnapshot match {
+      case Some(snap) =>
+        val abs = snap.files.map(rel => new Path(qualifiedRoot, rel))
+        val dv = snap.files.zip(abs).collect {
+          case (rel, a) if snap.dvs.contains(rel) =>
+            a.toString -> new Path(qualifiedRoot, snap.dvs(rel)).toString
+        }.toMap
+        (abs, dv)
+      case None =>
+        (DwrfUtil.listDataFiles(new Path(path), hadoopConf.value),
+          Map.empty[String, String])
+    }
     DwrfUtil.parMap(files) { file =>
       val r = new DwrfFileReader(file, hadoopConf.value)
       try {
@@ -856,9 +893,15 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
             graft.format.BloomFilter.deserialize(bytes)
               .map(k.stripPrefix(DwrfBloom.MetaPrefix) -> _)
         }.flatten.toMap
+        // a bound delete vector: its masked-row count corrects the
+        // row-count estimate; its presence routes the scan to the
+        // masked row path
+        val dvPath = dvOf.get(file.toString)
+        val dvCount = dvPath.map(p =>
+          DwrfDv.count(new Path(p), hadoopConf.value)).getOrElse(0L)
         DwrfFileTail(file.toString, r.footer.stripes, r.footer.numRows,
           r.footer.rawDataSize, statsByName ++ partStats, widened, spec,
-          blooms)
+          blooms, dvPath, dvCount)
       } finally r.close()
     }
   }
@@ -945,15 +988,20 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
           bloomSurvives(tail, filters))
     }
     // copy-on-write mode: the replace commit deletes exactly the files
-    // this (final, runtime-filtered) planning selected
+    // this (final, runtime-filtered) planning selected — and must prove
+    // at commit time that the delete-vector bindings it READ (and
+    // applied as masks) were not concurrently superseded
     if (replacedFilesOut != null)
-      replacedFilesOut.set(survivors.map(_.path))
+      replacedFilesOut.set(ReplacedSet(survivors.map(_.path),
+        resolvedSnapshot.map(_.dvs).getOrElse(Map.empty)))
     survivors.flatMap { tail =>
       val keyRow = if (tail.partSpec.isEmpty) null else keyRowOf(tail.partSpec)
       def mk(start: Long, len: Long): DwrfPartitionBase =
         if (keyRow != null)
-          DwrfKeyedInputPartition(tail.path, start, len, tail.partSpec, keyRow)
-        else DwrfInputPartition(tail.path, start, len, tail.partSpec)
+          DwrfKeyedInputPartition(tail.path, start, len, tail.partSpec, keyRow,
+            tail.dvPath)
+        else DwrfInputPartition(tail.path, start, len, tail.partSpec,
+          tail.dvPath)
       DwrfSplits.stripeGroups(tail.stripes).map { case (off, len) => mk(off, len) }
     }.toArray
   }
@@ -967,7 +1015,10 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
       // surviving files must stream back EVERY row for the rewrite
       if (replacedFilesOut != null) Array.empty else allFilters,
       hadoopConf,
-      rowFallback = fileTails.exists(_.widened),
+      // delete-vector'd files read on the masked row path (position
+      // masking needs every physical row surfaced in order); Spark
+      // requires columnar-vs-row uniform across the scan
+      rowFallback = fileTails.exists(t => t.widened || t.dvPath.nonEmpty),
       // `_file` is the METADATA column only when no data column shadows it
       fileMetaRequested =
         readSchema.fieldNames.contains(DwrfUtil.FileMetaColumn) &&
@@ -980,7 +1031,7 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
     DwrfMetrics.all
 
   override def estimateStatistics(): Statistics = {
-    val rows = fileTails.map(_.numRows).sum
+    val rows = fileTails.map(t => t.numRows - t.dvCount).sum
     val bytes = fileTails.map(_.rawDataSize).sum
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
@@ -989,15 +1040,26 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
   }
 }
 
+/** What a copy-on-write planning pass observed: the surviving file set
+  * (the replace commit removes exactly these) and the delete-vector
+  * bindings in force when they were read (relative-path keyed — the
+  * commit's staleness proof).
+  */
+final case class ReplacedSet(files: Seq[String],
+    observedDvs: Map[String, String])
+
 sealed trait DwrfPartitionBase extends InputPartition {
   def path: String
   def offset: Long
   def length: Long
   def partSpec: Seq[(String, String)]
+  /** Delete-vector sidecar bound to this file, if any — the reader
+    * masks its positions. */
+  def dvPath: Option[String]
 }
 
 final case class DwrfInputPartition(path: String, offset: Long, length: Long,
-    partSpec: Seq[(String, String)] = Nil)
+    partSpec: Seq[(String, String)] = Nil, dvPath: Option[String] = None)
     extends DwrfPartitionBase
 
 /** Input partition of a Hive-partitioned table carrying its typed
@@ -1008,7 +1070,8 @@ final case class DwrfInputPartition(path: String, offset: Long, length: Long,
   * 100 TB layout can offer.
   */
 final case class DwrfKeyedInputPartition(path: String, offset: Long, length: Long,
-    partSpec: Seq[(String, String)], partKey: InternalRow)
+    partSpec: Seq[(String, String)], partKey: InternalRow,
+    dvPath: Option[String] = None)
     extends DwrfPartitionBase
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = partKey
@@ -1066,8 +1129,33 @@ final class DwrfPartitionReaderFactory(readSchemaJson: String,
     // splice the constants into each output row
     val dataSchema = StructType(readSchema.fields.filterNot(f => partVals.contains(f.name)))
     val reader = new DwrfFileReader(new Path(p.path), hadoopConf.value)
-    val inner = reader.rows(reader.stripesInRange(p.offset, p.length), dataSchema,
-      pushed.toSeq)
+    val group = reader.stripesInRange(p.offset, p.length)
+    // delete-vector masking: positions are file-global over PHYSICAL
+    // rows, so the reader must surface every row of the stripe group in
+    // order (no stride/stripe skipping — drop the pushed filters; Spark
+    // re-evaluates everything above the scan, pruning was only an I/O
+    // saving) and the mask walks alongside a running position starting
+    // at the rows preceding this group
+    val raw = p.dvPath match {
+      case None =>
+        reader.rows(group, dataSchema, pushed.toSeq)
+      case Some(dv) =>
+        val masked = DwrfDv.read(new Path(dv), hadoopConf.value)._1
+        val rowBase = reader.footer.stripes
+          .filter(_.offset < p.offset).map(_.numRows).sum
+        var pos = rowBase - 1
+        var idx = {
+          // first masked position at or past this group's row range
+          val i = java.util.Arrays.binarySearch(masked, rowBase)
+          if (i >= 0) i else -(i + 1)
+        }
+        reader.rows(group, dataSchema).filter { _ =>
+          pos += 1
+          if (idx < masked.length && masked(idx) == pos) { idx += 1; false }
+          else true
+        }
+    }
+    val inner = raw
     val it: Iterator[InternalRow] =
       if (partVals.isEmpty) inner
       else {
@@ -1284,9 +1372,12 @@ final class DwrfBatchWrite(schema: StructType, path: String,
           // that version's files, so concurrent appends survive and
           // concurrent row-changing commits conflict (DwrfOptimize)
           val base = DwrfLog.read(root, conf, v.toLong)
+          // observedDvs = the base version's bindings: the rewrite read
+          // (and applied) those masks, so a concurrent re-DELETE of a
+          // base file conflicts instead of being resurrected
           DwrfLog.commitReplace(root, conf,
             base.resolved(DwrfUtil.qualify(root, conf)), written,
-            op = "optimize")
+            op = "optimize", observedDvs = base.dvs)
         case (true, None) => DwrfLog.commitTruncate(root, conf, written)
         case (false, _) => DwrfLog.commitAppend(root, conf, written)
       }

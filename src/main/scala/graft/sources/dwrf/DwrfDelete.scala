@@ -180,6 +180,29 @@ object DwrfDelete {
       throw new IllegalStateException(s"DwrfDelete: unsupported filter $other")
   }
 
+  /** Per-file TRUE-matcher over the conjunction of `filters` — the
+    * shared row evaluator behind both DELETE tiers (copy-on-write
+    * rewrite here, merge-on-read position collection in [[DwrfDv]]).
+    * Returns true exactly when the condition evaluates TRUE (NULL keeps
+    * the row, per DELETE semantics).
+    */
+  private[dwrf] def matcherFor(fileSchema: StructType, qualifiedRoot: Path,
+      file: Path, tableSchema: StructType,
+      filters: Array[Filter]): InternalRow => Boolean = {
+    val spec = PartitionLayout.specOf(qualifiedRoot, file)
+    def declaredType(k: String): DataType =
+      tableSchema.fields.find(_.name == k).map(_.dataType)
+        .getOrElse(StringType)
+    val ctx = FileCtx(
+      fileSchema.fields.zipWithIndex
+        .map { case (f, i) => f.name -> (i, f.dataType) }.toMap,
+      spec.map { case (k, raw) =>
+        k -> PartitionLayout.catalystValue(raw, declaredType(k)) }.toMap,
+      spec.map { case (k, _) => k -> declaredType(k) }.toMap)
+    val cond = filters.reduceOption(And(_, _)).getOrElse(new AlwaysTrue())
+    row => eval(cond, row, ctx).contains(true)
+  }
+
   /** The row's value for `attr` — None when SQL NULL (null cell, or a
     * column this file predates).
     */
@@ -274,6 +297,36 @@ object DwrfDelete {
 
   // ------------------------------------------------------------ drive
 
+  /** Stats classification shared by both DELETE tiers: 0 = provably no
+    * row matches (untouched), 1 = provably every row matches (drop the
+    * file whole, no decode), 2 = maybe (row-level work). Decided from
+    * footer stats plus the partition pseudo-stats the scan pruner uses.
+    * Returns (file, tier, physicalNumRows).
+    */
+  private[dwrf] def classifyFiles(files: Seq[Path],
+      conf: org.apache.hadoop.conf.Configuration, tableSchema: StructType,
+      qualifiedRoot: Path, filters: Array[Filter]): Seq[(Path, Int, Long)] =
+    DwrfUtil.parMap(files) { file =>
+      val r = new DwrfFileReader(file, conf)
+      try {
+        val statsByName = ColumnTree.pathIds(r.schema).flatMap {
+          case (path, (id, _)) => r.footer.fileStats.get(id).map(path -> _)
+        }
+        val spec = PartitionLayout.specOf(qualifiedRoot, file)
+        val partStats = spec.flatMap { case (k, raw) =>
+          tableSchema.fields.find(_.name == k).flatMap(f =>
+            PartitionLayout.asStats(raw, f.dataType, r.footer.numRows).map(k -> _))
+        }
+        val stats = statsByName ++ partStats
+        val statsOf = (a: String) => stats.get(a)
+        val tier =
+          if (!StatsFilter.mayMatch(filters.toSeq, tableSchema, statsOf)) 0
+          else if (StatsFilter.allMatch(filters.toSeq, tableSchema, statsOf)) 1
+          else 2
+        (file, tier, r.footer.numRows)
+      } finally r.close()
+    }
+
   /** Applies the delete under `root`. `tableSchema` is the full table
     * schema (partition columns included), `partTypes` their declared
     * types.
@@ -300,40 +353,30 @@ object DwrfDelete {
     // files stay on disk for time travel and leave through one atomic
     // commitReplace below, so concurrent readers never see a half-swap
     val snapshots = DwrfLog.isEnabled(rootPath, conf)
+    // the snapshot's delete-vector bindings: rewrites must MASK already-
+    // deleted positions (or they would resurrect merge-on-read deletes),
+    // and the replace commit must prove the bindings didn't change
+    val snapDvs: Map[String, String] =
+      if (snapshots) DwrfLog.latest(rootPath, conf).map(_.dvs).getOrElse(Map.empty)
+      else Map.empty
     val files = DwrfUtil.scanFiles(rootPath, conf, Map.empty)
     val fs = rootPath.getFileSystem(conf)
 
-    // classify from footer stats + partition pseudo-stats (exactly the
-    // scan pruner's information)
-    val classified = DwrfUtil.parMap(files) { file =>
-      val r = new DwrfFileReader(file, conf)
-      try {
-        val statsByName = ColumnTree.pathIds(r.schema).flatMap {
-          case (path, (id, _)) => r.footer.fileStats.get(id).map(path -> _)
-        }
-        val spec = PartitionLayout.specOf(qualifiedRoot, file)
-        val partStats = spec.flatMap { case (k, raw) =>
-          tableSchema.fields.find(_.name == k).flatMap(f =>
-            PartitionLayout.asStats(raw, f.dataType, r.footer.numRows).map(k -> _))
-        }
-        val stats = statsByName ++ partStats
-        val statsOf = (a: String) => stats.get(a)
-        val tier =
-          if (!StatsFilter.mayMatch(filters.toSeq, tableSchema, statsOf)) 0
-          else if (StatsFilter.allMatch(filters.toSeq, tableSchema, statsOf)) 1
-          else 2
-        (file, tier, r.footer.numRows)
-      } finally r.close()
-    }
+    val classified = classifyFiles(files, conf, tableSchema, qualifiedRoot,
+      filters)
 
     val kept = classified.count(_._2 == 0)
     var rowsDeleted = 0L
     val removed = scala.collection.mutable.ArrayBuffer.empty[Path]
     val added = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def dvRelOf(file: Path): Option[String] =
+      snapDvs.get(DwrfLog.relativize(rootPath, conf, file))
     classified.filter(_._2 == 1).foreach { case (file, _, n) =>
       if (!snapshots) fs.delete(file, false)
       removed += file
-      rowsDeleted += n
+      // rows already masked by the file's DV were deleted earlier, not now
+      rowsDeleted += n - dvRelOf(file)
+        .map(rel => DwrfDv.count(new Path(rootPath, rel), conf)).getOrElse(0L)
     }
     val deleted = classified.count(_._2 == 1)
 
@@ -343,12 +386,14 @@ object DwrfDelete {
       val ser = new SerializableHadoopConf(conf)
       val schemaJson = tableSchema.json
       val rootStr = qualifiedRoot.toString
+      val dvOf = rewrites.map(f =>
+        f -> dvRelOf(new Path(f)).map(new Path(rootPath, _).toString)).toMap
       val results = spark.sparkContext
         .parallelize(rewrites, rewrites.length)
         .map { f =>
           rewriteFile(new Path(f), new Path(rootStr),
             DataType.fromJson(schemaJson).asInstanceOf[StructType],
-            filters, ser.value, snapshots)
+            filters, ser.value, snapshots, dvOf(f))
         }
         .collect()
       rowsDeleted += results.map(_._1).sum
@@ -366,7 +411,8 @@ object DwrfDelete {
     } else Result(kept, deleted, rewritten, rowsDeleted)
 
     if (snapshots && (removed.nonEmpty || added.nonEmpty))
-      DwrfLog.commitReplace(rootPath, conf, removed.toSeq, added.toSeq, "delete")
+      DwrfLog.commitReplace(rootPath, conf, removed.toSeq, added.toSeq,
+        "delete", observedDvs = snapDvs)
     result
   }
 
@@ -380,24 +426,22 @@ object DwrfDelete {
   private def rewriteFile(file: Path, qualifiedRoot: Path,
       tableSchema: StructType, filters: Array[Filter],
       conf: org.apache.hadoop.conf.Configuration,
-      snapshots: Boolean = false): (Long, Boolean, Option[String], Boolean) = {
+      snapshots: Boolean = false,
+      dvPath: Option[String] = None): (Long, Boolean, Option[String], Boolean) = {
     val fs = file.getFileSystem(conf)
     val id = java.util.UUID.randomUUID().toString.take(12)
     val temp = new Path(file.getParent, s".delete-$id.dwrf.inprogress")
     val r = new DwrfFileReader(file, conf)
     val (survivors, total) = try {
       val fileSchema = r.schema
-      val spec = PartitionLayout.specOf(qualifiedRoot, file)
-      def declaredType(k: String): DataType =
-        tableSchema.fields.find(_.name == k).map(_.dataType)
-          .getOrElse(StringType)
-      val ctx = FileCtx(
-        fileSchema.fields.zipWithIndex
-          .map { case (f, i) => f.name -> (i, f.dataType) }.toMap,
-        spec.map { case (k, raw) =>
-          k -> PartitionLayout.catalystValue(raw, declaredType(k)) }.toMap,
-        spec.map { case (k, _) => k -> declaredType(k) }.toMap)
-      val cond = filters.reduceOption(And(_, _)).getOrElse(new AlwaysTrue())
+      val matches = matcherFor(fileSchema, qualifiedRoot, file, tableSchema,
+        filters)
+      // rows the file's delete vector already masked: skipped entirely —
+      // neither copied to the rewrite nor counted as deleted now
+      val masked: Array[Long] = dvPath match {
+        case Some(p) => DwrfDv.read(new Path(p), conf)._1
+        case None => Array.emptyLongArray
+      }
       val opts = DwrfWriteOptions(
         kind = r.postScript.compression,
         blockSize = r.postScript.blockSize,
@@ -408,13 +452,20 @@ object DwrfDelete {
       var totalRows = 0L
       try {
         val w = new DwrfFileWriter(fileSchema, opts, out)
+        var pos = 0L
+        var dvIdx = 0
         r.rows(r.footer.stripes, fileSchema).foreach { row =>
-          totalRows += 1
-          // DELETE removes rows where the condition is TRUE; NULL keeps
-          if (!eval(cond, row, ctx).contains(true)) {
-            w.addRow(row.copy())
-            keptRows += 1
+          val dvDeleted = dvIdx < masked.length && masked(dvIdx) == pos
+          if (dvDeleted) dvIdx += 1
+          else {
+            totalRows += 1
+            // DELETE removes rows where the condition is TRUE; NULL keeps
+            if (!matches(row)) {
+              w.addRow(row.copy())
+              keptRows += 1
+            }
           }
+          pos += 1
         }
         // the manifest-carrying close happens ONLY on a fully-iterated
         // file: a temp with a readable manifest is authoritative to

@@ -60,10 +60,19 @@ object DwrfLog {
     * only need to be monotonic per table for time travel to be sane;
     * every commit stamps `max(now, parent.ts + 1)` so a stepped-back
     * clock can't make history non-monotonic.
+    *
+    * `dvs` binds a data file (relative path, must be in `files`) to its
+    * positional delete vector sidecar (relative path, under
+    * [[DwrfDv.DvDirName]]) — the merge-on-read DELETE state of this
+    * version. At most one DV per file per version: a second DELETE
+    * writes the UNION as a fresh sidecar and rebinds. Files without an
+    * entry have no deleted rows.
     */
   final case class Snapshot(version: Long, op: String, files: Seq[String],
-      ts: Long = 0L) {
+      ts: Long = 0L, dvs: Map[String, String] = Map.empty) {
     def resolved(root: Path): Seq[Path] = files.map(new Path(root, _))
+    def dvFor(root: Path, relFile: String): Option[Path] =
+      dvs.get(relFile).map(new Path(root, _))
   }
 
   final case class VacuumResult(dataFilesDeleted: Int, manifestsDeleted: Int,
@@ -104,9 +113,18 @@ object DwrfLog {
     case c => c.toString
   }
 
-  private[dwrf] def render(s: Snapshot): String =
-    s"""{"version":${s.version},"ts":${s.ts},"op":"${esc(s.op)}","files":[""" +
+  private[dwrf] def render(s: Snapshot): String = {
+    // dvs BEFORE files: the files parser scans to the body's LAST ']',
+    // which must stay the files array's own terminator
+    val dvPart =
+      if (s.dvs.isEmpty) ""
+      else s.dvs.toSeq.sortBy(_._1).map { case (f, d) =>
+        "[\"" + esc(f) + "\",\"" + esc(d) + "\"]"
+      }.mkString("\"dvs\":[", ",", "],")
+    s"""{"version":${s.version},"ts":${s.ts},"op":"${esc(s.op)}",""" +
+      dvPart + "\"files\":[" +
       s.files.map(f => "\"" + esc(f) + "\"").mkString(",") + "]}"
+  }
 
   /** Minimal parser for exactly the shape [[render]] writes. */
   private[dwrf] def parse(body: String): Snapshot = {
@@ -119,10 +137,22 @@ object DwrfLog {
     if (fStart < 0) fail("files")
     val arr = body.substring(fStart + "\"files\":[".length, body.lastIndexOf(']'))
     val files = """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(arr).map(m => unesc(m.group(1))).toSeq
-    // ts is optional: manifests written before the field read as 0
+    // ts and dvs are optional: manifests written before the fields read
+    // as 0 / empty
     val ts = """"ts":(\d+)""".r.findFirstMatchIn(body)
       .map(_.group(1).toLong).getOrElse(0L)
-    Snapshot(vM.group(1).toLong, unesc(oM.group(1)), files, ts)
+    val dvs: Map[String, String] = {
+      val dStart = body.indexOf("\"dvs\":[")
+      if (dStart < 0 || dStart > fStart) Map.empty
+      else {
+        val darr = body.substring(dStart + "\"dvs\":[".length, fStart)
+        val strs = """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(darr)
+          .map(m => unesc(m.group(1))).toSeq
+        if (strs.length % 2 != 0) fail("dvs")
+        strs.grouped(2).map(p => p(0) -> p(1)).toMap
+      }
+    }
+    Snapshot(vM.group(1).toLong, unesc(oM.group(1)), files, ts, dvs)
   }
 
   private def unesc(s: String): String = {
@@ -291,7 +321,8 @@ object DwrfLog {
       if (rel.forall(parent.files.contains))
         return parent // pure replay: everything already referenced
       val merged = (parent.files ++ rel.filterNot(parent.files.contains)).sorted
-      val snap = Snapshot(parent.version + 1, op, merged, stampOver(Some(parent)))
+      val snap = Snapshot(parent.version + 1, op, merged,
+        stampOver(Some(parent)), parent.dvs)
       if (tryPublish(root, conf, snap)) return snap
       attempt += 1
     }
@@ -320,9 +351,21 @@ object DwrfLog {
     * live in the winning parent — the rewrite was computed against a
     * superseded snapshot and applying it would lose the other writer's
     * work (first writer wins).
+    *
+    * Delete-vector awareness: `observedDvs` is the DV binding (relative
+    * dv path per relative data file) the caller READ for its removed
+    * files when it planned — a parent whose binding has since changed
+    * conflicts too, because the rewrite's output was computed from a
+    * superseded mask and committing it would RESURRECT concurrently
+    * deleted rows. `dvUpdates` rebinds live files to new DV sidecars
+    * (the merge-on-read DELETE commit); its targets must be live and
+    * their binding unchanged since `observedDvs` (the new DV was
+    * unioned against the one read). Removed files' bindings drop.
     */
   def commitReplace(root: Path, conf: Configuration,
-      removed: Seq[Path], added: Seq[Path], op: String): Snapshot =
+      removed: Seq[Path], added: Seq[Path], op: String,
+      observedDvs: Map[String, String] = Map.empty,
+      dvUpdates: Map[String, String] = Map.empty): Snapshot =
     lockFor(root).synchronized {
       val relRemoved = removed.map(relativize(root, conf, _))
       val relAdded = added.map(relativize(root, conf, _))
@@ -330,14 +373,22 @@ object DwrfLog {
       while (attempt < 64) {
         val parent = requireEnabled(root, conf)
         val live = parent.files.toSet
-        val gone = relRemoved.filterNot(live.contains)
+        val gone = (relRemoved ++ dvUpdates.keys).filterNot(live.contains)
         if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
           s"dwrf: copy-on-write commit under $root was computed against a " +
             s"superseded snapshot: ${gone.take(3).mkString(", ")} no longer " +
             s"live in v${parent.version}. Re-run the statement.")
+        val rebound = (relRemoved ++ dvUpdates.keys)
+          .filter(f => parent.dvs.get(f) != observedDvs.get(f))
+        if (rebound.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"dwrf: copy-on-write commit under $root read a superseded delete-" +
+            s"vector binding for ${rebound.take(3).mkString(", ")} (a " +
+            s"concurrent DELETE committed v${parent.version}); committing " +
+            "would resurrect its deleted rows. Re-run the statement.")
         val snap = Snapshot(parent.version + 1, op,
           (parent.files.filterNot(relRemoved.contains) ++ relAdded).sorted,
-          stampOver(Some(parent)))
+          stampOver(Some(parent)),
+          parent.dvs -- relRemoved ++ dvUpdates)
         if (tryPublish(root, conf, snap)) return snap
         attempt += 1
       }
@@ -385,12 +436,24 @@ object DwrfLog {
       require(versions.nonEmpty,
         s"dwrf: no snapshot log under $root (DwrfLog.enable first)")
       val (drop, keep) = versions.splitAt(math.max(0, versions.size - retainLast))
-      val referenced: Set[String] =
-        keep.flatMap { case (v, _) => read(root, conf, v).files }.toSet
+      val retained = keep.map { case (v, _) => read(root, conf, v) }
+      val referenced: Set[String] = retained.flatMap(_.files).toSet
       var dataDeleted = 0
       DwrfUtil.listDataFiles(root, conf).foreach { f =>
         if (!referenced.contains(relativize(root, conf, f))) {
           fs.delete(f, false)
+          dataDeleted += 1
+        }
+      }
+      // delete-vector sidecars: keep those a retained version binds,
+      // reclaim superseded ones (each re-DELETE writes a fresh union DV,
+      // so history drops strand the old sidecars here) and crash orphans
+      val referencedDvs: Set[String] = retained.flatMap(_.dvs.values).toSet
+      val dvDir = new Path(root, DwrfDv.DvDirName)
+      if (fs.exists(dvDir)) fs.listStatus(dvDir).foreach { s =>
+        if (s.isFile &&
+            !referencedDvs.contains(relativize(root, conf, s.getPath))) {
+          fs.delete(s.getPath, false)
           dataDeleted += 1
         }
       }

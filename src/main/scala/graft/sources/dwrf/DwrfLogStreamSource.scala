@@ -112,17 +112,22 @@ final class DwrfLogMicroBatchStream(
               "restart from a fresh checkpoint (or startingVersion=latest).", e)
       }
     val snap = readOr(v)
-    val prev: Set[String] =
-      if (v == 0) Set.empty else readOr(v - 1).files.toSet
+    val prevSnap = if (v == 0) None else Some(readOr(v - 1))
+    val prev: Set[String] = prevSnap.map(_.files.toSet).getOrElse(Set.empty)
     val removed = prev -- snap.files.toSet
-    if (removed.nonEmpty) {
+    // a delete-vector rebinding removes ROWS without removing files —
+    // just as change-shaped as a copy-on-write commit
+    val dvChanged = snap.dvs != prevSnap.map(_.dvs).getOrElse(Map.empty)
+    if (removed.nonEmpty || dvChanged) {
       if (skipChangeCommits) return Nil
       throw new IllegalStateException(
         s"dwrf stream: version $v of $path is a '${snap.op}' commit that " +
-          s"removed ${removed.size} file(s) — not append-shaped, its rows " +
-          "were already streamed in earlier form. Set " +
-          "skipChangeCommits=true to skip such commits, or restart from a " +
-          "fresh checkpoint to re-snapshot the table.")
+          (if (removed.nonEmpty) s"removed ${removed.size} file(s)"
+           else "rebound delete vectors") +
+          " — not append-shaped, its rows were already streamed in " +
+          "earlier form. Set skipChangeCommits=true to skip such " +
+          "commits, or restart from a fresh checkpoint to re-snapshot " +
+          "the table.")
     }
     snap.files.filterNot(prev.contains)
       .map(new Path(DwrfUtil.qualify(root, conf), _))

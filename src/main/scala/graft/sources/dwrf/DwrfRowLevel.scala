@@ -62,7 +62,8 @@ final class DwrfRowLevelOperation(cmd: RowLevelOperation.Command,
     partCols: Seq[String]) extends RowLevelOperation {
 
   // written by the scan's every planning pass; read at replace commit
-  private val replacedFiles = new AtomicReference[Seq[String]](Nil)
+  private val replacedFiles =
+    new AtomicReference[ReplacedSet](ReplacedSet(Nil, Map.empty))
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -111,7 +112,7 @@ final class DwrfRowLevelOperation(cmd: RowLevelOperation.Command,
   */
 final class DwrfReplaceBatchWrite(writeSchema: StructType, path: String,
     options: Map[String, String], partCols: Seq[String],
-    replacedFiles: AtomicReference[Seq[String]],
+    replacedFiles: AtomicReference[ReplacedSet],
     opName: String = "rowlevel") extends BatchWrite {
 
   // Spark's rewrite plans project table columns for group-based writes,
@@ -150,10 +151,11 @@ final class DwrfReplaceBatchWrite(writeSchema: StructType, path: String,
       // invisible to every reader, reclaimed by vacuum.
       DwrfReplaceCommit.run(root, conf, renames, Nil)
       DwrfLog.commitReplace(root, conf,
-        replacedFiles.get().map(new Path(_)),
-        renames.map { case (_, dst) => new Path(dst) }, opName)
+        replacedFiles.get().files.map(new Path(_)),
+        renames.map { case (_, dst) => new Path(dst) }, opName,
+        observedDvs = replacedFiles.get().observedDvs)
     } else
-      DwrfReplaceCommit.run(root, conf, renames, replacedFiles.get())
+      DwrfReplaceCommit.run(root, conf, renames, replacedFiles.get().files)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

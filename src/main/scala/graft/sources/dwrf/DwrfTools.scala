@@ -311,10 +311,17 @@ object DwrfCompact {
     // atomic commitReplace — merged inputs stay on disk for time travel
     // and concurrent readers keep their pinned snapshot throughout
     val snapshots = DwrfLog.isEnabled(root, conf)
-    val live: Option[Set[String]] =
-      if (snapshots) Some(DwrfUtil.scanFiles(root, conf, Map.empty)
-        .map(_.toString).toSet)
-      else None
+    // delete-vector'd files are NOT candidates: compaction merges raw
+    // stripe bytes without decoding, which would resurrect their
+    // logically deleted rows — OPTIMIZE (a decoding rewrite) purges DVs
+    // and re-admits the files here. The commit below proves no DV was
+    // bound concurrently (inputs observed with no binding).
+    val snap = if (snapshots) DwrfLog.latest(root, conf) else None
+    val live: Option[Set[String]] = snap.map { s =>
+      val q = DwrfUtil.qualify(root, conf)
+      s.files.filterNot(s.dvs.contains)
+        .map(rel => new Path(q, rel).toString).toSet
+    }
     val before = live.map(_.size)
       .getOrElse(DwrfUtil.listDataFiles(root, conf).length)
     val groups = plan(root, conf, targetBytes, live)

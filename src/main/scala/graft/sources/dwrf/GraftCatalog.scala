@@ -68,14 +68,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new Path(nsDir(ident.namespace), ident.name)
 
   private final case class Sidecar(schema: StructType, partCols: Seq[String],
-      location: Option[String])
+      location: Option[String], props: Map[String, String] = Map.empty)
 
   private def writeSidecar(dir: Path, s: Sidecar): Unit = {
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
     val body =
       s"""{"schemaJson":${quote(s.schema.json)},"partCols":[${s.partCols.map(quote).mkString(",")}]""" +
-        s.location.map(l => s""","location":${quote(l)}""").getOrElse("") + "}"
+        s.location.map(l => s""","location":${quote(l)}""").getOrElse("") +
+        (if (s.props.isEmpty) ""
+         else s.props.toSeq.sorted.map { case (k, v) => quote(k) + "," + quote(v) }
+           .mkString(""","props":[""", ",", "]")) + "}"
     val out = fs.create(new Path(dir, SidecarName), true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
@@ -104,8 +107,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map(_.group(1)).getOrElse("")
     val partCols = """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(arr)
       .map(m => unquote(m.group(1))).toSeq
+    val props: Map[String, String] = {
+      val parr = """"props":\[([^\]]*)\]""".r.findFirstMatchIn(body)
+        .map(_.group(1)).getOrElse("")
+      val strs = """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(parr)
+        .map(m => unquote(m.group(1))).toSeq
+      strs.grouped(2).collect { case Seq(k, v) => k -> v }.toMap
+    }
     Some(Sidecar(DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      partCols, str("location")))
+      partCols, str("location"), props))
   }
 
   private def unquote(s: String): String = {
@@ -152,7 +162,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val location = dataLocation(ident, sc)
     val verProps: Map[String, String] =
       versionAsOf.map(v => DwrfLog.VersionAsOfKey -> v.toString).toMap
-    val props = Map(
+    // persisted TBLPROPERTIES first: reserved keys always win over them
+    val props = sc.map(_.props).getOrElse(Map.empty) ++ Map(
       TableCatalog.PROP_LOCATION -> location.toString,
       TableCatalog.PROP_PROVIDER -> "dwrf") ++ verProps
     (sc, versionAsOf) match {
@@ -208,11 +219,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }.toSeq
     val external = Option(properties.get(TableCatalog.PROP_LOCATION))
     writeSidecar(managedDir(ident),
-      Sidecar(schema, partCols, external))
+      Sidecar(schema, partCols, external, userProps(properties.asScala.toMap)))
     external.foreach(l =>
       new Path(l).getFileSystem(conf).mkdirs(new Path(l)))
     load(ident, None)
   }
+
+  /** TBLPROPERTIES the sidecar persists: everything except the
+    * Spark-managed reserved keys and anything that could redirect the
+    * data path out from under the catalog.
+    */
+  private def userProps(all: Map[String, String]): Map[String, String] =
+    all.filterNot { case (k, _) =>
+      val lk = k.toLowerCase
+      lk == TableCatalog.PROP_LOCATION || lk == TableCatalog.PROP_PROVIDER ||
+        lk == TableCatalog.PROP_OWNER || lk == TableCatalog.PROP_COMMENT ||
+        lk == "path" || lk == TableCatalog.PROP_EXTERNAL ||
+        lk.startsWith("option.")
+    }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = managedDir(ident)
@@ -222,15 +246,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       Sidecar(t.schema(), t.partitioning().map(
         _.references.head.fieldNames.mkString(".")).toSeq, None)
     }
-    val newSchema = changes.foldLeft(sc.schema) {
-      case (s, add: TableChange.AddColumn) =>
+    val updated = changes.foldLeft(sc) {
+      case (c, add: TableChange.AddColumn) =>
         require(add.fieldNames.length == 1,
           "graft catalog: only top-level ADD COLUMN")
-        s.add(add.fieldNames()(0), add.dataType(), nullable = true)
+        c.copy(schema = c.schema.add(add.fieldNames()(0), add.dataType(),
+          nullable = true))
+      // ALTER TABLE ... SET/UNSET TBLPROPERTIES — how a table opts into
+      // e.g. delete.mode=merge-on-read after creation
+      case (c, set: TableChange.SetProperty) =>
+        c.copy(props = userProps(c.props + (set.property -> set.value)))
+      case (c, rm: TableChange.RemoveProperty) =>
+        c.copy(props = c.props - rm.property)
       case (_, other) => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER ${other.getClass.getSimpleName}")
     }
-    writeSidecar(dir, sc.copy(schema = newSchema))
+    writeSidecar(dir, updated)
     load(ident, None)
   }
 
