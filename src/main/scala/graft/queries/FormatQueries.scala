@@ -946,6 +946,67 @@ object FormatQueries extends QueryPack {
     |GROUP BY c_mktsegment ORDER BY c_mktsegment
     |""".stripMargin.trim
 
+  // Change data feed: the row-level delta between two snapshot versions
+  // (DwrfChanges.between) — appends surface as inserts, a merge-on-read
+  // DELETE's DV rebinding surfaces its EXACT newly-masked rows as
+  // deletes (positions from the sidecar pair, rows from the retained
+  // file via the `_pos` provenance read). The query REQUIREs the
+  // delete-mor commit shape, then rolls the feed up by change type ×
+  // order status and hash-matches DuckDB RECONSTRUCTING the same delta
+  // from the source parquet: inserts = the appended slice, deletes =
+  // the urgent rows of (base ∪ slice). An incremental consumer's view
+  // of the table is provably the table.
+  private def changesScan(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.dwrf.{DwrfChanges, DwrfDv, DwrfLog, DwrfUtil}
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.sources.EqualTo
+    val out = ioDir("orders-cdc", dir)
+    val conf = DwrfUtil.sessionHadoopConf()
+    val root = new Path(out)
+    val fs = root.getFileSystem(conf)
+    if (fs.exists(root)) fs.delete(root, true) // fresh history per run
+    val orders = Tables.load(s, dir, "orders")
+    orders.repartition(3)
+      .write.format("dwrf").mode("overwrite").save(out)
+    DwrfLog.enable(root, conf) // v0
+    orders.filter(col("o_orderkey") % 97 === 0).repartition(1)
+      .write.format("dwrf").mode("append").save(out) // v1: insert slice
+    val schema = s.read.format("dwrf").load(out).schema
+    DwrfDv.deleteWhere(s, out, schema,
+      Array(EqualTo("o_orderpriority", "1-URGENT"))) // v2: MoR delete
+    val v2 = DwrfLog.read(root, conf, 2L)
+    require(v2.op == "delete-mor" && v2.dvs.nonEmpty,
+      s"the DELETE must commit merge-on-read with DVs bound, got $v2")
+    DwrfChanges.between(s, out, 0L, 2L)
+      .createOrReplaceTempView("orders_cdc_feed")
+    s.sql(s"""
+      |SELECT ${DwrfChanges.ChangeTypeColumn} AS change_type,
+      |  CAST(${DwrfChanges.VersionColumn} AS BIGINT) AS commit_version,
+      |  o_orderstatus, COUNT(*) AS n_rows,
+      |  ${dsum("o_totalprice")} AS total_price,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders_cdc_feed
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+      |""".stripMargin.trim)
+  }
+
+  private val changesScanOracle = s"""
+    |WITH slice AS (SELECT * FROM orders WHERE o_orderkey % 97 = 0),
+    |both_gen AS (SELECT * FROM orders UNION ALL SELECT * FROM slice)
+    |SELECT 'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version,
+    |  o_orderstatus, COUNT(*) AS n_rows,
+    |  ${dsum("o_totalprice")} AS total_price,
+    |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    |FROM slice GROUP BY o_orderstatus
+    |UNION ALL
+    |SELECT 'delete' AS change_type, CAST(2 AS BIGINT) AS commit_version,
+    |  o_orderstatus, COUNT(*) AS n_rows,
+    |  ${dsum("o_totalprice")} AS total_price,
+    |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    |FROM both_gen WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus
+    |ORDER BY change_type, commit_version, o_orderstatus
+    |""".stripMargin.trim
+
   // OPTIMIZE through the snapshot log: an out-of-order table (shuffled
   // write) is rewritten globally sorted by l_orderkey in one atomic
   // commit (DwrfOptimize → commitReplace), history vacuumed, and the
@@ -1071,6 +1132,7 @@ object FormatQueries extends QueryPack {
     Q("dwrf_merge_scan", mergeScan, Some(mergeScanOracle)),
     Q("dwrf_time_travel", timeTravel, Some(timeTravelOracle)),
     Q("dwrf_dv_scan", dvScan, Some(dvScanOracle)),
+    Q("dwrf_changes_scan", changesScan, Some(changesScanOracle)),
     Q("dwrf_optimize_scan", optimizeScan, Some(optimizeScanOracle)),
     Q("dwrf_catalog_scan", catalogScan, Some(catalogScanOracle)),
   )

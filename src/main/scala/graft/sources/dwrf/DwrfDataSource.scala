@@ -154,6 +154,29 @@ object DwrfUtil {
     */
   val FileMetaColumn = "_file"
 
+  /** Physical row position within the data file (0-based, pre-mask file
+    * order). With [[FileMetaColumn]] it is a STABLE row identity —
+    * deterministic across reads, immune to task ordering — which is what
+    * the change feed keys row-level deletes on. Requesting it routes the
+    * scan to the counted row path (no reader-level skipping, no
+    * vectorized batches): provenance reads pay for exactness.
+    */
+  val PosMetaColumn = "_pos"
+
+  /** Scan option restricting the planned file set to the named
+    * RELATIVE paths (comma-separated; resolved against the table root
+    * after the manifest/listing resolves). Unknown names fail loud —
+    * a change-feed read planning a vanished file must not silently
+    * shrink. Comma-in-filename is unsupported (writer names never
+    * contain one).
+    */
+  val ScanFilesKey = "scan.files"
+
+  def scanFilesOption(m: Map[String, String]): Option[Set[String]] = {
+    val ci = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(m)
+    ci.get(ScanFilesKey).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+  }
+
   /** The table directory from options/properties: 'path' (path-based
     * reads) or 'location' (catalog DDL), case-insensitively.
     */
@@ -346,16 +369,29 @@ final class DwrfTable(tableSchema: StructType, properties: Map[String, String],
     * shadows the name.
     */
   override def metadataColumns(): Array[
-      org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    if (tableSchema.fieldNames.contains(DwrfUtil.FileMetaColumn)) Array.empty
-    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = DwrfUtil.FileMetaColumn
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType
-      override def isNullable: Boolean = false
-      override def comment(): String =
-        "path of the dwrf data file this row was read from"
-    })
+      org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    val file =
+      if (tableSchema.fieldNames.contains(DwrfUtil.FileMetaColumn)) None
+      else Some(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = DwrfUtil.FileMetaColumn
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "path of the dwrf data file this row was read from"
+      })
+    val pos =
+      if (tableSchema.fieldNames.contains(DwrfUtil.PosMetaColumn)) None
+      else Some(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = DwrfUtil.PosMetaColumn
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "physical row position within the data file (0-based)"
+      })
+    (file.toSeq ++ pos.toSeq).toArray
+  }
 
   override def name(): String =
     s"dwrf:${DwrfUtil.pathOption(properties).getOrElse("?")}"
@@ -596,7 +632,10 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
     options.get("aggregate.pushdown").forall(_.toBoolean) &&
       // delete vectors make footer stats overcount (they still describe
       // the masked rows) — every aggregate goes distributed until a
-      // rewrite purges the DVs
+      // rewrite purges the DVs. scan.files-restricted reads (change
+      // feed internals) skip the pushdown too: aggTails reads the FULL
+      // version's footers.
+      DwrfUtil.scanFilesOption(options).isEmpty &&
       !DwrfLog.resolve(new Path(path), DwrfUtil.sessionHadoopConf(),
         DwrfUtil.versionOption(options)).exists(_.dvs.nonEmpty) &&
       pushed.isEmpty &&
@@ -712,6 +751,11 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
           !tableSchema.fieldNames.contains(f.name))
         org.apache.spark.sql.types.StructField(
           DwrfUtil.FileMetaColumn, org.apache.spark.sql.types.StringType,
+          nullable = false)
+      else if (f.name == DwrfUtil.PosMetaColumn &&
+          !tableSchema.fieldNames.contains(f.name))
+        org.apache.spark.sql.types.StructField(
+          DwrfUtil.PosMetaColumn, org.apache.spark.sql.types.LongType,
           nullable = false)
       else tableSchema(f.name)
     })
@@ -854,7 +898,7 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
 
   private lazy val fileTails: Seq[DwrfFileTail] = {
     val qualifiedRoot = DwrfUtil.qualify(new Path(path), hadoopConf.value)
-    val (files, dvOf) = resolvedSnapshot match {
+    val (allFiles, dvOf) = resolvedSnapshot match {
       case Some(snap) =>
         val abs = snap.files.map(rel => new Path(qualifiedRoot, rel))
         val dv = snap.files.zip(abs).collect {
@@ -865,6 +909,20 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
       case None =>
         (DwrfUtil.listDataFiles(new Path(path), hadoopConf.value),
           Map.empty[String, String])
+    }
+    // scan.files: restrict to the named relative paths (change feed
+    // reads exactly one commit's added/removed files through the
+    // ordinary scan, partition splicing included)
+    val files = DwrfUtil.scanFilesOption(options) match {
+      case None => allFiles
+      case Some(rel) =>
+        val byRel = allFiles.map(f =>
+          DwrfLog.relativize(new Path(path), hadoopConf.value, f) -> f).toMap
+        val missing = rel -- byRel.keySet
+        require(missing.isEmpty,
+          s"dwrf: ${DwrfUtil.ScanFilesKey} names files not in this " +
+            s"version: ${missing.take(3).mkString(", ")}")
+        rel.toSeq.sorted.map(byRel)
     }
     DwrfUtil.parMap(files) { file =>
       val r = new DwrfFileReader(file, hadoopConf.value)
@@ -1012,17 +1070,27 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
     // the row path — the rare evolution case pays, the common case doesn't
     new DwrfPartitionReaderFactory(readSchema.json,
       // copy-on-write: no reader-level (stripe/stride) row skipping —
-      // surviving files must stream back EVERY row for the rewrite
-      if (replacedFilesOut != null) Array.empty else allFilters,
+      // surviving files must stream back EVERY row for the rewrite.
+      // Same for `_pos` provenance reads: a skipped stride would
+      // silently misnumber every row after it.
+      if (replacedFilesOut != null || posMetaRequested) Array.empty
+      else allFilters,
       hadoopConf,
       // delete-vector'd files read on the masked row path (position
       // masking needs every physical row surfaced in order); Spark
       // requires columnar-vs-row uniform across the scan
-      rowFallback = fileTails.exists(t => t.widened || t.dvPath.nonEmpty),
-      // `_file` is the METADATA column only when no data column shadows it
+      rowFallback = posMetaRequested ||
+        fileTails.exists(t => t.widened || t.dvPath.nonEmpty),
+      // `_file`/`_pos` are METADATA columns only when no data column
+      // shadows the name
       fileMetaRequested =
         readSchema.fieldNames.contains(DwrfUtil.FileMetaColumn) &&
-          !tableSchema.fieldNames.contains(DwrfUtil.FileMetaColumn))
+          !tableSchema.fieldNames.contains(DwrfUtil.FileMetaColumn),
+      posMetaRequested = posMetaRequested)
+
+  private def posMetaRequested: Boolean =
+    readSchema.fieldNames.contains(DwrfUtil.PosMetaColumn) &&
+      !tableSchema.fieldNames.contains(DwrfUtil.PosMetaColumn)
 
   override def description(): String =
     s"dwrf scan of $path, PushedFilters: [${pushed.mkString(", ")}]"
@@ -1081,7 +1149,8 @@ final class DwrfPartitionReaderFactory(readSchemaJson: String,
     pushed: Array[org.apache.spark.sql.sources.Filter],
     hadoopConf: SerializableHadoopConf,
     rowFallback: Boolean = false,
-    fileMetaRequested: Boolean = false)
+    fileMetaRequested: Boolean = false,
+    posMetaRequested: Boolean = false)
     extends PartitionReaderFactory {
 
   @transient private lazy val parsedSchema =
@@ -1125,47 +1194,62 @@ final class DwrfPartitionReaderFactory(readSchemaJson: String,
     val readSchema = org.apache.spark.sql.types.DataType
       .fromJson(readSchemaJson).asInstanceOf[StructType]
     val partVals = partValuesOf(p)
-    // partition columns never live in the data files: read the rest, then
-    // splice the constants into each output row
-    val dataSchema = StructType(readSchema.fields.filterNot(f => partVals.contains(f.name)))
+    // partition columns (and the metadata columns) never live in the
+    // data files: read the rest, then splice into each output row
+    val dataSchema = StructType(readSchema.fields.filterNot(f =>
+      partVals.contains(f.name) ||
+        (posMetaRequested && f.name == DwrfUtil.PosMetaColumn)))
     val reader = new DwrfFileReader(new Path(p.path), hadoopConf.value)
     val group = reader.stripesInRange(p.offset, p.length)
+    // the surfaced row's physical position, readable by the splice stage
+    // below (set before each element is mapped — iterator stages run
+    // element-at-a-time on one thread)
+    val posHolder = new Array[Long](1)
     // delete-vector masking: positions are file-global over PHYSICAL
     // rows, so the reader must surface every row of the stripe group in
     // order (no stride/stripe skipping — drop the pushed filters; Spark
     // re-evaluates everything above the scan, pruning was only an I/O
     // saving) and the mask walks alongside a running position starting
-    // at the rows preceding this group
-    val raw = p.dvPath match {
-      case None =>
+    // at the rows preceding this group. `_pos` provenance reads use the
+    // same counted walk (the scan already dropped the filters).
+    def rowBase: Long = reader.footer.stripes
+      .filter(_.offset < p.offset).map(_.numRows).sum
+    val inner: Iterator[InternalRow] = p.dvPath match {
+      case None if !posMetaRequested =>
         reader.rows(group, dataSchema, pushed.toSeq)
+      case None =>
+        var pos = rowBase - 1
+        reader.rows(group, dataSchema).map { r =>
+          pos += 1; posHolder(0) = pos; r
+        }
       case Some(dv) =>
         val masked = DwrfDv.read(new Path(dv), hadoopConf.value)._1
-        val rowBase = reader.footer.stripes
-          .filter(_.offset < p.offset).map(_.numRows).sum
-        var pos = rowBase - 1
+        val base = rowBase
+        var pos = base - 1
         var idx = {
           // first masked position at or past this group's row range
-          val i = java.util.Arrays.binarySearch(masked, rowBase)
+          val i = java.util.Arrays.binarySearch(masked, base)
           if (i >= 0) i else -(i + 1)
         }
         reader.rows(group, dataSchema).filter { _ =>
           pos += 1
           if (idx < masked.length && masked(idx) == pos) { idx += 1; false }
-          else true
+          else { posHolder(0) = pos; true }
         }
     }
-    val inner = raw
     val it: Iterator[InternalRow] =
-      if (partVals.isEmpty) inner
+      if (partVals.isEmpty && !posMetaRequested) inner
       else {
         val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           readSchema.length)
-        // ordinal plan: data column source index, or -1 = constant
+        // ordinal plan: data column source index, -1 = constant,
+        // -2 = the per-row `_pos` value
         val srcIdx = readSchema.fields.map(f =>
-          if (partVals.contains(f.name)) -1 else dataSchema.fieldIndex(f.name))
+          if (posMetaRequested && f.name == DwrfUtil.PosMetaColumn) -2
+          else if (partVals.contains(f.name)) -1
+          else dataSchema.fieldIndex(f.name))
         readSchema.fields.zipWithIndex.foreach { case (f, i) =>
-          if (srcIdx(i) < 0) out.update(i, partVals(f.name))
+          if (srcIdx(i) == -1) out.update(i, partVals(f.name))
         }
         inner.map { r =>
           var i = 0
@@ -1173,6 +1257,7 @@ final class DwrfPartitionReaderFactory(readSchemaJson: String,
             if (srcIdx(i) >= 0)
               out.update(i, if (r.isNullAt(srcIdx(i))) null
                 else r.get(srcIdx(i), dataSchema.fields(srcIdx(i)).dataType))
+            else if (srcIdx(i) == -2) out.update(i, posHolder(0))
             i += 1
           }
           out: InternalRow
