@@ -33,7 +33,7 @@ object Bench {
     "dwrf_zorder_scan", "dwrf_bloom_scan", "dwrf_decimal_roundtrip",
     "dwrf_spj_join", "dwrf_delete_scan", "dwrf_merge_scan",
     "dwrf_time_travel", "dwrf_optimize_scan", "dwrf_catalog_scan",
-    "dwrf_dv_scan", "dwrf_changes_scan",
+    "dwrf_dv_scan", "dwrf_update_mor", "dwrf_changes_scan",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
     "dedup_minhash_lsh", "dedup_substring", "dedup_semantic",
     "text_heavy_hitters", "dwrf_compact_scan",

@@ -946,6 +946,76 @@ object FormatQueries extends QueryPack {
     |GROUP BY c_mktsegment ORDER BY c_mktsegment
     |""".stripMargin.trim
 
+  // Merge-on-read UPDATE (position-delta tier, SupportsDelta): the
+  // statement writes ONLY the delta — per-file position sidecars for the
+  // superseded row versions plus one appended file of new versions —
+  // where the copy-on-write tier would rewrite every touched file. The
+  // query REQUIREs the MoR contract (all pre-existing data files byte-
+  // and mtime-identical, exactly one appended rlo- file, op=update-mor,
+  // sidecars bound and small), then hash-matches a rollup of the updated
+  // table against DuckDB applying the same UPDATE arithmetic.
+  private def updateMor(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.dwrf.{DwrfDv, DwrfLog, DwrfUtil}
+    import org.apache.hadoop.fs.Path
+    val out = ioDir("customer-umor", dir)
+    val tbl = s"graft_umor_customer_${Integer.toHexString(dir.hashCode)}"
+    val conf = DwrfUtil.sessionHadoopConf()
+    val root = new Path(out)
+    val fs = root.getFileSystem(conf)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    if (fs.exists(root)) fs.delete(root, true) // fresh history per run
+    Tables.load(s, dir, "customer").repartition(4)
+      .write.format("dwrf").mode("overwrite").save(out)
+    s.sql(s"CREATE TABLE $tbl USING dwrf LOCATION '$out' TBLPROPERTIES " +
+      s"('${DwrfDv.UpdateModeKey}'='${DwrfDv.ModeMergeOnRead}')")
+    try {
+      DwrfLog.enable(root, conf)
+      def stamps() = DwrfUtil.listDataFileStatuses(root, conf)
+        .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+        .toSet
+      val before = stamps()
+      s.sql(s"UPDATE $tbl SET c_acctbal = c_acctbal + 500 " +
+        "WHERE c_mktsegment = 'MACHINERY'")
+      val after = stamps()
+      require(before.subsetOf(after),
+        "merge-on-read UPDATE must leave every pre-existing data file " +
+          "byte- and mtime-identical")
+      val appended = after -- before
+      require(appended.size == 1 &&
+        new Path(appended.head._1).getName.startsWith("rlo-"),
+        s"UPDATE must append exactly one new-versions file, got " +
+          appended.map(_._1).mkString(", "))
+      val v1 = DwrfLog.latest(root, conf).getOrElse(
+        throw new IllegalStateException("snapshot log vanished"))
+      require(v1.version == 1L && v1.op == "update-mor" && v1.dvs.nonEmpty,
+        s"UPDATE must commit one op=update-mor version with DVs, got $v1")
+      val dataBytes = before.toSeq.map(_._2).sum
+      val dvBytes = v1.dvs.values.map(rel =>
+        fs.getFileStatus(new Path(root, rel)).getLen).sum
+      require(dvBytes * 10 < dataBytes,
+        s"position sidecars must be small vs the data ($dvBytes B vs " +
+          s"$dataBytes B)")
+      // materialize before the finally's DROP TABLE unbinds the name
+      val rolled = s.sql(s"""
+        |SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |  ${dsum("c_acctbal")} AS total_bal,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+        |FROM $tbl GROUP BY c_mktsegment ORDER BY c_mktsegment
+        |""".stripMargin.trim)
+      val rows = rolled.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), rolled.schema)
+        .orderBy(col("c_mktsegment"))
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  private val updateMorOracle = s"""
+    |SELECT c_mktsegment, COUNT(*) AS n_cust,
+    |  ${dsum("CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal + 500 ELSE c_acctbal END")} AS total_bal,
+    |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    |FROM customer
+    |GROUP BY c_mktsegment ORDER BY c_mktsegment
+    |""".stripMargin.trim
+
   // Change data feed: the row-level delta between two snapshot versions
   // (DwrfChanges.between) — appends surface as inserts, a merge-on-read
   // DELETE's DV rebinding surfaces its EXACT newly-masked rows as
@@ -1132,6 +1202,7 @@ object FormatQueries extends QueryPack {
     Q("dwrf_merge_scan", mergeScan, Some(mergeScanOracle)),
     Q("dwrf_time_travel", timeTravel, Some(timeTravelOracle)),
     Q("dwrf_dv_scan", dvScan, Some(dvScanOracle)),
+    Q("dwrf_update_mor", updateMor, Some(updateMorOracle)),
     Q("dwrf_changes_scan", changesScan, Some(changesScanOracle)),
     Q("dwrf_optimize_scan", optimizeScan, Some(optimizeScanOracle)),
     Q("dwrf_catalog_scan", catalogScan, Some(catalogScanOracle)),

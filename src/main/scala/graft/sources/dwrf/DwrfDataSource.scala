@@ -353,15 +353,37 @@ final class DwrfTable(tableSchema: StructType, properties: Map[String, String],
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
-  /** UPDATE / MERGE INTO / non-translatable DELETE: group-based
-    * copy-on-write (see [[DwrfRowLevelOperationBuilder]]). Simple
+  /** UPDATE / MERGE INTO / non-translatable DELETE. Each statement kind
+    * picks its tier from the table properties (`update.mode` /
+    * `merge.mode` / `delete.mode`): group-based copy-on-write (default;
+    * [[DwrfRowLevelOperationBuilder]]) or position-delta merge-on-read
+    * ([[DwrfDeltaOperationBuilder]], snapshot-log tables only). Simple
     * DELETEs keep the cheaper SupportsDelete tiers above.
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    new DwrfRowLevelOperationBuilder(info, tableSchema,
-      resolvedPath(Map.empty), properties, partCols)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    val modeKey = info.command() match {
+      case Command.UPDATE => DwrfDv.UpdateModeKey
+      case Command.MERGE => DwrfDv.MergeModeKey
+      case _ => DwrfDv.DeleteModeKey
+    }
+    val mode = org.apache.spark.sql.catalyst.util
+      .CaseInsensitiveMap(properties)
+      .getOrElse(modeKey, DwrfDv.ModeCopyOnWrite)
+    mode.toLowerCase match {
+      case DwrfDv.ModeCopyOnWrite =>
+        new DwrfRowLevelOperationBuilder(info, tableSchema,
+          resolvedPath(Map.empty), properties, partCols)
+      case DwrfDv.ModeMergeOnRead =>
+        new DwrfDeltaOperationBuilder(info, tableSchema,
+          resolvedPath(Map.empty), properties, partCols)
+      case other => throw new IllegalArgumentException(
+        s"dwrf: unknown $modeKey '$other' " +
+          s"(${DwrfDv.ModeCopyOnWrite} | ${DwrfDv.ModeMergeOnRead})")
+    }
+  }
 
   /** Row provenance: `SELECT _file FROM t` names the data file each row
     * came from — a per-partition constant riding the same splice path as

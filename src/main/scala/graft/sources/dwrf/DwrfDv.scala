@@ -44,8 +44,15 @@ object DwrfDv {
     */
   val DvDirName = "_graft_dv"
 
-  /** Table property / option selecting the DELETE tier. */
+  /** Table properties selecting the tier per statement kind. DELETEs
+    * with translatable conditions route through [[deleteWhere]]; the
+    * rest (UPDATE / MERGE / complex DELETE) pick group-based
+    * copy-on-write ([[DwrfRowLevelOperation]]) or the position-delta
+    * tier ([[DwrfDeltaOperation]]) here.
+    */
   val DeleteModeKey = "delete.mode"
+  val UpdateModeKey = "update.mode"
+  val MergeModeKey = "merge.mode"
   val ModeCopyOnWrite = "copy-on-write"
   val ModeMergeOnRead = "merge-on-read"
 
