@@ -44,7 +44,8 @@ object Bench {
     "pipeline_mix", "multimodal_meta", "sessionize_events",
     "stream_events_window", "stream_sessionize", "stream_dedup_exact",
     "stream_funnel", "stream_join_attrib",
-    "stream_dwrf_sink", "stream_dwrf_source", "stream_log_follow")
+    "stream_dwrf_sink", "stream_dwrf_source", "stream_log_follow",
+    "stream_cdf_follow")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

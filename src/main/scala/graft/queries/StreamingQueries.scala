@@ -960,6 +960,75 @@ object StreamingQueries extends QueryPack {
     |ORDER BY event_type
     |""".stripMargin.trim
 
+  // Streaming change data feed: the table commits an initial snapshot,
+  // an append, and a merge-on-read DELETE (a change-shaped commit the
+  // plain log stream refuses); readChangeFeed=true streams all three as
+  // row-level deltas with change columns. The query APPLIES the feed —
+  // inserts anti-joined against deletes by key — and hash-matches the
+  // materialized rollup against DuckDB computing the post-DELETE table
+  // directly: an incremental consumer's view is provably the table.
+  private def streamCdfFollow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.hadoop.fs.Path
+    import graft.sources.dwrf.{DwrfChanges, DwrfDv, DwrfLog, DwrfUtil}
+    val tag = dirTag(dir)
+    val tblDir = stagingRoot.resolve(s"cdf-follow-$tag").toString
+    val conf = DwrfUtil.sessionHadoopConf()
+    val root = new Path(tblDir)
+    val fs = root.getFileSystem(conf)
+    if (fs.exists(root)) fs.delete(root, true) // fresh history per run
+    val orders = graft.Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority",
+        $"o_totalprice")
+    orders.filter($"o_orderkey" % 97 =!= 0)
+      .write.format("dwrf").mode("overwrite").save(tblDir)
+    DwrfLog.enable(root, conf) // v0
+    orders.filter($"o_orderkey" % 97 === 0).repartition(1)
+      .write.format("dwrf").mode("append").save(tblDir) // v1
+    val schema = s.read.format("dwrf").load(tblDir).schema
+    DwrfDv.deleteWhere(s, tblDir, schema, Array(
+      org.apache.spark.sql.sources.EqualTo("o_orderpriority", "1-URGENT")))
+    val v2 = DwrfLog.read(root, conf, 2L)
+    require(v2.op == "delete-mor" && v2.dvs.nonEmpty,
+      s"staging must commit a merge-on-read DELETE at v2, got $v2")
+    val (ckDir, outDir) = freshSinkDirs("stream-cdf-follow", dir)
+    val q = s.readStream.format("dwrf")
+      .option(DwrfChanges.ReadChangeFeedKey, "true")
+      .option("maxVersionsPerTrigger", "1") // one commit per micro-batch
+      .load(tblDir)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val feed = s.read.parquet(outDir)
+    val versions = feed.select($"_commit_version").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    require(versions == Seq(0L, 1L, 2L),
+      s"feed must carry all three commits, got versions $versions")
+    val deletes = feed.filter($"_change_type" === "delete")
+    require(deletes.count() > 0, "the MoR DELETE must stream row deletes")
+    // apply the feed: nothing re-inserts a deleted key here, so the
+    // materialization is one anti-join on the key
+    feed.filter($"_change_type" === "insert")
+      .join(deletes.select($"o_orderkey".as("del_key")),
+        $"o_orderkey" === $"del_key", "left_anti")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        expr(dsum("o_totalprice")).as("total_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  private val streamCdfFollowOracle = s"""
+    |SELECT o_orderstatus, COUNT(*) AS n_orders,
+    |  ${dsumStatic("o_totalprice")} AS total_price
+    |FROM orders
+    |WHERE o_orderpriority <> '1-URGENT'
+    |GROUP BY o_orderstatus
+    |ORDER BY o_orderstatus
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     Q("stream_events_window", eventsWindow, Some(eventsWindowOracle)),
     Q("sessionize_events", sessionize, Some(sessionizeOracle)),
@@ -971,5 +1040,6 @@ object StreamingQueries extends QueryPack {
     Q("stream_funnel", streamFunnel, Some(streamFunnelOracle)),
     Q("stream_join_attrib", streamJoinAttrib, Some(streamJoinAttribOracle)),
     Q("stream_log_follow", streamLogFollow, Some(streamLogFollowOracle)),
+    Q("stream_cdf_follow", streamCdfFollow, Some(streamCdfFollowOracle)),
   )
 }

@@ -41,8 +41,26 @@ object DwrfChanges {
   val VersionColumn = "_commit_version"
   val TimestampColumn = "_commit_timestamp"
 
+  /** Read option turning a STREAMING read into a change feed
+    * (`readStream.format("dwrf").option(ReadChangeFeedKey, true)`):
+    * the stream surfaces table rows + the three change columns per
+    * commit instead of appended rows only. Batch change feeds are
+    * [[between]]. */
+  val ReadChangeFeedKey = "readChangeFeed"
+
+  def requested(opts: Map[String, String]): Boolean =
+    org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(opts)
+      .get(ReadChangeFeedKey).exists(_.toBoolean)
+
+  /** The change columns appended to a CDF read's schema. */
+  def changeFields: Seq[StructField] = Seq(
+    StructField(ChangeTypeColumn, StringType, nullable = false),
+    StructField(VersionColumn, LongType, nullable = false),
+    StructField(TimestampColumn,
+      org.apache.spark.sql.types.TimestampType, nullable = false))
+
   /** Row-preserving maintenance ops — no logical change to stream. */
-  private val RowPreservingOps = Set("compact", "optimize")
+  private[dwrf] val RowPreservingOps = Set("compact", "optimize")
 
   /** The changes committed by versions in `(fromVersion, toVersion]`,
     * oldest first within the union. `fromVersion` is the snapshot the

@@ -96,7 +96,22 @@ final class DwrfDataSource extends TableProvider with DataSourceRegister {
         k, PartitionLayout.inferType(values, inferDate),
         nullable = values.contains(PartitionLayout.NullSentinel))
     }
-    StructType(dataFields ++ partFields)
+    // change-feed reads append the three change columns; actual rows
+    // only flow through the streaming CDF path (toBatch refuses)
+    val changeFields =
+      if (!DwrfChanges.requested(options.asCaseSensitiveMap().asScala.toMap)) Nil
+      else {
+        require(DwrfLog.isEnabled(path, conf),
+          s"dwrf: $path: ${DwrfChanges.ReadChangeFeedKey} needs the " +
+            "snapshot log (DwrfLog.enable) — the feed is computed from " +
+            "its version manifests")
+        DwrfChanges.changeFields.map { f =>
+          require(!merged.contains(f.name) && !keys.contains(f.name),
+            s"dwrf: change column '${f.name}' collides with a table column")
+          f
+        }
+      }
+    StructType(dataFields ++ partFields ++ changeFields)
   }
 
   override def getTable(
@@ -865,12 +880,22 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   override def readSchema(): StructType = readSchema
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    if (DwrfChanges.requested(options)) throw new IllegalArgumentException(
+      s"dwrf: ${DwrfChanges.ReadChangeFeedKey} is a STREAMING read option " +
+        "(readStream); for a batch change feed between two versions use " +
+        "DwrfChanges.between")
+    this
+  }
 
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    // snapshot tables tail the LOG (append commits, exactly once);
-    // plain landing dirs tail the directory (mtime registry)
-    if (DwrfLog.isEnabled(new Path(path), hadoopConf.value))
+    // snapshot tables tail the LOG (append commits, exactly once) — or
+    // its full change feed when asked; plain landing dirs tail the
+    // directory (mtime registry)
+    if (DwrfChanges.requested(options))
+      new DwrfCdfMicroBatchStream(tableSchema, readSchema, path,
+        options, hadoopConf, checkpointLocation)
+    else if (DwrfLog.isEnabled(new Path(path), hadoopConf.value))
       new DwrfLogMicroBatchStream(tableSchema, readSchema, path, pushed,
         options, hadoopConf, checkpointLocation)
     else
@@ -1167,6 +1192,18 @@ final case class DwrfKeyedInputPartition(path: String, offset: Long, length: Lon
   override def partitionKey(): InternalRow = partKey
 }
 
+/** Change-feed delta partition: surfaces ONLY the rows a delete-vector
+  * rebinding newly masked — positions in `newDvPath` minus `oldDvPath` —
+  * i.e. a merge-on-read commit's exact row-level deletes, read from the
+  * retained data file. The inverse of the ordinary mask.
+  */
+final case class DwrfCdfDeltaPartition(path: String, offset: Long,
+    length: Long, partSpec: Seq[(String, String)],
+    oldDvPath: Option[String], newDvPath: String)
+    extends DwrfPartitionBase {
+  override def dvPath: Option[String] = None
+}
+
 final class DwrfPartitionReaderFactory(readSchemaJson: String,
     pushed: Array[org.apache.spark.sql.sources.Filter],
     hadoopConf: SerializableHadoopConf,
@@ -1236,28 +1273,55 @@ final class DwrfPartitionReaderFactory(readSchemaJson: String,
     // same counted walk (the scan already dropped the filters).
     def rowBase: Long = reader.footer.stripes
       .filter(_.offset < p.offset).map(_.numRows).sum
-    val inner: Iterator[InternalRow] = p.dvPath match {
-      case None if !posMetaRequested =>
-        reader.rows(group, dataSchema, pushed.toSeq)
-      case None =>
-        var pos = rowBase - 1
-        reader.rows(group, dataSchema).map { r =>
-          pos += 1; posHolder(0) = pos; r
+    val inner: Iterator[InternalRow] = p match {
+      case d: DwrfCdfDeltaPartition =>
+        // keep ONLY newly-masked positions: new sidecar minus old — the
+        // change feed's exact row-level deletes for a rebind commit
+        val conf = hadoopConf.value
+        val neu = DwrfDv.read(new Path(d.newDvPath), conf)._1
+        val keep = d.oldDvPath match {
+          case Some(old) =>
+            val oldArr = DwrfDv.read(new Path(old), conf)._1
+            val oldSet = new java.util.HashSet[java.lang.Long](oldArr.length * 2)
+            oldArr.foreach(oldSet.add(_))
+            neu.filterNot(oldSet.contains(_))
+          case None => neu
         }
-      case Some(dv) =>
-        val masked = DwrfDv.read(new Path(dv), hadoopConf.value)._1
         val base = rowBase
         var pos = base - 1
         var idx = {
-          // first masked position at or past this group's row range
-          val i = java.util.Arrays.binarySearch(masked, base)
+          val i = java.util.Arrays.binarySearch(keep, base)
           if (i >= 0) i else -(i + 1)
         }
         reader.rows(group, dataSchema).filter { _ =>
           pos += 1
-          if (idx < masked.length && masked(idx) == pos) { idx += 1; false }
-          else { posHolder(0) = pos; true }
+          if (idx < keep.length && keep(idx) == pos) {
+            idx += 1; posHolder(0) = pos; true
+          } else false
         }
+      case _ => p.dvPath match {
+        case None if !posMetaRequested =>
+          reader.rows(group, dataSchema, pushed.toSeq)
+        case None =>
+          var pos = rowBase - 1
+          reader.rows(group, dataSchema).map { r =>
+            pos += 1; posHolder(0) = pos; r
+          }
+        case Some(dv) =>
+          val masked = DwrfDv.read(new Path(dv), hadoopConf.value)._1
+          val base = rowBase
+          var pos = base - 1
+          var idx = {
+            // first masked position at or past this group's row range
+            val i = java.util.Arrays.binarySearch(masked, base)
+            if (i >= 0) i else -(i + 1)
+          }
+          reader.rows(group, dataSchema).filter { _ =>
+            pos += 1
+            if (idx < masked.length && masked(idx) == pos) { idx += 1; false }
+            else { posHolder(0) = pos; true }
+          }
+      }
     }
     val it: Iterator[InternalRow] =
       if (partVals.isEmpty && !posMetaRequested) inner

@@ -124,6 +124,9 @@ object PartitionLayout {
       case BooleanType => java.lang.Boolean.valueOf(raw)
       case DateType =>
         java.lang.Integer.valueOf(java.time.LocalDate.parse(raw).toEpochDay.toInt)
+      // not a directory-layout type: carries the change-feed commit
+      // timestamp constant (raw = epoch micros, the catalyst repr)
+      case TimestampType => java.lang.Long.valueOf(raw)
       case other =>
         throw new IllegalArgumentException(
           s"dwrf: unsupported partition column type ${other.simpleString}")
