@@ -1182,6 +1182,61 @@ object FormatQueries extends QueryPack {
     |ORDER BY snapshot, c_mktsegment
     |""".stripMargin.trim
 
+  // RESTORE (rollback) on the snapshot log: a bad DML is undone by
+  // publishing a NEW commit re-referencing the pre-DML file set — no
+  // history rewrite, no data copy (restore cost is one manifest, however
+  // many TB the table holds). The query REQUIREs the mechanism: the
+  // restore advances the version (v2) instead of editing v0/v1, the bad
+  // v1 state stays pinnable via versionAsOf, and no data file is
+  // rewritten by the restore itself. The rollup over the restored table
+  // then hash-matches DuckDB over the ORIGINAL full table — proving the
+  // rollback is exact, not approximate.
+  private def restoreScan(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.dwrf.{DwrfLog, DwrfUtil}
+    import org.apache.hadoop.fs.Path
+    val out = ioDir("customer-restore", dir)
+    val tbl = s"graft_restore_customer_${Integer.toHexString(dir.hashCode)}"
+    val conf = DwrfUtil.sessionHadoopConf()
+    val root = new Path(out)
+    val fs = root.getFileSystem(conf)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    if (fs.exists(root)) fs.delete(root, true) // fresh history per run
+    Tables.load(s, dir, "customer").repartition(4)
+      .write.format("dwrf").mode("overwrite").save(out)
+    s.sql(s"CREATE TABLE $tbl USING dwrf LOCATION '$out'")
+    try {
+      DwrfLog.enable(root, conf)
+      s.sql(s"DELETE FROM $tbl WHERE c_mktsegment = 'BUILDING'")
+      def stamps() = DwrfUtil.listDataFileStatuses(root, conf)
+        .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+        .toSet
+      val afterDelete = stamps()
+      val restored = DwrfLog.restore(root, conf, 0L)
+      require(restored.version == 2L && restored.op == "restore(v0)",
+        s"restore must publish a NEW version referencing v0, got $restored")
+      require(stamps() == afterDelete,
+        "restore must be metadata-only: no data file written or removed")
+      val nFull = s.read.format("dwrf").load(out).count()
+      val nBad = s.read.format("dwrf").option("versionAsOf", 1).load(out).count()
+      require(nBad < nFull,
+        s"the rolled-back v1 must stay pinnable and smaller ($nBad vs $nFull)")
+      val rolled = s.sql(s"""
+        |SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |  ${dsum("c_acctbal")} AS total_bal
+        |FROM $tbl GROUP BY c_mktsegment ORDER BY c_mktsegment
+        |""".stripMargin.trim)
+      val rows = rolled.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), rolled.schema)
+        .orderBy(col("c_mktsegment"))
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  private val restoreScanOracle = s"""
+    |SELECT c_mktsegment, COUNT(*) AS n_cust,
+    |  ${dsum("c_acctbal")} AS total_bal
+    |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     Q("dwrf_roundtrip_lineitem", rtLineitem, Some(rtLineitemOracle)),
     Q("dwrf_footer_agg", footerAgg, Some(footerAggOracle)),
@@ -1206,5 +1261,6 @@ object FormatQueries extends QueryPack {
     Q("dwrf_changes_scan", changesScan, Some(changesScanOracle)),
     Q("dwrf_optimize_scan", optimizeScan, Some(optimizeScanOracle)),
     Q("dwrf_catalog_scan", catalogScan, Some(catalogScanOracle)),
+    Q("dwrf_restore_scan", restoreScan, Some(restoreScanOracle)),
   )
 }

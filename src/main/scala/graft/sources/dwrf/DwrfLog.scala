@@ -396,6 +396,40 @@ object DwrfLog {
         s"dwrf: replace commit under $root lost ${64} version races")
     }
 
+  /** Roll the table back (or forward) to the state of `toVersion` by
+    * publishing a NEW commit that re-references that version's files and
+    * delete-vector bindings — history is never rewritten, so the bad
+    * intermediate versions stay inspectable (and vacuumable) and a
+    * concurrent reader pinned to them is unaffected. Fails loud when any
+    * referenced file of the target version is no longer on disk (vacuum
+    * already reclaimed it): a partial restore would silently drop rows.
+    * Restoring to the current state is a no-op returning the latest
+    * snapshot unchanged.
+    */
+  def restore(root: Path, conf: Configuration, toVersion: Long): Snapshot =
+    lockFor(root).synchronized {
+      val target = read(root, conf, toVersion) // fails loud if vacuumed
+      val fs = root.getFileSystem(conf)
+      val missing = (target.files ++ target.dvs.values)
+        .filterNot(rel => fs.exists(new Path(root, rel)))
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"dwrf: cannot restore $root to v$toVersion: ${missing.size} " +
+          s"referenced file(s) were vacuumed (first: ${missing.head}). " +
+          "Only versions whose files survive retention are restorable.")
+      var attempt = 0
+      while (attempt < 64) {
+        val parent = requireEnabled(root, conf)
+        if (parent.files == target.files && parent.dvs == target.dvs)
+          return parent // already in the target state
+        val snap = Snapshot(parent.version + 1, s"restore(v$toVersion)",
+          target.files, stampOver(Some(parent)), target.dvs)
+        if (tryPublish(root, conf, snap)) return snap
+        attempt += 1
+      }
+      throw new IllegalStateException(
+        s"dwrf: restore commit under $root lost ${64} version races")
+    }
+
   // --------------------------------------------------------------- cli
 
   /** Ops CLI, mirroring [[DwrfCompact.main]]:
@@ -403,7 +437,7 @@ object DwrfLog {
     */
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: DwrfLog <enable|history|vacuum> <dir> [retainLast=2]")
+      "usage: DwrfLog <enable|history|vacuum|restore> <dir> [retainLast=2|toVersion]")
     val conf = new Configuration()
     val root = new Path(args(1))
     args(0) match {
@@ -413,8 +447,11 @@ object DwrfLog {
       case "vacuum" =>
         val retain = if (args.length > 2) args(2).toInt else 2
         println(vacuum(root, conf, retain))
+      case "restore" =>
+        require(args.length > 2, "usage: DwrfLog restore <dir> <toVersion>")
+        println(restore(root, conf, args(2).toLong))
       case other => throw new IllegalArgumentException(
-        s"unknown DwrfLog command '$other' (enable|history|vacuum)")
+        s"unknown DwrfLog command '$other' (enable|history|vacuum|restore)")
     }
   }
 

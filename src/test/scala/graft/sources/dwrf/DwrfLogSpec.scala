@@ -92,6 +92,32 @@ class DwrfLogSpec extends AnyFunSuite {
     assert(res2.dataFilesDeleted === 0)
   }
 
+  test("restore publishes a new version re-referencing the target's files") {
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    val dir = tmpDir()
+    writeRange(dir, 0, 100, parts = 4)
+    val root = new Path(dir)
+    DwrfLog.enable(root, conf)
+    val schema = spark.read.format("dwrf").load(dir).schema
+    DwrfDelete.deleteWhere(spark, dir, schema,
+      Array(GreaterThanOrEqual("id", 50L)))
+    assert(ids(dir) === (0L until 50L))
+
+    val snap = DwrfLog.restore(root, conf, 0L)
+    assert(snap.version === 2L && snap.op === "restore(v0)")
+    assert(ids(dir) === (0L until 100L)) // rolled back
+    assert(ids(dir, Some(1L)) === (0L until 50L)) // bad state stays pinnable
+    // restoring to the state we're already in is a no-op, not a new commit
+    assert(DwrfLog.restore(root, conf, 0L).version === 2L)
+
+    // once vacuum reclaims v1's rewrite outputs, restoring TO v1 must
+    // fail loud instead of publishing a version with missing files
+    DwrfLog.vacuum(root, conf, retainLast = 1)
+    val err = intercept[Exception](DwrfLog.restore(root, conf, 1L))
+    assert(err.getMessage.contains("no snapshot version 1") ||
+      err.getMessage.contains("vacuumed"))
+  }
+
   test("compaction on a snapshot table swaps through one commit") {
     val dir = tmpDir()
     writeRange(dir, 0, 200, parts = 8)
