@@ -1237,6 +1237,61 @@ object FormatQueries extends QueryPack {
     |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
     |""".stripMargin.trim
 
+  // Manifest-carried stats pruning: a snapshot table's commit sidecar
+  // holds every file's column stats, so a narrow predicate prunes files
+  // at PLANNING time without opening their footers — the Iceberg/Delta
+  // scan-planning move, and the difference between millisecond and
+  // minute planning at 10⁵⁺ files. The query stages orders range-
+  // partitioned on o_orderkey into 8 files, snapshots the dir, and
+  // REQUIREs (a) most files pruned from the sidecar alone and (b) the
+  // footer-read budget to stay at the survivor count — then the rollup
+  // over the pruned scan hash-matches DuckDB applying the same predicate
+  // to the full table, proving pruning dropped only provably-empty files.
+  private def manifestPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.dwrf.{DwrfLog, DwrfPlanningProbe, DwrfUtil}
+    import org.apache.hadoop.fs.Path
+    val out = ioDir("orders-mstats", dir)
+    val conf = DwrfUtil.sessionHadoopConf()
+    val root = new Path(out)
+    val fs = root.getFileSystem(conf)
+    if (fs.exists(root)) fs.delete(root, true) // fresh snapshot per run
+    Tables.load(s, dir, "orders")
+      .repartitionByRange(8, col("o_orderkey"))
+      .write.format("dwrf").mode("overwrite").save(out)
+    DwrfLog.enable(root, conf)
+    require(DwrfUtil.listDataFiles(root, conf).size == 8,
+      "staging must produce 8 range-disjoint files")
+    s.read.format("dwrf").load(out).createOrReplaceTempView("orders_mstats")
+    val rolled = s.sql(s"""
+      |SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  ${dsum("o_totalprice")} AS total_price,
+      |  MAX(o_orderdate) AS max_date
+      |FROM orders_mstats WHERE o_orderkey BETWEEN 1 AND 1000
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus
+      |""".stripMargin.trim)
+    val fr0 = DwrfPlanningProbe.footerReads.get()
+    val mp0 = DwrfPlanningProbe.manifestPruned.get()
+    val rows = rolled.collect()
+    val footers = DwrfPlanningProbe.footerReads.get() - fr0
+    val pruned = DwrfPlanningProbe.manifestPruned.get() - mp0
+    require(pruned >= 5,
+      s"sidecar stats must prune most of the 8 range-disjoint files " +
+        s"for keys 1..1000, pruned only $pruned")
+    require(footers <= 8 - pruned,
+      s"planning must open footers only for sidecar survivors " +
+        s"(${8 - pruned}), opened $footers")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), rolled.schema)
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val manifestPruneOracle = s"""
+    |SELECT o_orderstatus, COUNT(*) AS n_orders,
+    |  ${dsum("o_totalprice")} AS total_price,
+    |  MAX(o_orderdate) AS max_date
+    |FROM orders WHERE o_orderkey BETWEEN 1 AND 1000
+    |GROUP BY o_orderstatus ORDER BY o_orderstatus
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     Q("dwrf_roundtrip_lineitem", rtLineitem, Some(rtLineitemOracle)),
     Q("dwrf_footer_agg", footerAgg, Some(footerAggOracle)),
@@ -1262,5 +1317,6 @@ object FormatQueries extends QueryPack {
     Q("dwrf_optimize_scan", optimizeScan, Some(optimizeScanOracle)),
     Q("dwrf_catalog_scan", catalogScan, Some(catalogScanOracle)),
     Q("dwrf_restore_scan", restoreScan, Some(restoreScanOracle)),
+    Q("dwrf_manifest_prune", manifestPrune, Some(manifestPruneOracle)),
   )
 }

@@ -162,6 +162,17 @@ final class DwrfDataSource extends TableProvider with DataSourceRegister {
   }
 }
 
+/** Process-wide planning telemetry: how many footers scan planning
+  * opened and how many files manifest-carried stats pruned before any
+  * footer I/O. The numbers accumulate across queries (single-JVM test
+  * reality); gates read a delta around one query. Correctness never
+  * depends on them.
+  */
+object DwrfPlanningProbe {
+  val footerReads = new java.util.concurrent.atomic.AtomicLong
+  val manifestPruned = new java.util.concurrent.atomic.AtomicLong
+}
+
 object DwrfUtil {
   /** Name of the row-provenance metadata column (Spark's file-source
     * spelling is the nested `_metadata`; a flat `_file` keeps the
@@ -971,7 +982,48 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
             s"version: ${missing.take(3).mkString(", ")}")
         rel.toSeq.sorted.map(byRel)
     }
-    DwrfUtil.parMap(files) { file =>
+    // Manifest-carried stats: for snapshot tables the commit's sidecar
+    // already holds every file's footer-level column stats, so statically
+    // pushed filters prune files HERE — before any footer I/O. At 100 TB
+    // a narrow predicate touches a handful of files out of 10⁵⁺; reading
+    // one sidecar instead of every footer is the difference between
+    // planning in milliseconds and planning in minutes. Runtime filters
+    // still prune in planInputPartitions (they arrive after this lazy
+    // val resolves); a missing/unreadable sidecar or an unlisted file
+    // just falls through to the footer pass below. Pruning uses the SAME
+    // StatsFilter evaluation as the footer pass, fed from the same
+    // footer-derived stats — manifest pruning can never drop a file the
+    // footer pass would have kept.
+    val manifestSurvivors: Seq[Path] =
+      if (pushed.isEmpty) files
+      else resolvedSnapshot match {
+        case None => files
+        case Some(snap) =>
+          DwrfLogStats.load(new Path(path), hadoopConf.value, snap.version) match {
+            case None => files
+            case Some(sums) =>
+              val kept = files.filter { f =>
+                val rel = DwrfLog.relativize(new Path(path), hadoopConf.value, f)
+                sums.get(rel) match {
+                  case None => true // unknown file: never prune blind
+                  case Some(colStats) =>
+                    // partition-path values prune here too (min=max stats),
+                    // numRows=1 because only the window matters
+                    val partStats = PartitionLayout.specOf(qualifiedRoot, f)
+                      .flatMap { case (k, raw) =>
+                        tableSchema.fields.find(_.name == k).flatMap(fd =>
+                          PartitionLayout.asStats(raw, fd.dataType, 1L).map(k -> _))
+                      }.toMap
+                    StatsFilter.mayMatch(pushed.toSeq, tableSchema,
+                      n => colStats.get(n).orElse(partStats.get(n)))
+                }
+              }
+              DwrfPlanningProbe.manifestPruned.addAndGet(files.size - kept.size)
+              kept
+          }
+      }
+    DwrfUtil.parMap(manifestSurvivors) { file =>
+      DwrfPlanningProbe.footerReads.incrementAndGet()
       val r = new DwrfFileReader(file, hadoopConf.value)
       try {
         // keyed by dotted path (top-level AND nested struct leaves), so

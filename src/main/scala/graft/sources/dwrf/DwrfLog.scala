@@ -299,6 +299,8 @@ object DwrfLog {
         val snap = Snapshot(0L, "init", files, stampOver(None))
         require(tryPublish(root, conf, snap),
           s"dwrf: concurrent log initialization under $root")
+        DwrfLogStats.write(root, conf, 0L,
+          DwrfLogStats.summarize(root, conf, files))
         snap
     }
   }
@@ -323,7 +325,11 @@ object DwrfLog {
       val merged = (parent.files ++ rel.filterNot(parent.files.contains)).sorted
       val snap = Snapshot(parent.version + 1, op, merged,
         stampOver(Some(parent)), parent.dvs)
-      if (tryPublish(root, conf, snap)) return snap
+      if (tryPublish(root, conf, snap)) {
+        DwrfLogStats.write(root, conf, snap.version,
+          DwrfLogStats.advance(root, conf, parent, merged, rel))
+        return snap
+      }
       attempt += 1
     }
     throw new IllegalStateException(
@@ -338,7 +344,11 @@ object DwrfLog {
     while (attempt < 64) {
       val parent = requireEnabled(root, conf)
       val snap = Snapshot(parent.version + 1, op, rel, stampOver(Some(parent)))
-      if (tryPublish(root, conf, snap)) return snap
+      if (tryPublish(root, conf, snap)) {
+        DwrfLogStats.write(root, conf, snap.version,
+          DwrfLogStats.advance(root, conf, parent, rel, rel))
+        return snap
+      }
       attempt += 1
     }
     throw new IllegalStateException(
@@ -389,7 +399,11 @@ object DwrfLog {
           (parent.files.filterNot(relRemoved.contains) ++ relAdded).sorted,
           stampOver(Some(parent)),
           parent.dvs -- relRemoved ++ dvUpdates)
-        if (tryPublish(root, conf, snap)) return snap
+        if (tryPublish(root, conf, snap)) {
+          DwrfLogStats.write(root, conf, snap.version,
+            DwrfLogStats.advance(root, conf, parent, snap.files, relAdded))
+          return snap
+        }
         attempt += 1
       }
       throw new IllegalStateException(
@@ -423,7 +437,12 @@ object DwrfLog {
           return parent // already in the target state
         val snap = Snapshot(parent.version + 1, s"restore(v$toVersion)",
           target.files, stampOver(Some(parent)), target.dvs)
-        if (tryPublish(root, conf, snap)) return snap
+        if (tryPublish(root, conf, snap)) {
+          DwrfLogStats.write(root, conf, snap.version,
+            DwrfLogStats.load(root, conf, toVersion).getOrElse(
+              DwrfLogStats.summarize(root, conf, target.files)))
+          return snap
+        }
         attempt += 1
       }
       throw new IllegalStateException(
@@ -495,6 +514,8 @@ object DwrfLog {
         }
       }
       drop.foreach { case (_, p) => fs.delete(p, false) }
+      // stats sidecars of dropped versions (and orphans from lost races)
+      DwrfLogStats.vacuumSidecars(root, conf, keep.map(_._1).toSet)
       // withdraw commit temps from crashed publishers
       fs.listStatus(logDir(root)).foreach { s =>
         if (s.getPath.getName.startsWith(".tmp-")) fs.delete(s.getPath, false)
