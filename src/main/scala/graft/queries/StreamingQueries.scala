@@ -1029,6 +1029,94 @@ object StreamingQueries extends QueryPack {
     |ORDER BY o_orderstatus
     |""".stripMargin.trim
 
+  // Streaming CDC apply (APPLY CHANGES INTO): the source table commits
+  // an initial snapshot, an append, a copy-on-write UPDATE and a
+  // merge-on-read DELETE; DwrfApplyChanges streams the change feed and
+  // MERGEs each micro-batch's net effect into an initially-EMPTY target
+  // table — the replica materializes from the feed alone. Exactly-once
+  // is REQUIREd, not assumed: a second drain over the same checkpoint
+  // must leave the target's version untouched. The target rollup then
+  // hash-matches DuckDB computing the source's final state directly
+  // from parquet (update arithmetic + delete filter) — the replica IS
+  // the table.
+  private def streamCdcApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.hadoop.fs.Path
+    import graft.sources.dwrf.{DwrfApplyChanges, DwrfDv, DwrfLog, DwrfUtil}
+    val tag = dirTag(dir)
+    val srcDir = stagingRoot.resolve(s"cdc-apply-src-$tag").toString
+    val tgtDir = stagingRoot.resolve(s"cdc-apply-tgt-$tag").toString
+    val srcTbl = s"graft_cdc_src_$tag"
+    val tgtTbl = s"graft_cdc_tgt_$tag"
+    val conf = DwrfUtil.sessionHadoopConf()
+    val fs = new Path(srcDir).getFileSystem(conf)
+    s.sql(s"DROP TABLE IF EXISTS $srcTbl")
+    s.sql(s"DROP TABLE IF EXISTS $tgtTbl")
+    Seq(srcDir, tgtDir).foreach(d =>
+      if (fs.exists(new Path(d))) fs.delete(new Path(d), true))
+    try {
+      val orders = graft.Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority",
+          $"o_totalprice")
+      // v0: initial snapshot (most rows)
+      orders.filter($"o_orderkey" % 97 =!= 0)
+        .write.format("dwrf").mode("overwrite").save(srcDir)
+      s.sql(s"CREATE TABLE $srcTbl USING dwrf LOCATION '$srcDir'")
+      DwrfLog.enable(new Path(srcDir), conf)
+      // v1: append the held-out rows
+      orders.filter($"o_orderkey" % 97 === 0).repartition(1)
+        .write.format("dwrf").mode("append").save(srcDir)
+      // v2: copy-on-write UPDATE — feed carries delete+insert pairs
+      s.sql(s"UPDATE $srcTbl SET o_totalprice = o_totalprice + 10.0 " +
+        "WHERE o_orderstatus = 'F'")
+      // v3: merge-on-read DELETE — feed carries row-level deletes
+      DwrfDv.deleteWhere(s, srcDir,
+        s.read.format("dwrf").load(srcDir).schema,
+        Array(org.apache.spark.sql.sources.EqualTo("o_orderpriority", "1-URGENT")))
+      require(DwrfLog.latestVersion(new Path(srcDir), conf).contains(3L),
+        "CDC-apply staging must commit v0..v3")
+
+      s.sql(s"CREATE TABLE $tgtTbl (o_orderkey BIGINT, o_orderstatus STRING, " +
+        s"o_orderpriority STRING, o_totalprice DOUBLE) USING dwrf LOCATION '$tgtDir'")
+      DwrfLog.enable(new Path(tgtDir), conf)
+
+      val (ckDir, _) = freshSinkDirs("stream-cdc-apply", dir)
+      def drain(): Unit = {
+        val q = DwrfApplyChanges.start(s, srcDir, tgtTbl,
+          keys = Seq("o_orderkey"), checkpoint = ckDir,
+          sourceOptions = Map("maxVersionsPerTrigger" -> "1"))
+        q.awaitTermination()
+      }
+      drain()
+      val vApplied = DwrfLog.latestVersion(new Path(tgtDir), conf).get
+      require(vApplied >= 1L, "the apply must commit merges to the target")
+      drain() // exactly-once: nothing new to apply
+      require(DwrfLog.latestVersion(new Path(tgtDir), conf).get == vApplied,
+        "a re-drain over the same checkpoint must not re-apply anything")
+
+      val rolled = s.sql(s"""
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  ${dsum("o_totalprice")} AS total_price
+        |FROM $tgtTbl GROUP BY o_orderstatus ORDER BY o_orderstatus
+        |""".stripMargin.trim)
+      val rows = rolled.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), rolled.schema)
+        .orderBy($"o_orderstatus")
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $srcTbl")
+      s.sql(s"DROP TABLE IF EXISTS $tgtTbl")
+    }
+  }
+
+  private val streamCdcApplyOracle = s"""
+    |SELECT o_orderstatus, COUNT(*) AS n_orders,
+    |  ${dsumStatic("CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 10.0 ELSE o_totalprice END")} AS total_price
+    |FROM orders
+    |WHERE o_orderpriority <> '1-URGENT'
+    |GROUP BY o_orderstatus
+    |ORDER BY o_orderstatus
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     Q("stream_events_window", eventsWindow, Some(eventsWindowOracle)),
     Q("sessionize_events", sessionize, Some(sessionizeOracle)),
@@ -1041,5 +1129,6 @@ object StreamingQueries extends QueryPack {
     Q("stream_join_attrib", streamJoinAttrib, Some(streamJoinAttribOracle)),
     Q("stream_log_follow", streamLogFollow, Some(streamLogFollowOracle)),
     Q("stream_cdf_follow", streamCdfFollow, Some(streamCdfFollowOracle)),
+    Q("stream_cdc_apply", streamCdcApply, Some(streamCdcApplyOracle)),
   )
 }
