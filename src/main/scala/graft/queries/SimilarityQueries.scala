@@ -614,6 +614,184 @@ object SimilarityQueries extends QueryPack {
     } finally emb.unpersist()
   }
 
+  // ------------------------------------------- product quantization
+  // PQ-compressed ANN (the third tier beside LSH and IVF, and the one
+  // that changes the 100 TB I/O equation): vectors are cut into M=8
+  // subspaces, each subspace k-means-quantized to K centroids, so a
+  // 64-float (256 B) vector becomes M one-byte codes — 32× smaller.
+  // Search is asymmetric distance computation (ADC): the query builds an
+  // M×K lookup table of exact subspace dot products ONCE, every stored
+  // vector scores as M table lookups over its codes, and only the ADC
+  // top candidates are re-ranked with exact arithmetic. At scale the
+  // scan reads 8 B/vector instead of 256 B and never touches the float
+  // column outside the candidate re-rank.
+  //
+  // Determinism: codebooks train on the driver over a size-gated sample
+  // (first ≤2048 vectors by vec_id, deterministic init = first K
+  // distinct subvectors, 4 Lloyd iterations) — the same bounded driver
+  // metrology pattern as the LSH exact-pair loop. K grows with the
+  // corpus toward the classical 256 (k = min(256, max(8, √(8n)))).
+  private[graft] def pqGeometry(n: Long): (Int, Int) = {
+    val k = math.min(256, math.max(8, math.ceil(math.sqrt(8.0 * n)).toInt))
+    (8, k) // (M subspaces, K centroids per subspace)
+  }
+
+  /** Train per-subspace codebooks on the driver. Returns M×K×(D/M). */
+  private[graft] def pqTrain(sample: Array[Array[Double]], m: Int,
+      k: Int): Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty && sample.head.length % m == 0,
+      s"dims ${sample.headOption.map(_.length)} not divisible by $m subspaces")
+    val sub = sample.head.length / m
+    Array.tabulate(m) { mi =>
+      val subvecs = sample.map(v => v.slice(mi * sub, mi * sub + sub))
+      // deterministic init: first K distinct subvectors (cycled if fewer)
+      val distinct = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val seen = scala.collection.mutable.Set.empty[Seq[Double]]
+      subvecs.iterator.takeWhile(_ => distinct.size < k).foreach { v =>
+        if (seen.add(v.toSeq)) distinct += v
+      }
+      var cents = Array.tabulate(math.min(k, math.max(1, distinct.size)))(i =>
+        distinct(i % distinct.size).clone())
+      for (_ <- 0 until 4) { // Lloyd on the bounded sample
+        val sums = Array.fill(cents.length, sub)(0.0)
+        val counts = Array.fill(cents.length)(0L)
+        subvecs.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < sub) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(sub)(i => sums(c)(i) / counts(c))
+        }.toArray
+      }
+      cents
+    }
+  }
+
+  /** ADC search shared by the top-k query and the recall instrument:
+    * (top-k rows, schema, M, K, candidate count). `emb` must be the
+    * persisted [[loadVecs]] frame; caller unpersists.
+    */
+  private def pqRows(emb: DataFrame): (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType, Int, Int, Int) = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val n = emb.count()
+    val (m, k) = pqGeometry(n)
+    val sampleDf = emb.orderBy($"vec_id").limit(2048).collect()
+    require(sampleDf.length <= 2048, "PQ training sample must stay driver-sized")
+    val sample = sampleDf.map(_.getSeq[Double](1).toArray)
+    val dims = sample.head.length
+    val sub = dims / m
+    val codebook = pqTrain(sample, m, k)
+
+    // one-byte codes per subspace, computed in one narrow pass; the
+    // codebook rides as a broadcast-sized literal (M×K×sub doubles)
+    val cbLit = typedlit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
+    val coded = emb.withColumn("cb", cbLit)
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${m - 1}), mi ->
+           |  array_position(
+           |    transform(element_at(cb, mi + 1), c ->
+           |      aggregate(zip_with(slice(v, mi * $sub + 1, $sub), c,
+           |                         (x, y) -> (x - y) * (x - y)),
+           |                0D, (acc, d) -> acc + d)),
+           |    array_min(
+           |    transform(element_at(cb, mi + 1), c ->
+           |      aggregate(zip_with(slice(v, mi * $sub + 1, $sub), c,
+           |                         (x, y) -> (x - y) * (x - y)),
+           |                0D, (acc, d) -> acc + d)))) - 1)""".stripMargin))
+      .select($"vec_id", $"v", $"codes")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // ADC lookup table: exact subspace dot products of the QUERY against
+    // every centroid — M×K doubles, built once on the driver
+    val queryVec = coded.filter($"vec_id" === 0)
+      .select($"v").collect().head.getSeq[Double](0).toArray
+    val lut: Seq[Seq[Double]] = codebook.zipWithIndex.map { case (cents, mi) =>
+      cents.map { c =>
+        var d = 0.0; var i = 0
+        while (i < sub) { d += queryVec(mi * sub + i) * c(i); i += 1 }
+        d
+      }.toSeq
+    }.toSeq
+
+    val nCand = 50
+    val candidates = coded.filter($"vec_id" =!= 0)
+      .withColumn("lut", typedlit(lut))
+      .withColumn("adc", expr(
+        s"""aggregate(sequence(0, ${m - 1}), 0D, (acc, mi) ->
+           |  acc + element_at(element_at(lut, mi + 1),
+           |                   CAST(element_at(codes, mi + 1) AS INT) + 1))""".stripMargin))
+      .orderBy($"adc".desc, $"vec_id")
+      .limit(nCand)
+      .select($"vec_id", $"v", $"adc")
+    // exact re-rank of the ADC candidates only (candidate-sized work)
+    val q = typedlit(queryVec.toSeq)
+    val result = candidates
+      .withColumn("q", q)
+      .select($"vec_id",
+        round($"adc", 6).as("adc"),
+        round(expr(
+          "aggregate(zip_with(v, q, (x, y) -> x * y), 0D, (acc, d) -> acc + d)"),
+          6).as("dot"))
+      .orderBy($"dot".desc, $"vec_id")
+      .limit(10)
+    val rows = result.collect()
+    coded.unpersist()
+    (rows, result.schema, m, k, nCand)
+  }
+
+  private def pqTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = loadVecs(s, dir)
+    try {
+      val (rows, schema, _, _, _) = pqRows(emb)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally emb.unpersist()
+  }
+
+  // The PQ tier's measured instrument: recall of the exact top-10 under
+  // ADC + candidate re-rank, with the compression ratio in-band — the
+  // recall/bytes trade is the whole point of PQ, so both numbers ride
+  // the gate together.
+  private def pqRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = loadVecs(s, dir)
+    try {
+      val (rows, _, m, k, nCand) = pqRows(emb)
+      val pqIds = rows.map(_.getLong(0)).toSet
+      val query = emb.filter($"vec_id" === 0).select($"v".as("q"))
+      val exactIds = emb.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(query))
+        .select($"vec_id",
+          expr("aggregate(zip_with(v, q, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+            .as("dot"))
+        .orderBy($"dot".desc, $"vec_id")
+        .limit(10)
+        .select($"vec_id").as[Long].collect().toSet
+      val found = (pqIds & exactIds).size.toLong
+      val recall =
+        if (exactIds.isEmpty) 0.0
+        else BigDecimal(found.toDouble / exactIds.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // float bytes per vector vs one byte per subspace code
+      val dims = emb.filter($"vec_id" === 0)
+        .select(size($"v")).head().getInt(0).toLong
+      Seq((exactIds.size.toLong, found, recall, m.toLong, k.toLong,
+        nCand.toLong, dims * 4 / m))
+        .toDF("n_exact", "n_found", "recall", "m_subspaces", "k_centroids",
+          "n_candidates", "compression_x")
+    } finally emb.unpersist()
+  }
+
   override val all: Seq[Q] = Seq(
     Q("ann_topk_dot", topkDot, Some(topkDotOracle)),
     Q("ann_cosine_pairs", cosinePairs, Some(cosinePairsOracle)),
@@ -621,5 +799,7 @@ object SimilarityQueries extends QueryPack {
     Q("ann_lsh_recall", lshRecall, None),
     Q("ann_ivf_topk", ivfTopk, None),
     Q("ann_ivf_recall", ivfRecall, None),
+    Q("ann_pq_topk", pqTopk, None),
+    Q("ann_pq_recall", pqRecall, None),
   )
 }
