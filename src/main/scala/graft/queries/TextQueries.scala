@@ -676,6 +676,85 @@ object TextQueries extends QueryPack {
     |ORDER BY r.lang
     |""".stripMargin.trim
 
+  // ------------------------------------------------------------ BM25
+  // Full-text retrieval scoring: BM25 (k1=1.2, b=0.75) of a fixed
+  // 3-term query over the corpus, top-20 docs. The plan is the 100 TB
+  // retrieval shape: tokens FILTER to the query terms before any
+  // aggregation (per-doc work ∝ matched terms, not doc length beyond
+  // the one length pass), document-frequency and corpus constants are
+  // 1-row/3-row aggregates Spark broadcasts into the scoring join, and
+  // nothing shuffles the vocabulary. Determinism: per-term scores are
+  // per-row IEEE arithmetic (identical in Spark and DuckDB), the ONLY
+  // multi-term reduction goes through exact DECIMAL (dsum contract), and
+  // the final ORDER BY has a doc_id tiebreak — so the driver hash-match
+  // holds bit-exactly.
+  private def bm25(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("docs_bm25")
+    s.sql("""
+      |WITH toks AS (
+      |  SELECT doc_id, token
+      |  FROM (SELECT doc_id, explode(split(text, ' ')) AS token FROM docs_bm25)
+      |  WHERE length(token) > 0),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      |consts AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM dl),
+      |tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      |  WHERE token IN ('vector', 'stream', 'dup')
+      |  GROUP BY doc_id, token),
+      |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    CAST(
+      |      LN(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |                / (CAST(df AS DOUBLE) + 0.5))
+      |      * (CAST(tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf AS DOUBLE)
+      |         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+      |                          / (CAST(total AS DOUBLE) / CAST(n AS DOUBLE))))
+      |      AS DECIMAL(18,9)) AS term_score
+      |  FROM tf
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN consts
+      |  JOIN dfreq ON tf.token = dfreq.token)
+      |SELECT doc_id, CAST(ROUND(SUM(term_score), 4) AS DOUBLE) AS bm25
+      |FROM scored GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id
+      |LIMIT 20
+      |""".stripMargin.trim)
+  }
+
+  private val bm25Oracle = """
+    |WITH toks AS (
+    |  SELECT doc_id, token
+    |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    |  WHERE length(token) > 0),
+    |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    |consts AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM dl),
+    |tf AS (
+    |  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+    |  WHERE token IN ('vector', 'stream', 'dup')
+    |  GROUP BY doc_id, token),
+    |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    |scored AS (
+    |  SELECT tf.doc_id,
+    |    CAST(
+    |      LN(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+    |                / (CAST(df AS DOUBLE) + 0.5))
+    |      * (CAST(tf AS DOUBLE) * 2.2)
+    |      / (CAST(tf AS DOUBLE)
+    |         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+    |                          / (CAST(total AS DOUBLE) / CAST(n AS DOUBLE))))
+    |      AS DECIMAL(18,9)) AS term_score
+    |  FROM tf
+    |  JOIN dl ON tf.doc_id = dl.doc_id
+    |  CROSS JOIN consts
+    |  JOIN dfreq ON tf.token = dfreq.token)
+    |SELECT doc_id, CAST(ROUND(SUM(term_score), 4) AS DOUBLE) AS bm25
+    |FROM scored GROUP BY doc_id
+    |ORDER BY bm25 DESC, doc_id
+    |LIMIT 20
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     shared("text_stats", statsSql),
     shared("text_langid", langidSql),
@@ -691,5 +770,6 @@ object TextQueries extends QueryPack {
     Q("pipeline_clean", pipelineClean, Some(pipelineCleanOracle)),
     shared("text_quality_gopher", qualityGopherSql),
     Q("pipeline_mix", pipelineMix, Some(pipelineMixOracle)),
+    Q("text_bm25", bm25, Some(bm25Oracle)),
   )
 }
