@@ -67,8 +67,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def managedDir(ident: Identifier): Path =
     new Path(nsDir(ident.namespace), ident.name)
 
+  /** `dropped` is the tombstone list behind DROP COLUMN: data files are
+    * untouched (the drop is metadata-only — reads just stop projecting
+    * the column), so re-ADDing a dropped name would silently resurrect
+    * the old values from pre-drop files. Without per-column ids in the
+    * format (the Delta/Iceberg column-mapping machinery), the honest
+    * contract is to refuse that resurrect loudly and keep the tombstone
+    * forever; users pick a fresh name or rewrite the table.
+    */
   private final case class Sidecar(schema: StructType, partCols: Seq[String],
-      location: Option[String], props: Map[String, String] = Map.empty)
+      location: Option[String], props: Map[String, String] = Map.empty,
+      dropped: Seq[String] = Nil)
 
   private def writeSidecar(dir: Path, s: Sidecar): Unit = {
     val fs = dir.getFileSystem(conf)
@@ -78,7 +87,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s.location.map(l => s""","location":${quote(l)}""").getOrElse("") +
         (if (s.props.isEmpty) ""
          else s.props.toSeq.sorted.map { case (k, v) => quote(k) + "," + quote(v) }
-           .mkString(""","props":[""", ",", "]")) + "}"
+           .mkString(""","props":[""", ",", "]")) +
+        (if (s.dropped.isEmpty) ""
+         else s.dropped.sorted.map(quote)
+           .mkString(""","dropped":[""", ",", "]")) + "}"
     val out = fs.create(new Path(dir, SidecarName), true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
@@ -114,8 +126,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         .map(m => unquote(m.group(1))).toSeq
       strs.grouped(2).collect { case Seq(k, v) => k -> v }.toMap
     }
+    val dropped = {
+      val darr = """"dropped":\[([^\]]*)\]""".r.findFirstMatchIn(body)
+        .map(_.group(1)).getOrElse("")
+      """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(darr)
+        .map(m => unquote(m.group(1))).toSeq
+    }
     Some(Sidecar(DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      partCols, str("location"), props))
+      partCols, str("location"), props, dropped))
   }
 
   private def unquote(s: String): String = {
@@ -250,8 +268,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case (c, add: TableChange.AddColumn) =>
         require(add.fieldNames.length == 1,
           "graft catalog: only top-level ADD COLUMN")
-        c.copy(schema = c.schema.add(add.fieldNames()(0), add.dataType(),
-          nullable = true))
+        val nm = add.fieldNames()(0)
+        if (c.dropped.exists(_.equalsIgnoreCase(nm)))
+          throw new IllegalArgumentException(
+            s"graft catalog: column '$nm' was previously DROPPED from " +
+              s"$ident; re-adding the name would resurrect its old values " +
+              "from pre-drop data files (drops are metadata-only). Use a " +
+              "new name, or rewrite the table (CTAS) to purge the column.")
+        c.copy(schema = c.schema.add(nm, add.dataType(), nullable = true))
+      // DROP COLUMN is metadata-only: files keep the bytes, reads stop
+      // projecting them, and the name is tombstoned against resurrect
+      case (c, del: TableChange.DeleteColumn) =>
+        require(del.fieldNames.length == 1,
+          "graft catalog: only top-level DROP COLUMN")
+        val nm = del.fieldNames()(0)
+        val exists = c.schema.fieldNames.exists(_.equalsIgnoreCase(nm))
+        if (!exists) {
+          if (del.ifExists()) c
+          else throw new IllegalArgumentException(
+            s"graft catalog: no column '$nm' in $ident to drop")
+        } else {
+          require(!c.partCols.exists(_.equalsIgnoreCase(nm)),
+            s"graft catalog: cannot drop partition column '$nm'")
+          require(c.schema.fields.length > 1,
+            s"graft catalog: cannot drop the last column of $ident")
+          c.copy(
+            schema = StructType(c.schema.filterNot(_.name.equalsIgnoreCase(nm))),
+            dropped = c.dropped :+ nm)
+        }
       // ALTER TABLE ... SET/UNSET TBLPROPERTIES — how a table opts into
       // e.g. delete.mode=merge-on-read after creation
       case (c, set: TableChange.SetProperty) =>

@@ -109,4 +109,36 @@ class GraftCatalogSpec extends AnyFunSuite {
       Seq((1L, None), (2L, Some("fresh"))))
     s.sql("DROP TABLE graftcat.lake.ev")
   }
+
+  test("ALTER TABLE DROP COLUMN is metadata-only and tombstones the name") {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("CREATE TABLE graftcat.lake.dc (id BIGINT, tag STRING, v DOUBLE) USING dwrf")
+    s.sql("INSERT INTO graftcat.lake.dc VALUES (1, 'a', 1.5), (2, 'b', 2.5)")
+    val files0 = DwrfUtil.listDataFileStatuses(
+      new Path(s"$warehouse/lake/dc"), conf)
+      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime)).toSet
+
+    s.sql("ALTER TABLE graftcat.lake.dc DROP COLUMN tag")
+    // metadata-only: no data file rewritten, reads stop projecting
+    assert(DwrfUtil.listDataFileStatuses(new Path(s"$warehouse/lake/dc"), conf)
+      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+      .toSet === files0)
+    assert(s.table("graftcat.lake.dc").columns.toSeq === Seq("id", "v"))
+    // post-drop inserts carry the narrow schema; old and new files mix
+    s.sql("INSERT INTO graftcat.lake.dc VALUES (3, 3.5)")
+    assert(s.sql("SELECT id, v FROM graftcat.lake.dc ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)))
+
+    // resurrect refused: pre-drop files still hold tag's old values
+    val err = intercept[Exception](
+      s.sql("ALTER TABLE graftcat.lake.dc ADD COLUMNS (tag STRING)"))
+    assert(err.getMessage.contains("resurrect"))
+    // a fresh name is fine
+    s.sql("ALTER TABLE graftcat.lake.dc ADD COLUMNS (tag2 STRING)")
+    assert(s.table("graftcat.lake.dc").columns.toSeq === Seq("id", "v", "tag2"))
+    s.sql("DROP TABLE graftcat.lake.dc")
+  }
 }
