@@ -34,11 +34,14 @@ object Bench {
     "dwrf_spj_join", "dwrf_delete_scan", "dwrf_merge_scan",
     "dwrf_time_travel", "dwrf_optimize_scan", "dwrf_catalog_scan",
     "dwrf_dv_scan", "dwrf_update_mor", "dwrf_changes_scan",
+    "dwrf_restore_scan", "dwrf_manifest_prune",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
     "dedup_minhash_lsh", "dedup_substring", "dedup_semantic",
     "text_heavy_hitters", "dwrf_compact_scan",
     "ann_topk_dot", "ann_lsh_cosine", "ann_lsh_recall", "ann_ivf_recall",
+    "ann_pq_recall",
     "text_stats", "text_langid", "text_fingerprint", "text_pii_scrub",
+    "text_bm25",
     "sample_stratified", "pack_sequences", "text_decontaminate",
     "text_repetition", "pipeline_clean", "text_quality_gopher",
     "pipeline_mix", "multimodal_meta", "sessionize_events",

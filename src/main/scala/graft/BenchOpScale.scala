@@ -319,6 +319,61 @@ object BenchOpScale {
         s"${lshRecall("scaled_auto")} < 0.8 at ${autoPlanes / autoBits}×" +
         s"$autoBits-bit (theory ≥ 0.85 by construction)")
 
+    // ------------------------------------- manifest-stats planning tier
+    // The 100 TB claim behind DwrfLogStats, measured: a 256-file
+    // snapshot table planned through the commit's stats sidecar must
+    // open footers ONLY for the filter's survivors, and the same query
+    // with the sidecar removed (footer-pass fallback) must open all 256
+    // — wall-clock for both recorded. At object-store latencies each
+    // footer open is a round trip, so the open-count ratio IS the
+    // planning-latency ratio; the local-FS wall clock underststates it
+    // but the counters don't.
+    {
+      import graft.sources.dwrf.{DwrfLog, DwrfLogStats, DwrfPlanningProbe}
+      import org.apache.hadoop.fs.Path
+      val mpFiles = 256
+      val mpDir = s"$scaledDir/mstats"
+      val conf = graft.sources.dwrf.DwrfUtil.sessionHadoopConf()
+      val mpRoot = new Path(mpDir)
+      val fs = mpRoot.getFileSystem(conf)
+      if (fs.exists(mpRoot)) fs.delete(mpRoot, true)
+      val (tStage, _) = time {
+        spark.range(0, 2560000L, 1, 8)
+          .select($"id", ($"id" % 1000).as("bucket"),
+            concat(lit("pay-"), format_string("%09d", $"id")).as("payload"))
+          .repartitionByRange(mpFiles, $"id")
+          .write.format("dwrf").mode("overwrite").save(mpDir)
+        DwrfLog.enable(mpRoot, conf)
+      }
+      def planScan(): (Double, Long, Long) = {
+        val f0 = DwrfPlanningProbe.footerReads.get()
+        val (t, n) = time {
+          spark.read.format("dwrf").load(mpDir)
+            .where($"id".between(5000L, 6000L)).count()
+        }
+        check(n == 1001L, s"manifest-prune stress scan returned $n rows")
+        (t, n, DwrfPlanningProbe.footerReads.get() - f0)
+      }
+      planScan() // warmup: absorb first-query codegen/scan init
+      val (tSidecar, _, fSidecar) = planScan()
+      // remove the sidecar: planning falls back to one footer per file
+      val v = DwrfLog.latestVersion(mpRoot, conf).get
+      fs.delete(new Path(DwrfLog.logDir(mpRoot),
+        DwrfLogStats.sidecarName(v)), false)
+      val (tFallback, _, fFallback) = planScan()
+      r ++= Seq("mstats_files" -> mpFiles, "mstats_stage_s" -> tStage,
+        "mstats_plan_s_sidecar" -> tSidecar,
+        "mstats_plan_s_fallback" -> tFallback,
+        "mstats_footers_sidecar" -> fSidecar,
+        "mstats_footers_fallback" -> fFallback,
+        "mstats_footer_ratio" ->
+          (fFallback.toDouble / math.max(1L, fSidecar)))
+      check(fSidecar <= 4,
+        s"sidecar planning opened $fSidecar footers for a 2-file id range")
+      check(fFallback == mpFiles,
+        s"fallback planning must open all $mpFiles footers, opened $fFallback")
+    }
+
     spark.sparkContext.removeSparkListener(listener)
 
     val json = (r ++ Seq("failures" ->

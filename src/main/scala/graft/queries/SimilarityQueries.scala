@@ -695,22 +695,42 @@ object SimilarityQueries extends QueryPack {
 
     // one-byte codes per subspace, computed in one narrow pass; the
     // codebook rides as a broadcast-sized literal (M×K×sub doubles)
-    val cbLit = typedlit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
-    val coded = emb.withColumn("cb", cbLit)
-      .withColumn("codes", expr(
-        s"""transform(sequence(0, ${m - 1}), mi ->
-           |  array_position(
-           |    transform(element_at(cb, mi + 1), c ->
-           |      aggregate(zip_with(slice(v, mi * $sub + 1, $sub), c,
-           |                         (x, y) -> (x - y) * (x - y)),
-           |                0D, (acc, d) -> acc + d)),
-           |    array_min(
-           |    transform(element_at(cb, mi + 1), c ->
-           |      aggregate(zip_with(slice(v, mi * $sub + 1, $sub), c,
-           |                         (x, y) -> (x - y) * (x - y)),
-           |                0D, (acc, d) -> acc + d)))) - 1)""".stripMargin))
-      .select($"vec_id", $"v", $"codes")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Encoding is a per-row kernel over a broadcast codebook — the
+    // mapPartitions shape a production PQ index build uses. (The SQL
+    // HOF formulation was tried first: an M×K×sub codebook literal
+    // inside nested lambdas costs seconds of analysis/codegen per run
+    // regardless of row count, while this kernel is a tight argmin loop
+    // with zero plan-size dependence on K.)
+    val cbB = s.sparkContext.broadcast(codebook)
+    val coded = {
+      import s.implicits._
+      emb.select($"vec_id", $"v").as[(Long, Seq[Double])]
+        .mapPartitions { it =>
+          val cb = cbB.value
+          val mLoc = cb.length
+          it.map { case (id, vSeq) =>
+            val v = vSeq.toArray
+            val subLoc = v.length / mLoc
+            val codes = Array.tabulate(mLoc) { mi =>
+              val cents = cb(mi)
+              var best = 0; var bestD = Double.MaxValue
+              var c = 0
+              while (c < cents.length) {
+                var d = 0.0; var i = 0
+                while (i < subLoc) {
+                  val t = v(mi * subLoc + i) - cents(c)(i); d += t * t; i += 1
+                }
+                if (d < bestD) { bestD = d; best = c }
+                c += 1
+              }
+              best
+            }
+            (id, vSeq, codes.toSeq)
+          }
+        }
+        .toDF("vec_id", "v", "codes")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
     // ADC lookup table: exact subspace dot products of the QUERY against
     // every centroid — M×K doubles, built once on the driver

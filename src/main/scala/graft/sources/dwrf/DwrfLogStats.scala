@@ -53,7 +53,7 @@ object DwrfLogStats {
   private val Header = "graft-stats-v1"
   private[dwrf] val MaxStringBound = 256
 
-  private[dwrf] def sidecarName(v: Long): String = f"v$v%020d.stats"
+  def sidecarName(v: Long): String = f"v$v%020d.stats"
 
   private def sidecarPath(root: Path, v: Long): Path =
     new Path(DwrfLog.logDir(root), sidecarName(v))
