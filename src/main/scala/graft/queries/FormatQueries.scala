@@ -1292,6 +1292,62 @@ object FormatQueries extends QueryPack {
     |GROUP BY o_orderstatus ORDER BY o_orderstatus
     |""".stripMargin.trim
 
+  // DESCRIBE HISTORY on the gate: DwrfLog.history lists every retained
+  // version with its op, and versionAsOf pins each one's row count —
+  // the audit-trail read an operator reaches for first ("what changed,
+  // when, and how big was the table at each point"). Each version's
+  // count re-reads THROUGH the pinned manifest, so the query proves
+  // history enumeration AND per-version time travel in one hash-exact
+  // row set (commit timestamps are wall-clock and stay out of the
+  // output).
+  private def historyScan(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.dwrf.{DwrfDelete, DwrfLog, DwrfUtil}
+    import org.apache.hadoop.fs.Path
+    val out = ioDir("orders-history", dir)
+    val conf = DwrfUtil.sessionHadoopConf()
+    val root = new Path(out)
+    val fs = root.getFileSystem(conf)
+    if (fs.exists(root)) fs.delete(root, true) // fresh history per run
+    val orders = Tables.load(s, dir, "orders")
+    orders.where(col("o_orderkey") % 97 =!= 0).repartition(2)
+      .write.format("dwrf").mode("overwrite").save(out)
+    DwrfLog.enable(root, conf) // v0
+    orders.where(col("o_orderkey") % 97 === 0).repartition(1)
+      .write.format("dwrf").mode("append").save(out) // v1
+    DwrfDelete.deleteWhere(s, out,
+      s.read.format("dwrf").load(out).schema,
+      Array(org.apache.spark.sql.sources.EqualTo("o_orderpriority",
+        "1-URGENT"))) // v2
+    val hist = DwrfLog.history(root, conf)
+    require(hist.map(_.version) == Seq(0L, 1L, 2L),
+      s"staging must retain v0..v2, got ${hist.map(_.version)}")
+    val rows = hist.map { snap =>
+      val n = s.read.format("dwrf")
+        .option(DwrfLog.VersionAsOfKey, snap.version).load(out).count()
+      org.apache.spark.sql.Row(snap.version, snap.op, n)
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+      .orderBy(col("version"))
+  }
+
+  private val historyScanOracle = """
+    |SELECT 0 AS version, 'init' AS op,
+    |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 97 <> 0) AS n_rows
+    |UNION ALL
+    |SELECT 1, 'append', (SELECT COUNT(*) FROM orders)
+    |UNION ALL
+    |SELECT 2, 'delete',
+    |  (SELECT COUNT(*) FROM orders WHERE o_orderpriority <> '1-URGENT')
+    |ORDER BY version
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     Q("dwrf_roundtrip_lineitem", rtLineitem, Some(rtLineitemOracle)),
     Q("dwrf_footer_agg", footerAgg, Some(footerAggOracle)),
@@ -1318,5 +1374,6 @@ object FormatQueries extends QueryPack {
     Q("dwrf_catalog_scan", catalogScan, Some(catalogScanOracle)),
     Q("dwrf_restore_scan", restoreScan, Some(restoreScanOracle)),
     Q("dwrf_manifest_prune", manifestPrune, Some(manifestPruneOracle)),
+    Q("dwrf_history_scan", historyScan, Some(historyScanOracle)),
   )
 }

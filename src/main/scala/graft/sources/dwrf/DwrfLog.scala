@@ -484,14 +484,38 @@ object DwrfLog {
     * pinned to a dropped version loses its files mid-query, exactly like
     * VACUUM on any snapshot store.
     */
-  def vacuum(root: Path, conf: Configuration, retainLast: Int = 2): VacuumResult =
+  def vacuum(root: Path, conf: Configuration, retainLast: Int = 2): VacuumResult = {
+    require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
+    vacuumWhere(root, conf, (versions, _) =>
+      versions.splitAt(math.max(0, versions.size - retainLast)))
+  }
+
+  /** Time-based retention (the ops knob a retention POLICY sets, where
+    * [[vacuum]]'s count is the manual override): drop every version whose
+    * commit stamp is older than `horizonMillis` before now — except the
+    * latest, which always survives (a table must stay readable however
+    * stale). `horizonMillis = 7 days` keeps a week of time travel.
+    */
+  def vacuumOlderThan(root: Path, conf: Configuration,
+      horizonMillis: Long): VacuumResult = {
+    require(horizonMillis >= 0, s"horizonMillis must be >= 0, got $horizonMillis")
+    val cutoff = System.currentTimeMillis() - horizonMillis
+    vacuumWhere(root, conf, (versions, read) =>
+      versions.zipWithIndex.partition { case ((v, _), i) =>
+        i < versions.size - 1 && read(v).ts < cutoff
+      } match { case (drop, keep) => (drop.map(_._1), keep.map(_._1)) })
+  }
+
+  private def vacuumWhere(root: Path, conf: Configuration,
+      split: (Seq[(Long, Path)], Long => Snapshot) =>
+        (Seq[(Long, Path)], Seq[(Long, Path)])): VacuumResult =
     lockFor(root).synchronized {
-      require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
       val fs = root.getFileSystem(conf)
       val versions = listVersions(root, conf)
       require(versions.nonEmpty,
         s"dwrf: no snapshot log under $root (DwrfLog.enable first)")
-      val (drop, keep) = versions.splitAt(math.max(0, versions.size - retainLast))
+      val (drop, keep) = split(versions, read(root, conf, _))
+      require(keep.nonEmpty, "dwrf: vacuum must retain at least one version")
       val retained = keep.map { case (v, _) => read(root, conf, v) }
       val referenced: Set[String] = retained.flatMap(_.files).toSet
       var dataDeleted = 0

@@ -92,6 +92,25 @@ class DwrfLogSpec extends AnyFunSuite {
     assert(res2.dataFilesDeleted === 0)
   }
 
+  test("time-based vacuum drops versions past the horizon, never the latest") {
+    val dir = tmpDir()
+    writeRange(dir, 0, 10)
+    val root = new Path(dir)
+    DwrfLog.enable(root, conf)
+    writeRange(dir, 10, 20, mode = "append")
+    writeRange(dir, 20, 30, mode = "append")
+    // a generous horizon retains everything (all stamps are recent)
+    val keepAll = DwrfLog.vacuumOlderThan(root, conf,
+      horizonMillis = 24L * 3600 * 1000)
+    assert(keepAll.manifestsDeleted === 0)
+    assert(DwrfLog.history(root, conf).map(_.version) === Seq(0L, 1L, 2L))
+    // horizon 0: every version is "old", but the latest always survives
+    val res = DwrfLog.vacuumOlderThan(root, conf, horizonMillis = 0L)
+    assert(res.manifestsDeleted === 2 && res.retainedVersion === 2L)
+    assert(DwrfLog.history(root, conf).map(_.version) === Seq(2L))
+    assert(ids(dir) === (0L until 30L)) // live set untouched
+  }
+
   test("restore publishes a new version re-referencing the target's files") {
     import org.apache.spark.sql.sources.GreaterThanOrEqual
     val dir = tmpDir()
