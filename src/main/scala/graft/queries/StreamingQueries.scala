@@ -413,6 +413,55 @@ object StreamingQueries extends QueryPack {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** The same sessionization through Spark's BUILT-IN `session_window`
+    * aggregation — zero custom state code: the engine merges windows
+    * per (user, session) as events arrive and flushes a session when
+    * the watermark passes its end + gap. Kept beside the
+    * flatMapGroupsWithState twin deliberately: the built-in is what a
+    * user should reach for first (state store format, merging, and
+    * timeout handling all engine-owned), the custom kernel exists for
+    * semantics the window function can't express (the per-user ordinal
+    * id it emits incrementally, retention tombstones). Here the ordinal
+    * id is recovered in a batch post-pass over the drained sink —
+    * sessions are time-disjoint per user, so numbering by start time is
+    * exactly the oracle's cumulative numbering — and the same
+    * gaps-and-islands oracle checks both twins hash-exactly.
+    * `session_window.start` = first event's ts and `MAX(ts)` rides the
+    * aggregation, so the output schema matches the oracle with no
+    * end-of-window adjustment (the window's own `end` is last-ts + gap,
+    * which the oracle doesn't want).
+    */
+  private def sessionWindowStream(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+    import s.implicits._
+    val (srcDir, rawSchema) = stageStreamSource(s, dir)
+    val (ckDir, outDir) = freshSinkDirs("stream-sesswin", dir)
+    val q = s.readStream.schema(rawSchema)
+      .parquet(srcDir)
+      .transform(withEventTs)
+      .select($"user_id", $"ts")
+      .withWatermark("ts", "1 hour")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), max($"ts").as("session_end"))
+      .select($"user_id", $"sw.start".as("session_start"),
+        $"session_end", $"n_events")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+      .filter($"user_id" >= 0) // drop the watermark sentinel's session
+      .select($"user_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"session_start"))
+          .cast("long").as("session_id"),
+        $"session_start", $"session_end", $"n_events")
+      .orderBy($"user_id", $"session_id")
+  }
+
   // ------------------------------------------------- streaming dedup
   /** Exact dedup as a STREAM: content hashes flow through
     * `dropDuplicates` state and each first-seen hash is appended to the
@@ -1121,6 +1170,7 @@ object StreamingQueries extends QueryPack {
     Q("stream_events_window", eventsWindow, Some(eventsWindowOracle)),
     Q("sessionize_events", sessionize, Some(sessionizeOracle)),
     Q("stream_sessionize", sessionizeStream, Some(sessionizeOracle)),
+    Q("stream_session_window", sessionWindowStream, Some(sessionizeOracle)),
     Q("stream_dedup_exact", streamDedupExact, Some(streamDedupOracle)),
     Q("stream_dedup_within_wm", streamDedupWithinWm, Some(streamDedupWmOracle)),
     Q("stream_dwrf_sink", streamDwrfSink, Some(streamDwrfSinkOracle)),

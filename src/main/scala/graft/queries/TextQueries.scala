@@ -755,6 +755,69 @@ object TextQueries extends QueryPack {
     |LIMIT 20
     |""".stripMargin.trim
 
+  // ------------------------------------------- LM perplexity scoring
+  // The classic pretraining quality filter (KenLM-style, distilled to
+  // its Spark-shaped core): a bigram language model with add-0.5
+  // smoothing trains ON the corpus — bigram and context counts are two
+  // groupBys, the vocabulary size one tiny aggregate — and every
+  // document scores as its mean per-bigram negative log-likelihood.
+  // High scores = statistically surprising documents (gibberish, wrong
+  // language, boilerplate soup) — the ones a perplexity gate drops.
+  // Scale shape: counts live in hash-partitioned aggregates keyed by
+  // the bigram, the scoring join is equi-keyed on the same columns (no
+  // broadcast of the model needed — at 100 TB the bigram table IS big),
+  // and nothing driver-sided exists anywhere. Determinism: per-bigram
+  // terms are per-row IEEE (identical in Spark and DuckDB), the per-doc
+  // reduction is an exact DECIMAL sum, one IEEE division, one round.
+  private def lmScore(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("docs_lm")
+    s.sql("""
+      |WITH toks AS (SELECT doc_id, split(text, ' ') AS ts FROM docs_lm),
+      |bi AS (
+      |  SELECT doc_id, b.w1, b.w2
+      |  FROM toks
+      |  LATERAL VIEW explode(zip_with(slice(ts, 1, size(ts) - 1),
+      |                                slice(ts, 2, size(ts) - 1),
+      |                                (a, b) -> named_struct('w1', a, 'w2', b))) t AS b),
+      |cb AS (SELECT w1, w2, COUNT(*) AS nb FROM bi GROUP BY w1, w2),
+      |cw AS (SELECT w1, COUNT(*) AS nw FROM bi GROUP BY w1),
+      |vocab AS (SELECT COUNT(DISTINCT w1) AS v FROM bi),
+      |terms AS (
+      |  SELECT bi.doc_id,
+      |    CAST(-LN((CAST(nb AS DOUBLE) + 0.5)
+      |             / (CAST(nw AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))
+      |      AS DECIMAL(18,9)) AS nll
+      |  FROM bi JOIN cb ON bi.w1 = cb.w1 AND bi.w2 = cb.w2
+      |  JOIN cw ON bi.w1 = cw.w1 CROSS JOIN vocab)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 4) AS lm_nll
+      |FROM terms GROUP BY doc_id
+      |ORDER BY lm_nll DESC, doc_id LIMIT 20
+      |""".stripMargin.trim)
+  }
+
+  private val lmScoreOracle = """
+    |WITH toks AS (
+    |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    |bi AS (
+    |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+    |  FROM toks, LATERAL unnest(range(1, len(ts))) AS r(i)),
+    |cb AS (SELECT w1, w2, COUNT(*) AS nb FROM bi GROUP BY w1, w2),
+    |cw AS (SELECT w1, COUNT(*) AS nw FROM bi GROUP BY w1),
+    |vocab AS (SELECT COUNT(DISTINCT w1) AS v FROM bi),
+    |terms AS (
+    |  SELECT bi.doc_id,
+    |    CAST(-LN((CAST(nb AS DOUBLE) + 0.5)
+    |             / (CAST(nw AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))
+    |      AS DECIMAL(18,9)) AS nll
+    |  FROM bi JOIN cb ON bi.w1 = cb.w1 AND bi.w2 = cb.w2
+    |  JOIN cw ON bi.w1 = cw.w1 CROSS JOIN vocab)
+    |SELECT doc_id, COUNT(*) AS n_bigrams,
+    |  ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 4) AS lm_nll
+    |FROM terms GROUP BY doc_id
+    |ORDER BY lm_nll DESC, doc_id LIMIT 20
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     shared("text_stats", statsSql),
     shared("text_langid", langidSql),
@@ -771,5 +834,6 @@ object TextQueries extends QueryPack {
     shared("text_quality_gopher", qualityGopherSql),
     Q("pipeline_mix", pipelineMix, Some(pipelineMixOracle)),
     Q("text_bm25", bm25, Some(bm25Oracle)),
+    Q("text_lm_score", lmScore, Some(lmScoreOracle)),
   )
 }
