@@ -30,9 +30,28 @@ object StatsFilter {
     case In(a, _) => atomic(a, schema)
     case IsNull(a) => atomic(a, schema)
     case IsNotNull(a) => atomic(a, schema)
+    // LIKE 'p%' — strings with prefix p form the contiguous byte range
+    // [p, succ(p)), so min/max windows prune it like a range predicate
+    case StringStartsWith(a, _) =>
+      resolve(a, schema).exists(_.dataType == StringType)
     case And(l, r) => supported(l, schema) || supported(r, schema)
     case Or(l, r) => supported(l, schema) && supported(r, schema)
     case _ => false
+  }
+
+  /** The smallest byte string greater than EVERY string with prefix `p`
+    * (UTF-8 byte order): increment the last non-0xFF byte, truncate the
+    * rest. None when p is all 0xFF bytes — no upper bound exists.
+    */
+  private[dwrf] def prefixSuccessor(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == 0xFF.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val b = java.util.Arrays.copyOf(p, i + 1)
+      b(i) = (b(i) + 1).toByte
+      Some(b)
+    }
   }
 
   /** Is this a column stats-based skipping can act on? (drives which
@@ -108,6 +127,26 @@ object StatsFilter {
         if (field.isEmpty || st.isEmpty) true
         else vs.exists(v =>
           cmpResolved(field.get, st.get, v) { (lo, hi) => lo >= 0 && hi >= 0 })
+      }
+    case StringStartsWith(a, p) =>
+      if (p == null) true
+      else resolve(a, schema).filter(_.dataType == StringType) match {
+        case None => true
+        case Some(_) => statsOf(a) match {
+          case None => true
+          case Some(st) =>
+            if (st.count == 0) false // all null: nothing can match
+            else if (st.stringMin == null || st.stringMax == null) true
+            else {
+              val pv = UTF8String.fromString(p)
+              // a prefixed string exists in [min, max] iff max >= p and
+              // min < succ(p) (succ undefined => unbounded above)
+              UTF8String.fromString(st.stringMax).compareTo(pv) >= 0 &&
+                prefixSuccessor(pv.getBytes).forall(s =>
+                  UTF8String.fromString(st.stringMin)
+                    .compareTo(UTF8String.fromBytes(s)) < 0)
+            }
+        }
       }
     case _ => true
   }
@@ -250,6 +289,7 @@ object StatsFilter {
         case LessThan(a, v) => v != null && nullFree(a)
         case LessThanOrEqual(a, v) => v != null && nullFree(a)
         case In(a, vs) => vs.nonEmpty && !vs.contains(null) && nullFree(a)
+        case StringStartsWith(a, v) => v != null && nullFree(a)
         case _ => false // nested/unknown: don't prove
       }
       neverNull && !mayMatchOne(g, schema, statsOf)
@@ -267,6 +307,20 @@ object StatsFilter {
       (_, hi) => hi <= 0 }
     case In(a, vs) => vs.nonEmpty && vs.exists(v =>
       wholeDomain(a, v, schema, statsOf) { (lo, hi) => lo == 0 && hi == 0 })
+    // every row has prefix p iff the whole [min, max] window sits inside
+    // [p, succ(p)) and the column is null-free
+    case StringStartsWith(a, p) =>
+      p != null && resolve(a, schema).exists(_.dataType == StringType) &&
+        statsOf(a).exists { st =>
+          !st.hasNull && st.count > 0 &&
+            st.stringMin != null && st.stringMax != null && {
+              val pv = UTF8String.fromString(p)
+              UTF8String.fromString(st.stringMin).compareTo(pv) >= 0 &&
+                prefixSuccessor(pv.getBytes).exists(s =>
+                  UTF8String.fromString(st.stringMax)
+                    .compareTo(UTF8String.fromBytes(s)) < 0)
+            }
+        }
     case _ => false
   }
 

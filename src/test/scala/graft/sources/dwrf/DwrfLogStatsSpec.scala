@@ -165,7 +165,8 @@ class DwrfLogStatsSpec extends AnyFunSuite {
     val conds = Seq(
       "id < 17", "id BETWEEN 990 AND 1000", "key = 'k-00007'",
       "v > 49.5", "v <= -49.9", "id = 123 AND v > 0",
-      "key >= 'k-00490' AND id < 500", "id IN (1, 500, 999)")
+      "key >= 'k-00490' AND id < 500", "id IN (1, 500, 999)",
+      "key LIKE 'k-0001%'", "key LIKE 'q%'")
     val mem = rows.toDF("id", "key", "v") // in-memory semantics oracle
     conds.foreach { c =>
       val got = df.where(c).collect().map(_.toString).sorted.toSeq

@@ -60,6 +60,36 @@ class DwrfPushdownSpec extends AnyFunSuite {
     assert(rawRows(dir, Seq(EqualTo("bucket", 7)), Seq("bucket")).size == 10000)
   }
 
+  test("StringStartsWith prunes strides via the [p, succ(p)) range") {
+    val dir = writeSorted(stride = 1000)
+    // uid is uniq-%08d, sorted with id: prefix uniq-0000100 = ids
+    // 1000..1009, entirely in stride 1 => exactly 1000 rows surface
+    assert(rawRows(dir,
+      Seq(StringStartsWith("uid", "uniq-0000100")), Seq("uid")).size == 1000)
+    // a prefix matching a single row still costs one stride
+    assert(rawRows(dir,
+      Seq(StringStartsWith("uid", "uniq-00009999")), Seq("uid")).size == 1000)
+    // prefix beyond every value => nothing surfaces
+    assert(rawRows(dir,
+      Seq(StringStartsWith("uid", "uniq-1")), Seq("uid")).isEmpty)
+    assert(rawRows(dir,
+      Seq(StringStartsWith("uid", "zz")), Seq("uid")).isEmpty)
+    // prefix of EVERY value => no pruning possible, all rows
+    assert(rawRows(dir,
+      Seq(StringStartsWith("uid", "uniq-")), Seq("uid")).size == 10000)
+    // 0xFF-saturated prefix: no byte successor exists => only the lower
+    // bound prunes (conservative, never wrong)
+    assert(rawRows(dir,
+      Seq(StringStartsWith("uid", "￿￿")), Seq("uid")).isEmpty ||
+      true) // must not throw; row count is whatever stats allow
+    // successor arithmetic itself
+    assert(StatsFilter.prefixSuccessor(Array[Byte](1, 2, 3))
+      .map(_.toSeq) === Some(Seq[Byte](1, 2, 4)))
+    assert(StatsFilter.prefixSuccessor(Array[Byte](1, -1, -1))
+      .map(_.toSeq) === Some(Seq[Byte](2)))
+    assert(StatsFilter.prefixSuccessor(Array[Byte](-1, -1)) === None)
+  }
+
   test("skipped reads decode correctly mid-stripe (seek grid)") {
     val dir = writeSorted(stride = 1000)
     // values must be right after a seek, for every stride start
