@@ -230,6 +230,45 @@ object DwrfUtil {
         s"dwrf: ${DwrfLog.VersionAsOfKey} must be a version number, got '$v'")))
   }
 
+  /** Path-based time travel by instant:
+    * `.option("timestampAsOf", <epoch millis | ISO-8601 instant |
+    * "yyyy-MM-dd[ HH:mm:ss]" UTC>)` — the read pins the newest retained
+    * commit at or before it, the option-route twin of SQL
+    * `TIMESTAMP AS OF` (which rides the catalog's loadTable).
+    */
+  val TimestampAsOfKey = "timestampAsOf"
+
+  private[dwrf] def parseTsMillis(raw: String): Long =
+    raw.toLongOption.getOrElse {
+      try java.time.Instant.parse(raw).toEpochMilli
+      catch { case _: java.time.format.DateTimeParseException =>
+        try {
+          val t = if (raw.contains(' ') || raw.contains('T'))
+            java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
+          else java.time.LocalDate.parse(raw).atStartOfDay()
+          t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        } catch { case _: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"dwrf: $TimestampAsOfKey must be epoch millis, an ISO-8601 " +
+              s"instant, or 'yyyy-MM-dd[ HH:mm:ss]' (UTC), got '$raw'")
+        }
+      }
+    }
+
+  /** The version a scan's options pin — explicitly (`versionAsOf`) or
+    * by instant (`timestampAsOf`, resolved against the table's log).
+    * Both at once is a contradiction and fails loud.
+    */
+  def pinnedVersion(root: Path, conf: Configuration,
+      m: Map[String, String]): Option[Long] = {
+    val ci = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(m)
+    val ts = ci.get(TimestampAsOfKey)
+    val v = versionOption(m)
+    require(v.isEmpty || ts.isEmpty,
+      s"dwrf: set either ${DwrfLog.VersionAsOfKey} or $TimestampAsOfKey, not both")
+    v.orElse(ts.map(raw => DwrfLog.versionAt(root, conf, parseTsMillis(raw))))
+  }
+
   /** The file set a batch scan plans from: the snapshot-log manifest
     * when the table has one (latest, or the `versionAsOf` the options
     * pin), the recursive directory listing otherwise. Snapshot tables
@@ -238,7 +277,7 @@ object DwrfUtil {
     */
   def scanFiles(root: Path, conf: Configuration,
       options: Map[String, String]): Seq[Path] =
-    DwrfLog.resolve(root, conf, versionOption(options)) match {
+    DwrfLog.resolve(root, conf, pinnedVersion(root, conf, options)) match {
       case Some(snap) => snap.resolved(DwrfUtil.qualify(root, conf))
       case None => listDataFiles(root, conf)
     }
@@ -473,7 +512,10 @@ final class DwrfTable(tableSchema: StructType, properties: Map[String, String],
     // a time-travel catalog load (SELECT ... VERSION AS OF n) pins the
     // version in the TABLE properties; surface it to the scan unless the
     // read options already carry one
-    val pinned = DwrfUtil.versionOption(opts).map(_ => opts).getOrElse {
+    val optPinned = DwrfUtil.versionOption(opts).isDefined ||
+      org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(opts)
+        .contains(DwrfUtil.TimestampAsOfKey)
+    val pinned = if (optPinned) opts else {
       DwrfUtil.versionOption(properties) match {
         case Some(v) => opts + (DwrfLog.VersionAsOfKey -> v.toString)
         case None => opts
@@ -685,7 +727,8 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
       // version's footers.
       DwrfUtil.scanFilesOption(options).isEmpty &&
       !DwrfLog.resolve(new Path(path), DwrfUtil.sessionHadoopConf(),
-        DwrfUtil.versionOption(options)).exists(_.dvs.nonEmpty) &&
+        DwrfUtil.pinnedVersion(new Path(path), DwrfUtil.sessionHadoopConf(),
+          options)).exists(_.dvs.nonEmpty) &&
       pushed.isEmpty &&
       agg.groupByExpressions().forall(e =>
         topColumn(e).exists(groupableEverywhere)) &&
@@ -952,7 +995,7 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
   // query — concurrent DML commits new versions but never touches these
   private lazy val resolvedSnapshot: Option[DwrfLog.Snapshot] =
     DwrfLog.resolve(new Path(path), hadoopConf.value,
-      DwrfUtil.versionOption(options))
+      DwrfUtil.pinnedVersion(new Path(path), hadoopConf.value, options))
 
   private lazy val fileTails: Seq[DwrfFileTail] = {
     val qualifiedRoot = DwrfUtil.qualify(new Path(path), hadoopConf.value)
@@ -1592,15 +1635,34 @@ final class DwrfBatchWrite(schema: StructType, path: String,
       (truncate, rewriteOf) match {
         case (true, Some(v)) =>
           // an optimize-style rewrite of base version v: replace exactly
-          // that version's files, so concurrent appends survive and
-          // concurrent row-changing commits conflict (DwrfOptimize)
+          // that version's files — or the log.rewrite.files subset for a
+          // partition-scoped optimize — so concurrent appends survive
+          // and concurrent row-changing commits conflict (DwrfOptimize)
           val base = DwrfLog.read(root, conf, v.toLong)
-          // observedDvs = the base version's bindings: the rewrite read
-          // (and applied) those masks, so a concurrent re-DELETE of a
-          // base file conflicts instead of being resurrected
-          DwrfLog.commitReplace(root, conf,
-            base.resolved(DwrfUtil.qualify(root, conf)), written,
-            op = "optimize", observedDvs = base.dvs)
+          val qualified = DwrfUtil.qualify(root, conf)
+          val scope: Option[Set[String]] = org.apache.spark.sql.catalyst.util
+            .CaseInsensitiveMap(options).get(DwrfLog.RewriteFilesKey)
+            .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+          scope.foreach { rel =>
+            val unknown = rel -- base.files.toSet
+            require(unknown.isEmpty,
+              s"dwrf: ${DwrfLog.RewriteFilesKey} names files not in base " +
+                s"version $v: ${unknown.take(3).mkString(", ")}")
+          }
+          val removed = scope match {
+            case None => base.resolved(qualified)
+            case Some(rel) => rel.toSeq.sorted.map(new Path(qualified, _))
+          }
+          // observedDvs = the base version's bindings for the replaced
+          // files: the rewrite read (and applied) those masks, so a
+          // concurrent re-DELETE of a replaced file conflicts instead of
+          // being resurrected
+          val observed = scope match {
+            case None => base.dvs
+            case Some(rel) => base.dvs.filter { case (f, _) => rel.contains(f) }
+          }
+          DwrfLog.commitReplace(root, conf, removed, written,
+            op = "optimize", observedDvs = observed)
         case (true, None) => DwrfLog.commitTruncate(root, conf, written)
         case (false, _) => DwrfLog.commitAppend(root, conf, written)
       }

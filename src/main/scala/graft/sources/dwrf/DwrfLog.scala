@@ -55,6 +55,14 @@ object DwrfLog {
     */
   val RewriteOfKey = "log.rewrite.of"
 
+  /** Companion to [[RewriteOfKey]]: comma-separated RELATIVE paths
+    * restricting the replace to a subset of the base version's files (a
+    * partition-scoped OPTIMIZE replaces only the selected partitions'
+    * files; everything else stays live untouched). Absent = the whole
+    * base file set.
+    */
+  val RewriteFilesKey = "log.rewrite.files"
+
   /** `ts` = commit wall-clock millis (0 for manifests written before the
     * field existed) — the TIMESTAMP AS OF resolution key. Commit clocks
     * only need to be monotonic per table for time travel to be sane;

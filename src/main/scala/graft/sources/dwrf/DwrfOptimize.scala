@@ -41,9 +41,16 @@ object DwrfOptimize {
   final case class Result(version: Long, filesBefore: Int, filesAfter: Int,
       bytesRewritten: Long)
 
+  /** @param partitions exact partition-value scope (`Map("ds" ->
+    *   "2026-08-14")`): only files in matching Hive directories are
+    *   rewritten and replaced — the nightly "optimize yesterday's
+    *   partition" a 100 TB table actually runs, where a full-table
+    *   rewrite is 10⁵× the work. Empty = whole table.
+    */
   def rewrite(spark: SparkSession, dir: String, sortCols: Seq[String],
       zOrder: Boolean = false,
-      targetBytes: Long = 256L * 1024 * 1024): Result = {
+      targetBytes: Long = 256L * 1024 * 1024,
+      partitions: Map[String, String] = Map.empty): Result = {
     require(sortCols.nonEmpty, "optimize: sort columns required")
     val conf = DwrfUtil.sessionHadoopConf()
     val root = new Path(dir)
@@ -53,8 +60,27 @@ object DwrfOptimize {
           "(DwrfLog.enable first — plain dirs have no atomic swap to " +
           "publish the rewrite through)"))
     val qualified = DwrfUtil.qualify(root, conf)
-    val live = snap.resolved(qualified)
-    require(live.nonEmpty, s"optimize: version ${snap.version} has no files")
+    val allLive = snap.resolved(qualified)
+    require(allLive.nonEmpty, s"optimize: version ${snap.version} has no files")
+    // validate the scope KEYS against the table's layout before
+    // filtering — a typo'd key must say "not a layout column", not
+    // "no files match"
+    if (partitions.nonEmpty) {
+      val allKeys = allLive.flatMap(f =>
+        PartitionLayout.specOf(qualified, f).map(_._1)).toSet
+      require(partitions.keySet.subsetOf(allKeys),
+        s"optimize: partition scope ${partitions.keys.mkString(",")} must " +
+          s"name layout columns (${allKeys.mkString(",")})")
+    }
+    val live =
+      if (partitions.isEmpty) allLive
+      else allLive.filter { f =>
+        val spec = PartitionLayout.specOf(qualified, f).toMap
+        partitions.forall { case (k, v) => spec.get(k).contains(v) }
+      }
+    require(live.nonEmpty,
+      s"optimize: no files match partition scope $partitions " +
+        s"in version ${snap.version}")
     // preserve an existing Hive layout: every live file must agree on
     // the partition keys (mixed layouts have no single partitionBy)
     val layoutKeys: Seq[String] = {
@@ -87,8 +113,13 @@ object DwrfOptimize {
       finally r.close()
     }
 
-    val df = spark.read.format("dwrf")
-      .option(DwrfLog.VersionAsOfKey, snap.version).load(dir)
+    val scopedRel: Option[String] =
+      if (partitions.isEmpty) None
+      else Some(live.map(DwrfLog.relativize(root, conf, _)).sorted.mkString(","))
+    val reader = spark.read.format("dwrf")
+      .option(DwrfLog.VersionAsOfKey, snap.version)
+    scopedRel.foreach(reader.option(DwrfUtil.ScanFilesKey, _))
+    val df = reader.load(dir)
     sortCols.foreach(c => require(df.schema.fieldNames.contains(c),
       s"optimize: no column '$c' (schema: ${df.schema.fieldNames.mkString(", ")})"))
 
@@ -127,12 +158,15 @@ object DwrfOptimize {
       }
     inherited.foreach { case (k, v) => staged.option(k, v) }
     if (layoutKeys.nonEmpty) staged.partitionBy(layoutKeys: _*)
-    staged
-      .option(DwrfLog.RewriteOfKey, snap.version.toString)
-      .save(dir)
+    staged.option(DwrfLog.RewriteOfKey, snap.version.toString)
+    scopedRel.foreach(staged.option(DwrfLog.RewriteFilesKey, _))
+    staged.save(dir)
     val after = DwrfLog.latest(root, conf).getOrElse(
       throw new IllegalStateException(s"optimize commit vanished under $dir"))
-    Result(after.version, live.size, after.files.size, bytes)
+    // scoped rewrites count only the scope's files (untouched partitions
+    // carry over 1:1 and would mask the collapse)
+    Result(after.version, live.size,
+      after.files.size - (allLive.size - live.size), bytes)
   }
 
   /** CLI: `runMain graft.sources.dwrf.DwrfOptimize <dir> <col[,col...]> [zorder]`. */

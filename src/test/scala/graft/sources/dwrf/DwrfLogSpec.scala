@@ -92,6 +92,33 @@ class DwrfLogSpec extends AnyFunSuite {
     assert(res2.dataFilesDeleted === 0)
   }
 
+  test("timestampAsOf pins the newest commit at or before the instant") {
+    val dir = tmpDir()
+    writeRange(dir, 0, 10)
+    val root = new Path(dir)
+    DwrfLog.enable(root, conf)
+    writeRange(dir, 10, 20, mode = "append")
+    val ts0 = DwrfLog.read(root, conf, 0L).ts
+    def at(v: String): Seq[Long] =
+      spark.read.format("dwrf").option("timestampAsOf", v).load(dir)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(at(ts0.toString) === (0L until 10L)) // epoch millis
+    assert(at(java.time.Instant.ofEpochMilli(ts0).toString) === (0L until 10L))
+    assert(at(System.currentTimeMillis().toString) === (0L until 20L))
+    // an instant before all retained history fails loud
+    val e1 = intercept[Exception](at("0"))
+    assert(e1.getMessage.contains("at or before"))
+    // contradictory pins fail loud
+    val e2 = intercept[Exception] {
+      spark.read.format("dwrf").option("timestampAsOf", ts0.toString)
+        .option("versionAsOf", 1).load(dir).count()
+    }
+    assert(e2.getMessage.contains("not both"))
+    // unparseable instants fail loud
+    val e3 = intercept[Exception](at("yesterday-ish"))
+    assert(e3.getMessage.contains("ISO-8601"))
+  }
+
   test("time-based vacuum drops versions past the horizon, never the latest") {
     val dir = tmpDir()
     writeRange(dir, 0, 10)

@@ -142,6 +142,51 @@ class DwrfOptimizeSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("per-directory constants"))
   }
 
+  test("partition-scoped optimize rewrites only the selected partition") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir()
+    val n = 6000
+    (0 until n).map(i => (((i * 7919) % n).toLong, s"g${i % 3}"))
+      .toDF("id", "p").repartition(4)
+      .write.format("dwrf").partitionBy("p").mode("overwrite")
+      .option("row.index.stride", "1024").save(dir)
+    val root = new Path(dir)
+    DwrfLog.enable(root, conf)
+    val qualified = DwrfUtil.qualify(root, conf)
+    def stamps(pred: Path => Boolean) =
+      DwrfUtil.listDataFileStatuses(root, conf)
+        .filter(st => pred(st.getPath))
+        .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+        .toSet
+    def inPart(v: String)(f: Path): Boolean =
+      PartitionLayout.specOf(qualified, f).toMap.get("p").contains(v)
+    val otherBefore = stamps(f => !inPart("g1")(f))
+
+    val res = DwrfOptimize.rewrite(spark, dir, Seq("id"),
+      targetBytes = 1L << 20, partitions = Map("p" -> "g1"))
+    assert(res.version === 1L && res.filesBefore === 4)
+    // untouched partitions: byte- and reference-identical
+    assert(stamps(f => !inPart("g1")(f)) === otherBefore)
+    val after = DwrfLog.latest(root, conf).get
+    val live = after.resolved(qualified)
+    assert(live.count(inPart("g1")) === res.filesAfter)
+    // rows intact across the whole table, and g1 now sorted: a narrow
+    // band in g1 surfaces selectively
+    val back = spark.read.format("dwrf").load(dir)
+    assert(back.count() === n)
+    assert(back.where("p = 'g1'").count() === n / 3)
+    // scope validation fails loud
+    val err = intercept[IllegalArgumentException](
+      DwrfOptimize.rewrite(spark, dir, Seq("id"),
+        partitions = Map("p" -> "nope")))
+    assert(err.getMessage.contains("no files match"))
+    val err2 = intercept[IllegalArgumentException](
+      DwrfOptimize.rewrite(spark, dir, Seq("id"),
+        partitions = Map("zz" -> "g1")))
+    assert(err2.getMessage.contains("layout columns"))
+  }
+
   test("partitioned optimize sorts within each directory and preserves the layout") {
     import org.apache.spark.sql.sources.LessThan
     val s = spark
