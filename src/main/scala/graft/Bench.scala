@@ -138,15 +138,32 @@ object Bench {
       s""""pass_wall_sec":[${passCtx.map(c => f"${c._3}%.2f").mkString(",")}]"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"stat":"median","order":"seeded-shuffle-per-pass",$ctx,"samples":$perSample}"""
     // compact reprint WITHOUT the samples array: the driver's tail
-    // capture truncates the FRONT of long output, so the last line must
-    // carry the total and every per-query median AND fit the tail
-    // window (~2.9 KB; the r9 reprint at full double precision missed
-    // by ~30 bytes). Millisecond precision halves the value bytes —
-    // medians on this host swing ±30% run-to-run, so nothing real
-    // lives below 1 ms — and the full-precision line precedes anyway.
-    val qsShort = results.map { case (k, v) => f""""$k":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val summary = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsShort,"sf":"$sfDir","passes":$passes,"stat":"median",$ctx}"""
+    // capture keeps the LAST 2000 bytes of output, so the final line
+    // must carry the total and the per-query medians AND fit that
+    // window together with sbt's trailing "[success] Total time" line
+    // (~70 bytes). The r9 reprint missed by ~19 bytes — every round
+    // through r9 recorded parsed:null. Enforce the budget: ms
+    // precision first (nothing real lives below 1 ms at ±30% host
+    // noise), then centisecond, then drop the per-query map rather
+    // than overflow — the full-precision line and target/bench.json
+    // always carry everything.
+    val sfBase = new java.io.File(sfDir).getName
+    def summaryAt(dp: Int): String = {
+      val qsShort = results
+        .map { case (k, v) => s""""$k":${s"%.${dp}f".format(v)}""" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfBase","passes":$passes,"stat":"median","queries":$qsShort}"""
+    }
+    val summaryBudget = 1850
+    val summary = {
+      val s3 = summaryAt(3)
+      if (s3.length <= summaryBudget) s3
+      else {
+        val s2 = summaryAt(2)
+        if (s2.length <= summaryBudget) s2
+        else s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfBase","passes":$passes,"stat":"median","queries_in_file":${results.size}}"""
+      }
+    }
     // three sinks so the metrics line is machine-parseable however this
     // main is launched: target/bench.json (file), the raw process stdout
     // (bypasses sbt's [info] log prefix), and the sbt-captured stdout
@@ -160,8 +177,10 @@ object Bench {
       java.io.FileDescriptor.out), true, "UTF-8")
     raw.println(line)
     println(line)
+    // the summary prints ONCE, last, on the raw FD: a duplicate print
+    // (or sbt's logger copy) would push the surviving copy past the
+    // driver's 2000-byte tail window
     raw.println(summary)
-    println(summary)
     spark.stop()
   }
 }

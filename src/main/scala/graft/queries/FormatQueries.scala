@@ -96,16 +96,22 @@ object FormatQueries extends QueryPack {
       // NaN-poisoned doubleSum proves each file NaN-free (noNaNEverywhere)
       min(col("o_totalprice")).as("min_price"),
       max(col("o_totalprice")).as("max_price"))
-    val p = agg.queryExecution.executedPlan
-    val local = (p +: p.collect {
+    require(plansAsLocalScan(agg),
+      s"footer aggregate must plan as a LocalScan, got:\n${agg.queryExecution.executedPlan}")
+    agg
+  }
+
+  /** True when the executed plan answers from a LocalTableScan — the
+    * footer-aggregate pushdown collapsed the scan to driver metadata.
+    */
+  private def plansAsLocalScan(df: DataFrame): Boolean = {
+    val p = df.queryExecution.executedPlan
+    (p +: p.collect {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan
     }).flatMap(_.collect {
       case l: org.apache.spark.sql.execution.LocalTableScanExec => l
-    })
-    require(local.nonEmpty,
-      s"footer aggregate must plan as a LocalScan, got:\n$p")
-    agg
+    }).nonEmpty
   }
 
   private val footerAggOracle = """
@@ -946,6 +952,48 @@ object FormatQueries extends QueryPack {
     |GROUP BY c_mktsegment ORDER BY c_mktsegment
     |""".stripMargin.trim
 
+  // COUNT(*) keeps its zero-I/O metadata answer even while merge-on-read
+  // deletes hold delete vectors: per-file live rows = footer numRows −
+  // DV cardinality, both planning-time (footers + DV sidecars, no data
+  // page). Every OTHER footer aggregate must refuse the shortcut — the
+  // stats still describe the masked rows — so the negative gate pins
+  // the distributed fallback for MIN, the positive gate pins the
+  // LocalScan plan for COUNT(*), and the oracle pins the value.
+  private def dvCount(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.dwrf.{DwrfDv, DwrfLog, DwrfUtil}
+    import org.apache.hadoop.fs.Path
+    val out = ioDir("customer-dvcount", dir)
+    val tbl = s"graft_dvcount_${Integer.toHexString(dir.hashCode)}"
+    val conf = DwrfUtil.sessionHadoopConf()
+    val root = new Path(out)
+    val fs = root.getFileSystem(conf)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    if (fs.exists(root)) fs.delete(root, true) // fresh history per run
+    Tables.load(s, dir, "customer").repartition(4)
+      .write.format("dwrf").mode("overwrite").save(out)
+    s.sql(s"CREATE TABLE $tbl USING dwrf LOCATION '$out' " +
+      s"TBLPROPERTIES ('${DwrfDv.DeleteModeKey}'='${DwrfDv.ModeMergeOnRead}')")
+    try {
+      DwrfLog.enable(root, conf)
+      s.sql(s"DELETE FROM $tbl WHERE c_mktsegment = 'BUILDING'")
+      require(DwrfLog.latest(root, conf).exists(_.dvs.nonEmpty),
+        "fixture must hold delete vectors after the MoR DELETE")
+      val cnt = s.table(tbl).agg(count(lit(1)).as("n_live"))
+      require(plansAsLocalScan(cnt),
+        s"COUNT(*) under DVs must stay a LocalScan, got:\n${cnt.queryExecution.executedPlan}")
+      val poisoned = s.table(tbl).agg(min(col("c_custkey")).as("min_key"))
+      require(!plansAsLocalScan(poisoned),
+        "MIN under DVs must fall back to the distributed plan " +
+          "(footer stats still describe masked rows)")
+      // materialize before the finally's DROP TABLE unbinds the name
+      val rows = cnt.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), cnt.schema)
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  private val dvCountOracle =
+    "SELECT COUNT(*) AS n_live FROM customer WHERE c_mktsegment <> 'BUILDING'"
+
   // Merge-on-read UPDATE (position-delta tier, SupportsDelta): the
   // statement writes ONLY the delta — per-file position sidecars for the
   // superseded row versions plus one appended file of new versions —
@@ -1368,6 +1416,7 @@ object FormatQueries extends QueryPack {
     Q("dwrf_merge_scan", mergeScan, Some(mergeScanOracle)),
     Q("dwrf_time_travel", timeTravel, Some(timeTravelOracle)),
     Q("dwrf_dv_scan", dvScan, Some(dvScanOracle)),
+    Q("dwrf_dv_count", dvCount, Some(dvCountOracle)),
     Q("dwrf_update_mor", updateMor, Some(updateMorOracle)),
     Q("dwrf_changes_scan", changesScan, Some(changesScanOracle)),
     Q("dwrf_optimize_scan", optimizeScan, Some(optimizeScanOracle)),

@@ -584,22 +584,48 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
   // schema-evolved or partition-column references fall back to the
   // normal distributed plan.
 
-  /** Per-file (schema names, numRows, stats-by-path, partition spec),
-    * read once on a bounded pool and only if an aggregate actually
-    * reaches us.
+  /** Per-file footer summary for the aggregate pushdown. `dvMasked` is
+    * the file's delete-vector cardinality (0 without one): footer stats
+    * still describe masked rows, so a positive count poisons every
+    * aggregate EXCEPT COUNT(*), which stays exact as rows − masked.
     */
-  private lazy val aggTails: Seq[(Set[String], Long, Map[String, graft.format.ColumnStats], Seq[(String, String)])] = {
+  private final case class Tail(cols: Set[String], rows: Long,
+      stats: Map[String, graft.format.ColumnStats],
+      spec: Seq[(String, String)], dvMasked: Long)
+
+  /** Per-file tails, read once on a bounded pool and only if an
+    * aggregate actually reaches us. Snapshot tables resolve their
+    * pinned manifest for the file set and DV bindings — same contract
+    * as the data scan, still zero data-page I/O (footers + DV sidecars
+    * are metadata).
+    */
+  private lazy val aggTails: Seq[Tail] = {
     val conf = DwrfUtil.sessionHadoopConf()
     val qualifiedRoot = DwrfUtil.qualify(new Path(path), conf)
-    val files = DwrfUtil.scanFiles(new Path(path), conf, options)
+    val snap = DwrfLog.resolve(new Path(path), conf,
+      DwrfUtil.pinnedVersion(new Path(path), conf, options))
+    val (files, dvOf) = snap match {
+      case Some(s) =>
+        val abs = s.files.map(rel => new Path(qualifiedRoot, rel))
+        val dv = s.files.zip(abs).collect {
+          case (rel, a) if s.dvs.contains(rel) =>
+            a.toString -> new Path(qualifiedRoot, s.dvs(rel))
+        }.toMap
+        (abs, dv)
+      case None =>
+        (DwrfUtil.listDataFiles(new Path(path), conf),
+          Map.empty[String, Path])
+    }
     DwrfUtil.parMap(files) { file =>
       val r = new DwrfFileReader(file, conf)
       try {
         val statsByName = ColumnTree.pathIds(r.schema).flatMap {
           case (p, (id, _)) => r.footer.fileStats.get(id).map(p -> _)
         }
-        (r.schema.fieldNames.toSet, r.footer.numRows, statsByName,
-          PartitionLayout.specOf(qualifiedRoot, file))
+        Tail(r.schema.fieldNames.toSet, r.footer.numRows, statsByName,
+          PartitionLayout.specOf(qualifiedRoot, file),
+          dvOf.get(file.toString)
+            .map(DwrfDv.count(_, conf)).getOrElse(0L))
       } finally r.close()
     }
   }
@@ -642,9 +668,8 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
     * as equal, so both plans return whichever spelling arrived first.)
     */
   private def noNaNEverywhere(name: String): Boolean =
-    !floating(name) || aggTails.forall { case (_, n, stats, _) =>
-      n == 0 || stats.get(name).forall(st => !st.doubleSum.isNaN)
-    }
+    !floating(name) || aggTails.forall(t =>
+      t.rows == 0 || t.stats.get(name).forall(st => !st.doubleSum.isNaN))
 
   private def topColumn(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
     case nr: org.apache.spark.sql.connector.expressions.NamedReference
@@ -657,9 +682,8 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
     */
   private def coveredEverywhere(name: String): Boolean =
     tableSchema.fields.find(_.name == name).exists(f => statsExact(f.dataType)) &&
-      aggTails.forall { case (names, n, stats, _) =>
-        n == 0 || (names.contains(name) && stats.contains(name))
-      }
+      aggTails.forall(t =>
+        t.rows == 0 || (t.cols.contains(name) && t.stats.contains(name)))
 
   /** Grouping column usable for footer aggregation: a partition column
     * (its value is a per-file constant carried by the directory name)
@@ -669,14 +693,11 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
   private def groupableEverywhere(name: String): Boolean =
     tableSchema.fields.find(_.name == name).exists(f =>
       PartitionLayout.supportedType(f.dataType)) && aggTails.nonEmpty &&
-      aggTails.forall { case (_, _, _, spec) =>
-        spec.exists { case (k, raw) =>
+      aggTails.forall(t =>
+        t.spec.exists { case (k, raw) =>
           k == name && PartitionLayout.catalystValue(
             raw, tableSchema(name).dataType) != null
-        }
-      }
-
-  private type Tail = (Set[String], Long, Map[String, graft.format.ColumnStats], Seq[(String, String)])
+        })
 
   /** Files grouped by the TYPED partition values of `groupCols` (one
     * group holding everything when ungrouped), deterministic order.
@@ -687,10 +708,10 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
     */
   private def groupedTails(groupCols: Seq[String]): Seq[(Seq[Any], Seq[Tail])] =
     if (groupCols.isEmpty) Seq((Nil, aggTails))
-    else aggTails.groupBy { case (_, _, _, spec) =>
+    else aggTails.groupBy(t =>
       groupCols.map(c => PartitionLayout.catalystValue(
-        spec.find(_._1 == c).get._2, tableSchema(c).dataType))
-    }.toSeq.sortBy(_._1.map(String.valueOf).mkString("\u0000"))
+        t.spec.find(_._1 == c).get._2, tableSchema(c).dataType)))
+      .toSeq.sortBy(_._1.map(String.valueOf).mkString("\u0000"))
       .map { case (k, v) => (k, v.toSeq) }
 
   /** Exact sum of `name` across `tails`, None when any file's own sum
@@ -698,7 +719,7 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
     * sums unchecked, so the checked fold lives here.
     */
   private def safeSum(tails: Seq[Tail], name: String): Option[Long] = {
-    val sts = tails.flatMap(_._3.get(name))
+    val sts = tails.flatMap(_.stats.get(name))
     if (sts.exists(_.longSumOverflowed)) None
     else try Some(sts.foldLeft(0L)((a, s) => Math.addExact(a, s.longSum)))
     catch { case _: ArithmeticException => None }
@@ -720,15 +741,16 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
     // a grouped aggregate FEEDING a co-partitioned join may prefer the
     // storage-partitioned scan — aggregate.pushdown=false keeps it
     options.get("aggregate.pushdown").forall(_.toBoolean) &&
-      // delete vectors make footer stats overcount (they still describe
-      // the masked rows) — every aggregate goes distributed until a
-      // rewrite purges the DVs. scan.files-restricted reads (change
-      // feed internals) skip the pushdown too: aggTails reads the FULL
-      // version's footers.
+      // scan.files-restricted reads (change feed internals) skip the
+      // pushdown: aggTails reads the FULL version's footers.
       DwrfUtil.scanFilesOption(options).isEmpty &&
-      !DwrfLog.resolve(new Path(path), DwrfUtil.sessionHadoopConf(),
-        DwrfUtil.pinnedVersion(new Path(path), DwrfUtil.sessionHadoopConf(),
-          options)).exists(_.dvs.nonEmpty) &&
+      // delete vectors make footer stats overcount (they still describe
+      // the masked rows), so MIN/MAX/SUM/COUNT(col) go distributed until
+      // a rewrite purges the DVs — but COUNT(*) stays exact as
+      // per-file rows − DV cardinality, both planning-time metadata, so
+      // "how many rows" keeps its zero-I/O answer even mid-MoR-churn.
+      (aggTails.forall(_.dvMasked == 0L) ||
+        agg.aggregateExpressions().forall(_.isInstanceOf[CountStar])) &&
       pushed.isEmpty &&
       agg.groupByExpressions().forall(e =>
         topColumn(e).exists(groupableEverywhere)) &&
@@ -767,7 +789,7 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.types._
     def merged(tails: Seq[Tail], name: String): graft.format.ColumnStats =
-      tails.iterator.flatMap(_._3.get(name))
+      tails.iterator.flatMap(_.stats.get(name))
         .foldLeft(graft.format.ColumnStats(0L, hasNull = false))(_ merge _)
     def minMax(tails: Seq[Tail], name: String, isMin: Boolean): Any = {
       val st = merged(tails, name)
@@ -791,7 +813,7 @@ final class DwrfScanBuilder(tableSchema: StructType, path: String,
     val groupCols = agg.groupByExpressions().map(e => topColumn(e).get)
     val groups = groupedTails(groupCols.toSeq)
     def aggCols(tails: Seq[Tail]): Seq[Any] = agg.aggregateExpressions().toSeq.map {
-      case _: CountStar => tails.map(_._2).sum
+      case _: CountStar => tails.map(t => t.rows - t.dvMasked).sum
       case c: Count => merged(tails, topColumn(c.column).get).count
       case m: Min => minMax(tails, topColumn(m.column).get, isMin = true)
       case m: Max => minMax(tails, topColumn(m.column).get, isMin = false)

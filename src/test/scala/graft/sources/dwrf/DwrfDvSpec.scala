@@ -193,8 +193,10 @@ class DwrfDvSpec extends AnyFunSuite {
     DwrfDv.deleteWhere(spark, dir, schemaOf(dir), Array(LessThan("id", 25L)))
     assert(DwrfLog.latest(new Path(dir), conf).get.dvs.nonEmpty)
 
-    // with DVs bound, COUNT must NOT collapse to a footer LocalScan (the
-    // footers overcount) — and must still be right
+    // with DVs bound, COUNT(*) KEEPS the footer LocalScan — live rows =
+    // footer numRows − DV cardinality, both planning-time metadata —
+    // while every stats-backed aggregate (the footers still describe
+    // the masked rows) must fall back to the distributed plan
     def plansLocal(df: org.apache.spark.sql.DataFrame): Boolean = {
       val p = df.queryExecution.executedPlan
       (p +: p.collect {
@@ -205,17 +207,32 @@ class DwrfDvSpec extends AnyFunSuite {
       }).nonEmpty
     }
     val masked = spark.read.format("dwrf").load(dir).groupBy().count()
-    assert(!plansLocal(masked))
+    assert(plansLocal(masked), "COUNT(*) under DVs must stay zero-I/O")
     assert(masked.collect().head.getLong(0) === 175L)
+    val poisonedMin = spark.read.format("dwrf").load(dir)
+      .agg(org.apache.spark.sql.functions.min("id"))
+    assert(!plansLocal(poisonedMin),
+      "MIN under DVs must go distributed (deleted rows may hold the min)")
+    assert(poisonedMin.collect().head.getLong(0) === 25L)
+    // mixing COUNT(*) with a poisoned aggregate poisons the whole push
+    val mixed = spark.read.format("dwrf").load(dir)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.max("id"))
+    assert(!plansLocal(mixed))
+    assert(mixed.collect().head === org.apache.spark.sql.Row(175L, 199L))
 
     DwrfOptimize.rewrite(spark, dir, Seq("id"))
     val snap = DwrfLog.latest(new Path(dir), conf).get
     assert(snap.dvs.isEmpty, "optimize must purge DV bindings")
     assert(ids(dir) === (25L until 200L))
-    // pushdown returns once the masks are gone
-    val after = spark.read.format("dwrf").load(dir).groupBy().count()
+    // the full pushdown returns once the masks are gone
+    val after = spark.read.format("dwrf").load(dir)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.min("id"))
     assert(plansLocal(after))
-    assert(after.collect().head.getLong(0) === 175L)
+    assert(after.collect().head === org.apache.spark.sql.Row(175L, 25L))
     // vacuum reclaims the sidecars along with replaced inputs
     DwrfLog.vacuum(new Path(dir), conf, retainLast = 1)
     val fs = new Path(dir).getFileSystem(conf)
