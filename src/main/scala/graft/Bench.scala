@@ -27,13 +27,13 @@ object Bench {
     "q1_pricing", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue", "q_events_hourly", "q_running_spend",
     "q_distinct_counts", "q_asof_join", "q_range_join", "q_events_funnel",
-    "q_user_retention",
+    "q_user_retention", "q_quantile_sketch",
     "dwrf_roundtrip_lineitem", "dwrf_projection_filter",
     "dwrf_filter_columnar", "dwrf_partitioned_roundtrip", "dwrf_footer_agg",
     "dwrf_zorder_scan", "dwrf_bloom_scan", "dwrf_decimal_roundtrip",
     "dwrf_spj_join", "dwrf_delete_scan", "dwrf_merge_scan",
     "dwrf_time_travel", "dwrf_optimize_scan", "dwrf_catalog_scan",
-    "dwrf_dv_scan", "dwrf_update_mor", "dwrf_changes_scan",
+    "dwrf_dv_scan", "dwrf_dv_count", "dwrf_update_mor", "dwrf_changes_scan",
     "dwrf_restore_scan", "dwrf_manifest_prune",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
     "dedup_minhash_lsh", "dedup_substring", "dedup_semantic",

@@ -134,6 +134,38 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kll_quantiles",
+      {
+        case Seq(child, phisExpr, kExpr)
+            if phisExpr.foldable && kExpr.foldable =>
+          val phis = phisExpr.eval() match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+              phisExpr.dataType match {
+                case org.apache.spark.sql.types.ArrayType(
+                    org.apache.spark.sql.types.DoubleType, _) =>
+                  a.toDoubleArray().toSeq
+                case org.apache.spark.sql.types.ArrayType(
+                    org.apache.spark.sql.types.FloatType, _) =>
+                  a.toFloatArray().map(_.toDouble).toSeq
+                case other => throw new IllegalArgumentException(
+                  s"kll_quantiles: ranks must be an array of doubles, got $other")
+              }
+            case other => throw new IllegalArgumentException(
+              s"kll_quantiles: ranks must be an array literal, got $other")
+          }
+          val k = kExpr.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case s: Short => s.toInt
+            case other => throw new IllegalArgumentException(
+              s"kll_quantiles: k must be an integer literal, got $other")
+          }
+          KllQuantiles(child, phis, k).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"kll_quantiles(col, array(phi...), k): got ${other.size} args")
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mg_topk",
       {
         case Seq(child, Literal(k: Int, _)) =>

@@ -359,6 +359,47 @@ object CoreQueries extends QueryPack {
       |""".stripMargin.trim)
   }
 
+  // Native KLL quantile sketch (graft.functions.KllQuantiles) — the
+  // scale path for percentiles: exact percentile needs a full sort (or
+  // Spark's QuantileSummaries over the whole column) while KLL carries
+  // O(k) doubles per partial buffer through map-side combine. The
+  // rows-only check self-validates IN-BAND by measuring the true
+  // normalized rank of each sketch answer with one distributed
+  // conditional-count pass and REQUIRING the max rank error within the
+  // sketch's bound — the guarantee itself is on the driver gate, not
+  // just in sbt (same pattern as the LSH/IVF recall instruments).
+  private def qQuantileSketch(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.registerAll(s, dir)
+    val first = s.sql("""
+      |SELECT kll_quantiles(l_extendedprice, array(0.5D, 0.9D, 0.99D), 200)
+      |    AS qs,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |""".stripMargin.trim).collect()(0)
+    val qs = first.getSeq[Double](0)
+    val n = first.getLong(1)
+    val ranks = s.sql(s"""
+      |SELECT
+      |  SUM(CASE WHEN l_extendedprice <= ${qs(0)} THEN 1 ELSE 0 END) AS r50,
+      |  SUM(CASE WHEN l_extendedprice <= ${qs(1)} THEN 1 ELSE 0 END) AS r90,
+      |  SUM(CASE WHEN l_extendedprice <= ${qs(2)} THEN 1 ELSE 0 END) AS r99
+      |FROM lineitem
+      |""".stripMargin.trim).collect()(0)
+    val errs = Seq(0.5, 0.9, 0.99).zipWithIndex.map { case (phi, i) =>
+      math.abs(ranks.getLong(i).toDouble / n - phi)
+    }
+    val maxErr = errs.max
+    require(maxErr <= 0.02,
+      s"kll_quantiles rank error $maxErr exceeds the k=200 bound 0.02")
+    import s.implicits._
+    Seq((qs(0), qs(1), qs(2),
+        BigDecimal(maxErr).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, n))
+      .toDF("p50", "p90", "p99", "max_rank_err", "n_rows")
+  }
+
   // -------------------------------------------------------- funnel
   // Ordered-sequence funnel over the event stream: earliest view per
   // user, earliest click strictly after that view, earliest purchase
@@ -489,6 +530,7 @@ object CoreQueries extends QueryPack {
     Q("q_top_parts_window", qTopParts, Some(qTopPartsOracle)),
     Q("q_distinct_counts", qDistinct, Some(qDistinctOracle)),
     Q("q_distinct_sketch", qDistinctSketch, None),
+    Q("q_quantile_sketch", qQuantileSketch, None),
     Q("q_asof_join", qAsof, Some(qAsofOracle)),
     Q("q_range_join", qRangeJoin, Some(qRangeJoinOracle)),
     Q("q_running_spend", qRunning, Some(qRunningOracle)),
