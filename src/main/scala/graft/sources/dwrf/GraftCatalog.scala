@@ -296,6 +296,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             schema = StructType(c.schema.filterNot(_.name.equalsIgnoreCase(nm))),
             dropped = c.dropped :+ nm)
         }
+      // ALTER TABLE ... ALTER COLUMN ... TYPE: WIDENING only (int→long,
+      // float→double, recursively through nested shapes) — the read
+      // path already upcasts narrower-written file generations
+      // ([[TypeWidening]] via DwrfFileReader), so the catalog change is
+      // metadata-only and every existing file stays readable. Anything
+      // that could lose a value (narrowing, int↔float drift) refuses.
+      case (c, upd: TableChange.UpdateColumnType) =>
+        require(upd.fieldNames.length == 1,
+          "graft catalog: only top-level ALTER COLUMN TYPE")
+        val nm = upd.fieldNames()(0)
+        val idx = c.schema.fieldNames.indexWhere(_.equalsIgnoreCase(nm))
+        require(idx >= 0, s"graft catalog: no column '$nm' in $ident")
+        require(!c.partCols.exists(_.equalsIgnoreCase(nm)),
+          s"graft catalog: cannot change partition column '$nm' type")
+        val from = c.schema.fields(idx).dataType
+        val to = upd.newDataType()
+        require(TypeWidening.widen(from, to).contains(to),
+          s"graft catalog: cannot ALTER '$nm' from ${from.simpleString} " +
+            s"to ${to.simpleString} — only lossless widening is allowed " +
+            "(int family upward, float→double)")
+        c.copy(schema = StructType(c.schema.fields.updated(idx,
+          c.schema.fields(idx).copy(dataType = to))))
       // ALTER TABLE ... SET/UNSET TBLPROPERTIES — how a table opts into
       // e.g. delete.mode=merge-on-read after creation
       case (c, set: TableChange.SetProperty) =>

@@ -141,4 +141,46 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(s.table("graftcat.lake.dc").columns.toSeq === Seq("id", "v", "tag2"))
     s.sql("DROP TABLE graftcat.lake.dc")
   }
+
+  test("ALTER COLUMN TYPE widens losslessly; narrowing refuses") {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("CREATE TABLE graftcat.lake.wd (id INT, v FLOAT) USING dwrf")
+    s.sql("INSERT INTO graftcat.lake.wd VALUES (1, CAST(1.5 AS FLOAT))")
+    val files0 = DwrfUtil.listDataFileStatuses(
+      new Path(s"$warehouse/lake/wd"), conf)
+      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime)).toSet
+
+    s.sql("ALTER TABLE graftcat.lake.wd ALTER COLUMN id TYPE BIGINT")
+    s.sql("ALTER TABLE graftcat.lake.wd ALTER COLUMN v TYPE DOUBLE")
+    // metadata-only: the int/float-written file is untouched and upcasts
+    assert(DwrfUtil.listDataFileStatuses(new Path(s"$warehouse/lake/wd"), conf)
+      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+      .toSet === files0)
+    assert(s.table("graftcat.lake.wd").schema.map(_.dataType.simpleString)
+      === Seq("bigint", "double"))
+    // post-ALTER inserts carry the wide types; generations mix on read
+    s.sql("INSERT INTO graftcat.lake.wd VALUES (4000000000, 2.5)")
+    assert(s.sql("SELECT id, v FROM graftcat.lake.wd ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 1.5), (4000000000L, 2.5)))
+    // and the widened column still aggregates through the footer path
+    assert(s.sql("SELECT MAX(id) FROM graftcat.lake.wd").as[Long].head()
+      === 4000000000L)
+
+    // narrowing never reaches the catalog: Spark's analyzer refuses any
+    // non-upcast AlterColumns first (NOT_SUPPORTED_CHANGE_COLUMN)
+    val narrow = intercept[Exception](
+      s.sql("ALTER TABLE graftcat.lake.wd ALTER COLUMN id TYPE INT"))
+    assert(narrow.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"))
+    // int→double passes Spark's upcast check but is NOT value-lossless
+    // for 64-bit longs downstream — OUR widening rule refuses the
+    // cross-family drift with its own message
+    s.sql("ALTER TABLE graftcat.lake.wd ADD COLUMNS (small INT)")
+    val drift = intercept[Exception](
+      s.sql("ALTER TABLE graftcat.lake.wd ALTER COLUMN small TYPE DOUBLE"))
+    assert(drift.getMessage.contains("widening"))
+    s.sql("DROP TABLE graftcat.lake.wd")
+  }
 }
