@@ -319,6 +319,47 @@ object BenchOpScale {
         s"${lshRecall("scaled_auto")} < 0.8 at ${autoPlanes / autoBits}×" +
         s"$autoBits-bit (theory ≥ 0.85 by construction)")
 
+    // ------------------------------------------------ KLL sketch tier
+    // The replica corpus carries n_chars UNCHANGED per copy, so the
+    // scaled corpus's true quantiles are IDENTICAL to the base's — the
+    // sketch must hold its rank bound at 16× the stream length with the
+    // same O(k) state, and the measured answers are checked against the
+    // scaled corpus's own exact ranks (not assumed equal to base).
+    {
+      graft.functions.GraftFunctions.register(spark)
+      def kllTier(dir: String): (Double, Double, Long, Long) = {
+        val (t, (qs, n), sr, sw) = measuredF {
+          Tables.load(spark, dir, "documents")
+            .createOrReplaceTempView("kll_stress_docs")
+          val row = spark.sql(
+            """SELECT kll_quantiles(n_chars, array(0.5D, 0.9D, 0.99D), 200),
+              |  COUNT(*) FROM kll_stress_docs""".stripMargin).head()
+          (row.getSeq[Double](0), row.getLong(1))
+        }
+        val ranks = spark.sql(s"""
+          |SELECT
+          |  SUM(CASE WHEN n_chars <= ${qs(0)} THEN 1 ELSE 0 END),
+          |  SUM(CASE WHEN n_chars <= ${qs(1)} THEN 1 ELSE 0 END),
+          |  SUM(CASE WHEN n_chars <= ${qs(2)} THEN 1 ELSE 0 END)
+          |FROM kll_stress_docs""".stripMargin).head()
+        val err = Seq(0.5, 0.9, 0.99).zipWithIndex.map { case (phi, i) =>
+          math.abs(ranks.getLong(i).toDouble / n - phi)
+        }.max
+        (t, err, sr, sw)
+      }
+      kllTier(baseDir) // warmup: codegen + view registration, unrecorded
+      val (t1, err1, _, _) = kllTier(baseDir)
+      val (tN, errN, srN, swN) = kllTier(scaledDir)
+      r ++= Seq("kll_base_s" -> t1, "kll_scaled_s" -> tN,
+        "kll_base_rank_err" -> err1, "kll_scaled_rank_err" -> errN,
+        "kll_time_ratio" -> tN / t1,
+        "kll_scaled_shuffle_read_mb" -> srN / 1e6,
+        "kll_scaled_shuffle_write_mb" -> swN / 1e6)
+      check(err1 <= 0.02 && errN <= 0.02,
+        s"kll_quantiles rank error broke the k=200 bound under 16x: " +
+          s"base $err1, scaled $errN")
+    }
+
     // ------------------------------------- manifest-stats planning tier
     // The 100 TB claim behind DwrfLogStats, measured: a 256-file
     // snapshot table planned through the commit's stats sidecar must
