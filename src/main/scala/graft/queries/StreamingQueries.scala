@@ -1166,6 +1166,102 @@ object StreamingQueries extends QueryPack {
     |ORDER BY o_orderstatus
     |""".stripMargin.trim
 
+  // Incrementally maintained aggregate (DwrfAggMaintain): a per-custkey
+  // rollup of a churning orders table kept current by FOLLOWING the
+  // change feed — per micro-batch the feed nominates the affected keys,
+  // those groups recompute from the current snapshot (file-pruned by
+  // the key join), and one MERGE updates/inserts/deletes them. The
+  // gate stages append + copy-on-write UPDATE + row-level DELETE
+  // commits, REQUIREs the vanished-group DELETE branch provably fired
+  // (keys that existed pre-delete are gone from the maintained table),
+  // REQUIREs re-applying the full feed leaves the content bit-identical
+  // (idempotent-from-truth — an additive delta scheme would
+  // double-count here), and hash-checks the maintained table against
+  // DuckDB computing the final rollup directly.
+  private def streamAggMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.hadoop.fs.Path
+    import graft.sources.dwrf.{DwrfAggMaintain, DwrfChanges, DwrfLog, DwrfUtil}
+    val tag = dirTag(dir)
+    val srcDir = stagingRoot.resolve(s"agg-maintain-src-$tag").toString
+    val tgtDir = stagingRoot.resolve(s"agg-maintain-tgt-$tag").toString
+    val srcTbl = s"graft_aggm_src_$tag"
+    val tgtTbl = s"graft_aggm_tgt_$tag"
+    val conf = DwrfUtil.sessionHadoopConf()
+    val fs = new Path(srcDir).getFileSystem(conf)
+    s.sql(s"DROP TABLE IF EXISTS $srcTbl")
+    s.sql(s"DROP TABLE IF EXISTS $tgtTbl")
+    Seq(srcDir, tgtDir).foreach(d =>
+      if (fs.exists(new Path(d))) fs.delete(new Path(d), true))
+    val aggs = Seq("COUNT(*) AS n_orders", s"${dsum("o_totalprice")} AS total_price")
+    try {
+      val orders = graft.Tables.load(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      // v0: initial snapshot (most rows)
+      orders.filter($"o_orderkey" % 97 =!= 0)
+        .write.format("dwrf").mode("overwrite").save(srcDir)
+      s.sql(s"CREATE TABLE $srcTbl USING dwrf LOCATION '$srcDir'")
+      DwrfLog.enable(new Path(srcDir), conf)
+      // v1: append the held-out rows
+      orders.filter($"o_orderkey" % 97 === 0).repartition(1)
+        .write.format("dwrf").mode("append").save(srcDir)
+      // v2: copy-on-write UPDATE — the feed carries delete+insert pairs
+      s.sql(s"UPDATE $srcTbl SET o_totalprice = o_totalprice + 10.0 " +
+        "WHERE o_orderstatus = 'F'")
+      // v3: row-level DELETE that vanishes WHOLE groups (every order of
+      // custkeys ≡ 3 mod 10) — the maintained table must drop them
+      s.sql(s"DELETE FROM $srcTbl WHERE o_custkey % 10 = 3")
+      require(DwrfLog.latestVersion(new Path(srcDir), conf).contains(3L),
+        "agg-maintain staging must commit v0..v3")
+      require(s.read.format("dwrf").option("versionAsOf", 2)
+        .load(srcDir).filter($"o_custkey" % 10 === 3).limit(1).count() == 1L,
+        "staging must hold soon-to-vanish groups at v2")
+
+      s.sql(s"CREATE TABLE $tgtTbl (o_custkey BIGINT, n_orders BIGINT, " +
+        s"total_price DOUBLE) USING dwrf LOCATION '$tgtDir'")
+      DwrfLog.enable(new Path(tgtDir), conf)
+
+      val (ckDir, _) = freshSinkDirs("stream-agg-maintain", dir)
+      val q = DwrfAggMaintain.start(s, srcDir, srcTbl, tgtTbl,
+        keys = Seq("o_custkey"), aggClauses = aggs, checkpoint = ckDir,
+        sourceOptions = Map("maxVersionsPerTrigger" -> "1"))
+      q.awaitTermination()
+      require(s.table(tgtTbl).filter($"o_custkey" % 10 === 3).isEmpty,
+        "vanished groups must be DELETEd from the maintained aggregate")
+      // idempotent-from-truth: re-applying the ENTIRE feed must leave
+      // the content bit-identical (not merely row-count-stable)
+      val before = s.sql(s"SELECT * FROM $tgtTbl ORDER BY o_custkey")
+        .collect().toSeq
+      DwrfAggMaintain.applyBatch(
+        DwrfChanges.between(s, srcDir, 0L, 3L), srcTbl, tgtTbl,
+        Seq("o_custkey"), aggs)
+      val after = s.sql(s"SELECT * FROM $tgtTbl ORDER BY o_custkey")
+        .collect().toSeq
+      require(before == after,
+        "re-applying the full feed must leave the maintained table " +
+          "bit-identical (idempotent-from-truth)")
+      val rolled = s.sql(s"""
+        |SELECT o_custkey, n_orders, total_price
+        |FROM $tgtTbl ORDER BY o_custkey
+        |""".stripMargin.trim)
+      val rows = rolled.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), rolled.schema)
+        .orderBy($"o_custkey")
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $srcTbl")
+      s.sql(s"DROP TABLE IF EXISTS $tgtTbl")
+    }
+  }
+
+  private val streamAggMaintainOracle = s"""
+    |SELECT o_custkey, COUNT(*) AS n_orders,
+    |  ${dsumStatic("CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 10.0 ELSE o_totalprice END")} AS total_price
+    |FROM orders
+    |WHERE o_custkey % 10 <> 3
+    |GROUP BY o_custkey
+    |ORDER BY o_custkey
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     Q("stream_events_window", eventsWindow, Some(eventsWindowOracle)),
     Q("sessionize_events", sessionize, Some(sessionizeOracle)),
@@ -1180,5 +1276,6 @@ object StreamingQueries extends QueryPack {
     Q("stream_log_follow", streamLogFollow, Some(streamLogFollowOracle)),
     Q("stream_cdf_follow", streamCdfFollow, Some(streamCdfFollowOracle)),
     Q("stream_cdc_apply", streamCdcApply, Some(streamCdcApplyOracle)),
+    Q("stream_agg_maintain", streamAggMaintain, Some(streamAggMaintainOracle)),
   )
 }
