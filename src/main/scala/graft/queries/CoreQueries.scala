@@ -400,6 +400,73 @@ object CoreQueries extends QueryPack {
       .toDF("p50", "p90", "p99", "max_rank_err", "n_rows")
   }
 
+  // One-pass column profiler: all three native sketch families (KMV
+  // distinct, KLL quantiles, Misra-Gries heavy hitters) riding ONE
+  // aggregation over lineitem — one scan, partials map-side combined,
+  // O(k) shuffle bytes per sketch. This is the data-profiling shape a
+  // 100 TB intake pipeline runs on every new table; the REQUIREs pin
+  // (a) the single-scan plan, (b) each sketch against its exact
+  // counterpart: KMV within 5%, KLL within the k=200 rank bound, and
+  // MG EXACT (3 return flags ≪ k=63 counters means zero decrement ever
+  // happens, so the sketch degenerates to exact counts by theory).
+  private def qProfileSketch(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.registerAll(s, dir)
+    val one = s.sql("""
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(kmv_distinct(l_partkey, 1024) AS BIGINT) AS partkey_kmv,
+      |  kll_quantiles(l_extendedprice, array(0.25D, 0.5D, 0.75D), 200)
+      |    AS price_quartiles,
+      |  mg_topk(l_returnflag, 63) AS returnflag_counts
+      |FROM lineitem
+      |""".stripMargin.trim)
+    val p = one.queryExecution.executedPlan
+    val scans = (p +: p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+    }).flatMap(_.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      case sc: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => sc
+    })
+    require(scans.length == 1,
+      s"the profiler must read its table ONCE, found ${scans.length} scans:\n$p")
+    val r = one.collect()(0)
+    val nRows = r.getLong(0)
+    val kmv = r.getLong(1)
+    val qs = r.getSeq[Double](2)
+    val modes = r.getMap[String, Long](3)
+    val exact = s.sql(s"""
+      |SELECT COUNT(DISTINCT l_partkey),
+      |  SUM(CASE WHEN l_extendedprice <= ${qs(0)} THEN 1 ELSE 0 END),
+      |  SUM(CASE WHEN l_extendedprice <= ${qs(1)} THEN 1 ELSE 0 END),
+      |  SUM(CASE WHEN l_extendedprice <= ${qs(2)} THEN 1 ELSE 0 END)
+      |FROM lineitem
+      |""".stripMargin.trim).collect()(0)
+    val kmvErr = math.abs(kmv - exact.getLong(0).toDouble) / exact.getLong(0)
+    require(kmvErr <= 0.05, s"KMV drifted $kmvErr from exact at k=1024")
+    val rankErr = Seq(0.25, 0.5, 0.75).zipWithIndex.map { case (phi, i) =>
+      math.abs(exact.getLong(i + 1).toDouble / nRows - phi)
+    }.max
+    require(rankErr <= 0.02, s"KLL rank error $rankErr exceeds the k=200 bound")
+    val exactModes = s.sql(
+      "SELECT l_returnflag, COUNT(*) FROM lineitem GROUP BY l_returnflag")
+      .collect().map(r2 => r2.getString(0) -> r2.getLong(1)).toMap
+    require(modes == exactModes,
+      s"MG with k=63 over ${exactModes.size} modes must be exact: " +
+        s"sketch $modes vs exact $exactModes")
+    val (topMode, topN) = modes.maxBy { case (m, n) => (n, m) }
+    import s.implicits._
+    Seq((nRows, kmv,
+        BigDecimal(kmvErr).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        qs(0), qs(1), qs(2),
+        BigDecimal(rankErr).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        exactModes.size.toLong, topMode, topN))
+      .toDF("n_rows", "partkey_kmv", "kmv_rel_err", "price_q25", "price_q50",
+        "price_q75", "max_rank_err", "n_returnflags", "top_returnflag",
+        "top_returnflag_n")
+  }
+
   // -------------------------------------------------------- funnel
   // Ordered-sequence funnel over the event stream: earliest view per
   // user, earliest click strictly after that view, earliest purchase
@@ -531,6 +598,7 @@ object CoreQueries extends QueryPack {
     Q("q_distinct_counts", qDistinct, Some(qDistinctOracle)),
     Q("q_distinct_sketch", qDistinctSketch, None),
     Q("q_quantile_sketch", qQuantileSketch, None),
+    Q("q_profile_sketch", qProfileSketch, None),
     Q("q_asof_join", qAsof, Some(qAsofOracle)),
     Q("q_range_join", qRangeJoin, Some(qRangeJoinOracle)),
     Q("q_running_spend", qRunning, Some(qRunningOracle)),
