@@ -38,7 +38,8 @@ object Bench {
     "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
     "dedup_minhash_lsh", "dedup_substring", "dedup_semantic",
     "text_heavy_hitters", "dwrf_compact_scan",
-    "ann_topk_dot", "ann_lsh_cosine", "ann_lsh_recall", "ann_ivf_recall",
+    "ann_topk_dot", "ann_filtered_topk", "ann_lsh_cosine", "ann_lsh_recall",
+    "ann_ivf_recall",
     "ann_pq_recall",
     "text_stats", "text_langid", "text_fingerprint", "text_pii_scrub",
     "text_bm25",

@@ -62,6 +62,50 @@ object SimilarityQueries extends QueryPack {
     |LIMIT 10
     |""".stripMargin.trim
 
+  // ------------------------------------------------- filtered top-k
+  // Metadata-filtered vector search — the vector-DB query shape ("top-k
+  // nearest AMONG label=3 docs"). PRE-filtering is the scale answer:
+  // the predicate reaches the parquet scan (REQUIREd via PushedFilters,
+  // so only matching row groups decode — at 100 TB the filter is the
+  // difference between scanning a slice and scanning the corpus), and
+  // similarity only ever computes over survivors. Post-filtering a
+  // global top-k would instead return < k rows whenever the neighborhood
+  // is label-skewed. Exact-decimal arithmetic, hash-exact oracle.
+  private def filteredTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val query = emb.filter($"vec_id" === 0).select($"embedding".as("q"))
+    val filtered = emb.filter($"vec_id" =!= 0 && $"label" === 3)
+    val plan = filtered.queryExecution.executedPlan.toString
+    require(plan.contains("PushedFilters") && plan.contains("label"),
+      s"the label predicate must reach the scan as a pushed filter:\n$plan")
+    filtered
+      .crossJoin(broadcast(query))
+      .select($"vec_id", $"label",
+        expr(s"CAST(${decimalDot("embedding", "q")} AS DOUBLE)").as("dot"))
+      .orderBy($"dot".desc, $"vec_id")
+      .limit(10)
+  }
+
+  private val filteredTopkOracle = """
+    |WITH q AS (
+    |  SELECT CAST(t.i AS BIGINT) AS pos,
+    |    CAST(embedding[CAST(t.i AS BIGINT)] AS DOUBLE) AS qv
+    |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    |  WHERE vec_id = 0),
+    |e AS (
+    |  SELECT vec_id, label, CAST(t.i AS BIGINT) AS pos,
+    |    CAST(embedding[CAST(t.i AS BIGINT)] AS DOUBLE) AS ev
+    |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    |  WHERE vec_id <> 0 AND label = 3)
+    |SELECT e.vec_id, ANY_VALUE(e.label) AS label,
+    |  CAST(SUM(CAST(e.ev * q.qv AS DECIMAL(28,12))) AS DOUBLE) AS dot
+    |FROM e JOIN q ON e.pos = q.pos
+    |GROUP BY e.vec_id
+    |ORDER BY dot DESC, e.vec_id
+    |LIMIT 10
+    |""".stripMargin.trim
+
   // ------------------------------------------------- all-pairs cosine
   // bounded to the first 2000 vectors (same bound in the oracle) so the
   // deliberately-quadratic verifier stays tractable at any SF. ONE plan,
@@ -814,6 +858,7 @@ object SimilarityQueries extends QueryPack {
 
   override val all: Seq[Q] = Seq(
     Q("ann_topk_dot", topkDot, Some(topkDotOracle)),
+    Q("ann_filtered_topk", filteredTopk, Some(filteredTopkOracle)),
     Q("ann_cosine_pairs", cosinePairs, Some(cosinePairsOracle)),
     Q("ann_lsh_cosine", lshCosine, None),
     Q("ann_lsh_recall", lshRecall, None),
