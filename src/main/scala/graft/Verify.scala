@@ -30,6 +30,29 @@ object Verify {
     val selected = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))
     }
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def writeOracleSql(): Unit = {
+      val json = SparkEntry.oracleSql
+        .filter { case (k, _) => only.forall(_.contains(k)) }
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    }
+    // oracle_sql.json is a pure function of the static maps — write it
+    // BEFORE any query runs, so a driver-killed partial run still gets
+    // its surviving dumps compared instead of zeroing the whole round
+    // (rewritten identically at the end for good measure).
+    writeOracleSql()
     // Deterministic name order: if the driver kills a long run partway,
     // the surviving subset is an alphabetic prefix (diagnosable), not a
     // hash-order lottery. Per-query wall time goes to stderr so a slow
@@ -45,22 +68,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    writeOracleSql()
     spark.stop()
   }
 }
