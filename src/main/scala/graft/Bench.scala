@@ -28,6 +28,7 @@ object Bench {
     "q6_forecast_revenue", "q_events_hourly", "q_running_spend",
     "q_distinct_counts", "q_asof_join", "q_range_join", "q_events_funnel",
     "q_user_retention", "q_quantile_sketch", "q_profile_sketch",
+    "q_resample_ffill",
     "dwrf_roundtrip_lineitem", "dwrf_projection_filter",
     "dwrf_filter_columnar", "dwrf_partitioned_roundtrip", "dwrf_footer_agg",
     "dwrf_zorder_scan", "dwrf_bloom_scan", "dwrf_decimal_roundtrip",

@@ -400,6 +400,58 @@ object CoreQueries extends QueryPack {
       .toDF("p50", "p90", "p99", "max_rank_err", "n_rows")
   }
 
+  // Time-series resample + gap-fill: the events stream regularized to a
+  // complete per-user daily grid, with COUNT/SUM per present day and a
+  // forward-filled "last known" value across the gaps — the feature-
+  // engineering shape every training pipeline runs before windowed
+  // models. One groupBy on (user, day), one broadcast-able day spine,
+  // one per-user window for the fill: at 100 TB everything shuffles on
+  // user_id exactly once. Spark fills via last_value IGNORE NULLS; the
+  // DuckDB oracle fills via ASOF LEFT JOIN (greatest day ≤ grid day) —
+  // two different engines' idioms REQUIREd to agree hash-exactly.
+  private val qResampleSql = s"""
+    |WITH daily AS (
+    |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+    |    COUNT(*) AS n, ${dsum("value")} AS v
+    |  FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)),
+    |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    |days AS (SELECT explode(sequence(d0, d1, interval 1 day)) AS day FROM span),
+    |grid AS (
+    |  SELECT u.user_id, d.day
+    |  FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN days d)
+    |SELECT g.user_id, CAST(g.day AS STRING) AS day,
+    |  COALESCE(daily.n, 0L) AS n_events,
+    |  COALESCE(daily.v, CAST(0 AS DOUBLE)) AS daily_value,
+    |  last_value(daily.v) IGNORE NULLS OVER (
+    |    PARTITION BY g.user_id ORDER BY g.day
+    |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    |FROM grid g
+    |LEFT JOIN daily ON g.user_id = daily.user_id AND g.day = daily.day
+    |ORDER BY g.user_id, g.day
+    |""".stripMargin.trim
+
+  private val qResampleOracle = s"""
+    |WITH daily AS (
+    |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+    |    COUNT(*) AS n, ${dsum("value")} AS v
+    |  FROM events GROUP BY 1, 2),
+    |days AS (
+    |  SELECT CAST(unnest(generate_series(
+    |    (SELECT MIN(day) FROM daily),
+    |    (SELECT MAX(day) FROM daily), INTERVAL 1 DAY)) AS DATE) AS day),
+    |grid AS (
+    |  SELECT u.user_id, d.day
+    |  FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN days d)
+    |SELECT g.user_id, CAST(g.day AS VARCHAR) AS day,
+    |  COALESCE(d2.n, 0) AS n_events,
+    |  COALESCE(d2.v, 0.0) AS daily_value,
+    |  a.v AS filled_value
+    |FROM grid g
+    |LEFT JOIN daily d2 ON g.user_id = d2.user_id AND g.day = d2.day
+    |ASOF LEFT JOIN daily a ON g.user_id = a.user_id AND g.day >= a.day
+    |ORDER BY g.user_id, g.day
+    |""".stripMargin.trim
+
   // One-pass column profiler: all three native sketch families (KMV
   // distinct, KLL quantiles, Misra-Gries heavy hitters) riding ONE
   // aggregation over lineitem — one scan, partials map-side combined,
@@ -599,6 +651,9 @@ object CoreQueries extends QueryPack {
     Q("q_distinct_sketch", qDistinctSketch, None),
     Q("q_quantile_sketch", qQuantileSketch, None),
     Q("q_profile_sketch", qProfileSketch, None),
+    Q("q_resample_ffill",
+      (s, dir) => { Tables.registerAll(s, dir); s.sql(qResampleSql) },
+      Some(qResampleOracle)),
     Q("q_asof_join", qAsof, Some(qAsofOracle)),
     Q("q_range_join", qRangeJoin, Some(qRangeJoinOracle)),
     Q("q_running_spend", qRunning, Some(qRunningOracle)),
