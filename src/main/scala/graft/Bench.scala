@@ -45,6 +45,7 @@ object Bench {
     "text_stats", "text_langid", "text_fingerprint", "text_pii_scrub",
     "text_bm25",
     "sample_stratified", "pack_sequences", "text_decontaminate",
+    "text_chunk_overlap",
     "text_repetition", "pipeline_clean", "text_quality_gopher",
     "pipeline_mix", "multimodal_meta", "sessionize_events",
     "stream_events_window", "stream_sessionize", "stream_dedup_exact",

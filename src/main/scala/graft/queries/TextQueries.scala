@@ -818,6 +818,47 @@ object TextQueries extends QueryPack {
     |ORDER BY lm_nll DESC, doc_id LIMIT 20
     |""".stripMargin.trim
 
+  // ------------------------------------------------- overlap chunking
+  // Fixed-window chunking with stride overlap (500-char windows every
+  // 400 chars → 100-char overlap) — the chunker feeding RAG indexing
+  // and long-context pretraining, with per-chunk provenance
+  // (doc_id, start offset). Pure narrow explode: each doc expands
+  // independently, no shuffle until the rollup — embarrassingly
+  // parallel at 100 TB. The rollup's DISTINCT-md5 column makes the
+  // hash-exact compare content-sensitive: a single off-by-one in any
+  // engine's substring arithmetic changes a chunk digest.
+  private val chunkSpark = s"""
+    |WITH chunks AS (
+    |  SELECT doc_id, source, pos, substring(text, pos, 500) AS chunk
+    |  FROM documents
+    |  LATERAL VIEW explode(sequence(1, greatest(1, n_chars), 400)) t AS pos)
+    |SELECT source,
+    |  COUNT(*) AS n_chunks,
+    |  COUNT(DISTINCT doc_id) AS n_docs,
+    |  COUNT(DISTINCT md5(chunk)) AS n_distinct_chunks,
+    |  CAST(SUM(LENGTH(chunk)) AS BIGINT) AS total_chunk_chars
+    |FROM chunks
+    |WHERE LENGTH(chunk) > 0
+    |GROUP BY source
+    |ORDER BY source
+    |""".stripMargin.trim
+
+  private val chunkOracle = s"""
+    |WITH chunks AS (
+    |  SELECT doc_id, source, t.pos, substring(text, CAST(t.pos AS BIGINT), 500) AS chunk
+    |  FROM documents,
+    |    unnest(generate_series(1, greatest(1, n_chars), 400)) AS t(pos))
+    |SELECT source,
+    |  COUNT(*) AS n_chunks,
+    |  COUNT(DISTINCT doc_id) AS n_docs,
+    |  COUNT(DISTINCT md5(chunk)) AS n_distinct_chunks,
+    |  CAST(SUM(LENGTH(chunk)) AS BIGINT) AS total_chunk_chars
+    |FROM chunks
+    |WHERE LENGTH(chunk) > 0
+    |GROUP BY source
+    |ORDER BY source
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     shared("text_stats", statsSql),
     shared("text_langid", langidSql),
@@ -835,5 +876,8 @@ object TextQueries extends QueryPack {
     Q("pipeline_mix", pipelineMix, Some(pipelineMixOracle)),
     Q("text_bm25", bm25, Some(bm25Oracle)),
     Q("text_lm_score", lmScore, Some(lmScoreOracle)),
+    Q("text_chunk_overlap",
+      (s, dir) => { Tables.registerAll(s, dir); s.sql(chunkSpark) },
+      Some(chunkOracle)),
   )
 }
