@@ -9,10 +9,14 @@ import graft.functions.DocFingerprint
 /** Canonical extension entry point:
   * `spark.sql.extensions=graft.GraftExtensions` registers graft's native
   * expressions permanently in the session (vs the per-session
-  * GraftFunctions.register helper).
+  * GraftFunctions.register helper) and the lake-maintenance SQL parser
+  * (`DESCRIBE HISTORY` / `VACUUM` / `OPTIMIZE`, see
+  * [[graft.sources.dwrf.LakeSqlParser]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectParser((_, delegate) =>
+      new graft.sources.dwrf.LakeSqlParser(delegate))
     e.injectFunction((
       new FunctionIdentifier("doc_fingerprint"),
       new ExpressionInfo(classOf[DocFingerprint].getName, "doc_fingerprint"),

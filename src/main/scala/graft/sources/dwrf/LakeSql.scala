@@ -1,0 +1,127 @@
+package graft.sources.dwrf
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParseException}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+
+/** Lake-maintenance SQL — the ops statements a snapshot store's users
+  * type, wired through `SparkSessionExtensions.injectParser` (the same
+  * route Delta takes for its DDL):
+  *
+  * {{{
+  *   DESCRIBE HISTORY '/path/to/table'
+  *   VACUUM '/path/to/table' RETAIN 3 VERSIONS
+  *   VACUUM '/path/to/table' OLDER THAN 168 HOURS
+  *   OPTIMIZE '/path/to/table' SORT BY (l_partkey, l_orderkey)
+  *   OPTIMIZE '/path/to/table' ZORDER BY (x, y)
+  * }}}
+  *
+  * The target is the table LOCATION as a quoted path literal — the one
+  * spelling that works identically for path tables, catalog tables
+  * (pass the location) and external dirs, with no identifier-resolution
+  * ambiguity. Everything else falls through verbatim to Spark's parser,
+  * so the extension is invisible to ordinary SQL.
+  */
+class LakeSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val describeHistory =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+  private val vacuumRetain =
+    """(?is)\s*VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+  private val vacuumOlder =
+    """(?is)\s*VACUUM\s+'([^']+)'\s+OLDER\s+THAN\s+(\d+)\s+HOURS\s*;?\s*""".r
+  private val optimizeBy =
+    """(?is)\s*OPTIMIZE\s+'([^']+)'\s+(SORT|ZORDER)\s+BY\s*\(([^)]+)\)\s*;?\s*""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case describeHistory(path) => DescribeHistoryCommand(path)
+    case vacuumRetain(path, n) => VacuumCommand(path, Some(n.toInt), None)
+    case vacuumOlder(path, h) => VacuumCommand(path, None, Some(h.toLong))
+    case optimizeBy(path, kind, cols) =>
+      OptimizeCommand(path,
+        cols.split(',').map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+          .filter(_.nonEmpty),
+        zOrder = kind.equalsIgnoreCase("ZORDER"))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+/** `DESCRIBE HISTORY '<path>'` → one row per retained snapshot version,
+  * newest first (the Delta UX), straight from the manifest headers —
+  * no data file is opened.
+  */
+case class DescribeHistoryCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("op", StringType, nullable = false)(),
+    AttributeReference("commit_ts", TimestampType, nullable = false)(),
+    AttributeReference("n_files", IntegerType, nullable = false)(),
+    AttributeReference("n_dvs", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val conf = DwrfUtil.sessionHadoopConf()
+    DwrfLog.history(new Path(path), conf).sortBy(-_.version).map { s =>
+      Row(s.version, s.op, new java.sql.Timestamp(s.ts),
+        s.files.size, s.dvs.size)
+    }
+  }
+}
+
+/** `VACUUM '<path>' RETAIN n VERSIONS` / `... OLDER THAN h HOURS`. */
+case class VacuumCommand(path: String, retainLast: Option[Int],
+    olderThanHours: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("data_files_deleted", IntegerType, nullable = false)(),
+    AttributeReference("manifests_deleted", IntegerType, nullable = false)(),
+    AttributeReference("retained_version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val conf = DwrfUtil.sessionHadoopConf()
+    val r = (retainLast, olderThanHours) match {
+      case (Some(n), _) => DwrfLog.vacuum(new Path(path), conf, n)
+      case (_, Some(h)) =>
+        DwrfLog.vacuumOlderThan(new Path(path), conf, h * 3600L * 1000L)
+      case _ => throw new IllegalArgumentException(
+        "VACUUM needs RETAIN n VERSIONS or OLDER THAN h HOURS")
+    }
+    Seq(Row(r.dataFilesDeleted, r.manifestsDeleted, r.retainedVersion))
+  }
+}
+
+/** `OPTIMIZE '<path>' SORT BY (...)` / `ZORDER BY (...)`. */
+case class OptimizeCommand(path: String, cols: Seq[String], zOrder: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_before", IntegerType, nullable = false)(),
+    AttributeReference("files_after", IntegerType, nullable = false)(),
+    AttributeReference("bytes_rewritten", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(cols.nonEmpty, "OPTIMIZE needs at least one column")
+    val r = DwrfOptimize.rewrite(spark, path, cols, zOrder = zOrder)
+    Seq(Row(r.version, r.filesBefore, r.filesAfter, r.bytesRewritten))
+  }
+}

@@ -9,9 +9,13 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
 object TestSpark {
+  // the canonical extensions ride every suite's session: if the lake
+  // SQL parser ever broke ordinary SQL fall-through, the whole test
+  // suite would fail loudly, not just LakeSqlSpec
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("dwrf-test")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")

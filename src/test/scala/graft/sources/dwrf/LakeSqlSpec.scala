@@ -1,0 +1,75 @@
+package graft.sources.dwrf
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lake-maintenance SQL through the injected parser: DESCRIBE HISTORY /
+  * VACUUM / OPTIMIZE as statements, with ordinary SQL falling through
+  * to Spark's parser untouched.
+  */
+class LakeSqlSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val conf = new Configuration()
+
+  private def stageLogTable(): String = {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "lakesql-").toString
+    spark.range(0, 1000, 1, 4)
+      .select($"id", ($"id" % 7).as("grp"))
+      .write.format("dwrf").mode("overwrite").save(dir)
+    DwrfLog.enable(new Path(dir), conf) // v0
+    spark.range(1000, 1200, 1, 2)
+      .select($"id", ($"id" % 7).as("grp"))
+      .write.format("dwrf").mode("append").save(dir) // v1
+    dir
+  }
+
+  test("DESCRIBE HISTORY lists versions newest first from manifests only") {
+    val dir = stageLogTable()
+    val rows = spark.sql(s"DESCRIBE HISTORY '$dir'").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 0L))
+    assert(rows.map(_.getString(1)).toSeq == Seq("append", "init"))
+    assert(rows.forall(_.getInt(3) > 0)) // n_files
+    assert(rows.forall(r => !r.isNullAt(2))) // commit_ts
+  }
+
+  test("OPTIMIZE ... SORT BY rewrites to one sorted commit; VACUUM reclaims") {
+    val dir = stageLogTable()
+    val opt = spark.sql(s"OPTIMIZE '$dir' SORT BY (id)").collect().head
+    assert(opt.getLong(0) == 2L, "optimize must commit v2")
+    assert(opt.getInt(1) == 6 && opt.getInt(2) < 6,
+      s"6 input files must collapse, got ${opt.getInt(1)} -> ${opt.getInt(2)}")
+    // full content preserved through the SQL route
+    assert(spark.read.format("dwrf").load(dir).count() == 1200L)
+    val vac = spark.sql(s"VACUUM '$dir' RETAIN 1 VERSIONS").collect().head
+    assert(vac.getLong(2) == 2L, "latest version must survive")
+    assert(vac.getInt(0) == 6,
+      s"the 6 replaced inputs must be reclaimed, got ${vac.getInt(0)}")
+    assert(spark.sql(s"DESCRIBE HISTORY '$dir'").collect().length == 1)
+    assert(spark.read.format("dwrf").load(dir).count() == 1200L)
+  }
+
+  test("VACUUM ... OLDER THAN hours keeps young history intact") {
+    val dir = stageLogTable()
+    // both commits are seconds old — a 1000-hour horizon drops nothing
+    val vac = spark.sql(s"VACUUM '$dir' OLDER THAN 1000 HOURS").collect().head
+    assert(vac.getInt(0) == 0 && vac.getInt(1) == 0)
+    assert(spark.sql(s"DESCRIBE HISTORY '$dir'").collect().length == 2)
+  }
+
+  test("ordinary SQL falls through; malformed lake SQL errors via Spark") {
+    val s = spark
+    import s.implicits._
+    assert(spark.sql("SELECT 1 + 1").as[Int].head() == 2)
+    // VACUUM without our clause shape reaches Spark's parser, which has
+    // no such statement for a path literal => ParseException
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+      spark.sql("VACUUM WITH BAD SYNTAX"))
+  }
+}
