@@ -35,7 +35,7 @@ object Bench {
     "dwrf_spj_join", "dwrf_delete_scan", "dwrf_merge_scan",
     "dwrf_time_travel", "dwrf_optimize_scan", "dwrf_catalog_scan",
     "dwrf_dv_scan", "dwrf_dv_count", "dwrf_update_mor", "dwrf_changes_scan",
-    "dwrf_restore_scan", "dwrf_manifest_prune",
+    "dwrf_restore_scan", "dwrf_manifest_prune", "dwrf_lakesql_scan",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
     "dedup_minhash_lsh", "dedup_substring", "dedup_semantic",
     "text_heavy_hitters", "dwrf_compact_scan",
@@ -79,6 +79,7 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

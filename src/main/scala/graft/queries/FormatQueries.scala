@@ -994,6 +994,54 @@ object FormatQueries extends QueryPack {
   private val dvCountOracle =
     "SELECT COUNT(*) AS n_live FROM customer WHERE c_mktsegment <> 'BUILDING'"
 
+  // The lake-maintenance SQL surface end to end (LakeSqlParser via
+  // spark.sql.extensions): DESCRIBE HISTORY enumerates the staged
+  // commits from manifest headers, OPTIMIZE ... SORT BY collapses the
+  // fragmented layout in one conflict-checked commit, VACUUM RETAIN 1
+  // reclaims the replaced inputs — each statement's metric rows are
+  // REQUIREd, and the post-OPTIMIZE rollup hash-matches DuckDB on the
+  // original parquet, proving the whole SQL-driven maintenance cycle
+  // is content-preserving.
+  private def lakeSqlScan(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.dwrf.{DwrfLog, DwrfUtil}
+    import org.apache.hadoop.fs.Path
+    val out = ioDir("orders-lakesql", dir)
+    val conf = DwrfUtil.sessionHadoopConf()
+    val root = new Path(out)
+    val fs = root.getFileSystem(conf)
+    if (fs.exists(root)) fs.delete(root, true) // fresh history per run
+    val orders = Tables.load(s, dir, "orders")
+    orders.where(col("o_orderkey") % 2 === 0).repartition(4)
+      .write.format("dwrf").mode("overwrite").save(out)
+    DwrfLog.enable(root, conf) // v0
+    orders.where(col("o_orderkey") % 2 =!= 0).repartition(4)
+      .write.format("dwrf").mode("append").save(out) // v1
+    val hist = s.sql(s"DESCRIBE HISTORY '$out'").collect()
+    require(hist.map(_.getLong(0)).toSeq == Seq(1L, 0L),
+      s"DESCRIBE HISTORY must list v1, v0 — got ${hist.toSeq}")
+    val opt = s.sql(s"OPTIMIZE '$out' SORT BY (o_orderkey)").collect().head
+    require(opt.getLong(0) == 2L && opt.getInt(1) == 8 && opt.getInt(2) < 8,
+      s"OPTIMIZE must collapse 8 files in commit v2, got $opt")
+    val vac = s.sql(s"VACUUM '$out' RETAIN 1 VERSIONS").collect().head
+    require(vac.getInt(0) == 8 && vac.getLong(2) == 2L,
+      s"VACUUM must reclaim the 8 replaced inputs, got $vac")
+    s.read.format("dwrf").load(out)
+      .createOrReplaceTempView("orders_lakesql")
+    s.sql(s"""
+      |SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  ${dsum("o_totalprice")} AS total_price
+      |FROM orders_lakesql
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority
+      |""".stripMargin.trim)
+  }
+
+  private val lakeSqlScanOracle = s"""
+    |SELECT o_orderpriority, COUNT(*) AS n_orders,
+    |  ${dsum("o_totalprice")} AS total_price
+    |FROM orders
+    |GROUP BY o_orderpriority ORDER BY o_orderpriority
+    |""".stripMargin.trim
+
   // Merge-on-read UPDATE (position-delta tier, SupportsDelta): the
   // statement writes ONLY the delta — per-file position sidecars for the
   // superseded row versions plus one appended file of new versions —
@@ -1417,6 +1465,7 @@ object FormatQueries extends QueryPack {
     Q("dwrf_time_travel", timeTravel, Some(timeTravelOracle)),
     Q("dwrf_dv_scan", dvScan, Some(dvScanOracle)),
     Q("dwrf_dv_count", dvCount, Some(dvCountOracle)),
+    Q("dwrf_lakesql_scan", lakeSqlScan, Some(lakeSqlScanOracle)),
     Q("dwrf_update_mor", updateMor, Some(updateMorOracle)),
     Q("dwrf_changes_scan", changesScan, Some(changesScanOracle)),
     Q("dwrf_optimize_scan", optimizeScan, Some(optimizeScanOracle)),
