@@ -6,7 +6,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default parallelism matches Bench (local[32]): the driver's verify
+    // window is finite, and a 4-thread default quadruples wall time for
+    // no isolation benefit on this 32-cpu host — round 9 lost 68 query
+    // rows to exactly that kind of overrun.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")

@@ -134,6 +134,14 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot_exact",
+      {
+        case Seq(a, b) => VecDotExact(a, b)
+        case other => throw new IllegalArgumentException(
+          s"vec_dot_exact(a, b): got ${other.size} args")
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kll_quantiles",
       {
         case Seq(child, phisExpr, kExpr)

@@ -28,6 +28,179 @@ object VecKernel {
   }
 }
 
+/** Exact-decimal dot product kernel — the tight-loop twin of the SQL
+  * spelling
+  * {{{
+  * CAST(aggregate(zip_with(a, b, (x, y) ->
+  *        CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(20,12))),
+  *      CAST(0 AS DECIMAL(32,12)),
+  *      (acc, v) -> CAST(acc + v AS DECIMAL(32,12))) AS DOUBLE)
+  * }}}
+  * which every exact similarity tier used for order-independent
+  * (therefore partitioning-independent) sums. The lambda spelling is
+  * interpreted Catalyst per element — on a 2M-pair × 64-dim verifier
+  * join it IS the query cost. This kernel produces the BIT-IDENTICAL
+  * double:
+  *
+  *  - per element, Spark computes `CAST(x*y AS DECIMAL(20,12))` as
+  *    `BigDecimal.valueOf(p).setScale(12, HALF_UP)` (shortest decimal
+  *    repr, then half-up at scale 12); NaN/Infinity casts to NULL
+  *    (nulling the fold), while ≥ 10^8 in magnitude (> 20-12 integer
+  *    digits) throws under ANSI / nulls otherwise — mirrored exactly;
+  *  - the fold is an exact decimal sum, so any summation order yields
+  *    the same unscaled value; we accumulate the scale-12 unscaled longs
+  *    with `Math.addExact`, falling back to BigDecimal on overflow;
+  *  - `CAST(dec AS DOUBLE)` is the correctly-rounded value of
+  *    unscaled·10⁻¹²; IEEE division `acc / 1e12` is also correctly
+  *    rounded (10^12 is exact in double), so they agree bit-for-bit.
+  *
+  * Fast path: `u = round(|p·10¹²| + 0.5)` is provably the half-up of the
+  * shortest-repr decimal whenever the fractional part of |p·10¹²| is
+  * farther than 4e-15·|p·10¹²| + 1e-9 from 0.5 — the double multiply
+  * contributes ≤ 0.5 ulp ≈ 1.1e-16·|scaled| and the shortest-repr
+  * drift ≤ ulp(p)·10¹² ≈ 2.2e-16·|scaled|; outside the guard band the
+  * integer neighborhood cannot change. Inside it (measure ~1e-15 of
+  * inputs) we pay one BigDecimal per element.
+  */
+object VecKernelExact {
+  private val Scale = 12
+  private val Pow = 1e12
+
+  /** Unscaled scale-12 long of CAST(p AS DECIMAL(20,12)), or throws
+    * [[ArithmeticException]] when the value needs the BigDecimal path
+    * (too large for the long fast accumulator).
+    */
+  private def unscaled(p: Double): Long = {
+    val scaled = p * Pow
+    val absScaled = Math.abs(scaled)
+    if (absScaled >= 9.0e17) throw new ArithmeticException("big") // keep sums long-safe
+    val fl = Math.floor(absScaled)
+    val frac = absScaled - fl
+    val guard = 4e-15 * absScaled + 1e-9
+    if (Math.abs(frac - 0.5) <= guard) {
+      // tie neighborhood: defer to the reference arithmetic
+      java.math.BigDecimal.valueOf(p)
+        .setScale(Scale, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    } else {
+      val mag = if (frac > 0.5) fl.toLong + 1L else fl.toLong
+      if (scaled < 0) -mag else mag
+    }
+  }
+
+  /** Null (boxed) result ⇔ the SQL spelling yields NULL: length
+    * mismatch (zip_with pads with null), a null element, or a NaN/Inf
+    * product (double→decimal CAST of a non-finite value is NULL even
+    * under ANSI). DECIMAL range overflow throws when `failOnError`
+    * (= the session's ANSI flag, ANSI being the Spark 4 default) and
+    * yields NULL otherwise — exactly the lambda's CAST behavior.
+    */
+  def dot(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean,
+      failOnError: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    var slow: java.math.BigDecimal = null
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+      val p = x * y
+      if (java.lang.Double.isNaN(p) || java.lang.Double.isInfinite(p))
+        return null // CAST(non-finite AS DECIMAL) is NULL, ANSI or not
+      if (Math.abs(p) >= 1e8) { // > 8 integer digits: DECIMAL(20,12) overflow
+        if (failOnError) throw new ArithmeticException(
+          s"vec_dot_exact: element product $p cannot be represented as DECIMAL(20,12)")
+        return null
+      }
+      if (slow == null) {
+        try acc = Math.addExact(acc, unscaled(p))
+        catch { case _: ArithmeticException =>
+          slow = java.math.BigDecimal.valueOf(acc).movePointLeft(Scale)
+            .add(java.math.BigDecimal.valueOf(p)
+              .setScale(Scale, java.math.RoundingMode.HALF_UP))
+        }
+      } else {
+        slow = slow.add(java.math.BigDecimal.valueOf(p)
+          .setScale(Scale, java.math.RoundingMode.HALF_UP))
+      }
+      i += 1
+    }
+    if (slow != null) {
+      if (slow.precision - slow.scale > 20) {
+        if (failOnError) throw new ArithmeticException(
+          s"vec_dot_exact: sum $slow cannot be represented as DECIMAL(32,12)")
+        return null
+      }
+      slow.doubleValue()
+    } else if (Math.abs(acc) <= (1L << 53)) {
+      // exact numerator, one correctly-rounded IEEE division == the
+      // correctly-rounded decimal→double conversion of acc·10⁻¹²
+      acc.toDouble / Pow
+    } else {
+      java.math.BigDecimal.valueOf(acc, Scale).doubleValue()
+    }
+  }
+}
+
+/** `vec_dot_exact(a, b)` — codegen'd exact-decimal dot product, the
+  * drop-in replacement for the interpreted decimal-lambda spelling in
+  * the exact similarity tiers (see [[VecKernelExact]] for the
+  * bit-identity argument). Returns NULL exactly where the SQL spelling
+  * does (length mismatch, null element) — so `nullable` is true even
+  * over non-null inputs — and throws where ANSI-mode CAST would.
+  */
+case class VecDotExact(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elem(dt: DataType): Option[Boolean] = dt match {
+    case ArrayType(DoubleType, _) => Some(false)
+    case ArrayType(FloatType, _) => Some(true)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elem(left.dataType), elem(right.dataType)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot_exact requires array<double|float> inputs, got " +
+          s"${left.dataType.sql}, ${right.dataType.sql}")
+    }
+
+  private lazy val aF = elem(left.dataType).get
+  private lazy val bF = elem(right.dataType).get
+
+  // captured at planning time, like Spark's own ANSI-sensitive expressions
+  private val failOnError: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = VecKernelExact.dot(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aF, bF, failOnError)
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dotExact")
+      s"""
+         |java.lang.Double $tmp = graft.functions.VecKernelExact.dot($a, $b, $aF, $bF, $failOnError);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotExact =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_dot_exact"
+}
+
 /** `vec_dot(a, b)` — native codegen'd dot product over array<double> or
   * array<float> (each side independently; floats widen per element, the
   * same arithmetic as the CAST-inside-lambda SQL spelling).

@@ -431,13 +431,17 @@ object DedupQueries extends QueryPack {
   // this confirm arithmetic, the same two-tier pattern as Jaccard/MinHash.
   private def embeddingDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val dot = SimilarityQueries.decimalDot("a.embedding", "b.embedding")
     val emb = Tables.load(s, dir, "embeddings")
       .filter($"vec_id" < 2000)
       .select($"vec_id", $"embedding",
         expr(s"CAST(${SimilarityQueries.decimalDot("embedding", "embedding")} AS DOUBLE)")
           .as("norm2"))
-    val a = emb.as("a")
+    // the broadcast-nested-loop pair join streams `a`: at small SF the
+    // scan is one partition, so without an explicit spread the O(n²/2)
+    // verifier runs single-threaded
+    val a = emb.repartition(s.sparkContext.defaultParallelism).as("a")
     val b = emb.as("b")
     a.join(b, $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("id_keep"), $"b.vec_id".as("id_drop"),

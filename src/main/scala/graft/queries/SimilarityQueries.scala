@@ -20,10 +20,23 @@ import graft.Tables
 object SimilarityQueries extends QueryPack {
 
   /** Exact decimal dot product between two float-array columns — per-
-    * element double products (deterministic) summed as DECIMAL(28,12)
+    * element double products (deterministic) summed exactly at scale 12
     * (order-independent), so any engine computes the identical value.
+    * Emits the codegen'd [[graft.functions.VecDotExact]] kernel, which
+    * `VecDotExactSpec` proves bit-identical to the interpreted
+    * decimal-lambda spelling [[decimalDotLambda]] it replaced — the
+    * lambda form paid two Catalyst expression-tree walks per element,
+    * which on the 2M-pair verifier joins was most of the query.
+    * Call sites must have run `GraftFunctions.register`.
     */
   private[queries] def decimalDot(a: String, b: String): String =
+    s"vec_dot_exact($a, $b)"
+
+  /** The original interpreted spelling, kept as the semantic reference
+    * the kernel is tested against (and as documentation of exactly what
+    * `vec_dot_exact` computes).
+    */
+  private[graft] def decimalDotLambda(a: String, b: String): String =
     s"""aggregate(zip_with($a, $b, (x, y) ->
        |  CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(20,12))),
        |CAST(0 AS DECIMAL(32,12)), (acc, v) -> CAST(acc + v AS DECIMAL(32,12)))""".stripMargin
@@ -31,6 +44,7 @@ object SimilarityQueries extends QueryPack {
   // ------------------------------------------------------ topk by dot
   private def topkDot(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val emb = Tables.load(s, dir, "embeddings")
     val query = emb.filter($"vec_id" === 0).select($"embedding".as("q"))
     emb.filter($"vec_id" =!= 0)
@@ -73,6 +87,7 @@ object SimilarityQueries extends QueryPack {
   // is label-skewed. Exact-decimal arithmetic, hash-exact oracle.
   private def filteredTopk(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val emb = Tables.load(s, dir, "embeddings")
     val query = emb.filter($"vec_id" === 0).select($"embedding".as("q"))
     val filtered = emb.filter($"vec_id" =!= 0 && $"label" === 3)
@@ -121,7 +136,9 @@ object SimilarityQueries extends QueryPack {
     // the instrument tier (exactDecimal=false) runs the native vec_dot
     // kernel — bit-identical to the CAST-inside-lambda spelling (same
     // widening, same accumulation order) at a fraction of the cost; the
-    // oracle-checked tier keeps the decimal-exact SQL form
+    // oracle-checked tier runs vec_dot_exact, the codegen'd twin of the
+    // decimal-lambda form (order-independent exact sums, proven
+    // bit-identical by VecDotExactSpec)
     def dot(x: String, y: String) =
       if (exactDecimal) expr(s"CAST(${decimalDot(x, y)} AS DOUBLE)")
       else expr(s"vec_dot($x, $y)")
@@ -129,7 +146,10 @@ object SimilarityQueries extends QueryPack {
       .filter($"vec_id" < 2000)
       .select($"vec_id", $"embedding",
         dot("embedding", "embedding").as("norm2"))
-    val a = emb.as("a")
+    // spread the streamed side of the broadcast-nested-loop pair join:
+    // a one-partition scan would run the bounded O(n²/2) verifier on a
+    // single thread
+    val a = emb.repartition(s.sparkContext.defaultParallelism).as("a")
     val b = emb.as("b")
     a.join(b, $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
