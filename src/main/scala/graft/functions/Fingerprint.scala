@@ -105,8 +105,10 @@ object GraftFunctions {
         case Seq(a, b) => ZOrder2(
           org.apache.spark.sql.catalyst.expressions.Cast(a, LongType),
           org.apache.spark.sql.catalyst.expressions.Cast(b, LongType))
+        case args if args.size >= 3 => ZOrderN(args.map(
+          org.apache.spark.sql.catalyst.expressions.Cast(_, LongType)))
         case other => throw new IllegalArgumentException(
-          s"z_order(x, y): got ${other.size} args")
+          s"z_order(x, y[, ...]): needs >= 2 args, got ${other.size}")
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -145,9 +145,15 @@ object DwrfOptimize {
         graft.functions.GraftFunctions.register(spark)
         val maxes = df.agg(max(col(sortCols.head)),
           sortCols.tail.map(c => max(col(c))): _*).head()
+        // each column becomes an 8-bit bucket placed in the HIGH bits of
+        // the 32-bit order-code range: the N-ary interleave keeps only
+        // the top 64/k bits per dimension, so low-positioned buckets
+        // would truncate to a constant and cluster nothing. The clamp is
+        // monotone (order survives) and keeps the shift inside Int range
+        // however skewed the column's min is vs its max.
         val scaled = sortCols.zipWithIndex.map { case (c, i) =>
           val hi = math.max(0L, maxes.getAs[Number](i).longValue()) + 1
-          s"`$c` * 256L DIV $hi"
+          s"GREATEST(-256L, LEAST(255L, `$c` * 256L DIV $hi)) * ${1L << 23}"
         }
         val zKeys = layoutKeys.map(col) :+ col("__graft_z")
         df.withColumn("__graft_z", expr(s"z_order(${scaled.mkString(", ")})"))

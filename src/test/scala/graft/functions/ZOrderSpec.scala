@@ -45,6 +45,42 @@ class ZOrderSpec extends AnyFunSuite {
     assert(rows.getLong(1) == ZOrderKernel.interleave2(-1L, 7L))
   }
 
+  // ----------------------------------------------------- N-ary kernel
+  test("interleaveN(k=2) is bit-identical to interleave2") {
+    val rnd = new scala.util.Random(3)
+    (1 to 500).foreach { _ =>
+      val a = rnd.nextLong(); val b = rnd.nextLong()
+      assert(ZOrderKernel.interleaveN(Array(a, b)) ==
+        ZOrderKernel.interleave2(a, b))
+    }
+  }
+
+  test("interleaveN: per-dimension monotonicity at k=3 and k=4") {
+    val rnd = new scala.util.Random(5)
+    val vals = (Seq(Long.MinValue, Int.MinValue.toLong, -7L, 0L, 9L,
+      Int.MaxValue.toLong, Long.MaxValue) ++
+      Seq.fill(60)(rnd.nextInt().toLong)).distinct.sorted
+    for (k <- Seq(3, 4); dim <- 0 until k) {
+      val fixed = Array.fill(k)(42L)
+      val zs = vals.map { v =>
+        val arr = fixed.clone(); arr(dim) = v
+        ZOrderKernel.interleaveN(arr)
+      }
+      // non-strict: truncation to the top min(32, 64/k) bits keeps
+      // order, collapsing only low-bit neighbors
+      assert(zs.zip(zs.tail).forall { case (x, y) => x <= y },
+        s"k=$k dim=$dim not monotone")
+    }
+  }
+
+  test("N-ary z_order registers in SQL and matches the kernel") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT z_order(3, 5, 9) AS z3, z_order(-1, 7, 2, 8) AS z4").head()
+    assert(r.getLong(0) == ZOrderKernel.interleaveN(Array(3L, 5L, 9L)))
+    assert(r.getLong(1) == ZOrderKernel.interleaveN(Array(-1L, 7L, 2L, 8L)))
+  }
+
   // ------------------------------------------- both-dimension skipping
   private def surfaced(dir: String, filters: Seq[Filter], col: String): Long =
     DwrfUtil.surfacedRows(dir, col, filters)._1

@@ -79,6 +79,45 @@ class DwrfOptimizeSpec extends AnyFunSuite {
     assert(yr < n / 2 && ys + yst > 0, s"y-axis not clustered: $yr rows, $ys skips")
   }
 
+  test("three-column ZORDER rewrite clusters every axis") {
+    import org.apache.spark.sql.sources.LessThanOrEqual
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir()
+    val n = 1 << 16
+    // three independent uniform dims, scrambled arrival order (Long
+    // arithmetic: an Int product would overflow negative and smear the
+    // band geometry below)
+    (0 until n).map { i =>
+      ((i.toLong * 7919L) % 64, (i.toLong * 104729L) % 64,
+        (i.toLong * 15485863L) % 64)
+    }.toDF("x", "y", "w").repartition(4)
+      .write.format("dwrf").mode("overwrite")
+      .option("row.index.stride", "1024").save(dir)
+    DwrfLog.enable(new Path(dir), conf)
+    // one output file: per-file stride grids restart at offset 0, so a
+    // single file keeps the 64 strides aligned with the curve order and
+    // the skip geometry exact
+    val res = DwrfOptimize.rewrite(spark, dir, Seq("x", "y", "w"),
+      zOrder = true, targetBytes = 64L * 1024 * 1024)
+    assert(res.version === 1L)
+    val back = spark.read.format("dwrf").load(dir)
+    assert(back.schema.fieldNames.toSeq === Seq("x", "y", "w"))
+    assert(back.count() === n)
+    DwrfLog.vacuum(new Path(dir), conf, retainLast = 1)
+    // 64 strides of 1024 rows = a 6-bit curve prefix = 2 top bits per
+    // axis: a quarter-band (x ≤ 15 of 0..63) ideally surfaces the 16
+    // strides whose two axis bits are 00 — 25% of rows. Allow sampler
+    // slop to 45%, and require real stride skips on EVERY axis: that is
+    // what the 3-ary interleave buys over 2-ary + an ignored column.
+    for (c <- Seq("x", "y", "w")) {
+      val (rows, strides, stripes) = DwrfUtil.surfacedRows(
+        dir, c, Seq(LessThanOrEqual(c, 15L)))
+      assert(rows < (n * 0.45).toLong && strides + stripes > 0,
+        s"$c-axis not clustered: $rows of $n rows, $strides stride skips")
+    }
+  }
+
   test("optimize survives a concurrent append and conflicts with a concurrent delete") {
     val s = spark
     import s.implicits._

@@ -93,6 +93,60 @@ class DwrfRowLevelSpec extends AnyFunSuite {
     s.sql("DROP TABLE dwrf_rlo_merge")
   }
 
+  test("MERGE INTO: WHEN NOT MATCHED BY SOURCE update + delete") {
+    val s = spark
+    import s.implicits._
+    val dir = mkdir()
+    // target rows 1..5; source names only 2 and 3 → 1, 4, 5 are
+    // "not matched by source" and must take that clause's action
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0), (5L, 50.0))
+      .toDF("id", "bal")
+      .coalesce(1).write.format("dwrf").mode("overwrite").save(dir)
+    s.sql("DROP TABLE IF EXISTS dwrf_rlo_nmbs")
+    s.sql(s"CREATE TABLE dwrf_rlo_nmbs USING dwrf LOCATION '$dir'")
+    Seq((2L, 5.0), (9L, 90.0)).toDF("id", "amt")
+      .createOrReplaceTempView("nmbs_changes")
+    s.sql("""MERGE INTO dwrf_rlo_nmbs t USING nmbs_changes c ON t.id = c.id
+            |WHEN MATCHED THEN UPDATE SET bal = t.bal + c.amt
+            |WHEN NOT MATCHED THEN INSERT (id, bal) VALUES (c.id, c.amt)
+            |WHEN NOT MATCHED BY SOURCE AND t.id >= 5 THEN DELETE
+            |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET bal = t.bal * -1
+            |""".stripMargin)
+    val got = s.sql("SELECT id, bal FROM dwrf_rlo_nmbs ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // 1 → negated (NMBS update), 2 → +5 (matched), 3 → negated,
+    // 4 → negated, 5 → deleted (NMBS delete), 9 → inserted
+    assert(got == Seq((1L, -10.0), (2L, 25.0), (3L, -30.0), (4L, -40.0),
+      (9L, 90.0)), s"got $got")
+    s.sql("DROP TABLE dwrf_rlo_nmbs")
+  }
+
+  test("NOT MATCHED BY SOURCE reaches files the source never touches " +
+      "(pruning must not drop them)") {
+    val s = spark
+    import s.implicits._
+    val dir = mkdir()
+    // two files with disjoint id ranges; the source only names ids from
+    // the first. A scan that pruned by source-derived predicates would
+    // silently skip the second file's NMBS rows.
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "bal")
+      .coalesce(1).write.format("dwrf").mode("overwrite").save(dir)
+    Seq((100L, 100.0), (101L, 101.0)).toDF("id", "bal")
+      .coalesce(1).write.format("dwrf").mode("append").save(dir)
+    s.sql("DROP TABLE IF EXISTS dwrf_rlo_nmbs2")
+    s.sql(s"CREATE TABLE dwrf_rlo_nmbs2 USING dwrf LOCATION '$dir'")
+    Seq((1L, 0.5)).toDF("id", "amt").createOrReplaceTempView("nmbs2_chg")
+    s.sql("""MERGE INTO dwrf_rlo_nmbs2 t USING nmbs2_chg c ON t.id = c.id
+            |WHEN MATCHED THEN UPDATE SET bal = t.bal + c.amt
+            |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET bal = 0.0
+            |""".stripMargin)
+    val got = s.sql("SELECT id, bal FROM dwrf_rlo_nmbs2 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 1.5), (2L, 0.0), (100L, 0.0), (101L, 0.0)),
+      s"got $got")
+    s.sql("DROP TABLE dwrf_rlo_nmbs2")
+  }
+
   test("non-translatable DELETE routes through copy-on-write instead of failing") {
     val s = spark
     import s.implicits._
