@@ -37,7 +37,7 @@ object Bench {
     "dwrf_dv_scan", "dwrf_dv_count", "dwrf_update_mor", "dwrf_changes_scan",
     "dwrf_restore_scan", "dwrf_manifest_prune", "dwrf_lakesql_scan",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
-    "dedup_minhash_lsh", "dedup_substring", "dedup_semantic",
+    "dedup_minhash_lsh", "dedup_substring", "dedup_semantic", "dedup_fuzzy",
     "text_heavy_hitters", "dwrf_compact_scan",
     "ann_topk_dot", "ann_filtered_topk", "ann_lsh_cosine", "ann_lsh_recall",
     "ann_ivf_recall",

@@ -749,7 +749,58 @@ object DedupQueries extends QueryPack {
     |LIMIT 100
     |""".stripMargin.trim
 
+  // ------------------------------------------------------- fuzzy join
+  // Entity-resolution primitive: pairs of strings within edit distance 1,
+  // found WITHOUT the quadratic scan. Candidate generation is the
+  // deletion-neighborhood trick (SymSpell, public technique): every
+  // string emits itself plus each single-character deletion; two strings
+  // at Levenshtein distance ≤ 1 provably share at least one variant
+  // (substitution pairs share the deletion at the differing position;
+  // insert/delete pairs share the shorter string itself), so an
+  // EQUI-join on the variant's 64-bit hash surfaces every true pair and
+  // the exact levenshtein() confirm prunes hash-collision noise. At
+  // 100 TB this is the same two-tier shape as MinHash: narrow projection
+  // → ×(len+1) variant explode → 8-byte-key shuffle join → cheap
+  // confirm; the quadratic alternative never materializes. The DuckDB
+  // oracle IS that quadratic, so the gate also proves candidate
+  // COMPLETENESS, not just precision.
+  private def fuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.load(s, dir, "customer")
+      .filter($"c_custkey" <= 500) // bounded quadratic oracle (~125k pairs)
+      .select($"c_custkey", $"c_name")
+    // self ∪ single-char deletions, joined on the variant hash
+    val variants = c.select($"c_custkey", $"c_name",
+      explode(expr(
+        """array_union(array(c_name),
+          |  transform(sequence(1, length(c_name)),
+          |    i -> concat(substring(c_name, 1, i - 1),
+          |                substring(c_name, i + 1))))""".stripMargin))
+        .as("variant"))
+      .select($"c_custkey", $"c_name", xxhash64($"variant").as("vh"))
+    variants.as("a").join(variants.as("b"),
+        $"a.vh" === $"b.vh" && $"a.c_custkey" < $"b.c_custkey")
+      .select($"a.c_custkey".as("id_a"), $"b.c_custkey".as("id_b"),
+        $"a.c_name".as("name_a"), $"b.c_name".as("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein($"name_a", $"name_b").cast("long"))
+      .filter($"dist" <= 1)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val fuzzyJoinOracle = """
+    |WITH c AS (
+    |  SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 500)
+    |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+    |  a.c_name AS name_a, b.c_name AS name_b,
+    |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+    |WHERE levenshtein(a.c_name, b.c_name) <= 1
+    |ORDER BY id_a, id_b
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
+    Q("dedup_fuzzy", fuzzyJoin, Some(fuzzyJoinOracle)),
     Q("dedup_exact", exact, Some(exactSql)),
     Q("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),

@@ -103,6 +103,14 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_fuzzy: deletion-variant candidates meet in an equi-join, never quadratic") {
+    val p = planOf("dedup_fuzzy")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
+      s"fuzzy join must not plan a cartesian product:\n$p")
+    assert(collectAll(p) { case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"fuzzy join must not plan a nested-loop join:\n$p")
+  }
+
   test("as-of join plans as union + window, with NO join operator at all") {
     val p = planOf("q_asof_join")
     assert(collectAll(p) { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty,
