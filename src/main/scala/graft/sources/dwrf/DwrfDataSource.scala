@@ -114,6 +114,25 @@ final class DwrfDataSource extends TableProvider with DataSourceRegister {
     StructType(dataFields ++ partFields ++ changeFields)
   }
 
+  /** Discovered Hive layout as identity transforms, so `CREATE TABLE …
+    * USING dwrf LOCATION` over an existing partitioned directory adopts
+    * the partitioning into the catalog — without it, the analyzer
+    * refuses `INSERT OVERWRITE … PARTITION (p=v)` on the adopted table
+    * (NON_PARTITION_COLUMN) even though the scan reads the layout fine.
+    */
+  override def inferPartitioning(
+      options: CaseInsensitiveStringMap): Array[Transform] = {
+    val path = pathOf(options)
+    val conf = DwrfUtil.sessionHadoopConf()
+    val files = DwrfUtil.scanFiles(path, conf,
+      options.asCaseSensitiveMap().asScala.toMap)
+    if (files.isEmpty) return Array.empty
+    val qualifiedRoot = DwrfUtil.qualify(path, conf)
+    val keys = PartitionLayout.specOf(qualifiedRoot, files.head).map(_._1)
+    keys.map(k => org.apache.spark.sql.connector.expressions.Expressions
+      .identity(k): Transform).toArray
+  }
+
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
@@ -494,7 +513,9 @@ final class DwrfTable(tableSchema: StructType, properties: Map[String, String],
       TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   // scan options are point-lookup only, so re-wrap in CaseInsensitiveMap
   // at the boundary (Spark's option contract) — plain .get downstream
@@ -1480,13 +1501,118 @@ final class DwrfPartitionReaderFactory(readSchemaJson: String,
 
 // --------------------------------------------------------------- write
 
+/** What an INSERT/write replaces. Append adds files; Truncate replaces
+  * the whole table; OverwriteWhere replaces exactly the partitions a
+  * static `INSERT OVERWRITE … PARTITION (p=v)` / overwrite-by-filter
+  * names; DynamicOverwrite replaces exactly the partitions the NEW data
+  * touches (Spark's dynamic partitionOverwriteMode — the daily-reload
+  * shape: reload 3 days of a 5-year table without naming them).
+  */
+private[dwrf] sealed trait DwrfWriteMode
+private[dwrf] object DwrfWriteMode {
+  case object Append extends DwrfWriteMode
+  case object Truncate extends DwrfWriteMode
+  final case class OverwriteWhere(
+      filters: Seq[org.apache.spark.sql.sources.Filter]) extends DwrfWriteMode
+  case object DynamicOverwrite extends DwrfWriteMode
+}
+
+/** Evaluates overwrite filters against a file's Hive partition spec
+  * (raw path-segment strings). Only partition-column predicates are
+  * accepted — an overwrite filter on a DATA column would need a row-level
+  * rewrite, which is `DELETE`/`MERGE`'s job, so it's refused loudly
+  * rather than silently dropping unrelated files.
+  */
+private[dwrf] object PartitionFilterMatch {
+  import org.apache.spark.sql.sources._
+
+  private def refs(f: Filter): Seq[String] = f.references.toSeq
+
+  def validate(filters: Seq[Filter], partCols: Seq[String]): Unit = {
+    val bad = filters.flatMap(refs).distinct.filterNot(partCols.contains)
+    require(bad.isEmpty,
+      s"dwrf: overwrite-by-filter supports PARTITION columns only " +
+        s"(${partCols.mkString(", ")}); filter references ${bad.mkString(", ")}. " +
+        "Row-level replacement is DELETE/MERGE's job.")
+    filters.foreach(assertShape)
+  }
+
+  private def assertShape(f: Filter): Unit = f match {
+    case And(l, r) => assertShape(l); assertShape(r)
+    case Or(l, r) => assertShape(l); assertShape(r)
+    case Not(c) => assertShape(c)
+    case _: EqualTo | _: EqualNullSafe | _: In | _: IsNull | _: IsNotNull => ()
+    case _: AlwaysTrue | _: AlwaysFalse => ()
+    case other => throw new IllegalArgumentException(
+      s"dwrf: unsupported overwrite filter shape $other — static partition " +
+        "specs produce EqualTo/In; use DELETE for general predicates")
+  }
+
+  /** The writer's path spelling of a partition value ([[PartitionLayout
+    * .dirName]]'s value piece, pre-escape) — compare in THAT space so
+    * `p=2024-01-01` matches a DateType literal.
+    */
+  private def printed(v: Any): String = v match {
+    case null => PartitionLayout.NullSentinel
+    case d: java.sql.Date => d.toString
+    case d: java.time.LocalDate => d.toString
+    case other => other.toString
+  }
+
+  def matches(spec: Map[String, String], f: Filter): Boolean = f match {
+    case And(l, r) => matches(spec, l) && matches(spec, r)
+    case Or(l, r) => matches(spec, l) || matches(spec, r)
+    case Not(c) => !matches(spec, c)
+    case EqualTo(a, v) =>
+      spec.get(a).exists(raw =>
+        raw != PartitionLayout.NullSentinel && raw == printed(v))
+    case EqualNullSafe(a, v) => spec.get(a).contains(printed(v))
+    case In(a, vs) =>
+      spec.get(a).exists(raw =>
+        raw != PartitionLayout.NullSentinel && vs.map(printed).contains(raw))
+    case IsNull(a) => spec.get(a).contains(PartitionLayout.NullSentinel)
+    case IsNotNull(a) =>
+      spec.get(a).exists(_ != PartitionLayout.NullSentinel)
+    case _: AlwaysTrue => true
+    case _: AlwaysFalse => false
+    case other => throw new IllegalArgumentException(
+      s"dwrf: unsupported overwrite filter $other") // validate() catches first
+  }
+
+  def matchesAll(spec: Map[String, String], filters: Seq[Filter]): Boolean =
+    filters.forall(matches(spec, _))
+}
+
 final class DwrfWriteBuilder(schema: StructType, path: String,
     options: Map[String, String], partCols: Seq[String] = Nil)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
-  private var doTruncate = false
+  private var mode: DwrfWriteMode = DwrfWriteMode.Append
 
-  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def truncate(): WriteBuilder = {
+    mode = DwrfWriteMode.Truncate; this
+  }
+
+  override def overwrite(
+      filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    val real = filters.toSeq.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    if (real.isEmpty) mode = DwrfWriteMode.Truncate
+    else {
+      PartitionFilterMatch.validate(real, partCols)
+      mode = DwrfWriteMode.OverwriteWhere(real)
+    }
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    // an unpartitioned table has exactly one "partition": dynamic mode
+    // degenerates to a full overwrite, same as Spark's own file source
+    mode =
+      if (partCols.isEmpty) DwrfWriteMode.Truncate
+      else DwrfWriteMode.DynamicOverwrite
+    this
+  }
 
   /** `sort.columns` (comma-separated, case-insensitive) asks Spark to
     * sort each write task's rows before they reach the writer, via the
@@ -1529,7 +1655,7 @@ final class DwrfWriteBuilder(schema: StructType, path: String,
         else (partCols ++ sortCols).map(c =>
           Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
       override def toBatch: BatchWrite =
-        new DwrfBatchWrite(schema, path, options, doTruncate, partCols)
+        new DwrfBatchWrite(schema, path, options, mode, partCols)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new DwrfStreamingWrite(schema, path, options, partCols)
     }
@@ -1617,11 +1743,17 @@ final class DwrfStreamingDataWriterFactory(schemaJson: String, path: String,
 }
 
 final class DwrfBatchWrite(schema: StructType, path: String,
-    options: Map[String, String], truncate: Boolean,
+    options: Map[String, String], mode: DwrfWriteMode,
     partCols: Seq[String] = Nil) extends BatchWrite {
 
   private def logged(conf: Configuration): Boolean =
     DwrfLog.isEnabled(new Path(path), conf)
+
+  private def truncate: Boolean = mode == DwrfWriteMode.Truncate
+
+  /** (relative spec col→raw value) of a data file under the table root. */
+  private def specOf(root: Path, f: Path): Map[String, String] =
+    PartitionLayout.specOf(root, f).toMap
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // runs on the driver before any task: prepare the output dir
@@ -1629,16 +1761,30 @@ final class DwrfBatchWrite(schema: StructType, path: String,
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val snapshots = logged(conf)
-    // snapshot tables NEVER physically truncate: history (and the log)
-    // must survive an INSERT OVERWRITE — the truncation is the manifest
-    // commit below, and vacuum reclaims the bytes later
+    // snapshot tables NEVER physically truncate or pre-delete: history
+    // (and the log) must survive an INSERT OVERWRITE — the replacement
+    // is the manifest commit below, and vacuum reclaims the bytes later
     if (truncate && !snapshots && fs.exists(p)) fs.delete(p, true)
+    mode match {
+      case DwrfWriteMode.OverwriteWhere(filters) if !snapshots =>
+        // plain dirs have no atomic swap: delete the replaced
+        // partitions' files up front, same non-atomic contract as the
+        // plain-dir truncate above (log-enabled tables get atomicity)
+        val qualified = DwrfUtil.qualify(p, conf)
+        if (fs.exists(p)) DwrfUtil.listDataFiles(p, conf).foreach { f =>
+          if (PartitionFilterMatch.matchesAll(specOf(qualified, f), filters))
+            fs.delete(f, false)
+        }
+      case _ => ()
+    }
     fs.mkdirs(p)
-    // job-unique file prefix on snapshot tables: retained historic files
-    // stay in the directory, so a replayed (partitionId, taskId) pair
-    // from a different job must not overwrite one
+    // job-unique file prefix on snapshot tables AND dynamic overwrites:
+    // retained historic files (or untouched-partition files) stay in the
+    // directory, so a replayed (partitionId, taskId) pair from a
+    // different job must not overwrite one
     val prefix =
-      if (snapshots) s"part-${java.util.UUID.randomUUID().toString.take(12)}-"
+      if (snapshots || mode == DwrfWriteMode.DynamicOverwrite)
+        s"part-${java.util.UUID.randomUUID().toString.take(12)}-"
       else "part-"
     new DwrfDataWriterFactory(schema.json, path, options,
       new SerializableHadoopConf(conf), partCols, prefix)
@@ -1646,11 +1792,45 @@ final class DwrfBatchWrite(schema: StructType, path: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = DwrfUtil.sessionHadoopConf()
+    val written0 = messages.toSeq.flatMap {
+      case DwrfCommitMessage(_, _, files) => files.map(new Path(_))
+      case _ => Nil
+    }
     if (logged(conf)) {
       val root = new Path(path)
-      val written = messages.toSeq.flatMap {
-        case DwrfCommitMessage(_, _, files) => files.map(new Path(_))
-        case _ => Nil
+      val written = written0
+      val qualified = DwrfUtil.qualify(root, conf)
+      mode match {
+        case DwrfWriteMode.OverwriteWhere(filters) =>
+          // replace exactly the live files whose partition spec matches;
+          // commitReplace re-verifies liveness + DV bindings against the
+          // winning parent, so a concurrent DELETE conflicts instead of
+          // being resurrected
+          val parent = DwrfLog.latest(root, conf).getOrElse(
+            throw new IllegalStateException(s"dwrf log vanished under $path"))
+          val removedRel = parent.files.filter(rel =>
+            PartitionFilterMatch.matchesAll(
+              specOf(qualified, new Path(qualified, rel)), filters))
+          DwrfLog.commitReplace(root, conf,
+            removedRel.map(new Path(qualified, _)), written,
+            op = "overwrite-where",
+            observedDvs = parent.dvs.filter { case (f, _) =>
+              removedRel.contains(f) })
+          writeSuccess(conf); return
+        case DwrfWriteMode.DynamicOverwrite =>
+          val touched: Set[Map[String, String]] =
+            written.map(specOf(qualified, _)).toSet
+          val parent = DwrfLog.latest(root, conf).getOrElse(
+            throw new IllegalStateException(s"dwrf log vanished under $path"))
+          val removedRel = parent.files.filter(rel =>
+            touched.contains(specOf(qualified, new Path(qualified, rel))))
+          DwrfLog.commitReplace(root, conf,
+            removedRel.map(new Path(qualified, _)), written,
+            op = "overwrite-dynamic",
+            observedDvs = parent.dvs.filter { case (f, _) =>
+              removedRel.contains(f) })
+          writeSuccess(conf); return
+        case _ => ()
       }
       val rewriteOf = org.apache.spark.sql.catalyst.util
         .CaseInsensitiveMap(options).get(DwrfLog.RewriteOfKey)
@@ -1688,7 +1868,27 @@ final class DwrfBatchWrite(schema: StructType, path: String,
         case (true, None) => DwrfLog.commitTruncate(root, conf, written)
         case (false, _) => DwrfLog.commitAppend(root, conf, written)
       }
+    } else if (mode == DwrfWriteMode.DynamicOverwrite) {
+      // plain dir: the touched partitions only became known as tasks
+      // wrote, so the replaced files go at commit — non-atomic like the
+      // plain-dir truncate; log-enabled tables take the commitReplace
+      // path above instead
+      val root = new Path(path)
+      val qualified = DwrfUtil.qualify(root, conf)
+      val fs = root.getFileSystem(conf)
+      val writtenSet = written0.map(DwrfUtil.qualify(_, conf).toString).toSet
+      val touched: Set[Map[String, String]] =
+        written0.map(f => specOf(qualified, DwrfUtil.qualify(f, conf))).toSet
+      DwrfUtil.listDataFiles(root, conf).foreach { f =>
+        if (!writtenSet.contains(DwrfUtil.qualify(f, conf).toString) &&
+            touched.contains(specOf(qualified, DwrfUtil.qualify(f, conf))))
+          fs.delete(f, false)
+      }
     }
+    writeSuccess(conf)
+  }
+
+  private def writeSuccess(conf: Configuration): Unit = {
     val p = new Path(path, "_SUCCESS")
     val fs = p.getFileSystem(conf)
     val out = fs.create(p, true)
