@@ -51,7 +51,25 @@ object Bench {
     "stream_events_window", "stream_sessionize", "stream_dedup_exact",
     "stream_funnel", "stream_join_attrib",
     "stream_dwrf_sink", "stream_dwrf_source", "stream_log_follow",
-    "stream_cdf_follow")
+    "stream_cdf_follow",
+    // round 11: the previously-unbenched tail — every gated query runs
+    // in the bench except ann_cosine_pairs (the deliberately-quadratic
+    // small-SF verifier), so a perf regression anywhere is visible
+    // round-over-round
+    "adv_cube", "adv_exists_subquery", "adv_grouping_sets", "adv_having",
+    "adv_in_subquery", "adv_lateral", "adv_listagg", "adv_market_share",
+    "adv_percentiles", "adv_priority_buckets", "adv_profit_by_nation",
+    "adv_rollup", "adv_scalar_funcs", "adv_scalar_subquery", "adv_set_ops",
+    "adv_window_battery", "adv_window_frames",
+    "ann_ivf_topk", "ann_pq_topk", "dedup_simhash", "dedup_embedding",
+    "dwrf_ddl_scan", "dwrf_history_scan", "dwrf_nested_types",
+    "dwrf_roundtrip_events", "dwrf_stripe_concat", "dwrf_union_roundtrip",
+    "multimodal_audio", "multimodal_frames", "multimodal_resize",
+    "q_distinct_sketch", "q_json_props", "q_nation_balance",
+    "q_orders_case", "q_semi_anti_join", "q_top_parts_window",
+    "text_lm_score", "text_token_bpe", "text_token_freq",
+    "stream_agg_maintain", "stream_cdc_apply", "stream_dedup_within_wm",
+    "stream_session_window")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -111,13 +129,23 @@ object Bench {
     // systematically warm or contaminate each other across every pass;
     // the seed is fixed so runs stay reproducible.
     val passCtx = Array.ofDim[(Double, Double, Double)](passes) // (gcSec, load1, wallSec)
+    // rows each query produced (last pass wins — identical inputs, so any
+    // pass disagreement is itself a bug worth seeing as -1)
+    val rowCounts = scala.collection.mutable.Map.empty[String, Long]
     val samples = (1 to passes).map { pass =>
       val order = new scala.util.Random(0x9e3779b9L + pass).shuffle(names)
       val gc0 = gcMillis(); val w0 = System.nanoTime()
       val out = order.map { name =>
         val t0 = System.nanoTime()
-        try queries(name)(spark, sfDir).count()
+        try {
+          val n = queries(name)(spark, sfDir).count()
+          rowCounts(name) = rowCounts.get(name) match {
+            case Some(prev) if prev != n && prev >= 0 => -1L // pass drift
+            case _ => n
+          }
+        }
         catch { case e: Throwable =>
+          rowCounts(name) = -2L // errored
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         name -> (System.nanoTime() - t0) / 1e9
@@ -125,6 +153,18 @@ object Bench {
       passCtx(pass - 1) =
         ((gcMillis() - gc0) / 1e3, load1(), (System.nanoTime() - w0) / 1e9)
       out
+    }
+    // Self-proving medians (round-9 lesson: the streaming rows silently
+    // benched no-op pipelines after a testdata format change, recording
+    // fast-but-meaningless numbers). A query producing 0 rows, erroring,
+    // or drifting across passes fails the WHOLE bench loudly — a bench
+    // that measured nothing must never look like a bench that got faster.
+    val empty = names.filter(n => rowCounts.getOrElse(n, 0L) <= 0L)
+    if (empty.nonEmpty) {
+      System.err.println(s"[bench] FATAL: queries produced no rows / " +
+        s"errored / drifted across passes: ${empty.mkString(", ")}")
+      spark.stop()
+      sys.exit(1)
     }
     val results = names.map(n => n -> median(samples.map(_(n))))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -134,13 +174,16 @@ object Bench {
     val perSample = names.map { n =>
       "\"" + n + "\":[" + samples.map(_(n)).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // rows each query processed — the no-op guard's evidence, in-band
+    val rowsJson = names.map(n => "\"" + n + "\":" + rowCounts(n))
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // per-pass execution context: a 10× single-pass spike should be
     // self-explaining from the artifact (GC storm / loaded host / code)
     val ctx = s""""pass_gc_sec":[${passCtx.map(c => f"${c._1}%.2f").mkString(",")}],""" +
       s""""pass_load1":[${passCtx.map(c => f"${c._2}%.2f").mkString(",")}],""" +
       s""""pass_wall_sec":[${passCtx.map(c => f"${c._3}%.2f").mkString(",")}]"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"stat":"median","order":"seeded-shuffle-per-pass",$ctx,"samples":$perSample}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"stat":"median","order":"seeded-shuffle-per-pass",$ctx,"rows":$rowsJson,"samples":$perSample}"""
     // compact reprint WITHOUT the samples array: the driver's tail
     // capture keeps the LAST 2000 bytes of output, so the final line
     // must carry the total and the per-query medians AND fit that
@@ -177,6 +220,23 @@ object Bench {
     java.nio.file.Files.write(benchFile,
       (line + "\n" + summary + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the COMMITTED full artifact: the driver's BENCH_r{N} tail capture
+    // keeps only 2000 bytes, so the per-query detail must live at a
+    // stable committed path — round number inferred from the existing
+    // BENCH_r{N}.json record (this run feeds round maxN+1), overridable
+    // via SPARK_GRAFT_ROUND
+    val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+      val re = "BENCH_r(\\d+)\\.json".r
+      val prev = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+        .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      if (prev.isEmpty) 0 else prev.max + 1
+    }
+    if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty) { // full suite only
+      val committed = java.nio.file.Paths.get(f"bench/bench_r$round%02d.json")
+      java.nio.file.Files.createDirectories(committed.getParent)
+      java.nio.file.Files.write(committed,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     val raw = new java.io.PrintStream(new java.io.FileOutputStream(
       java.io.FileDescriptor.out), true, "UTF-8")
     raw.println(line)

@@ -369,11 +369,17 @@ object BenchOpScale {
     // footer open is a round trip, so the open-count ratio IS the
     // planning-latency ratio; the local-FS wall clock underststates it
     // but the counters don't.
-    {
+    // Round-11 crossover record (r10 found sidecar planning SLOWER than
+    // the parallel footer fallback at 256 files locally — the re-parse
+    // per query was the cost): the parsed-sidecar cache in
+    // DwrfLogStats.load fixes the repeat-planning path, so we record
+    // cold (first parse) and warm (cached) sidecar planning vs the
+    // footer fallback at 256 / 1k / 4k files. The warm number is the
+    // operative one — a driver plans the same table version repeatedly.
+    for (mpFiles <- Seq(256, 1024, 4096)) {
       import graft.sources.dwrf.{DwrfLog, DwrfLogStats, DwrfPlanningProbe}
       import org.apache.hadoop.fs.Path
-      val mpFiles = 256
-      val mpDir = s"$scaledDir/mstats"
+      val mpDir = s"$scaledDir/mstats$mpFiles"
       val conf = graft.sources.dwrf.DwrfUtil.sessionHadoopConf()
       val mpRoot = new Path(mpDir)
       val fs = mpRoot.getFileSystem(conf)
@@ -395,24 +401,31 @@ object BenchOpScale {
         check(n == 1001L, s"manifest-prune stress scan returned $n rows")
         (t, n, DwrfPlanningProbe.footerReads.get() - f0)
       }
-      planScan() // warmup: absorb first-query codegen/scan init
-      val (tSidecar, _, fSidecar) = planScan()
+      spark.read.format("dwrf").load(mpDir).limit(1).count() // codegen warmup
+      val (tSidecarCold, _, fSidecarCold) = planScan() // parse + prune
+      val (tSidecarWarm, _, fSidecar) = planScan() // cached summaries
       // remove the sidecar: planning falls back to one footer per file
       val v = DwrfLog.latestVersion(mpRoot, conf).get
       fs.delete(new Path(DwrfLog.logDir(mpRoot),
         DwrfLogStats.sidecarName(v)), false)
       val (tFallback, _, fFallback) = planScan()
-      r ++= Seq("mstats_files" -> mpFiles, "mstats_stage_s" -> tStage,
-        "mstats_plan_s_sidecar" -> tSidecar,
-        "mstats_plan_s_fallback" -> tFallback,
-        "mstats_footers_sidecar" -> fSidecar,
-        "mstats_footers_fallback" -> fFallback,
-        "mstats_footer_ratio" ->
+      r ++= Seq(s"mstats${mpFiles}_stage_s" -> tStage,
+        s"mstats${mpFiles}_plan_s_sidecar_cold" -> tSidecarCold,
+        s"mstats${mpFiles}_plan_s_sidecar_warm" -> tSidecarWarm,
+        s"mstats${mpFiles}_plan_s_fallback" -> tFallback,
+        s"mstats${mpFiles}_footers_sidecar" -> fSidecar,
+        s"mstats${mpFiles}_footers_fallback" -> fFallback,
+        s"mstats${mpFiles}_footer_ratio" ->
           (fFallback.toDouble / math.max(1L, fSidecar)))
-      check(fSidecar <= 4,
-        s"sidecar planning opened $fSidecar footers for a 2-file id range")
+      check(fSidecarCold <= 4 && fSidecar <= 4,
+        s"sidecar planning opened $fSidecar footers for a 2-file id range " +
+          s"at $mpFiles files")
       check(fFallback == mpFiles,
         s"fallback planning must open all $mpFiles footers, opened $fFallback")
+      check(tSidecarWarm < tFallback,
+        f"warm sidecar planning ($tSidecarWarm%.3f s) must beat the footer " +
+          f"fallback ($tFallback%.3f s) at $mpFiles files")
+      fs.delete(mpRoot, true) // 4k-file dirs are large; reclaim as we go
     }
 
     spark.sparkContext.removeSparkListener(listener)

@@ -144,6 +144,22 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_l2sq",
+      {
+        case Seq(a, b) => VecL2Sq(a, b)
+        case other => throw new IllegalArgumentException(
+          s"vec_l2sq(a, b): got ${other.size} args")
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_adc",
+      {
+        case Seq(a, b) => VecAdc(a, b)
+        case other => throw new IllegalArgumentException(
+          s"vec_adc(lut, codes): got ${other.size} args")
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kll_quantiles",
       {
         case Seq(child, phisExpr, kExpr)

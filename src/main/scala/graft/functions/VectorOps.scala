@@ -151,8 +151,14 @@ object VecKernelExact {
   * does (length mismatch, null element) — so `nullable` is true even
   * over non-null inputs — and throws where ANSI-mode CAST would.
   */
-case class VecDotExact(left: Expression, right: Expression)
+case class VecDotExact(left: Expression, right: Expression,
+    failOnError: Boolean = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
     extends BinaryExpression {
+
+  // ANSI flag is a constructor parameter (Spark's own pattern for
+  // conf-sensitive expressions): captured once at analysis, preserved
+  // across copy()/withNewChildrenInternal, and part of case-class
+  // equality so ANSI and non-ANSI instances never canonicalize equal.
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -173,10 +179,6 @@ case class VecDotExact(left: Expression, right: Expression)
 
   private lazy val aF = elem(left.dataType).get
   private lazy val bF = elem(right.dataType).get
-
-  // captured at planning time, like Spark's own ANSI-sensitive expressions
-  private val failOnError: Boolean =
-    org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val r = VecKernelExact.dot(
@@ -199,6 +201,115 @@ case class VecDotExact(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "vec_dot_exact"
+}
+
+/** Squared-L2 twin of [[VecKernel.dot]] — same specialization scheme. */
+object VecL2Kernel {
+  def l2sq(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): Double = {
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"vec_l2sq: length mismatch ${a.numElements()} vs ${b.numElements()}")
+    var s = 0.0
+    var i = 0
+    if (!aF && !bF) while (i < n) { val d = a.getDouble(i) - b.getDouble(i); s += d * d; i += 1 }
+    else if (aF && bF) while (i < n) { val d = a.getFloat(i).toDouble - b.getFloat(i); s += d * d; i += 1 }
+    else if (aF) while (i < n) { val d = a.getFloat(i).toDouble - b.getDouble(i); s += d * d; i += 1 }
+    else while (i < n) { val d = a.getDouble(i) - b.getFloat(i); s += d * d; i += 1 }
+    s
+  }
+}
+
+/** PQ asymmetric-distance kernel: sum over subspaces mi of
+  * `lut[mi][codes[mi]]`. Tight-loop twin of the SQL spelling
+  * `aggregate(sequence(0, M-1), 0D, (acc, mi) -> acc +
+  *   element_at(element_at(lut, mi+1), codes[mi] + 1))`.
+  */
+object VecAdcKernel {
+  def adc(lut: ArrayData, codes: ArrayData): Double = {
+    val m = codes.numElements()
+    require(lut.numElements() == m,
+      s"vec_adc: ${lut.numElements()} LUT rows vs $m codes")
+    var s = 0.0
+    var mi = 0
+    while (mi < m) {
+      s += lut.getArray(mi).getDouble(codes.getInt(mi))
+      mi += 1
+    }
+    s
+  }
+}
+
+/** `vec_l2sq(a, b)` — native codegen'd squared L2 distance, replacing the
+  * interpreted `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0D, +)`
+  * spelling in the IVF assignment pass (same sequential double
+  * arithmetic, so results are bit-identical).
+  */
+case class VecL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elem(dt: DataType): Option[Boolean] = dt match {
+    case ArrayType(DoubleType, _) => Some(false)
+    case ArrayType(FloatType, _) => Some(true)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elem(left.dataType), elem(right.dataType)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"vec_l2sq requires array<double|float> inputs, got " +
+          s"${left.dataType.sql}, ${right.dataType.sql}")
+    }
+
+  private lazy val aF = elem(left.dataType).get
+  private lazy val bF = elem(right.dataType).get
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecL2Kernel.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aF, bF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecL2Kernel.l2sq($a, $b, $aF, $bF);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecL2Sq =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_l2sq"
+}
+
+/** `vec_adc(lut, codes)` — codegen'd PQ asymmetric-distance lookup:
+  * `lut` is array<array<double>> (M rows of K query·centroid dots),
+  * `codes` is array<int> (one code per subspace).
+  */
+case class VecAdc(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ArrayType(DoubleType, _), _), ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"vec_adc requires (array<array<double>>, array<int>), got " +
+          s"${left.dataType.sql}, ${right.dataType.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecAdcKernel.adc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecAdcKernel.adc($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecAdc =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_adc"
 }
 
 /** `vec_dot(a, b)` — native codegen'd dot product over array<double> or

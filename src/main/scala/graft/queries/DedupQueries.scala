@@ -523,8 +523,7 @@ object DedupQueries extends QueryPack {
     val corpus = raw
       .select($"vec_id",
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("raw"))
-      .withColumn("nrm",
-        expr("sqrt(aggregate(transform(raw, x -> x * x), 0D, (a, d) -> a + d))"))
+      .withColumn("nrm", expr("sqrt(vec_dot(raw, raw))"))
       .select($"vec_id", expr("transform(raw, x -> x / nrm)").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -247,24 +247,28 @@ object SimilarityQueries extends QueryPack {
   private[graft] def bandedSignatures(emb: DataFrame, planes: Int = 32,
       bandBits: Int = 8): DataFrame = {
     import emb.sparkSession.implicits._
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val bands = planes / bandBits
     val dims = 64
     val rnd = new scala.util.Random(42)
     val hyper: Array[Array[Double]] =
       Array.fill(planes)(Array.fill(dims)(if (rnd.nextBoolean()) 1.0 else -1.0))
-    def proj(p: Int) = aggregate(
-      zip_with($"embedding", typedlit(hyper(p).toSeq),
-        (x, w) => x.cast("double") * w),
-      lit(0d), (acc, v) => acc + v)
+    // all plane projections in ONE literal array + the native vec_dot
+    // kernel (bit-identical to the old per-plane cast lambda: same
+    // sequential float-widened double sum) — the interpreted HOF is now
+    // one lambda step per PLANE, not per scalar
     val bandVal = (b: Int) => (0 until bandBits).map { r =>
-      when(proj(b * bandBits + r) >= 0, lit(1L << r)).otherwise(lit(0L))
+      when($"projs"(b * bandBits + r) >= 0, lit(1L << r)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val sigs = emb.select($"vec_id",
-      aggregate(zip_with($"embedding", $"embedding",
-        (x, y) => x.cast("double") * y.cast("double")),
-        lit(0d), (acc, v) => acc + v).as("norm2"), // plain double: rows-only
-      // check, no decimal-exactness needed for a sqrt-normalized metric
-      array((0 until bands).map(bandVal): _*).as("band_vals"))
+    val sigs = emb
+      .withColumn("hp", typedlit(hyper.map(_.toSeq).toSeq))
+      .select($"vec_id",
+        expr("vec_dot(embedding, embedding)").as("norm2"), // plain double:
+        // rows-only check, no decimal-exactness needed for a
+        // sqrt-normalized metric
+        expr("transform(hp, h -> vec_dot(embedding, h))").as("projs"))
+      .select($"vec_id", $"norm2",
+        array((0 until bands).map(bandVal): _*).as("band_vals"))
     sigs.select($"vec_id", $"norm2",
       posexplode($"band_vals").as(Seq("band_idx", "band_val")))
   }
@@ -302,7 +306,7 @@ object SimilarityQueries extends QueryPack {
       .join(vecs.select($"vec_id".as("id_a"), $"v".as("va")), "id_a")
       .join(vecs.select($"vec_id".as("id_b"), $"v".as("vb")), "id_b")
       .select($"id_a", $"id_b",
-        (expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
+        (expr("vec_dot(va, vb)") /
           (sqrt($"norm_a") * sqrt($"norm_b"))).as("cosine"))
       .orderBy($"cosine".desc, $"id_a", $"id_b")
       .limit(20)
@@ -559,6 +563,7 @@ object SimilarityQueries extends QueryPack {
     */
   private def loadVecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     Tables.load(s, dir, "embeddings")
       .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -582,10 +587,9 @@ object SimilarityQueries extends QueryPack {
 
     def withDists(df: DataFrame, cents: Array[Array[Double]]): DataFrame =
       df.withColumn("cents", centroidCol(cents))
-        .withColumn("dists", expr(
-          """transform(cents, c ->
-            |  aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
-            |            0D, (acc, d) -> acc + d))""".stripMargin))
+        // native vec_l2sq kernel: one interpreted lambda step per CELL,
+        // not per scalar (bit-identical to the old (x-y)² zip_with)
+        .withColumn("dists", expr("transform(cents, c -> vec_l2sq(v, c))"))
 
     // deterministic init: the first k vectors seed the centroids
     // (orderBy/limit, not vec_id < k: ids need not be dense)
@@ -622,7 +626,7 @@ object SimilarityQueries extends QueryPack {
       .filter($"cell".isin(probeCells.toSeq: _*) && $"vec_id" =!= 0)
       .withColumn("q", typedlit(queryVec.toSeq))
       .select($"vec_id", $"cell",
-        expr("""aggregate(zip_with(v, q, (x, y) -> x * y), 0D, (a, d) -> a + d)""")
+        expr("vec_dot(v, q)")
           .as("dot"))
       .orderBy($"dot".desc, $"vec_id")
       .limit(10)
@@ -662,7 +666,7 @@ object SimilarityQueries extends QueryPack {
       val exactIds = emb.filter($"vec_id" =!= 0)
         .crossJoin(broadcast(query))
         .select($"vec_id",
-          expr("aggregate(zip_with(v, q, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+          expr("vec_dot(v, q)")
             .as("dot"))
         .orderBy($"dot".desc, $"vec_id")
         .limit(10)
@@ -811,10 +815,9 @@ object SimilarityQueries extends QueryPack {
     val nCand = 50
     val candidates = coded.filter($"vec_id" =!= 0)
       .withColumn("lut", typedlit(lut))
-      .withColumn("adc", expr(
-        s"""aggregate(sequence(0, ${m - 1}), 0D, (acc, mi) ->
-           |  acc + element_at(element_at(lut, mi + 1),
-           |                   CAST(element_at(codes, mi + 1) AS INT) + 1))""".stripMargin))
+      // codegen'd ADC lookup kernel (same M lookups + sequential sum as
+      // the aggregate(sequence(...)) spelling it replaced)
+      .withColumn("adc", expr("vec_adc(lut, codes)"))
       .orderBy($"adc".desc, $"vec_id")
       .limit(nCand)
       .select($"vec_id", $"v", $"adc")
@@ -824,9 +827,7 @@ object SimilarityQueries extends QueryPack {
       .withColumn("q", q)
       .select($"vec_id",
         round($"adc", 6).as("adc"),
-        round(expr(
-          "aggregate(zip_with(v, q, (x, y) -> x * y), 0D, (acc, d) -> acc + d)"),
-          6).as("dot"))
+        round(expr("vec_dot(v, q)"), 6).as("dot"))
       .orderBy($"dot".desc, $"vec_id")
       .limit(10)
     val rows = result.collect()
@@ -856,7 +857,7 @@ object SimilarityQueries extends QueryPack {
       val exactIds = emb.filter($"vec_id" =!= 0)
         .crossJoin(broadcast(query))
         .select($"vec_id",
-          expr("aggregate(zip_with(v, q, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+          expr("vec_dot(v, q)")
             .as("dot"))
         .orderBy($"dot".desc, $"vec_id")
         .limit(10)

@@ -129,6 +129,16 @@ final class DwrfDataSource extends TableProvider with DataSourceRegister {
     if (files.isEmpty) return Array.empty
     val qualifiedRoot = DwrfUtil.qualify(path, conf)
     val keys = PartitionLayout.specOf(qualifiedRoot, files.head).map(_._1)
+    // a heterogeneous directory (files under different layouts) must
+    // fail loud at adoption, not mis-infer from whichever file listed
+    // first — every file's key sequence has to agree
+    files.foreach { f =>
+      val ks = PartitionLayout.specOf(qualifiedRoot, f).map(_._1)
+      require(ks == keys,
+        s"dwrf: inconsistent partition layouts under $path: " +
+          s"${files.head} has [${keys.mkString(",")}] but $f has " +
+          s"[${ks.mkString(",")}]")
+    }
     keys.map(k => org.apache.spark.sql.connector.expressions.Expressions
       .identity(k): Transform).toArray
   }
@@ -166,10 +176,15 @@ final class DwrfDataSource extends TableProvider with DataSourceRegister {
         .orElse(props.get("partition.columns")
           .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
         .getOrElse(Nil)
+    // order-insensitive agreement: the transforms may come from directory
+    // INFERENCE (nesting order) while the option spells the user's order —
+    // a multi-level LOCATION adoption with columns listed differently must
+    // not be rejected. When both are present the explicit option's ORDER
+    // wins (it is what the user wrote); the SET must still agree.
     require(fromTransforms.isEmpty || fromOptions.isEmpty ||
-        fromTransforms == fromOptions,
+        fromTransforms.toSet == fromOptions.toSet,
       s"dwrf: conflicting partition specs: $fromTransforms vs $fromOptions")
-    val partCols = if (fromTransforms.nonEmpty) fromTransforms else fromOptions
+    val partCols = if (fromOptions.nonEmpty) fromOptions else fromTransforms
     partCols.foreach { c =>
       val f = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"dwrf: partition column '$c' not in schema"))
@@ -1778,12 +1793,14 @@ final class DwrfBatchWrite(schema: StructType, path: String,
       case _ => ()
     }
     fs.mkdirs(p)
-    // job-unique file prefix on snapshot tables AND dynamic overwrites:
-    // retained historic files (or untouched-partition files) stay in the
-    // directory, so a replayed (partitionId, taskId) pair from a
-    // different job must not overwrite one
+    // job-unique file prefix for every mode that retains pre-existing
+    // files in the directory (snapshot tables, dynamic overwrite, AND
+    // filtered overwrite — untouched-partition files survive all three):
+    // a replayed (partitionId, taskId) pair from a different job must
+    // not overwrite a retained file
     val prefix =
-      if (snapshots || mode == DwrfWriteMode.DynamicOverwrite)
+      if (snapshots || mode == DwrfWriteMode.DynamicOverwrite ||
+          mode.isInstanceOf[DwrfWriteMode.OverwriteWhere])
         s"part-${java.util.UUID.randomUUID().toString.take(12)}-"
       else "part-"
     new DwrfDataWriterFactory(schema.json, path, options,
@@ -1802,33 +1819,29 @@ final class DwrfBatchWrite(schema: StructType, path: String,
       val qualified = DwrfUtil.qualify(root, conf)
       mode match {
         case DwrfWriteMode.OverwriteWhere(filters) =>
-          // replace exactly the live files whose partition spec matches;
-          // commitReplace re-verifies liveness + DV bindings against the
-          // winning parent, so a concurrent DELETE conflicts instead of
-          // being resurrected
-          val parent = DwrfLog.latest(root, conf).getOrElse(
-            throw new IllegalStateException(s"dwrf log vanished under $path"))
-          val removedRel = parent.files.filter(rel =>
-            PartitionFilterMatch.matchesAll(
-              specOf(qualified, new Path(qualified, rel)), filters))
-          DwrfLog.commitReplace(root, conf,
-            removedRel.map(new Path(qualified, _)), written,
-            op = "overwrite-where",
-            observedDvs = parent.dvs.filter { case (f, _) =>
-              removedRel.contains(f) })
+          // replace the live files whose partition spec matches — the
+          // scope PREDICATE goes into the commit so the removal set is
+          // recomputed against the winning parent: a file appended
+          // concurrently into the overwritten scope is replaced too,
+          // never silently retained
+          val writtenRel = written
+            .map(f => DwrfUtil.qualify(f, conf).toString
+              .stripPrefix(qualified.toString).stripPrefix("/")).toSet
+          DwrfLog.commitOverwriteScope(root, conf,
+            rel => !writtenRel.contains(rel) && PartitionFilterMatch.matchesAll(
+              specOf(qualified, new Path(qualified, rel)), filters),
+            written, op = "overwrite-where")
           writeSuccess(conf); return
         case DwrfWriteMode.DynamicOverwrite =>
           val touched: Set[Map[String, String]] =
             written.map(specOf(qualified, _)).toSet
-          val parent = DwrfLog.latest(root, conf).getOrElse(
-            throw new IllegalStateException(s"dwrf log vanished under $path"))
-          val removedRel = parent.files.filter(rel =>
-            touched.contains(specOf(qualified, new Path(qualified, rel))))
-          DwrfLog.commitReplace(root, conf,
-            removedRel.map(new Path(qualified, _)), written,
-            op = "overwrite-dynamic",
-            observedDvs = parent.dvs.filter { case (f, _) =>
-              removedRel.contains(f) })
+          val writtenRel = written
+            .map(f => DwrfUtil.qualify(f, conf).toString
+              .stripPrefix(qualified.toString).stripPrefix("/")).toSet
+          DwrfLog.commitOverwriteScope(root, conf,
+            rel => !writtenRel.contains(rel) &&
+              touched.contains(specOf(qualified, new Path(qualified, rel))),
+            written, op = "overwrite-dynamic")
           writeSuccess(conf); return
         case _ => ()
       }

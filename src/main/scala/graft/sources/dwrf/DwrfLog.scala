@@ -418,6 +418,44 @@ object DwrfLog {
         s"dwrf: replace commit under $root lost ${64} version races")
     }
 
+  /** Commit an INSERT OVERWRITE of a partition scope. Unlike
+    * [[commitReplace]] — whose output ROWS were computed from the removed
+    * files, so a superseded snapshot must conflict — an overwrite's
+    * output is independent of what it replaces: the contract is "after
+    * this commit the scope contains exactly my rows". The removal set is
+    * therefore recomputed against the WINNING parent inside the retry
+    * loop, so a file appended concurrently into the overwritten scope is
+    * removed rather than silently retained (the r10 race: removedRel was
+    * computed from a pre-commit snapshot and commitReplace only verified
+    * liveness, letting a concurrent append survive an overwrite that
+    * should have replaced it). Out-of-scope files and their DV bindings
+    * carry over untouched; in-scope DV bindings drop with their files.
+    *
+    * `scope` is a predicate over table-relative data-file paths.
+    */
+  def commitOverwriteScope(root: Path, conf: Configuration,
+      scope: String => Boolean, added: Seq[Path], op: String): Snapshot =
+    lockFor(root).synchronized {
+      val relAdded = added.map(relativize(root, conf, _))
+      var attempt = 0
+      while (attempt < 64) {
+        val parent = requireEnabled(root, conf)
+        val relRemoved = parent.files.filter(scope)
+        val snap = Snapshot(parent.version + 1, op,
+          (parent.files.filterNot(scope) ++ relAdded).sorted,
+          stampOver(Some(parent)),
+          parent.dvs -- relRemoved)
+        if (tryPublish(root, conf, snap)) {
+          DwrfLogStats.write(root, conf, snap.version,
+            DwrfLogStats.advance(root, conf, parent, snap.files, relAdded))
+          return snap
+        }
+        attempt += 1
+      }
+      throw new IllegalStateException(
+        s"dwrf: overwrite commit under $root lost ${64} version races")
+    }
+
   /** Roll the table back (or forward) to the state of `toVersion` by
     * publishing a NEW commit that re-references that version's files and
     * delete-vector bindings — history is never rewritten, so the bad

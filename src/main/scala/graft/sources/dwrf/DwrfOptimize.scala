@@ -148,12 +148,17 @@ object DwrfOptimize {
         // each column becomes an 8-bit bucket placed in the HIGH bits of
         // the 32-bit order-code range: the N-ary interleave keeps only
         // the top 64/k bits per dimension, so low-positioned buckets
-        // would truncate to a constant and cluster nothing. The clamp is
-        // monotone (order survives) and keeps the shift inside Int range
+        // would truncate to a constant and cluster nothing. Bucket by
+        // DIVISION (c DIV (hi/256)), never c*256 — the multiply-first
+        // form overflows Long for |c| > Long.MaxValue/256, which throws
+        // under ANSI and silently wraps (breaking monotonicity) without.
+        // Division by a positive constant is monotone, and the clamp
+        // keeps the shifted value inside the interleave's bit budget
         // however skewed the column's min is vs its max.
         val scaled = sortCols.zipWithIndex.map { case (c, i) =>
           val hi = math.max(0L, maxes.getAs[Number](i).longValue()) + 1
-          s"GREATEST(-256L, LEAST(255L, `$c` * 256L DIV $hi)) * ${1L << 23}"
+          val step = math.max(1L, hi / 256L)
+          s"GREATEST(-256L, LEAST(255L, `$c` DIV ${step}L)) * ${1L << 23}"
         }
         val zKeys = layoutKeys.map(col) :+ col("__graft_z")
         df.withColumn("__graft_z", expr(s"z_order(${scaled.mkString(", ")})"))

@@ -103,6 +103,21 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("ANN tier scores on native kernels (vec_dot/vec_l2sq), not interpreted lambdas") {
+    // the interpreted aggregate(zip_with(...)) HOF spelling pays two
+    // Catalyst tree walks per ELEMENT; the codegen'd kernels pay one call
+    // per VECTOR. Gate the lazy LSH plan (the IVF/PQ paths materialize
+    // eagerly, but share loadVecs/scoring spellings covered by their
+    // recall specs) on containing the native expression and NOT the
+    // zip_with spelling.
+    val p = SimilarityQueries.lshCosinePlan(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(p.contains("vec_dot"),
+      s"ann_lsh_cosine must score on the native vec_dot kernel:\n$p")
+    assert(!p.contains("zip_with"),
+      s"ann_lsh_cosine must not evaluate interpreted zip_with lambdas:\n$p")
+  }
+
   test("dedup_fuzzy: deletion-variant candidates meet in an equi-join, never quadratic") {
     val p = planOf("dedup_fuzzy")
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
