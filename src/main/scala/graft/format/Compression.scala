@@ -84,6 +84,15 @@ object CompressionCodec {
       case CompressionKind.Lz4 => Some(Lz4Codec)
       case CompressionKind.Lzo => Some(LzoCodec)
     }
+
+  /** Write-path variant: the zlib level is re-read per compressed block,
+    * so memory-pressure escalation reaches in-flight writers. */
+  def forKindDynamic(kind: CompressionKind,
+      zlibLevelOf: () => Int): Option[CompressionCodec] =
+    kind match {
+      case CompressionKind.Zlib => Some(new ZlibCodec(zlibLevelOf))
+      case other => forKind(other)
+    }
 }
 
 object ZlibCodec {
@@ -125,13 +134,19 @@ object ZlibCodec {
   }
 }
 
-final class ZlibCodec(level: Int) extends CompressionCodec {
+final class ZlibCodec(levelOf: () => Int) extends CompressionCodec {
+  // fixed-level spelling (readers, tools); write paths pass a provider so
+  // memory-pressure escalation applies to blocks compressed AFTER the
+  // governor flips the flag — zlib level is per-block writer state, never
+  // format state, so mixing levels within one stream is always valid
+  def this(level: Int) = this(() => level)
+
   // scratch capacity: we bail at `len` anyway, so len suffices
   override def maxCompressedLength(len: Int): Int = len
 
   override def compressInto(src: Array[Byte], off: Int, len: Int,
       dst: Array[Byte], dstOff: Int): Int = {
-    val deflater = ZlibCodec.deflater(level)
+    val deflater = ZlibCodec.deflater(levelOf())
     deflater.setInput(src, off, len)
     deflater.finish()
     var total = 0

@@ -30,6 +30,24 @@ final class ArrayPositionProvider(positions: Array[Long], private var i: Int = 0
   * where `original=1` means the chunk is stored uncompressed because
   * compression did not shrink it. With no codec there is no framing at all.
   */
+/** Thread-local write-side profiler (reference M5's write half: the
+  * COMPRESSION_TIME counter `ReaderWriterProfiler` wraps around every
+  * codec call — here accumulated per writer thread and drained by
+  * [[graft.sources.dwrf.DwrfFileWriter]] into V2 CustomMetrics).
+  * Timing granularity is one `compressInto` call (a ≥4 KB block), so
+  * the nanoTime pair is amortized — never per value.
+  */
+object WriteProfile {
+  final class Counters {
+    var compressNanos = 0L
+    var compressCalls = 0L
+    var compressBytesIn = 0L
+    var compressBytesOut = 0L
+  }
+  private val tl = ThreadLocal.withInitial[Counters](() => new Counters)
+  def get: Counters = tl.get()
+}
+
 final class OutStream(
     val name: String,
     blockSize: Int,
@@ -103,11 +121,18 @@ final class OutStream(
     if (currentLen == 0) return
     val c = codec.get
     if (scratch == null) scratch = new Array[Byte](c.maxCompressedLength(blockSize))
+    val t0 = System.nanoTime()
     val n = c.compressInto(current, 0, currentLen, scratch, 0)
+    val prof = WriteProfile.get
+    prof.compressNanos += System.nanoTime() - t0
+    prof.compressCalls += 1
+    prof.compressBytesIn += currentLen
     if (n >= 0) {
+      prof.compressBytesOut += n
       writeHeader(n, original = false)
       compressed.write(scratch, 0, n)
     } else {
+      prof.compressBytesOut += currentLen
       writeHeader(currentLen, original = true)
       compressed.write(current, 0, currentLen)
     }

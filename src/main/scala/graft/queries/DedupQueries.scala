@@ -143,76 +143,108 @@ object DedupQueries extends QueryPack {
   /** The step between pair generation and actually dropping duplicates:
     * connected components over the near-dup pair graph, so transitive
     * chains (A~B, B~C) collapse to ONE keeper instead of pairwise
-    * survivors. Edges are the oracle-exact Jaccard pairs above; labels
-    * flood to the component minimum by iterative min-label propagation —
-    * one equi-join + one partial-aggregated groupBy per round, O(diameter)
-    * rounds (near-dup clusters are shallow; the 50-round cap is a
-    * fail-loud guard, not a tuning knob). At 100 TB the same loop runs
-    * with the large-star/small-star step to cut rounds to O(log n) and a
-    * checkpoint every few rounds to truncate lineage — plan shape per
-    * round is identical to this one. The per-round driver action is ONE
-    * count (the convergence check), not data.
+    * survivors. Edges are the oracle-exact Jaccard pairs above; the
+    * components contract via alternating large-star/small-star rounds
+    * (Kiveris et al.) — O(log n) rounds instead of min-label
+    * propagation's O(diameter), the 100 TB-relevant bound on chain-
+    * shaped clusters (measured: 2 rounds at 1× AND 16× in the opscale
+    * stress; the 50-round cap is a fail-loud guard, not a tuning knob).
+    * The per-round driver action is ONE tiny aggregate (the convergence
+    * signature), not data.
     *
     * Oracle: DuckDB recursive-CTE reachability closure → min reachable id
     * per node — exact, so the whole clustering is hash-checked.
     */
+  /** Rounds the last [[dedupClusters]] run needed to converge —
+    * instrumentation for the opscale stress (the algorithmic claim is
+    * O(log n) rounds, so 16× data must NOT mean 16× rounds).
+    */
+  @volatile private[graft] var lastClusterRounds: Int = -1
+
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // label tables are bounded by the near-dup doc population (a small
-    // fraction of the corpus even at 100 TB), so the loop's label
-    // aggregation runs at 8 partitions — enforced with an explicit
-    // repartition on each label table, NOT a session-global
-    // shuffle-partitions override (a global knob would silently reshape
-    // any query running concurrently on the session)
-    val labelParts = 8
+    // edge tables are bounded by the near-dup doc population (a small
+    // fraction of the corpus even at 100 TB), so the star loop runs at
+    // 8 partitions — enforced with an explicit repartition, NOT a
+    // session-global shuffle-partitions override (a global knob would
+    // silently reshape any query running concurrently on the session)
+    val starParts = 8
     // the heavy shingle join materializes at FULL parallelism (count()
-    // below) — only the loop's tiny label tables get the partition cut
+    // below) — only the loop's tiny edge tables get the partition cut
     val (pairsDf, shingles) = ngramJaccardFull(s, dir)
-    val half = pairsDf.select($"id_a".as("a"), $"id_b".as("b"))
-    val edges = half.union(half.select($"b".as("a"), $"a".as("b")))
+
+    // Alternating large-star / small-star (Kiveris et al., "Connected
+    // Components in MapReduce and Beyond"): edges contract toward each
+    // component's minimum id in O(log n) rounds where min-label
+    // propagation (the r8-r10 implementation) took O(diameter) — the
+    // 100 TB-relevant difference on chain-shaped near-dup clusters.
+    // Edges stay oriented big→small ((u, v), u > v) between steps.
+    //
+    //  - large-star: per node u over ALL neighbors Γ(u): attach every
+    //    LARGER neighbor to m = min(Γ(u) ∪ {u});
+    //  - small-star: per node u over its SMALLER neighbors: attach them
+    //    (and u) to their minimum.
+    //
+    // Each star is a WINDOW min over hash(u) — no joins, no broadcasts,
+    // no collect_list (a high-degree hub never materializes its neighbor
+    // list in one task; the window min streams). The round is ONE action
+    // over a 3-exchange plan: a join-based first cut paid ~7 AQE stage
+    // syncs per round, which on a near-empty edge set (the normal case)
+    // was pure fixed overhead — measured 5 s/round on 256 edges.
+    var edges = pairsDf.select(
+        greatest($"id_a", $"id_b").as("u"), least($"id_a", $"id_b").as("v"))
+      .repartition(starParts, $"u")
       .persist(lvl)
-    edges.count()
-    var labels = edges.select($"a".as("doc_id")).distinct()
-      .withColumn("lab", $"doc_id")
-      .repartition(labelParts, $"doc_id").persist(lvl)
-    // round k depends only on round k-1: once k materializes (the
-    // `changed` count), the k-1 cache is dead — unpersist it then, so
-    // the loop holds at most TWO label tables instead of O(rounds)
-    var prevCache: DataFrame = labels
-    var converged = false
+    // convergence = canonical edge set stopped changing: compare
+    // (count, order-independent checksum) — one tiny action per round,
+    // and the final labeling is oracle-checked anyway
+    def signature(e: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: order-independent AND overflow-free under ANSI
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val wU = org.apache.spark.sql.expressions.Window.partitionBy($"u")
+    var sig = signature(edges)
     var rounds = 0
+    var converged = false
     while (!converged && rounds < 50) {
-      // each doc aggregates its own label (tagged `own`, exactly one row)
-      // with its neighbors' labels: min = the new label, min-of-own = the
-      // previous one — so ONE groupBy yields both the propagation step
-      // and the convergence comparison, and the round costs one action.
-      // repartition(doc_id) ahead of the groupBy hash-satisfies the
-      // aggregate's distribution, so the final agg adds no exchange
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "b"), "b")
-        .select($"a".as("doc_id"), $"lab", lit(false).as("own"))
-      val next2 = labels.select($"doc_id", $"lab", lit(true).as("own"))
-        .union(viaNeighbors)
-        .repartition(labelParts, $"doc_id")
-        .groupBy($"doc_id")
-        .agg(min($"lab").as("lab"), min(when($"own", $"lab")).as("prev"))
+      // large-star over the symmetrized neighborhood: one window min
+      val sym = edges.select($"u", $"v")
+        .union(edges.select($"v".as("u"), $"u".as("v")))
+      val large = sym.select($"u", $"v", min($"v").over(wU).as("mv"))
+        .where($"v" > $"u")
+        .select($"v".as("u"), least($"mv", $"u").as("v"))
+      // small-star over the big→small orientation large-star preserves;
+      // cached because both output branches read it (block-level cache
+      // sharing inside the single materializing job)
+      val withM = large.select($"u", $"v", min($"v").over(wU).as("m"))
         .persist(lvl)
-      val changed = next2.filter($"lab" < $"prev").count()
-      prevCache.unpersist()
-      prevCache = next2
-      labels = next2.select($"doc_id", $"lab")
-      converged = changed == 0
+      val next = withM.where($"v" =!= $"m").select($"v".as("u"), $"m".as("v"))
+        .union(withM.select($"u", $"m".as("v")))
+        .distinct()
+        .persist(lvl)
+      val nextSig = signature(next)
+      withM.unpersist()
+      edges.unpersist()
+      edges = next
+      converged = nextSig == sig
+      sig = nextSig
       rounds += 1
     }
     require(converged, s"dedup_clusters: no fixpoint after $rounds rounds")
+    lastClusterRounds = rounds
+    // at convergence every component is a star centered at its minimum:
+    // non-centers appear as u with their center as v; centers only as v
+    val labels = edges.select($"u".as("doc_id"), $"v".as("lab"))
+      .union(edges.select($"v".as("doc_id"), $"v".as("lab")))
+      .groupBy($"doc_id").agg(min($"lab").as("lab"))
     val result = labels
       .groupBy($"lab".as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("n_removable", $"n_docs" - 1)
       .orderBy($"cluster_id")
     val rows = result.collect() // driver-sized: one row per dup cluster
-    prevCache.unpersist()
     edges.unpersist()
     shingles.unpersist()
     s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)

@@ -1669,6 +1669,8 @@ final class DwrfWriteBuilder(schema: StructType, path: String,
         if (requested.isEmpty) Array.empty
         else (partCols ++ sortCols).map(c =>
           Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
+      override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+        DwrfWriteMetrics.all
       override def toBatch: BatchWrite =
         new DwrfBatchWrite(schema, path, options, mode, partCols)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
@@ -1947,6 +1949,13 @@ private final class DwrfFlatDataWriter(schema: StructType, file: Path,
   private val os = fs.create(file, true)
   private val writer = new DwrfFileWriter(schema,
     DwrfWriteOptions.fromMap(options), new java.io.BufferedOutputStream(os, 1 << 16))
+  // compression-profiler baseline: this task thread may have written
+  // other files before (task retry in the same executor thread)
+  private val compress0 = graft.format.WriteProfile.get.compressNanos
+  private val blocks0 = graft.format.WriteProfile.get.compressCalls
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    DwrfWriteMetrics.taskValues(Seq(writer), compress0, blocks0)
 
   override def write(record: InternalRow): Unit = writer.addRow(record)
   override def commit(): WriterCommitMessage = {
@@ -1964,6 +1973,7 @@ private final class DwrfFlatDataWriter(schema: StructType, file: Path,
       Seq(finalPath.toString))
   }
   override def abort(): Unit = {
+    writer.release() // governor registration must not outlive the task
     try os.close() catch { case _: Throwable => }
     try fs.delete(file, false) catch { case _: Throwable => }
   }
@@ -1989,6 +1999,11 @@ private final class DwrfPartitionedDataWriter(schema: StructType, root: Path,
 
   private val maxOpenWriters = 256
   private val fs = root.getFileSystem(conf)
+  private val compress0 = graft.format.WriteProfile.get.compressNanos
+  private val blocks0 = graft.format.WriteProfile.get.compressCalls
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    DwrfWriteMetrics.taskValues(writers.values.map(_._1), compress0, blocks0)
   private val partIdx: Array[Int] = partCols.map(schema.fieldIndex).toArray
   private val dataIdx: Array[Int] = schema.fields.indices
     .filterNot(partIdx.contains(_)).toArray
@@ -2071,7 +2086,8 @@ private final class DwrfPartitionedDataWriter(schema: StructType, root: Path,
     DwrfCommitMessage(root.toString, rows, produced.toSeq)
   }
 
-  override def abort(): Unit = writers.values.foreach { case (_, os, file) =>
+  override def abort(): Unit = writers.values.foreach { case (w, os, file) =>
+    w.release() // governor registration must not outlive the task
     try os.close() catch { case _: Throwable => }
     try fs.delete(file, false) catch { case _: Throwable => }
   }

@@ -41,7 +41,22 @@ final case class DwrfWriteOptions(
     // graft.format.BloomFilter
     bloomColumns: Seq[String] = Nil,
     bloomFpp: Double = 0.02,
-    bloomMaxDistinct: Int = 1000000)
+    bloomMaxDistinct: Int = 1000000) {
+  /** Runtime pressure flags (NOT configuration — deliberately outside
+    * case-class equality): set by [[DwrfMemoryGovernor]] when the
+    * executor's writer pool oversubscribes; consulted by the zlib level
+    * provider and the dictionary writers. One instance per options value,
+    * shared by the whole TreeWriter tree it configures.
+    */
+  val pressure = new DwrfWritePressure
+
+  /** Effective zlib level: escalates to ≥ 6 under memory pressure
+    * (reference `WriterImpl.enterLowMemoryMode`) — evaluated per
+    * compressed block, so in-flight writers tighten immediately.
+    */
+  def zlibLevelNow: Int =
+    if (pressure.lowMemory) math.max(6, zlibLevel) else zlibLevel
+}
 
 object DwrfWriteOptions {
   /** Parse `.option(...)` strings (names follow OrcConf / OrcFile).
@@ -186,10 +201,39 @@ final class DwrfFileWriter(
   private var rowsSinceMemCheck = 0
   private var closed = false
 
+  // ---- write-path profiler (reference M5's ENCODING/SERIALIZATION/
+  // COMPRESSION_TIME write counters, ReaderWriterProfiler.java:32-52).
+  // Stripe finalize time is measured exactly (amortized: one nanoTime
+  // pair per flush); the per-row encode path is SAMPLED 1-in-64 and
+  // scaled — an always-on nanoTime pair per row would itself cost a
+  // measurable slice of the encode budget. Compression time accrues in
+  // format.WriteProfile (thread-local, one pair per compressed block)
+  // and is drained by the DataWriter layer, not here.
+  private var flushNanosAcc = 0L
+  private var encodeSampleNanosAcc = 0L
+
+  // cross-writer memory governance (A3/A4 full form): registered for the
+  // writer's life; close()/release() both unregister (idempotent)
+  private val gReg = DwrfMemoryGovernor.register(opts.stripeSize)
+
+  /** Exact nanos spent finalizing stripes + the footer (encode flush,
+    * index/footer serialization, compression, IO). */
+  def flushNanos: Long = flushNanosAcc
+  /** Estimated nanos in the per-row encode path (1-in-64 sample × 64). */
+  def encodeNanosEst: Long = encodeSampleNanosAcc * 64
+  def stripesFlushed: Int = stripes.size
+  def bytesOut: Long = bytesWritten
+
   // file header
   out.write(Magic.Bytes)
 
   def addRow(row: InternalRow): Unit = {
+    val sampled = (totalRows & 63) == 0
+    val t0 = if (sampled) System.nanoTime() else 0L
+    // a budget-triggered stripe flush always lands on a sampled row
+    // (both boundaries are multiples of 64) — subtract its exactly-
+    // measured time so the encode sample never scales flush cost ×64
+    val f0 = if (sampled) flushNanosAcc else 0L
     if (opts.rowIndexStride > 0 && rowsInStripe % opts.rowIndexStride == 0)
       root.recordStride()
     bloomAccs.foreach { case (i, dt, acc) =>
@@ -210,15 +254,30 @@ final class DwrfFileWriter(
     rowsSinceMemCheck += 1
     if (rowsSinceMemCheck >= 1024) {
       rowsSinceMemCheck = 0
-      // stripe-size budget, plus the reference's dictionary-memory cap
-      // (A4, OrcConf hive.exec.orc.max.dictionary.size = 100 MB)
-      if (root.memory >= opts.stripeSize ||
-          root.dictionaryMemory >= opts.maxDictionarySize) flushStripe()
+      DwrfMemoryGovernor.addedRows(1024)
+      // governor pressure first: abandon dictionaries + escalate zlib
+      // BEFORE deciding the flush, so the relief applies to this stripe
+      if (DwrfMemoryGovernor.lowMemory && !opts.pressure.lowMemory) {
+        opts.pressure.lowMemory = true
+        root.enterLowMemory()
+      }
+      // governed stripe budget (stripeSize × pool scale × rebalance
+      // multiplier — plain stripeSize when this is the only writer),
+      // plus the reference's dictionary-memory cap (A4, OrcConf
+      // hive.exec.orc.max.dictionary.size = 100 MB)
+      if (root.memory >= DwrfMemoryGovernor.budgetFor(gReg) ||
+          root.dictionaryMemory >= opts.maxDictionarySize) {
+        DwrfMemoryGovernor.noteFlush(gReg)
+        flushStripe()
+      }
     }
+    if (sampled)
+      encodeSampleNanosAcc += (System.nanoTime() - t0) - (flushNanosAcc - f0)
   }
 
   private def flushStripe(): Unit = {
     if (rowsInStripe == 0) return
+    val tFlush0 = System.nanoTime()
     val stripeOffset = bytesWritten
     val flushes: Seq[(Int, ColumnFlush)] = root.flushStripe()
     val byColumn = flushes.toMap
@@ -230,7 +289,7 @@ final class DwrfFileWriter(
       flushes.foreach { case (col, cf) =>
         if (cf.indexEntries.nonEmpty) {
           val os = new OutStream(s"col$col/rowindex", opts.blockSize,
-            CompressionCodec.forKind(opts.kind, opts.zlibLevel))
+            CompressionCodec.forKindDynamic(opts.kind, () => opts.zlibLevelNow))
           MetaIO.writeRowIndex(os, cf.indexEntries)
           val b = os.finish()
           out.write(b, 0, b.length)
@@ -257,7 +316,7 @@ final class DwrfFileWriter(
       encodings = flushes.map { case (col, cf) => col -> cf.encoding }.toMap,
       stats = flushes.map { case (col, cf) => col -> cf.stats }.toMap)
     val sfOut = new OutStream("stripe-footer", opts.blockSize,
-      CompressionCodec.forKind(opts.kind, opts.zlibLevel))
+      CompressionCodec.forKindDynamic(opts.kind, () => opts.zlibLevelNow))
     MetaIO.writeStripeFooter(sfOut, sf)
     val sfBytes = sfOut.finish()
     out.write(sfBytes, 0, sfBytes.length)
@@ -266,6 +325,7 @@ final class DwrfFileWriter(
       sfBytes.length.toLong, rowsInStripe)
     stripeStatsHistory += byColumn.map { case (c, cf) => c -> cf.stats }
     rowsInStripe = 0
+    flushNanosAcc += System.nanoTime() - tFlush0
   }
 
   /** Logical (uncompressed) data size per reference RawDatasizeConst. */
@@ -299,6 +359,7 @@ final class DwrfFileWriter(
     if (closed) return
     closed = true
     flushStripe()
+    val tFoot0 = System.nanoTime()
     // merge file stats across stripes
     val fileStats: Map[Int, ColumnStats] =
       stripeStatsHistory.foldLeft(Map.empty[Int, ColumnStats]) { (acc, m) =>
@@ -324,7 +385,7 @@ final class DwrfFileWriter(
       rawDataSize = rawDataSize(fileStats),
       userMetadata = userMetadata ++ bloomMeta)
     val fOut = new OutStream("footer", opts.blockSize,
-      CompressionCodec.forKind(opts.kind, opts.zlibLevel))
+      CompressionCodec.forKindDynamic(opts.kind, () => opts.zlibLevelNow))
     MetaIO.writeFooter(fOut, footer)
     val fBytes = fOut.finish()
     out.write(fBytes, 0, fBytes.length)
@@ -337,6 +398,16 @@ final class DwrfFileWriter(
       useVInts = opts.useVInts))
     out.write(psBytes.length)
     rawOut.flush()
+    flushNanosAcc += System.nanoTime() - tFoot0
+    DwrfMemoryGovernor.unregister(gReg)
+  }
+
+  /** Abort-path cleanup: drop the governor registration WITHOUT writing
+    * a footer. Idempotent with close() (unregister ignores unknown regs).
+    */
+  def release(): Unit = {
+    closed = true
+    DwrfMemoryGovernor.unregister(gReg)
   }
 
   def rowCount: Long = totalRows

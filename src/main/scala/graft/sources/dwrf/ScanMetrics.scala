@@ -62,3 +62,65 @@ object DwrfMetrics {
     task("batchesEmitted", c.batchesEmitted),
     task("preads", c.preads))
 }
+
+/** Write-path profiler metrics (reference M5's write half: the
+  * ENCODING / SERIALIZATION / COMPRESSION_TIME counters
+  * `ReaderWriterProfiler` wraps around the writer hot paths —
+  * re-expressed as V2 CustomMetrics so a slow write job explains itself
+  * in the Spark SQL UI). Times are reported in MILLIS (sum across
+  * tasks); `writeEncodeMs` is a 1-in-64 sampled estimate of the per-row
+  * encode path, `writeFlushMs` and `writeCompressMs` are exact.
+  */
+object DwrfWriteMetrics {
+  final class EncodeMs extends CustomSumMetric {
+    override def name(): String = "writeEncodeMs"
+    override def description(): String =
+      "dwrf write: per-row encode ms (sampled 1/64)"
+  }
+  final class FlushMs extends CustomSumMetric {
+    override def name(): String = "writeFlushMs"
+    override def description(): String =
+      "dwrf write: stripe finalize + footer ms"
+  }
+  final class CompressMs extends CustomSumMetric {
+    override def name(): String = "writeCompressMs"
+    override def description(): String = "dwrf write: compression ms"
+  }
+  final class CompressBlocks extends CustomSumMetric {
+    override def name(): String = "writeCompressBlocks"
+    override def description(): String = "dwrf write: blocks compressed"
+  }
+  final class BytesOut extends CustomSumMetric {
+    override def name(): String = "writeBytesOut"
+    override def description(): String = "dwrf write: file bytes written"
+  }
+  final class StripesOut extends CustomSumMetric {
+    override def name(): String = "writeStripes"
+    override def description(): String = "dwrf write: stripes flushed"
+  }
+
+  val all: Array[CustomMetric] = Array(
+    new EncodeMs, new FlushMs, new CompressMs, new CompressBlocks,
+    new BytesOut, new StripesOut)
+
+  /** Task-metric snapshot for a set of live file writers; compression
+    * nanos come from the thread-local [[graft.format.WriteProfile]]
+    * delta since `compress0`/`blocks0` (captured at DataWriter
+    * construction — DataWriters are single-threaded by contract).
+    */
+  def taskValues(writers: Iterable[graft.sources.dwrf.DwrfFileWriter],
+      compress0: Long, blocks0: Long): Array[CustomTaskMetric] = {
+    val prof = graft.format.WriteProfile.get
+    Array(
+      DwrfMetrics.task("writeEncodeMs",
+        writers.map(_.encodeNanosEst).sum / 1000000L),
+      DwrfMetrics.task("writeFlushMs",
+        writers.map(_.flushNanos).sum / 1000000L),
+      DwrfMetrics.task("writeCompressMs",
+        (prof.compressNanos - compress0) / 1000000L),
+      DwrfMetrics.task("writeCompressBlocks", prof.compressCalls - blocks0),
+      DwrfMetrics.task("writeBytesOut", writers.map(_.bytesOut).sum),
+      DwrfMetrics.task("writeStripes",
+        writers.map(_.stripesFlushed.toLong).sum))
+  }
+}

@@ -113,7 +113,7 @@ object TreeWriter {
 abstract class TreeWriter(val columnId: Int, opts: DwrfWriteOptions) {
   protected def newStream(kind: Int): OutStream =
     new OutStream(s"col$columnId/kind$kind", opts.blockSize,
-      CompressionCodec.forKind(opts.kind, opts.zlibLevel))
+      CompressionCodec.forKindDynamic(opts.kind, () => opts.zlibLevelNow))
 
   protected val presentOut = newStream(StreamKind.Present)
   protected val present = new BitFieldWriter(presentOut)
@@ -232,6 +232,12 @@ abstract class TreeWriter(val columnId: Int, opts: DwrfWriteOptions) {
     * at 100 MB and force-flushes (A4, MemoryManager.java:226-241).
     */
   def dictionaryMemory: Long = children.map(_.dictionaryMemory).sum
+
+  /** Governor pressure signal (reference WriterImpl.enterLowMemoryMode):
+    * dictionary writers abandon their standing state and stay direct for
+    * the rest of the file; everyone else just recurses.
+    */
+  def enterLowMemory(): Unit = children.foreach(_.enterLowMemory())
 
   protected def valueMemory: Long
 
@@ -778,12 +784,41 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions)
     useDictionary = false
     globalDictSize = 0
     capturedPositions = Array.empty
-    abandoned = false
+    // under governor pressure, stay direct for every later stripe too —
+    // the reference's enterLowMemoryMode is sticky for the writer's life
+    abandoned = lowMem
     // release, don't just reset: an abandoned stripe's buffers are
     // stripe-sized and must not be retained (or keep counting toward the
     // next stripe's memory budget) after flush
     directBytes.clear()
     directLens = new IntBuffer()
+  }
+
+  private var lowMem = false
+
+  /** Governor pressure (reference WriterImpl.enterLowMemoryMode →
+    * TreeWriter abandonDictionaries): unconditionally convert the
+    * in-flight dictionary to direct accumulation — the same replay as
+    * [[maybeAbandon]] minus its usefulness gates — and stay direct for
+    * the rest of the file.
+    */
+  override def enterLowMemory(): Unit = {
+    super.enterLowMemory()
+    if (lowMem) return
+    lowMem = true
+    if (abandoned) return
+    // called between rows (from the file writer's batched memory check),
+    // so `rows` is consistent with `keys` — no last-key special case
+    var i = 0
+    while (i < rows.size) {
+      val b = keys(rows(i))
+      directBytes.add(b, 0, b.length)
+      directLens.add(b.length)
+      i += 1
+    }
+    dict.clear(); keys.clear(); keyBytesTotal = 0
+    rows.clear(); counts.clear(); firstStride.clear()
+    abandoned = true
   }
 }
 

@@ -1,0 +1,76 @@
+package graft.sources.dwrf
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Write-path profiler (reference M5's write half,
+  * `ReaderWriterProfiler.java:32-52`): per-writer encode/flush nanos,
+  * thread-local compression accounting, and the V2 CustomMetrics that
+  * surface them in a write job's SQL UI.
+  */
+class DwrfWriteMetricsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(): String = Files.createTempDirectory(
+    java.nio.file.Paths.get("/root/repo/target"), "dwrf-wmetrics-").toString
+
+  test("DwrfFileWriter accumulates encode/flush/compress counters") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val bos = new java.io.ByteArrayOutputStream()
+    val prof0 = graft.format.WriteProfile.get.compressNanos
+    val calls0 = graft.format.WriteProfile.get.compressCalls
+    val w = new DwrfFileWriter(schema,
+      DwrfWriteOptions.fromMap(Map("compression" -> "zlib")), bos)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    (0 until 20000).foreach { i =>
+      row.update(0, i.toLong)
+      row.update(1, org.apache.spark.unsafe.types.UTF8String.fromString(s"payload-$i"))
+      w.addRow(row)
+    }
+    w.close()
+    assert(w.rowCount == 20000)
+    assert(w.flushNanos > 0, "stripe/footer finalize time must accumulate")
+    assert(w.encodeNanosEst > 0, "sampled per-row encode time must accumulate")
+    assert(w.stripesFlushed >= 1)
+    assert(w.bytesOut == bos.size().toLong)
+    val prof = graft.format.WriteProfile.get
+    assert(prof.compressNanos > prof0, "zlib blocks must be timed")
+    assert(prof.compressCalls > calls0)
+    assert(prof.compressBytesIn >= prof.compressBytesOut,
+      "zlib on repetitive payloads must not inflate")
+  }
+
+  test("write jobs surface the profiler as V2 custom metrics in the UI store") {
+    val dir = tmp()
+    spark.range(0, 50000, 1, 2)
+      .select(col("id"), concat(lit("v-"), col("id")).as("payload"))
+      .write.format("dwrf").mode("overwrite").save(dir)
+    // SQLAppStatusStore fills from the async listener bus; poll briefly
+    val deadline = System.currentTimeMillis() + 10000
+    var names = Set.empty[String]
+    while (System.currentTimeMillis() < deadline &&
+        !names.contains("dwrf write: file bytes written")) {
+      Thread.sleep(200)
+      names = spark.sharedState.statusStore.executionsList().flatMap(
+        _.metrics.map(_.name)).toSet
+    }
+    assert(names.contains("dwrf write: file bytes written"),
+      s"write metrics absent from the SQL UI store; saw: $names")
+    assert(names.contains("dwrf write: stripe finalize + footer ms"))
+    assert(names.contains("dwrf write: compression ms"))
+    // and the metric VALUES aggregate non-zero for the bytes counter
+    val exec = spark.sharedState.statusStore.executionsList().reverse
+      .find(_.metrics.exists(_.name == "dwrf write: file bytes written")).get
+    val id = exec.metrics.find(_.name == "dwrf write: file bytes written").get
+      .accumulatorId
+    val agg = spark.sharedState.statusStore.executionMetrics(exec.executionId)
+    assert(agg.get(id).exists(v => v.replaceAll("[^0-9]", "").nonEmpty &&
+      v.replaceAll("[^0-9]", "").toLong > 0),
+      s"bytes-written metric did not aggregate non-zero: ${agg.get(id)}")
+  }
+}
