@@ -50,6 +50,17 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
   private val eagerReadBytes =
     conf.getLong("dwrf.eager.read.bytes", 185L * 1024 * 1024)
 
+  // Paced stream fetching (reference R2, OrcConf readStrides=5 /
+  // InStream.java:135-443): when > 0, full-stripe scans fetch each
+  // stream's bytes in windows of this size as decode advances instead of
+  // materializing the whole span — reader memory becomes O(windows),
+  // which is what a memory-constrained reader of multi-hundred-MB
+  // stripes needs. Off by default: at the default 256 MB stripe the
+  // coalesced whole-range read is both simpler and faster (fewer
+  // round trips), exactly why eager mode exists. Stride-pruned reads
+  // ignore pacing (their ranges are already the pruned subset).
+  private val pacedReadBytes = conf.getLong("dwrf.read.pace.bytes", 0L)
+
   val (postScript: PostScript, footer: Footer) = {
     val tailSize = math.min(fileLength, 256L * 1024).toInt
     val tail = new Array[Byte](tailSize)
@@ -302,6 +313,27 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
         }
         ((s, start), ranges)
       }
+
+    // paced mode (R2): no up-front preads at all — every stream fetches
+    // its own windows on demand; counters record the fetches and the
+    // peak resident bytes (the memory-bound evidence)
+    if (pacedReadBytes > 0 && selection.isEmpty) {
+      val byKeyPaced = neededRaw.map { case (s, start) => (s.column, s.kind) -> (s, start) }.toMap
+      return new StreamSource {
+        override def useVInts: Boolean = postScript.useVInts
+        override def stream(column: Int, kind: Int): Option[InStream] =
+          byKeyPaced.get((column, kind)).map { case (s, start) =>
+            val ranges = new graft.format.WindowedByteRanges(
+              s.length.toInt, start, pacedReadBytes.toInt,
+              (pos, buf) => pread(pos, buf),
+              (_, resident) => counters.pacedPeakResident =
+                math.max(counters.pacedPeakResident, resident))
+            InStream(s"col$column/kind$kind", ranges, codec, postScript.blockSize)
+          }
+        override def encoding(column: Int): ColumnEncoding =
+          sf.encodings.getOrElse(column, ColumnEncoding(dictionary = false))
+      }
+    }
 
     // coalesce the union of all subranges; eager span mode only when no
     // stride pruning is active (an eager span would defeat the pruning)

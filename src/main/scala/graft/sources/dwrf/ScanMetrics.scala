@@ -14,6 +14,9 @@ final class ScanCounters extends Serializable {
   var bytesRead = 0L
   var batchesEmitted = 0L
   var preads = 0L
+  /** Max bytes resident across one stream's fetch windows under paced
+    * reading (`dwrf.read.pace.bytes`) — the O(window) memory evidence. */
+  var pacedPeakResident = 0L
 }
 
 object DwrfMetrics {
