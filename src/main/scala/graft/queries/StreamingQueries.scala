@@ -1101,29 +1101,42 @@ object StreamingQueries extends QueryPack {
     val fs = new Path(srcDir).getFileSystem(conf)
     s.sql(s"DROP TABLE IF EXISTS $srcTbl")
     s.sql(s"DROP TABLE IF EXISTS $tgtTbl")
-    Seq(srcDir, tgtDir).foreach(d =>
-      if (fs.exists(new Path(d))) fs.delete(new Path(d), true))
+    if (fs.exists(new Path(tgtDir))) fs.delete(new Path(tgtDir), true)
+    // the staged v0..v3 source is deterministic and never mutated after
+    // staging (the drain only READS the feed) — cache it across runs,
+    // keyed on the source parquet's identity like stageChunks
+    val srcMarker = stagingRoot.resolve(s"cdc-apply-src-$tag/_staged")
+    val srcKey = { val k = sourceKey(s"$dir/orders.parquet"); s"${k._2}:${k._3}" }
+    val srcFresh = java.nio.file.Files.exists(srcMarker) &&
+      new String(java.nio.file.Files.readAllBytes(srcMarker), "UTF-8") == srcKey &&
+      DwrfLog.latestVersion(new Path(srcDir), conf).contains(3L)
     try {
-      val orders = graft.Tables.load(s, dir, "orders")
-        .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority",
-          $"o_totalprice")
-      // v0: initial snapshot (most rows)
-      orders.filter($"o_orderkey" % 97 =!= 0)
-        .write.format("dwrf").mode("overwrite").save(srcDir)
-      s.sql(s"CREATE TABLE $srcTbl USING dwrf LOCATION '$srcDir'")
-      DwrfLog.enable(new Path(srcDir), conf)
-      // v1: append the held-out rows
-      orders.filter($"o_orderkey" % 97 === 0).repartition(1)
-        .write.format("dwrf").mode("append").save(srcDir)
-      // v2: copy-on-write UPDATE — feed carries delete+insert pairs
-      s.sql(s"UPDATE $srcTbl SET o_totalprice = o_totalprice + 10.0 " +
-        "WHERE o_orderstatus = 'F'")
-      // v3: merge-on-read DELETE — feed carries row-level deletes
-      DwrfDv.deleteWhere(s, srcDir,
-        s.read.format("dwrf").load(srcDir).schema,
-        Array(org.apache.spark.sql.sources.EqualTo("o_orderpriority", "1-URGENT")))
-      require(DwrfLog.latestVersion(new Path(srcDir), conf).contains(3L),
-        "CDC-apply staging must commit v0..v3")
+      if (!srcFresh) {
+        if (fs.exists(new Path(srcDir))) fs.delete(new Path(srcDir), true)
+        val orders = graft.Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority",
+            $"o_totalprice")
+        // v0: initial snapshot (most rows)
+        orders.filter($"o_orderkey" % 97 =!= 0)
+          .write.format("dwrf").mode("overwrite").save(srcDir)
+        s.sql(s"CREATE TABLE $srcTbl USING dwrf LOCATION '$srcDir'")
+        DwrfLog.enable(new Path(srcDir), conf)
+        // v1: append the held-out rows
+        orders.filter($"o_orderkey" % 97 === 0).repartition(1)
+          .write.format("dwrf").mode("append").save(srcDir)
+        // v2: copy-on-write UPDATE — feed carries delete+insert pairs
+        s.sql(s"UPDATE $srcTbl SET o_totalprice = o_totalprice + 10.0 " +
+          "WHERE o_orderstatus = 'F'")
+        // v3: merge-on-read DELETE — feed carries row-level deletes
+        DwrfDv.deleteWhere(s, srcDir,
+          s.read.format("dwrf").load(srcDir).schema,
+          Array(org.apache.spark.sql.sources.EqualTo("o_orderpriority", "1-URGENT")))
+        require(DwrfLog.latestVersion(new Path(srcDir), conf).contains(3L),
+          "CDC-apply staging must commit v0..v3")
+        java.nio.file.Files.write(srcMarker, srcKey.getBytes("UTF-8"))
+      } else {
+        s.sql(s"CREATE TABLE $srcTbl USING dwrf LOCATION '$srcDir'")
+      }
 
       s.sql(s"CREATE TABLE $tgtTbl (o_orderkey BIGINT, o_orderstatus STRING, " +
         s"o_orderpriority STRING, o_totalprice DOUBLE) USING dwrf LOCATION '$tgtDir'")
@@ -1191,28 +1204,40 @@ object StreamingQueries extends QueryPack {
     val fs = new Path(srcDir).getFileSystem(conf)
     s.sql(s"DROP TABLE IF EXISTS $srcTbl")
     s.sql(s"DROP TABLE IF EXISTS $tgtTbl")
-    Seq(srcDir, tgtDir).foreach(d =>
-      if (fs.exists(new Path(d))) fs.delete(new Path(d), true))
+    if (fs.exists(new Path(tgtDir))) fs.delete(new Path(tgtDir), true)
     val aggs = Seq("COUNT(*) AS n_orders", s"${dsum("o_totalprice")} AS total_price")
+    // staged v0..v3 source cached across runs (deterministic, read-only
+    // after staging) — same marker pattern as stageChunks/streamCdcApply
+    val srcMarker = stagingRoot.resolve(s"agg-maintain-src-$tag/_staged")
+    val srcKey = { val k = sourceKey(s"$dir/orders.parquet"); s"${k._2}:${k._3}" }
+    val srcFresh = java.nio.file.Files.exists(srcMarker) &&
+      new String(java.nio.file.Files.readAllBytes(srcMarker), "UTF-8") == srcKey &&
+      DwrfLog.latestVersion(new Path(srcDir), conf).contains(3L)
     try {
-      val orders = graft.Tables.load(s, dir, "orders")
-        .select($"o_custkey", $"o_orderkey", $"o_orderstatus", $"o_totalprice")
-      // v0: initial snapshot (most rows)
-      orders.filter($"o_orderkey" % 97 =!= 0)
-        .write.format("dwrf").mode("overwrite").save(srcDir)
-      s.sql(s"CREATE TABLE $srcTbl USING dwrf LOCATION '$srcDir'")
-      DwrfLog.enable(new Path(srcDir), conf)
-      // v1: append the held-out rows
-      orders.filter($"o_orderkey" % 97 === 0).repartition(1)
-        .write.format("dwrf").mode("append").save(srcDir)
-      // v2: copy-on-write UPDATE — the feed carries delete+insert pairs
-      s.sql(s"UPDATE $srcTbl SET o_totalprice = o_totalprice + 10.0 " +
-        "WHERE o_orderstatus = 'F'")
-      // v3: row-level DELETE that vanishes WHOLE groups (every order of
-      // custkeys ≡ 3 mod 10) — the maintained table must drop them
-      s.sql(s"DELETE FROM $srcTbl WHERE o_custkey % 10 = 3")
-      require(DwrfLog.latestVersion(new Path(srcDir), conf).contains(3L),
-        "agg-maintain staging must commit v0..v3")
+      if (!srcFresh) {
+        if (fs.exists(new Path(srcDir))) fs.delete(new Path(srcDir), true)
+        val orders = graft.Tables.load(s, dir, "orders")
+          .select($"o_custkey", $"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        // v0: initial snapshot (most rows)
+        orders.filter($"o_orderkey" % 97 =!= 0)
+          .write.format("dwrf").mode("overwrite").save(srcDir)
+        s.sql(s"CREATE TABLE $srcTbl USING dwrf LOCATION '$srcDir'")
+        DwrfLog.enable(new Path(srcDir), conf)
+        // v1: append the held-out rows
+        orders.filter($"o_orderkey" % 97 === 0).repartition(1)
+          .write.format("dwrf").mode("append").save(srcDir)
+        // v2: copy-on-write UPDATE — the feed carries delete+insert pairs
+        s.sql(s"UPDATE $srcTbl SET o_totalprice = o_totalprice + 10.0 " +
+          "WHERE o_orderstatus = 'F'")
+        // v3: row-level DELETE that vanishes WHOLE groups (every order of
+        // custkeys ≡ 3 mod 10) — the maintained table must drop them
+        s.sql(s"DELETE FROM $srcTbl WHERE o_custkey % 10 = 3")
+        require(DwrfLog.latestVersion(new Path(srcDir), conf).contains(3L),
+          "agg-maintain staging must commit v0..v3")
+        java.nio.file.Files.write(srcMarker, srcKey.getBytes("UTF-8"))
+      } else {
+        s.sql(s"CREATE TABLE $srcTbl USING dwrf LOCATION '$srcDir'")
+      }
       require(s.read.format("dwrf").option("versionAsOf", 2)
         .load(srcDir).filter($"o_custkey" % 10 === 3).limit(1).count() == 1L,
         "staging must hold soon-to-vanish groups at v2")
