@@ -265,6 +265,113 @@ object AdvancedQueries extends QueryPack {
     |ORDER BY s_nationkey
     |""".stripMargin.trim
 
+  // TPC-H Q13 shape: order-count distribution INCLUDING zero-order
+  // customers — the left-outer-join + double-aggregation pattern.
+  private val custDistSql = """
+    |SELECT c_count, COUNT(*) AS custdist
+    |FROM (
+    |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    |  FROM customer
+    |  LEFT OUTER JOIN orders
+    |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    |  GROUP BY c_custkey) c_orders
+    |GROUP BY c_count
+    |ORDER BY custdist DESC, c_count DESC
+    |""".stripMargin.trim
+
+  // TPC-H Q18 shape: large-volume orders via HAVING-subquery IN, then a
+  // three-way join re-aggregation over the survivors.
+  private val bigOrdersSql = s"""
+    |SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+    |  ${dsum("l_quantity", 0)} AS total_qty
+    |FROM customer
+    |JOIN orders ON c_custkey = o_custkey
+    |JOIN lineitem ON o_orderkey = l_orderkey
+    |WHERE o_orderkey IN (
+    |  SELECT l_orderkey FROM lineitem
+    |  GROUP BY l_orderkey
+    |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250)
+    |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+    |ORDER BY o_totalprice DESC, o_orderkey
+    |LIMIT 100
+    |""".stripMargin.trim
+
+  // TPC-H Q21 shape (adapted to the fixture schema: shipdate stands in
+  // for the missing receipt/commit dates): for 'F' orders, the supplier
+  // whose line shipped LAST while at least one other supplier also
+  // participated — EXISTS + correlated NOT EXISTS double-nesting.
+  private val lateSupplierSql = """
+    |SELECT s_name, COUNT(*) AS numwait
+    |FROM supplier
+    |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    |JOIN orders ON o_orderkey = l1.l_orderkey
+    |WHERE o_orderstatus = 'F'
+    |  AND EXISTS (
+    |    SELECT 1 FROM lineitem l2
+    |    WHERE l2.l_orderkey = l1.l_orderkey
+    |      AND l2.l_suppkey <> l1.l_suppkey)
+    |  AND NOT EXISTS (
+    |    SELECT 1 FROM lineitem l3
+    |    WHERE l3.l_orderkey = l1.l_orderkey
+    |      AND l3.l_suppkey <> l1.l_suppkey
+    |      AND l3.l_shipdate > l1.l_shipdate)
+    |GROUP BY s_name
+    |ORDER BY numwait DESC, s_name
+    |LIMIT 50
+    |""".stripMargin.trim
+
+  // TPC-H Q22 shape: above-average-balance customers with no URGENT
+  // orders — uncorrelated scalar average + correlated anti-existence
+  // (the priority predicate keeps the survivor set non-empty at every
+  // fixture SF, unlike the literal "no orders at all").
+  private val idleRichSql = s"""
+    |SELECT c_mktsegment, COUNT(*) AS numcust,
+    |  ${dsum("c_acctbal")} AS total_acctbal
+    |FROM customer
+    |WHERE c_acctbal > (
+    |    SELECT ${davg("c_acctbal")} FROM customer WHERE c_acctbal > 0)
+    |  AND NOT EXISTS (SELECT 1 FROM orders
+    |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    |GROUP BY c_mktsegment
+    |ORDER BY c_mktsegment
+    |""".stripMargin.trim
+
+  // TPC-H Q7 shape: bilateral trade volume between two nations by ship
+  // year — the double-nation-join + year-extraction rollup.
+  private val tradeVolumeSql = s"""
+    |SELECT supp_nation, cust_nation, l_year,
+    |  ${dsum("volume")} AS revenue
+    |FROM (
+    |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    |    CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+    |    l_extendedprice * (1 - l_discount) AS volume
+    |  FROM supplier
+    |  JOIN lineitem ON s_suppkey = l_suppkey
+    |  JOIN orders ON o_orderkey = l_orderkey
+    |  JOIN customer ON c_custkey = o_custkey
+    |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    |  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) shipping
+    |GROUP BY supp_nation, cust_nation, l_year
+    |ORDER BY supp_nation, cust_nation, l_year
+    |""".stripMargin.trim
+
+  // TPC-H Q10 shape: customers ranked by returned-item revenue.
+  private val returnsRevenueSql = s"""
+    |SELECT c_custkey, c_name,
+    |  ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+    |  c_acctbal, n_name
+    |FROM customer
+    |JOIN orders ON c_custkey = o_custkey
+    |JOIN lineitem ON l_orderkey = o_orderkey
+    |JOIN nation ON c_nationkey = n_nationkey
+    |WHERE l_returnflag = 'R'
+    |GROUP BY c_custkey, c_name, c_acctbal, n_name
+    |ORDER BY revenue DESC, c_custkey
+    |LIMIT 20
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     shared("adv_grouping_sets", groupingSetsSql),
     shared("adv_lateral", lateralSql),
@@ -283,5 +390,11 @@ object AdvancedQueries extends QueryPack {
     shared("adv_scalar_funcs", scalarsSql),
     shared("adv_window_frames", windowFramesSql),
     Q("adv_listagg", listAgg, Some(listAggOracle)),
+    shared("adv_custdist", custDistSql),
+    shared("adv_big_orders", bigOrdersSql),
+    shared("adv_late_supplier", lateSupplierSql),
+    shared("adv_idle_rich", idleRichSql),
+    shared("adv_trade_volume", tradeVolumeSql),
+    shared("adv_returns_revenue", returnsRevenueSql),
   )
 }
