@@ -160,6 +160,14 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_adc_packed",
+      {
+        case Seq(a, b) => VecAdcPacked(a, b)
+        case other => throw new IllegalArgumentException(
+          s"vec_adc_packed(lut, code64): got ${other.size} args")
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kll_quantiles",
       {
         case Seq(child, phisExpr, kExpr)

@@ -280,6 +280,56 @@ case class VecL2Sq(left: Expression, right: Expression)
   override def prettyName: String = "vec_l2sq"
 }
 
+/** Packed-codes twin of [[VecAdcKernel]]: the M (≤ 8) one-byte codes
+  * ride ONE BIGINT — the persisted-index layout where a 64-float vector
+  * is 8 bytes on disk.
+  */
+object VecAdcPackedKernel {
+  def adc(lut: ArrayData, packed: Long): Double = {
+    val m = lut.numElements()
+    require(m <= 8, s"vec_adc_packed: $m subspaces exceed one packed long")
+    var s = 0.0
+    var mi = 0
+    while (mi < m) {
+      s += lut.getArray(mi).getDouble(((packed >>> (mi * 8)) & 0xffL).toInt)
+      mi += 1
+    }
+    s
+  }
+}
+
+/** `vec_adc_packed(lut, code64)` — codegen'd ADC over byte-packed codes
+  * (`lut` as in [[VecAdc]]; `code64` a BIGINT holding subspace mi's code
+  * in bits [8·mi, 8·mi+8)).
+  */
+case class VecAdcPacked(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ArrayType(DoubleType, _), _), org.apache.spark.sql.types.LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"vec_adc_packed requires (array<array<double>>, bigint), got " +
+          s"${left.dataType.sql}, ${right.dataType.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecAdcPackedKernel.adc(a.asInstanceOf[ArrayData], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecAdcPackedKernel.adc($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecAdcPacked =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_adc_packed"
+}
+
 /** `vec_adc(lut, codes)` — codegen'd PQ asymmetric-distance lookup:
   * `lut` is array<array<double>> (M rows of K query·centroid dots),
   * `codes` is array<int> (one code per subspace).

@@ -196,18 +196,20 @@ object DedupQueries extends QueryPack {
         greatest($"id_a", $"id_b").as("u"), least($"id_a", $"id_b").as("v"))
       .repartition(starParts, $"u")
       .persist(lvl)
-    // convergence = canonical edge set stopped changing: compare
-    // (count, order-independent checksum) — one tiny action per round,
-    // and the final labeling is oracle-checked anyway
-    def signature(e: DataFrame): (Long, Long) = {
-      // bit_xor, not sum: order-independent AND overflow-free under ANSI
-      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
+    // Convergence = the edge set IS a union of stars: no edge's small
+    // endpoint still appears as a large endpoint (the big→small
+    // orientation invariant makes every star center its component's
+    // minimum, so this is exact, not heuristic). Checking the structural
+    // property directly — one tiny self-join per round, which doubles as
+    // the round's materializing action — terminates one full round
+    // earlier than the r11-draft signature-equality check (shallow
+    // near-dup graphs star-ify in ONE round; the signature needed a
+    // second to observe no change).
+    def isStarForest(e: DataFrame): Boolean =
+      e.as("x").join(e.as("y"), $"x.v" === $"y.u").limit(1).count() == 0L
     val wU = org.apache.spark.sql.expressions.Window.partitionBy($"u")
-    var sig = signature(edges)
     var rounds = 0
-    var converged = false
+    var converged = isStarForest(edges) // degenerate inputs: 0 rounds
     while (!converged && rounds < 50) {
       // large-star over the symmetrized neighborhood: one window min
       val sym = edges.select($"u", $"v")
@@ -224,12 +226,10 @@ object DedupQueries extends QueryPack {
         .union(withM.select($"u", $"m".as("v")))
         .distinct()
         .persist(lvl)
-      val nextSig = signature(next)
+      converged = isStarForest(next)
       withM.unpersist()
       edges.unpersist()
       edges = next
-      converged = nextSig == sig
-      sig = nextSig
       rounds += 1
     }
     require(converged, s"dedup_clusters: no fixpoint after $rounds rounds")
@@ -435,20 +435,24 @@ object DedupQueries extends QueryPack {
         s"simhash audit tier is bounded-quadratic; ${idSigs.length} docs " +
           "exceeds the audit budget (sample the audit at this scale)")
       val surfacedSet = surfaced.map(r => (r.getLong(0), r.getLong(1))).toSet
-      var missed = 0L
-      var i = 0
-      while (i < idSigs.length) {
+      // parallel audit loop: at 60k docs the n²/2 XOR+popcounts are ~2e9
+      // ops — single-threaded that WAS most of the query's wall time;
+      // striped rows over the common pool cut it by the core count
+      val missedAcc = new java.util.concurrent.atomic.AtomicLong
+      java.util.stream.IntStream.range(0, idSigs.length).parallel().forEach { i =>
+        var local = 0L
         var j = i + 1
         while (j < idSigs.length) {
           if (java.lang.Long.bitCount(idSigs(i)._2 ^ idSigs(j)._2) <= 7) {
             val p = (math.min(idSigs(i)._1, idSigs(j)._1),
               math.max(idSigs(i)._1, idSigs(j)._1))
-            if (!surfacedSet.contains(p)) missed += 1
+            if (!surfacedSet.contains(p)) local += 1
           }
           j += 1
         }
-        i += 1
+        if (local != 0) { missedAcc.addAndGet(local); () }
       }
+      val missed = missedAcc.get()
       surfaced.toSeq
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), missed))
         .toDF("id_a", "id_b", "hamming", "missed_le7_pairs")

@@ -877,6 +877,148 @@ object SimilarityQueries extends QueryPack {
     } finally emb.unpersist()
   }
 
+  // ------------------------------------------- persisted PQ index
+  /** The PQ tier with its index PERSISTED in the native format — the
+    * 100 TB deployment shape: codes build ONCE into a dwrf table whose
+    * rows are (vec_id, code64) — 8 one-byte subspace codes packed into
+    * one BIGINT, so the ANN scan reads ~16 B/vector instead of the
+    * 256 B float column — plus a (mi, ci, c) codebook table. Queries
+    * touch ONLY the index (codegen'd `vec_adc_packed` over the packed
+    * codes); the float corpus is read for just the 50-candidate exact
+    * re-rank, joined by vec_id. In-band evidence: measured recall vs
+    * the exact top-10 AND the index's measured bytes/vector on disk
+    * (REQUIREd small — the I/O claim as a number, not prose). Staged
+    * behind a source-identity marker like the CDC gates, keyed on the
+    * embeddings file and the (m, k) geometry.
+    */
+  private def pqPersisted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val emb = loadVecs(s, dir)
+    try {
+      val n = emb.count()
+      val (m, k) = pqGeometry(n)
+      val tag = {
+        val clean = dir.replaceAll("[^A-Za-z0-9]+", "_")
+        s"${clean}_${m}_$k"
+      }
+      val root = java.nio.file.Paths.get("/root/repo/target/staging")
+      java.nio.file.Files.createDirectories(root)
+      val idxDir = root.resolve(s"pq-index-$tag").toString
+      val cbDir = root.resolve(s"pq-codebook-$tag").toString
+      val marker = root.resolve(s"pq-index-$tag/_staged")
+      val srcFile = new java.io.File(s"$dir/embeddings.parquet")
+      val key = s"${srcFile.lastModified}:${srcFile.length}:$m:$k"
+      val fresh = java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == key
+      if (!fresh) {
+        val sample = emb.orderBy($"vec_id").limit(2048).collect()
+          .map(_.getSeq[Double](1).toArray)
+        val codebook = pqTrain(sample, m, k)
+        val cbB = s.sparkContext.broadcast(codebook)
+        // packed-code build: the same argmin kernel as the in-flight PQ
+        // tier, folding the M codes into one long at encode time
+        emb.select($"vec_id", $"v").as[(Long, Seq[Double])]
+          .mapPartitions { it =>
+            val cb = cbB.value
+            val mLoc = cb.length
+            it.map { case (id, vSeq) =>
+              val v = vSeq.toArray
+              val subLoc = v.length / mLoc
+              var packed = 0L
+              var mi = 0
+              while (mi < mLoc) {
+                val cents = cb(mi)
+                var best = 0; var bestD = Double.MaxValue
+                var c = 0
+                while (c < cents.length) {
+                  var d = 0.0; var i = 0
+                  while (i < subLoc) {
+                    val t = v(mi * subLoc + i) - cents(c)(i); d += t * t; i += 1
+                  }
+                  if (d < bestD) { bestD = d; best = c }
+                  c += 1
+                }
+                packed |= (best.toLong & 0xffL) << (mi * 8)
+                mi += 1
+              }
+              (id, packed)
+            }
+          }
+          .toDF("vec_id", "code64")
+          .write.format("dwrf").mode("overwrite").save(idxDir)
+        codebook.zipWithIndex.flatMap { case (cents, mi) =>
+          cents.zipWithIndex.map { case (c, ci) => (mi, ci, c.toSeq) }
+        }.toSeq.toDF("mi", "ci", "c")
+          .coalesce(1)
+          .write.format("dwrf").mode("overwrite").save(cbDir)
+        java.nio.file.Files.write(marker, key.getBytes("UTF-8"))
+      }
+      // ---- query path: codebook + index tables only
+      val codebook: Array[Array[Array[Double]]] = {
+        val rows = s.read.format("dwrf").load(cbDir).collect()
+        val out = Array.ofDim[Array[Double]](m, k)
+        rows.foreach(r => out(r.getInt(0))(r.getInt(1)) =
+          r.getSeq[Double](2).toArray)
+        out.map(_.filter(_ != null))
+      }
+      val queryVec = emb.filter($"vec_id" === 0)
+        .select($"v").head().getSeq[Double](0).toArray
+      val sub = queryVec.length / m
+      val lut: Seq[Seq[Double]] = codebook.zipWithIndex.map { case (cents, mi) =>
+        cents.map { c =>
+          var d = 0.0; var i = 0
+          while (i < sub) { d += queryVec(mi * sub + i) * c(i); i += 1 }
+          d
+        }.toSeq
+      }.toSeq
+      val nCand = 50
+      val candidates = s.read.format("dwrf").load(idxDir)
+        .filter($"vec_id" =!= 0)
+        .withColumn("lut", typedlit(lut))
+        .withColumn("adc", expr("vec_adc_packed(lut, code64)"))
+        .orderBy($"adc".desc, $"vec_id")
+        .limit(nCand)
+        .select($"vec_id", $"adc")
+      // exact re-rank: candidate-sized equi-join back to the floats
+      val reranked = emb.join(broadcast(candidates), "vec_id")
+        .withColumn("q", typedlit(queryVec.toSeq))
+        .select($"vec_id", round($"adc", 6).as("adc"),
+          round(expr("vec_dot(v, q)"), 6).as("dot"))
+        .orderBy($"dot".desc, $"vec_id")
+        .limit(10)
+      val topRows = reranked.collect()
+      val pqIds = topRows.map(_.getLong(0)).toSet
+      // in-band instrument: recall vs the exact top-10 + disk bytes/vec
+      val query = emb.filter($"vec_id" === 0).select($"v".as("q"))
+      val exactIds = emb.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(query))
+        .select($"vec_id", expr("vec_dot(v, q)").as("dot"))
+        .orderBy($"dot".desc, $"vec_id")
+        .limit(10)
+        .select($"vec_id").as[Long].collect().toSet
+      val found = (pqIds & exactIds).size.toLong
+      val recall = BigDecimal(found.toDouble / math.max(1, exactIds.size))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val idxBytes = Option(new java.io.File(idxDir).listFiles())
+        .getOrElse(Array()).filter(f => f.isFile && f.getName.endsWith(".dwrf"))
+        .map(_.length).sum
+      val bytesPerVec = BigDecimal(idxBytes.toDouble / n)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // the I/O claim, REQUIREd: packed codes + id must land well under
+      // a tenth of the 256 B float rows (16 B logical + format framing;
+      // below ~2k vectors fixed footer/index framing dominates the
+      // per-row arithmetic, so the bound only engages past it)
+      require(n < 2000 || bytesPerVec < 26.0,
+        s"persisted PQ index stores $bytesPerVec B/vector — the 8-byte " +
+          "packed-code layout (plus id + framing) should be ~16-24 B")
+      Seq((exactIds.size.toLong, found, recall, m.toLong, k.toLong,
+        nCand.toLong, bytesPerVec))
+        .toDF("n_exact", "n_found", "recall", "m_subspaces", "k_centroids",
+          "n_candidates", "index_bytes_per_vec")
+    } finally emb.unpersist()
+  }
+
   override val all: Seq[Q] = Seq(
     Q("ann_topk_dot", topkDot, Some(topkDotOracle)),
     Q("ann_filtered_topk", filteredTopk, Some(filteredTopkOracle)),
@@ -887,5 +1029,6 @@ object SimilarityQueries extends QueryPack {
     Q("ann_ivf_recall", ivfRecall, None),
     Q("ann_pq_topk", pqTopk, None),
     Q("ann_pq_recall", pqRecall, None),
+    Q("ann_pq_persisted", pqPersisted, None),
   )
 }
