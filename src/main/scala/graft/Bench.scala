@@ -64,7 +64,7 @@ object Bench {
     "adv_custdist", "adv_big_orders", "adv_late_supplier", "adv_idle_rich",
     "adv_trade_volume", "adv_returns_revenue",
     "ann_ivf_topk", "ann_pq_topk", "ann_pq_persisted",
-    "dedup_simhash", "dedup_embedding",
+    "dedup_simhash", "dedup_embedding", "dedup_incremental",
     "dwrf_ddl_scan", "dwrf_history_scan", "dwrf_nested_types",
     "dwrf_roundtrip_events", "dwrf_stripe_concat", "dwrf_union_roundtrip",
     "multimodal_audio", "multimodal_frames", "multimodal_resize",
