@@ -48,6 +48,19 @@ object WriteProfile {
   def get: Counters = tl.get()
 }
 
+/** Read-side twin (reference M5's DECOMPRESSION_TIME): nanos spent in
+  * codec decompression per reader thread, drained into scan counters by
+  * the dwrf scan. One nanoTime pair per compressed block — amortized.
+  */
+object ReadProfile {
+  final class Counters {
+    var decompressNanos = 0L
+    var decompressCalls = 0L
+  }
+  private val tl = ThreadLocal.withInitial[Counters](() => new Counters)
+  def get: Counters = tl.get()
+}
+
 final class OutStream(
     val name: String,
     blockSize: Int,
@@ -433,7 +446,11 @@ final class CompressedInStream(name: String, ranges: ByteRanges, codec: Compress
         blockArr = arr; blockBase = aOff; blockLen = len
       } else {
         if (decodeBuf == null) decodeBuf = new Array[Byte](blockSize)
+        val t0 = System.nanoTime()
         blockLen = codec.decompressInto(arr, aOff, len, decodeBuf, 0, blockSize)
+        val prof = ReadProfile.get
+        prof.decompressNanos += System.nanoTime() - t0
+        prof.decompressCalls += 1
         blockArr = decodeBuf; blockBase = 0
       }
       blockPos = 0

@@ -17,6 +17,9 @@ final class ScanCounters extends Serializable {
   /** Max bytes resident across one stream's fetch windows under paced
     * reading (`dwrf.read.pace.bytes`) — the O(window) memory evidence. */
   var pacedPeakResident = 0L
+  /** Thread-local decompress-nanos baseline, captured when the reader
+    * opens so task metrics report this reader's delta. */
+  val decompressNanos0: Long = graft.format.ReadProfile.get.decompressNanos
 }
 
 object DwrfMetrics {
@@ -44,10 +47,14 @@ object DwrfMetrics {
     override def name(): String = "preads"
     override def description(): String = "dwrf positioned reads issued"
   }
+  final class DecompressMs extends CustomSumMetric {
+    override def name(): String = "decompressMs"
+    override def description(): String = "dwrf decompression ms"
+  }
 
   val all: Array[CustomMetric] = Array(
     new StripesRead, new StripesSkipped, new StridesSkipped, new BytesRead,
-    new BatchesEmitted, new Preads)
+    new BatchesEmitted, new Preads, new DecompressMs)
 
   def task(metricName: String, v: Long): CustomTaskMetric = new CustomTaskMetric {
     // NB: the parameter must not be called `name` — inside the anonymous
@@ -63,7 +70,13 @@ object DwrfMetrics {
     task("stridesSkipped", c.stridesSkipped),
     task("bytesRead", c.bytesRead),
     task("batchesEmitted", c.batchesEmitted),
-    task("preads", c.preads))
+    task("preads", c.preads),
+    // reference M5's DECOMPRESSION_TIME: delta of this task thread's
+    // codec profile since the reader opened (readers are single-threaded
+    // per task by Spark's contract)
+    task("decompressMs",
+      (graft.format.ReadProfile.get.decompressNanos - c.decompressNanos0)
+        / 1000000L))
 }
 
 /** Write-path profiler metrics (reference M5's write half: the

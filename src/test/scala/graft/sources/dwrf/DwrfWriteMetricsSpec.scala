@@ -45,6 +45,28 @@ class DwrfWriteMetricsSpec extends AnyFunSuite {
       "zlib on repetitive payloads must not inflate")
   }
 
+  test("read path accrues decompression time (M5's DECOMPRESSION_TIME)") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    val dir = tmp()
+    spark.range(0, 30000, 1, 1)
+      .select(col("id"), concat(lit("payload-"), col("id")).as("s"))
+      .write.format("dwrf").mode("overwrite")
+      .option("compression", "zlib").save(dir)
+    val r = new DwrfFileReader(
+      new Path(DwrfUtil.listDataFiles(new Path(dir), new Configuration())
+        .head.toString), new Configuration())
+    try {
+      val before = graft.format.ReadProfile.get.decompressNanos
+      assert(r.rows(r.footer.stripes, r.schema, Nil).size == 30000)
+      val prof = graft.format.ReadProfile.get
+      assert(prof.decompressNanos > before,
+        "zlib block decompression must be timed on the read path")
+      assert(prof.decompressNanos - before >= 0)
+      assert(r.counters.decompressNanos0 <= before + (prof.decompressNanos - before))
+    } finally r.close()
+  }
+
   test("write jobs surface the profiler as V2 custom metrics in the UI store") {
     val dir = tmp()
     spark.range(0, 50000, 1, 2)
