@@ -69,6 +69,43 @@ class DwrfPacedReadSpec extends AnyFunSuite {
     } finally paced.close()
   }
 
+  test("paced decode is value-identical across random pace sizes and codecs") {
+    val n = 8000
+    val rnd = new scala.util.Random(0xd1ce)
+    for (codec <- Seq("zlib", "snappy", "zstd", "none")) {
+      import org.apache.spark.sql.types._
+      val dir = Files.createTempDirectory(
+        java.nio.file.Paths.get("/root/repo/target"), "dwrf-paced-fuzz-").toString
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("s", StringType)))
+      val os = new java.io.FileOutputStream(s"$dir/t.dwrf")
+      val w = new DwrfFileWriter(schema, DwrfWriteOptions.fromMap(Map(
+        "compression" -> codec, "compress.size" -> "2048")), os)
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+      val expected = (0 until n).map { i =>
+        val s0 = if (i % 17 == 0) "" else s"v$i-${"y" * (i % 53)}"
+        row.update(0, i.toLong)
+        row.update(1, org.apache.spark.unsafe.types.UTF8String.fromString(s0))
+        w.addRow(row)
+        (i.toLong, s0)
+      }
+      w.close(); os.close()
+      for (_ <- 1 to 3) {
+        val pace = 512 + rnd.nextInt(64 * 1024)
+        val conf = new org.apache.hadoop.conf.Configuration()
+        conf.setLong("dwrf.read.pace.bytes", pace.toLong)
+        val r = new DwrfFileReader(
+          new org.apache.hadoop.fs.Path(s"$dir/t.dwrf"), conf)
+        try {
+          val got = r.rows(r.footer.stripes, r.schema, Nil)
+            .map(x => (x.getLong(0), x.getUTF8String(1).toString)).toVector
+          assert(got == expected.toVector,
+            s"paced decode diverged at codec=$codec pace=$pace")
+        } finally r.close()
+      }
+    }
+  }
+
   test("filtered (stride-pruned) reads are unaffected by the pace option") {
     val dir = writeFile(20000)
     val filters = Seq(org.apache.spark.sql.sources.GreaterThan("id", 19990L))
