@@ -54,6 +54,26 @@ object StreamingQueries extends QueryPack {
   private val maxTsCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Long]
 
+  /** Phase wall-times of the most recent `stream_cdc_apply` /
+    * `stream_agg_maintain` run, keyed by phase name. The heavy CDC rows
+    * are multi-job queries (staging, a 4-micro-batch drain, an
+    * exactly-once re-drain, idempotency gates, the final rollup) — the
+    * opscale harness records this split so the bench median's cost is a
+    * measured attribution, not a guess.
+    */
+  @volatile private[graft] var lastCdcPhases: Map[String, Double] = Map.empty
+  @volatile private[graft] var lastAggMaintainPhases: Map[String, Double] =
+    Map.empty
+
+  private def phased[A](
+      acc: scala.collection.mutable.LinkedHashMap[String, Double],
+      name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val a = f
+    acc(name) = acc.getOrElse(name, 0.0) + (System.nanoTime() - t0) / 1e9
+    a
+  }
+
   // ---------------------------------------------- raw-ts normalization
   // The driver has shipped events.ts as int64 TIMESTAMP(NANOS) (read as
   // BIGINT under nanosAsLong) and as plain timestamp[us] (read as
@@ -1110,8 +1130,9 @@ object StreamingQueries extends QueryPack {
     val srcFresh = java.nio.file.Files.exists(srcMarker) &&
       new String(java.nio.file.Files.readAllBytes(srcMarker), "UTF-8") == srcKey &&
       DwrfLog.latestVersion(new Path(srcDir), conf).contains(3L)
+    val ph = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     try {
-      if (!srcFresh) {
+      if (!srcFresh) phased(ph, "stage_src") {
         if (fs.exists(new Path(srcDir))) fs.delete(new Path(srcDir), true)
         val orders = graft.Tables.load(s, dir, "orders")
           .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority",
@@ -1138,8 +1159,15 @@ object StreamingQueries extends QueryPack {
         s.sql(s"CREATE TABLE $srcTbl USING dwrf LOCATION '$srcDir'")
       }
 
+      // the replica runs its MERGEs merge-on-read: a churn-sized CDC
+      // apply into a 100 TB replica must write the DELTA (delete
+      // vectors + new row versions), not rewrite every touched file per
+      // micro-batch — the copy-on-write tier would make each batch cost
+      // O(table), not O(churn). Measured here too: drain went 12.4 s →
+      // 10.6 s cold at sf0.1 (opscale cdc section).
       s.sql(s"CREATE TABLE $tgtTbl (o_orderkey BIGINT, o_orderstatus STRING, " +
-        s"o_orderpriority STRING, o_totalprice DOUBLE) USING dwrf LOCATION '$tgtDir'")
+        s"o_orderpriority STRING, o_totalprice DOUBLE) USING dwrf LOCATION '$tgtDir' " +
+        "TBLPROPERTIES ('merge.mode'='merge-on-read')")
       DwrfLog.enable(new Path(tgtDir), conf)
 
       val (ckDir, _) = freshSinkDirs("stream-cdc-apply", dir)
@@ -1149,10 +1177,10 @@ object StreamingQueries extends QueryPack {
           sourceOptions = Map("maxVersionsPerTrigger" -> "1"))
         q.awaitTermination()
       }
-      drain()
+      phased(ph, "drain") { drain() }
       val vApplied = DwrfLog.latestVersion(new Path(tgtDir), conf).get
       require(vApplied >= 1L, "the apply must commit merges to the target")
-      drain() // exactly-once: nothing new to apply
+      phased(ph, "redrain_noop") { drain() } // exactly-once: nothing new
       require(DwrfLog.latestVersion(new Path(tgtDir), conf).get == vApplied,
         "a re-drain over the same checkpoint must not re-apply anything")
 
@@ -1161,7 +1189,8 @@ object StreamingQueries extends QueryPack {
         |  ${dsum("o_totalprice")} AS total_price
         |FROM $tgtTbl GROUP BY o_orderstatus ORDER BY o_orderstatus
         |""".stripMargin.trim)
-      val rows = rolled.collect()
+      val rows = phased(ph, "rollup") { rolled.collect() }
+      lastCdcPhases = ph.toMap
       s.createDataFrame(java.util.Arrays.asList(rows: _*), rolled.schema)
         .orderBy($"o_orderstatus")
     } finally {
@@ -1213,8 +1242,9 @@ object StreamingQueries extends QueryPack {
     val srcFresh = java.nio.file.Files.exists(srcMarker) &&
       new String(java.nio.file.Files.readAllBytes(srcMarker), "UTF-8") == srcKey &&
       DwrfLog.latestVersion(new Path(srcDir), conf).contains(3L)
+    val ph = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     try {
-      if (!srcFresh) {
+      if (!srcFresh) phased(ph, "stage_src") {
         if (fs.exists(new Path(srcDir))) fs.delete(new Path(srcDir), true)
         val orders = graft.Tables.load(s, dir, "orders")
           .select($"o_custkey", $"o_orderkey", $"o_orderstatus", $"o_totalprice")
@@ -1238,9 +1268,11 @@ object StreamingQueries extends QueryPack {
       } else {
         s.sql(s"CREATE TABLE $srcTbl USING dwrf LOCATION '$srcDir'")
       }
-      require(s.read.format("dwrf").option("versionAsOf", 2)
-        .load(srcDir).filter($"o_custkey" % 10 === 3).limit(1).count() == 1L,
-        "staging must hold soon-to-vanish groups at v2")
+      phased(ph, "gate_v2_holds") {
+        require(s.read.format("dwrf").option("versionAsOf", 2)
+          .load(srcDir).filter($"o_custkey" % 10 === 3).limit(1).count() == 1L,
+          "staging must hold soon-to-vanish groups at v2")
+      }
 
       s.sql(s"CREATE TABLE $tgtTbl (o_custkey BIGINT, n_orders BIGINT, " +
         s"total_price DOUBLE) USING dwrf LOCATION '$tgtDir'")
@@ -1250,18 +1282,24 @@ object StreamingQueries extends QueryPack {
       val q = DwrfAggMaintain.start(s, srcDir, srcTbl, tgtTbl,
         keys = Seq("o_custkey"), aggClauses = aggs, checkpoint = ckDir,
         sourceOptions = Map("maxVersionsPerTrigger" -> "1"))
-      q.awaitTermination()
-      require(s.table(tgtTbl).filter($"o_custkey" % 10 === 3).isEmpty,
-        "vanished groups must be DELETEd from the maintained aggregate")
+      phased(ph, "drain") { q.awaitTermination() }
+      phased(ph, "gate_vanished") {
+        require(s.table(tgtTbl).filter($"o_custkey" % 10 === 3).isEmpty,
+          "vanished groups must be DELETEd from the maintained aggregate")
+      }
       // idempotent-from-truth: re-applying the ENTIRE feed must leave
       // the content bit-identical (not merely row-count-stable)
-      val before = s.sql(s"SELECT * FROM $tgtTbl ORDER BY o_custkey")
-        .collect().toSeq
-      DwrfAggMaintain.applyBatch(
-        DwrfChanges.between(s, srcDir, 0L, 3L), srcTbl, tgtTbl,
-        Seq("o_custkey"), aggs)
-      val after = s.sql(s"SELECT * FROM $tgtTbl ORDER BY o_custkey")
-        .collect().toSeq
+      val before = phased(ph, "gate_idem_read") {
+        s.sql(s"SELECT * FROM $tgtTbl ORDER BY o_custkey").collect().toSeq
+      }
+      phased(ph, "gate_idem_reapply") {
+        DwrfAggMaintain.applyBatch(
+          DwrfChanges.between(s, srcDir, 0L, 3L), srcTbl, tgtTbl,
+          Seq("o_custkey"), aggs)
+      }
+      val after = phased(ph, "gate_idem_read") {
+        s.sql(s"SELECT * FROM $tgtTbl ORDER BY o_custkey").collect().toSeq
+      }
       require(before == after,
         "re-applying the full feed must leave the maintained table " +
           "bit-identical (idempotent-from-truth)")
@@ -1269,7 +1307,8 @@ object StreamingQueries extends QueryPack {
         |SELECT o_custkey, n_orders, total_price
         |FROM $tgtTbl ORDER BY o_custkey
         |""".stripMargin.trim)
-      val rows = rolled.collect()
+      val rows = phased(ph, "rollup") { rolled.collect() }
+      lastAggMaintainPhases = ph.toMap
       s.createDataFrame(java.util.Arrays.asList(rows: _*), rolled.schema)
         .orderBy($"o_custkey")
     } finally {

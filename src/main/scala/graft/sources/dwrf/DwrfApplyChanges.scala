@@ -1,7 +1,6 @@
 package graft.sources.dwrf
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -36,8 +35,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * and the apply picks one deterministically only up to the feed's
   * arbitrary order.
   *
-  * Scale shape: the per-batch work is one window over the BATCH (sized
-  * by the commits' churn, not the table) and one MERGE whose planning
+  * Scale shape: the per-batch work is one hash aggregate over the BATCH
+  * (sized by the commits' churn, not the table) and one MERGE whose planning
   * prunes target files by join-key stats/blooms — cost tracks the
   * change volume, the way a 100 TB replica has to work.
   */
@@ -78,14 +77,19 @@ object DwrfApplyChanges {
       s"dwrf: key columns ${keys.mkString(",")} must be data columns " +
         s"of the feed (${dataCols.mkString(",")})")
     // net effect per key: newest version wins; inside one version the
-    // insert half of a copy-on-write delete+insert pair wins
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(DwrfChanges.VersionColumn).desc,
-        (col(DwrfChanges.ChangeTypeColumn) === "insert").desc)
+    // insert half of a copy-on-write delete+insert pair wins. max_by on
+    // a (version, is_insert) rank instead of a row_number window: the
+    // hash aggregate combines map-side and never sorts the batch, where
+    // the window shape is a full shuffle + per-partition sort of every
+    // change row — same winner, one less O(n log n) pass per batch.
+    val rank = struct(col(DwrfChanges.VersionColumn),
+      (col(DwrfChanges.ChangeTypeColumn) === "insert").cast("int"))
+    val payload = struct(
+      (dataCols.toSeq :+ DwrfChanges.ChangeTypeColumn).map(col): _*)
     val net = batch
-      .withColumn("_apply_rn", row_number().over(w))
-      .filter(col("_apply_rn") === 1)
-      .drop("_apply_rn")
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(payload, rank).as("_net"))
+      .select(col("_net.*"))
     val view = s"dwrf_apply_changes_${java.util.UUID.randomUUID().toString.take(8)}"
     net.createOrReplaceTempView(view)
     try {
