@@ -1026,23 +1026,57 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
   @volatile private var runtimeFilters: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
 
+  /** Copy-on-write runtime group filter: the `_file IN (matched)` set
+    * Spark's RowLevelOperationRuntimeGroupFiltering rule derives from
+    * the statement's condition (armed by the operation's
+    * `requiredMetadataAttributes`). Narrows BOTH the planned partitions
+    * and the recorded replace set, so files without matched rows are
+    * never read, rewritten, or deleted. None = no group filter arrived
+    * (rule disabled, trivial condition): every statically-surviving
+    * file is rewritten — the always-correct fallback.
+    */
+  @volatile private var cowFileFilter: Option[Set[String]] = None
+
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
-    // every stats-skippable dotted path under a projected top-level column
-    // (nested struct leaves included — their stats are written per id)
-    val topNames = readSchema.fields.map(_.name).toSet
-    ColumnTree.pathIds(tableSchema).keys.toArray
-      .filter(p => topNames.contains(p) || topNames.contains(p.split('.').head))
-      .filter(p => StatsFilter.filterableColumn(p, tableSchema))
-      .sorted
-      .map { p =>
-        if (topNames.contains(p))
-          org.apache.spark.sql.connector.expressions.Expressions.column(p)
-        else DottedFieldReference(p.split('.'))
-      }
+    if (replacedFilesOut != null) {
+      // group-based row-level op: the ONE runtime-filterable attribute
+      // is the `_file` metadata column. A single attribute matters —
+      // the group filter then arrives as a one-column IN the V1 filter
+      // bridge can express, where a multi-attribute set arrives as a
+      // struct-IN it cannot. (Shadowed `_file` never gets here: the
+      // operation requests no metadata attributes then.)
+      if (tableSchema.fieldNames.contains(DwrfUtil.FileMetaColumn))
+        Array.empty
+      else Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(DwrfUtil.FileMetaColumn))
+    } else {
+      // every stats-skippable dotted path under a projected top-level
+      // column (nested struct leaves included — stats written per id)
+      val topNames = readSchema.fields.map(_.name).toSet
+      ColumnTree.pathIds(tableSchema).keys.toArray
+        .filter(p => topNames.contains(p) || topNames.contains(p.split('.').head))
+        .filter(p => StatsFilter.filterableColumn(p, tableSchema))
+        .sorted
+        .map { p =>
+          if (topNames.contains(p))
+            org.apache.spark.sql.connector.expressions.Expressions.column(p)
+          else DottedFieldReference(p.split('.'))
+        }
+    }
   }
 
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
-    runtimeFilters = filters.filter(StatsFilter.supported(_, tableSchema))
+    if (replacedFilesOut != null) {
+      import org.apache.spark.sql.sources.{EqualTo, In}
+      val sets = filters.collect {
+        case In(c, vs) if c == DwrfUtil.FileMetaColumn =>
+          vs.iterator.collect { case s: String => s }.toSet
+        case EqualTo(c, v: String) if c == DwrfUtil.FileMetaColumn => Set(v)
+      }
+      if (sets.nonEmpty) cowFileFilter = Some(sets.reduce(_ intersect _))
+    } else {
+      runtimeFilters = filters.filter(StatsFilter.supported(_, tableSchema))
+    }
   }
 
   private def allFilters: Array[org.apache.spark.sql.sources.Filter] =
@@ -1240,10 +1274,17 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
 
   override def planInputPartitions(): Array[InputPartition] = {
     val filters = allFilters.toSeq
-    val survivors = fileTails.filter { tail =>
+    val statSurvivors = fileTails.filter { tail =>
       filters.isEmpty ||
         (StatsFilter.mayMatch(filters, tableSchema, tail.statsByName.get) &&
           bloomSurvives(tail, filters))
+    }
+    // copy-on-write runtime group filter: only files holding MATCHED
+    // rows are rewritten; the rest of the statically-surviving set
+    // stays on disk untouched (and out of the replace set below)
+    val survivors = cowFileFilter match {
+      case Some(matched) => statSurvivors.filter(t => matched.contains(t.path))
+      case None => statSurvivors
     }
     // copy-on-write mode: the replace commit deletes exactly the files
     // this (final, runtime-filtered) planning selected — and must prove

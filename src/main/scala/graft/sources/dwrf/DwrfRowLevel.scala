@@ -24,16 +24,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     runs in copy-on-write mode: filters prune at FILE granularity
   *     only — a surviving file streams back EVERY row, because the
   *     rewritten output must carry its non-matching rows too — and the
-  *     planning pass records exactly which files survived. What prunes
-  *     today is the statement's STATIC pushed condition (stats + bloom
-  *     per file — an UPDATE/DELETE WHERE on a selective or partition
-  *     column rewrites only its files); Spark's runtime group-filter
-  *     subquery arrives as a struct-IN dynamic-pruning expression the
-  *     V1 filter API cannot express, so a join-keyed MERGE rewrites
-  *     the statically-surviving set. (The refinement path — declare
-  *     `_file` in requiredMetadataAttributes + SupportsRuntimeV2Filtering
-  *     so the group filter becomes `_file IN (matched)` — is the
-  *     documented follow-up; it changes the write-task row layout.)
+  *     planning pass records exactly which files survived. Two prune
+  *     tiers compose: the statement's STATIC pushed condition (stats +
+  *     bloom per file — an UPDATE/DELETE WHERE on a selective or
+  *     partition column rewrites only its files), and the RUNTIME
+  *     group filter — `requiredMetadataAttributes` declares `_file`,
+  *     so Spark's RowLevelOperationRuntimeGroupFiltering rule runs a
+  *     matching-rows pass over the condition (for MERGE, joined
+  *     against the source) and pushes `_file IN (matched)` into the
+  *     scan, narrowing a join-keyed MERGE's rewrite to exactly the
+  *     files holding matched rows (NOT MATCHED inserts ride the
+  *     source side of the rewrite join, unaffected by the pruning).
   *  2. Spark computes the replacement rows (updated/merged + copied)
   *     and writes them through the operation's WriteBuilder. Tasks
   *     write INVISIBLE temps (`.rlo-*.tmp` — listings only admit
@@ -66,6 +67,26 @@ final class DwrfRowLevelOperation(cmd: RowLevelOperation.Command,
     new AtomicReference[ReplacedSet](ReplacedSet(Nil, Map.empty))
 
   override def command(): RowLevelOperation.Command = cmd
+
+  /** Declares `_file` as the operation's metadata attribute, which arms
+    * Spark's `RowLevelOperationRuntimeGroupFiltering` rule: the
+    * optimizer plans a matching-rows pass over the statement's
+    * condition (for MERGE, the ON clause joined against the source),
+    * collects the DISTINCT `_file` values it touches, and pushes
+    * `_file IN (matched)` into this operation's scan at runtime —
+    * narrowing the rewrite to exactly the files holding matched rows.
+    * The scan side accepts it in [[DwrfScan.filter]] (copy-on-write
+    * mode) and re-records the replace set, so unmatched files are
+    * never read, rewritten, or deleted. Shadowed `_file` (a data
+    * column of that name) disables the metadata column, so request
+    * nothing and fall back to rewriting every statically-surviving
+    * file.
+    */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (tableSchema.fieldNames.contains(DwrfUtil.FileMetaColumn)) Array.empty
+    else Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(DwrfUtil.FileMetaColumn))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val opts = options.asCaseSensitiveMap().asScala.toMap
