@@ -63,6 +63,9 @@ object Bench {
     "adv_window_battery", "adv_window_frames",
     "adv_custdist", "adv_big_orders", "adv_late_supplier", "adv_idle_rich",
     "adv_trade_volume", "adv_returns_revenue",
+    "adv_mincost_supplier", "adv_part_value_stock", "adv_promo_revenue",
+    "adv_top_supplier", "adv_supplier_variety", "adv_small_qty_revenue",
+    "adv_brand_disjunction", "adv_excess_shippers",
     "ann_ivf_topk", "ann_pq_topk", "ann_pq_persisted",
     "dedup_simhash", "dedup_embedding", "dedup_incremental",
     "dwrf_ddl_scan", "dwrf_history_scan", "dwrf_nested_types",

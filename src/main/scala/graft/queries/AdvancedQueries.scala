@@ -372,6 +372,160 @@ object AdvancedQueries extends QueryPack {
     |LIMIT 20
     |""".stripMargin.trim
 
+  // ------------------------------------------------------------------
+  // Round 11: the remaining TPC-H query shapes. The fixture has no
+  // partsupp table, so Q2/Q11/Q16/Q20 derive the supplier-part
+  // relationship from lineitem (who actually shipped which part);
+  // every adaptation keeps the original query's SIGNATURE — the
+  // correlated min-cost subquery, the HAVING-over-global-fraction,
+  // the distinct-supplier rollup, the quantity-threshold semi-join.
+
+  // TPC-H Q2 shape: cheapest supplier per part in a region — the
+  // correlated min-over-a-join subquery. Supply cost := the supplier's
+  // best observed unit price for the part (MIN of per-row IEEE
+  // divisions — order-independent, so oracle-exact).
+  private val minCostSupplierSql = """
+    |WITH supply AS (
+    |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+    |    MIN(l_extendedprice / l_quantity) AS ps_supplycost
+    |  FROM lineitem
+    |  GROUP BY l_partkey, l_suppkey)
+    |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+    |FROM part
+    |JOIN supply ON p_partkey = ps_partkey
+    |JOIN supplier ON s_suppkey = ps_suppkey
+    |JOIN nation ON s_nationkey = n_nationkey
+    |JOIN region ON n_regionkey = r_regionkey
+    |WHERE p_size = 15 AND p_type = 'SMALL' AND r_name = 'ASIA'
+    |  AND ps_supplycost = (
+    |    SELECT MIN(s2.ps_supplycost)
+    |    FROM supply s2
+    |    JOIN supplier sp ON sp.s_suppkey = s2.ps_suppkey
+    |    JOIN nation n2 ON sp.s_nationkey = n2.n_nationkey
+    |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    |    WHERE s2.ps_partkey = p_partkey AND r2.r_name = 'ASIA')
+    |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    |LIMIT 100
+    |""".stripMargin.trim
+
+  // TPC-H Q11 shape: parts whose shipped value from one nation's
+  // suppliers exceeds a fraction of that nation's total — the
+  // HAVING-against-a-global-scalar signature.
+  private val partValueStockSql = s"""
+    |SELECT l_partkey, ${dsum("l_extendedprice")} AS part_value
+    |FROM lineitem
+    |JOIN supplier ON l_suppkey = s_suppkey
+    |JOIN nation ON s_nationkey = n_nationkey
+    |WHERE n_name = 'NATION_3'
+    |GROUP BY l_partkey
+    |HAVING ${dsum("l_extendedprice")} > (
+    |  SELECT ${dsum("l_extendedprice")} * 0.001
+    |  FROM lineitem
+    |  JOIN supplier ON l_suppkey = s_suppkey
+    |  JOIN nation ON s_nationkey = n_nationkey
+    |  WHERE n_name = 'NATION_3')
+    |ORDER BY part_value DESC, l_partkey
+    |""".stripMargin.trim
+
+  // TPC-H Q14 shape: promo revenue share over a ship-date window — the
+  // conditional-aggregate-ratio signature. The ratio is ONE IEEE
+  // division of two decimal-exact sums, so it is bit-deterministic.
+  private val promoRevenueSql = s"""
+    |SELECT promo_revenue, total_revenue,
+    |  CAST(ROUND(100.0 * promo_revenue / total_revenue, 6) AS DOUBLE)
+    |    AS promo_pct
+    |FROM (
+    |  SELECT
+    |    ${dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+    |      AS promo_revenue,
+    |    ${dsum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+    |  FROM lineitem
+    |  JOIN part ON l_partkey = p_partkey
+    |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')
+    |""".stripMargin.trim
+
+  // TPC-H Q15 shape: the top supplier(s) by quarterly revenue — a CTE
+  // referenced twice (join + MAX subquery), revenue equality on the
+  // decimal-exact rounded sum.
+  private val topSupplierSql = s"""
+    |WITH revenue AS (
+    |  SELECT l_suppkey AS supplier_no,
+    |    ${dsum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+    |  FROM lineitem
+    |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    |  GROUP BY l_suppkey)
+    |SELECT s_suppkey, s_name, total_revenue
+    |FROM supplier
+    |JOIN revenue ON s_suppkey = supplier_no
+    |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    |ORDER BY s_suppkey
+    |""".stripMargin.trim
+
+  // TPC-H Q16 shape: how many distinct suppliers shipped each part
+  // profile, excluding a brand and a type — COUNT(DISTINCT) under a
+  // negated filter battery.
+  private val supplierVarietySql = """
+    |SELECT p_brand, p_type, p_size,
+    |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    |FROM part
+    |JOIN lineitem ON l_partkey = p_partkey
+    |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+    |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+    |GROUP BY p_brand, p_type, p_size
+    |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    |""".stripMargin.trim
+
+  // TPC-H Q17 shape: revenue that small-quantity orders of one brand
+  // represent — the per-part correlated average-quantity threshold.
+  private val smallQtyRevenueSql = s"""
+    |SELECT CAST(ROUND(total_ep / 7.0, 2) AS DOUBLE) AS avg_yearly
+    |FROM (
+    |  SELECT ${dsum("l_extendedprice")} AS total_ep
+    |  FROM lineitem
+    |  JOIN part ON p_partkey = l_partkey
+    |  WHERE p_brand = 'Brand#3'
+    |    AND l_quantity < (
+    |      SELECT 0.2 * ${davg("l2.l_quantity")}
+    |      FROM lineitem l2 WHERE l2.l_partkey = p_partkey))
+    |""".stripMargin.trim
+
+  // TPC-H Q19 shape: disjunctive brand/size/quantity predicate batteries
+  // — the OR-of-conjunctions plan the optimizer must keep join-pushable.
+  private val brandDisjunctionSql = s"""
+    |SELECT ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+    |  COUNT(*) AS n_items
+    |FROM lineitem
+    |JOIN part ON p_partkey = l_partkey
+    |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+    |    AND l_quantity >= 1 AND l_quantity <= 11)
+    |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+    |    AND l_quantity >= 10 AND l_quantity <= 20)
+    |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+    |    AND l_quantity >= 20 AND l_quantity <= 30)
+    |""".stripMargin.trim
+
+  // TPC-H Q20 shape: suppliers of one nation who shipped a meaningful
+  // volume of a part family in a year — the GROUP-BY-HAVING semi-join.
+  private val excessShippersSql = """
+    |SELECT s_name, s_acctbal
+    |FROM supplier
+    |JOIN nation ON s_nationkey = n_nationkey
+    |WHERE n_name = 'NATION_5'
+    |  AND s_suppkey IN (
+    |    SELECT l_suppkey
+    |    FROM lineitem
+    |    JOIN part ON p_partkey = l_partkey
+    |    WHERE p_name LIKE 'small%'
+    |      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    |      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    |    GROUP BY l_suppkey
+    |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) >
+    |      CAST(100 AS DECIMAL(18,6)))
+    |ORDER BY s_name
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     shared("adv_grouping_sets", groupingSetsSql),
     shared("adv_lateral", lateralSql),
@@ -396,5 +550,13 @@ object AdvancedQueries extends QueryPack {
     shared("adv_idle_rich", idleRichSql),
     shared("adv_trade_volume", tradeVolumeSql),
     shared("adv_returns_revenue", returnsRevenueSql),
+    shared("adv_mincost_supplier", minCostSupplierSql),
+    shared("adv_part_value_stock", partValueStockSql),
+    shared("adv_promo_revenue", promoRevenueSql),
+    shared("adv_top_supplier", topSupplierSql),
+    shared("adv_supplier_variety", supplierVarietySql),
+    shared("adv_small_qty_revenue", smallQtyRevenueSql),
+    shared("adv_brand_disjunction", brandDisjunctionSql),
+    shared("adv_excess_shippers", excessShippersSql),
   )
 }
