@@ -974,7 +974,7 @@ final class DwrfColumnarPartitionReader(
   private val decoders: Array[VectorDecoder] = readSchema.fields.map { f =>
     if (partValues.contains(f.name)) // partition column: constant fill
       new ConstantVectorDecoder(partValues(f.name), f.dataType)
-    else idByName.get(f.name) match {
+    else ColumnAliases.resolve(f, idByName) match {
       case Some((id, dt)) => VectorDecoder.create(id, dt)
       case None => new NullVectorDecoder // schema evolution: all-null
     }
@@ -982,7 +982,7 @@ final class DwrfColumnarPartitionReader(
   private val wanted: Array[Boolean] = {
     val inc = new Array[Boolean](ColumnTree.columnCount(reader.schema))
     readSchema.fields.foreach { f =>
-      idByName.get(f.name).foreach { case (id, dt) =>
+      ColumnAliases.resolve(f, idByName).foreach { case (id, dt) =>
         ColumnTree.includeSubtree(inc, id, dt)
       }
     }

@@ -1167,9 +1167,11 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
           case (path, (id, _)) => r.footer.fileStats.get(id).map(path -> _)
         }
         // does any read column need a widening upcast from this file's
-        // narrower on-disk type? (drives the columnar-vs-row choice)
+        // narrower on-disk type? (drives the columnar-vs-row choice;
+        // renamed columns resolve at the file's own generation's name)
+        val fileFieldByName = r.schema.fields.map(f => f.name -> f).toMap
         val widened = readSchema.fields.exists { f =>
-          r.schema.fields.find(_.name == f.name).exists(_.dataType != f.dataType)
+          ColumnAliases.resolve(f, fileFieldByName).exists(_.dataType != f.dataType)
         }
         // partition values surface as min=max stats: the regular pruner
         // then skips whole partitions for static AND runtime filters
@@ -1191,9 +1193,21 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
         val dvPath = dvOf.get(file.toString)
         val dvCount = dvPath.map(p =>
           DwrfDv.count(new Path(p), hadoopConf.value)).getOrElse(0L)
+        // renamed columns: surface the old file's stats/blooms under the
+        // CURRENT name too, so filters on the new name still prune
+        // pre-rename files (missing entries only ever disable pruning,
+        // never correctness — StatsFilter treats absence as may-match)
+        val aliasStats = tableSchema.fields.iterator.flatMap { f =>
+          if (statsByName.contains(f.name)) None
+          else ColumnAliases.resolve(f, statsByName).map(f.name -> _)
+        }.toMap
+        val aliasBlooms = tableSchema.fields.iterator.flatMap { f =>
+          if (blooms.contains(f.name)) None
+          else ColumnAliases.resolve(f, blooms).map(f.name -> _)
+        }.toMap
         DwrfFileTail(file.toString, r.footer.stripes, r.footer.numRows,
-          r.footer.rawDataSize, statsByName ++ partStats, widened, spec,
-          blooms, dvPath, dvCount)
+          r.footer.rawDataSize, statsByName ++ aliasStats ++ partStats,
+          widened, spec, blooms ++ aliasBlooms, dvPath, dvCount)
       } finally r.close()
     }
   }

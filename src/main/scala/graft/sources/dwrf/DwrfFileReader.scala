@@ -128,11 +128,12 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
 
   /** Readers for `readSchema`'s fields against this file: absent columns
     * read all-null, present-but-narrower columns (schema evolution type
-    * widening) decode as written and upcast per value.
+    * widening) decode as written and upcast per value, renamed columns
+    * ([[ColumnAliases]]) resolve at the file's own generation's name.
     */
   private def makeReaders(readSchema: StructType): Array[TreeReader] =
     readSchema.fields.map { f =>
-      idByName.get(f.name) match {
+      ColumnAliases.resolve(f, idByName) match {
         case Some((id, dt)) =>
           val base = TreeReader.create(id, dt)
           TypeWidening.converter(dt, f.dataType) match {
@@ -156,7 +157,7 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
     val wantedColumns: Array[Boolean] = {
       val inc = new Array[Boolean](ColumnTree.columnCount(schema))
       readSchema.fields.foreach { f =>
-        idByName.get(f.name).foreach { case (id, dt) =>
+        ColumnAliases.resolve(f, idByName).foreach { case (id, dt) =>
           ColumnTree.includeSubtree(inc, id, dt)
         }
       }
@@ -421,7 +422,7 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
     val wanted = {
       val inc = new Array[Boolean](ColumnTree.columnCount(schema))
       readSchema.fields.foreach { f =>
-        idByName.get(f.name).foreach { case (id, dt) =>
+        ColumnAliases.resolve(f, idByName).foreach { case (id, dt) =>
           ColumnTree.includeSubtree(inc, id, dt)
         }
       }

@@ -318,6 +318,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             "(int family upward, float→double)")
         c.copy(schema = StructType(c.schema.fields.updated(idx,
           c.schema.fields(idx).copy(dataType = to))))
+      // ALTER TABLE ... RENAME COLUMN a TO b: metadata-only. Files keep
+      // the old physical name; the field records it as an alias
+      // ([[ColumnAliases]] metadata, newest first) and every read path
+      // resolves old generations through it. The old name joins the
+      // DROP tombstones: re-ADDing (or renaming another column onto) it
+      // would resurrect pre-rename values from old files.
+      case (c, rn: TableChange.RenameColumn) =>
+        require(rn.fieldNames.length == 1,
+          "graft catalog: only top-level RENAME COLUMN")
+        val from = rn.fieldNames()(0)
+        val to = rn.newName()
+        val idx = c.schema.fieldNames.indexWhere(_.equalsIgnoreCase(from))
+        require(idx >= 0, s"graft catalog: no column '$from' in $ident")
+        require(!c.partCols.exists(_.equalsIgnoreCase(from)),
+          s"graft catalog: cannot rename partition column '$from' — the " +
+            "physical directory layout carries the name")
+        require(!c.schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"graft catalog: column '$to' already exists in $ident")
+        if (c.dropped.exists(_.equalsIgnoreCase(to)))
+          throw new IllegalArgumentException(
+            s"graft catalog: column '$to' was previously DROPPED or " +
+              s"RENAMED away in $ident; taking the name would resurrect " +
+              "its old values from pre-drop data files. Use a new name, " +
+              "or rewrite the table (CTAS) to purge the column.")
+        val renamed = ColumnAliases.withRename(
+          c.schema.fields(idx).copy(name = to), from)
+        c.copy(
+          schema = StructType(c.schema.fields.updated(idx, renamed)),
+          dropped = c.dropped :+ from)
       // ALTER TABLE ... SET/UNSET TBLPROPERTIES — how a table opts into
       // e.g. delete.mode=merge-on-read after creation
       case (c, set: TableChange.SetProperty) =>

@@ -142,6 +142,60 @@ class GraftCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graftcat.lake.dc")
   }
 
+  test("ALTER TABLE RENAME COLUMN is metadata-only; old files resolve by alias") {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("CREATE TABLE graftcat.lake.rn (id BIGINT, amount DOUBLE, tag STRING) USING dwrf")
+    s.sql("INSERT INTO graftcat.lake.rn VALUES (1, 1.5, 'a'), (2, 2.5, 'b')")
+    val files0 = DwrfUtil.listDataFileStatuses(
+      new Path(s"$warehouse/lake/rn"), conf)
+      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime)).toSet
+
+    s.sql("ALTER TABLE graftcat.lake.rn RENAME COLUMN amount TO price")
+    // metadata-only: no data file rewritten
+    assert(DwrfUtil.listDataFileStatuses(new Path(s"$warehouse/lake/rn"), conf)
+      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+      .toSet === files0)
+    assert(s.table("graftcat.lake.rn").columns.toSeq ===
+      Seq("id", "price", "tag"))
+    // pre-rename files resolve the NEW name to their old physical column
+    assert(s.sql("SELECT id, price FROM graftcat.lake.rn ORDER BY id")
+      .as[(Long, Double)].collect().toSeq === Seq((1L, 1.5), (2L, 2.5)))
+    // filters on the new name still work (and prune) on old files
+    assert(s.sql("SELECT id FROM graftcat.lake.rn WHERE price > 2.0")
+      .as[Long].collect().toSeq === Seq(2L))
+    // new inserts carry the new physical name; generations mix cleanly
+    s.sql("INSERT INTO graftcat.lake.rn VALUES (3, 3.5, 'c')")
+    assert(s.sql("SELECT id, price FROM graftcat.lake.rn ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)))
+    // chain: a second rename resolves BOTH prior generations
+    s.sql("ALTER TABLE graftcat.lake.rn RENAME COLUMN price TO cost")
+    assert(s.sql("SELECT id, cost FROM graftcat.lake.rn ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)))
+    // aggregates over mixed generations
+    assert(s.sql("SELECT CAST(SUM(cost) AS DOUBLE) FROM graftcat.lake.rn")
+      .head().getDouble(0) === 7.5)
+
+    // the old name is tombstoned: re-ADD would resurrect old values
+    val err = intercept[Exception](
+      s.sql("ALTER TABLE graftcat.lake.rn ADD COLUMNS (amount DOUBLE)"))
+    assert(err.getMessage.contains("resurrect"))
+    // renaming another column ONTO a retired name refuses too
+    val err2 = intercept[Exception](
+      s.sql("ALTER TABLE graftcat.lake.rn RENAME COLUMN tag TO price"))
+    assert(err2.getMessage.contains("resurrect"))
+    // UPDATE (copy-on-write rewrite) reads old generations through the
+    // alias and writes the new name — migration-by-rewrite
+    s.sql("UPDATE graftcat.lake.rn SET cost = cost + 10.0 WHERE id = 1")
+    assert(s.sql("SELECT id, cost FROM graftcat.lake.rn ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 11.5), (2L, 2.5), (3L, 3.5)))
+    s.sql("DROP TABLE graftcat.lake.rn")
+  }
+
   test("ALTER COLUMN TYPE widens losslessly; narrowing refuses") {
     val s = spark
     import s.implicits._
