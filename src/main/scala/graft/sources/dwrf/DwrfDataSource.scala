@@ -518,9 +518,16 @@ final class DwrfTable(tableSchema: StructType, properties: Map[String, String],
     s"dwrf:${DwrfUtil.pathOption(properties).getOrElse("?")}"
   override def schema(): StructType = tableSchema
 
-  override def partitioning(): Array[Transform] =
-    partCols.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+  override def partitioning(): Array[Transform] = {
+    val idents = partCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+        : Transform)
+    val bucket = DwrfBucket.specOf(properties).map { case (col, n) =>
+      org.apache.spark.sql.connector.expressions.Expressions.bucket(n, col)
+        : Transform
+    }
+    (idents ++ bucket).toArray
+  }
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
@@ -557,13 +564,22 @@ final class DwrfTable(tableSchema: StructType, properties: Map[String, String],
         case None => opts
       }
     }
+    // bucketed tables: surface the bucket spec to the scan so it can
+    // key partitions by bucket id (storage-partitioned joins)
+    val withBucket = DwrfBucket.specOf(properties) match {
+      case Some((col, n)) if DwrfBucket.specOf(pinned).isEmpty =>
+        pinned + (DwrfBucket.ColumnKey -> col) +
+          (DwrfBucket.CountKey -> n.toString)
+      case _ => pinned
+    }
     new DwrfScanBuilder(tableSchema, resolvedPath(opts),
-      org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(pinned))
+      org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(withBucket))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val opts = info.options().asCaseSensitiveMap().asScala.toMap
-    new DwrfWriteBuilder(info.schema(), resolvedPath(opts), opts, partCols)
+    new DwrfWriteBuilder(info.schema(), resolvedPath(opts), opts, partCols,
+      DwrfBucket.specOf(properties))
   }
 
   // `DELETE FROM <table> WHERE ...` — refuse anything the exact row
@@ -1218,6 +1234,20 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
     if (keySeqs.size == 1) keySeqs.head else Nil
   }
 
+  /** Bucketed-table spec forwarded from the catalog table properties. */
+  private lazy val bucketSpec: Option[(String, Int)] =
+    DwrfBucket.specOf(options)
+
+  /** The bucket layout is only reportable when EVERY live file carries
+    * a parseable, in-range bucket id — a copy-on-write rewrite or
+    * compaction that produced unbucketed names silently drops the
+    * report (correct scans, re-grown shuffles) instead of lying about
+    * co-location. */
+  private lazy val bucketKeyed: Boolean = bucketSpec.exists { case (_, n) =>
+    fileTails.nonEmpty &&
+      fileTails.forall(t => DwrfBucket.ofPath(t.path).exists(_ < n))
+  }
+
   /** Typed partition-key row for Spark's split grouping (null when the
     * spec doesn't parse as the table types — then no key is reported). */
   private def keyRowOf(spec: Seq[(String, String)]): InternalRow =
@@ -1240,10 +1270,23 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
     */
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     val parts = planInputPartitions()
-    val reportable = layoutKeys.nonEmpty &&
-      layoutKeys.forall(k => readSchema.fieldNames.contains(k)) &&
-      parts.forall(_.isInstanceOf[DwrfKeyedInputPartition])
-    if (reportable)
+    val allKeyed = parts.forall(_.isInstanceOf[DwrfKeyedInputPartition])
+    // bucketed layout: one key per bucket id, expression bucket(n, col)
+    // — resolvable on both sides of a join through the catalog's
+    // FunctionCatalog, which is what proves two tables co-bucketed
+    val bucketReportable = bucketKeyed && allKeyed &&
+      bucketSpec.forall { case (col, _) =>
+        readSchema.fieldNames.contains(col)
+      }
+    if (bucketReportable) {
+      val (col, n) = bucketSpec.get
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .bucket(n, col)),
+        parts.length)
+    } else if (layoutKeys.nonEmpty &&
+        layoutKeys.forall(k => readSchema.fieldNames.contains(k)) &&
+        allKeyed && !bucketKeyed)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         layoutKeys.map(k =>
           org.apache.spark.sql.connector.expressions.Expressions.identity(k)).toArray,
@@ -1308,7 +1351,12 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
       replacedFilesOut.set(ReplacedSet(survivors.map(_.path),
         resolvedSnapshot.map(_.dvs).getOrElse(Map.empty)))
     survivors.flatMap { tail =>
-      val keyRow = if (tail.partSpec.isEmpty) null else keyRowOf(tail.partSpec)
+      val keyRow =
+        if (bucketKeyed)
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](DwrfBucket.ofPath(tail.path).get))
+        else if (tail.partSpec.isEmpty) null
+        else keyRowOf(tail.partSpec)
       def mk(start: Long, len: Long): DwrfPartitionBase =
         if (keyRow != null)
           DwrfKeyedInputPartition(tail.path, start, len, tail.partSpec, keyRow,
@@ -1654,7 +1702,8 @@ private[dwrf] object PartitionFilterMatch {
 }
 
 final class DwrfWriteBuilder(schema: StructType, path: String,
-    options: Map[String, String], partCols: Seq[String] = Nil)
+    options: Map[String, String], partCols: Seq[String] = Nil,
+    bucketSpec: Option[(String, Int)] = None)
     extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
   private var mode: DwrfWriteMode = DwrfWriteMode.Append
@@ -1714,11 +1763,22 @@ final class DwrfWriteBuilder(schema: StructType, path: String,
       import org.apache.spark.sql.connector.{distributions => dist}
       import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => VSortOrder}
       override def requiredDistribution(): dist.Distribution =
-        if (requested.nonEmpty && partCols.nonEmpty)
-          dist.Distributions.clustered(
-            partCols.map(c => Expressions.identity(c)
-              : org.apache.spark.sql.connector.expressions.Expression).toArray)
-        else dist.Distributions.unspecified()
+        bucketSpec match {
+          // bucketed table: cluster the input by bucket id, so each
+          // bucket's rows land in few tasks (few open writers, few
+          // files per bucket) — the catalog's FunctionCatalog resolves
+          // the transform
+          case Some((col, n)) =>
+            dist.Distributions.clustered(Array(
+              Expressions.bucket(n, col)
+                : org.apache.spark.sql.connector.expressions.Expression))
+          case None =>
+            if (requested.nonEmpty && partCols.nonEmpty)
+              dist.Distributions.clustered(
+                partCols.map(c => Expressions.identity(c)
+                  : org.apache.spark.sql.connector.expressions.Expression).toArray)
+            else dist.Distributions.unspecified()
+        }
       override def distributionStrictlyRequired(): Boolean = false
       override def requiredOrdering(): Array[VSortOrder] =
         if (requested.isEmpty) Array.empty
@@ -1727,7 +1787,7 @@ final class DwrfWriteBuilder(schema: StructType, path: String,
       override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
         DwrfWriteMetrics.all
       override def toBatch: BatchWrite =
-        new DwrfBatchWrite(schema, path, options, mode, partCols)
+        new DwrfBatchWrite(schema, path, options, mode, partCols, bucketSpec)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new DwrfStreamingWrite(schema, path, options, partCols)
     }
@@ -1816,7 +1876,8 @@ final class DwrfStreamingDataWriterFactory(schemaJson: String, path: String,
 
 final class DwrfBatchWrite(schema: StructType, path: String,
     options: Map[String, String], mode: DwrfWriteMode,
-    partCols: Seq[String] = Nil) extends BatchWrite {
+    partCols: Seq[String] = Nil,
+    bucketSpec: Option[(String, Int)] = None) extends BatchWrite {
 
   private def logged(conf: Configuration): Boolean =
     DwrfLog.isEnabled(new Path(path), conf)
@@ -1861,7 +1922,7 @@ final class DwrfBatchWrite(schema: StructType, path: String,
         s"part-${java.util.UUID.randomUUID().toString.take(12)}-"
       else "part-"
     new DwrfDataWriterFactory(schema.json, path, options,
-      new SerializableHadoopConf(conf), partCols, prefix)
+      new SerializableHadoopConf(conf), partCols, prefix, bucketSpec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1970,7 +2031,8 @@ final class DwrfBatchWrite(schema: StructType, path: String,
 
 final class DwrfDataWriterFactory(schemaJson: String, path: String,
     options: Map[String, String], hadoopConf: SerializableHadoopConf,
-    partCols: Seq[String] = Nil, filePrefix: String = "part-")
+    partCols: Seq[String] = Nil, filePrefix: String = "part-",
+    bucketSpec: Option[(String, Int)] = None)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -1984,13 +2046,73 @@ final class DwrfDataWriterFactory(schemaJson: String, path: String,
         k.substring("metadata.".length) -> v.getBytes("UTF-8")
     }
     val name = f"$filePrefix$partitionId%05d-$taskId.dwrf"
-    if (partCols.isEmpty)
-      new DwrfFlatDataWriter(schema, new Path(path, name),
-        options, userMeta, conf)
-    else
-      new DwrfPartitionedDataWriter(schema, new Path(path), partCols, options,
-        userMeta, conf, partitionId, taskId, fileName = Some(name))
+    bucketSpec match {
+      case Some((col, n)) =>
+        new DwrfBucketedDataWriter(schema, new Path(path), col, n, options,
+          userMeta, conf, name.stripSuffix(".dwrf"))
+      case None if partCols.isEmpty =>
+        new DwrfFlatDataWriter(schema, new Path(path, name),
+          options, userMeta, conf)
+      case None =>
+        new DwrfPartitionedDataWriter(schema, new Path(path), partCols,
+          options, userMeta, conf, partitionId, taskId,
+          fileName = Some(name))
+    }
   }
+}
+
+/** Per-bucket writers within one task: the bucket id
+  * ([[DwrfBucket.id]] of the bucket column) picks the open writer, and
+  * each file's name carries its bucket (`<base>-b00003.dwrf`). The
+  * bucket column stays an ordinary data column — nothing synthetic is
+  * added or dropped. The write's clustered distribution keeps a
+  * bucket's rows in few tasks, so the per-task writer map stays small.
+  */
+private final class DwrfBucketedDataWriter(schema: StructType, root: Path,
+    bucketCol: String, numBuckets: Int, options: Map[String, String],
+    userMeta: Map[String, Array[Byte]], conf: Configuration,
+    baseName: String) extends DataWriter[InternalRow] {
+
+  private val fs = root.getFileSystem(conf)
+  private val bIdx = schema.fieldIndex(bucketCol)
+  private val bType = schema.fields(bIdx).dataType
+  private val compress0 = graft.format.WriteProfile.get.compressNanos
+  private val blocks0 = graft.format.WriteProfile.get.compressCalls
+  private val writers = scala.collection.mutable.LinkedHashMap.empty[
+    Int, (DwrfFileWriter, java.io.OutputStream, Path)]
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    DwrfWriteMetrics.taskValues(writers.values.map(_._1), compress0, blocks0)
+
+  override def write(record: InternalRow): Unit = {
+    val v = if (record.isNullAt(bIdx)) null else record.get(bIdx, bType)
+    val b = DwrfBucket.id(v, numBuckets)
+    val (w, _, _) = writers.getOrElseUpdate(b, {
+      val file = new Path(root, baseName + DwrfBucket.fileSuffix(b) + ".dwrf")
+      val os = fs.create(file, true)
+      (new DwrfFileWriter(schema, DwrfWriteOptions.fromMap(options),
+        new java.io.BufferedOutputStream(os, 1 << 16)), os, file)
+    })
+    w.addRow(record)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    var rows = 0L
+    val produced = scala.collection.mutable.ArrayBuffer.empty[String]
+    writers.values.foreach { case (w, os, file) =>
+      w.close(userMeta)
+      os.close()
+      rows += w.rowCount
+      produced += file.toString
+    }
+    DwrfCommitMessage(root.toString, rows, produced.toSeq)
+  }
+
+  override def abort(): Unit = writers.values.foreach { case (_, os, file) =>
+    try os.close() catch { case _: Throwable => () }
+    try fs.delete(file, false) catch { case _: Throwable => () }
+  }
+  override def close(): Unit = ()
 }
 
 private final class DwrfFlatDataWriter(schema: StructType, file: Path,

@@ -39,7 +39,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * a pre-evolution snapshot reads with its own columns), and
   * [[DwrfTable.newScanBuilder]] surfaces the pin to the scan.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  // ------------------------------------------------- function catalog
+  // One function: `bucket` — what resolves `PARTITIONED BY
+  // (bucket(n, col))` transforms on writes and proves two bucketed
+  // tables' layouts compatible for storage-partitioned joins.
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] = Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) new DwrfBucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -77,7 +91,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     */
   private final case class Sidecar(schema: StructType, partCols: Seq[String],
       location: Option[String], props: Map[String, String] = Map.empty,
-      dropped: Seq[String] = Nil)
+      dropped: Seq[String] = Nil, bucket: Option[(String, Int)] = None)
 
   private def writeSidecar(dir: Path, s: Sidecar): Unit = {
     val fs = dir.getFileSystem(conf)
@@ -90,7 +104,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
            .mkString(""","props":[""", ",", "]")) +
         (if (s.dropped.isEmpty) ""
          else s.dropped.sorted.map(quote)
-           .mkString(""","dropped":[""", ",", "]")) + "}"
+           .mkString(""","dropped":[""", ",", "]")) +
+        s.bucket.map { case (c, n) =>
+          s""","bucketCol":${quote(c)},"bucketCount":${quote(n.toString)}"""
+        }.getOrElse("") + "}"
     val out = fs.create(new Path(dir, SidecarName), true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
@@ -132,8 +149,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(darr)
         .map(m => unquote(m.group(1))).toSeq
     }
+    val bucket = for (c <- str("bucketCol"); n <- str("bucketCount"))
+      yield (c, n.toInt)
     Some(Sidecar(DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      partCols, str("location"), props, dropped))
+      partCols, str("location"), props, dropped, bucket))
   }
 
   private def unquote(s: String): String = {
@@ -181,9 +200,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val verProps: Map[String, String] =
       versionAsOf.map(v => DwrfLog.VersionAsOfKey -> v.toString).toMap
     // persisted TBLPROPERTIES first: reserved keys always win over them
+    val bucketProps = sc.flatMap(_.bucket).map { case (c, n) =>
+      Map(DwrfBucket.ColumnKey -> c, DwrfBucket.CountKey -> n.toString)
+    }.getOrElse(Map.empty)
     val props = sc.map(_.props).getOrElse(Map.empty) ++ Map(
       TableCatalog.PROP_LOCATION -> location.toString,
-      TableCatalog.PROP_PROVIDER -> "dwrf") ++ verProps
+      TableCatalog.PROP_PROVIDER -> "dwrf") ++ bucketProps ++ verProps
     (sc, versionAsOf) match {
       // a time-travel read ALWAYS re-infers from the pinned manifest:
       // the sidecar tracks the current schema, not version n's
@@ -230,14 +252,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val partCols = partitions.map { t =>
+    val (bucketTs, identTs) = partitions.partition(_.name == "bucket")
+    val partCols = identTs.map { t =>
       require(t.name == "identity",
-        s"graft catalog: only identity partitioning, got $t")
+        s"graft catalog: only identity or bucket partitioning, got $t")
       t.references.head.fieldNames.mkString(".")
     }.toSeq
+    // PARTITIONED BY (bucket(n, col)): hash-bucketed layout for
+    // storage-partitioned joins ([[DwrfBucket]])
+    val bucketSpec = bucketTs.toSeq match {
+      case Nil => None
+      case Seq(t) =>
+        require(partCols.isEmpty,
+          "graft catalog: bucket + identity partitioning cannot combine")
+        val col = t.references.head.fieldNames.mkString(".")
+        val n = t.arguments.collectFirst {
+          case lit: org.apache.spark.sql.connector.expressions.Literal[_]
+              if lit.value().isInstanceOf[Number] =>
+            lit.value().asInstanceOf[Number].intValue()
+        }.getOrElse(throw new IllegalArgumentException(
+          s"graft catalog: bucket transform needs a numeric width: $t"))
+        require(n > 0, s"graft catalog: bucket count must be positive, got $n")
+        val f = schema.fields.find(_.name.equalsIgnoreCase(col)).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft catalog: bucket column '$col' not in schema"))
+        require(DwrfBucket.supportedType(f.dataType),
+          s"graft catalog: bucket column type ${f.dataType.simpleString} " +
+            "unsupported (integral, date, string)")
+        Some((f.name, n))
+      case more => throw new IllegalArgumentException(
+        s"graft catalog: at most one bucket transform, got ${more.size}")
+    }
     val external = Option(properties.get(TableCatalog.PROP_LOCATION))
     writeSidecar(managedDir(ident),
-      Sidecar(schema, partCols, external, userProps(properties.asScala.toMap)))
+      Sidecar(schema, partCols, external, userProps(properties.asScala.toMap),
+        bucket = bucketSpec))
     external.foreach(l =>
       new Path(l).getFileSystem(conf).mkdirs(new Path(l)))
     load(ident, None)
@@ -290,6 +339,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         } else {
           require(!c.partCols.exists(_.equalsIgnoreCase(nm)),
             s"graft catalog: cannot drop partition column '$nm'")
+          require(!c.bucket.exists(_._1.equalsIgnoreCase(nm)),
+            s"graft catalog: cannot drop bucket column '$nm'")
           require(c.schema.fields.length > 1,
             s"graft catalog: cannot drop the last column of $ident")
           c.copy(
@@ -310,6 +361,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(idx >= 0, s"graft catalog: no column '$nm' in $ident")
         require(!c.partCols.exists(_.equalsIgnoreCase(nm)),
           s"graft catalog: cannot change partition column '$nm' type")
+        // bucket-column widening is SAFE: integral values hash via
+        // their widened long ([[DwrfBucket.id]]), so int->long keeps
+        // every existing bucket id — no guard needed
         val from = c.schema.fields(idx).dataType
         val to = upd.newDataType()
         require(TypeWidening.widen(from, to).contains(to),
@@ -334,6 +388,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(!c.partCols.exists(_.equalsIgnoreCase(from)),
           s"graft catalog: cannot rename partition column '$from' — the " +
             "physical directory layout carries the name")
+        require(!c.bucket.exists(_._1.equalsIgnoreCase(from)),
+          s"graft catalog: cannot rename bucket column '$from' — the " +
+            "bucketed layout is keyed on the name")
         require(!c.schema.fieldNames.exists(_.equalsIgnoreCase(to)),
           s"graft catalog: column '$to' already exists in $ident")
         if (c.dropped.exists(_.equalsIgnoreCase(to)))

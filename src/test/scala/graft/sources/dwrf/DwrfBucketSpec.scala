@@ -1,0 +1,139 @@
+package graft.sources.dwrf
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hash-bucketed catalog tables (`PARTITIONED BY (bucket(n, col))`):
+  * rows route to per-bucket files, the scan reports the bucket layout,
+  * and two tables co-bucketed on their join keys join with ZERO
+  * shuffles (storage-partitioned join through the catalog's `bucket`
+  * function). Mismatched bucket counts fall back to a shuffled plan
+  * with identical values — the report degrades, correctness never.
+  */
+class DwrfBucketSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.graftbkt",
+      classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftbkt.warehouse", warehouse)
+    s
+  }
+  private lazy val warehouse = Files.createTempDirectory(
+    java.nio.file.Paths.get("/root/repo/target"), "dwrf-bkt-wh-").toString
+
+  private def shufflesIn(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val p = df.queryExecution.executedPlan
+    val expanded = p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    (p +: expanded).map(_.collect { case s: ShuffleExchangeExec => s }.size).sum
+  }
+
+  test("bucketed write routes rows to per-bucket files, reads back exactly") {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftbkt.lake")
+    s.sql("DROP TABLE IF EXISTS graftbkt.lake.bf")
+    s.sql("CREATE TABLE graftbkt.lake.bf (id BIGINT, v DOUBLE) USING dwrf " +
+      "PARTITIONED BY (bucket(4, id))")
+    s.range(0, 1000).select($"id", ($"id" * 1.5).as("v"))
+      .writeTo("graftbkt.lake.bf").append()
+    // every data file carries a parseable in-range bucket id
+    val files = DwrfUtil.listDataFiles(
+      new org.apache.hadoop.fs.Path(s"$warehouse/lake/bf"),
+      DwrfUtil.sessionHadoopConf())
+    assert(files.nonEmpty)
+    val buckets = files.map(f => DwrfBucket.of(f.getName))
+    assert(buckets.forall(b => b.exists(i => i >= 0 && i < 4)),
+      s"unbucketed file names: ${files.map(_.getName)}")
+    assert(buckets.flatten.toSet.size > 1, "rows must spread across buckets")
+    // content round-trips and each row sits in ITS key's bucket file
+    assert(s.table("graftbkt.lake.bf").count() == 1000L)
+    val misplaced = s.table("graftbkt.lake.bf").select($"id", col("_file"))
+      .collect().count { r =>
+        DwrfBucket.ofPath(r.getString(1)).get != DwrfBucket.id(r.getLong(0), 4)
+      }
+    assert(misplaced == 0, s"$misplaced rows in the wrong bucket file")
+  }
+
+  test("co-bucketed tables join with zero shuffles; per-key agg rides along") {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftbkt.lake")
+    for (t <- Seq("fact", "dim")) s.sql(s"DROP TABLE IF EXISTS graftbkt.lake.$t")
+    s.sql("CREATE TABLE graftbkt.lake.fact (k BIGINT, x BIGINT) USING dwrf " +
+      "PARTITIONED BY (bucket(8, k))")
+    s.sql("CREATE TABLE graftbkt.lake.dim (k BIGINT, w BIGINT) USING dwrf " +
+      "PARTITIONED BY (bucket(8, k))")
+    s.range(0, 4000).select(($"id" % 100).as("k"), $"id".as("x"))
+      .writeTo("graftbkt.lake.fact").append()
+    s.range(0, 100).select($"id".as("k"), ($"id" * 10).as("w"))
+      .writeTo("graftbkt.lake.dim").append()
+
+    val oldBucketing = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val oldBt = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val joined = s.table("graftbkt.lake.fact")
+        .join(s.table("graftbkt.lake.dim"), "k")
+      assert(shufflesIn(joined) == 0,
+        s"co-bucketed equi-join must not shuffle:\n${joined.queryExecution.executedPlan}")
+      val got = joined.agg(count(lit(1)), sum($"x" * $"w")).collect().head
+      // cross-check against the shuffled control plan
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val control = s.table("graftbkt.lake.fact")
+        .join(s.table("graftbkt.lake.dim"), "k")
+      assert(shufflesIn(control) > 0, "control plan should shuffle")
+      val want = control.agg(count(lit(1)), sum($"x" * $"w")).collect().head
+      assert(got.getLong(0) == 4000L && got.getLong(0) == want.getLong(0))
+      assert(got.getLong(1) == want.getLong(1))
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBt)
+      oldBucketing match {
+        case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    }
+  }
+
+  test("mismatched bucket counts degrade to a shuffle, values identical") {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftbkt.lake")
+    s.sql("DROP TABLE IF EXISTS graftbkt.lake.dim16")
+    s.sql("CREATE TABLE graftbkt.lake.dim16 (k BIGINT, w BIGINT) USING dwrf " +
+      "PARTITIONED BY (bucket(16, k))")
+    s.range(0, 100).select($"id".as("k"), ($"id" * 7).as("w"))
+      .writeTo("graftbkt.lake.dim16").append()
+    val oldBt = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val j = s.table("graftbkt.lake.fact").join(s.table("graftbkt.lake.dim16"), "k")
+      val n = j.count()
+      assert(n == 4000L, s"mismatched-width join must stay correct, got $n")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBt)
+      s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
+  test("ALTER refuses dropping or renaming the bucket column") {
+    val s = spark
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftbkt.lake")
+    s.sql("DROP TABLE IF EXISTS graftbkt.lake.guard")
+    s.sql("CREATE TABLE graftbkt.lake.guard (id BIGINT, v DOUBLE) USING dwrf " +
+      "PARTITIONED BY (bucket(4, id))")
+    val e1 = intercept[Exception](
+      s.sql("ALTER TABLE graftbkt.lake.guard DROP COLUMN id"))
+    assert(e1.getMessage.contains("bucket column"))
+    val e2 = intercept[Exception](
+      s.sql("ALTER TABLE graftbkt.lake.guard RENAME COLUMN id TO id2"))
+    assert(e2.getMessage.contains("bucket column"))
+    s.sql("DROP TABLE graftbkt.lake.guard")
+  }
+}
