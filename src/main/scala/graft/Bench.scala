@@ -34,6 +34,7 @@ object Bench {
     "dwrf_zorder_scan", "dwrf_bloom_scan", "dwrf_decimal_roundtrip",
     "dwrf_spj_join", "dwrf_delete_scan", "dwrf_merge_scan",
     "dwrf_time_travel", "dwrf_optimize_scan", "dwrf_catalog_scan",
+    "dwrf_bucket_join",
     "dwrf_dv_scan", "dwrf_dv_count", "dwrf_update_mor", "dwrf_changes_scan",
     "dwrf_restore_scan", "dwrf_manifest_prune", "dwrf_lakesql_scan",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
