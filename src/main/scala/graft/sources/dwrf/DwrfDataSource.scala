@@ -1703,8 +1703,14 @@ private[dwrf] object PartitionFilterMatch {
 
 final class DwrfWriteBuilder(schema: StructType, path: String,
     options: Map[String, String], partCols: Seq[String] = Nil,
-    bucketSpec: Option[(String, Int)] = None)
+    tableBucketSpec: Option[(String, Int)] = None)
     extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
+
+  // catalog tables carry their spec in properties; path-based writes
+  // can opt in per write via the same option keys
+  // (`dwrf.bucket.column` / `dwrf.bucket.count`)
+  private val bucketSpec: Option[(String, Int)] =
+    tableBucketSpec.orElse(DwrfBucket.specOf(options))
 
   private var mode: DwrfWriteMode = DwrfWriteMode.Append
 
@@ -2068,10 +2074,14 @@ final class DwrfDataWriterFactory(schemaJson: String, path: String,
   * added or dropped. The write's clustered distribution keeps a
   * bucket's rows in few tasks, so the per-task writer map stays small.
   */
-private final class DwrfBucketedDataWriter(schema: StructType, root: Path,
+private[dwrf] final class DwrfBucketedDataWriter(schema: StructType, root: Path,
     bucketCol: String, numBuckets: Int, options: Map[String, String],
     userMeta: Map[String, Array[Byte]], conf: Configuration,
-    baseName: String) extends DataWriter[InternalRow] {
+    baseName: String,
+    // copy-on-write rewrites pass ".tmp": invisible temps whose names
+    // still carry the bucket suffix, so the commit-time rename to
+    // `*.dwrf` preserves the bucketed layout through DML
+    ext: String = ".dwrf") extends DataWriter[InternalRow] {
 
   private val fs = root.getFileSystem(conf)
   private val bIdx = schema.fieldIndex(bucketCol)
@@ -2088,7 +2098,7 @@ private final class DwrfBucketedDataWriter(schema: StructType, root: Path,
     val v = if (record.isNullAt(bIdx)) null else record.get(bIdx, bType)
     val b = DwrfBucket.id(v, numBuckets)
     val (w, _, _) = writers.getOrElseUpdate(b, {
-      val file = new Path(root, baseName + DwrfBucket.fileSuffix(b) + ".dwrf")
+      val file = new Path(root, baseName + DwrfBucket.fileSuffix(b) + ext)
       val os = fs.create(file, true)
       (new DwrfFileWriter(schema, DwrfWriteOptions.fromMap(options),
         new java.io.BufferedOutputStream(os, 1 << 16)), os, file)

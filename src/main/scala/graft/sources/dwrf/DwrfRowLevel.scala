@@ -150,7 +150,7 @@ final class DwrfReplaceBatchWrite(writeSchema: StructType, path: String,
     DwrfCompact.recover(p, conf)
     fs.mkdirs(p)
     new DwrfReplaceDataWriterFactory(writeSchema.json, path, options,
-      new SerializableHadoopConf(conf), partCols)
+      new SerializableHadoopConf(conf), partCols, DwrfBucket.specOf(options))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -198,7 +198,8 @@ final class DwrfReplaceBatchWrite(writeSchema: StructType, path: String,
   */
 final class DwrfReplaceDataWriterFactory(schemaJson: String, path: String,
     options: Map[String, String], hadoopConf: SerializableHadoopConf,
-    partCols: Seq[String]) extends DataWriterFactory {
+    partCols: Seq[String],
+    bucketSpec: Option[(String, Int)] = None) extends DataWriterFactory {
 
   private val opId = java.util.UUID.randomUUID().toString.take(12)
 
@@ -207,14 +208,23 @@ final class DwrfReplaceDataWriterFactory(schemaJson: String, path: String,
       .fromJson(schemaJson).asInstanceOf[StructType]
     val conf = hadoopConf.value
     val tempName = f".rlo-$opId-p$partitionId%05d-t$taskId.tmp"
-    val inner: DataWriter[InternalRow] =
-      if (partCols.isEmpty)
+    val inner: DataWriter[InternalRow] = bucketSpec match {
+      // bucketed table: the rewrite's temps carry the bucket suffix
+      // (`.rlo-...-b00003.tmp`), so the commit-time rename to `*.dwrf`
+      // PRESERVES the bucketed layout — a MERGE/UPDATE on a bucketed
+      // fact table keeps its zero-shuffle joins instead of silently
+      // dropping the report
+      case Some((col, n)) =>
+        new DwrfBucketedDataWriter(schema, new Path(path), col, n, options,
+          Map.empty, conf, tempName.stripSuffix(".tmp"), ext = ".tmp")
+      case None if partCols.isEmpty =>
         new DwrfFlatDataWriter(schema, new Path(path, tempName),
           options, Map.empty, conf)
-      else
+      case None =>
         new DwrfPartitionedDataWriter(schema, new Path(path), partCols,
           options, Map.empty, conf, partitionId, taskId,
           fileName = Some(tempName))
+    }
     new DwrfReplaceRowAdapter(inner, schema.length)
   }
 }

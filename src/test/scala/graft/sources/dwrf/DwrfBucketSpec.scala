@@ -122,6 +122,49 @@ class DwrfBucketSpec extends AnyFunSuite {
     }
   }
 
+  test("copy-on-write MERGE preserves the bucketed layout and the SPJ") {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftbkt.lake")
+    // reuses fact/dim staged by the join test (suite runs in order);
+    // restage defensively if absent
+    if (!s.catalog.tableExists("graftbkt.lake.fact")) {
+      s.sql("CREATE TABLE graftbkt.lake.fact (k BIGINT, x BIGINT) USING dwrf " +
+        "PARTITIONED BY (bucket(8, k))")
+      s.range(0, 4000).select(($"id" % 100).as("k"), $"id".as("x"))
+        .writeTo("graftbkt.lake.fact").append()
+    }
+    val before = s.table("graftbkt.lake.fact").count()
+    Seq((7L, -1L), (4242L, 1L)).toDF("k", "nx")
+      .createOrReplaceTempView("bkt_merge_src")
+    s.sql("""MERGE INTO graftbkt.lake.fact t USING bkt_merge_src c ON t.k = c.k
+            |WHEN MATCHED THEN UPDATE SET x = c.nx
+            |WHEN NOT MATCHED THEN INSERT (k, x) VALUES (c.k, c.nx)
+            |""".stripMargin)
+    // every file — the rewritten ones included — still carries a bucket
+    val files = DwrfUtil.listDataFiles(
+      new org.apache.hadoop.fs.Path(s"$warehouse/lake/fact"),
+      DwrfUtil.sessionHadoopConf())
+    assert(files.forall(f => DwrfBucket.of(f.getName).exists(_ < 8)),
+      s"MERGE degraded the bucketed naming: ${files.map(_.getName)}")
+    assert(s.table("graftbkt.lake.fact").count() == before + 1)
+    assert(s.table("graftbkt.lake.fact").filter($"k" === 7L && $"x" =!= -1L)
+      .isEmpty, "matched rows must carry the merged value")
+    // the zero-shuffle join survives the DML
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val oldBt = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = s.table("graftbkt.lake.fact").join(s.table("graftbkt.lake.dim"), "k")
+      assert(shufflesIn(j) == 0,
+        s"SPJ must survive a copy-on-write MERGE:\n${j.queryExecution.executedPlan}")
+      assert(j.count() == 4000L, "the inserted key 4242 has no dim match")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBt)
+      s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   test("ALTER refuses dropping or renaming the bucket column") {
     val s = spark
     s.sql("CREATE NAMESPACE IF NOT EXISTS graftbkt.lake")
