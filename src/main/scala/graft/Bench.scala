@@ -23,7 +23,7 @@ import org.apache.spark.sql.SparkSession
   * regression can be attributed to noise vs code without a re-run.
   */
 object Bench {
-  private val headline: Seq[String] = Seq(
+  private[graft] val headline: Seq[String] = Seq(
     "q1_pricing", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue", "q_events_hourly", "q_running_spend",
     "q_distinct_counts", "q_asof_join", "q_range_join", "q_events_funnel",

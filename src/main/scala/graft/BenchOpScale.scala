@@ -587,6 +587,77 @@ object BenchOpScale {
       gfFs.delete(gfRoot, true)
     }
 
+    // ------------------------------- bucketed SPJ at millions of rows
+    // The r11 bucketed-table claim measured: a 2.56M x 256k join on a
+    // high-cardinality key, both tables bucket(32, k) through the graft
+    // catalog — with V2 bucketing the join must move ZERO shuffle
+    // bytes (the layout is the exchange); the control run with the
+    // report ignored pays the full two-sided shuffle. At 100 TB the
+    // delta IS the fact-to-fact shuffle that never happens.
+    if (sec("spj")) {
+      val wh = s"$scaledDir/spjwh"
+      val fsw = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(graft.sources.dwrf.DwrfUtil.sessionHadoopConf())
+      if (fsw.exists(new org.apache.hadoop.fs.Path(wh)))
+        fsw.delete(new org.apache.hadoop.fs.Path(wh), true)
+      spark.conf.set("spark.sql.catalog.graft_opspj",
+        "graft.sources.dwrf.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft_opspj.warehouse", wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_opspj.lake")
+      spark.sql("CREATE TABLE graft_opspj.lake.fact (k BIGINT, x BIGINT) " +
+        "USING dwrf PARTITIONED BY (bucket(32, k))")
+      spark.sql("CREATE TABLE graft_opspj.lake.dim (k BIGINT, w BIGINT) " +
+        "USING dwrf PARTITIONED BY (bucket(32, k))")
+      val (tStage, _) = time {
+        spark.range(0, 2560000L, 1, 8)
+          .selectExpr("id % 256000 AS k", "id AS x")
+          .writeTo("graft_opspj.lake.fact").append()
+        spark.range(0, 256000L, 1, 8)
+          .selectExpr("id AS k", "id * 10 AS w")
+          .writeTo("graft_opspj.lake.dim").append()
+      }
+      val oldBt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def joinOnce(): (Double, Long, Long, Long) = {
+        val (t, n, sr, sw) = measuredF {
+          spark.table("graft_opspj.lake.fact")
+            .join(spark.table("graft_opspj.lake.dim"), "k")
+            .selectExpr("COUNT(*) AS n", "SUM(x * w) AS dot")
+            .head().getLong(0)
+        }
+        (t, n, sr, sw)
+      }
+      try {
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        joinOnce() // warm codegen/footers off-measurement
+        val (tSpj, nSpj, srSpj, swSpj) = joinOnce()
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        val (tSh, nSh, srSh, swSh) = joinOnce()
+        r ++= Seq("spj_stage_s" -> tStage,
+          "spj_rows" -> nSpj,
+          "spj_join_s_bucketed" -> tSpj,
+          "spj_join_s_shuffled" -> tSh,
+          "spj_shuffle_mb_bucketed" -> (srSpj + swSpj) / 1e6,
+          "spj_shuffle_mb_shuffled" -> (srSh + swSh) / 1e6,
+          "spj_speedup" -> tSh / math.max(1e-9, tSpj))
+        check(nSpj == 2560000L && nSh == nSpj,
+          s"spj join rows diverged: bucketed $nSpj vs shuffled $nSh")
+        // the residual KBs are the final one-row global aggregate's
+        // exchange (partial -> single partition), not the join: the
+        // JOIN's two-sided shuffle (52 MB in the control) must be gone
+        check(srSpj + swSpj < 1_000_000L,
+          s"bucketed join moved ${(srSpj + swSpj) / 1e6} MB of shuffle — " +
+            "the storage-partitioned plan did not engage")
+        check(srSh + swSh > 0L,
+          "control join moved no shuffle bytes — the contrast baseline broke")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBt)
+        spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        spark.sql("DROP TABLE IF EXISTS graft_opspj.lake.fact")
+        spark.sql("DROP TABLE IF EXISTS graft_opspj.lake.dim")
+      }
+    }
+
     // ----------------------------------- CDC maintain cost attribution
     // The two heaviest bench rows (stream_agg_maintain / stream_cdc_apply,
     // ~7 s medians at r11) are multi-job gated queries: staging (cached

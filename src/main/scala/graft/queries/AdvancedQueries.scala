@@ -409,8 +409,12 @@ object AdvancedQueries extends QueryPack {
     |""".stripMargin.trim
 
   // TPC-H Q11 shape: parts whose shipped value from one nation's
-  // suppliers exceeds a fraction of that nation's total — the
-  // HAVING-against-a-global-scalar signature.
+  // suppliers stands out against that nation's total — the
+  // HAVING-against-a-global-scalar signature. TPC-H's literal
+  // 0.0001/SF fraction is scale-SENSITIVE (at sf0.1 no part clears a
+  // fixed 0.001 of the total and the bench's no-rows guard rightly
+  // fails the run), so the threshold is 1.5x the MEAN part value —
+  // same plan shape, nonzero survivors at every fixture SF.
   private val partValueStockSql = s"""
     |SELECT l_partkey, ${dsum("l_extendedprice")} AS part_value
     |FROM lineitem
@@ -419,7 +423,7 @@ object AdvancedQueries extends QueryPack {
     |WHERE n_name = 'NATION_3'
     |GROUP BY l_partkey
     |HAVING ${dsum("l_extendedprice")} > (
-    |  SELECT ${dsum("l_extendedprice")} * 0.001
+    |  SELECT 1.5 * ${dsum("l_extendedprice")} / COUNT(DISTINCT l_partkey)
     |  FROM lineitem
     |  JOIN supplier ON l_suppkey = s_suppkey
     |  JOIN nation ON s_nationkey = n_nationkey
