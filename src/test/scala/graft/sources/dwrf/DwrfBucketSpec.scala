@@ -165,6 +165,38 @@ class DwrfBucketSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed + snapshot log + merge-on-read DELETE: layout survives, time travel works") {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftbkt.lake")
+    s.sql("DROP TABLE IF EXISTS graftbkt.lake.blog")
+    s.sql("CREATE TABLE graftbkt.lake.blog (id BIGINT, v DOUBLE) USING dwrf " +
+      "PARTITIONED BY (bucket(4, id)) " +
+      "TBLPROPERTIES ('delete.mode'='merge-on-read')")
+    s.range(0, 500).select($"id", ($"id" * 2.0).as("v"))
+      .writeTo("graftbkt.lake.blog").append()
+    val root = new org.apache.hadoop.fs.Path(s"$warehouse/lake/blog")
+    DwrfLog.enable(root, DwrfUtil.sessionHadoopConf())
+    s.range(500, 600).select($"id", ($"id" * 2.0).as("v"))
+      .writeTo("graftbkt.lake.blog").append() // v1: logged bucketed append
+    // merge-on-read DELETE: DV sidecars only, the FILE SET is unchanged
+    // so the bucketed naming (and the layout report) must survive
+    s.sql("DELETE FROM graftbkt.lake.blog WHERE id % 50 = 0")
+    val files = DwrfUtil.listDataFiles(root, DwrfUtil.sessionHadoopConf())
+    assert(files.forall(f => DwrfBucket.of(f.getName).exists(_ < 4)),
+      s"merge-on-read DELETE must not disturb bucket naming: " +
+        s"${files.map(_.getName)}")
+    assert(s.table("graftbkt.lake.blog").count() == 600L - 12L)
+    // masked rows really are gone, per bucket file
+    assert(s.table("graftbkt.lake.blog").filter($"id" % 50 === 0).isEmpty)
+    // time travel reads the pre-delete version, still through the
+    // bucketed layout
+    assert(s.sql(
+      "SELECT COUNT(*) FROM graftbkt.lake.blog VERSION AS OF 1")
+      .head().getLong(0) == 600L)
+    s.sql("DROP TABLE graftbkt.lake.blog")
+  }
+
   test("ALTER refuses dropping or renaming the bucket column") {
     val s = spark
     s.sql("CREATE NAMESPACE IF NOT EXISTS graftbkt.lake")
