@@ -196,6 +196,28 @@ class GraftCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graftcat.lake.rn")
   }
 
+  test("RENAME after TYPE widening: old files resolve by alias AND upcast") {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("CREATE TABLE graftcat.lake.rw (id BIGINT, n INT) USING dwrf")
+    s.sql("INSERT INTO graftcat.lake.rw VALUES (1, 10)") // INT generation
+    s.sql("ALTER TABLE graftcat.lake.rw ALTER COLUMN n TYPE BIGINT")
+    s.sql("INSERT INTO graftcat.lake.rw VALUES (2, 20)") // BIGINT generation
+    s.sql("ALTER TABLE graftcat.lake.rw RENAME COLUMN n TO amount")
+    s.sql("INSERT INTO graftcat.lake.rw VALUES (3, 30)") // renamed generation
+    // three physical generations: (n: int), (n: bigint), (amount: bigint)
+    // — the read resolves the alias AND upcasts the int generation
+    assert(s.sql("SELECT id, amount FROM graftcat.lake.rw ORDER BY id")
+      .as[(Long, Long)].collect().toSeq === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    assert(s.sql("SELECT SUM(amount) FROM graftcat.lake.rw").head().getLong(0)
+      == 60L)
+    // filters on the renamed+widened column reach all generations
+    assert(s.sql("SELECT id FROM graftcat.lake.rw WHERE amount >= 20")
+      .as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+    s.sql("DROP TABLE graftcat.lake.rw")
+  }
+
   test("ALTER COLUMN TYPE widens losslessly; narrowing refuses") {
     val s = spark
     import s.implicits._
