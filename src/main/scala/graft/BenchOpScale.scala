@@ -130,7 +130,7 @@ object BenchOpScale {
     val copies = sys.env.getOrElse("SPARK_GRAFT_OPSCALE_COPIES", "16").toInt
     // section selector for iteration (unset = the full stress suite —
     // what the committed artifact always is): comma list among
-    // skew,ops,emb,kll,mstats,streamsrc,cdc
+    // skew,ops,emb,kll,mstats,streamsrc,gf,spj,cdc
     val onlySections = sys.env.get("SPARK_GRAFT_OPSCALE_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     def sec(name: String): Boolean = onlySections.forall(_.contains(name))

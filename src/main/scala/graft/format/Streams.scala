@@ -275,6 +275,14 @@ final class WindowedByteRanges(length: Int, absStart: Long, pace: Int,
   require(pace > 0, s"pace must be positive, got $pace")
   private val nWin = ((length.toLong + pace - 1) / pace).toInt
   private val wins = new Array[Array[Byte]](nWin)
+  // resident bytes tracked INCREMENTALLY: a rescan of `wins` per fetch
+  // is O(nWin²) over the stream — at a 4 KB pace on a 256 MB stream the
+  // telemetry would dominate the decode
+  private var residentBytes = 0L
+  // wins(j) == null for all j < droppedBelow (the forward sweep's
+  // watermark, lowered on a backward re-fetch so the next forward sweep
+  // re-covers the revived range)
+  private var droppedBelow = 0
 
   private def win(i: Int): Array[Byte] = {
     var w = wins(i)
@@ -283,15 +291,18 @@ final class WindowedByteRanges(length: Int, absStart: Long, pace: Int,
       w = new Array[Byte](wLen)
       fetch(absStart + i.toLong * pace, w)
       wins(i) = w
+      residentBytes += wLen
+      if (i < droppedBelow) droppedBelow = i
       // forward-only decode: drop everything at least 2 windows behind
       // (the previous window may still back a chunk straddling into this
       // one, and the current block may alias it)
-      var j = 0
-      while (j < i - 1) { wins(j) = null; j += 1 }
-      var resident = 0L
-      var k = 0
-      while (k < nWin) { if (wins(k) != null) resident += wins(k).length; k += 1 }
-      onFetch(wLen.toLong, resident)
+      var j = droppedBelow
+      while (j < i - 1) {
+        if (wins(j) != null) { residentBytes -= wins(j).length; wins(j) = null }
+        j += 1
+      }
+      if (i - 1 > droppedBelow) droppedBelow = i - 1
+      onFetch(wLen.toLong, residentBytes)
     }
     w
   }

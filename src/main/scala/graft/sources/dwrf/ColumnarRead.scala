@@ -1059,24 +1059,32 @@ final class DwrfColumnarPartitionReader(
   }
 
   override def next(): Boolean = {
-    while (remainingInSegment == 0) {
-      if (segments.hasNext) {
-        val seg = segments.next()
-        seg.entries.foreach(e => decoders.foreach(_.seekStride(e)))
-        remainingInSegment = seg.rows
-      } else if (!advanceStripe()) return false
+    // bracket the decompress profile so interleaved readers in one task
+    // thread (SPJ) attribute their own nanos, never each other's
+    val prof = graft.format.ReadProfile.get
+    val d0 = prof.decompressNanos
+    try {
+      while (remainingInSegment == 0) {
+        if (segments.hasNext) {
+          val seg = segments.next()
+          seg.entries.foreach(e => decoders.foreach(_.seekStride(e)))
+          remainingInSegment = seg.rows
+        } else if (!advanceStripe()) return false
+      }
+      val n = math.min(batchSize.toLong, remainingInSegment).toInt
+      var i = 0
+      while (i < vectors.length) {
+        vectors(i).reset()
+        decoders(i).fill(vectors(i), n)
+        i += 1
+      }
+      batch.setNumRows(n)
+      remainingInSegment -= n
+      reader.counters.batchesEmitted += 1
+      true
+    } finally {
+      reader.counters.decompressNanosAcc += prof.decompressNanos - d0
     }
-    val n = math.min(batchSize.toLong, remainingInSegment).toInt
-    var i = 0
-    while (i < vectors.length) {
-      vectors(i).reset()
-      decoders(i).fill(vectors(i), n)
-      i += 1
-    }
-    batch.setNumRows(n)
-    remainingInSegment -= n
-    reader.counters.batchesEmitted += 1
-    true
   }
 
   override def get(): ColumnarBatch = batch

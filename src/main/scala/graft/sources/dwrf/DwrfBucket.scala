@@ -47,6 +47,22 @@ object DwrfBucket {
   val ColumnKey = "dwrf.bucket.column"
   val CountKey = "dwrf.bucket.count"
 
+  /** Internal marker the CATALOG sets alongside the spec: only a
+    * catalog-backed relation has the FunctionCatalog Spark needs to
+    * resolve `bucket(n, col)` expressions, so only then may the write
+    * request the bucket-transform distribution or the scan report
+    * KeyGroupedPartitioning over it. A path-based table sees the same
+    * spec keys (per-write opt-in) but never the marker — it routes
+    * rows to bucket files without the unresolvable plan surface.
+    */
+  val ResolvableKey = "dwrf.bucket.resolvable"
+
+  /** The spec, only when the relation can RESOLVE the transform. */
+  def resolvableSpecOf(opts: Map[String, String]): Option[(String, Int)] = {
+    val m = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(opts)
+    if (m.get(ResolvableKey).contains("true")) specOf(opts) else None
+  }
+
   private val Seed = 42
 
   def supportedType(dt: DataType): Boolean = dt match {

@@ -522,7 +522,7 @@ final class DwrfTable(tableSchema: StructType, properties: Map[String, String],
     val idents = partCols.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c)
         : Transform)
-    val bucket = DwrfBucket.specOf(properties).map { case (col, n) =>
+    val bucket = DwrfBucket.resolvableSpecOf(properties).map { case (col, n) =>
       org.apache.spark.sql.connector.expressions.Expressions.bucket(n, col)
         : Transform
     }
@@ -566,10 +566,11 @@ final class DwrfTable(tableSchema: StructType, properties: Map[String, String],
     }
     // bucketed tables: surface the bucket spec to the scan so it can
     // key partitions by bucket id (storage-partitioned joins)
-    val withBucket = DwrfBucket.specOf(properties) match {
+    val withBucket = DwrfBucket.resolvableSpecOf(properties) match {
       case Some((col, n)) if DwrfBucket.specOf(pinned).isEmpty =>
         pinned + (DwrfBucket.ColumnKey -> col) +
-          (DwrfBucket.CountKey -> n.toString)
+          (DwrfBucket.CountKey -> n.toString) +
+          (DwrfBucket.ResolvableKey -> "true")
       case _ => pinned
     }
     new DwrfScanBuilder(tableSchema, resolvedPath(opts),
@@ -579,7 +580,7 @@ final class DwrfTable(tableSchema: StructType, properties: Map[String, String],
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val opts = info.options().asCaseSensitiveMap().asScala.toMap
     new DwrfWriteBuilder(info.schema(), resolvedPath(opts), opts, partCols,
-      DwrfBucket.specOf(properties))
+      DwrfBucket.resolvableSpecOf(properties))
   }
 
   // `DELETE FROM <table> WHERE ...` — refuse anything the exact row
@@ -1234,9 +1235,11 @@ final class DwrfScan(tableSchema: StructType, readSchema: StructType, path: Stri
     if (keySeqs.size == 1) keySeqs.head else Nil
   }
 
-  /** Bucketed-table spec forwarded from the catalog table properties. */
+  /** Bucketed-table spec forwarded from the catalog table properties —
+    * only when the relation can resolve the bucket transform (catalog
+    * tables); a path read with bare spec keys stays unreported. */
   private lazy val bucketSpec: Option[(String, Int)] =
-    DwrfBucket.specOf(options)
+    DwrfBucket.resolvableSpecOf(options)
 
   /** The bucket layout is only reportable when EVERY live file carries
     * a parseable, in-range bucket id — a copy-on-write rewrite or
@@ -1607,8 +1610,15 @@ final class DwrfPartitionReaderFactory(readSchemaJson: String,
       }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = null
-      override def next(): Boolean =
-        if (it.hasNext) { current = it.next(); true } else false
+      override def next(): Boolean = {
+        // bracket the decompress profile so interleaved readers in one
+        // task thread (SPJ) attribute their own nanos, never each other's
+        val prof = graft.format.ReadProfile.get
+        val d0 = prof.decompressNanos
+        val more = if (it.hasNext) { current = it.next(); true } else false
+        reader.counters.decompressNanosAcc += prof.decompressNanos - d0
+        more
+      }
       override def get(): InternalRow = current
       override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
         DwrfMetrics.taskValues(reader.counters)
@@ -1769,11 +1779,16 @@ final class DwrfWriteBuilder(schema: StructType, path: String,
       import org.apache.spark.sql.connector.{distributions => dist}
       import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => VSortOrder}
       override def requiredDistribution(): dist.Distribution =
-        bucketSpec match {
-          // bucketed table: cluster the input by bucket id, so each
-          // bucket's rows land in few tasks (few open writers, few
+        tableBucketSpec match {
+          // bucketed CATALOG table: cluster the input by bucket id, so
+          // each bucket's rows land in few tasks (few open writers, few
           // files per bucket) — the catalog's FunctionCatalog resolves
-          // the transform
+          // the transform. A path-based opt-in (bucketSpec from write
+          // OPTIONS) must NOT request this: a catalog-less relation has
+          // no FunctionCatalog, so Spark cannot resolve the bucket
+          // transform and the write would die at analysis — the writer
+          // still routes rows per bucket, each task just may open more
+          // bucket files.
           case Some((col, n)) =>
             dist.Distributions.clustered(Array(
               Expressions.bucket(n, col)
@@ -2118,7 +2133,8 @@ private[dwrf] final class DwrfBucketedDataWriter(schema: StructType, root: Path,
     DwrfCommitMessage(root.toString, rows, produced.toSeq)
   }
 
-  override def abort(): Unit = writers.values.foreach { case (_, os, file) =>
+  override def abort(): Unit = writers.values.foreach { case (w, os, file) =>
+    w.release() // governor registration must not outlive the task
     try os.close() catch { case _: Throwable => () }
     try fs.delete(file, false) catch { case _: Throwable => () }
   }

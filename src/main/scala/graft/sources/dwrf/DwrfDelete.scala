@@ -450,8 +450,12 @@ object DwrfDelete {
       val out = fs.create(temp, false)
       var keptRows = 0L
       var totalRows = 0L
+      // declared outside the try so the error path can release its
+      // governor registration (a leaked Reg permanently shrinks every
+      // later writer's budget in this executor)
+      var w: DwrfFileWriter = null
       try {
-        val w = new DwrfFileWriter(fileSchema, opts, out)
+        w = new DwrfFileWriter(fileSchema, opts, out)
         var pos = 0L
         var dvIdx = 0
         r.rows(r.footer.stripes, fileSchema).foreach { row =>
@@ -476,6 +480,7 @@ object DwrfDelete {
         out.close()
       } catch {
         case t: Throwable =>
+          if (w != null) w.release() // registration must not outlive the op
           try out.close() catch { case _: Throwable => () }
           try fs.delete(temp, false) catch { case _: Throwable => () }
           throw t

@@ -230,9 +230,13 @@ final class DwrfFileWriter(
   def addRow(row: InternalRow): Unit = {
     val sampled = (totalRows & 63) == 0
     val t0 = if (sampled) System.nanoTime() else 0L
-    // a budget-triggered stripe flush always lands on a sampled row
-    // (both boundaries are multiples of 64) — subtract its exactly-
-    // measured time so the encode sample never scales flush cost ×64
+    // guard the encode sample against a stripe flush landing inside it
+    // (×64 scaling would wildly inflate encodeNanosEst). As the
+    // boundaries stand it cannot: samples fire at rows ≡ 0 (mod 64)
+    // pre-increment while the budget check fires at rows ≡ 63 (mod 64)
+    // (rowsSinceMemCheck hits 1024 one row earlier than the sample
+    // stride). The subtraction stays anyway — it is one long read per
+    // sampled row and keeps the metric honest if either cadence changes.
     val f0 = if (sampled) flushNanosAcc else 0L
     if (opts.rowIndexStride > 0 && rowsInStripe % opts.rowIndexStride == 0)
       root.recordStride()

@@ -201,7 +201,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       versionAsOf.map(v => DwrfLog.VersionAsOfKey -> v.toString).toMap
     // persisted TBLPROPERTIES first: reserved keys always win over them
     val bucketProps = sc.flatMap(_.bucket).map { case (c, n) =>
-      Map(DwrfBucket.ColumnKey -> c, DwrfBucket.CountKey -> n.toString)
+      Map(DwrfBucket.ColumnKey -> c, DwrfBucket.CountKey -> n.toString,
+        // this catalog IS a FunctionCatalog: the bucket transform is
+        // resolvable, so writes may request its distribution and scans
+        // may report KeyGroupedPartitioning over it
+        DwrfBucket.ResolvableKey -> "true")
     }.getOrElse(Map.empty)
     val props = sc.map(_.props).getOrElse(Map.empty) ++ Map(
       TableCatalog.PROP_LOCATION -> location.toString,

@@ -17,9 +17,14 @@ final class ScanCounters extends Serializable {
   /** Max bytes resident across one stream's fetch windows under paced
     * reading (`dwrf.read.pace.bytes`) — the O(window) memory evidence. */
   var pacedPeakResident = 0L
-  /** Thread-local decompress-nanos baseline, captured when the reader
-    * opens so task metrics report this reader's delta. */
-  val decompressNanos0: Long = graft.format.ReadProfile.get.decompressNanos
+  /** Decompress nanos attributed to THIS reader, accumulated by
+    * bracketing each next() call against the thread-local codec
+    * profile. A single open-time baseline would double-count whenever
+    * two readers interleave in one task thread — exactly the
+    * storage-partitioned join shape, where both join sides' partition
+    * readers share the task. (Footer-parse decompression before the
+    * first next() is not attributed — negligible next to data pages.) */
+  var decompressNanosAcc = 0L
 }
 
 object DwrfMetrics {
@@ -71,12 +76,10 @@ object DwrfMetrics {
     task("bytesRead", c.bytesRead),
     task("batchesEmitted", c.batchesEmitted),
     task("preads", c.preads),
-    // reference M5's DECOMPRESSION_TIME: delta of this task thread's
-    // codec profile since the reader opened (readers are single-threaded
-    // per task by Spark's contract)
-    task("decompressMs",
-      (graft.format.ReadProfile.get.decompressNanos - c.decompressNanos0)
-        / 1000000L))
+    // reference M5's DECOMPRESSION_TIME: nanos bracketed per next()
+    // call, so interleaved readers in one task thread (SPJ) never
+    // double-count each other's work
+    task("decompressMs", c.decompressNanosAcc / 1000000L))
 }
 
 /** Write-path profiler metrics (reference M5's write half: the

@@ -197,6 +197,26 @@ class DwrfBucketSpec extends AnyFunSuite {
     s.sql("DROP TABLE graftbkt.lake.blog")
   }
 
+  test("path-based per-write bucket opt-in writes a bucketed layout") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "dwrf-bkt-path-").toString
+    // no catalog, no FunctionCatalog: the write must not request the
+    // (unresolvable) bucket-transform distribution, just route rows
+    s.range(0, 200).select($"id", ($"id" * 2).as("v"))
+      .write.format("dwrf")
+      .option(DwrfBucket.ColumnKey, "id")
+      .option(DwrfBucket.CountKey, "4")
+      .mode("overwrite").save(dir)
+    val files = DwrfUtil.listDataFiles(
+      new org.apache.hadoop.fs.Path(dir), DwrfUtil.sessionHadoopConf())
+    assert(files.nonEmpty && files.forall(f =>
+      DwrfBucket.of(f.getName).exists(_ < 4)),
+      s"path-based bucketed write produced: ${files.map(_.getName)}")
+    assert(s.read.format("dwrf").load(dir).count() == 200L)
+  }
+
   test("ALTER refuses dropping or renaming the bucket column") {
     val s = spark
     s.sql("CREATE NAMESPACE IF NOT EXISTS graftbkt.lake")
