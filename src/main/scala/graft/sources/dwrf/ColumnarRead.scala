@@ -1058,10 +1058,12 @@ final class DwrfColumnarPartitionReader(
     false
   }
 
+  // hoisted once: the reader runs on one task thread by Spark's contract
+  private val prof = graft.format.ReadProfile.get
+
   override def next(): Boolean = {
     // bracket the decompress profile so interleaved readers in one task
     // thread (SPJ) attribute their own nanos, never each other's
-    val prof = graft.format.ReadProfile.get
     val d0 = prof.decompressNanos
     try {
       while (remainingInSegment == 0) {

@@ -1610,10 +1610,12 @@ final class DwrfPartitionReaderFactory(readSchemaJson: String,
       }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = null
+      // hoisted once: the reader runs on one task thread by Spark's
+      // contract, and a ThreadLocal.get per row would tax the hot path
+      private val prof = graft.format.ReadProfile.get
       override def next(): Boolean = {
         // bracket the decompress profile so interleaved readers in one
         // task thread (SPJ) attribute their own nanos, never each other's
-        val prof = graft.format.ReadProfile.get
         val d0 = prof.decompressNanos
         val more = if (it.hasNext) { current = it.next(); true } else false
         reader.counters.decompressNanosAcc += prof.decompressNanos - d0

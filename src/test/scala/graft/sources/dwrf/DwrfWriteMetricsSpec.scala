@@ -65,8 +65,11 @@ class DwrfWriteMetricsSpec extends AnyFunSuite {
     } finally r.close()
     // the V2 scan attributes the nanos per reader (bracketed per next()
     // so interleaved SPJ readers never double-count) and surfaces them
-    // as the decompressMs custom metric in the SQL UI store
-    assert(spark.read.format("dwrf").load(dir).count() == 30000L)
+    // as the decompressMs custom metric in the SQL UI store. The filter
+    // below is NOT footer-answerable, so the query cannot collapse to
+    // the zero-I/O LocalScan (which would carry no scan metrics).
+    assert(spark.read.format("dwrf").load(dir)
+      .filter(length(col("s")) > 2).count() == 30000L)
     val deadline = System.currentTimeMillis() + 10000
     var seen = false
     while (System.currentTimeMillis() < deadline && !seen) {
