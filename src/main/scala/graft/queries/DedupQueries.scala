@@ -166,13 +166,10 @@ object DedupQueries extends QueryPack {
     val root = java.nio.file.Paths.get("/root/repo/target/staging")
     java.nio.file.Files.createDirectories(root)
     val snapDir = root.resolve(s"dedup-incr-$tag").toString
-    val marker = root.resolve(s"dedup-incr-$tag/_staged")
-    val srcFile = new java.io.File(s"$dir/documents.parquet")
-    val key = s"${srcFile.lastModified}:${srcFile.length}"
-    val fresh = java.nio.file.Files.exists(marker) &&
-      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == key &&
-      DwrfLog.latestVersion(new Path(snapDir), conf).contains(1L)
-    if (!fresh) {
+    Staging.once(root.resolve(s"dedup-incr-$tag/_staged"),
+      Staging.sourceKey(new java.io.File(s"$dir/documents.parquet")),
+      stillValid =
+        DwrfLog.latestVersion(new Path(snapDir), conf).contains(1L)) {
       val fs = new Path(snapDir).getFileSystem(conf)
       if (fs.exists(new Path(snapDir))) fs.delete(new Path(snapDir), true)
       val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
@@ -181,7 +178,6 @@ object DedupQueries extends QueryPack {
       DwrfLog.enable(new Path(snapDir), conf)
       docs.filter($"doc_id" % 10 === 0).repartition(1)
         .write.format("dwrf").mode("append").save(snapDir)
-      java.nio.file.Files.write(marker, key.getBytes("UTF-8"))
     }
     // delta = the append commit's inserted rows, straight off the feed
     val delta = DwrfChanges.between(s, snapDir, 0L, 1L)

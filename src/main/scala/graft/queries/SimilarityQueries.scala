@@ -906,12 +906,9 @@ object SimilarityQueries extends QueryPack {
       java.nio.file.Files.createDirectories(root)
       val idxDir = root.resolve(s"pq-index-$tag").toString
       val cbDir = root.resolve(s"pq-codebook-$tag").toString
-      val marker = root.resolve(s"pq-index-$tag/_staged")
-      val srcFile = new java.io.File(s"$dir/embeddings.parquet")
-      val key = s"${srcFile.lastModified}:${srcFile.length}:$m:$k"
-      val fresh = java.nio.file.Files.exists(marker) &&
-        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == key
-      if (!fresh) {
+      Staging.once(root.resolve(s"pq-index-$tag/_staged"),
+        Staging.sourceKey(new java.io.File(s"$dir/embeddings.parquet"),
+          s"$m:$k")) {
         val sample = emb.orderBy($"vec_id").limit(2048).collect()
           .map(_.getSeq[Double](1).toArray)
         val codebook = pqTrain(sample, m, k)
@@ -952,7 +949,6 @@ object SimilarityQueries extends QueryPack {
         }.toSeq.toDF("mi", "ci", "c")
           .coalesce(1)
           .write.format("dwrf").mode("overwrite").save(cbDir)
-        java.nio.file.Files.write(marker, key.getBytes("UTF-8"))
       }
       // ---- query path: codebook + index tables only
       val codebook: Array[Array[Array[Double]]] = {

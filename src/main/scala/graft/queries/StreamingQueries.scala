@@ -1127,12 +1127,10 @@ object StreamingQueries extends QueryPack {
     // keyed on the source parquet's identity like stageChunks
     val srcMarker = stagingRoot.resolve(s"cdc-apply-src-$tag/_staged")
     val srcKey = { val k = sourceKey(s"$dir/orders.parquet"); s"${k._2}:${k._3}" }
-    val srcFresh = java.nio.file.Files.exists(srcMarker) &&
-      new String(java.nio.file.Files.readAllBytes(srcMarker), "UTF-8") == srcKey &&
-      DwrfLog.latestVersion(new Path(srcDir), conf).contains(3L)
     val ph = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     try {
-      if (!srcFresh) phased(ph, "stage_src") {
+      val restaged = Staging.once(srcMarker, srcKey, stillValid =
+          DwrfLog.latestVersion(new Path(srcDir), conf).contains(3L)) { phased(ph, "stage_src") {
         if (fs.exists(new Path(srcDir))) fs.delete(new Path(srcDir), true)
         val orders = graft.Tables.load(s, dir, "orders")
           .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority",
@@ -1154,10 +1152,9 @@ object StreamingQueries extends QueryPack {
           Array(org.apache.spark.sql.sources.EqualTo("o_orderpriority", "1-URGENT")))
         require(DwrfLog.latestVersion(new Path(srcDir), conf).contains(3L),
           "CDC-apply staging must commit v0..v3")
-        java.nio.file.Files.write(srcMarker, srcKey.getBytes("UTF-8"))
-      } else {
+      } }
+      if (!restaged)
         s.sql(s"CREATE TABLE $srcTbl USING dwrf LOCATION '$srcDir'")
-      }
 
       // the replica runs its MERGEs merge-on-read: a churn-sized CDC
       // apply into a 100 TB replica must write the DELTA (delete
@@ -1239,12 +1236,10 @@ object StreamingQueries extends QueryPack {
     // after staging) — same marker pattern as stageChunks/streamCdcApply
     val srcMarker = stagingRoot.resolve(s"agg-maintain-src-$tag/_staged")
     val srcKey = { val k = sourceKey(s"$dir/orders.parquet"); s"${k._2}:${k._3}" }
-    val srcFresh = java.nio.file.Files.exists(srcMarker) &&
-      new String(java.nio.file.Files.readAllBytes(srcMarker), "UTF-8") == srcKey &&
-      DwrfLog.latestVersion(new Path(srcDir), conf).contains(3L)
     val ph = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     try {
-      if (!srcFresh) phased(ph, "stage_src") {
+      val restaged = Staging.once(srcMarker, srcKey, stillValid =
+          DwrfLog.latestVersion(new Path(srcDir), conf).contains(3L)) { phased(ph, "stage_src") {
         if (fs.exists(new Path(srcDir))) fs.delete(new Path(srcDir), true)
         val orders = graft.Tables.load(s, dir, "orders")
           .select($"o_custkey", $"o_orderkey", $"o_orderstatus", $"o_totalprice")
@@ -1264,10 +1259,9 @@ object StreamingQueries extends QueryPack {
         s.sql(s"DELETE FROM $srcTbl WHERE o_custkey % 10 = 3")
         require(DwrfLog.latestVersion(new Path(srcDir), conf).contains(3L),
           "agg-maintain staging must commit v0..v3")
-        java.nio.file.Files.write(srcMarker, srcKey.getBytes("UTF-8"))
-      } else {
+      } }
+      if (!restaged)
         s.sql(s"CREATE TABLE $srcTbl USING dwrf LOCATION '$srcDir'")
-      }
       phased(ph, "gate_v2_holds") {
         require(s.read.format("dwrf").option("versionAsOf", 2)
           .load(srcDir).filter($"o_custkey" % 10 === 3).limit(1).count() == 1L,
