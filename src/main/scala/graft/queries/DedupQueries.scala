@@ -163,8 +163,7 @@ object DedupQueries extends QueryPack {
     graft.functions.GraftFunctions.register(s)
     val conf = DwrfUtil.sessionHadoopConf()
     val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
-    val root = java.nio.file.Paths.get("/root/repo/target/staging")
-    java.nio.file.Files.createDirectories(root)
+    val root = Staging.root
     val snapDir = root.resolve(s"dedup-incr-$tag").toString
     Staging.once(root.resolve(s"dedup-incr-$tag/_staged"),
       Staging.sourceKey(new java.io.File(s"$dir/documents.parquet")),

@@ -14,26 +14,20 @@ object FormatQueries extends QueryPack {
   private def ioDir(table: String, dir: String): String =
     s"/root/repo/target/dwrf-io/$table-${Integer.toHexString(dir.hashCode)}"
 
-  /** Memoized fixture staging, (mtime, size)-keyed like the streaming
-    * fixtures: a staged layout that is a pure function of a source table
-    * writes once per dataset generation instead of on every bench pass
+  /** Memoized fixture staging via [[Staging.once]]: a staged layout that
+    * is a pure function of (source table, writer code) writes once per
+    * dataset generation AND code epoch instead of on every bench pass
     * and Verify run — the queries measure their SCAN/JOIN shape, not
-    * repeated fixture I/O. The `_staged` marker is invisible to data
-    * listings and vanishes with any plain overwrite of the dir.
+    * repeated fixture I/O, and a write-path fix always restages. The
+    * `_staged` marker is invisible to data listings and vanishes with
+    * any plain overwrite of the dir.
     */
   private def staged(dir: String, out: String, srcTable: String,
-      write: () => Unit): Unit = {
-    import java.nio.file.{Files, Paths}
-    val f = new java.io.File(s"$dir/$srcTable.parquet")
-    val key = s"${f.lastModified()}:${f.length()}"
-    val marker = Paths.get(out, "_staged")
-    val fresh = Files.exists(marker) &&
-      new String(Files.readAllBytes(marker), "UTF-8") == key
-    if (!fresh) {
+      write: () => Unit): Unit =
+    Staging.once(java.nio.file.Paths.get(out, "_staged"),
+      Staging.sourceKey(new java.io.File(s"$dir/$srcTable.parquet"))) {
       write()
-      Files.write(marker, key.getBytes("UTF-8"))
     }
-  }
 
   /** Write `table` to dwrf, read it back. */
   private def viaDwrf(s: SparkSession, dir: String, table: String,
@@ -1348,7 +1342,7 @@ object FormatQueries extends QueryPack {
 
   private val bucketJoinOracle = s"""
     |SELECT c_mktsegment, COUNT(*) AS n_cust,
-    |  SUM(n_orders) AS n_orders,
+    |  CAST(SUM(n_orders) AS BIGINT) AS n_orders,
     |  ${dsum("cust_total")} AS total_price
     |FROM (
     |  SELECT c_custkey, c_mktsegment, COUNT(*) AS n_orders,

@@ -22,6 +22,24 @@ final case class Q(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+/** Switch for in-query verification gates (idempotency re-applies,
+  * exactly-once re-drains, staging sanity REQUIREs). Verify keeps them
+  * ON — they are part of the correctness evidence. Bench turns them OFF
+  * so a benched number is the operator's cost, not the metrology: r11's
+  * most expensive bench row (`stream_agg_maintain`, 7.77 s) spent 3.1 s
+  * re-applying the full change feed just to prove idempotency, and
+  * `stream_cdc_apply` re-drained a whole stream to prove exactly-once.
+  * The opscale harness still times the gates separately (gates stay on
+  * there), so the evidence is never lost — it's just not double-counted
+  * into BENCH.
+  */
+object Gates {
+  def enabled: Boolean = !sys.props.get("graft.gates").contains("off")
+
+  /** Bench-side opt-out (irreversible by design: set once per JVM). */
+  def disableForBench(): Unit = sys.props("graft.gates") = "off"
+}
+
 trait QueryPack {
   def all: Seq[Q]
 

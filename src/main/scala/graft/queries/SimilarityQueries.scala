@@ -902,8 +902,7 @@ object SimilarityQueries extends QueryPack {
         val clean = dir.replaceAll("[^A-Za-z0-9]+", "_")
         s"${clean}_${m}_$k"
       }
-      val root = java.nio.file.Paths.get("/root/repo/target/staging")
-      java.nio.file.Files.createDirectories(root)
+      val root = Staging.root
       val idxDir = root.resolve(s"pq-index-$tag").toString
       val cbDir = root.resolve(s"pq-codebook-$tag").toString
       Staging.once(root.resolve(s"pq-index-$tag/_staged"),

@@ -12,9 +12,56 @@ package graft.queries
   */
 object Staging {
 
-  /** `mtime:length[.. :extra]` identity of a staged layout's source. */
+  /** Fingerprint of the code that does the staging: the newest mtime
+    * under this class's code source (the classes dir during sbt runs, the
+    * jar otherwise). A staged layout is a function of (source data,
+    * writer code); keying on data identity alone once pinned a
+    * pre-bug-fix bucket warehouse into a correctness artifact — two
+    * write-path fixes landed after first staging and were invisible to
+    * Verify until the testdata regenerated. Salting every key with this
+    * epoch makes any recompile restage. Overridable via the
+    * `graft.staging.epoch` system property (tests; or to pin a known-good
+    * epoch across JVMs in a long bench campaign).
+    */
+  def codeEpoch: String =
+    sys.props.getOrElse("graft.staging.epoch", computedEpoch)
+
+  private lazy val computedEpoch: String = {
+    val src = getClass.getProtectionDomain.getCodeSource
+    val latest =
+      if (src == null || src.getLocation == null) 0L
+      else {
+        val f = new java.io.File(src.getLocation.toURI)
+        if (f.isDirectory) {
+          var max = f.lastModified
+          java.nio.file.Files.walk(f.toPath).forEach { p =>
+            val m = p.toFile.lastModified
+            if (m > max) max = m
+          }
+          max
+        } else f.lastModified
+      }
+    java.lang.Long.toHexString(latest)
+  }
+
+  /** Shared staging root for derived on-disk fixtures. Relative to the
+    * working directory by default so the queries run from any checkout;
+    * overridable for split-machine setups.
+    */
+  def root: java.nio.file.Path = {
+    val p = sys.props.get("graft.staging.root")
+      .orElse(sys.env.get("SPARK_GRAFT_STAGING_DIR"))
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get("target", "staging"))
+    java.nio.file.Files.createDirectories(p)
+    p
+  }
+
+  /** `mtime:length:codeEpoch[:extra]` identity of a staged layout —
+    * source data generation plus the writer-code fingerprint.
+    */
   def sourceKey(f: java.io.File, extra: String = ""): String =
-    s"${f.lastModified}:${f.length}" +
+    s"${f.lastModified}:${f.length}:$codeEpoch" +
       (if (extra.isEmpty) "" else s":$extra")
 
   /** Run `stage` unless `marker` already records `key` and `stillValid`

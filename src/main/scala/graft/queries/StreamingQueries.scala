@@ -558,10 +558,8 @@ object StreamingQueries extends QueryPack {
     val rawSchema = s.read.parquet(srcFile).schema
     val srcDir = stagingRoot.resolve(s"$name-${dirTag(dir)}")
     val marker = srcDir.resolve("_staged")
-    val key = { val k = sourceKey(srcFile); s"${k._2}:${k._3}" }
-    val fresh = java.nio.file.Files.exists(marker) &&
-      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == key
-    if (!fresh) {
+    val key = Staging.sourceKey(new java.io.File(srcFile))
+    Staging.once(marker, key) {
       rmTree(srcDir)
       java.nio.file.Files.createDirectories(srcDir)
       val rawDt = rawSchema("ts").dataType
@@ -603,7 +601,6 @@ object StreamingQueries extends QueryPack {
             .withColumn("event_type", lit("__wm_sentinel__"))
             .withColumn("user_id", lit(-1L)),
           s"zz-sentinel.$ext", base + (chunks + 1) * 1000)
-      java.nio.file.Files.write(marker, key.getBytes("UTF-8"))
     }
     (srcDir.toString, rawSchema)
   }
@@ -1126,7 +1123,7 @@ object StreamingQueries extends QueryPack {
     // staging (the drain only READS the feed) — cache it across runs,
     // keyed on the source parquet's identity like stageChunks
     val srcMarker = stagingRoot.resolve(s"cdc-apply-src-$tag/_staged")
-    val srcKey = { val k = sourceKey(s"$dir/orders.parquet"); s"${k._2}:${k._3}" }
+    val srcKey = Staging.sourceKey(new java.io.File(s"$dir/orders.parquet"))
     val ph = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     try {
       val restaged = Staging.once(srcMarker, srcKey, stillValid =
@@ -1177,9 +1174,11 @@ object StreamingQueries extends QueryPack {
       phased(ph, "drain") { drain() }
       val vApplied = DwrfLog.latestVersion(new Path(tgtDir), conf).get
       require(vApplied >= 1L, "the apply must commit merges to the target")
-      phased(ph, "redrain_noop") { drain() } // exactly-once: nothing new
-      require(DwrfLog.latestVersion(new Path(tgtDir), conf).get == vApplied,
-        "a re-drain over the same checkpoint must not re-apply anything")
+      if (Gates.enabled) {
+        phased(ph, "redrain_noop") { drain() } // exactly-once: nothing new
+        require(DwrfLog.latestVersion(new Path(tgtDir), conf).get == vApplied,
+          "a re-drain over the same checkpoint must not re-apply anything")
+      }
 
       val rolled = s.sql(s"""
         |SELECT o_orderstatus, COUNT(*) AS n_orders,
@@ -1235,7 +1234,7 @@ object StreamingQueries extends QueryPack {
     // staged v0..v3 source cached across runs (deterministic, read-only
     // after staging) — same marker pattern as stageChunks/streamCdcApply
     val srcMarker = stagingRoot.resolve(s"agg-maintain-src-$tag/_staged")
-    val srcKey = { val k = sourceKey(s"$dir/orders.parquet"); s"${k._2}:${k._3}" }
+    val srcKey = Staging.sourceKey(new java.io.File(s"$dir/orders.parquet"))
     val ph = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     try {
       val restaged = Staging.once(srcMarker, srcKey, stillValid =
@@ -1262,7 +1261,7 @@ object StreamingQueries extends QueryPack {
       } }
       if (!restaged)
         s.sql(s"CREATE TABLE $srcTbl USING dwrf LOCATION '$srcDir'")
-      phased(ph, "gate_v2_holds") {
+      if (Gates.enabled) phased(ph, "gate_v2_holds") {
         require(s.read.format("dwrf").option("versionAsOf", 2)
           .load(srcDir).filter($"o_custkey" % 10 === 3).limit(1).count() == 1L,
           "staging must hold soon-to-vanish groups at v2")
@@ -1277,26 +1276,28 @@ object StreamingQueries extends QueryPack {
         keys = Seq("o_custkey"), aggClauses = aggs, checkpoint = ckDir,
         sourceOptions = Map("maxVersionsPerTrigger" -> "1"))
       phased(ph, "drain") { q.awaitTermination() }
-      phased(ph, "gate_vanished") {
-        require(s.table(tgtTbl).filter($"o_custkey" % 10 === 3).isEmpty,
-          "vanished groups must be DELETEd from the maintained aggregate")
+      if (Gates.enabled) {
+        phased(ph, "gate_vanished") {
+          require(s.table(tgtTbl).filter($"o_custkey" % 10 === 3).isEmpty,
+            "vanished groups must be DELETEd from the maintained aggregate")
+        }
+        // idempotent-from-truth: re-applying the ENTIRE feed must leave
+        // the content bit-identical (not merely row-count-stable)
+        val before = phased(ph, "gate_idem_read") {
+          s.sql(s"SELECT * FROM $tgtTbl ORDER BY o_custkey").collect().toSeq
+        }
+        phased(ph, "gate_idem_reapply") {
+          DwrfAggMaintain.applyBatch(
+            DwrfChanges.between(s, srcDir, 0L, 3L), srcTbl, tgtTbl,
+            Seq("o_custkey"), aggs)
+        }
+        val after = phased(ph, "gate_idem_read") {
+          s.sql(s"SELECT * FROM $tgtTbl ORDER BY o_custkey").collect().toSeq
+        }
+        require(before == after,
+          "re-applying the full feed must leave the maintained table " +
+            "bit-identical (idempotent-from-truth)")
       }
-      // idempotent-from-truth: re-applying the ENTIRE feed must leave
-      // the content bit-identical (not merely row-count-stable)
-      val before = phased(ph, "gate_idem_read") {
-        s.sql(s"SELECT * FROM $tgtTbl ORDER BY o_custkey").collect().toSeq
-      }
-      phased(ph, "gate_idem_reapply") {
-        DwrfAggMaintain.applyBatch(
-          DwrfChanges.between(s, srcDir, 0L, 3L), srcTbl, tgtTbl,
-          Seq("o_custkey"), aggs)
-      }
-      val after = phased(ph, "gate_idem_read") {
-        s.sql(s"SELECT * FROM $tgtTbl ORDER BY o_custkey").collect().toSeq
-      }
-      require(before == after,
-        "re-applying the full feed must leave the maintained table " +
-          "bit-identical (idempotent-from-truth)")
       val rolled = s.sql(s"""
         |SELECT o_custkey, n_orders, total_price
         |FROM $tgtTbl ORDER BY o_custkey
