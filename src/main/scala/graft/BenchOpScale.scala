@@ -283,6 +283,11 @@ object BenchOpScale {
           s"sem_${label}_planted_recall" -> recall,
           s"sem_${label}_shuffle_read_mb" -> sr / 1e6,
           s"sem_${label}_shuffle_write_mb" -> sw / 1e6)
+        // phase attribution (normalize/kmeans/assign/within-join) — the
+        // r11 ask: a benched-number drift must decompose into phases
+        r ++= DedupQueries.lastSemanticPhases.map {
+          case (p, secs) => s"sem_${label}_phase_${p}_s" -> (secs: Any)
+        }
       } finally tier.unpersist()
     }
     r += "sem_time_ratio" ->
@@ -650,10 +655,58 @@ object BenchOpScale {
             "the storage-partitioned plan did not engage")
         check(srSh + swSh > 0L,
           "control join moved no shuffle bytes — the contrast baseline broke")
+
+        // ---- zipf-skewed twin (the r11 ask): one hot key owns 9
+        // average-buckets' worth of rows, so the bucket it hashes into
+        // holds ~10× the average population. The storage-partitioned
+        // join has no shuffle to rebalance — its cost is bounded by the
+        // hot bucket's single task — while the shuffled control gets
+        // AQE's skew-join splitting. Both outcomes are RECORDED (time +
+        // shuffle + whether AQE's skew handling engaged), so the trade
+        // is a measurement: co-located layout wins shuffle bytes always,
+        // and the numbers say what skew level makes AQE's rebalancing
+        // competitive.
+        spark.sql("CREATE TABLE graft_opspj.lake.fact_skew " +
+          "(k BIGINT, x BIGINT) USING dwrf PARTITIONED BY (bucket(32, k))")
+        val (tStageSkew, _) = time {
+          spark.range(0, 2560000L, 1, 8)
+            .selectExpr(
+              "CASE WHEN id < 720000 THEN 0L ELSE id % 256000 END AS k",
+              "id AS x")
+            .writeTo("graft_opspj.lake.fact_skew").append()
+        }
+        def joinSkew(bucketed: Boolean): (Double, Long, Long, Long, Boolean) = {
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled",
+            bucketed.toString)
+          val df = spark.table("graft_opspj.lake.fact_skew")
+            .join(spark.table("graft_opspj.lake.dim"), "k")
+            .selectExpr("COUNT(*) AS n", "SUM(x * w) AS dot")
+          val (t, n, sr, sw) = measuredF { df.head().getLong(0) }
+          (t, n, sr, sw,
+            df.queryExecution.executedPlan.toString.contains("skew=true"))
+        }
+        joinSkew(bucketed = true) // warm footers off-measurement
+        val (tSk, nSk, srSk, swSk, _) = joinSkew(bucketed = true)
+        val (tSkSh, nSkSh, srSkSh, swSkSh, aqeSkew) = joinSkew(bucketed = false)
+        r ++= Seq("spj_skew_stage_s" -> tStageSkew,
+          "spj_skew_rows" -> nSk,
+          "spj_skew_hot_key_rows" -> 720000L,
+          "spj_skew_join_s_bucketed" -> tSk,
+          "spj_skew_join_s_shuffled" -> tSkSh,
+          "spj_skew_shuffle_mb_bucketed" -> (srSk + swSk) / 1e6,
+          "spj_skew_shuffle_mb_shuffled" -> (srSkSh + swSkSh) / 1e6,
+          "spj_skew_aqe_skew_split_engaged" -> aqeSkew,
+          "spj_skew_speedup" -> tSkSh / math.max(1e-9, tSk))
+        check(nSk == 2560000L && nSkSh == nSk,
+          s"skewed spj join rows diverged: bucketed $nSk vs shuffled $nSkSh")
+        check(srSk + swSk < 1_000_000L,
+          s"skewed bucketed join moved ${(srSk + swSk) / 1e6} MB of " +
+            "shuffle — the storage-partitioned plan did not survive skew")
       } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBt)
         spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
         spark.sql("DROP TABLE IF EXISTS graft_opspj.lake.fact")
+        spark.sql("DROP TABLE IF EXISTS graft_opspj.lake.fact_skew")
         spark.sql("DROP TABLE IF EXISTS graft_opspj.lake.dim")
       }
     }

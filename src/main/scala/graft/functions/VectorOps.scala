@@ -232,7 +232,16 @@ object VecAdcKernel {
     var s = 0.0
     var mi = 0
     while (mi < m) {
-      s += lut.getArray(mi).getDouble(codes.getInt(mi))
+      val row = lut.getArray(mi)
+      val code = codes.getInt(mi)
+      // bounds-check the code: UnsafeArrayData reads an out-of-range
+      // ordinal as arbitrary memory SILENTLY, so a mismatched (m, k)
+      // geometry would yield quietly wrong distances instead of an error
+      if (code < 0 || code >= row.numElements())
+        throw new IllegalArgumentException(
+          s"vec_adc: code $code out of range for LUT row $mi " +
+            s"(${row.numElements()} centroids)")
+      s += row.getDouble(code)
       mi += 1
     }
     s
@@ -291,7 +300,15 @@ object VecAdcPackedKernel {
     var s = 0.0
     var mi = 0
     while (mi < m) {
-      s += lut.getArray(mi).getDouble(((packed >>> (mi * 8)) & 0xffL).toInt)
+      val row = lut.getArray(mi)
+      val code = ((packed >>> (mi * 8)) & 0xffL).toInt
+      // same silent-read hazard as VecAdcKernel: an index written with a
+      // larger K than this LUT's must fail, not read arbitrary memory
+      if (code >= row.numElements())
+        throw new IllegalArgumentException(
+          s"vec_adc_packed: code $code out of range for LUT row $mi " +
+            s"(${row.numElements()} centroids)")
+      s += row.getDouble(code)
       mi += 1
     }
     s

@@ -648,6 +648,15 @@ object DedupQueries extends QueryPack {
     def unpersist(): Unit = { within.unpersist(); corpus.unpersist(); () }
   }
 
+  /** Phase split of the last [[semanticTier]]/[[semanticDedup]] run
+    * (normalize/count, k-means, assignment, within-cell join, exact
+    * verifier, rollup) — recorded in opscale so a round-over-round
+    * drift in the benched number is attributable to a phase instead of
+    * re-litigated from scratch (the r11→r12 ask).
+    */
+  @volatile private[graft] var lastSemanticPhases: Map[String, Double] =
+    Map.empty
+
   private[graft] val SemanticTargetCellSize = 128
   // planted twins sit at 0.95; base corpus tops out ~0.51
   private[graft] val SemanticThresh = 0.9
@@ -662,6 +671,7 @@ object DedupQueries extends QueryPack {
   private[graft] def semanticTier(s: SparkSession, raw: DataFrame): SemanticTier = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
+    val ph = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val corpus = raw
       .select($"vec_id",
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("raw"))
@@ -669,7 +679,7 @@ object DedupQueries extends QueryPack {
       .select($"vec_id", expr("transform(raw, x -> x / nrm)").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = corpus.count()
+      val n = phased(ph, "normalize_count") { corpus.count() }
       val Cells =
         math.max(4, ((n + SemanticTargetCellSize - 1) / SemanticTargetCellSize).toInt)
 
@@ -694,10 +704,11 @@ object DedupQueries extends QueryPack {
         val n = math.sqrt(v.map(x => x * x).sum)
         if (n == 0) v else v.map(_ / n)
       }
-      var centroids: Array[Array[Double]] = corpus
-        .orderBy($"vec_id").limit(Cells).collect()
-        .map(_.getSeq[Double](1).toArray)
-      for (_ <- 0 until 2) {
+      var centroids: Array[Array[Double]] = phased(ph, "kmeans") {
+        corpus.orderBy($"vec_id").limit(Cells).collect()
+          .map(_.getSeq[Double](1).toArray)
+      }
+      for (_ <- 0 until 2) phased(ph, "kmeans") {
         val means = withCell(corpus, centroids)
           .select($"cell", posexplode($"v").as(Seq("pos", "x")))
           .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
@@ -737,8 +748,10 @@ object DedupQueries extends QueryPack {
         // measure them (on PRIMARY cells) and refuse on collapse: one
         // mega-cell means the quadratic plan the clustering exists to
         // avoid is back
-        val maxCellPop = assigned.groupBy($"cell").count()
-          .agg(max($"count")).head().getLong(0)
+        val maxCellPop = phased(ph, "assign") {
+          assigned.groupBy($"cell").count()
+            .agg(max($"count")).head().getLong(0)
+        }
         require(maxCellPop <= 16L * SemanticTargetCellSize,
           s"semantic-dedup clustering collapsed: largest cell has " +
             s"$maxCellPop vectors (target $SemanticTargetCellSize, bound 16×) — " +
@@ -774,7 +787,8 @@ object DedupQueries extends QueryPack {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // materialize while `assigned` is still cached — the count doubles
         // as the pairs_within_cell metric, so nothing is paid twice
-        val pairsWithin = within.count()
+        val pairsWithin = phased(ph, "within_join") { within.count() }
+        lastSemanticPhases = ph.toMap
         SemanticTier(corpus, within, n, Cells, maxCellPop, pairsWithin)
       } finally assigned.unpersist()
     } catch {
@@ -801,31 +815,40 @@ object DedupQueries extends QueryPack {
       // not out-cost the operator it measures, and a distributed
       // pairwise join spends its time materializing 2·d-double join
       // rows, not multiplying (measured 38 s vs ~1 s here at n=2100)
-      val vecs = tier.corpus.orderBy($"vec_id")
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val ph = scala.collection.mutable.LinkedHashMap(
+        lastSemanticPhases.toSeq: _*)
+      val vecs = phased(ph, "exact_verifier") {
+        tier.corpus.orderBy($"vec_id")
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      }
       var nExact = 0L
       var plantedExact = 0L
       val off = SimilarityQueries.PlantIdOffset
-      var i = 0
-      while (i < vecs.length) {
-        var j = i + 1
-        while (j < vecs.length) {
-          val (ia, va) = vecs(i)
-          val (ib, vb) = vecs(j)
-          var dot = 0.0
-          var p = 0
-          while (p < va.length) { dot += va(p) * vb(p); p += 1 }
-          if (dot >= SemanticThresh) {
-            nExact += 1
-            if (ib == ia + off) plantedExact += 1
+      phased(ph, "exact_verifier") {
+        var i = 0
+        while (i < vecs.length) {
+          var j = i + 1
+          while (j < vecs.length) {
+            val (ia, va) = vecs(i)
+            val (ib, vb) = vecs(j)
+            var dot = 0.0
+            var p = 0
+            while (p < va.length) { dot += va(p) * vb(p); p += 1 }
+            if (dot >= SemanticThresh) {
+              nExact += 1
+              if (ib == ia + off) plantedExact += 1
+            }
+            j += 1
           }
-          j += 1
+          i += 1
         }
-        i += 1
       }
       val nWithin = tier.pairsWithin
-      val nDropped = within.select($"id_b").distinct().count()
-      val plantedWithin = within.filter($"id_b" === $"id_a" + off).count()
+      val (nDropped, plantedWithin) = phased(ph, "rollup") {
+        (within.select($"id_b").distinct().count(),
+          within.filter($"id_b" === $"id_a" + off).count())
+      }
+      lastSemanticPhases = ph.toMap
       def ratio(a: Long, b: Long): Double =
         if (b == 0) 0.0
         else BigDecimal(a.toDouble / b).setScale(4,

@@ -43,6 +43,20 @@ object Gates {
 trait QueryPack {
   def all: Seq[Q]
 
+  /** Accumulate `f`'s wall time under `name` — the phase-attribution
+    * primitive behind the opscale breakdowns (cdc, agg-maintain,
+    * semantic dedup): a slow bench row gets explained by its measured
+    * phase split, not by guesswork.
+    */
+  protected def phased[A](
+      acc: scala.collection.mutable.LinkedHashMap[String, Double],
+      name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val a = f
+    acc(name) = acc.getOrElse(name, 0.0) + (System.nanoTime() - t0) / 1e9
+    a
+  }
+
   /** Per-row double arithmetic is bit-deterministic; only the aggregation
     * order isn't. So: cast each term to an exact DECIMAL, sum (exact, so
     * order-independent), round, and only then go back to DOUBLE.

@@ -65,15 +65,6 @@ object StreamingQueries extends QueryPack {
   @volatile private[graft] var lastAggMaintainPhases: Map[String, Double] =
     Map.empty
 
-  private def phased[A](
-      acc: scala.collection.mutable.LinkedHashMap[String, Double],
-      name: String)(f: => A): A = {
-    val t0 = System.nanoTime()
-    val a = f
-    acc(name) = acc.getOrElse(name, 0.0) + (System.nanoTime() - t0) / 1e9
-    a
-  }
-
   // ---------------------------------------------- raw-ts normalization
   // The driver has shipped events.ts as int64 TIMESTAMP(NANOS) (read as
   // BIGINT under nanosAsLong) and as plain timestamp[us] (read as

@@ -77,10 +77,13 @@ object TextQueries extends QueryPack {
     |""".stripMargin.trim
 
   // ------------------------------------------------------ fingerprint
-  // Winnowing fingerprint via the native codegen'd expression; no SQL
-  // oracle exists for it => driver records the rows-only check. The query
-  // is still deterministic: collision-grouped fingerprints find near-dup
-  // prefixes share (window-min hashes collide for heavily-overlapping docs).
+  // Winnowing fingerprint via the native codegen'd expression. The DuckDB
+  // oracle re-derives the kernel bit-for-bit (see fingerprintOracle): the
+  // rolling polynomial is re-expressed as per-window direct hashes (same
+  // values — the rolling form is just an evaluation strategy), and Java's
+  // wrapping 64-bit arithmetic is emulated with HUGEINT intermediates
+  // mod 2^64. Collision-grouped fingerprints find near-dup prefixes
+  // (window-min hashes collide for heavily-overlapping docs).
   private def fingerprint(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     Tables.registerAll(s, dir)
@@ -93,6 +96,63 @@ object TextQueries extends QueryPack {
       |LIMIT 100
       |""".stripMargin.trim)
   }
+
+  /** DuckDB has no native 64-bit wrapping arithmetic (BIGINT overflow
+    * throws), so the [[graft.functions.FingerprintKernel]] math is
+    * emulated: values live as UBIGINT, every multiply/add routes through
+    * HUGEINT and reduces mod 2^64. A full 64×64 product can overflow
+    * even HUGEINT, so it's split at 32 bits: a*b ≡ a_lo*b + ((a_hi*b
+    * mod 2^32) << 32), each term ≤ 2^96. The window hash itself needs no
+    * split — base 1000003 < 2^20, so acc*B + byte ≤ 2^84.
+    *
+    * Caveat shared with the kernel's byte orientation: the oracle reads
+    * characters via ord(); identical to UTF-8 bytes for the all-ASCII
+    * synthetic corpus (a non-ASCII regeneration would surface as a loud
+    * value mismatch, not silent agreement).
+    */
+  private val m64 = "18446744073709551616" // 2^64
+  private def u64(x: String): String =
+    s"CAST(CAST(($x) AS HUGEINT) % $m64 AS UBIGINT)"
+  private def mul64(a: String, b: String): String =
+    s"CAST(((CAST(($a) AS HUGEINT) % 4294967296) * CAST(($b) AS HUGEINT)" +
+      s" + ((CAST(($a) AS HUGEINT) // 4294967296) * CAST(($b) AS HUGEINT)" +
+      s" % 4294967296) * 4294967296) % $m64 AS UBIGINT)"
+
+  private val fingerprintOracle = s"""
+    |WITH
+    |docs AS (
+    |  SELECT doc_id,
+    |    list_transform(string_split(text, ''), c -> CAST(ord(c) AS HUGEINT)) AS bs,
+    |    length(text) AS n, LEAST(16, length(text)) AS w
+    |  FROM documents WHERE length(text) > 0),
+    |wins AS (
+    |  SELECT doc_id, w, bs, unnest(generate_series(1, n - w + 1)) AS j
+    |  FROM docs),
+    |hashes AS (
+    |  SELECT doc_id,
+    |    list_reduce(bs[j : j + w - 1],
+    |      (acc, b) -> (acc * 1000003 + b) % $m64) AS h
+    |  FROM wins),
+    |m1 AS (SELECT doc_id, ${u64("h + 11400714819323198485")} AS z FROM hashes),
+    |m2 AS (SELECT doc_id, ${mul64("xor(z, z >> 30)", "CAST(13787848793156543929 AS UBIGINT)")} AS z FROM m1),
+    |m3 AS (SELECT doc_id, ${mul64("xor(z, z >> 27)", "CAST(10723151780598845931 AS UBIGINT)")} AS z FROM m2),
+    |mixed AS (SELECT doc_id, xor(z, z >> 31) AS m FROM m3),
+    |fps AS (
+    |  SELECT doc_id,
+    |    CAST(CAST(MIN(m) AS HUGEINT)
+    |      - CASE WHEN MIN(m) >= 9223372036854775808 THEN $m64 ELSE 0 END
+    |      AS BIGINT) AS fp
+    |  FROM mixed GROUP BY doc_id
+    |  UNION ALL
+    |  SELECT doc_id, CAST(0 AS BIGINT) AS fp
+    |  FROM documents WHERE length(text) = 0)
+    |SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+    |FROM fps
+    |GROUP BY fp
+    |HAVING COUNT(*) > 1
+    |ORDER BY n_docs DESC, fp
+    |LIMIT 100
+    |""".stripMargin.trim
 
   // ------------------------------------------------- token frequency
   // Top-50 corpus tokens: explode + count + deterministic top-k. The
@@ -862,7 +922,7 @@ object TextQueries extends QueryPack {
   override val all: Seq[Q] = Seq(
     shared("text_stats", statsSql),
     shared("text_langid", langidSql),
-    Q("text_fingerprint", fingerprint, None),
+    Q("text_fingerprint", fingerprint, Some(fingerprintOracle)),
     Q("text_token_freq", tokenFreq, Some(tokenFreqOracle)),
     Q("text_heavy_hitters", heavyHitters, Some(heavyHittersOracle)),
     Q("text_token_bpe", tokenBpe, Some(tokenBpeOracle)),

@@ -179,12 +179,38 @@ final class DwrfDataSource extends TableProvider with DataSourceRegister {
     // order-insensitive agreement: the transforms may come from directory
     // INFERENCE (nesting order) while the option spells the user's order —
     // a multi-level LOCATION adoption with columns listed differently must
-    // not be rejected. When both are present the explicit option's ORDER
-    // wins (it is what the user wrote); the SET must still agree.
+    // not be rejected. When both are present the TRANSFORM order wins:
+    // transforms are the layout truth (directory nesting on adoption, the
+    // catalog's stored spec otherwise), and an append that followed the
+    // option's order instead would write a reversed k2=/k1= nesting
+    // beside the existing k1=/k2= dirs — physical fragmentation the
+    // heterogeneity check above would then reject at the next adoption.
+    // The option stays a set-level sanity check; its order only matters
+    // when there is no layout to adopt (empty dir, fresh stream sink).
     require(fromTransforms.isEmpty || fromOptions.isEmpty ||
         fromTransforms.toSet == fromOptions.toSet,
       s"dwrf: conflicting partition specs: $fromTransforms vs $fromOptions")
-    val partCols = if (fromOptions.nonEmpty) fromOptions else fromTransforms
+    val partCols = {
+      val base = if (fromTransforms.nonEmpty) fromTransforms else fromOptions
+      if (fromTransforms.nonEmpty || fromOptions.isEmpty) base
+      else {
+        // path-based append: Spark passes NO transforms when the user
+        // skipped partitionBy, so the option is all we get — but the
+        // option\'s ORDER must not beat an existing directory\'s nesting
+        // (a reversed append writes k2=/k1= beside k1=/k2=, fragmenting
+        // the layout until the heterogeneity check rejects the whole
+        // dir). Probe the disk: adopt its order when the key SET
+        // agrees, fail loud when it conflicts, and only let the option
+        // order stand for a genuinely fresh/unpartitioned location.
+        val onDisk = inferPartitioning(
+          new CaseInsensitiveStringMap(properties)).toSeq
+          .map(_.references.head.fieldNames.head)
+        require(onDisk.isEmpty || onDisk.toSet == base.toSet,
+          s"dwrf: partition.columns $base conflicts with the existing " +
+            s"layout [${onDisk.mkString(",")}] on disk")
+        if (onDisk.nonEmpty) onDisk else base
+      }
+    }
     partCols.foreach { c =>
       val f = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"dwrf: partition column '$c' not in schema"))

@@ -188,10 +188,23 @@ object DwrfLogStats {
     * sidecar on every query, and parse cost grows with file count — at
     * 256 files the re-parse made sidecar planning SLOWER than the
     * parallel footer fallback on a local FS (r10 measurement). Keyed by
-    * (path, mtime, length) so a rewritten sidecar (vacuum/re-commit)
-    * can never serve stale summaries; Summaries is immutable so sharing
-    * is safe. Bounded LRU: a long-lived executor touching many tables
-    * stays O(64) entries.
+    * (path, mtime, length); Summaries is immutable so sharing is safe.
+    * Bounded LRU: a long-lived executor touching many tables stays
+    * O(64) entries.
+    *
+    * mtime-granularity window, accepted and why it is safe: on a
+    * coarse-mtime FS a same-length rewrite of the same version's
+    * sidecar inside one granularity tick would serve the older parse.
+    * But a version's sidecar content is a pure function of immutable
+    * state — the committed manifest's file list and those data files'
+    * footers — modulo entries OMITTED by a transient read failure
+    * (`summarize` maps unreadable files to absent). So two rewrites can
+    * differ only in which entries are present, and a stale hit can only
+    * UNDER-prune (absent summaries make the scan fall back to footer
+    * reads), never return wrong values. Vacuum deletes rather than
+    * rewrites, which misses the cache outright. A content hash in the
+    * key would close even the under-prune window but requires reading
+    * the body — exactly the cost the cache exists to avoid.
     */
   private val loadCache =
     new java.util.LinkedHashMap[(String, Long, Long), Summaries](64, 0.75f, true) {

@@ -112,7 +112,16 @@ object DwrfMemoryGovernor {
     if (pooledRows < RowsBetweenChecks) return
     pooledRows = 0
     if (!_lowMemory || regs.size < 2) {
-      regs.forEach(r => r.flushes.set(0))
+      // pressure lifted (or nothing to rebalance): decay halved
+      // multipliers back toward 1.0, one doubling per check — a writer
+      // that was briefly idle during one low-memory check must not keep
+      // an undersized stripe budget for the rest of its file (the
+      // reference MemoryManager re-grows allocations the same way a
+      // fresh notifyWriters pass recomputes them)
+      regs.forEach { r =>
+        if (r.multiplier < 1.0) r.multiplier = math.min(1.0, r.multiplier * 2)
+        r.flushes.set(0)
+      }
       return
     }
     val needy = new java.util.ArrayList[Reg]()

@@ -19,8 +19,12 @@ class IvfRecallSpec extends AnyFunSuite {
   test("ivf nprobe=4/16 recovers >= 0.7 of the exact top-10") {
     val row = SparkEntry.queries("ann_ivf_recall")(
       spark, "/root/testdata/sf0.001").collect().head
-    val recall = row.getAs[Double]("recall")
+    // the measured recall rides the instrument side-channel since the
+    // emission went oracle-checked (geometry columns + floor bit)
+    val recall = SimilarityQueries.lastInstrument
+      .get("ann_ivf_recall")("recall")
     assert(row.getAs[Long]("n_exact") == 10L)
+    assert(row.getAs[Long]("recall_within_floor") == 1L)
     assert(recall >= 0.7, s"ivf recall degraded: $recall")
   }
 }

@@ -40,9 +40,13 @@ class LshRecallSpec extends AnyFunSuite {
   test("measured planted recall at c=0.95 is >= 0.8") {
     val row = SparkEntry.queries("ann_lsh_recall")(spark, sf).collect().head
     val plantedPairs = row.getAs[Long]("planted_pairs")
-    val plantedFound = row.getAs[Long]("planted_found")
-    val plantedRecall = row.getAs[Double]("planted_recall")
+    // measured values ride the instrument side-channel since the
+    // emission went oracle-checked (geometry columns + floor bit)
+    val inst = SimilarityQueries.lastInstrument.get("ann_lsh_recall")
+    val plantedFound = inst("planted_found")
+    val plantedRecall = inst("planted_recall")
     assert(plantedPairs == 100L)
+    assert(row.getAs[Long]("planted_recall_within_floor") == 1L)
     assert(plantedRecall >= 0.8,
       s"planted recall $plantedRecall ($plantedFound/$plantedPairs) below the 0.8 floor")
   }

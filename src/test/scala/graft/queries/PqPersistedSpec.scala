@@ -16,20 +16,24 @@ class PqPersistedSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("persisted index keeps the in-flight tier's recall and stages once") {
-    val row1 = SparkEntry.queries("ann_pq_persisted")(spark, sf).collect().head
-    val recall = row1.getAs[Double]("recall")
+    SparkEntry.queries("ann_pq_persisted")(spark, sf).collect()
+    // measured values ride the instrument side-channel since the
+    // emission went oracle-checked (geometry columns + floor bits)
+    val inst1 = SimilarityQueries.lastInstrument.get("ann_pq_persisted")
+    val recall = inst1("recall")
     assert(recall >= 0.6, s"persisted-PQ recall floor broken: $recall")
     // identical deterministic training => identical recall to the
     // in-flight tier on the same corpus
-    val inflight = SparkEntry.queries("ann_pq_recall")(spark, sf)
-      .collect().head.getAs[Double]("recall")
+    SparkEntry.queries("ann_pq_recall")(spark, sf).collect()
+    val inflight = SimilarityQueries.lastInstrument
+      .get("ann_pq_recall")("recall")
     assert(recall == inflight,
       s"persisted ($recall) and in-flight ($inflight) PQ recalls must " +
         "agree — same codebooks, same candidates")
     // second run: staged index is reused (marker present), same answer
-    val row2 = SparkEntry.queries("ann_pq_persisted")(spark, sf).collect().head
-    assert(row2.getAs[Double]("recall") == recall)
-    assert(row2.getAs[Double]("index_bytes_per_vec") ==
-      row1.getAs[Double]("index_bytes_per_vec"))
+    SparkEntry.queries("ann_pq_persisted")(spark, sf).collect()
+    val inst2 = SimilarityQueries.lastInstrument.get("ann_pq_persisted")
+    assert(inst2("recall") == recall)
+    assert(inst2("index_bytes_per_vec") == inst1("index_bytes_per_vec"))
   }
 }

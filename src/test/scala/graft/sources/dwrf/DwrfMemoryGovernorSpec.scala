@@ -75,6 +75,30 @@ class DwrfMemoryGovernorSpec extends AnyFunSuite {
     }
   }
 
+  test("a rich writer's halved multiplier decays back once pressure lifts") {
+    withPool(256L * 1024 * 1024) {
+      val rich = DwrfMemoryGovernor.register(256L * 1024 * 1024)
+      val needy = DwrfMemoryGovernor.register(256L * 1024 * 1024)
+      val extra = (1 to 8).map(_ =>
+        DwrfMemoryGovernor.register(256L * 1024 * 1024))
+      DwrfMemoryGovernor.noteFlush(needy)
+      DwrfMemoryGovernor.noteFlush(needy)
+      DwrfMemoryGovernor.addedRows(DwrfMemoryGovernor.RowsBetweenChecks)
+      assert(rich.currentMultiplier < 1.0)
+      // lift the pressure: most writers finish their files
+      extra.foreach(DwrfMemoryGovernor.unregister)
+      assert(!DwrfMemoryGovernor.lowMemory)
+      // each subsequent check doubles the halved multiplier toward 1.0 —
+      // a long-lived writer must not keep an undersized stripe budget
+      // for the rest of its file after one unlucky idle check
+      DwrfMemoryGovernor.addedRows(DwrfMemoryGovernor.RowsBetweenChecks)
+      assert(rich.currentMultiplier == 1.0,
+        s"multiplier stuck at ${rich.currentMultiplier} after pressure lifted")
+      DwrfMemoryGovernor.unregister(rich)
+      DwrfMemoryGovernor.unregister(needy)
+    }
+  }
+
   test("low-memory write abandons dictionaries in-flight and stays readable") {
     import org.apache.spark.sql.types._
     withPool(1L * 1024 * 1024) { // 1 MB pool: any real writer oversubscribes

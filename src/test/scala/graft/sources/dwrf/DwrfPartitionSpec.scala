@@ -379,4 +379,27 @@ class DwrfPartitionSpec extends AnyFunSuite {
     scan.filter(Array[Filter](IsNull("k")))
     assert(scan.planInputPartitions().length == 1)
   }
+
+  test("adopted layout order beats a reversed partition.columns option") {
+    // an append whose option lists the columns in the other order must
+    // follow the ON-DISK nesting (bucket=/cat=), not write a reversed
+    // cat=/bucket= tree beside it — that fragmentation would poison the
+    // next adoption via the heterogeneous-layout check
+    val dir = tmp("dwrf-part-order-")
+    def rows(from: Long, to: Long) = spark.range(from, to, 1, 1).select(
+      col("id"), (col("id") % 2).as("bucket"),
+      concat(lit("c"), col("id") % 2).as("cat"))
+    rows(0, 100).write.format("dwrf").partitionBy("bucket", "cat")
+      .mode("overwrite").save(dir)
+    rows(100, 200).write.format("dwrf")
+      .option("partition.columns", "cat,bucket") // reversed on purpose
+      .mode("append").save(dir)
+    val root = new java.io.File(dir)
+    val topDirs = root.listFiles.filter(_.isDirectory).map(_.getName).sorted
+    assert(topDirs.forall(_.startsWith("bucket=")),
+      s"append fragmented the physical layout: $topDirs")
+    val back = spark.read.format("dwrf").load(dir)
+    assert(back.count() == 200)
+    assert(back.filter(col("bucket") === 1 && col("cat") === "c1").count() == 100)
+  }
 }
