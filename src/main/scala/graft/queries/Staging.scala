@@ -39,7 +39,29 @@ object Staging {
             if (m > max) max = m
           }
           max
-        } else f.lastModified
+        } else {
+          // jar code source: sbt's bgRun repackages the classes into a
+          // FRESH jar per `runMain`, so the jar file's own mtime is
+          // "now" on every invocation — keying on it would restage
+          // every fixture every run (measured: bench pass-1 paid full
+          // staging each run) — and sbt normalizes entry TIMES to a
+          // fixed reproducible-build epoch, so those never change.
+          // The entries' CRCs are content-derived: stable across
+          // repackaging, different after any recompile. Fold them
+          // (with names, from the central directory — no
+          // decompression) into one 64-bit fingerprint.
+          val zf = new java.util.zip.ZipFile(f)
+          try {
+            var h = 1125899906842597L
+            val es = zf.entries()
+            while (es.hasMoreElements) {
+              val e = es.nextElement()
+              h = h * 31 + e.getName.hashCode
+              h = h * 31 + e.getCrc
+            }
+            h
+          } finally zf.close()
+        }
       }
     java.lang.Long.toHexString(latest)
   }

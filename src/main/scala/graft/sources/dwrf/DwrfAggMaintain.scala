@@ -75,6 +75,24 @@ object DwrfAggMaintain {
     batch.selectExpr(keys.map(k => s"`$k`"): _*).distinct()
       .createOrReplaceTempView(affectedView)
     try {
+      // Bootstrap fast path: the first maintenance batch into an EMPTY
+      // aggregate table inserts every affected group's fresh rollup —
+      // MERGE would join that recompute against zero target rows.
+      // Replay-safe the same way DwrfApplyChanges is: once this append
+      // commits, a replayed batch finds a non-empty target and takes
+      // the MERGE below, which recomputes-from-truth and rewrites the
+      // same groups to the same values (the idempotency the
+      // stream_agg_maintain gate proves).
+      if (s.table(targetTable).isEmpty) {
+        s.sql(
+          s"""SELECT $kCols, ${aggClauses.mkString(", ")}
+             |FROM $srcTable
+             |WHERE ($kCols) IN (SELECT $kCols FROM $affectedView)
+             |GROUP BY $kCols
+             |""".stripMargin)
+          .writeTo(targetTable).append()
+        return
+      }
       val on = keys.map(k => s"t.`$k` = c.`$k`").mkString(" AND ")
       val freshOn = keys.map(k => s"a.`$k` = f.`$k`").mkString(" AND ")
       val sets = aggNames.map(n => s"t.`$n` = c.`$n`").mkString(", ")

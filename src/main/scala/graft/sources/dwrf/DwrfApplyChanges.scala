@@ -90,6 +90,22 @@ object DwrfApplyChanges {
       .groupBy(keys.map(col): _*)
       .agg(max_by(payload, rank).as("_net"))
       .select(col("_net.*"))
+    // Bootstrap fast path: the first sync into an EMPTY replica is a
+    // bulk load — MERGE would still plan a join of the whole snapshot
+    // against zero target rows. A plain append commits the same rows
+    // atomically (delete winners are no-ops on an empty table).
+    // Replay-safe without any extra bookkeeping: once this append's
+    // commit lands the target is non-empty, so a replayed batch (crash
+    // between target commit and checkpoint commit) takes the MERGE
+    // path below, which rewrites the same keys to the same values —
+    // the idempotency contract is carried by whichever path runs
+    // SECOND, and that is always the MERGE.
+    if (s.table(targetTable).isEmpty) {
+      net.filter(col(DwrfChanges.ChangeTypeColumn) === "insert")
+        .select(dataCols.map(col).toSeq: _*)
+        .writeTo(targetTable).append()
+      return
+    }
     val view = s"dwrf_apply_changes_${java.util.UUID.randomUUID().toString.take(8)}"
     net.createOrReplaceTempView(view)
     try {

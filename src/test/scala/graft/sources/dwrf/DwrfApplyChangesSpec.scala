@@ -113,4 +113,44 @@ class DwrfApplyChangesSpec extends AnyFunSuite {
       assert(once.map(_._1) === (3L until 10L))
     } finally s.sql(s"DROP TABLE IF EXISTS $tgt")
   }
+
+  test("bootstrap append into an empty target, then a replay through MERGE") {
+    // the first sync takes the bulk-load fast path (no join against an
+    // empty table); a crash-replay of that same batch finds the target
+    // non-empty and must converge through the MERGE path instead —
+    // the exactly-once contract is carried by whichever path runs second
+    val s = spark
+    import s.implicits._
+    val srcDir = tmpDir()
+    val tgtDir = tmpDir()
+    val tgt = s"apply_boot_${Integer.toHexString(tgtDir.hashCode)}"
+    s.sql(s"DROP TABLE IF EXISTS $tgt")
+    try {
+      (0L until 10L).map(i => (i, i * 1.0)).toDF("id", "bal")
+        .write.format("dwrf").mode("overwrite").save(srcDir)
+      DwrfLog.enable(new Path(srcDir), conf)
+      // v1: the rows the feed will carry as inserts; v2: a delete in
+      // the same batch span — its net-effect winner must be a no-op on
+      // the empty bootstrap, and stay gone after the replay
+      (10L until 20L).map(i => (i, i * 1.0)).toDF("id", "bal")
+        .write.format("dwrf").mode("append").save(srcDir)
+      DwrfDv.deleteWhere(s, srcDir,
+        s.read.format("dwrf").load(srcDir).schema,
+        Array(org.apache.spark.sql.sources.GreaterThanOrEqual("id", 18L)))
+      s.sql(s"CREATE TABLE $tgt (id BIGINT, bal DOUBLE) USING dwrf LOCATION '$tgtDir'")
+      DwrfLog.enable(new Path(tgtDir), conf)
+
+      val batch = DwrfChanges.between(s, srcDir, 0L) // v1 inserts + v2 deletes
+      DwrfApplyChanges.applyBatch(batch, tgt, Seq("id"))
+      val once = rowsOf(tgt)
+      assert(once.map(_._1) === (10L until 18L),
+        "bootstrap must load insert winners and skip delete winners")
+      val v1 = DwrfLog.latestVersion(new Path(tgtDir), conf).get
+      // replay: target non-empty now, so this runs the MERGE path
+      DwrfApplyChanges.applyBatch(batch, tgt, Seq("id"))
+      assert(rowsOf(tgt) === once,
+        "a replayed bootstrap batch must rewrite identical values")
+      assert(DwrfLog.latestVersion(new Path(tgtDir), conf).get >= v1)
+    } finally s.sql(s"DROP TABLE IF EXISTS $tgt")
+  }
 }
