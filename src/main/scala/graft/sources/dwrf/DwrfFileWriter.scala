@@ -20,6 +20,16 @@ final case class DwrfWriteOptions(
     dictionaryKeyNumericThreshold: Double = 0.7,
     dictionaryKeyStringThreshold: Double = 0.8,
     dictionaryEnabled: Boolean = true,
+    // A1 carried-over encoding interval (reference OrcConf.java:53
+    // HIVE_ORC_DICTIONARY_ENCODING_INTERVAL, WriterImpl.java:790-792):
+    // the dict-vs-direct decision is recomputed only on every
+    // interval-th stripe and carried over in between; carried-over
+    // DIRECT stripes skip value buffering / dictionary population
+    // entirely (WriterImpl useCarriedOverDirectEncoding,
+    // WriterImpl.java:860-865). Default 1 = re-decide per stripe (the
+    // repo's strictly-more-adaptive divergence, SURVEY §2.4); set 30
+    // for the reference's behavior.
+    encodingInterval: Int = 1,
     maxDictionarySize: Long = 100L * 1024 * 1024,
     // A3: mid-stripe dictionary abandonment once the accumulating
     // dictionary is provably useless AND its bookkeeping crosses this
@@ -92,6 +102,8 @@ object DwrfWriteOptions {
         .map(_.toDouble).getOrElse(d.dictionaryKeyStringThreshold),
       dictionaryEnabled = m.get("dictionary.enabled").map(_.toBoolean)
         .getOrElse(d.dictionaryEnabled),
+      encodingInterval = m.get("encoding.interval").map(_.toInt)
+        .getOrElse(d.encodingInterval),
       maxDictionarySize = m.get("max.dictionary.size").map(_.toLong)
         .getOrElse(d.maxDictionarySize),
       dictionaryAbandonBytes = m.get("dictionary.abandon.bytes").map(_.toLong)
@@ -278,6 +290,12 @@ final class DwrfFileWriter(
     if (sampled)
       encodeSampleNanosAcc += (System.nanoTime() - t0) - (flushNanosAcc - f0)
   }
+
+  /** Close the current stripe regardless of the memory policy (empty
+    * stripe = no-op). Lets tests and tools pin exact stripe boundaries,
+    * e.g. to exercise the A1 carried-over encoding interval.
+    */
+  private[dwrf] def forceStripeFlush(): Unit = flushStripe()
 
   private def flushStripe(): Unit = {
     if (rowsInStripe == 0) return

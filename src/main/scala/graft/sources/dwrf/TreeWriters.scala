@@ -306,6 +306,13 @@ final class ByteTreeWriter(columnId: Int, opts: DwrfWriteOptions)
   * dictionary encoding is used iff distinct/total ≤ 0.7 (DICTIONARY_DATA =
   * sorted distinct values, DATA = ids), else direct signed RLE. Row-index
   * positions are captured during the flush-time replay (A5).
+  *
+  * With `encoding.interval` > 1 the decision is recomputed only on every
+  * interval-th stripe and carried over in between (reference
+  * WriterImpl.java:790-792 determineEncodingStripe); a carried-over
+  * DIRECT stripe streams values straight into the RLE writer with no
+  * stripe buffer at all — the reference's useCarriedOverDirectEncoding
+  * memory win (WriterImpl.java:860-865, write() direct branch).
   */
 final class LongTreeWriter(columnId: Int, dt: DataType, opts: DwrfWriteOptions)
     extends TreeWriter(columnId, opts) {
@@ -316,32 +323,57 @@ final class LongTreeWriter(columnId: Int, dt: DataType, opts: DwrfWriteOptions)
   private var useDictionary = false
   private var dictSize = 0
   private var capturedPositions: Array[Seq[(Int, Array[Long])]] = Array.empty
+  private val interval = math.max(1, opts.encodingInterval)
+  private var stripesDone = 0
+  private var lastUseDictionary = false
+  // non-null exactly when this stripe is carried-over direct: values
+  // stream through it as they arrive instead of buffering
+  private var liveDirect: RunLengthIntegerWriter = null
+
+  private def determining: Boolean = stripesDone % interval == 0
+
+  private def extract(g: SpecializedGetters, ordinal: Int): Long = dt match {
+    case ShortType => g.getShort(ordinal).toLong
+    case IntegerType => g.getInt(ordinal).toLong
+    case d: DecimalType =>
+      g.getDecimal(ordinal, d.precision, d.scale).toUnscaledLong
+    case _ => g.getLong(ordinal)
+  }
 
   override protected def writeValue(g: SpecializedGetters, ordinal: Int): Unit = {
-    val v = dt match {
-      case ShortType => g.getShort(ordinal).toLong
-      case IntegerType => g.getInt(ordinal).toLong
-      case d: DecimalType =>
-        g.getDecimal(ordinal, d.precision, d.scale).toUnscaledLong
-      case _ => g.getLong(ordinal)
-    }
+    val v = extract(g, ordinal)
     stats.noteLong(v)
-    values.add(v)
+    if (liveDirect != null) liveDirect.write(v)
+    else values.add(v)
   }
 
   override protected def recordValuePositions(out: scala.collection.mutable.ArrayBuffer[(Int, Array[Long])]): Unit =
-    strideMarkers.add(values.size)
+    if (liveDirect != null) {
+      val rec = new PositionsBuilder
+      liveDirect.getPosition(rec)
+      out += StreamKind.Data -> rec.result()
+    } else strideMarkers.add(values.size)
 
   override protected def finishValueStreams(): Seq[FinishedStream] = {
+    if (liveDirect != null) {
+      liveDirect.flush()
+      useDictionary = false
+      stripesDone += 1
+      return finished(StreamKind.Data, dataOut)
+    }
     val n = values.size
     val captured = scala.collection.mutable.ArrayBuffer.empty[Seq[(Int, Array[Long])]]
     var distinct: Array[Long] = null
-    if (opts.dictionaryEnabled && n > 0) {
+    if (opts.dictionaryEnabled && n > 0 &&
+        (determining || lastUseDictionary)) {
       distinct = values.toSortedDistinct
-      useDictionary =
+      useDictionary = if (determining)
         distinct.length.toDouble / n <= opts.dictionaryKeyNumericThreshold
+      else true // carried-over dictionary decision, density not re-tested
       dictSize = distinct.length
     }
+    if (determining) lastUseDictionary = useDictionary
+    stripesDone += 1
     var marker = 0
     def captureAt(i: Int, rle: RunLengthIntegerWriter): Unit = {
       while (marker < strideMarkers.size && strideMarkers(marker) == i) {
@@ -396,11 +428,17 @@ final class LongTreeWriter(columnId: Int, dt: DataType, opts: DwrfWriteOptions)
     if (useDictionary) ColumnEncoding(dictionary = true, dictionarySize = dictSize)
     else ColumnEncoding(dictionary = false)
 
-  override protected def valueMemory: Long = values.memory
+  override protected def valueMemory: Long =
+    if (liveDirect != null) dataOut.bufferedSize else values.memory
   override protected def reset(): Unit = {
     super.reset(); values.clear(); strideMarkers.clear()
     dataOut.clear(); dictOut.clear(); useDictionary = false; dictSize = 0
     capturedPositions = Array.empty
+    // carried-over direct for the upcoming stripe → stream, don't buffer
+    liveDirect =
+      if (!determining && !lastUseDictionary)
+        new RunLengthIntegerWriter(dataOut, signed = true, opts.useVInts)
+      else null
   }
 }
 
@@ -495,6 +533,15 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions)
   private var abandoned = false
   private val directBytes = new ByteBuf()
   private var directLens = new IntBuffer()
+  // A1 carried-over encoding interval (reference WriterImpl.java:790-792,
+  // OrcConf.java:53): recompute the dict-vs-direct decision only on every
+  // interval-th stripe; carried-over DIRECT stripes skip dictionary
+  // population entirely by starting in the abandoned-accumulation mode
+  // (the reference's useCarriedOverDirectEncoding).
+  private val interval = math.max(1, opts.encodingInterval)
+  private var stripesDone = 0
+  private var lastUseDictionary = false
+  private def determining: Boolean = stripesDone % interval == 0
 
   override protected def writeValue(g: SpecializedGetters, ordinal: Int): Unit = {
     val v = g.getUTF8String(ordinal)
@@ -590,7 +637,12 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions)
   }
 
   override protected def finishValueStreams(): Seq[FinishedStream] = {
-    if (abandoned) return finishAbandoned()
+    val det = determining
+    stripesDone += 1
+    if (abandoned) {
+      if (det) lastUseDictionary = false
+      return finishAbandoned()
+    }
     val n = rows.size
     val distinct = keys.size
     // Dictionary iff (1) the distinct/total density clears the plain
@@ -598,11 +650,16 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions)
     // wins (> entropyKeySizeThreshold), OR the keys are character-diverse
     // enough that the block codec alone won't compress direct data
     // (reference A2: low-entropy medium-repeat columns — e.g. UUIDs with
-    // some dupes — go DIRECT and let zlib do the work).
+    // some dupes — go DIRECT and let zlib do the work). On non-determining
+    // stripes the previous decision carries over untested (A1 interval).
     val repeatedFraction = if (n > 0) (n - distinct).toDouble / n else 0.0
-    useDictionary = opts.dictionaryEnabled && n > 0 &&
-      distinct.toDouble / n <= opts.dictionaryKeyStringThreshold &&
-      (repeatedFraction > opts.entropyKeySizeThreshold || entropyExceedsThreshold())
+    useDictionary =
+      if (det)
+        opts.dictionaryEnabled && n > 0 &&
+          distinct.toDouble / n <= opts.dictionaryKeyStringThreshold &&
+          (repeatedFraction > opts.entropyKeySizeThreshold || entropyExceedsThreshold())
+      else lastUseDictionary && n > 0
+    if (det) lastUseDictionary = useDictionary
     val captured = scala.collection.mutable.ArrayBuffer.empty[Seq[(Int, Array[Long])]]
     var marker = 0
     if (useDictionary) {
@@ -785,8 +842,10 @@ final class StringTreeWriter(columnId: Int, opts: DwrfWriteOptions)
     globalDictSize = 0
     capturedPositions = Array.empty
     // under governor pressure, stay direct for every later stripe too —
-    // the reference's enterLowMemoryMode is sticky for the writer's life
-    abandoned = lowMem
+    // the reference's enterLowMemoryMode is sticky for the writer's life;
+    // likewise a carried-over DIRECT decision (A1 interval) starts the
+    // next stripe in direct accumulation — no dictionary population
+    abandoned = lowMem || (!determining && !lastUseDictionary)
     // release, don't just reset: an abandoned stripe's buffers are
     // stripe-sized and must not be retained (or keep counting toward the
     // next stripe's memory budget) after flush
