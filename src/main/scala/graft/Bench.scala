@@ -31,7 +31,8 @@ object Bench {
     "q_resample_ffill",
     "dwrf_roundtrip_lineitem", "dwrf_projection_filter",
     "dwrf_filter_columnar", "dwrf_partitioned_roundtrip", "dwrf_footer_agg",
-    "dwrf_zorder_scan", "dwrf_bloom_scan", "dwrf_decimal_roundtrip",
+    "dwrf_zorder_scan", "dwrf_bloom_scan", "dwrf_bloom_stride",
+    "dwrf_decimal_roundtrip",
     "dwrf_spj_join", "dwrf_delete_scan", "dwrf_merge_scan",
     "dwrf_time_travel", "dwrf_optimize_scan", "dwrf_catalog_scan",
     "dwrf_bucket_join",

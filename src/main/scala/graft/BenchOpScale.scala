@@ -130,7 +130,7 @@ object BenchOpScale {
     val copies = sys.env.getOrElse("SPARK_GRAFT_OPSCALE_COPIES", "16").toInt
     // section selector for iteration (unset = the full stress suite —
     // what the committed artifact always is): comma list among
-    // skew,ops,emb,kll,mstats,streamsrc,gf,spj,cdc
+    // skew,ops,emb,kll,mstats,streamsrc,gf,spj,bloom,cdc
     val onlySections = sys.env.get("SPARK_GRAFT_OPSCALE_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     def sec(name: String): Boolean = onlySections.forall(_.contains(name))
@@ -709,6 +709,109 @@ object BenchOpScale {
         spark.sql("DROP TABLE IF EXISTS graft_opspj.lake.fact_skew")
         spark.sql("DROP TABLE IF EXISTS graft_opspj.lake.dim")
       }
+    }
+
+    // ------------------------- per-stride bloom point-lookup at millions
+    // The r12 stride-bloom claim measured: 2.56M rows written as 8 dwrf
+    // files, each clustered on hash(k) so every file AND every stride's
+    // k-range spans the whole domain — min/max stats prune nothing. A
+    // 3-key point lookup composes the two bloom rungs: per-FILE blooms
+    // keep only the owning files, then (bloom.stride on) per-STRIDE
+    // blooms cut each kept file to ~the owning strides. The off twin
+    // (bloom.stride=false) isolates the stride tier's contribution. At
+    // 100 TB the delta is reading ~one stride per surviving file
+    // instead of every stride of it.
+    if (sec("bloom")) {
+      import org.apache.spark.sql.sources.In
+      import graft.sources.dwrf.DwrfUtil
+      val nRows = 2560000L
+      val strideRows = 4096
+      def stage(dirName: String, strideBlooms: Boolean): (Double, String, Long) = {
+        val out = s"$scaledDir/$dirName"
+        val (t, _) = time {
+          // payload ~64 B/row so the contrast scan pays real decode for
+          // every surviving stride, like a production row
+          spark.range(0, nRows, 1, 8)
+            .selectExpr("id AS k",
+              "concat(md5(cast(id AS string)), md5(cast(id + 1 AS string))) AS x")
+            .repartition(8)
+            .sortWithinPartitions(expr("hash(k)"))
+            .write.format("dwrf").mode("overwrite")
+            .option("bloom.columns", "k")
+            .option("bloom.stride", strideBlooms.toString)
+            .option("bloom.fpp", "0.005")
+            .option("row.index.stride", strideRows.toString)
+            .save(out)
+        }
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(DwrfUtil.sessionHadoopConf())
+        val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+          .filter(_.isFile).map(_.getLen).sum
+        (t, out, bytes)
+      }
+      // throwaway warmup of the SAME shape so codegen/zlib/JIT cost
+      // doesn't ride the first measured stage (a cold first dwrf write
+      // pays ~7 s of JIT here; warmed, on/off stage times converge)
+      spark.range(0, 512000L, 1, 8)
+        .selectExpr("id AS k",
+          "concat(md5(cast(id AS string)), md5(cast(id + 1 AS string))) AS x")
+        .repartition(8)
+        .sortWithinPartitions(expr("hash(k)"))
+        .write.format("dwrf").mode("overwrite")
+        .option("bloom.columns", "k")
+        .option("bloom.stride", "true")
+        .option("row.index.stride", strideRows.toString)
+        .save(s"$scaledDir/bloomwh_warm")
+      val (tStageOn, dirOn, bytesOn) = stage("bloomwh_on", strideBlooms = true)
+      val (tStageOff, dirOff, bytesOff) = stage("bloomwh_off", strideBlooms = false)
+      val keys = Array[Any](7L, nRows / 2, nRows - 3)
+      def lookup(d: String): (Double, Long, Long, Long) = {
+        val (t, (rows, strides, stripes)) =
+          time(DwrfUtil.surfacedRows(d, "k", Seq(In("k", keys))))
+        (t, rows, strides, stripes)
+      }
+      lookup(dirOn); lookup(dirOff) // warm footers/page cache off-measurement
+      val (tOn, rowsOn, stridesOn, _) = lookup(dirOn)
+      val (tOff, rowsOff, stridesOff, _) = lookup(dirOff)
+      // the columnar DataFrame path too: the end-to-end scan a user
+      // runs — aggregating over the payload so surviving strides pay
+      // real decode (a bare count() reads no values at all)
+      def scanCount(d: String): (Double, Long) = {
+        val (t, n, _, _) = measuredF {
+          spark.read.format("dwrf").load(d)
+            .filter(col("k").isin(keys.map(_.asInstanceOf[Long]): _*))
+            .agg(count(col("x")).as("n"), sum(length(col("x"))))
+            .head().getLong(0)
+        }
+        (t, n)
+      }
+      scanCount(dirOn); scanCount(dirOff) // warm
+      val (tScanOn, nOn) = scanCount(dirOn)
+      val (tScanOff, nOff) = scanCount(dirOff)
+      r ++= Seq(
+        "bloom_rows" -> nRows,
+        "bloom_stage_s_on" -> tStageOn,
+        "bloom_stage_s_off" -> tStageOff,
+        "bloom_bytes_on" -> bytesOn,
+        "bloom_bytes_off" -> bytesOff,
+        "bloom_index_overhead_pct" ->
+          (bytesOn - bytesOff).toDouble * 100.0 / bytesOff,
+        "bloom_lookup_s_on" -> tOn,
+        "bloom_lookup_s_off" -> tOff,
+        "bloom_surfaced_rows_on" -> rowsOn,
+        "bloom_surfaced_rows_off" -> rowsOff,
+        "bloom_strides_skipped_on" -> stridesOn,
+        "bloom_strides_skipped_off" -> stridesOff,
+        "bloom_scan_s_on" -> tScanOn,
+        "bloom_scan_s_off" -> tScanOff,
+        "bloom_scan_speedup" -> tScanOff / math.max(1e-9, tScanOn))
+      check(nOn == 3L && nOff == 3L,
+        s"bloom lookup row counts diverged: on $nOn off $nOff (expect 3)")
+      check(rowsOn * 10 <= rowsOff,
+        s"stride blooms must collapse the surfaced volume >= 10x: " +
+          s"on $rowsOn vs off $rowsOff")
+      check(stridesOn > stridesOff,
+        s"stride blooms skipped no extra strides: on $stridesOn off $stridesOff")
     }
 
     // ----------------------------------- CDC maintain cost attribution

@@ -36,6 +36,15 @@ object StreamKind {
   val StrideDictionary = 6
   val StrideDictionaryLength = 7
   val RowIndex = 8
+  /** Per-stride Bloom filters, one optional filter per row-index stride
+    * (same id ORC's own proto later assigned BLOOM_FILTER; the reference
+    * fork predates it). Lives in the stripe's index area after the
+    * ROW_INDEX streams. */
+  val BloomFilter = 9
+
+  /** Kinds stored in the stripe's INDEX area (before the data streams);
+    * offset accounting inside the index buffer must walk exactly these. */
+  def isIndexKind(kind: Int): Boolean = kind == RowIndex || kind == BloomFilter
 }
 
 final case class StreamInfo(column: Int, kind: Int, length: Long)
@@ -332,6 +341,41 @@ object MetaIO {
         kind -> Array.fill(np)(readVulong(in))
       }.toMap
       RowIndexEntry(positions, readStats(in))
+    }
+  }
+
+  /** Stride-bloom payload (StreamKind.BloomFilter): one optional filter
+    * per row-index stride, length-prefixed ([[BloomFilter.serialize]]
+    * bytes; 0 = no filter for that stride — e.g. all-null). Serialized
+    * per column into its BLOOM_FILTER index stream.
+    */
+  def writeStrideBlooms(out: OutputStream,
+      blooms: Seq[Option[BloomFilter]]): Unit = {
+    writeVulong(out, blooms.size.toLong)
+    blooms.foreach {
+      case Some(bf) =>
+        val b = bf.serialize()
+        writeVulong(out, b.length.toLong)
+        out.write(b, 0, b.length)
+      case None => writeVulong(out, 0L)
+    }
+  }
+
+  def readStrideBlooms(in: InputStream): IndexedSeq[Option[BloomFilter]] = {
+    val n = readVulong(in).toInt
+    (0 until n).map { _ =>
+      val len = readVulong(in).toInt
+      if (len == 0) None
+      else {
+        val b = new Array[Byte](len)
+        var off = 0
+        while (off < len) {
+          val r = in.read(b, off, len - off)
+          if (r < 0) throw new java.io.EOFException("stride bloom truncated")
+          off += r
+        }
+        BloomFilter.deserialize(b) // None on foreign bytes: no pruning
+      }
     }
   }
 }

@@ -733,6 +733,68 @@ object FormatQueries extends QueryPack {
     |ORDER BY c_custkey
     |""".stripMargin.trim
 
+  // Per-STRIDE Bloom pruning end to end (bloom.stride, the in-file rung
+  // below dwrf_bloom_scan's per-file pruning): lineitem staged as ONE
+  // dwrf file sorted by l_partkey, so l_orderkey is scrambled by the
+  // layout and every row-index stride's [min,max] spans ~the whole
+  // orderkey domain — stats alone keep every stride. A 3-key point
+  // lookup then REQUIREs that the BLOOM_FILTER index streams refuted
+  // at least half the strides and that the surfaced volume collapsed
+  // to ~the owning strides. At 100 TB this is what turns a key lookup
+  // into ~one stride of I/O per surviving file instead of the whole
+  // file. The oracle hash proves the pruned scan surfaces exactly the
+  // right rows.
+  private def bloomStride(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.sources.In
+    import graft.sources.dwrf.DwrfUtil
+    val StrideRows = 2048
+    val out = ioDir("bloom_stride", dir)
+    val li = Tables.load(s, dir, "lineitem")
+    staged(dir, out, "lineitem", () =>
+      // cluster on hash(l_orderkey): one key's line items stay contiguous
+      // (a lookup touches ~1 stride) while ADJACENT keys are unrelated,
+      // so every stride's orderkey [min,max] still spans ~the whole
+      // domain and stats cannot prune — only the blooms can
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_linestatus"))
+        .coalesce(1)
+        .sortWithinPartitions(hash(col("l_orderkey")), col("l_orderkey"))
+        .write.format("dwrf").mode("overwrite")
+        .option("bloom.columns", "l_orderkey")
+        .option("bloom.fpp", "0.005")
+        .option("row.index.stride", StrideRows.toString)
+        .save(out))
+    val (lo, hi, n) = {
+      val r = li.agg(min(col("l_orderkey")), max(col("l_orderkey")),
+        count(lit(1))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val keys = Seq(lo, hi, (lo + hi) / 2)
+    val numStrides = (n + StrideRows - 1) / StrideRows
+    val (surfaced, skipped, _) = DwrfUtil.surfacedRows(
+      out, "l_orderkey", Seq(In("l_orderkey", keys.toArray[Any])))
+    require(skipped >= numStrides / 2,
+      s"stride blooms must refute >= half of $numStrides strides, " +
+        s"skipped $skipped (surfaced $surfaced rows)")
+    require(surfaced <= 8L * StrideRows,
+      s"a 3-key lookup must surface ~3 strides, surfaced $surfaced rows")
+    s.read.format("dwrf").load(out)
+      .filter(col("l_orderkey").isin(keys: _*))
+      .select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_returnflag"), col("l_linestatus"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val bloomStrideOracle = """
+    |WITH b AS (SELECT MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi FROM lineitem)
+    |SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+    |  l.l_returnflag, l.l_linestatus
+    |FROM lineitem l, b
+    |WHERE l.l_orderkey IN (b.lo, b.hi, (b.lo + b.hi) // 2)
+    |ORDER BY l.l_orderkey, l.l_linenumber
+    |""".stripMargin.trim
+
   // Small-file compaction (maintenance op over S3/S4): customer written
   // as 16 small files, compacted byte-wise one-group-per-task, then
   // aggregated. The query REQUIRES the file-count collapse — if
@@ -1542,6 +1604,7 @@ object FormatQueries extends QueryPack {
     Q("dwrf_stripe_concat", rtConcat, Some(rtConcatOracle)),
     Q("dwrf_compact_scan", rtCompact, Some(rtCompactOracle)),
     Q("dwrf_bloom_scan", bloomScan, Some(bloomScanOracle)),
+    Q("dwrf_bloom_stride", bloomStride, Some(bloomStrideOracle)),
     Q("dwrf_decimal_roundtrip", rtDecimal, Some(rtDecimalOracle)),
     Q("dwrf_ddl_scan", ddlScan, Some(ddlScanOracle)),
     Q("dwrf_partitioned_roundtrip", rtPartitioned, Some(rtPartitionedOracle)),

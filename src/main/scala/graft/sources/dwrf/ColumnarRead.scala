@@ -1031,9 +1031,12 @@ final class DwrfColumnarPartitionReader(
           reader.statIdByPath.get(attr).flatMap { case (id, _) =>
             indexes.get(id).map(_(k).stats)
           }
-        val matching = (0 until numStrides)
+        val statsMatching = (0 until numStrides)
           .filter(k => StatsFilter.mayMatch(filters, reader.schema, strideStatsOf(k)))
-        reader.counters.stridesSkipped += numStrides - matching.length
+        reader.counters.stridesSkipped += numStrides - statsMatching.length
+        // equality/IN conjuncts get a second, bloom-backed refutation pass
+        val matching =
+          reader.bloomRefineStrides(si, sf, filters, numStrides, statsMatching)
         if (matching.isEmpty) {
           reader.counters.stripesSkipped += 1 // all strides eliminated
         } else if (matching.length == numStrides) {

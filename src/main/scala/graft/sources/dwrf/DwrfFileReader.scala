@@ -203,9 +203,11 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
               statIdByPath.get(attr).flatMap { case (id, _) =>
                 indexes.get(id).map(_(k).stats)
               }
-            val matching = (0 until numStrides)
+            val statsMatching = (0 until numStrides)
               .filter(k => StatsFilter.mayMatch(filters, schema, strideStatsOf(k)))
-            counters.stridesSkipped += numStrides - matching.length
+            counters.stridesSkipped += numStrides - statsMatching.length
+            val matching =
+              bloomRefineStrides(si, sf, filters, numStrides, statsMatching)
             if (matching.isEmpty) Iterator.empty
             else if (matching.length == numStrides) readAll(si, sf)
             else {
@@ -246,8 +248,8 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
     var acc = 0L
     val result = scala.collection.mutable.Map.empty[Int, IndexedSeq[RowIndexEntry]]
     sf.streams.foreach { s =>
-      if (s.kind == StreamKind.RowIndex) {
-        if (wanted.contains(s.column)) {
+      if (StreamKind.isIndexKind(s.kind)) {
+        if (s.kind == StreamKind.RowIndex && wanted.contains(s.column)) {
           val slice = java.util.Arrays.copyOfRange(buf, acc.toInt, (acc + s.length).toInt)
           result(s.column) = MetaIO.readRowIndex(
             InStream(s"rowindex${s.column}", slice, codec, postScript.blockSize)).toIndexedSeq
@@ -257,6 +259,90 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
     }
     result.toMap
   }
+
+  /** Decode the stripe's BLOOM_FILTER index streams (per-stride blooms,
+    * `bloom.stride`) for the wanted columns. Absent streams / strides
+    * simply yield no entry — callers treat missing as "keep".
+    */
+  private[dwrf] def readStrideBlooms(
+      si: StripeInformation,
+      sf: StripeFooter,
+      wanted: Set[Int]): Map[Int, IndexedSeq[Option[graft.format.BloomFilter]]] = {
+    if (si.indexLength == 0) return Map.empty
+    val buf = new Array[Byte](si.indexLength.toInt)
+    pread(si.offset, buf)
+    var acc = 0L
+    val result =
+      scala.collection.mutable.Map.empty[Int, IndexedSeq[Option[graft.format.BloomFilter]]]
+    sf.streams.foreach { s =>
+      if (StreamKind.isIndexKind(s.kind)) {
+        if (s.kind == StreamKind.BloomFilter && wanted.contains(s.column)) {
+          val slice = java.util.Arrays.copyOfRange(buf, acc.toInt, (acc + s.length).toInt)
+          result(s.column) = MetaIO.readStrideBlooms(
+            InStream(s"bloom${s.column}", slice, codec, postScript.blockSize))
+        }
+        acc += s.length
+      }
+    }
+    result.toMap
+  }
+
+  /** Bloom refutation of stats-surviving strides: for each top-level
+    * equality/IN conjunct on a column carrying a BLOOM_FILTER index
+    * stream, a stride whose bloom rules out every filter value's hash
+    * cannot hold a matching row (false positives only ever KEEP a
+    * stride). This is the in-file rung of the same ladder as the
+    * planning-time per-file bloom: at 100 TB, min/max on an unsorted
+    * high-cardinality column keeps every stride of every surviving
+    * file — the stride bloom is what turns a point lookup into ~one
+    * stride of I/O per file instead of the whole file.
+    */
+  private[dwrf] def bloomRefineStrides(
+      si: StripeInformation,
+      sf: StripeFooter,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      numStrides: Int,
+      matching: Seq[Int]): Seq[Int] = {
+    import org.apache.spark.sql.sources._
+    if (matching.isEmpty) return matching
+    // (treeId, value hashes): stride survives the conjunct iff SOME hash
+    // might be present. A conjunct whose values can't all be hashed in
+    // the column's space contributes no probe (conservative keep).
+    val probes: Seq[(Int, Seq[Long])] = filters.flatMap {
+      case EqualTo(a, v) if v != null => probeOf(a, Seq(v))
+      case EqualNullSafe(a, v) if v != null => probeOf(a, Seq(v))
+      case In(a, vs) if vs != null && vs.nonEmpty =>
+        val nn = vs.toSeq.filter(_ != null)
+        if (nn.isEmpty) None else probeOf(a, nn)
+      case _ => None
+    }
+    if (probes.isEmpty) return matching
+    val ids = probes.map(_._1).toSet
+    if (!sf.streams.exists(s => s.kind == StreamKind.BloomFilter && ids(s.column)))
+      return matching
+    val blooms = readStrideBlooms(si, sf, ids)
+    val refined = matching.filter { k =>
+      probes.forall { case (id, hs) =>
+        blooms.get(id) match {
+          case Some(bs) if bs.length == numStrides =>
+            bs(k) match {
+              case Some(bf) => hs.exists(bf.mightContain)
+              case None => true // no filter recorded for this stride
+            }
+          case _ => true // stream truncated/foreign: no pruning
+        }
+      }
+    }
+    counters.stridesSkipped += matching.length - refined.length
+    counters.stridesBloomSkipped += matching.length - refined.length
+    refined
+  }
+
+  private def probeOf(attr: String, vs: Seq[Any]): Option[(Int, Seq[Long])] =
+    statIdByPath.get(attr).flatMap { case (id, dt) =>
+      val hs = vs.flatMap(DwrfBloom.hashFilterValue(dt, _))
+      if (hs.length == vs.length) Some(id -> hs) else None
+    }
 
   /** Plan + execute the stripe's reads: wanted streams only, adjacent
     * ranges coalesced (gap ≤ 256 KB) into single preads.
@@ -281,7 +367,7 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
       (s, start)
     }
     val neededRaw = located.filter { case (s, _) =>
-      s.kind != StreamKind.RowIndex && s.column < wanted.length && wanted(s.column)
+      !StreamKind.isIndexKind(s.kind) && s.column < wanted.length && wanted(s.column)
     }
 
     // absolute byte subranges needed per stream

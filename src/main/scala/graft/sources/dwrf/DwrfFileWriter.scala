@@ -51,7 +51,15 @@ final case class DwrfWriteOptions(
     // graft.format.BloomFilter
     bloomColumns: Seq[String] = Nil,
     bloomFpp: Double = 0.02,
-    bloomMaxDistinct: Int = 1000000) {
+    bloomMaxDistinct: Int = 1000000,
+    // per-STRIDE Bloom filters alongside the per-file one (bloom.stride,
+    // default on whenever bloom.columns is set): a BLOOM_FILTER index
+    // stream per bloom'd column lets equality/IN predicates prune
+    // row-index strides INSIDE surviving files — the rung file-level
+    // blooms can't provide once a 100 TB table's files each hold the
+    // sought key's hash. Memory is bounded by the stride: at most
+    // rowIndexStride distinct hashes accumulate per column at a time.
+    bloomStride: Boolean = true) {
   /** Runtime pressure flags (NOT configuration — deliberately outside
     * case-class equality): set by [[DwrfMemoryGovernor]] when the
     * executor's writer pool oversubscribes; consulted by the zlib level
@@ -126,7 +134,9 @@ object DwrfWriteOptions {
         .getOrElse(d.bloomColumns),
       bloomFpp = m.get("bloom.fpp").map(_.toDouble).getOrElse(d.bloomFpp),
       bloomMaxDistinct = m.get("bloom.max.distinct").map(_.toInt)
-        .getOrElse(d.bloomMaxDistinct))
+        .getOrElse(d.bloomMaxDistinct),
+      bloomStride = m.get("bloom.stride").map(_.toBoolean)
+        .getOrElse(d.bloomStride))
   }
 }
 
@@ -195,16 +205,40 @@ final class DwrfFileWriter(
   private val root = new StructTreeWriter(0, schema, opts)
 
   // bloom accumulation reads top-level values straight off the row —
-  // fully decoupled from the encoder tree (one getter per column per row)
-  private val bloomAccs: Seq[(Int, DataType, graft.format.BloomAccumulator)] =
+  // fully decoupled from the encoder tree (one getter per column per row).
+  // `ordinal` indexes the row; `treeId` names the column in stream/stats
+  // space (what the reader's statIdByPath resolves filter attrs to).
+  private final class BloomColumn(val ordinal: Int, val treeId: Int,
+      val dt: DataType) {
+    val fileAcc = new graft.format.BloomAccumulator(opts.bloomMaxDistinct)
+    // per-stride state (bloom.stride): bounded by the stride row count,
+    // flushed to `strideBlooms` at every row-index boundary
+    var strideAcc: graft.format.BloomAccumulator =
+      if (strideBloomsOn) new graft.format.BloomAccumulator(strideCap) else null
+    val strideBlooms =
+      scala.collection.mutable.ArrayBuffer.empty[Option[graft.format.BloomFilter]]
+    def add(h: Long): Unit = {
+      fileAcc.add(h)
+      if (strideAcc != null) strideAcc.add(h)
+    }
+    def closeStride(): Unit = if (strideAcc != null) {
+      strideBlooms += strideAcc.build(opts.bloomFpp)
+      strideAcc = new graft.format.BloomAccumulator(strideCap)
+    }
+  }
+  private def strideBloomsOn: Boolean =
+    opts.bloomStride && opts.rowIndexStride > 0
+  private def strideCap: Int = opts.rowIndexStride
+
+  private val bloomAccs: Seq[BloomColumn] =
     opts.bloomColumns.map { name =>
       val i = schema.fieldNames.indexOf(name)
       require(i >= 0, s"bloom.columns: no such column '$name'")
       require(DwrfBloom.supported(schema.fields(i).dataType),
         s"bloom.columns: unsupported type ${schema.fields(i).dataType.simpleString} " +
           s"for '$name' (string and integral columns only)")
-      (i, schema.fields(i).dataType,
-        new graft.format.BloomAccumulator(opts.bloomMaxDistinct))
+      new BloomColumn(i, ColumnTree.topLevelIds(schema)(i),
+        schema.fields(i).dataType)
     }
   private val stripes = scala.collection.mutable.ArrayBuffer.empty[StripeInformation]
   private val stripeStatsHistory = scala.collection.mutable.ArrayBuffer.empty[Map[Int, ColumnStats]]
@@ -250,16 +284,22 @@ final class DwrfFileWriter(
     // stride). The subtraction stays anyway — it is one long read per
     // sampled row and keeps the metric honest if either cadence changes.
     val f0 = if (sampled) flushNanosAcc else 0L
-    if (opts.rowIndexStride > 0 && rowsInStripe % opts.rowIndexStride == 0)
+    if (opts.rowIndexStride > 0 && rowsInStripe % opts.rowIndexStride == 0) {
       root.recordStride()
-    bloomAccs.foreach { case (i, dt, acc) =>
-      if (!row.isNullAt(i)) dt match {
-        case StringType => acc.add(DwrfBloom.hashString(row.getUTF8String(i)))
-        case ByteType => acc.add(DwrfBloom.hashLong(row.getByte(i).toLong))
-        case ShortType => acc.add(DwrfBloom.hashLong(row.getShort(i).toLong))
-        case IntegerType => acc.add(DwrfBloom.hashLong(row.getInt(i).toLong))
-        case LongType => acc.add(DwrfBloom.hashLong(row.getLong(i)))
-        case d: DecimalType => acc.add(DwrfBloom.hashLong(
+      // the previous stride is complete: seal its blooms (row 0 of a
+      // stripe has no previous stride; the stripe's LAST stride is
+      // sealed by flushStripe)
+      if (rowsInStripe > 0) bloomAccs.foreach(_.closeStride())
+    }
+    bloomAccs.foreach { bc =>
+      val i = bc.ordinal
+      if (!row.isNullAt(i)) bc.dt match {
+        case StringType => bc.add(DwrfBloom.hashString(row.getUTF8String(i)))
+        case ByteType => bc.add(DwrfBloom.hashLong(row.getByte(i).toLong))
+        case ShortType => bc.add(DwrfBloom.hashLong(row.getShort(i).toLong))
+        case IntegerType => bc.add(DwrfBloom.hashLong(row.getInt(i)))
+        case LongType => bc.add(DwrfBloom.hashLong(row.getLong(i)))
+        case d: DecimalType => bc.add(DwrfBloom.hashLong(
           row.getDecimal(i, d.precision, d.scale).toUnscaledLong))
         case other => throw new IllegalStateException(s"unreachable: $other")
       }
@@ -317,6 +357,21 @@ final class DwrfFileWriter(
           out.write(b, 0, b.length)
           indexStreams += StreamInfo(col, StreamKind.RowIndex, b.length.toLong)
           indexLength += b.length
+        }
+      }
+      // BLOOM_FILTER index streams, physically after every ROW_INDEX
+      // stream (readers walk the index area in sf.streams order)
+      bloomAccs.foreach { bc =>
+        if (bc.strideAcc != null) {
+          bc.closeStride() // the stripe's last (possibly partial) stride
+          val os = new OutStream(s"col${bc.treeId}/bloom", opts.blockSize,
+            CompressionCodec.forKindDynamic(opts.kind, () => opts.zlibLevelNow))
+          MetaIO.writeStrideBlooms(os, bc.strideBlooms.toSeq)
+          val b = os.finish()
+          out.write(b, 0, b.length)
+          indexStreams += StreamInfo(bc.treeId, StreamKind.BloomFilter, b.length.toLong)
+          indexLength += b.length
+          bc.strideBlooms.clear()
         }
       }
     }
@@ -394,9 +449,9 @@ final class DwrfFileWriter(
           }
         }.toMap
       }
-    val bloomMeta: Map[String, Array[Byte]] = bloomAccs.flatMap {
-      case (i, _, acc) => acc.build(opts.bloomFpp).map(bf =>
-        (DwrfBloom.MetaPrefix + schema.fields(i).name) -> bf.serialize())
+    val bloomMeta: Map[String, Array[Byte]] = bloomAccs.flatMap { bc =>
+      bc.fileAcc.build(opts.bloomFpp).map(bf =>
+        (DwrfBloom.MetaPrefix + schema.fields(bc.ordinal).name) -> bf.serialize())
     }.toMap
     val footer = Footer(
       schemaJson = schema.json,

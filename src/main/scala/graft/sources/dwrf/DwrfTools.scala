@@ -66,6 +66,7 @@ object DwrfDump {
     case StreamKind.StrideDictionary => "STRIDE_DICTIONARY"
     case StreamKind.StrideDictionaryLength => "STRIDE_DICTIONARY_LENGTH"
     case StreamKind.RowIndex => "ROW_INDEX"
+    case StreamKind.BloomFilter => "BLOOM_FILTER"
     case other => s"UNKNOWN($other)"
   }
 

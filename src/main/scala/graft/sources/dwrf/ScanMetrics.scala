@@ -11,6 +11,9 @@ final class ScanCounters extends Serializable {
   var stripesRead = 0L
   var stripesSkipped = 0L
   var stridesSkipped = 0L
+  /** Of `stridesSkipped`, how many the per-stride blooms refuted after
+    * min/max stats had already kept them (bloom.stride attribution). */
+  var stridesBloomSkipped = 0L
   var bytesRead = 0L
   var batchesEmitted = 0L
   var preads = 0L
@@ -40,6 +43,10 @@ object DwrfMetrics {
     override def name(): String = "stridesSkipped"
     override def description(): String = "dwrf row-index strides skipped by stats"
   }
+  final class StridesBloomSkipped extends CustomSumMetric {
+    override def name(): String = "stridesBloomSkipped"
+    override def description(): String = "dwrf strides skipped by stride blooms"
+  }
   final class BytesRead extends CustomSumMetric {
     override def name(): String = "bytesRead"
     override def description(): String = "dwrf bytes read"
@@ -58,7 +65,8 @@ object DwrfMetrics {
   }
 
   val all: Array[CustomMetric] = Array(
-    new StripesRead, new StripesSkipped, new StridesSkipped, new BytesRead,
+    new StripesRead, new StripesSkipped, new StridesSkipped,
+    new StridesBloomSkipped, new BytesRead,
     new BatchesEmitted, new Preads, new DecompressMs)
 
   def task(metricName: String, v: Long): CustomTaskMetric = new CustomTaskMetric {
@@ -73,6 +81,7 @@ object DwrfMetrics {
     task("stripesRead", c.stripesRead),
     task("stripesSkipped", c.stripesSkipped),
     task("stridesSkipped", c.stridesSkipped),
+    task("stridesBloomSkipped", c.stridesBloomSkipped),
     task("bytesRead", c.bytesRead),
     task("batchesEmitted", c.batchesEmitted),
     task("preads", c.preads),
