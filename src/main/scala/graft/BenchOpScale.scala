@@ -770,9 +770,14 @@ object BenchOpScale {
           time(DwrfUtil.surfacedRows(d, "k", Seq(In("k", keys))))
         (t, rows, strides, stripes)
       }
+      def median3(f: => Double): Double = {
+        val ts = Seq(f, f, f).sorted; ts(1)
+      }
       lookup(dirOn); lookup(dirOff) // warm footers/page cache off-measurement
-      val (tOn, rowsOn, stridesOn, _) = lookup(dirOn)
-      val (tOff, rowsOff, stridesOff, _) = lookup(dirOff)
+      val (_, rowsOn, stridesOn, _) = lookup(dirOn)
+      val (_, rowsOff, stridesOff, _) = lookup(dirOff)
+      val tOn = median3(lookup(dirOn)._1)
+      val tOff = median3(lookup(dirOff)._1)
       // the columnar DataFrame path too: the end-to-end scan a user
       // runs — aggregating over the payload so surviving strides pay
       // real decode (a bare count() reads no values at all)
@@ -786,8 +791,10 @@ object BenchOpScale {
         (t, n)
       }
       scanCount(dirOn); scanCount(dirOff) // warm
-      val (tScanOn, nOn) = scanCount(dirOn)
-      val (tScanOff, nOff) = scanCount(dirOff)
+      val nOn = scanCount(dirOn)._2
+      val nOff = scanCount(dirOff)._2
+      val tScanOn = median3(scanCount(dirOn)._1)
+      val tScanOff = median3(scanCount(dirOff)._1)
       r ++= Seq(
         "bloom_rows" -> nRows,
         "bloom_stage_s_on" -> tStageOn,

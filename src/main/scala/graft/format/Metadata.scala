@@ -139,6 +139,19 @@ object ColumnStats {
 }
 
 object MetaIO {
+  /** Bound a count/length parsed from UNTRUSTED bytes before it drives
+    * an allocation or a loop: a corrupt varint must fail with a named
+    * error, not an OOM-sized allocation, a negative-size crash, or a
+    * billion-iteration decode loop. 1<<28 comfortably exceeds any real
+    * footer/index payload (these are per-file/per-stripe metadata).
+    */
+  private def sane(n: Long, what: String, max: Long = 1L << 28,
+      min: Long = 0L): Int = {
+    if (n < min || n > max)
+      throw new java.io.IOException(s"corrupt $what: $n out of range")
+    n.toInt
+  }
+
   private def writeString(out: OutputStream, s: String): Unit = {
     val b = s.getBytes("UTF-8")
     writeVulong(out, b.length.toLong)
@@ -146,7 +159,7 @@ object MetaIO {
   }
 
   private def readString(in: InputStream): String = {
-    val len = readVulong(in).toInt
+    val len = sane(readVulong(in), "string length")
     val b = new Array[Byte](len)
     var got = 0
     while (got < len) {
@@ -200,7 +213,7 @@ object MetaIO {
   }
 
   private def readStatsMap(in: InputStream): Map[Int, ColumnStats] = {
-    val n = readVulong(in).toInt
+    val n = sane(readVulong(in), "stats map size")
     (0 until n).map(_ => readVulong(in).toInt -> readStats(in)).toMap
   }
 
@@ -222,11 +235,11 @@ object MetaIO {
   }
 
   def readStripeFooter(in: InputStream): StripeFooter = {
-    val ns = readVulong(in).toInt
+    val ns = sane(readVulong(in), "stream count")
     val streams = (0 until ns).map { _ =>
       StreamInfo(readVulong(in).toInt, readVulong(in).toInt, readVulong(in))
     }
-    val ne = readVulong(in).toInt
+    val ne = sane(readVulong(in), "encoding count")
     val encodings = (0 until ne).map { _ =>
       readVulong(in).toInt -> ColumnEncoding(readBool(in), readVulong(in).toInt)
     }.toMap
@@ -258,7 +271,7 @@ object MetaIO {
 
   def readFooter(in: InputStream): Footer = {
     val schema = readString(in)
-    val ns = readVulong(in).toInt
+    val ns = sane(readVulong(in), "stripe count")
     val stripes = (0 until ns).map { _ =>
       StripeInformation(readVulong(in), readVulong(in), readVulong(in),
         readVulong(in), readVulong(in))
@@ -267,10 +280,10 @@ object MetaIO {
     val numRows = readVulong(in)
     val stride = readVulong(in).toInt
     val raw = readVulong(in)
-    val nm = readVulong(in).toInt
+    val nm = sane(readVulong(in), "metadata entry count")
     val meta = (0 until nm).map { _ =>
       val k = readString(in)
-      val len = readVulong(in).toInt
+      val len = sane(readVulong(in), "metadata value length")
       val v = new Array[Byte](len)
       var got = 0
       while (got < len) {
@@ -309,7 +322,9 @@ object MetaIO {
     PostScript(
       footerLength = readVulong(in),
       compression = CompressionKind.fromId(in.read()),
-      blockSize = readVulong(in).toInt,
+      // untrusted: blockSize sizes every decode buffer downstream
+      blockSize = sane(readVulong(in), "compression block size",
+        max = 1L << 26, min = 1L),
       version = readVulong(in).toInt,
       writerZlibLevel = readVulong(in).toInt,
       useVInts = in.read() == 1)
@@ -332,12 +347,12 @@ object MetaIO {
   }
 
   def readRowIndex(in: InputStream): Seq[RowIndexEntry] = {
-    val n = readVulong(in).toInt
+    val n = sane(readVulong(in), "row index entry count")
     (0 until n).map { _ =>
-      val nk = readVulong(in).toInt
+      val nk = sane(readVulong(in), "position stream count", 64)
       val positions = (0 until nk).map { _ =>
         val kind = readVulong(in).toInt
-        val np = readVulong(in).toInt
+        val np = sane(readVulong(in), "position count", 64)
         kind -> Array.fill(np)(readVulong(in))
       }.toMap
       RowIndexEntry(positions, readStats(in))
@@ -362,9 +377,9 @@ object MetaIO {
   }
 
   def readStrideBlooms(in: InputStream): IndexedSeq[Option[BloomFilter]] = {
-    val n = readVulong(in).toInt
+    val n = sane(readVulong(in), "stride bloom count")
     (0 until n).map { _ =>
-      val len = readVulong(in).toInt
+      val len = sane(readVulong(in), "stride bloom length")
       if (len == 0) None
       else {
         val b = new Array[Byte](len)

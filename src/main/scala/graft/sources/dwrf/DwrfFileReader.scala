@@ -69,8 +69,12 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
     require(psLen > 0 && psLen < tailSize, s"corrupt postscript length $psLen")
     val ps = MetaIO.readPostScript(
       java.util.Arrays.copyOfRange(tail, tailSize - 1 - psLen, tailSize - 1))
-    val footerLen = ps.footerLength.toInt
     val footerEnd = fileLength - 1 - psLen
+    // untrusted: a corrupt footerLength must fail here with a named
+    // error, not as a negative/OOM-sized allocation below
+    require(ps.footerLength > 0 && ps.footerLength <= footerEnd,
+      s"corrupt footer length ${ps.footerLength} (file $fileLength)")
+    val footerLen = ps.footerLength.toInt
     val footerBytes =
       if (footerLen <= footerEnd && footerLen <= tailSize - 1 - psLen)
         java.util.Arrays.copyOfRange(tail,
@@ -90,7 +94,16 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
 
   private val codec = CompressionCodec.forKind(postScript.compression)
 
+  /** Untrusted footer fields: every stripe extent must land inside the
+    * file before it sizes an allocation or a pread. */
+  private def checkStripeBounds(si: StripeInformation): Unit =
+    require(si.offset >= 0 && si.indexLength >= 0 && si.dataLength >= 0 &&
+      si.footerLength >= 0 &&
+      si.offset + si.indexLength + si.dataLength + si.footerLength <= fileLength,
+      s"corrupt stripe extents $si (file $fileLength)")
+
   def readStripeFooter(si: StripeInformation): StripeFooter = {
+    checkStripeBounds(si)
     val b = new Array[Byte](si.footerLength.toInt)
     pread(si.offset + si.indexLength + si.dataLength, b)
     MetaIO.readStripeFooter(InStream("stripe-footer", b, codec, postScript.blockSize))
@@ -243,6 +256,7 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
       sf: StripeFooter,
       wanted: Set[Int]): Map[Int, IndexedSeq[RowIndexEntry]] = {
     if (si.indexLength == 0) return Map.empty
+    checkStripeBounds(si)
     val buf = new Array[Byte](si.indexLength.toInt)
     pread(si.offset, buf)
     var acc = 0L
@@ -269,6 +283,7 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
       sf: StripeFooter,
       wanted: Set[Int]): Map[Int, IndexedSeq[Option[graft.format.BloomFilter]]] = {
     if (si.indexLength == 0) return Map.empty
+    checkStripeBounds(si)
     val buf = new Array[Byte](si.indexLength.toInt)
     pread(si.offset, buf)
     var acc = 0L
