@@ -323,14 +323,10 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
     // (treeId, value hashes): stride survives the conjunct iff SOME hash
     // might be present. A conjunct whose values can't all be hashed in
     // the column's space contributes no probe (conservative keep).
-    val probes: Seq[(Int, Seq[Long])] = filters.flatMap {
-      case EqualTo(a, v) if v != null => probeOf(a, Seq(v))
-      case EqualNullSafe(a, v) if v != null => probeOf(a, Seq(v))
-      case In(a, vs) if vs != null && vs.nonEmpty =>
-        val nn = vs.toSeq.filter(_ != null)
-        if (nn.isEmpty) None else probeOf(a, nn)
-      case _ => None
-    }
+    // Memoized per reader — the filter set is fixed for a scan, so the
+    // value hashing happens once, not once per stripe.
+    val probes: Seq[(Int, Seq[Long])] =
+      if (probeCacheKey eq filters) probeCache else computeProbes(filters)
     if (probes.isEmpty) return matching
     val ids = probes.map(_._1).toSet
     if (!sf.streams.exists(s => s.kind == StreamKind.BloomFilter && ids(s.column)))
@@ -358,6 +354,28 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
       val hs = vs.flatMap(DwrfBloom.hashFilterValue(dt, _))
       if (hs.length == vs.length) Some(id -> hs) else None
     }
+
+  private var probeCacheKey: Seq[org.apache.spark.sql.sources.Filter] = null
+  private var probeCache: Seq[(Int, Seq[Long])] = Nil
+
+  private def computeProbes(
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[(Int, Seq[Long])] = {
+    import org.apache.spark.sql.sources._
+    val ps = filters.flatMap {
+      case EqualTo(a, v) if v != null => probeOf(a, Seq(v))
+      case EqualNullSafe(a, v) if v != null => probeOf(a, Seq(v))
+      case In(a, vs) if vs != null && vs.nonEmpty =>
+        // cap: a huge runtime IN-set (broadcast-join keys) almost never
+        // refutes a whole stride — don't pay |values| bloom probes per
+        // stride chasing it; file-level pruning already had its shot
+        val nn = vs.toSeq.filter(_ != null)
+        if (nn.isEmpty || nn.length > 1024) None else probeOf(a, nn)
+      case _ => None
+    }
+    probeCacheKey = filters
+    probeCache = ps
+    ps
+  }
 
   /** Plan + execute the stripe's reads: wanted streams only, adjacent
     * ranges coalesced (gap ≤ 256 KB) into single preads.
