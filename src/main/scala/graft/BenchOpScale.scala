@@ -130,7 +130,7 @@ object BenchOpScale {
     val copies = sys.env.getOrElse("SPARK_GRAFT_OPSCALE_COPIES", "16").toInt
     // section selector for iteration (unset = the full stress suite —
     // what the committed artifact always is): comma list among
-    // skew,ops,emb,kll,mstats,streamsrc,gf,spj,bloom,cdc
+    // skew,ops,emb,kll,mstats,streamsrc,gf,spj,wide,bloom,cdc
     val onlySections = sys.env.get("SPARK_GRAFT_OPSCALE_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     def sec(name: String): Boolean = onlySections.forall(_.contains(name))
@@ -709,6 +709,71 @@ object BenchOpScale {
         spark.sql("DROP TABLE IF EXISTS graft_opspj.lake.fact_skew")
         spark.sql("DROP TABLE IF EXISTS graft_opspj.lake.dim")
       }
+    }
+
+    // --------------------------- wide-schema projection pruning (P1)
+    // 200 columns, 200k rows: a 2-of-200-column aggregate must read ~1%
+    // of the bytes a full-width read does — the projection-pushdown
+    // contract that makes a 100 TB feature-store scan pay for what it
+    // SELECTs, not for the table width. Byte accounting is exact (the
+    // reader's own pread counter on the row path), the DataFrame-path
+    // timing contrast rides the same files.
+    if (sec("wide")) {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.types.StructType
+      import graft.sources.dwrf.{DwrfFileReader, DwrfUtil}
+      val nCols = 200
+      val nRowsW = 200000L
+      val outW = s"$scaledDir/widewh"
+      val wideCols = (0 until nCols).map(i =>
+        expr(s"cast(id * ${i + 1} AS double)").as(s"c$i"))
+      val (tStageW, _) = time {
+        spark.range(0, nRowsW, 1, 8)
+          .select(col("id").as("k") +: wideCols: _*)
+          .write.format("dwrf").mode("overwrite").save(outW)
+      }
+      val hconf = DwrfUtil.sessionHadoopConf()
+      def bytesFor(fields: Set[String]): Long = {
+        var total = 0L
+        DwrfUtil.listDataFiles(new Path(outW), hconf).foreach { f =>
+          val r = new DwrfFileReader(f, hconf)
+          try {
+            val narrow = StructType(r.schema.fields.filter(x => fields(x.name)))
+            val it = r.rows(r.footer.stripes, narrow, Nil)
+            while (it.hasNext) it.next()
+            total += r.counters.bytesRead
+          } finally r.close()
+        }
+        total
+      }
+      val bytesNarrow = bytesFor(Set("c3", "c197"))
+      val bytesWide = bytesFor((0 until nCols).map(i => s"c$i").toSet + "k")
+      def aggScan(narrow: Boolean): Double = {
+        val df = spark.read.format("dwrf").load(outW)
+        val aggs =
+          if (narrow) Seq(sum(col("c3")), sum(col("c197")))
+          else (0 until nCols).map(i => sum(col(s"c$i")))
+        val (t, _, _, _) = measuredF { df.agg(aggs.head, aggs.tail: _*).head() }
+        t
+      }
+      aggScan(narrow = true); aggScan(narrow = false) // warm
+      val tNarrow = Seq(aggScan(true), aggScan(true), aggScan(true)).sorted.apply(1)
+      val tWide = Seq(aggScan(false), aggScan(false), aggScan(false)).sorted.apply(1)
+      r ++= Seq(
+        "wide_cols" -> nCols,
+        "wide_rows" -> nRowsW,
+        "wide_stage_s" -> tStageW,
+        "wide_bytes_2col" -> bytesNarrow,
+        "wide_bytes_full" -> bytesWide,
+        "wide_bytes_pct" -> bytesNarrow.toDouble * 100.0 / bytesWide,
+        "wide_scan_s_2col" -> tNarrow,
+        "wide_scan_s_full" -> tWide,
+        "wide_scan_speedup" -> tWide / math.max(1e-9, tNarrow))
+      check(bytesNarrow * 20 <= bytesWide,
+        s"2-of-200-column read must touch <= 5% of full-width bytes: " +
+          s"$bytesNarrow vs $bytesWide")
+      check(tNarrow < tWide,
+        s"narrow aggregate must beat full-width: $tNarrow vs $tWide")
     }
 
     // ------------------------- per-stride bloom point-lookup at millions

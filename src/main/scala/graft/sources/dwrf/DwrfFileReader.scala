@@ -461,8 +461,17 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
     val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (start, len)
     val spanStart = if (flat.nonEmpty) flat.head._1 else 0L
     val spanEnd = if (flat.nonEmpty) flat.map(_._2).max else 0L
+    // eager engages only when the span's GAPS are bounded too: on a
+    // wide table a 2-of-200-column projection's span covers ~the whole
+    // stripe, and a whole-span pread would quietly read 50× the wanted
+    // bytes — the opposite of projection pushdown. Waste is capped at
+    // the wanted volume (span ≤ 2× wanted) or at one coalesce gap
+    // (span − wanted ≤ 256 KB, the per-gap round-trip break-even).
+    val wantedBytes = flat.map { case (a, b) => b - a }.sum
+    val span = spanEnd - spanStart
     if (selection.isEmpty && eagerReadEnabled && flat.nonEmpty &&
-        spanEnd - spanStart <= eagerReadBytes) {
+        span <= eagerReadBytes &&
+        (span <= 2 * wantedBytes || span - wantedBytes <= 256 * 1024)) {
       merged += ((spanStart, spanEnd - spanStart))
     } else flat.foreach { case (rs, re) =>
       merged.lastOption match {

@@ -171,13 +171,14 @@ class DwrfRegressionSpec extends AnyFunSuite {
 
   test("eager span read collapses per-gap preads (R1 eager mode)") {
     val dir = tmpDir()
-    // uncompressed so the middle column makes a >256 KB gap between the
-    // two wanted streams — the lazy planner must issue multiple preads,
+    // uncompressed; the middle column makes a >256 KB gap between two
+    // BULKY wanted streams, so the span is still mostly wanted bytes
+    // (span ≤ 2× wanted): the lazy planner must issue multiple preads,
     // the eager planner exactly one data pread per stripe
     spark.range(0, 100000, 1, 1).select(
-      col("id"),
-      format_string("%0128d", col("id")).as("bulky"),
-      (col("id") % 97).as("tail"))
+      format_string("%064d", col("id")).as("head"),
+      format_string("%08d", col("id")).as("mid"), // unique → direct, ~800 KB gap
+      format_string("%064d", col("id") + 1).as("tail"))
       .write.format("dwrf").mode("overwrite")
       .option("compress", "NONE").save(dir)
     val file = DwrfUtil.listDataFiles(
@@ -189,7 +190,7 @@ class DwrfRegressionSpec extends AnyFunSuite {
       val r = new DwrfFileReader(file, conf)
       try {
         val readSchema = org.apache.spark.sql.types.StructType(
-          r.schema.fields.filter(f => Seq("id", "tail").contains(f.name)))
+          r.schema.fields.filter(f => Seq("head", "tail").contains(f.name)))
         val n = r.rows(r.footer.stripes, readSchema).length
         assert(n == 100000)
         r.counters.preads
@@ -202,8 +203,47 @@ class DwrfRegressionSpec extends AnyFunSuite {
       s"eager=$eagerPreads lazy=$lazyPreads: eager mode must issue fewer preads")
     // values identical either way
     val viaSpark = spark.read.format("dwrf").load(dir)
-      .agg(sum(col("tail")), sum(col("id"))).collect().head
-    assert(viaSpark.getLong(1) == (0L until 100000).sum)
+      .agg(count(col("head")), count(col("tail"))).collect().head
+    assert(viaSpark.getLong(0) == 100000L && viaSpark.getLong(1) == 100000L)
+  }
+
+  test("eager mode declines when the span is mostly unwanted bytes") {
+    val dir = tmpDir()
+    // a narrow 2-column projection over a table dominated by an
+    // unwanted bulky middle column: a whole-span pread would read ~8×
+    // the wanted bytes, so the waste-capped gate (span ≤ 2× wanted or
+    // gap ≤ 256 KB) must fall back to per-stream coalesced preads —
+    // projection pushdown must MEAN pushed-down I/O, not just pruned
+    // decode (the wide-table shape of a 100 TB feature store)
+    spark.range(0, 100000, 1, 1).select(
+      col("id"),
+      format_string("%0128d", col("id")).as("bulky"),
+      (col("id") % 97).as("tail"))
+      .write.format("dwrf").mode("overwrite")
+      .option("compress", "NONE").save(dir)
+    val file = DwrfUtil.listDataFiles(
+      new org.apache.hadoop.fs.Path(dir), new org.apache.hadoop.conf.Configuration()).head
+
+    def bytesWith(eager: Boolean): Long = {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      conf.setBoolean("dwrf.eager.read", eager)
+      val r = new DwrfFileReader(file, conf)
+      try {
+        val readSchema = org.apache.spark.sql.types.StructType(
+          r.schema.fields.filter(f => Seq("id", "tail").contains(f.name)))
+        val n = r.rows(r.footer.stripes, readSchema).length
+        assert(n == 100000)
+        r.counters.bytesRead
+      } finally r.close()
+    }
+
+    val eagerBytes = bytesWith(eager = true)
+    val lazyBytes = bytesWith(eager = false)
+    // the bulky column alone is ~13 MB; the wanted pair ~1.6 MB
+    assert(eagerBytes == lazyBytes,
+      s"eager=$eagerBytes lazy=$lazyBytes: the gate must decline the span")
+    assert(eagerBytes < 4L * 1024 * 1024,
+      s"narrow projection read $eagerBytes bytes of a ~15 MB stripe")
   }
 
   test("schema evolution: files missing a later-added column read as null") {
