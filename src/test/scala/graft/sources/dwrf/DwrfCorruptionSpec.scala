@@ -33,6 +33,8 @@ class DwrfCorruptionSpec extends AnyFunSuite with TimeLimits {
     val bos = new java.io.ByteArrayOutputStream()
     val w = new DwrfFileWriter(schema, DwrfWriteOptions.fromMap(Map(
       "compress" -> kind,
+      // blooms on so the fuzz also mutates BLOOM_FILTER index streams
+      "bloom.columns" -> "id,s",
       "row.index.stride" -> "256")), bos)
     val row = new GenericInternalRow(3)
     for (i <- 0 until Rows) {
@@ -47,14 +49,15 @@ class DwrfCorruptionSpec extends AnyFunSuite with TimeLimits {
 
   /** Full read attempt; Left(throwable) on failure, Right(rows) on
     * success. Fatal JVM errors and hangs fail the test itself. */
-  private def tryRead(bytes: Array[Byte], dir: java.nio.file.Path): Either[Throwable, Long] = {
+  private def tryRead(bytes: Array[Byte], dir: java.nio.file.Path,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil): Either[Throwable, Long] = {
     val p = dir.resolve("t.dwrf")
     Files.write(p, bytes)
     try {
       val r = new DwrfFileReader(new Path(p.toString), new Configuration())
       try {
         var n = 0L
-        val it = r.rows(r.footer.stripes, r.schema, Nil)
+        val it = r.rows(r.footer.stripes, r.schema, filters)
         while (it.hasNext) { it.next(); n += 1 }
         Right(n)
       } finally r.close()
@@ -99,6 +102,38 @@ class DwrfCorruptionSpec extends AnyFunSuite with TimeLimits {
 
   test("150 seeded byte flips on an uncompressed file all terminate cleanly") {
     fuzz("none", 150)
+  }
+
+  test("150 seeded flips under a pushed filter exercise index+bloom decode") {
+    // an equality filter routes every read through row-index decode,
+    // stats evaluation, and stride-bloom deserialization — corrupt
+    // index-area bytes must degrade to "no pruning" or a named error,
+    // never to a crash (BloomFilter.deserialize → None, stats keep)
+    import org.apache.spark.sql.sources.EqualTo
+    val base = validFile("zlib")
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "corrupt-filt-")
+    val filt = Seq(EqualTo("id", 1234L))
+    val clean = tryRead(base, dir, filt)
+    assert(clean.isRight && clean.toOption.get >= 1L)
+    val rnd = new scala.util.Random(0xFAFF)
+    var failedClean = 0
+    var survived = 0
+    for (_ <- 0 until 150) {
+      val pos = rnd.nextInt(base.length)
+      val mutated = base.clone()
+      mutated(pos) = (mutated(pos) ^ (1 << rnd.nextInt(8))).toByte
+      failAfter(Span(30, Seconds)) {
+        tryRead(mutated, dir, filt) match {
+          case Left(_) => failedClean += 1
+          case Right(n) =>
+            assert(n <= Rows.toLong, s"flip at $pos fabricated $n rows")
+            survived += 1
+        }
+      }
+    }
+    info(s"filtered: 150 flips -> $failedClean failed clean, $survived benign")
+    assert(failedClean + survived == 150)
   }
 
   test("every truncation point fails cleanly or reads a valid prefix") {
