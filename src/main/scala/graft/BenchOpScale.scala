@@ -830,17 +830,33 @@ object BenchOpScale {
       val (tStageOn, dirOn, bytesOn) = stage("bloomwh_on", strideBlooms = true)
       val (tStageOff, dirOff, bytesOff) = stage("bloomwh_off", strideBlooms = false)
       val keys = Array[Any](7L, nRows / 2, nRows - 3)
+      // like DwrfUtil.surfacedRows but also totals the reader's pread
+      // bytes — the honest I/O number (boundary-chunk slack included)
       def lookup(d: String): (Double, Long, Long, Long) = {
-        val (t, (rows, strides, stripes)) =
-          time(DwrfUtil.surfacedRows(d, "k", Seq(In("k", keys))))
-        (t, rows, strides, stripes)
+        import org.apache.hadoop.fs.Path
+        import graft.sources.dwrf.DwrfFileReader
+        val hc = DwrfUtil.sessionHadoopConf()
+        var rows = 0L; var strides = 0L; var bytes = 0L
+        val (t, _) = time {
+          DwrfUtil.listDataFiles(new Path(d), hc).foreach { f =>
+            val r = new DwrfFileReader(f, hc)
+            try {
+              // key + payload: the shape a real lookup reads
+              val it = r.rows(r.footer.stripes, r.schema, Seq(In("k", keys)))
+              while (it.hasNext) { it.next(); rows += 1 }
+              strides += r.counters.stridesSkipped
+              bytes += r.counters.bytesRead
+            } finally r.close()
+          }
+        }
+        (t, rows, strides, bytes)
       }
       def median3(f: => Double): Double = {
         val ts = Seq(f, f, f).sorted; ts(1)
       }
       lookup(dirOn); lookup(dirOff) // warm footers/page cache off-measurement
-      val (_, rowsOn, stridesOn, _) = lookup(dirOn)
-      val (_, rowsOff, stridesOff, _) = lookup(dirOff)
+      val (_, rowsOn, stridesOn, bytesLkOn) = lookup(dirOn)
+      val (_, rowsOff, stridesOff, bytesLkOff) = lookup(dirOff)
       val tOn = median3(lookup(dirOn)._1)
       val tOff = median3(lookup(dirOff)._1)
       // the columnar DataFrame path too: the end-to-end scan a user
@@ -872,6 +888,8 @@ object BenchOpScale {
         "bloom_lookup_s_off" -> tOff,
         "bloom_surfaced_rows_on" -> rowsOn,
         "bloom_surfaced_rows_off" -> rowsOff,
+        "bloom_lookup_bytes_on" -> bytesLkOn,
+        "bloom_lookup_bytes_off" -> bytesLkOff,
         "bloom_strides_skipped_on" -> stridesOn,
         "bloom_strides_skipped_off" -> stridesOff,
         "bloom_scan_s_on" -> tScanOn,
@@ -884,6 +902,9 @@ object BenchOpScale {
           s"on $rowsOn vs off $rowsOff")
       check(stridesOn > stridesOff,
         s"stride blooms skipped no extra strides: on $stridesOn off $stridesOff")
+      check(bytesLkOn * 5 <= bytesLkOff,
+        s"stride blooms must collapse lookup I/O >= 5x even with " +
+          s"boundary-chunk slack: on $bytesLkOn vs off $bytesLkOff bytes")
     }
 
     // ----------------------------------- CDC maintain cost attribution

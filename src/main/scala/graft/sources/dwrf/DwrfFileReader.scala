@@ -255,21 +255,10 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
       si: StripeInformation,
       sf: StripeFooter,
       wanted: Set[Int]): Map[Int, IndexedSeq[RowIndexEntry]] = {
-    if (si.indexLength == 0) return Map.empty
-    checkStripeBounds(si)
-    val buf = new Array[Byte](si.indexLength.toInt)
-    pread(si.offset, buf)
-    var acc = 0L
     val result = scala.collection.mutable.Map.empty[Int, IndexedSeq[RowIndexEntry]]
-    sf.streams.foreach { s =>
-      if (StreamKind.isIndexKind(s.kind)) {
-        if (s.kind == StreamKind.RowIndex && wanted.contains(s.column)) {
-          val slice = java.util.Arrays.copyOfRange(buf, acc.toInt, (acc + s.length).toInt)
-          result(s.column) = MetaIO.readRowIndex(
-            InStream(s"rowindex${s.column}", slice, codec, postScript.blockSize)).toIndexedSeq
-        }
-        acc += s.length
-      }
+    readIndexStreams(si, sf, StreamKind.RowIndex, wanted) { (col, slice) =>
+      result(col) = MetaIO.readRowIndex(
+        InStream(s"rowindex$col", slice, codec, postScript.blockSize)).toIndexedSeq
     }
     result.toMap
   }
@@ -282,24 +271,60 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
       si: StripeInformation,
       sf: StripeFooter,
       wanted: Set[Int]): Map[Int, IndexedSeq[Option[graft.format.BloomFilter]]] = {
-    if (si.indexLength == 0) return Map.empty
-    checkStripeBounds(si)
-    val buf = new Array[Byte](si.indexLength.toInt)
-    pread(si.offset, buf)
-    var acc = 0L
     val result =
       scala.collection.mutable.Map.empty[Int, IndexedSeq[Option[graft.format.BloomFilter]]]
+    readIndexStreams(si, sf, StreamKind.BloomFilter, wanted) { (col, slice) =>
+      result(col) = MetaIO.readStrideBlooms(
+        InStream(s"bloom$col", slice, codec, postScript.blockSize))
+    }
+    result.toMap
+  }
+
+  /** Pread ONLY the wanted index-area streams of one kind (adjacent
+    * ranges coalesced across ≤ 64 KB gaps) and hand each stream's bytes
+    * to `f`. The index area holds row indexes AND stride blooms — a
+    * whole-area pread would charge every index read for the (much
+    * larger) bloom payloads of columns it never probes, twice per
+    * stripe. Wanted-only ranges keep index I/O proportional to use.
+    */
+  private def readIndexStreams(
+      si: StripeInformation,
+      sf: StripeFooter,
+      kind: Int,
+      wanted: Set[Int])(f: (Int, Array[Byte]) => Unit): Unit = {
+    if (si.indexLength == 0) return
+    checkStripeBounds(si)
+    // locate wanted (column, offset-in-index-area, length)
+    var acc = 0L
+    val needs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     sf.streams.foreach { s =>
       if (StreamKind.isIndexKind(s.kind)) {
-        if (s.kind == StreamKind.BloomFilter && wanted.contains(s.column)) {
-          val slice = java.util.Arrays.copyOfRange(buf, acc.toInt, (acc + s.length).toInt)
-          result(s.column) = MetaIO.readStrideBlooms(
-            InStream(s"bloom${s.column}", slice, codec, postScript.blockSize))
-        }
+        if (s.kind == kind && wanted.contains(s.column))
+          needs += ((s.column, acc, s.length))
         acc += s.length
       }
     }
-    result.toMap
+    if (needs.isEmpty) return
+    // coalesce into preads, then slice each stream out of its buffer
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (start, end)
+    needs.foreach { case (_, off, len) =>
+      runs.lastOption match {
+        case Some((rs, re)) if off - re <= 64 * 1024 =>
+          runs(runs.length - 1) = (rs, math.max(re, off + len))
+        case _ => runs += ((off, off + len))
+      }
+    }
+    val buffers = runs.map { case (rs, re) =>
+      val b = new Array[Byte]((re - rs).toInt)
+      pread(si.offset + rs, b)
+      (rs, b)
+    }
+    needs.foreach { case (col, off, len) =>
+      val (rs, b) = buffers.find { case (rs0, b0) =>
+        off >= rs0 && off + len <= rs0 + b0.length
+      }.get
+      f(col, java.util.Arrays.copyOfRange(b, (off - rs).toInt, (off - rs + len).toInt))
+    }
   }
 
   /** Bloom refutation of stats-surviving strides: for each top-level
