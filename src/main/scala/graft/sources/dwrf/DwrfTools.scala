@@ -51,6 +51,21 @@ object DwrfDump {
           val enc = if (e.dictionary) s"DICTIONARY[${e.dictionarySize}]" else "DIRECT"
           sb.append(s"    Encoding column $col: $enc\n")
         }
+        // stride-bloom summary (bloom.stride): additive — absent on
+        // files written without bloom.columns, so golden dumps hold
+        val bloomCols = sf.streams.collect {
+          case s if s.kind == StreamKind.BloomFilter => s.column
+        }
+        if (bloomCols.nonEmpty) {
+          val blooms = r.readStrideBlooms(si, sf, bloomCols.toSet)
+          blooms.toSeq.sortBy(_._1).foreach { case (col, bs) =>
+            val present = bs.count(_.isDefined)
+            val bits = bs.flatten.map(_.words.length.toLong * 64)
+            val avg = if (bits.isEmpty) 0L else bits.sum / bits.length
+            sb.append(s"    Stride blooms column $col: ${bs.length} strides, " +
+              s"$present filters, avg $avg bits\n")
+          }
+        }
       }
       sb.toString
     } finally r.close()

@@ -153,6 +153,11 @@ class DwrfBloomStrideSpec extends AnyFunSuite {
       assert(r.counters.stridesBloomSkipped >= NumStrides - 2 -
         (r.counters.stripesSkipped * (NumStrides / 4)))
     }
+    // the introspection tool (S11) surfaces the bloom tier
+    val dump = DwrfDump.dump(new Path(p.toString), new Configuration())
+    assert(dump.contains("BLOOM_FILTER"), dump.take(400))
+    assert(dump.contains(s"Stride blooms column 1: ${NumStrides / 4} strides"),
+      dump.linesIterator.filter(_.contains("Stride blooms")).mkString("\n"))
   }
 
   test("columnar DataFrame path prunes and stays exact end to end") {
