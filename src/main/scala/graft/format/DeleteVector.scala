@@ -62,16 +62,26 @@ object DeleteVector {
         "not a graft delete vector (bad magic)")
     val in = new ByteArrayInputStream(bytes, 4, bytes.length - 4)
     val count = Serialization.readVulong(in)
-    require(count >= 0 && count <= Int.MaxValue, s"bad DV count $count")
+    // bound the allocation by the byte budget BEFORE sizing it: every
+    // position costs at least one varint byte, so a corrupt count can
+    // never claim more entries than the sidecar has bytes (the same
+    // untrusted-length rule MetaIO.sane enforces on the file format —
+    // without it a flipped count varint allocates gigabytes)
+    require(count >= 0 && count <= bytes.length - 4,
+      s"bad DV count $count for a ${bytes.length}-byte sidecar")
     val numRows = Serialization.readVulong(in)
     val positions = new Array[Long](count.toInt)
     var prev = 0L
     var i = 0
     while (i < count) {
       val v = Serialization.readVulong(in)
+      if (i > 0 && v == 0) throw new EOFException(
+        "delete vector gap 0: positions must be strictly increasing")
       prev = if (i == 0) v else prev + v
-      if (prev >= numRows) throw new EOFException(
-        s"delete vector position $prev beyond target numRows $numRows")
+      // prev < 0 catches both a negatively-decoded oversized varint and
+      // additive wraparound — either way the gap stream is corrupt
+      if (prev < 0 || prev >= numRows) throw new EOFException(
+        s"delete vector position $prev outside target [0, $numRows)")
       positions(i.toInt) = prev
       i += 1
     }

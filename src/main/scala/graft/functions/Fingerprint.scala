@@ -43,6 +43,48 @@ object FingerprintKernel {
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
   }
+
+  /** Whole-span string hash: the same polynomial-then-splitmix pipeline
+    * as the fingerprint windows, over `bytes[from, until)`. This is the
+    * dedup tier's base hash (shingles, simhash words): unlike xxhash64
+    * it is re-derivable in the DuckDB oracle with plain HUGEINT
+    * arithmetic (see TextQueries.fingerprintOracle's u64/mul64
+    * emulation), so the MinHash/SimHash candidate sets become
+    * three-way oracle-checkable instead of rows-only.
+    */
+  def strHash(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0L
+    var i = from
+    while (i < until) { h = h * Base + (bytes(i) & 0xff); i += 1 }
+    mix(h)
+  }
+
+  def strHash(s: UTF8String): Long = {
+    val b = s.getBytes
+    strHash(b, 0, b.length)
+  }
+}
+
+/** 64-bit scalar hash of a string — `mix_hash64(s)`: polynomial base
+  * 1000003 over the UTF-8 bytes, splitmix64 finalizer. The dedup tier's
+  * word/shingle hash; chosen over xxhash64 because the DuckDB oracle can
+  * recompute it bit-for-bit (fixed-size wrapping arithmetic only).
+  */
+case class MixHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    FingerprintKernel.strHash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.FingerprintKernel.strHash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): MixHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "mix_hash64"
 }
 
 /** Catalyst expression for [[FingerprintKernel]] — a native, codegen'd
@@ -80,6 +122,14 @@ object GraftFunctions {
         case Seq(child, Literal(w: Int, _)) => DocFingerprint(child, w)
         case other => throw new IllegalArgumentException(
           s"doc_fingerprint(text[, window]): got ${other.size} args")
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mix_hash64",
+      {
+        case Seq(child) => MixHash64(child)
+        case other => throw new IllegalArgumentException(
+          s"mix_hash64(s): got ${other.size} args")
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -1,51 +1,58 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct xxhash64 values of a document's word n-gram shingles,
-  * computed over byte SPANS of the original text — zero per-shingle
-  * string building.
+/** Distinct hash values of a document's word n-gram shingles, computed
+  * over byte SPANS of the original text — zero per-shingle string
+  * building.
   *
-  * Exact-parity contract with the declarative form the dedup tier used
-  * before (`array_distinct(transform(seq, i -> concat_ws(' ',
-  * slice(split(text, ' '), i, n))))` → `xxhash64(shingle)`): splitting
-  * on a single space and re-joining any token window with a single
-  * space reproduces the original byte span verbatim (empty tokens from
-  * runs of spaces included), so hashing the span with the same XxHash64
-  * seed yields byte-identical hash values — only the per-shingle
-  * UTF8String/array allocations and the O(words²) slice copies
-  * disappear. Distinctness is by hash (the declarative form deduped by
-  * string; equivalent modulo 64-bit collisions, the regime the pair
-  * counting already accepts). Kept in a plain object so generated code
-  * can call it statically.
+  * The span hash is [[FingerprintKernel.strHash]] (polynomial base
+  * 1000003 over the raw bytes, splitmix64 tail): splitting on a single
+  * space and re-joining any token window with a single space reproduces
+  * the original byte span verbatim (empty tokens from runs of spaces
+  * included), so hashing the span equals hashing the built shingle
+  * string — only the per-shingle UTF8String/array allocations and the
+  * O(words²) slice copies disappear (ShingleHashesSpec pins the
+  * contract against an independent string-level reference).
+  * Distinctness is by hash (string-level dedup is equivalent modulo
+  * 64-bit collisions, the regime the pair counting already accepts).
+  * strHash over xxhash64 because the DuckDB oracle recomputes it
+  * bit-for-bit, making the MinHash candidate set three-way checkable.
+  * Kept in a plain object so generated code can call it statically.
   */
 object ShingleKernel {
-  final val Seed = 42L // xxhash64(col)'s fixed seed
 
   def compute(s: UTF8String, n: Int): GenericArrayData =
     new GenericArrayData(distinctHashes(s, n))
 
+  /** Permutation-i seed for the MinHash chain: splitmix of the index.
+    * Public so the spec's independent aggregate form and the DuckDB
+    * oracle derivation stay definitionally in sync.
+    */
+  def permSeed(i: Int): Long = FingerprintKernel.mix(i + 1L)
+
   /** MinHash signature in the same single pass: element i is the signed
-    * min over the distinct shingle hashes of xxhash64(bh, i) — chained
-    * exactly like the two-child XxHash64 expression (seed 42 → hash the
-    * long → hash the int literal), so values are bit-identical to the
-    * explode + k×min(xxhash64(bh, i)) aggregate form it replaces, with
-    * no explode and NO shuffle (the groupBy disappears).
+    * min over the distinct shingle hashes of mix(h ^ permSeed(i)) — k
+    * independent splitmix-derived permutations, bit-identical to the
+    * explode + k×min aggregate form (ShingleHashesSpec), with no explode
+    * and NO shuffle (the groupBy disappears). Like the base hash, the
+    * chain is plain wrapping arithmetic, so the DuckDB oracle recomputes
+    * whole signatures exactly.
     */
   def minhashSignature(s: UTF8String, n: Int, k: Int): GenericArrayData = {
     val hashes = distinctHashes(s, n)
     val sig = new Array[Long](k)
     var i = 0
     while (i < k) {
+      val seed = permSeed(i)
       var m = Long.MaxValue
       var j = 0
       while (j < hashes.length) {
-        val h1 = XxHash64Function.hash(hashes(j), LongType, Seed)
-        val h = XxHash64Function.hash(i, IntegerType, h1)
+        val h = FingerprintKernel.mix(hashes(j) ^ seed)
         if (h < m) m = h
         j += 1
       }
@@ -80,8 +87,7 @@ object ShingleKernel {
       val start = starts(j)
       val lastWord = math.min(j + n - 1, numWords - 1)
       val end = starts(lastWord + 1) - 1 // exclusive (strip the separator)
-      val span = UTF8String.fromBytes(bytes, start, end - start)
-      val h = XxHash64Function.hash(span, StringType, Seed)
+      val h = FingerprintKernel.strHash(bytes, start, end)
       if (seen.add(h)) { out(m) = h; m += 1 }
       j += 1
     }

@@ -487,12 +487,17 @@ object DedupQueries extends QueryPack {
     */
   private[graft] def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val docs = Tables.load(s, dir, "documents")
     // one explode + 64 per-bit sums (same CollapseProject trap as minhash:
-    // an aggregate-over-bits lambda would re-split the text 64 times)
+    // an aggregate-over-bits lambda would re-split the text 64 times).
+    // mix_hash64 (polynomial+splitmix, FingerprintKernel) as the word
+    // hash: same quality as xxhash64 for bit-spreading, but the DuckDB
+    // oracle recomputes it exactly, so the surfaced pair set is
+    // hash-checked instead of rows-only
     val wordHashes = docs.select($"doc_id",
       explode(split($"text", " ")).as("w"))
-      .select($"doc_id", xxhash64($"w").as("wh"))
+      .select($"doc_id", expr("mix_hash64(w)").as("wh"))
     wordHashes.groupBy($"doc_id").agg(
       (0 until 64).map { bit =>
         sum(when(expr(s"(shiftright(wh, $bit) & 1) = 1"), 1L).otherwise(-1L))
@@ -963,13 +968,114 @@ object DedupQueries extends QueryPack {
     |ORDER BY id_a, id_b
     |""".stripMargin.trim
 
+  // ------------------------------------------- simhash/minhash oracles
+  // Full DuckDB re-derivations of the two LSH tiers, bit-exact because
+  // every hash involved (mix_hash64 words, strHash shingles, the
+  // splitmix permutation chain) is plain wrapping 64-bit arithmetic
+  // (OracleMath emulation; same scheme as the fingerprint oracle).
+  // These two rows were rows-only through round 12's first half — the
+  // hash-family switch from xxhash64 (whose variable-length stripe loop
+  // is not reasonably expressible in SQL) to FingerprintKernel.strHash
+  // exists precisely to make the candidate sets oracle-checkable.
+
+  // Mirrors simhashSignatures + the 8-byte-band join exactly: per-word
+  // mixed hashes (multiplicity kept — explode semantics), 64 ±1 bit
+  // sums, the signature rebuilt MSB-first by doubling (HUGEINT — bit 63
+  // exceeds BIGINT), byte bands compared as exact values (the Spark
+  // side bands on the same (sim >> 8b) & 255, so no hash proxy is
+  // involved anywhere). missed_le7_pairs = 0 is the pigeonhole audit's
+  // healthy value — wiring it into the oracle makes the driver enforce
+  // the recall bound, not just observe it.
+  private val simhashOracle = s"""
+    |WITH toks AS (
+    |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    |pv AS (SELECT doc_id, ${OracleMath.polySql("w")} AS v FROM toks),
+    |${OracleMath.mixCtes("wh", "pv", Seq("doc_id"), out = "wh")},
+    |bits AS (
+    |  SELECT doc_id, t.b AS b,
+    |    SUM(CASE WHEN ((wh >> CAST(t.b AS INTEGER)) & 1) = 1 THEN 1 ELSE -1 END) AS s
+    |  FROM wh, range(0, 64) t(b) GROUP BY 1, 2),
+    |simu AS (
+    |  SELECT doc_id, CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+    |    list(CASE WHEN s > 0 THEN CAST(1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END ORDER BY b DESC)),
+    |    (acc, x) -> acc * 2 + x) AS UBIGINT) AS sim
+    |  FROM bits GROUP BY doc_id),
+    |bands AS (
+    |  SELECT doc_id, sim, t.i AS band_idx,
+    |    (sim >> (CAST(t.i AS INTEGER) * 8)) & 255 AS band_val
+    |  FROM simu, range(0, 8) t(i)),
+    |pairs AS (
+    |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+    |    CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+    |  FROM bands a JOIN bands b
+    |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+    |    AND a.doc_id < b.doc_id)
+    |SELECT id_a, id_b, hamming, CAST(0 AS BIGINT) AS missed_le7_pairs
+    |FROM pairs WHERE hamming <= 8 ORDER BY id_a, id_b
+    |""".stripMargin.trim
+
+  // Mirrors minhash_signature + banding + est/true Jaccard: distinct
+  // shingle hashes (the kernel dedups BY HASH — `shd` does the same so
+  // collision behavior matches), 32 splitmix permutations as staged
+  // CTEs, SIGNED mins (Spark MIN over longs), bands as exact 4-value
+  // lists. The Spark side buckets bands through xxhash64 as a cheap
+  // shuffle key; the oracle bands on the raw tuples — identical pair
+  // sets unless a 64-bit band-hash collision ALSO clears est ≥ 0.5,
+  // the same negligible-collision regime the Jaccard tier documents.
+  // true_jaccard counts over the SAME hash sets Spark intersects.
+  private val minhashLshOracle = s"""
+    |WITH toksw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    |shs AS (
+    |  SELECT DISTINCT doc_id,
+    |    array_to_string(w[CAST(t.i AS BIGINT):CAST(t.i AS BIGINT)+4], ' ') AS g
+    |  FROM toksw, unnest(range(1, greatest(len(w) - 4, 1) + 1)) AS t(i)),
+    |pv AS (SELECT doc_id, ${OracleMath.polySql("g")} AS v FROM shs),
+    |${OracleMath.mixCtes("sh", "pv", Seq("doc_id"), out = "h")},
+    |shd AS (SELECT DISTINCT doc_id, h FROM sh),
+    |sv AS (SELECT t.i AS i, ${OracleMath.u64("CAST(t.i AS HUGEINT) + 1")} AS v FROM range(0, 32) t(i)),
+    |${OracleMath.mixCtes("seeds", "sv", Seq("i"), out = "seed")},
+    |permv AS (SELECT shd.doc_id, seeds.i, xor(shd.h, seeds.seed) AS v FROM shd, seeds),
+    |${OracleMath.mixCtes("perm", "permv", Seq("doc_id", "i"), out = "pm")},
+    |sigs AS (
+    |  SELECT doc_id, i, MIN(${OracleMath.signed("pm")}) AS m
+    |  FROM perm GROUP BY doc_id, i),
+    |bands AS (
+    |  SELECT doc_id, CAST(i // 4 AS INTEGER) AS band, list(m ORDER BY i) AS bv
+    |  FROM sigs GROUP BY 1, 2),
+    |cand AS (
+    |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    |  FROM bands a JOIN bands b
+    |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+    |est AS (
+    |  SELECT id_a, id_b, SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 32.0 AS e
+    |  FROM cand
+    |  JOIN sigs sa ON sa.doc_id = cand.id_a
+    |  JOIN sigs sb ON sb.doc_id = cand.id_b AND sb.i = sa.i
+    |  GROUP BY 1, 2),
+    |keep AS (SELECT id_a, id_b, e FROM est WHERE e >= 0.5),
+    |counts AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+    |common AS (
+    |  SELECT k.id_a, k.id_b, COUNT(*) AS n_common
+    |  FROM keep k
+    |  JOIN shd a ON a.doc_id = k.id_a
+    |  JOIN shd b ON b.doc_id = k.id_b AND b.h = a.h
+    |  GROUP BY 1, 2)
+    |SELECT k.id_a, k.id_b, ROUND(k.e, 4) AS est_jaccard,
+    |  ROUND(cm.n_common / (ca.n + cb.n - cm.n_common), 4) AS true_jaccard
+    |FROM keep k
+    |JOIN common cm ON cm.id_a = k.id_a AND cm.id_b = k.id_b
+    |JOIN counts ca ON ca.doc_id = k.id_a
+    |JOIN counts cb ON cb.doc_id = k.id_b
+    |ORDER BY k.id_a, k.id_b
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     Q("dedup_fuzzy", fuzzyJoin, Some(fuzzyJoinOracle)),
     Q("dedup_exact", exact, Some(exactSql)),
     Q("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
-    Q("dedup_minhash_lsh", minhashLsh, None),
-    Q("dedup_simhash", simhash, None),
+    Q("dedup_minhash_lsh", minhashLsh, Some(minhashLshOracle)),
+    Q("dedup_simhash", simhash, Some(simhashOracle)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
     Q("dedup_embedding", embeddingDedup, Some(embeddingDedupOracle)),
     Q("dedup_semantic", semanticDedup, None),

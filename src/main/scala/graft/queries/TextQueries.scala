@@ -97,26 +97,14 @@ object TextQueries extends QueryPack {
       |""".stripMargin.trim)
   }
 
-  /** DuckDB has no native 64-bit wrapping arithmetic (BIGINT overflow
-    * throws), so the [[graft.functions.FingerprintKernel]] math is
-    * emulated: values live as UBIGINT, every multiply/add routes through
-    * HUGEINT and reduces mod 2^64. A full 64×64 product can overflow
-    * even HUGEINT, so it's split at 32 bits: a*b ≡ a_lo*b + ((a_hi*b
-    * mod 2^32) << 32), each term ≤ 2^96. The window hash itself needs no
-    * split — base 1000003 < 2^20, so acc*B + byte ≤ 2^84.
-    *
-    * Caveat shared with the kernel's byte orientation: the oracle reads
-    * characters via ord(); identical to UTF-8 bytes for the all-ASCII
-    * synthetic corpus (a non-ASCII regeneration would surface as a loud
-    * value mismatch, not silent agreement).
+  /** Wrapping-arithmetic emulation shared with the dedup-tier oracles —
+    * see [[OracleMath]] for the HUGEINT-limb scheme and the ASCII ord()
+    * caveat. The window hash itself needs no multiply split — base
+    * 1000003 < 2^20, so acc*B + byte ≤ 2^84.
     */
-  private val m64 = "18446744073709551616" // 2^64
-  private def u64(x: String): String =
-    s"CAST(CAST(($x) AS HUGEINT) % $m64 AS UBIGINT)"
-  private def mul64(a: String, b: String): String =
-    s"CAST(((CAST(($a) AS HUGEINT) % 4294967296) * CAST(($b) AS HUGEINT)" +
-      s" + ((CAST(($a) AS HUGEINT) // 4294967296) * CAST(($b) AS HUGEINT)" +
-      s" % 4294967296) * 4294967296) % $m64 AS UBIGINT)"
+  private val m64 = OracleMath.m64
+  private def u64(x: String): String = OracleMath.u64(x)
+  private def mul64(a: String, b: String): String = OracleMath.mul64(a, b)
 
   private val fingerprintOracle = s"""
     |WITH

@@ -6,61 +6,99 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.dwrf.TestSpark
 
 /** word_shingle_hashes must be hash-for-hash identical to the
-  * declarative pipeline it replaces (array_distinct ∘ transform ∘
-  * concat_ws ∘ slice ∘ split → xxhash64), which pins both the
-  * split-with-empty-tokens semantics and the XxHash64 seed.
+  * string-level construction it optimizes away: split on a single
+  * space (empty tokens kept, split-limit -1 semantics), join each
+  * n-token window with a single space, hash the BUILT STRING's UTF-8
+  * bytes with the polynomial+splitmix pipeline. The reference below
+  * reimplements that independently (String.split + mkString + its own
+  * retyped constants — no kernel code shared), so a span-math bug in
+  * the kernel (word boundaries, separator stripping, distinctness)
+  * cannot hide. The same reference defines what the DuckDB oracles
+  * recompute (TextQueries' u64/mul64 HUGEINT emulation).
   */
 class ShingleHashesSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
-  private def declarative(n: Int): String = {
-    val w = n - 1
-    s"""array_distinct(transform(
-       |  sequence(1, greatest(size(split(text, ' ')) - $w, 1)),
-       |  i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i, $n)))))""".stripMargin
+  // independent reference: constants retyped, string-level construction
+  private def refMix(v: Long): Long = {
+    var z = v + java.lang.Long.parseUnsignedLong("9e3779b97f4a7c15", 16)
+    z = (z ^ (z >>> 30)) * java.lang.Long.parseUnsignedLong("bf58476d1ce4e5b9", 16)
+    z = (z ^ (z >>> 27)) * java.lang.Long.parseUnsignedLong("94d049bb133111eb", 16)
+    z ^ (z >>> 31)
   }
 
-  test("byte-span hashing matches the declarative shingle pipeline exactly") {
-    import spark.implicits._
-    GraftFunctions.register(spark)
-    val docs = Seq(
-      "the quick brown fox jumps over the lazy dog",
-      "one", "one two", "one two three four", "one two three four five",
-      "double  space   runs", " leading and trailing ", "", "   ",
-      "répété unicode ✓ bytes ñ multi byte words here ok",
-      "a a a a a a a a a a a", // repeats → distinct collapses
-      "tab\tis not a space but stays inside one token"
-    ).toDF("text")
-    // real corpus too
-    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .select($"text")
-    for (n <- Seq(3, 5); df <- Seq(docs, corpus)) {
-      val both = df.select(
-        expr(s"word_shingle_hashes(text, $n)").as("fast"),
-        expr(declarative(n)).as("slow"))
-      val mismatches = both.filter(
-        size(array_except($"fast", $"slow")) > 0 ||
-        size(array_except($"slow", $"fast")) > 0 ||
-        size($"fast") =!= size($"slow")).count()
-      assert(mismatches == 0, s"n=$n: shingle hash sets diverge")
+  private def refStrHash(s: String): Long = {
+    var h = 0L
+    for (b <- s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      h = h * 1000003L + (b & 0xff)
+    refMix(h)
+  }
+
+  private def refShingles(text: String, n: Int): Seq[Long] = {
+    val words = text.split(" ", -1)
+    val numShingles = math.max(words.length - (n - 1), 1)
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    for (i <- 0 until numShingles)
+      out += refStrHash(words.slice(i, i + n).mkString(" "))
+    out.toSeq
+  }
+
+  private def refMinhash(text: String, n: Int, k: Int): Seq[Long] = {
+    val hs = refShingles(text, n)
+    (0 until k).map { i =>
+      val seed = refMix(i + 1L)
+      hs.map(h => refMix(h ^ seed)).min
     }
   }
 
-  test("minhash_signature matches the explode + k×min aggregate form bit-for-bit") {
+  private val docs = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "one", "one two", "one two three four", "one two three four five",
+    "double  space   runs", " leading and trailing ", "", "   ",
+    "répété unicode ✓ bytes ñ multi byte words here ok",
+    "a a a a a a a a a a a", // repeats → distinct collapses
+    "tab\tis not a space but stays inside one token"
+  )
+
+  test("byte-span hashing matches the string-level reference exactly") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").as[String].collect().toSeq
+    for (n <- Seq(3, 5); batch <- Seq(docs, corpus)) {
+      val fast = batch.toDF("text")
+        .select(expr(s"word_shingle_hashes(text, $n)").as("h"))
+        .as[Seq[Long]].collect()
+      batch.zip(fast).foreach { case (text, got) =>
+        assert(got == refShingles(text, n),
+          s"n=$n diverges for ${text.take(60)}")
+      }
+    }
+  }
+
+  test("mix_hash64 matches the reference on words incl. empty/unicode") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val words = docs.flatMap(_.split(" ", -1)).distinct
+    val got = words.toDF("w").select(expr("mix_hash64(w)")).as[Long].collect()
+    words.zip(got).foreach { case (w, g) =>
+      assert(g == refStrHash(w), s"mix_hash64 diverges for '$w'")
+    }
+  }
+
+  test("minhash_signature matches the explode + k×min reference bit-for-bit") {
     import spark.implicits._
     GraftFunctions.register(spark)
     val k = 32
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .select($"doc_id", $"text")
-    val fast = docs.select($"doc_id",
-      expr(s"minhash_signature(text, 5, $k)").as("sig"))
-    val slow = docs
-      .select($"doc_id", explode(expr("word_shingle_hashes(text, 5)")).as("bh"))
-      .groupBy($"doc_id").agg(
-        array((0 until k).map(i => min(xxhash64($"bh", lit(i)))): _*).as("sig"))
-    val joined = fast.as("f").join(slow.as("s"), "doc_id")
-      .filter($"f.sig" =!= $"s.sig")
-    assert(joined.count() == 0, "signatures diverge")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").as[String].collect().toSeq
+    val fast = corpus.toDF("text")
+      .select(expr(s"minhash_signature(text, 5, $k)").as("sig"))
+      .as[Seq[Long]].collect()
+    corpus.zip(fast).foreach { case (text, got) =>
+      assert(got == refMinhash(text, 5, k),
+        s"signature diverges for ${text.take(60)}")
+    }
   }
 }

@@ -77,6 +77,61 @@ class DwrfDvSpec extends AnyFunSuite {
     }
   }
 
+  test("corrupt delete vectors fail loud, never over-allocate or fabricate") {
+    val pos = (0L until 4000L by 3L).toArray
+    val good = DeleteVector.serialize(pos, 5000L)
+    // the untrusted-count bound: a count varint claiming 2^30 entries in
+    // a tiny sidecar must be refused BEFORE the positions array is sized
+    // (count can never exceed the byte budget — one varint byte each)
+    val bigCount = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GDV1".getBytes("UTF-8"))
+      // vulong(2^30): 5 bytes
+      var v = 1L << 30
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+      out.write(0x10) // numRows
+      out.toByteArray
+    }
+    val e = intercept[IllegalArgumentException](DeleteVector.deserialize(bigCount))
+    assert(e.getMessage.contains("bad DV count"))
+    // zero gap = non-strictly-increasing positions: loud, not silent dups
+    val zeroGap = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GDV1".getBytes("UTF-8"))
+      out.write(3) // count
+      out.write(50) // numRows
+      out.write(7) // first
+      out.write(0) // gap 0 — corrupt
+      out.write(1)
+      out.toByteArray
+    }
+    intercept[java.io.EOFException](DeleteVector.deserialize(zeroGap))
+    // fuzz: single byte flips and truncations terminate with either an
+    // exception or a result that honors the invariants — sorted strictly
+    // ascending, in [0, numRows) — and never an outsized allocation
+    val rnd = new scala.util.Random(7)
+    var outcomes = 0
+    (1 to 300).foreach { _ =>
+      val b = good.clone()
+      val i = rnd.nextInt(b.length)
+      b(i) = (b(i) ^ (1 << rnd.nextInt(8))).toByte
+      try {
+        val (p, n) = DeleteVector.deserialize(b)
+        assert(p.length <= b.length, "positions exceed the byte budget")
+        var j = 1
+        while (j < p.length) { assert(p(j) > p(j - 1) && p(j) < n); j += 1 }
+        if (p.nonEmpty) assert(p(0) >= 0 && p(0) < n)
+        outcomes += 1
+      } catch { case _: Exception => () } // loud is fine; silent lies are not
+    }
+    (1 to 50).foreach { _ =>
+      val cut = rnd.nextInt(good.length)
+      try { DeleteVector.deserialize(good.take(cut)); () }
+      catch { case _: Exception => () }
+    }
+  }
+
   // ------------------------------------------------- merge-on-read tier
 
   test("MoR delete: rows masked, data files byte-identical, time travel intact") {
