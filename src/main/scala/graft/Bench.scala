@@ -68,7 +68,7 @@ object Bench {
     "adv_mincost_supplier", "adv_part_value_stock", "adv_promo_revenue",
     "adv_top_supplier", "adv_supplier_variety", "adv_small_qty_revenue",
     "adv_brand_disjunction", "adv_excess_shippers",
-    "ann_ivf_topk", "ann_pq_topk", "ann_pq_persisted",
+    "ann_ivf_topk", "ann_pq_topk", "ann_pq_persisted", "ann_pq_incremental",
     "dedup_simhash", "dedup_embedding", "dedup_incremental",
     "dwrf_ddl_scan", "dwrf_history_scan", "dwrf_nested_types",
     "dwrf_roundtrip_events", "dwrf_stripe_concat", "dwrf_union_roundtrip",

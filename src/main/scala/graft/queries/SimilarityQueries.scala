@@ -975,6 +975,56 @@ object SimilarityQueries extends QueryPack {
     |FROM c, d
     |""".stripMargin.trim
 
+  /** Encode (vec_id, v) rows into packed 8-byte PQ codes against a
+    * broadcast codebook — the per-row argmin kernel shared by the
+    * persisted-index build and the incremental maintain (the codebooks
+    * are FROZEN after training, so a delta encode composes with the
+    * standing index: same centroids, same code space).
+    */
+  private def packedCodes(df: DataFrame,
+      cbB: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select($"vec_id", $"v").as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cb = cbB.value
+        val mLoc = cb.length
+        it.map { case (id, vSeq) =>
+          val v = vSeq.toArray
+          val subLoc = v.length / mLoc
+          var packed = 0L
+          var mi = 0
+          while (mi < mLoc) {
+            val cents = cb(mi)
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < cents.length) {
+              var d = 0.0; var i = 0
+              while (i < subLoc) {
+                val t = v(mi * subLoc + i) - cents(c)(i); d += t * t; i += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            packed |= (best.toLong & 0xffL) << (mi * 8)
+            mi += 1
+          }
+          (id, packed)
+        }
+      }
+      .toDF("vec_id", "code64")
+  }
+
+  /** Read the persisted codebook table back as M×K×(D/M). */
+  private def readCodebook(s: SparkSession, cbDir: String, m: Int,
+      k: Int): Array[Array[Array[Double]]] = {
+    val rows = s.read.format("dwrf").load(cbDir).collect()
+    val out = Array.ofDim[Array[Double]](m, k)
+    rows.foreach(r => out(r.getInt(0))(r.getInt(1)) =
+      r.getSeq[Double](2).toArray)
+    out.map(_.filter(_ != null))
+  }
+
   // ------------------------------------------- persisted PQ index
   /** The PQ tier with its index PERSISTED in the native format — the
     * 100 TB deployment shape: codes build ONCE into a dwrf table whose
@@ -1012,34 +1062,7 @@ object SimilarityQueries extends QueryPack {
         val cbB = s.sparkContext.broadcast(codebook)
         // packed-code build: the same argmin kernel as the in-flight PQ
         // tier, folding the M codes into one long at encode time
-        emb.select($"vec_id", $"v").as[(Long, Seq[Double])]
-          .mapPartitions { it =>
-            val cb = cbB.value
-            val mLoc = cb.length
-            it.map { case (id, vSeq) =>
-              val v = vSeq.toArray
-              val subLoc = v.length / mLoc
-              var packed = 0L
-              var mi = 0
-              while (mi < mLoc) {
-                val cents = cb(mi)
-                var best = 0; var bestD = Double.MaxValue
-                var c = 0
-                while (c < cents.length) {
-                  var d = 0.0; var i = 0
-                  while (i < subLoc) {
-                    val t = v(mi * subLoc + i) - cents(c)(i); d += t * t; i += 1
-                  }
-                  if (d < bestD) { bestD = d; best = c }
-                  c += 1
-                }
-                packed |= (best.toLong & 0xffL) << (mi * 8)
-                mi += 1
-              }
-              (id, packed)
-            }
-          }
-          .toDF("vec_id", "code64")
+        packedCodes(emb, cbB)
           .write.format("dwrf").mode("overwrite").save(idxDir)
         codebook.zipWithIndex.flatMap { case (cents, mi) =>
           cents.zipWithIndex.map { case (c, ci) => (mi, ci, c.toSeq) }
@@ -1048,13 +1071,7 @@ object SimilarityQueries extends QueryPack {
           .write.format("dwrf").mode("overwrite").save(cbDir)
       }
       // ---- query path: codebook + index tables only
-      val codebook: Array[Array[Array[Double]]] = {
-        val rows = s.read.format("dwrf").load(cbDir).collect()
-        val out = Array.ofDim[Array[Double]](m, k)
-        rows.foreach(r => out(r.getInt(0))(r.getInt(1)) =
-          r.getSeq[Double](2).toArray)
-        out.map(_.filter(_ != null))
-      }
+      val codebook = readCodebook(s, cbDir, m, k)
       val queryVec = emb.filter($"vec_id" === 0)
         .select($"v").head().getSeq[Double](0).toArray
       val sub = queryVec.length / m
@@ -1131,6 +1148,181 @@ object SimilarityQueries extends QueryPack {
     |FROM c
     |""".stripMargin.trim
 
+  // --------------------------------------- incremental PQ maintenance
+  /** The persisted PQ index maintained INCREMENTALLY from the snapshot
+    * log's change feed — the standing-index lifecycle a 100 TB corpus
+    * actually runs: vectors land as appends, the maintain encodes ONLY
+    * the delta with the FROZEN codebooks (train never re-runs) and
+    * appends the new codes as one atomic log commit. The index's sync
+    * watermark is not a side file: every code row carries the source
+    * version it was encoded from (`src_version`, RLE'd to ~nothing on
+    * disk), so "how far is the index synced" = MAX(src_version) over
+    * the committed index — atomically consistent with the files by
+    * construction, answerable from footer stats alone.
+    *
+    * Per run the query resets the index to its pristine v0 via
+    * [[graft.sources.dwrf.DwrfLog.restore]] (metadata-only), re-runs
+    * the maintain, and REQUIREs in-band: the maintain encoded exactly
+    * the change-feed delta (never the corpus), the index row count
+    * equals the corpus, a second maintain is a provable no-op (log
+    * version unchanged — exactly-once from the watermark), and the
+    * post-sync search clears the recall floor vs the exact top-10.
+    * Composition under test: restore × change feed × append commits ×
+    * frozen-codebook encode × packed-code ADC search.
+    */
+  private def pqIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.hadoop.fs.Path
+    import graft.sources.dwrf.{DwrfChanges, DwrfLog, DwrfUtil}
+    graft.functions.GraftFunctions.register(s)
+    val conf = DwrfUtil.sessionHadoopConf()
+    val emb = loadVecs(s, dir)
+    try {
+      val n = emb.count()
+      val isDelta = ($"vec_id" % 10 === 7) && ($"vec_id" =!= 0)
+      val nDelta = emb.filter(isDelta).count()
+      val nBase = n - nDelta
+      val (m, k) = pqGeometry(nBase) // geometry of the TRAINING corpus
+      val tag = {
+        val clean = dir.replaceAll("[^A-Za-z0-9]+", "_")
+        s"${clean}_${m}_$k"
+      }
+      val root = Staging.root
+      val srcDir = root.resolve(s"pqinc-src-$tag").toString
+      val idxDir = root.resolve(s"pqinc-index-$tag").toString
+      val cbDir = root.resolve(s"pqinc-codebook-$tag").toString
+      val idxPath = new Path(idxDir)
+      Staging.once(root.resolve(s"pqinc-src-$tag/_staged"),
+        Staging.sourceKey(new java.io.File(s"$dir/embeddings.parquet"),
+          s"$m:$k"),
+        stillValid =
+          DwrfLog.latestVersion(new Path(srcDir), conf).contains(1L) &&
+            DwrfLog.latestVersion(idxPath, conf).exists(_ >= 0L)) {
+        val fs = new Path(srcDir).getFileSystem(conf)
+        Seq(srcDir, idxDir, cbDir).foreach { d =>
+          if (fs.exists(new Path(d))) fs.delete(new Path(d), true)
+        }
+        // source table: v0 = the standing 90%, v1 = the appended delta
+        emb.filter(!isDelta).select($"vec_id", $"v")
+          .write.format("dwrf").mode("overwrite").save(srcDir)
+        DwrfLog.enable(new Path(srcDir), conf)
+        emb.filter(isDelta).select($"vec_id", $"v").repartition(1)
+          .write.format("dwrf").mode("append").save(srcDir)
+        // codebooks train ONCE, on the v0 corpus only (frozen forever)
+        val sample = emb.filter(!isDelta).orderBy($"vec_id").limit(2048)
+          .collect().map(_.getSeq[Double](1).toArray)
+        val codebook = pqTrain(sample, m, k)
+        codebook.zipWithIndex.flatMap { case (cents, mi) =>
+          cents.zipWithIndex.map { case (c, ci) => (mi, ci, c.toSeq) }
+        }.toSeq.toDF("mi", "ci", "c")
+          .coalesce(1)
+          .write.format("dwrf").mode("overwrite").save(cbDir)
+        // pristine index: v0 codes stamped src_version = 0
+        val cbB = s.sparkContext.broadcast(codebook)
+        packedCodes(emb.filter(!isDelta), cbB)
+          .withColumn("src_version", lit(0L))
+          .write.format("dwrf").mode("overwrite").save(idxDir)
+        DwrfLog.enable(idxPath, conf)
+      }
+      // reset to the pristine index (metadata-only rollback) so every
+      // run exercises the SAME maintain; v0's manifest is never vacuumed
+      // here, so the restore target always resolves
+      if (DwrfLog.latestVersion(idxPath, conf).exists(_ > 0L))
+        DwrfLog.restore(idxPath, conf, 0L)
+      val codebook = readCodebook(s, cbDir, m, k)
+      val cbB = s.sparkContext.broadcast(codebook)
+      def maintain(): Long = {
+        // sync watermark FROM the committed index rows themselves
+        val synced = s.read.format("dwrf").load(idxDir)
+          .agg(max($"src_version")).head().getLong(0)
+        val latestSrc = DwrfLog.latestVersion(new Path(srcDir), conf).get
+        if (synced >= latestSrc) 0L
+        else {
+          val delta = DwrfChanges.between(s, srcDir, synced, latestSrc)
+            .filter($"_change_type" === "insert")
+            .select($"vec_id", $"v")
+          val encoded = packedCodes(delta, cbB)
+            .withColumn("src_version", lit(latestSrc))
+          encoded.write.format("dwrf").mode("append").save(idxDir)
+          encoded.count()
+        }
+      }
+      val vBefore = DwrfLog.latestVersion(idxPath, conf).get
+      val encodedRows = maintain()
+      val vAfter = DwrfLog.latestVersion(idxPath, conf).get
+      require(encodedRows == nDelta,
+        s"incremental maintain encoded $encodedRows rows, expected the " +
+          s"$nDelta-row delta — a full re-encode (or a miss) is the bug " +
+          "this query exists to catch")
+      require(vAfter == vBefore + 1,
+        s"maintain must land as ONE append commit ($vBefore -> $vAfter)")
+      require(maintain() == 0L &&
+        DwrfLog.latestVersion(idxPath, conf).contains(vAfter),
+        "a second maintain over the synced index must be a no-op " +
+          "(exactly-once from the in-data watermark)")
+      val idxCount = s.read.format("dwrf").load(idxDir).count()
+      require(idxCount == n,
+        s"synced index holds $idxCount codes for an $n-vector corpus")
+      // search the maintained index: ADC top-50 over packed codes, exact
+      // re-rank of the candidates, recall vs the exact top-10
+      val queryVec = emb.filter($"vec_id" === 0)
+        .select($"v").head().getSeq[Double](0).toArray
+      val sub = queryVec.length / m
+      val lut: Seq[Seq[Double]] = codebook.zipWithIndex.map { case (cents, mi) =>
+        cents.map { c =>
+          var d = 0.0; var i = 0
+          while (i < sub) { d += queryVec(mi * sub + i) * c(i); i += 1 }
+          d
+        }.toSeq
+      }.toSeq
+      val candidates = s.read.format("dwrf").load(idxDir)
+        .filter($"vec_id" =!= 0)
+        .withColumn("lut", typedlit(lut))
+        .withColumn("adc", expr("vec_adc_packed(lut, code64)"))
+        .orderBy($"adc".desc, $"vec_id")
+        .limit(50)
+        .select($"vec_id")
+      val pqIds = emb.join(broadcast(candidates), "vec_id")
+        .withColumn("q", typedlit(queryVec.toSeq))
+        .select($"vec_id", expr("vec_dot(v, q)").as("dot"))
+        .orderBy($"dot".desc, $"vec_id")
+        .limit(10).select($"vec_id").as[Long].collect().toSet
+      val exactIds = emb.filter($"vec_id" =!= 0)
+        .withColumn("q", typedlit(queryVec.toSeq))
+        .select($"vec_id", expr("vec_dot(v, q)").as("dot"))
+        .orderBy($"dot".desc, $"vec_id")
+        .limit(10).select($"vec_id").as[Long].collect().toSet
+      val found = (pqIds & exactIds).size.toLong
+      val recall = BigDecimal(found.toDouble / math.max(1, exactIds.size))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      lastInstrument.put("ann_pq_incremental", Map(
+        "n_found" -> found.toDouble, "recall" -> recall,
+        "encoded_delta" -> encodedRows.toDouble))
+      require(recall >= 0.6,
+        s"incremental-PQ recall $recall fell below the 0.6 in-band floor" +
+          " — codes appended by the maintain must search as well as a" +
+          " full rebuild (frozen codebooks, same code space)")
+      Seq((n, nDelta, m.toLong, k.toLong, 1L, 1L, 1L))
+        .toDF("n_total", "n_delta", "m_subspaces", "k_centroids",
+          "encoded_delta_only", "reapply_noop", "recall_within_floor")
+    } finally emb.unpersist()
+  }
+
+  private val pqIncrementalOracle = """
+    |WITH c AS (
+    |  SELECT COUNT(*) AS n,
+    |    COUNT(*) FILTER (WHERE vec_id % 10 = 7 AND vec_id <> 0) AS nd
+    |  FROM embeddings)
+    |SELECT n AS n_total, nd AS n_delta,
+    |  CAST(8 AS BIGINT) AS m_subspaces,
+    |  LEAST(256, GREATEST(8,
+    |    CAST(ceil(sqrt(8.0 * CAST(n - nd AS DOUBLE))) AS BIGINT))) AS k_centroids,
+    |  CAST(1 AS BIGINT) AS encoded_delta_only,
+    |  CAST(1 AS BIGINT) AS reapply_noop,
+    |  CAST(1 AS BIGINT) AS recall_within_floor
+    |FROM c
+    |""".stripMargin.trim
+
   override val all: Seq[Q] = Seq(
     Q("ann_topk_dot", topkDot, Some(topkDotOracle)),
     Q("ann_filtered_topk", filteredTopk, Some(filteredTopkOracle)),
@@ -1142,5 +1334,6 @@ object SimilarityQueries extends QueryPack {
     Q("ann_pq_topk", pqTopk, None),
     Q("ann_pq_recall", pqRecall, Some(pqRecallOracle)),
     Q("ann_pq_persisted", pqPersisted, Some(pqPersistedOracle)),
+    Q("ann_pq_incremental", pqIncremental, Some(pqIncrementalOracle)),
   )
 }

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+import graft.sources.dwrf.{DwrfLog, DwrfUtil, TestSpark}
+
+/** Incrementally maintained PQ index: the maintain must encode only the
+  * change-feed delta with FROZEN codebooks, land as one atomic append
+  * commit, re-apply as a no-op, and search as well as a full build.
+  * Determinism across runs matters doubly here — the query RESETS the
+  * index to pristine v0 (metadata-only restore) each run, so the same
+  * maintain re-executes and the emitted row never depends on how many
+  * times the query has run before.
+  */
+class PqIncrementalSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("maintain is delta-only, idempotent, and deterministic across runs") {
+    val row1 = SparkEntry.queries("ann_pq_incremental")(spark, sf).collect()
+    assert(row1.length == 1)
+    val r = row1.head
+    val nTotal = r.getAs[Long]("n_total")
+    val nDelta = r.getAs[Long]("n_delta")
+    assert(nDelta > 0 && nDelta < nTotal,
+      s"staging must hold out a real delta ($nDelta of $nTotal)")
+    assert(r.getAs[Long]("encoded_delta_only") == 1L)
+    assert(r.getAs[Long]("reapply_noop") == 1L)
+    assert(r.getAs[Long]("recall_within_floor") == 1L)
+    val inst1 = SimilarityQueries.lastInstrument.get("ann_pq_incremental")
+    assert(inst1("encoded_delta") == nDelta.toDouble,
+      "the instrument must record the delta-only encode count")
+    // codebooks are frozen: the training table is written at staging
+    // only — capture its stamp, re-run, and require it untouched
+    val conf = DwrfUtil.sessionHadoopConf()
+    val cbDirs = java.nio.file.Files.list(Staging.root).iterator()
+    var cbStamp = -1L
+    var cbPath: java.nio.file.Path = null
+    while (cbDirs.hasNext) {
+      val p = cbDirs.next()
+      if (p.getFileName.toString.startsWith("pqinc-codebook-")) {
+        cbPath = p
+        cbStamp = java.nio.file.Files.walk(p).mapToLong(
+          f => f.toFile.lastModified).max.orElse(-1L)
+      }
+    }
+    assert(cbPath != null, "staging must persist the codebook table")
+
+    val row2 = SparkEntry.queries("ann_pq_incremental")(spark, sf).collect()
+    assert(row2.head == r, "the emitted row must not depend on run count")
+    val inst2 = SimilarityQueries.lastInstrument.get("ann_pq_incremental")
+    assert(inst2("recall") == inst1("recall"),
+      "restore-reset + re-maintain must reproduce the identical search")
+    val cbStamp2 = java.nio.file.Files.walk(cbPath).mapToLong(
+      f => f.toFile.lastModified).max.orElse(-1L)
+    assert(cbStamp2 == cbStamp,
+      "codebooks must stay frozen — a re-train on maintain is the bug")
+
+    // the index log shows the restore + append lifecycle, never a rebuild
+    val idxDirs = java.nio.file.Files.list(Staging.root).iterator()
+    var idxPath: Path = null
+    while (idxDirs.hasNext) {
+      val p = idxDirs.next()
+      if (p.getFileName.toString.startsWith("pqinc-index-"))
+        idxPath = new Path(p.toAbsolutePath.toString)
+    }
+    assert(idxPath != null)
+    val hist = DwrfLog.history(idxPath, conf)
+    assert(hist.head.version == 0L,
+      "pristine v0 must survive (the restore target is never vacuumed)")
+    assert(hist.last.op == "append",
+      s"the latest commit must be the maintain's append, got ${hist.last.op}")
+  }
+}
