@@ -130,7 +130,7 @@ object BenchOpScale {
     val copies = sys.env.getOrElse("SPARK_GRAFT_OPSCALE_COPIES", "16").toInt
     // section selector for iteration (unset = the full stress suite —
     // what the committed artifact always is): comma list among
-    // skew,ops,emb,kll,mstats,streamsrc,gf,spj,wide,bloom,cdc
+    // skew,ops,emb,pqinc,kll,mstats,streamsrc,gf,spj,wide,bloom,cdc
     val onlySections = sys.env.get("SPARK_GRAFT_OPSCALE_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     def sec(name: String): Boolean = onlySections.forall(_.contains(name))
@@ -343,6 +343,43 @@ object BenchOpScale {
       s"autoBandGeometry's recall compensation failed: twin recall " +
         s"${lshRecall("scaled_auto")} < 0.8 at ${autoPlanes / autoBits}×" +
         s"$autoBits-bit (theory ≥ 0.85 by construction)")
+    }
+
+    // --------------------------------------- incremental PQ maintenance
+    // The ann_pq_incremental claim at 16×: the change-feed maintain
+    // encodes only the delta, so its cost must sit far under the
+    // one-time full build (fresh staging on the scaled corpus runs both
+    // in one call — the phase timers attribute them), and the steady
+    // state (second run) must never re-stage or re-train.
+    if (sec("pqinc")) {
+      val pqDir = s"$scaledDir/pqinc"
+      val (tE, _) = time {
+        scaledEmbeddings(spark, baseDir, copies).write.mode("overwrite")
+          .parquet(s"$pqDir/embeddings.parquet")
+      }
+      r += "pqinc_emb_build_s" -> tE
+      val (t1, n1, _, _) = measuredF(
+        SparkEntry.queries("ann_pq_incremental")(spark, pqDir).count())
+      check(n1 == 1L, "ann_pq_incremental must emit its one gate row")
+      val ph1 = SimilarityQueries.lastPqIncPhases
+      r += "pqinc_cold_total_s" -> t1
+      r ++= ph1.map { case (k, v) => s"pqinc_cold_${k}_s" -> (v: Any) }
+      check(ph1.contains("stage_full_encode"),
+        "fresh scaled staging must pay the one-time full build")
+      check(ph1("maintain") < 0.5 * ph1("stage_full_encode"),
+        s"delta maintain (${ph1("maintain")} s) must sit well under the " +
+          s"full encode (${ph1("stage_full_encode")} s) — it processes " +
+          "~10% of the rows")
+      val inst = SimilarityQueries.lastInstrument.get("ann_pq_incremental")
+      r ++= Seq("pqinc_encoded_delta" -> inst("encoded_delta").toLong,
+        "pqinc_recall" -> inst("recall"))
+      val (t2, _, _, _) = measuredF(
+        SparkEntry.queries("ann_pq_incremental")(spark, pqDir).count())
+      val ph2 = SimilarityQueries.lastPqIncPhases
+      r += "pqinc_steady_total_s" -> t2
+      r ++= ph2.map { case (k, v) => s"pqinc_steady_${k}_s" -> (v: Any) }
+      check(!ph2.contains("stage_full_encode"),
+        "steady state must not rebuild the index or re-train codebooks")
     }
 
     // ------------------------------------------------ KLL sketch tier

@@ -1052,12 +1052,13 @@ object FormatQueries extends QueryPack {
 
   // The lake-maintenance SQL surface end to end (LakeSqlParser via
   // spark.sql.extensions): DESCRIBE HISTORY enumerates the staged
-  // commits from manifest headers, OPTIMIZE ... SORT BY collapses the
-  // fragmented layout in one conflict-checked commit, VACUUM RETAIN 1
-  // reclaims the replaced inputs — each statement's metric rows are
-  // REQUIREd, and the post-OPTIMIZE rollup hash-matches DuckDB on the
-  // original parquet, proving the whole SQL-driven maintenance cycle
-  // is content-preserving.
+  // commits from manifest headers, bare OPTIMIZE bin-packs the 8
+  // fragmented files through the zero-decode raw-stripe merge,
+  // OPTIMIZE ... SORT BY rewrites the compacted layout in one
+  // conflict-checked commit, VACUUM RETAIN 1 reclaims every replaced
+  // input — each statement's metric rows are REQUIREd, and the final
+  // rollup hash-matches DuckDB on the original parquet, proving the
+  // whole SQL-driven maintenance cycle is content-preserving.
   private def lakeSqlScan(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.dwrf.{DwrfLog, DwrfUtil}
     import org.apache.hadoop.fs.Path
@@ -1075,12 +1076,16 @@ object FormatQueries extends QueryPack {
     val hist = s.sql(s"DESCRIBE HISTORY '$out'").collect()
     require(hist.map(_.getLong(0)).toSeq == Seq(1L, 0L),
       s"DESCRIBE HISTORY must list v1, v0 — got ${hist.toSeq}")
+    val pack = s.sql(s"OPTIMIZE '$out' TARGET 256 MB").collect().head
+    require(pack.getInt(1) == 8 && pack.getInt(2) < 8,
+      s"bare OPTIMIZE must bin-pack the 8 small files, got $pack")
+    val packed = pack.getInt(2)
     val opt = s.sql(s"OPTIMIZE '$out' SORT BY (o_orderkey)").collect().head
-    require(opt.getLong(0) == 2L && opt.getInt(1) == 8 && opt.getInt(2) < 8,
-      s"OPTIMIZE must collapse 8 files in commit v2, got $opt")
+    require(opt.getLong(0) == 3L && opt.getInt(1) == packed,
+      s"sorted OPTIMIZE must rewrite the $packed compacted file(s) in v3, got $opt")
     val vac = s.sql(s"VACUUM '$out' RETAIN 1 VERSIONS").collect().head
-    require(vac.getInt(0) == 8 && vac.getLong(2) == 2L,
-      s"VACUUM must reclaim the 8 replaced inputs, got $vac")
+    require(vac.getInt(0) == 8 + packed && vac.getLong(2) == 3L,
+      s"VACUUM must reclaim the 8 originals + $packed compacted, got $vac")
     s.read.format("dwrf").load(out)
       .createOrReplaceTempView("orders_lakesql")
     s.sql(s"""

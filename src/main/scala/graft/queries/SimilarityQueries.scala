@@ -1170,11 +1170,25 @@ object SimilarityQueries extends QueryPack {
     * Composition under test: restore × change feed × append commits ×
     * frozen-codebook encode × packed-code ADC search.
     */
+  /** Wall-time phases of the last [[pqIncremental]] run (opscale
+    * attribution): `stage_full_encode` appears only when staging ran
+    * (the one-time full build the maintain must undercut), `maintain`
+    * is the delta encode+append, `search` the ADC query. */
+  @volatile private[graft] var lastPqIncPhases: Map[String, Double] =
+    Map.empty
+
   private def pqIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.hadoop.fs.Path
     import graft.sources.dwrf.{DwrfChanges, DwrfLog, DwrfUtil}
     graft.functions.GraftFunctions.register(s)
+    val ph = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def phased[A](k: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      ph(k) = ph.getOrElse(k, 0.0) + (System.nanoTime() - t0) / 1e9
+      a
+    }
     val conf = DwrfUtil.sessionHadoopConf()
     val emb = loadVecs(s, dir)
     try {
@@ -1217,11 +1231,14 @@ object SimilarityQueries extends QueryPack {
         }.toSeq.toDF("mi", "ci", "c")
           .coalesce(1)
           .write.format("dwrf").mode("overwrite").save(cbDir)
-        // pristine index: v0 codes stamped src_version = 0
+        // pristine index: v0 codes stamped src_version = 0. Timed as the
+        // full-build yardstick the incremental maintain must undercut.
         val cbB = s.sparkContext.broadcast(codebook)
-        packedCodes(emb.filter(!isDelta), cbB)
-          .withColumn("src_version", lit(0L))
-          .write.format("dwrf").mode("overwrite").save(idxDir)
+        phased("stage_full_encode") {
+          packedCodes(emb.filter(!isDelta), cbB)
+            .withColumn("src_version", lit(0L))
+            .write.format("dwrf").mode("overwrite").save(idxDir)
+        }
         DwrfLog.enable(idxPath, conf)
       }
       // reset to the pristine index (metadata-only rollback) so every
@@ -1248,7 +1265,7 @@ object SimilarityQueries extends QueryPack {
         }
       }
       val vBefore = DwrfLog.latestVersion(idxPath, conf).get
-      val encodedRows = maintain()
+      val encodedRows = phased("maintain") { maintain() }
       val vAfter = DwrfLog.latestVersion(idxPath, conf).get
       require(encodedRows == nDelta,
         s"incremental maintain encoded $encodedRows rows, expected the " +
@@ -1282,11 +1299,11 @@ object SimilarityQueries extends QueryPack {
         .orderBy($"adc".desc, $"vec_id")
         .limit(50)
         .select($"vec_id")
-      val pqIds = emb.join(broadcast(candidates), "vec_id")
+      val pqIds = phased("search") { emb.join(broadcast(candidates), "vec_id")
         .withColumn("q", typedlit(queryVec.toSeq))
         .select($"vec_id", expr("vec_dot(v, q)").as("dot"))
         .orderBy($"dot".desc, $"vec_id")
-        .limit(10).select($"vec_id").as[Long].collect().toSet
+        .limit(10).select($"vec_id").as[Long].collect().toSet }
       val exactIds = emb.filter($"vec_id" =!= 0)
         .withColumn("q", typedlit(queryVec.toSeq))
         .select($"vec_id", expr("vec_dot(v, q)").as("dot"))
@@ -1298,6 +1315,7 @@ object SimilarityQueries extends QueryPack {
       lastInstrument.put("ann_pq_incremental", Map(
         "n_found" -> found.toDouble, "recall" -> recall,
         "encoded_delta" -> encodedRows.toDouble))
+      lastPqIncPhases = ph.toMap
       require(recall >= 0.6,
         s"incremental-PQ recall $recall fell below the 0.6 in-band floor" +
           " — codes appended by the maintain must search as well as a" +

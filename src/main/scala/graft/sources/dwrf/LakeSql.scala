@@ -19,6 +19,8 @@ import org.apache.spark.sql.types._
   *   VACUUM '/path/to/table' OLDER THAN 168 HOURS
   *   OPTIMIZE '/path/to/table' SORT BY (l_partkey, l_orderkey)
   *   OPTIMIZE '/path/to/table' ZORDER BY (x, y)
+  *   OPTIMIZE '/path/to/table'                  -- bin-pack small files
+  *   OPTIMIZE '/path/to/table' TARGET 256 MB
   * }}}
   *
   * The target is the table LOCATION as a quoted path literal — the one
@@ -37,6 +39,8 @@ class LakeSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*VACUUM\s+'([^']+)'\s+OLDER\s+THAN\s+(\d+)\s+HOURS\s*;?\s*""".r
   private val optimizeBy =
     """(?is)\s*OPTIMIZE\s+'([^']+)'\s+(SORT|ZORDER)\s+BY\s*\(([^)]+)\)\s*;?\s*""".r
+  private val optimizeBinPack =
+    """(?is)\s*OPTIMIZE\s+'([^']+)'(?:\s+TARGET\s+(\d+)\s+MB)?\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case describeHistory(path) => DescribeHistoryCommand(path)
@@ -47,6 +51,10 @@ class LakeSqlParser(delegate: ParserInterface) extends ParserInterface {
         cols.split(',').map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
           .filter(_.nonEmpty),
         zOrder = kind.equalsIgnoreCase("ZORDER"))
+    // tried after the BY forms; the pattern is whole-string, so any
+    // other suffix after the quoted path falls through to Spark's parser
+    case optimizeBinPack(path, mb) =>
+      CompactCommand(path, Option(mb).map(_.toLong).getOrElse(128L))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -107,6 +115,28 @@ case class VacuumCommand(path: String, retainLast: Option[Int],
         "VACUUM needs RETAIN n VERSIONS or OLDER THAN h HOURS")
     }
     Seq(Row(r.dataFilesDeleted, r.manifestsDeleted, r.retainedVersion))
+  }
+}
+
+/** `OPTIMIZE '<path>' [TARGET n MB]` — bin-pack small-file compaction:
+  * the raw-stripe merge ([[DwrfCompact]] — zero decode, arrival-order
+  * packing per partition and byte-compatibility class), committed as
+  * one atomic replace on snapshot tables. The no-sort counterpart of
+  * the SORT/ZORDER rewrite below: OPTIMIZE for file-count hygiene
+  * (streaming sinks, frequent small appends) at byte-copy speed.
+  */
+case class CompactCommand(path: String, targetMb: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("groups", IntegerType, nullable = false)(),
+    AttributeReference("files_before", IntegerType, nullable = false)(),
+    AttributeReference("files_after", IntegerType, nullable = false)(),
+    AttributeReference("files_compacted", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(targetMb > 0, "OPTIMIZE TARGET must be positive")
+    val r = DwrfCompact.compact(spark, path, targetMb * 1024L * 1024L)
+    Seq(Row(r.groups, r.filesBefore, r.filesAfter, r.filesCompacted))
   }
 }
 

@@ -55,6 +55,24 @@ class LakeSqlSpec extends AnyFunSuite {
     assert(spark.read.format("dwrf").load(dir).count() == 1200L)
   }
 
+  test("bare OPTIMIZE bin-packs small files through one compaction commit") {
+    val dir = stageLogTable() // 6 small files over v0+v1
+    val before = spark.read.format("dwrf").load(dir)
+      .selectExpr("sum(id)").head().getLong(0)
+    val r = spark.sql(s"OPTIMIZE '$dir'").collect().head
+    assert(r.getInt(0) >= 1, "at least one pack group must form")
+    assert(r.getInt(2) < r.getInt(1),
+      s"file count must drop: ${r.getInt(1)} -> ${r.getInt(2)}")
+    // one atomic commit; content byte-preserved (raw stripe merge)
+    val hist = spark.sql(s"DESCRIBE HISTORY '$dir'").collect()
+    assert(hist.head.getString(1) == "compact")
+    assert(spark.read.format("dwrf").load(dir)
+      .selectExpr("sum(id)").head().getLong(0) == before)
+    // TARGET spelling parses and is a no-op on the already-packed table
+    val again = spark.sql(s"OPTIMIZE '$dir' TARGET 256 MB").collect().head
+    assert(again.getInt(3) == 0, "nothing left to compact")
+  }
+
   test("VACUUM ... OLDER THAN hours keeps young history intact") {
     val dir = stageLogTable()
     // both commits are seconds old — a 1000-hour horizon drops nothing
