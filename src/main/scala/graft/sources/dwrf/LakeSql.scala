@@ -21,6 +21,7 @@ import org.apache.spark.sql.types._
   *   OPTIMIZE '/path/to/table' ZORDER BY (x, y)
   *   OPTIMIZE '/path/to/table'                  -- bin-pack small files
   *   OPTIMIZE '/path/to/table' TARGET 256 MB
+  *   RESTORE '/path/to/table' TO VERSION 3
   * }}}
   *
   * The target is the table LOCATION as a quoted path literal — the one
@@ -41,6 +42,8 @@ class LakeSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*OPTIMIZE\s+'([^']+)'\s+(SORT|ZORDER)\s+BY\s*\(([^)]+)\)\s*;?\s*""".r
   private val optimizeBinPack =
     """(?is)\s*OPTIMIZE\s+'([^']+)'(?:\s+TARGET\s+(\d+)\s+MB)?\s*;?\s*""".r
+  private val restoreTo =
+    """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case describeHistory(path) => DescribeHistoryCommand(path)
@@ -55,6 +58,7 @@ class LakeSqlParser(delegate: ParserInterface) extends ParserInterface {
     // other suffix after the quoted path falls through to Spark's parser
     case optimizeBinPack(path, mb) =>
       CompactCommand(path, Option(mb).map(_.toLong).getOrElse(128L))
+    case restoreTo(path, v) => RestoreCommand(path, v.toLong)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -137,6 +141,27 @@ case class CompactCommand(path: String, targetMb: Long)
     require(targetMb > 0, "OPTIMIZE TARGET must be positive")
     val r = DwrfCompact.compact(spark, path, targetMb * 1024L * 1024L)
     Seq(Row(r.groups, r.filesBefore, r.filesAfter, r.filesCompacted))
+  }
+}
+
+/** `RESTORE '<path>' TO VERSION n` — metadata-only rollback
+  * ([[DwrfLog.restore]]): a NEW commit re-references the target
+  * version's files and DV bindings, so history stays linear and
+  * concurrent readers keep their pinned snapshots; vacuumed targets
+  * fail loud rather than partially restore.
+  */
+case class RestoreCommand(path: String, toVersion: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("restored_from", LongType, nullable = false)(),
+    AttributeReference("n_files", IntegerType, nullable = false)(),
+    AttributeReference("n_dvs", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val conf = DwrfUtil.sessionHadoopConf()
+    val s = DwrfLog.restore(new Path(path), conf, toVersion)
+    Seq(Row(s.version, toVersion, s.files.size, s.dvs.size))
   }
 }
 

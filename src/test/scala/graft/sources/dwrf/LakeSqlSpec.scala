@@ -73,6 +73,26 @@ class LakeSqlSpec extends AnyFunSuite {
     assert(again.getInt(3) == 0, "nothing left to compact")
   }
 
+  test("RESTORE TO VERSION rolls back metadata-only; vacuumed targets refuse") {
+    val dir = stageLogTable() // v0 = 1000 rows, v1 = +200
+    val r = spark.sql(s"RESTORE '$dir' TO VERSION 0").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L,
+      s"restore must commit v2 re-referencing v0, got $r")
+    assert(spark.read.format("dwrf").load(dir).count() == 1000L)
+    // the appended v1 rows come back by restoring forward — history is
+    // linear, nothing was deleted
+    spark.sql(s"RESTORE '$dir' TO VERSION 1")
+    assert(spark.read.format("dwrf").load(dir).count() == 1200L)
+    // vacuum away v0's era, then a restore to it must fail loud
+    spark.sql(s"VACUUM '$dir' RETAIN 1 VERSIONS")
+    val e = intercept[Exception] {
+      spark.sql(s"RESTORE '$dir' TO VERSION 0").collect()
+    }
+    assert(e.getMessage.contains("no snapshot version") ||
+      e.getMessage.contains("vacuumed"),
+      s"restore to a vacuumed version must fail loud, got: ${e.getMessage}")
+  }
+
   test("VACUUM ... OLDER THAN hours keeps young history intact") {
     val dir = stageLogTable()
     // both commits are seconds old — a 1000-hour horizon drops nothing
