@@ -75,8 +75,11 @@ object DeleteVector {
     var i = 0
     while (i < count) {
       val v = Serialization.readVulong(in)
-      if (i > 0 && v == 0) throw new EOFException(
-        "delete vector gap 0: positions must be strictly increasing")
+      // v <= 0 covers both a zero gap and an oversized varint decoding
+      // negative — either would smuggle an out-of-order position past
+      // the monotonicity the masking cursor depends on
+      if (i > 0 && v <= 0) throw new EOFException(
+        s"delete vector gap $v: positions must be strictly increasing")
       prev = if (i == 0) v else prev + v
       // prev < 0 catches both a negatively-decoded oversized varint and
       // additive wraparound — either way the gap stream is corrupt

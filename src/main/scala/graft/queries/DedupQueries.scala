@@ -50,8 +50,11 @@ object DedupQueries extends QueryPack {
   // Shared by the Jaccard and MinHash tiers so both dedup metrics are
   // over the same shingle space. word_shingle_hashes is the native
   // byte-span kernel (graft.functions.ShingleKernel): hash-identical to
-  // the declarative split/slice/concat_ws/xxhash64 pipeline (pinned by
-  // ShingleHashesSpec) without its per-shingle allocations.
+  // building each shingle string and mix_hash64-ing it (the
+  // polynomial+splitmix family, pinned against an independent
+  // string-level reference by ShingleHashesSpec) without the
+  // per-shingle allocations — and DuckDB-re-derivable, which is what
+  // makes the MinHash/SimHash oracles exact.
   private val shingle5Sql = "word_shingle_hashes(text, 5)"
 
   private def ngramJaccardFull(s: SparkSession, dir: String,

@@ -1077,9 +1077,9 @@ object FormatQueries extends QueryPack {
     require(hist.map(_.getLong(0)).toSeq == Seq(1L, 0L),
       s"DESCRIBE HISTORY must list v1, v0 — got ${hist.toSeq}")
     val pack = s.sql(s"OPTIMIZE '$out' TARGET 256 MB").collect().head
-    require(pack.getInt(1) == 8 && pack.getInt(2) < 8,
-      s"bare OPTIMIZE must bin-pack the 8 small files, got $pack")
-    val packed = pack.getInt(2)
+    require(pack.getLong(0) == 2L && pack.getInt(2) == 8 && pack.getInt(3) < 8,
+      s"bare OPTIMIZE must bin-pack the 8 small files in commit v2, got $pack")
+    val packed = pack.getInt(3)
     val opt = s.sql(s"OPTIMIZE '$out' SORT BY (o_orderkey)").collect().head
     require(opt.getLong(0) == 3L && opt.getInt(1) == packed,
       s"sorted OPTIMIZE must rewrite the $packed compacted file(s) in v3, got $opt")

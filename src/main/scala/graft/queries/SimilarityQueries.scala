@@ -1269,10 +1269,14 @@ object SimilarityQueries extends QueryPack {
           val delta = DwrfChanges.between(s, srcDir, synced, latestSrc)
             .filter($"_change_type" === "insert")
             .select($"vec_id", $"v")
-          val encoded = packedCodes(delta, cbB)
+          // count the FEED, not the encoded frame: re-counting `encoded`
+          // would re-run the whole PQ encode a second time (the encode is
+          // a 1:1 map, so the counts are definitionally equal)
+          val deltaRows = delta.count()
+          packedCodes(delta, cbB)
             .withColumn("src_version", lit(latestSrc))
-          encoded.write.format("dwrf").mode("append").save(idxDir)
-          encoded.count()
+            .write.format("dwrf").mode("append").save(idxDir)
+          deltaRows
         }
       }
       val vBefore = DwrfLog.latestVersion(idxPath, conf).get

@@ -34,10 +34,12 @@ import org.apache.hadoop.fs.{FileStatus, Path}
   * replace commits (DML, compaction) REQUIRE their replaced files to
   * still be live in the winning parent and fail with a concurrent-
   * modification error otherwise — first writer wins, like Delta's
-  * conflict rule. The exclusive-rename arbitration is exact on
-  * HDFS-semantics stores; on a raw local FS two same-instant cross-JVM
-  * commits could race the exists-check, which the single-host test
-  * reality never exercises (in-JVM commits serialize on a lock).
+  * conflict rule. The publish arbitration is exact on every store:
+  * HDFS-semantics renames refuse an existing destination, and on POSIX
+  * local filesystems — where rename(2) would REPLACE it — the publish
+  * is a hard link, the atomic create-exclusive primitive
+  * (DwrfLogStormSpec provokes the race by defeating the in-JVM
+  * per-root lock and proves no commit is lost).
   *
   * The log is OPT-IN per table ([[enable]]): streaming landing dirs and
   * plain directories keep their existing listing semantics untouched.
@@ -271,12 +273,32 @@ object DwrfLog {
     val out = fs.create(tmp, false)
     try out.write(render(snap).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // the rename is the atomic commit point; a lost race (target appeared
-    // after the exists-check) returns false and the temp is withdrawn
-    if (fs.exists(target) || !fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      false
-    } else true
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem
+           | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        // POSIX local FS: rename(2) REPLACES an existing destination, so
+        // two same-slot committers could BOTH "win" and one manifest
+        // would be silently overwritten (the lost-update race the
+        // commit-storm spec provokes by defeating the in-JVM lock).
+        // link(2) is the atomic create-EXCLUSIVE publish: it fails when
+        // the target exists, and the linked file is already fully
+        // written, so readers never see a partial manifest.
+        val t = java.nio.file.Paths.get(tmp.toUri.getPath)
+        val d = java.nio.file.Paths.get(target.toUri.getPath)
+        val won =
+          try { java.nio.file.Files.createLink(d, t); true }
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        fs.delete(tmp, false)
+        won
+      case _ =>
+        // HDFS-semantics stores: rename refuses an existing destination,
+        // so the plain rename IS the exclusive atomic commit point; a
+        // lost race returns false and the temp is withdrawn
+        if (fs.exists(target) || !fs.rename(tmp, target)) {
+          fs.delete(tmp, false)
+          false
+        } else true
+    }
   }
 
 

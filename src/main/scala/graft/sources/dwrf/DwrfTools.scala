@@ -255,8 +255,12 @@ object DwrfCompact {
     finally spark.stop()
   }
 
+  /** `version` = the snapshot version the table is at after this call
+    * (the compaction's own commit, or the unchanged latest when nothing
+    * compacted); -1 for plain directories without a log.
+    */
   final case class Result(groups: Int, filesBefore: Int, filesAfter: Int,
-      filesCompacted: Int)
+      filesCompacted: Int, version: Long = -1L)
 
   /** Greedy arrival-order bin packing per partition directory AND
     * per byte-compatibility class (schema, codec, block size, vints,
@@ -351,11 +355,13 @@ object DwrfCompact {
         .collect().toSeq
     }
     if (snapshots) {
-      if (groups.nonEmpty)
-        DwrfLog.commitReplace(root, conf, groups.flatten.toSeq,
-          merged.map(new Path(_)), "compact")
+      val committedV =
+        if (groups.nonEmpty)
+          DwrfLog.commitReplace(root, conf, groups.flatten.toSeq,
+            merged.map(new Path(_)), "compact").version
+        else DwrfLog.latestVersion(root, conf).getOrElse(-1L)
       val after = before - groups.map(_.size).sum + groups.length
-      Result(groups.length, before, after, groups.map(_.size).sum)
+      Result(groups.length, before, after, groups.map(_.size).sum, committedV)
     } else {
       val afterList = DwrfUtil.listDataFileStatuses(root, conf)
       Result(groups.length, before, afterList.length, groups.map(_.size).sum)

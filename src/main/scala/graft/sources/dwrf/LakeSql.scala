@@ -132,6 +132,7 @@ case class VacuumCommand(path: String, retainLast: Option[Int],
 case class CompactCommand(path: String, targetMb: Long)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("groups", IntegerType, nullable = false)(),
     AttributeReference("files_before", IntegerType, nullable = false)(),
     AttributeReference("files_after", IntegerType, nullable = false)(),
@@ -140,7 +141,10 @@ case class CompactCommand(path: String, targetMb: Long)
   override def run(spark: SparkSession): Seq[Row] = {
     require(targetMb > 0, "OPTIMIZE TARGET must be positive")
     val r = DwrfCompact.compact(spark, path, targetMb * 1024L * 1024L)
-    Seq(Row(r.groups, r.filesBefore, r.filesAfter, r.filesCompacted))
+    // version leads, like OPTIMIZE BY and RESTORE — the three
+    // maintenance statements report uniformly (-1 = no snapshot log)
+    Seq(Row(r.version, r.groups, r.filesBefore, r.filesAfter,
+      r.filesCompacted))
   }
 }
 

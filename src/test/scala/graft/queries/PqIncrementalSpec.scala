@@ -34,38 +34,56 @@ class PqIncrementalSpec extends AnyFunSuite {
     assert(inst1("encoded_delta") == nDelta.toDouble,
       "the instrument must record the delta-only encode count")
     // codebooks are frozen: the training table is written at staging
-    // only — capture its stamp, re-run, and require it untouched
+    // only — capture its stamp, re-run, and require it untouched. The
+    // lookup pins THIS corpus's staging dirs by the same dir-derived
+    // tag prefix the query uses (a Verify/opscale run in the same
+    // checkout stages other pqinc-* corpora — matching any of them
+    // would assert against the wrong table, vacuously).
     val conf = DwrfUtil.sessionHadoopConf()
-    val cbDirs = java.nio.file.Files.list(Staging.root).iterator()
-    var cbStamp = -1L
-    var cbPath: java.nio.file.Path = null
-    while (cbDirs.hasNext) {
-      val p = cbDirs.next()
-      if (p.getFileName.toString.startsWith("pqinc-codebook-")) {
-        cbPath = p
-        cbStamp = java.nio.file.Files.walk(p).mapToLong(
-          f => f.toFile.lastModified).max.orElse(-1L)
-      }
+    val tagPrefix = "pqinc-codebook-" + sf.replaceAll("[^A-Za-z0-9]+", "_")
+    def mtimeMax(p: java.nio.file.Path): Long = {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.mapToLong(f => f.toFile.lastModified).max.orElse(-1L)
+      finally walk.close()
     }
-    assert(cbPath != null, "staging must persist the codebook table")
+    val cbPath = {
+      val list = java.nio.file.Files.list(Staging.root)
+      try {
+        val it = list.iterator()
+        var found: java.nio.file.Path = null
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.startsWith(tagPrefix)) found = p
+        }
+        found
+      } finally list.close()
+    }
+    assert(cbPath != null, s"staging must persist the codebook table ($tagPrefix*)")
+    val cbStamp = mtimeMax(cbPath)
 
     val row2 = SparkEntry.queries("ann_pq_incremental")(spark, sf).collect()
     assert(row2.head == r, "the emitted row must not depend on run count")
     val inst2 = SimilarityQueries.lastInstrument.get("ann_pq_incremental")
     assert(inst2("recall") == inst1("recall"),
       "restore-reset + re-maintain must reproduce the identical search")
-    val cbStamp2 = java.nio.file.Files.walk(cbPath).mapToLong(
-      f => f.toFile.lastModified).max.orElse(-1L)
+    val cbStamp2 = mtimeMax(cbPath)
     assert(cbStamp2 == cbStamp,
       "codebooks must stay frozen — a re-train on maintain is the bug")
 
     // the index log shows the restore + append lifecycle, never a rebuild
-    val idxDirs = java.nio.file.Files.list(Staging.root).iterator()
-    var idxPath: Path = null
-    while (idxDirs.hasNext) {
-      val p = idxDirs.next()
-      if (p.getFileName.toString.startsWith("pqinc-index-"))
-        idxPath = new Path(p.toAbsolutePath.toString)
+    val idxPrefix = "pqinc-index-" + sf.replaceAll("[^A-Za-z0-9]+", "_")
+    val idxPath = {
+      val list = java.nio.file.Files.list(Staging.root)
+      try {
+        val it = list.iterator()
+        var found: Path = null
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.startsWith(idxPrefix))
+            found = new Path(p.toAbsolutePath.toString)
+        }
+        found
+      } finally list.close()
     }
     assert(idxPath != null)
     val hist = DwrfLog.history(idxPath, conf)

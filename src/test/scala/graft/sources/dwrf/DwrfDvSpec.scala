@@ -107,6 +107,21 @@ class DwrfDvSpec extends AnyFunSuite {
       out.toByteArray
     }
     intercept[java.io.EOFException](DeleteVector.deserialize(zeroGap))
+    // negative gap (10-byte varint with bit 63 set): would smuggle an
+    // OUT-OF-ORDER position past an ==0 check while prev stays in range
+    val negGap = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GDV1".getBytes("UTF-8"))
+      out.write(2) // count
+      out.write(50) // numRows
+      out.write(40) // first position
+      var v = -5L // gap -5 -> position 35 < 40, still in [0, 50)
+      var n = 0
+      while (n < 9) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7; n += 1 }
+      out.write(v.toInt)
+      out.toByteArray
+    }
+    intercept[java.io.EOFException](DeleteVector.deserialize(negGap))
     // fuzz: single byte flips and truncations terminate with either an
     // exception or a result that honors the invariants — sorted strictly
     // ascending, in [0, numRows) — and never an outsized allocation

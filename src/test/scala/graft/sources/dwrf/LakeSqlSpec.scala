@@ -60,17 +60,19 @@ class LakeSqlSpec extends AnyFunSuite {
     val before = spark.read.format("dwrf").load(dir)
       .selectExpr("sum(id)").head().getLong(0)
     val r = spark.sql(s"OPTIMIZE '$dir'").collect().head
-    assert(r.getInt(0) >= 1, "at least one pack group must form")
-    assert(r.getInt(2) < r.getInt(1),
-      s"file count must drop: ${r.getInt(1)} -> ${r.getInt(2)}")
+    assert(r.getLong(0) == 2L, "compaction must report its commit version")
+    assert(r.getInt(1) >= 1, "at least one pack group must form")
+    assert(r.getInt(3) < r.getInt(2),
+      s"file count must drop: ${r.getInt(2)} -> ${r.getInt(3)}")
     // one atomic commit; content byte-preserved (raw stripe merge)
     val hist = spark.sql(s"DESCRIBE HISTORY '$dir'").collect()
     assert(hist.head.getString(1) == "compact")
     assert(spark.read.format("dwrf").load(dir)
       .selectExpr("sum(id)").head().getLong(0) == before)
-    // TARGET spelling parses and is a no-op on the already-packed table
+    // TARGET spelling parses; a second pass is a no-op at the SAME version
     val again = spark.sql(s"OPTIMIZE '$dir' TARGET 256 MB").collect().head
-    assert(again.getInt(3) == 0, "nothing left to compact")
+    assert(again.getInt(4) == 0, "nothing left to compact")
+    assert(again.getLong(0) == 2L, "a no-op must not commit a new version")
   }
 
   test("RESTORE TO VERSION rolls back metadata-only; vacuumed targets refuse") {
