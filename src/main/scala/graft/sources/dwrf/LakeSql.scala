@@ -34,6 +34,8 @@ class LakeSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val describeHistory =
     """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+  private val describeDetail =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+'([^']+)'\s*;?\s*""".r
   private val vacuumRetain =
     """(?is)\s*VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
   private val vacuumOlder =
@@ -47,6 +49,7 @@ class LakeSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case describeHistory(path) => DescribeHistoryCommand(path)
+    case describeDetail(path) => DescribeDetailCommand(path)
     case vacuumRetain(path, n) => VacuumCommand(path, Some(n.toInt), None)
     case vacuumOlder(path, h) => VacuumCommand(path, None, Some(h.toLong))
     case optimizeBy(path, kind, cols) =>
@@ -98,6 +101,49 @@ case class DescribeHistoryCommand(path: String) extends LeafRunnableCommand {
       Row(s.version, s.op, new java.sql.Timestamp(s.ts),
         s.files.size, s.dvs.size)
     }
+  }
+}
+
+/** `DESCRIBE DETAIL '<path>'` — one row of table-level facts: current
+  * snapshot version (-1 for plain directories without a log), live
+  * file/DV counts, live on-disk bytes, the latest commit's op and
+  * stamp, and the Hive partition columns inferred from the layout. For
+  * snapshot tables everything derives from ONE manifest read plus the
+  * live files' statuses; no data file is opened.
+  */
+case class DescribeDetailCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("last_op", StringType, nullable = false)(),
+    AttributeReference("committed_at", TimestampType, nullable = true)(),
+    AttributeReference("n_files", IntegerType, nullable = false)(),
+    AttributeReference("n_dvs", IntegerType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val conf = DwrfUtil.sessionHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val qualified = DwrfUtil.qualify(root, conf)
+    val (version, op, ts, files, nDvs) = DwrfLog.latest(root, conf) match {
+      case Some(s) =>
+        (s.version, s.op,
+          if (s.ts == 0L) null else new java.sql.Timestamp(s.ts),
+          s.resolved(qualified), s.dvs.size)
+      case None =>
+        (-1L, "none", null, DwrfUtil.listDataFiles(root, conf).toSeq, 0)
+    }
+    val bytes = files.map(f => fs.getFileStatus(f).getLen).sum
+    // layouts are uniform per table: the first live file's Hive spec
+    // names the partition columns (empty for flat tables)
+    val partCols = files.headOption
+      .map(f => PartitionLayout.specOf(qualified, f).map(_._1))
+      .getOrElse(Nil).mkString(",")
+    Seq(Row("dwrf", qualified.toString, version, op, ts, files.size,
+      nDvs, bytes, partCols))
   }
 }
 

@@ -75,6 +75,29 @@ class LakeSqlSpec extends AnyFunSuite {
     assert(again.getLong(0) == 2L, "a no-op must not commit a new version")
   }
 
+  test("DESCRIBE DETAIL reports version, live counts, bytes, partition columns") {
+    val dir = stageLogTable() // v0 + v1, 6 files, flat layout
+    val d = spark.sql(s"DESCRIBE DETAIL '$dir'").collect().head
+    assert(d.getString(0) == "dwrf")
+    assert(d.getLong(2) == 1L, s"must report the latest version, got $d")
+    assert(d.getString(3) == "append")
+    assert(!d.isNullAt(4), "commit timestamp must be populated")
+    assert(d.getInt(5) == 6 && d.getInt(6) == 0)
+    assert(d.getLong(7) > 0L)
+    assert(d.getString(8) == "", "flat layout has no partition columns")
+    // a partitioned plain directory (no log): version -1, columns named
+    val s = spark
+    import s.implicits._
+    val pdir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "lakesql-part-").toString
+    spark.range(0, 100).select($"id", ($"id" % 3).cast("int").as("grp"))
+      .write.format("dwrf").partitionBy("grp").mode("overwrite").save(pdir)
+    val p = spark.sql(s"DESCRIBE DETAIL '$pdir'").collect().head
+    assert(p.getLong(2) == -1L && p.getString(3) == "none")
+    assert(p.getString(8) == "grp")
+    assert(p.getInt(5) > 0)
+  }
+
   test("RESTORE TO VERSION rolls back metadata-only; vacuumed targets refuse") {
     val dir = stageLogTable() // v0 = 1000 rows, v1 = +200
     val r = spark.sql(s"RESTORE '$dir' TO VERSION 0").collect().head
