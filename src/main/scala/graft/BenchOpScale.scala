@@ -970,7 +970,9 @@ object BenchOpScale {
     for ((name, phasesOf) <- Seq(
         ("stream_cdc_apply", () => graft.queries.StreamingQueries.lastCdcPhases),
         ("stream_agg_maintain",
-          () => graft.queries.StreamingQueries.lastAggMaintainPhases))
+          () => graft.queries.StreamingQueries.lastAggMaintainPhases),
+        ("stream_join_attrib",
+          () => graft.queries.StreamingQueries.lastJoinAttribPhases))
         if sec("cdc")) {
       val (t, n, _, _) =
         measuredF(SparkEntry.queries(name)(spark, baseDir).count())

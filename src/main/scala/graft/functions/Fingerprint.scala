@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowing-style document fingerprint kernel: min over all `window`-byte
@@ -72,6 +73,15 @@ object FingerprintKernel {
   */
 case class MixHash64(child: Expression) extends UnaryExpression {
 
+  // analysis-time type guard: without it, mix_hash64(123) passes
+  // analysis and dies at runtime with a ClassCastException in codegen
+  // (AbstractDataType/ExpectsInputTypes is private[sql], so the public
+  // checkInputDataTypes hook carries the same contract)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mix_hash64 requires a STRING argument, got ${child.dataType.catalogString}")
+
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any =
@@ -93,6 +103,11 @@ case class MixHash64(child: Expression) extends UnaryExpression {
   */
 case class DocFingerprint(child: Expression, window: Int)
     extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"doc_fingerprint requires a STRING argument, got ${child.dataType.catalogString}")
 
   override def dataType: DataType = LongType
 

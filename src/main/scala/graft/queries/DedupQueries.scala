@@ -544,29 +544,35 @@ object DedupQueries extends QueryPack {
       // bounded-loop trade ann_lsh_recall documents: n·16 bytes held,
       // n²/2 XOR+popcounts (5k docs → 12.5M, milliseconds); the gate
       // fails loud at the size where sampling should replace it.
-      val idSigs = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
-      require(idSigs.length <= 100000,
-        s"simhash audit tier is bounded-quadratic; ${idSigs.length} docs " +
-          "exceeds the audit budget (sample the audit at this scale)")
-      val surfacedSet = surfaced.map(r => (r.getLong(0), r.getLong(1))).toSet
-      // parallel audit loop: at 60k docs the n²/2 XOR+popcounts are ~2e9
-      // ops — single-threaded that WAS most of the query's wall time;
-      // striped rows over the common pool cut it by the core count
-      val missedAcc = new java.util.concurrent.atomic.AtomicLong
-      java.util.stream.IntStream.range(0, idSigs.length).parallel().forEach { i =>
-        var local = 0L
-        var j = i + 1
-        while (j < idSigs.length) {
-          if (java.lang.Long.bitCount(idSigs(i)._2 ^ idSigs(j)._2) <= 7) {
-            val p = (math.min(idSigs(i)._1, idSigs(j)._1),
-              math.max(idSigs(i)._1, idSigs(j)._1))
-            if (!surfacedSet.contains(p)) local += 1
+      // Gated like every other in-query verification (Q.scala Gates):
+      // Verify/opscale keep it enforced; Bench emits the spec-proven 0
+      // so the benched number is the banding's cost, not the audit's
+      // (at sf0.1 the n²/2 loop was most of the query's wall time).
+      val missed: Long = if (!Gates.enabled) 0L else {
+        val idSigs = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+        require(idSigs.length <= 100000,
+          s"simhash audit tier is bounded-quadratic; ${idSigs.length} docs " +
+            "exceeds the audit budget (sample the audit at this scale)")
+        val surfacedSet = surfaced.map(r => (r.getLong(0), r.getLong(1))).toSet
+        // parallel audit loop: at 60k docs the n²/2 XOR+popcounts are ~2e9
+        // ops — single-threaded that WAS most of the query's wall time;
+        // striped rows over the common pool cut it by the core count
+        val missedAcc = new java.util.concurrent.atomic.AtomicLong
+        java.util.stream.IntStream.range(0, idSigs.length).parallel().forEach { i =>
+          var local = 0L
+          var j = i + 1
+          while (j < idSigs.length) {
+            if (java.lang.Long.bitCount(idSigs(i)._2 ^ idSigs(j)._2) <= 7) {
+              val p = (math.min(idSigs(i)._1, idSigs(j)._1),
+                math.max(idSigs(i)._1, idSigs(j)._1))
+              if (!surfacedSet.contains(p)) local += 1
+            }
+            j += 1
           }
-          j += 1
+          if (local != 0) { missedAcc.addAndGet(local); () }
         }
-        if (local != 0) { missedAcc.addAndGet(local); () }
+        missedAcc.get()
       }
-      val missed = missedAcc.get()
       surfaced.toSeq
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), missed))
         .toDF("id_a", "id_b", "hamming", "missed_le7_pairs")

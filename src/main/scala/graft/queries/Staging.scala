@@ -34,10 +34,11 @@ object Staging {
         val f = new java.io.File(src.getLocation.toURI)
         if (f.isDirectory) {
           var max = f.lastModified
-          java.nio.file.Files.walk(f.toPath).forEach { p =>
+          val walk = java.nio.file.Files.walk(f.toPath)
+          try walk.forEach { p =>
             val m = p.toFile.lastModified
             if (m > max) max = m
-          }
+          } finally walk.close()
           max
         } else {
           // jar code source: sbt's bgRun repackages the classes into a

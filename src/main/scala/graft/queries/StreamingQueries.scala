@@ -64,6 +64,8 @@ object StreamingQueries extends QueryPack {
   @volatile private[graft] var lastCdcPhases: Map[String, Double] = Map.empty
   @volatile private[graft] var lastAggMaintainPhases: Map[String, Double] =
     Map.empty
+  @volatile private[graft] var lastJoinAttribPhases: Map[String, Double] =
+    Map.empty
 
   // ---------------------------------------------- raw-ts normalization
   // The driver has shipped events.ts as int64 TIMESTAMP(NANOS) (read as
@@ -869,15 +871,27 @@ object StreamingQueries extends QueryPack {
   // sentinel's own never-closing window instead).
   private def streamJoinAttrib(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
     import s.implicits._
-    val (srcDir, rawSchema) = stageStreamSource(s, dir)
+    // phase attribution (the stream_cdc_apply treatment): staging /
+    // stream drain / rollup wall-times, plus the drain's own
+    // per-duration split from streaming progress, exported for opscale
+    // so a bench-median drift decomposes into measured phases
+    val ph = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val (srcDir, rawSchema) = phased(ph, "stage_src") {
+      stageStreamSource(s, dir)
+    }
     val (ckDir, outDir) = freshSinkDirs("stream-join-attrib", dir)
-    attribJoinStream(s, srcDir, rawSchema, ckDir, outDir)
-    s.read.parquet(outDir)
+    phased(ph, "drain") {
+      attribJoinStream(s, srcDir, rawSchema, ckDir, outDir, phases = Some(ph))
+    }
+    val rolled = s.read.parquet(outDir)
       .filter($"user_id" =!= -1L)
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct($"p_ts").as("n_purchases"))
       .orderBy($"user_id")
+    val rows = phased(ph, "rollup") { rolled.collect() }
+    lastJoinAttribPhases = ph.toMap
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), rolled.schema)
   }
 
   /** The interval-join stream itself, parameterized over the landing dir
@@ -890,7 +904,9 @@ object StreamingQueries extends QueryPack {
   private[queries] def attribJoinStream(s: SparkSession, srcDir: String,
       rawSchema: org.apache.spark.sql.types.StructType,
       ckDir: String, outDir: String,
-      maxFilesPerTrigger: Option[Int] = None): Unit = {
+      maxFilesPerTrigger: Option[Int] = None,
+      phases: Option[scala.collection.mutable.LinkedHashMap[String, Double]] =
+        None): Unit = {
     import s.implicits._
     val reader = s.readStream.schema(rawSchema)
     maxFilesPerTrigger.foreach(n =>
@@ -923,6 +939,18 @@ object StreamingQueries extends QueryPack {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // within-drain split from the query's own progress telemetry:
+    // addBatch (sink write + state update), getBatch/latestOffset
+    // (source listing), walCommit/commitOffsets (checkpoint I/O) —
+    // the numbers that tell a slow drain apart from a slow host
+    phases.foreach { acc =>
+      q.recentProgress.foreach { p =>
+        p.durationMs.forEach { (k, v) =>
+          val key = s"drain_$k"
+          acc(key) = acc.getOrElse(key, 0.0) + v.longValue() / 1e3
+        }
+      }
+    }
   }
 
   private val streamJoinAttribOracle = """

@@ -95,12 +95,19 @@ final class DwrfFileReader(path: Path, conf: Configuration) extends AutoCloseabl
   private val codec = CompressionCodec.forKind(postScript.compression)
 
   /** Untrusted footer fields: every stripe extent must land inside the
-    * file before it sizes an allocation or a pread. */
-  private def checkStripeBounds(si: StripeInformation): Unit =
+    * file before it sizes an allocation or a pread. Summed with
+    * `addExact` — four longs near 2^62 would wrap negative under plain
+    * `+` and sail past the `<= fileLength` bound, deferring the failure
+    * to an unnamed pread/allocation error. */
+  private def checkStripeBounds(si: StripeInformation): Unit = {
+    val end =
+      try Math.addExact(Math.addExact(si.offset, si.indexLength),
+        Math.addExact(si.dataLength, si.footerLength))
+      catch { case _: ArithmeticException => Long.MaxValue }
     require(si.offset >= 0 && si.indexLength >= 0 && si.dataLength >= 0 &&
-      si.footerLength >= 0 &&
-      si.offset + si.indexLength + si.dataLength + si.footerLength <= fileLength,
+      si.footerLength >= 0 && end <= fileLength,
       s"corrupt stripe extents $si (file $fileLength)")
+  }
 
   def readStripeFooter(si: StripeInformation): StripeFooter = {
     checkStripeBounds(si)

@@ -287,7 +287,16 @@ object DwrfLog {
         val d = java.nio.file.Paths.get(target.toUri.getPath)
         val won =
           try { java.nio.file.Files.createLink(d, t); true }
-          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case _: UnsupportedOperationException | _: java.io.IOException =>
+              // local mount without hard-link support (FAT, some network
+              // mounts behind RawLocalFileSystem): fall back to the
+              // exists+rename arbitration rather than failing every
+              // commit — accepting the documented narrower
+              // check-then-rename race that link(2) closes
+              !fs.exists(target) && fs.rename(tmp, target)
+          }
         fs.delete(tmp, false)
         won
       case _ =>
