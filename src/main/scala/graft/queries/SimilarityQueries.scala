@@ -1221,16 +1221,22 @@ object SimilarityQueries extends QueryPack {
   @volatile private[graft] var lastPqIncPhases: Map[String, Double] =
     Map.empty
 
-  /** Absolute recall floor for [[pqIncremental]]'s in-band gate —
-    * calibrated to the fixture corpus (0.6, like the other PQ tiers).
-    * The 16× opscale stress corpus is permuted replicas: a DELIBERATE
-    * distribution shift against the copy-0-trained frozen codebooks, so
-    * absolute recall there measures PQ-under-shift (recorded, ~0.5),
-    * not the incremental property. The stress zeroes this floor and
-    * relies on the PARITY gate below — the claim that actually belongs
-    * to the incremental feature.
+  /** Recall target of [[pqIncremental]]'s drift policy: while the probe
+    * query's measured recall@10 sits below this, the search escalates
+    * its ADC re-rank pool (×4 per step, capped at n/8) before
+    * answering. 0.7 holds at the 16× permuted-replica stress — the
+    * deliberate distribution shift that pushed the fixed base pool to
+    * recall 0.5 in r12.
     */
-  @volatile private[graft] var pqIncRecallFloor: Double = 0.6
+  private[graft] val PqIncProbeTarget = 0.7
+
+  /** Absolute recall floor for [[pqIncremental]]'s in-band gate. With
+    * the probe-escalated re-rank (drift policy) the floor equals the
+    * probe target everywhere, INCLUDING the 16× opscale stress whose
+    * permuted-replica distribution shift previously forced the stress
+    * to zero it — escalation buys the recall back without re-training.
+    */
+  private[graft] val pqIncRecallFloor: Double = PqIncProbeTarget
 
   private def pqIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1353,31 +1359,56 @@ object SimilarityQueries extends QueryPack {
       }.toSeq
       // the ADC re-rank pool grows with the corpus: at fixed code
       // resolution (K clamps at 256) quantization ties multiply with n,
-      // so a FIXED top-50 pool starves the exact re-rank at scale — the
-      // 16× opscale stress measured recall 0.5 with 50 candidates and
-      // clears the floor once the pool scales (cost stays trivial: the
-      // pool is re-ranked by one broadcast join over 8-byte codes)
-      val nCand = math.max(50L, n / 500L).toInt
-      val candidates = s.read.format("dwrf").load(idxDir)
-        .filter($"vec_id" =!= 0)
-        .withColumn("lut", typedlit(lut))
-        .withColumn("adc", expr("vec_adc_packed(lut, code64)"))
-        .orderBy($"adc".desc, $"vec_id")
-        .limit(nCand)
-        .select($"vec_id")
-      val pqIds = phased("search") { emb.join(broadcast(candidates), "vec_id")
-        .withColumn("q", typedlit(queryVec.toSeq))
-        .select($"vec_id", expr("vec_dot(v, q)").as("dot"))
-        .orderBy($"dot".desc, $"vec_id")
-        .limit(10).select($"vec_id").as[Long].collect().toSet }
+      // so a FIXED top-50 pool starves the exact re-rank at scale (the
+      // r12 16× opscale stress measured recall 0.5 with a 67-row pool)
+      val nCandBase = math.max(50L, n / 500L).toInt
+      def searchOnce(pool: Int): Set[Long] = {
+        val candidates = s.read.format("dwrf").load(idxDir)
+          .filter($"vec_id" =!= 0)
+          .withColumn("lut", typedlit(lut))
+          .withColumn("adc", expr("vec_adc_packed(lut, code64)"))
+          .orderBy($"adc".desc, $"vec_id")
+          .limit(pool)
+          .select($"vec_id")
+        emb.join(broadcast(candidates), "vec_id")
+          .withColumn("q", typedlit(queryVec.toSeq))
+          .select($"vec_id", expr("vec_dot(v, q)").as("dot"))
+          .orderBy($"dot".desc, $"vec_id")
+          .limit(10).select($"vec_id").as[Long].collect().toSet
+      }
       val exactIds = emb.filter($"vec_id" =!= 0)
         .withColumn("q", typedlit(queryVec.toSeq))
         .select($"vec_id", expr("vec_dot(v, q)").as("dot"))
         .orderBy($"dot".desc, $"vec_id")
         .limit(10).select($"vec_id").as[Long].collect().toSet
+      def recallOf(ids: Set[Long]): Double =
+        BigDecimal((ids & exactIds).size.toDouble / math.max(1, exactIds.size))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // ------------- codebook-drift policy: probe-escalated re-rank
+      // Frozen codebooks DRIFT as appended deltas shift the corpus
+      // distribution away from the training sample (the 16× stress is
+      // permuted replicas against copy-0-trained centroids — recall
+      // 0.5 at the base pool). Policy: a probe query measures recall@10
+      // after each sync; while it sits under [[PqIncProbeTarget]] the
+      // search deepens its ADC re-rank pool ×4 (capped at n/8) instead
+      // of re-training — the steady-state maintain stays delta-only,
+      // codebooks stay frozen (PqIncrementalSpec pins the mtime), and
+      // the deepened pool's cost is one exact re-rank over a broadcast
+      // candidate list selected from 8-byte codes. Re-train remains the
+      // operator's escape hatch only when even the capped pool cannot
+      // clear the target (the require below fails loud at that point).
+      var nCand = nCandBase
+      val poolCap = math.max(nCandBase, (n / 8).toInt)
+      var pqIds = phased("search") { searchOnce(nCand) }
+      var recall = recallOf(pqIds)
+      var escalations = 0
+      while (recall < PqIncProbeTarget && nCand < poolCap) {
+        nCand = math.min(poolCap, nCand * 4)
+        escalations += 1
+        pqIds = phased("search_escalated") { searchOnce(nCand) }
+        recall = recallOf(pqIds)
+      }
       val found = (pqIds & exactIds).size.toLong
-      val recall = BigDecimal(found.toDouble / math.max(1, exactIds.size))
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       // PARITY gate (the incremental feature's own claim): the index the
       // maintain produced must search IDENTICALLY to a one-pass full
       // re-encode with the same frozen codebooks — if the appended codes
@@ -1404,7 +1435,9 @@ object SimilarityQueries extends QueryPack {
       }
       lastInstrument.put("ann_pq_incremental", Map(
         "n_found" -> found.toDouble, "recall" -> recall,
-        "encoded_delta" -> encodedRows.toDouble))
+        "encoded_delta" -> encodedRows.toDouble,
+        "rerank_pool" -> nCand.toDouble,
+        "rerank_escalations" -> escalations.toDouble))
       lastPqIncPhases = ph.toMap
       val floor = pqIncRecallFloor
       require(recall >= floor,

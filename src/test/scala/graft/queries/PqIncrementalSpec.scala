@@ -33,6 +33,14 @@ class PqIncrementalSpec extends AnyFunSuite {
     val inst1 = SimilarityQueries.lastInstrument.get("ann_pq_incremental")
     assert(inst1("encoded_delta") == nDelta.toDouble,
       "the instrument must record the delta-only encode count")
+    // drift policy: the probe-escalated re-rank must hold the raised
+    // floor (0.7) — the r12 stress sat at 0.5 with a fixed pool — and
+    // record the pool it settled on (bounded by the n/8 cap)
+    assert(inst1("recall") >= SimilarityQueries.PqIncProbeTarget,
+      s"recall ${inst1("recall")} under the ${SimilarityQueries.PqIncProbeTarget} target")
+    assert(inst1("rerank_pool") >= 50.0 &&
+      inst1("rerank_pool") <= math.max(50.0, nTotal.toDouble / 8),
+      s"re-rank pool ${inst1("rerank_pool")} outside [base, n/8]")
     // codebooks are frozen: the training table is written at staging
     // only — capture its stamp, re-run, and require it untouched. The
     // lookup pins THIS corpus's staging dirs by the same dir-derived
