@@ -760,11 +760,107 @@ object BenchOpScale {
         check(srSk + swSk < 1_000_000L,
           s"skewed bucketed join moved ${(srSk + swSk) / 1e6} MB of " +
             "shuffle — the storage-partitioned plan did not survive skew")
+
+        // ---- ≥32× hot bucket WITH the r13 mitigation: the table rolls
+        // files at a byte target (dwrf.target.file.bytes), so the hot
+        // bucket lands as ~data-even splits instead of one file, and
+        // partially-clustered SPJ leaves those splits UNGROUPED (dim
+        // replicated over them) — the hot bucket becomes parallel tasks
+        // at zero shuffle. The straggler ratio (max/median join-task
+        // time and rows) is the recorded claim.
+        spark.sql("CREATE TABLE graft_opspj.lake.fact_skew32 " +
+          "(k BIGINT, x BIGINT) USING dwrf " +
+          "PARTITIONED BY (bucket(32, k)) TBLPROPERTIES (" +
+          "'dwrf.target.file.bytes'='1048576')")
+        val (tStage32, _) = time {
+          spark.range(0, 5120000L, 1, 8)
+            .selectExpr(
+              "CASE WHEN id < 2560000 THEN 0L ELSE id % 256000 END AS k",
+              "id AS x")
+            .writeTo("graft_opspj.lake.fact_skew32").append()
+        }
+        val taskStats = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Long, Long)] // (stageId, durationMs, inputRecords)
+        val taskListener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (e.taskMetrics != null) taskStats.synchronized {
+              taskStats += ((e.stageId, e.taskInfo.duration,
+                e.taskMetrics.inputMetrics.recordsRead))
+            }
+        }
+        def joinSkew32(bucketed: Boolean): (Double, Long, Long, Long) = {
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled",
+            bucketed.toString)
+          spark.conf.set("spark.sql.sources.v2.bucketing." +
+            "partiallyClusteredDistribution.enabled", bucketed.toString)
+          val (t, n, sr, sw) = measuredF {
+            spark.table("graft_opspj.lake.fact_skew32")
+              .join(spark.table("graft_opspj.lake.dim"), "k")
+              // moduli keep the 5.12M-row dot product inside a long
+              .selectExpr("COUNT(*) AS n",
+                "SUM((x % 1000000) * (w % 1000)) AS dot")
+              .head().getLong(0)
+          }
+          (t, n, sr, sw)
+        }
+        joinSkew32(bucketed = true) // warm footers off-measurement
+        spark.sparkContext.addSparkListener(taskListener)
+        taskStats.synchronized(taskStats.clear())
+        val (tSk32, nSk32, srSk32, swSk32) = joinSkew32(bucketed = true)
+        Thread.sleep(500) // listener bus drain
+        val joinStage = taskStats.synchronized {
+          taskStats.groupBy(_._1).maxByOption(_._2.size)
+        }
+        spark.sparkContext.removeSparkListener(taskListener)
+        val (tSk32Sh, nSk32Sh, srSk32Sh, swSk32Sh) =
+          joinSkew32(bucketed = false)
+        def ratioOf(xs: Seq[Long]): Double = {
+          val sorted = xs.sorted
+          val med = math.max(1L, sorted(sorted.size / 2))
+          sorted.last.toDouble / med
+        }
+        val (nTasks, timeRatio, rowsRatio) = joinStage match {
+          case Some((_, ts)) =>
+            (ts.size, ratioOf(ts.map(_._2).toSeq), ratioOf(ts.map(_._3).toSeq))
+          case None => (0, -1.0, -1.0)
+        }
+        r ++= Seq("spj_skew32_stage_s" -> tStage32,
+          "spj_skew32_rows" -> nSk32,
+          "spj_skew32_hot_key_rows" -> 2560000L,
+          "spj_skew32_join_s_bucketed" -> tSk32,
+          "spj_skew32_join_s_shuffled" -> tSk32Sh,
+          "spj_skew32_shuffle_mb_bucketed" -> (srSk32 + swSk32) / 1e6,
+          "spj_skew32_shuffle_mb_shuffled" -> (srSk32Sh + swSk32Sh) / 1e6,
+          "spj_skew32_speedup" -> tSk32Sh / math.max(1e-9, tSk32),
+          "spj_skew32_join_tasks" -> nTasks,
+          "spj_skew32_straggler_time_ratio" -> timeRatio,
+          "spj_skew32_straggler_rows_ratio" -> rowsRatio)
+        check(nSk32 == 5120000L && nSk32Sh == nSk32,
+          s"skew32 join rows diverged: bucketed $nSk32 vs shuffled $nSk32Sh")
+        check(srSk32 + swSk32 < 1_000_000L,
+          s"skew32 bucketed join moved ${(srSk32 + swSk32) / 1e6} MB of " +
+            "shuffle — the mitigated plan must stay zero-shuffle")
+        check(tSk32 < tSk32Sh,
+          s"skew32 bucketed path ($tSk32 s) must beat the shuffled twin " +
+            s"($tSk32Sh s) at 32x skew")
+        check(nTasks > 32,
+          s"skew32 join ran $nTasks tasks — the hot bucket's splits were " +
+            "grouped back into a straggler")
+        check(rowsRatio > 0 && rowsRatio <= 3.0,
+          s"skew32 straggler rows ratio $rowsRatio — a task still " +
+            "concentrates the hot key")
+        check(timeRatio > 0 && timeRatio <= 3.5,
+          s"skew32 straggler time ratio $timeRatio exceeds the ~2x target " +
+            "envelope")
       } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBt)
         spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
         spark.sql("DROP TABLE IF EXISTS graft_opspj.lake.fact")
         spark.sql("DROP TABLE IF EXISTS graft_opspj.lake.fact_skew")
+        spark.sql("DROP TABLE IF EXISTS graft_opspj.lake.fact_skew32")
+        spark.conf.unset("spark.sql.sources.v2.bucketing." +
+          "partiallyClusteredDistribution.enabled")
         spark.sql("DROP TABLE IF EXISTS graft_opspj.lake.dim")
       }
     }

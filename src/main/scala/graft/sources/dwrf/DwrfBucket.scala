@@ -96,6 +96,29 @@ object DwrfBucket {
     for (c <- m.get(ColumnKey); n <- m.get(CountKey)) yield (c, n.toInt)
   }
 
+  /** Optional sub-bucket SALT for hot-key skew (table properties or
+    * write options): the write's clustered distribution becomes
+    * `bucket(n, col) × bucket(saltCount, saltColumn)`, so one hot join
+    * key's rows spread across up to saltCount write tasks — and
+    * therefore saltCount FILES inside its bucket — instead of
+    * concentrating into a single file. The scan still reports plain
+    * `bucket(n, col)` (sub-files are just extra same-key splits), so
+    * storage-partitioned joins stay zero-shuffle; with
+    * `spark.sql.sources.v2.bucketing.partiallyClusteredDistribution
+    * .enabled` Spark leaves the salted fact side's splits UNGROUPED and
+    * replicates the dim side over them, turning the hot bucket from a
+    * single-task straggler into saltCount parallel tasks. The salt
+    * column should be high-cardinality and uncorrelated with the bucket
+    * key (a value column, a row id).
+    */
+  val SaltColumnKey = "dwrf.bucket.salt.column"
+  val SaltCountKey = "dwrf.bucket.salt.count"
+
+  def saltSpecOf(opts: Map[String, String]): Option[(String, Int)] = {
+    val m = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(opts)
+    for (c <- m.get(SaltColumnKey); n <- m.get(SaltCountKey)) yield (c, n.toInt)
+  }
+
   private val FilePattern = """-b(\d{5})\.dwrf$""".r
 
   /** The `-b00007` suffix before `.dwrf`. */

@@ -240,6 +240,14 @@ object DwrfUtil {
     */
   val FileMetaColumn = "_file"
 
+  /** Bucketed-write option/table property: roll a bucket's open file to
+    * a fresh `-rN` sibling once it projects past this many bytes
+    * (flushed + buffered-stripe estimate). Bounds every read split by
+    * DATA VOLUME instead of key population — the Iceberg/Delta
+    * `write.target-file-size-bytes` knob, here the straggler cap for
+    * skewed storage-partitioned joins (see DwrfBucket salt docs). */
+  val TargetFileBytesKey = "dwrf.target.file.bytes"
+
   /** Physical row position within the data file (0-based, pre-mask file
     * order). With [[FileMetaColumn]] it is a STABLE row identity —
     * deterministic across reads, immune to task ordering — which is what
@@ -605,8 +613,16 @@ final class DwrfTable(tableSchema: StructType, properties: Map[String, String],
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val opts = info.options().asCaseSensitiveMap().asScala.toMap
-    new DwrfWriteBuilder(info.schema(), resolvedPath(opts), opts, partCols,
-      DwrfBucket.resolvableSpecOf(properties))
+    // `dwrf.*` table properties act as write-option DEFAULTS (per-write
+    // options win): compression, encoding interval, target file bytes —
+    // the knobs a table declares once instead of every writer repeating
+    val tblDefaults = properties.filter {
+      case (k, _) => k.toLowerCase.startsWith("dwrf.")
+    }
+    new DwrfWriteBuilder(info.schema(), resolvedPath(opts),
+      tblDefaults ++ opts, partCols,
+      DwrfBucket.resolvableSpecOf(properties),
+      DwrfBucket.saltSpecOf(properties))
   }
 
   // `DELETE FROM <table> WHERE ...` — refuse anything the exact row
@@ -1741,7 +1757,8 @@ private[dwrf] object PartitionFilterMatch {
 
 final class DwrfWriteBuilder(schema: StructType, path: String,
     options: Map[String, String], partCols: Seq[String] = Nil,
-    tableBucketSpec: Option[(String, Int)] = None)
+    tableBucketSpec: Option[(String, Int)] = None,
+    tableSaltSpec: Option[(String, Int)] = None)
     extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
   // catalog tables carry their spec in properties; path-based writes
@@ -1818,9 +1835,23 @@ final class DwrfWriteBuilder(schema: StructType, path: String,
           // still routes rows per bucket, each task just may open more
           // bucket files.
           case Some((col, n)) =>
-            dist.Distributions.clustered(Array(
-              Expressions.bucket(n, col)
-                : org.apache.spark.sql.connector.expressions.Expression))
+            // hot-key skew mitigation (DwrfBucket.SaltColumnKey): a
+            // declared salt sub-clusters each bucket's input across up
+            // to saltCount tasks/files, so one hot key cannot
+            // concentrate a bucket into the single split a
+            // storage-partitioned join cannot rebalance. Scan-side
+            // reporting stays plain bucket(n, col).
+            val salt = tableSaltSpec.orElse(DwrfBucket.saltSpecOf(options))
+            salt.foreach { case (sc, _) =>
+              require(schema.fieldNames.exists(_.equalsIgnoreCase(sc)),
+                s"dwrf: ${DwrfBucket.SaltColumnKey} references unknown " +
+                  s"column '$sc' (schema: ${schema.fieldNames.mkString(", ")})")
+            }
+            val exprs: Array[org.apache.spark.sql.connector.expressions.Expression] =
+              (Expressions.bucket(n, col) +: salt.toSeq.map { case (sc, sn) =>
+                Expressions.bucket(sn, sc)
+              }).toArray[org.apache.spark.sql.connector.expressions.Expression]
+            dist.Distributions.clustered(exprs)
           case None =>
             if (requested.nonEmpty && partCols.nonEmpty)
               dist.Distributions.clustered(
@@ -2133,6 +2164,30 @@ private[dwrf] final class DwrfBucketedDataWriter(schema: StructType, root: Path,
   private val blocks0 = graft.format.WriteProfile.get.compressCalls
   private val writers = scala.collection.mutable.LinkedHashMap.empty[
     Int, (DwrfFileWriter, java.io.OutputStream, Path)]
+  // target-file-size roll (DwrfUtil.TargetFileBytesKey): when a bucket's
+  // open file projects past the target (flushed bytes + buffered-stripe
+  // estimate), it closes and the bucket's next row opens `<base>-rN-bX`.
+  // This bounds every read SPLIT by data volume rather than key
+  // population — the hot-bucket half of the skew story: the write
+  // distribution's salt spreads a hot key across TASKS, the roll caps
+  // what any one task's file can grow to, and the scan then hands the
+  // storage-partitioned join same-key splits of ~equal size that
+  // partially-clustered grouping can schedule as parallel tasks.
+  private val targetFileBytes: Long =
+    org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(options)
+      .get(DwrfUtil.TargetFileBytesKey).map(_.toLong).getOrElse(Long.MaxValue)
+  private val rollIdx = scala.collection.mutable.Map.empty[Int, Int]
+  private val rolled = scala.collection.mutable.ArrayBuffer.empty[String]
+  private var rolledRows = 0L
+
+  private def openFile(b: Int): (DwrfFileWriter, java.io.OutputStream, Path) = {
+    val r = rollIdx.getOrElse(b, 0)
+    val mid = if (r == 0) "" else s"-r$r"
+    val file = new Path(root, baseName + mid + DwrfBucket.fileSuffix(b) + ext)
+    val os = fs.create(file, true)
+    (new DwrfFileWriter(schema, DwrfWriteOptions.fromMap(options),
+      new java.io.BufferedOutputStream(os, 1 << 16)), os, file)
+  }
 
   override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     DwrfWriteMetrics.taskValues(writers.values.map(_._1), compress0, blocks0)
@@ -2140,18 +2195,22 @@ private[dwrf] final class DwrfBucketedDataWriter(schema: StructType, root: Path,
   override def write(record: InternalRow): Unit = {
     val v = if (record.isNullAt(bIdx)) null else record.get(bIdx, bType)
     val b = DwrfBucket.id(v, numBuckets)
-    val (w, _, _) = writers.getOrElseUpdate(b, {
-      val file = new Path(root, baseName + DwrfBucket.fileSuffix(b) + ext)
-      val os = fs.create(file, true)
-      (new DwrfFileWriter(schema, DwrfWriteOptions.fromMap(options),
-        new java.io.BufferedOutputStream(os, 1 << 16)), os, file)
-    })
+    val (w, os, file) = writers.getOrElseUpdate(b, openFile(b))
     w.addRow(record)
+    if (w.bytesOut + w.bufferedMemory >= targetFileBytes) {
+      w.close(userMeta)
+      os.close()
+      rolledRows += w.rowCount
+      rolled += file.toString
+      rollIdx(b) = rollIdx.getOrElse(b, 0) + 1
+      writers.remove(b)
+    }
   }
 
   override def commit(): WriterCommitMessage = {
-    var rows = 0L
+    var rows = rolledRows
     val produced = scala.collection.mutable.ArrayBuffer.empty[String]
+    produced ++= rolled
     writers.values.foreach { case (w, os, file) =>
       w.close(userMeta)
       os.close()
@@ -2161,10 +2220,15 @@ private[dwrf] final class DwrfBucketedDataWriter(schema: StructType, root: Path,
     DwrfCommitMessage(root.toString, rows, produced.toSeq)
   }
 
-  override def abort(): Unit = writers.values.foreach { case (w, os, file) =>
-    w.release() // governor registration must not outlive the task
-    try os.close() catch { case _: Throwable => () }
-    try fs.delete(file, false) catch { case _: Throwable => () }
+  override def abort(): Unit = {
+    writers.values.foreach { case (w, os, file) =>
+      w.release() // governor registration must not outlive the task
+      try os.close() catch { case _: Throwable => () }
+      try fs.delete(file, false) catch { case _: Throwable => () }
+    }
+    rolled.foreach { f =>
+      try fs.delete(new Path(f), false) catch { case _: Throwable => () }
+    }
   }
   override def close(): Unit = ()
 }

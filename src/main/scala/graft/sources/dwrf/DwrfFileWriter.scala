@@ -269,6 +269,9 @@ final class DwrfFileWriter(
   def encodeNanosEst: Long = encodeSampleNanosAcc * 64
   def stripesFlushed: Int = stripes.size
   def bytesOut: Long = bytesWritten
+  /** Estimated bytes buffered in the open stripe (M2 estimate) — lets a
+    * file-rolling sink bound projected file size as bytesOut + this. */
+  def bufferedMemory: Long = root.memory
 
   // file header
   out.write(Magic.Bytes)
