@@ -193,6 +193,14 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64",
+      {
+        case Seq(child) => SimHash64Agg(child).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"simhash64(wh): got ${other.size} args")
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot",
       {
         case Seq(a, b) => VecDot(a, b)

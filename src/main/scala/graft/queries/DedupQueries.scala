@@ -492,26 +492,20 @@ object DedupQueries extends QueryPack {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val docs = Tables.load(s, dir, "documents")
-    // one explode + 64 per-bit sums (same CollapseProject trap as minhash:
-    // an aggregate-over-bits lambda would re-split the text 64 times).
+    // one explode + ONE aggregate: simhash64 (SimHash64Agg) keeps all 64
+    // signed per-bit counters in a single TypedImperativeAggregate
+    // buffer — replacing the 64 separate SUM(CASE) columns this pass
+    // carried through r12 (identical signature by construction;
+    // SimhashAggSpec pins the equivalence against that spelling).
     // mix_hash64 (polynomial+splitmix, FingerprintKernel) as the word
     // hash: same quality as xxhash64 for bit-spreading, but the DuckDB
-    // oracle recomputes it exactly, so the surfaced pair set is
-    // hash-checked instead of rows-only
+    // oracle recomputes it exactly — the oracle still uses the explicit
+    // 64-SUM SQL, so the surfaced pair set stays hash-checked
     val wordHashes = docs.select($"doc_id",
       explode(split($"text", " ")).as("w"))
       .select($"doc_id", expr("mix_hash64(w)").as("wh"))
-    wordHashes.groupBy($"doc_id").agg(
-      (0 until 64).map { bit =>
-        sum(when(expr(s"(shiftright(wh, $bit) & 1) = 1"), 1L).otherwise(-1L))
-          .as(s"b$bit")
-      }.head, (1 until 64).map { bit =>
-        sum(when(expr(s"(shiftright(wh, $bit) & 1) = 1"), 1L).otherwise(-1L))
-          .as(s"b$bit")
-      }: _*)
-      .select($"doc_id",
-        expr((0 until 64).map(b => s"IF(b$b > 0, shiftleft(1L, $b), 0L)")
-          .mkString("(", " + ", ")")).as("sim"))
+    wordHashes.groupBy($"doc_id")
+      .agg(expr("simhash64(wh)").as("sim"))
   }
 
   private def simhash(s: SparkSession, dir: String): DataFrame = {
