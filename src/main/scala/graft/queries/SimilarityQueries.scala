@@ -646,36 +646,64 @@ object SimilarityQueries extends QueryPack {
     * shared with the recall probe so both report the identical search.
     * `emb` must be the persisted [[loadVecs]] frame; caller unpersists.
     */
+  /** Driver-side twin of `vec_dot_exact` (BigDecimal reference
+    * arithmetic): each double product rounded to DECIMAL scale 12
+    * HALF_UP, summed exactly, one cast back to double — so the driver's
+    * probe-cell choice is the identical number any engine computes.
+    */
+  private def dotExactDriver(a: Array[Double], b: Array[Double]): Double = {
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < a.length) {
+      acc = acc.add(java.math.BigDecimal.valueOf(a(i) * b(i))
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    acc.doubleValue()
+  }
+
+  // The whole IVF pipeline runs ORDER-INDEPENDENT decimal-exact
+  // arithmetic (r13): assignment scores are cc − 2·vc over exact
+  // decimal dots (the |v|² term is row-constant, so argmin is
+  // unchanged), Lloyd means are exact-decimal sums divided once, and
+  // the final ranking dot is vec_dot_exact. Every number is therefore
+  // reproducible bit-for-bit by ANY engine — which is what lets the
+  // DuckDB oracle re-derive the trained centroids and check the
+  // answer hash-exactly (ann_ivf_topk was rows-only through r12).
   private def ivfRows(emb: DataFrame): (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType, Int, Int) = {
     val s = emb.sparkSession
     import s.implicits._
     val (k, nprobe) = ivfGeometry(emb.count())
 
-    def centroidCol(cents: Array[Array[Double]]) =
-      typedlit(cents.map(_.toSeq).toSeq)
-
     def nearestExpr: String =
-      // index of the closest centroid by squared L2 distance
+      // index of the closest centroid (first index at the min score)
       s"""array_position(dists, array_min(dists)) - 1"""
 
-    def withDists(df: DataFrame, cents: Array[Array[Double]]): DataFrame =
-      df.withColumn("cents", centroidCol(cents))
-        // native vec_l2sq kernel: one interpreted lambda step per CELL,
-        // not per scalar (bit-identical to the old (x-y)² zip_with)
-        .withColumn("dists", expr("transform(cents, c -> vec_l2sq(v, c))"))
+    def withDists(df: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+      val ccs = cents.map(c => dotExactDriver(c, c))
+      df.withColumn("cents", typedlit(cents.map(_.toSeq).toSeq))
+        .withColumn("ccs", typedlit(ccs.toSeq))
+        // exact-decimal score: cc_j − 2·(v·c_j); one double subtract at
+        // the end (identical in any engine)
+        .withColumn("dists", expr(
+          s"transform(sequence(0, ${cents.length - 1}), " +
+            "j -> ccs[j] - 2.0D * vec_dot_exact(v, cents[j]))"))
+    }
 
     // deterministic init: the first k vectors seed the centroids
     // (orderBy/limit, not vec_id < k: ids need not be dense)
     var centroids: Array[Array[Double]] = emb
       .orderBy($"vec_id").limit(k).collect()
       .map(_.getSeq[Double](1).toArray)
-    // 2 Lloyd iterations: assign + per-dimension mean
+    // 2 Lloyd iterations: assign + per-dimension exact-decimal mean
     for (_ <- 0 until 2) {
       val assigned = withDists(emb, centroids)
         .select($"vec_id", $"v", expr(nearestExpr).cast("int").as("cell"))
       val means = assigned
         .select($"cell", posexplode($"v").as(Seq("pos", "x")))
-        .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
+        .groupBy($"cell", $"pos")
+        .agg(expr("CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(1)")
+          .as("m"))
         .groupBy($"cell")
         .agg(expr("transform(sort_array(collect_list(struct(pos, m))), p -> p.m)").as("c"))
         .collect()
@@ -689,9 +717,11 @@ object SimilarityQueries extends QueryPack {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queryVec = assigned.filter($"vec_id" === 0)
       .select($"v").collect().head.getSeq[Double](0).toArray
+    // probe choice by the same exact score; stable sort keeps the
+    // lower cell index on ties (= ORDER BY score, cell)
     val probeCells = centroids.zipWithIndex
       .map { case (c, i) =>
-        i -> c.zip(queryVec).map { case (a, b) => (a - b) * (a - b) }.sum
+        i -> (dotExactDriver(c, c) - 2.0 * dotExactDriver(queryVec, c))
       }
       .sortBy(_._2).take(nprobe).map(_._1).toSet
 
@@ -699,7 +729,7 @@ object SimilarityQueries extends QueryPack {
       .filter($"cell".isin(probeCells.toSeq: _*) && $"vec_id" =!= 0)
       .withColumn("q", typedlit(queryVec.toSeq))
       .select($"vec_id", $"cell",
-        expr("vec_dot(v, q)")
+        expr("CAST(vec_dot_exact(v, q) AS DOUBLE)")
           .as("dot"))
       .orderBy($"dot".desc, $"vec_id")
       .limit(10)
@@ -718,6 +748,107 @@ object SimilarityQueries extends QueryPack {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     } finally emb.unpersist()
   }
+
+  /** Full cross-engine re-derivation of the IVF search (r13 — flipped
+    * ann_ivf_topk from rows-only to hash-exact): DuckDB re-trains the
+    * coarse quantizer from scratch — seed centroids = first k vectors,
+    * two Lloyd rounds of exact-decimal assignment (argmin of
+    * cc − 2·(v·c), ties to the lower cell) and exact-decimal means —
+    * then probes the nprobe nearest cells and re-ranks by the exact
+    * decimal dot. Every arithmetic step mirrors [[ivfRows]]'s
+    * order-independent spelling term for term, so the trained
+    * structure, the probed cells, and the final top-10 agree
+    * bit-for-bit.
+    */
+  private val ivfTopkOracle = """
+    |WITH g AS (
+    |  SELECT GREATEST(16, CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS k
+    |  FROM embeddings),
+    |gp AS (SELECT k, GREATEST(4, (k + 3) // 4) AS nprobe FROM g),
+    |e AS (
+    |  SELECT vec_id, CAST(t.i AS BIGINT) AS pos,
+    |    CAST(embedding[CAST(t.i AS BIGINT)] AS DOUBLE) AS ev
+    |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+    |firstk AS (
+    |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+    |  FROM embeddings
+    |  QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM g)),
+    |c0 AS (
+    |  SELECT f.cell, e.pos, e.ev AS cv
+    |  FROM firstk f JOIN e ON e.vec_id = f.vec_id),
+    |cc0 AS (
+    |  SELECT cell, CAST(SUM(CAST(cv * cv AS DECIMAL(28,12))) AS DOUBLE) AS cc
+    |  FROM c0 GROUP BY cell),
+    |vc0 AS (
+    |  SELECT e.vec_id, c.cell,
+    |    CAST(SUM(CAST(e.ev * c.cv AS DECIMAL(28,12))) AS DOUBLE) AS vc
+    |  FROM e JOIN c0 c ON e.pos = c.pos GROUP BY e.vec_id, c.cell),
+    |a1 AS (
+    |  SELECT vec_id, cell FROM (
+    |    SELECT v.vec_id, v.cell,
+    |      row_number() OVER (PARTITION BY v.vec_id
+    |        ORDER BY (cc.cc - 2.0 * v.vc), v.cell) AS rn
+    |    FROM vc0 v JOIN cc0 cc ON cc.cell = v.cell) WHERE rn = 1),
+    |m1 AS (
+    |  SELECT a.cell, e.pos,
+    |    CAST(SUM(CAST(e.ev AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+    |  FROM a1 a JOIN e ON e.vec_id = a.vec_id GROUP BY a.cell, e.pos),
+    |c1 AS (
+    |  SELECT c0.cell, c0.pos, COALESCE(m1.cv, c0.cv) AS cv
+    |  FROM c0 LEFT JOIN m1 ON m1.cell = c0.cell AND m1.pos = c0.pos),
+    |cc1 AS (
+    |  SELECT cell, CAST(SUM(CAST(cv * cv AS DECIMAL(28,12))) AS DOUBLE) AS cc
+    |  FROM c1 GROUP BY cell),
+    |vc1 AS (
+    |  SELECT e.vec_id, c.cell,
+    |    CAST(SUM(CAST(e.ev * c.cv AS DECIMAL(28,12))) AS DOUBLE) AS vc
+    |  FROM e JOIN c1 c ON e.pos = c.pos GROUP BY e.vec_id, c.cell),
+    |a2 AS (
+    |  SELECT vec_id, cell FROM (
+    |    SELECT v.vec_id, v.cell,
+    |      row_number() OVER (PARTITION BY v.vec_id
+    |        ORDER BY (cc.cc - 2.0 * v.vc), v.cell) AS rn
+    |    FROM vc1 v JOIN cc1 cc ON cc.cell = v.cell) WHERE rn = 1),
+    |m2 AS (
+    |  SELECT a.cell, e.pos,
+    |    CAST(SUM(CAST(e.ev AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+    |  FROM a2 a JOIN e ON e.vec_id = a.vec_id GROUP BY a.cell, e.pos),
+    |c2 AS (
+    |  SELECT c1.cell, c1.pos, COALESCE(m2.cv, c1.cv) AS cv
+    |  FROM c1 LEFT JOIN m2 ON m2.cell = c1.cell AND m2.pos = c1.pos),
+    |cc2 AS (
+    |  SELECT cell, CAST(SUM(CAST(cv * cv AS DECIMAL(28,12))) AS DOUBLE) AS cc
+    |  FROM c2 GROUP BY cell),
+    |vc2 AS (
+    |  SELECT e.vec_id, c.cell,
+    |    CAST(SUM(CAST(e.ev * c.cv AS DECIMAL(28,12))) AS DOUBLE) AS vc
+    |  FROM e JOIN c2 c ON e.pos = c.pos GROUP BY e.vec_id, c.cell),
+    |a3 AS (
+    |  SELECT vec_id, cell FROM (
+    |    SELECT v.vec_id, v.cell,
+    |      row_number() OVER (PARTITION BY v.vec_id
+    |        ORDER BY (cc.cc - 2.0 * v.vc), v.cell) AS rn
+    |    FROM vc2 v JOIN cc2 cc ON cc.cell = v.cell) WHERE rn = 1),
+    |q AS (SELECT pos, ev AS qv FROM e WHERE vec_id = 0),
+    |qc AS (
+    |  SELECT c.cell,
+    |    CAST(SUM(CAST(q.qv * c.cv AS DECIMAL(28,12))) AS DOUBLE) AS qcv
+    |  FROM q JOIN c2 c ON c.pos = q.pos GROUP BY c.cell),
+    |probe AS (
+    |  SELECT qc.cell FROM qc JOIN cc2 ON cc2.cell = qc.cell
+    |  ORDER BY (cc2.cc - 2.0 * qc.qcv), qc.cell
+    |  LIMIT (SELECT nprobe FROM gp)),
+    |cand AS (
+    |  SELECT a3.vec_id, a3.cell FROM a3
+    |  WHERE a3.cell IN (SELECT cell FROM probe) AND a3.vec_id <> 0),
+    |dots AS (
+    |  SELECT cand.vec_id, cand.cell,
+    |    CAST(SUM(CAST(e.ev * q.qv AS DECIMAL(28,12))) AS DOUBLE) AS dot
+    |  FROM cand JOIN e ON e.vec_id = cand.vec_id JOIN q ON q.pos = e.pos
+    |  GROUP BY cand.vec_id, cand.cell)
+    |SELECT vec_id, CAST(cell AS INTEGER) AS cell, ROUND(dot, 6) AS dot
+    |FROM dots ORDER BY dot DESC, vec_id LIMIT 10
+    |""".stripMargin.trim
 
   // ------------------------------------------------------- IVF recall
   // The IVF tier's measured instrument (the LSH tier has ann_lsh_recall):
@@ -1469,7 +1600,7 @@ object SimilarityQueries extends QueryPack {
     Q("ann_cosine_pairs", cosinePairs, Some(cosinePairsOracle)),
     Q("ann_lsh_cosine", lshCosine, None),
     Q("ann_lsh_recall", lshRecall, Some(lshRecallOracle)),
-    Q("ann_ivf_topk", ivfTopk, None),
+    Q("ann_ivf_topk", ivfTopk, Some(ivfTopkOracle)),
     Q("ann_ivf_recall", ivfRecall, Some(ivfRecallOracle)),
     Q("ann_pq_topk", pqTopk, None),
     Q("ann_pq_recall", pqRecall, Some(pqRecallOracle)),
