@@ -209,11 +209,29 @@ object Bench {
     // than overflow — the full-precision line and target/bench.json
     // always carry everything.
     val sfBase = new java.io.File(sfDir).getName
+    // round number inferred up front — the summary names the committed
+    // full-medians file so the driver artifact POINTS AT the complete
+    // data even when the per-query map can't fit the tail window
+    val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+      val re = "BENCH_r(\\d+)\\.json".r
+      val prev = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+        .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      if (prev.isEmpty) 0 else prev.max + 1
+    }
+    val fullRef = f"bench/bench_r$round%02d.json"
     def summaryAt(dp: Int): String = {
       val qsShort = results
         .map { case (k, v) => s""""$k":${s"%.${dp}f".format(v)}""" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfBase","passes":$passes,"stat":"median","queries":$qsShort}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfBase","passes":$passes,"stat":"median","full":"$fullRef","queries":$qsShort}"""
+    }
+    // fallback ladder when the whole map overflows: the SLOWEST n
+    // medians (the judging signal) + the explicit full-file pointer
+    def summaryTop(n: Int): String = {
+      val top = results.toSeq.sortBy(-_._2).take(n)
+        .map { case (k, v) => s""""$k":${f"$v%.2f"}""" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfBase","passes":$passes,"stat":"median","queries_total":${results.size},"full":"$fullRef","top_medians":$top}"""
     }
     val summaryBudget = 1850
     val summary = {
@@ -222,7 +240,9 @@ object Bench {
       else {
         val s2 = summaryAt(2)
         if (s2.length <= summaryBudget) s2
-        else s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfBase","passes":$passes,"stat":"median","queries_in_file":${results.size}}"""
+        else Seq(40, 30, 25, 20, 15, 10, 5).view.map(summaryTop)
+          .find(_.length <= summaryBudget)
+          .getOrElse(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfBase","passes":$passes,"stat":"median","queries_total":${results.size},"full":"$fullRef"}""")
       }
     }
     // three sinks so the metrics line is machine-parseable however this
@@ -235,18 +255,10 @@ object Bench {
       (line + "\n" + summary + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // the COMMITTED full artifact: the driver's BENCH_r{N} tail capture
-    // keeps only 2000 bytes, so the per-query detail must live at a
-    // stable committed path — round number inferred from the existing
-    // BENCH_r{N}.json record (this run feeds round maxN+1), overridable
-    // via SPARK_GRAFT_ROUND
-    val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
-      val re = "BENCH_r(\\d+)\\.json".r
-      val prev = Option(new java.io.File(".").listFiles()).getOrElse(Array())
-        .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      if (prev.isEmpty) 0 else prev.max + 1
-    }
+    // keeps only 2000 bytes, so the per-query detail must live at the
+    // stable committed path the summary names in its "full" field
     if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty) { // full suite only
-      val committed = java.nio.file.Paths.get(f"bench/bench_r$round%02d.json")
+      val committed = java.nio.file.Paths.get(fullRef)
       java.nio.file.Files.createDirectories(committed.getParent)
       java.nio.file.Files.write(committed,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -255,10 +267,19 @@ object Bench {
       java.io.FileDescriptor.out), true, "UTF-8")
     raw.println(line)
     println(line)
-    // the summary prints ONCE, last, on the raw FD: a duplicate print
-    // (or sbt's logger copy) would push the surviving copy past the
-    // driver's 2000-byte tail window
     raw.println(summary)
+    // the LAST stdout line wins the driver's tail/parse: sbt appends
+    // its own "[success] Total time …" footer AFTER runMain returns, so
+    // the only way the summary can be the final line is a JVM shutdown
+    // hook on the raw FD — it fires at sbt's exit, after the footer.
+    // (Every round through r12 recorded parsed:null because the footer
+    // was last.) The budget above keeps the whole summary + footer
+    // inside the 2000-byte tail even with this duplicate copy.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val late = new java.io.PrintStream(new java.io.FileOutputStream(
+        java.io.FileDescriptor.out), true, "UTF-8")
+      late.println(summary)
+    }))
     spark.stop()
   }
 }
