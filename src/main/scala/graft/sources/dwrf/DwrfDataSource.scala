@@ -2178,6 +2178,8 @@ private[dwrf] final class DwrfBucketedDataWriter(schema: StructType, root: Path,
       .get(DwrfUtil.TargetFileBytesKey).map(_.toLong).getOrElse(Long.MaxValue)
   private val rollIdx = scala.collection.mutable.Map.empty[Int, Int]
   private val rolled = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val rolledWriters =
+    scala.collection.mutable.ArrayBuffer.empty[DwrfFileWriter]
   private var rolledRows = 0L
 
   private def openFile(b: Int): (DwrfFileWriter, java.io.OutputStream, Path) = {
@@ -2190,7 +2192,8 @@ private[dwrf] final class DwrfBucketedDataWriter(schema: StructType, root: Path,
   }
 
   override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
-    DwrfWriteMetrics.taskValues(writers.values.map(_._1), compress0, blocks0)
+    DwrfWriteMetrics.taskValues(
+      rolledWriters ++ writers.values.map(_._1), compress0, blocks0)
 
   override def write(record: InternalRow): Unit = {
     val v = if (record.isNullAt(bIdx)) null else record.get(bIdx, bType)
@@ -2202,6 +2205,7 @@ private[dwrf] final class DwrfBucketedDataWriter(schema: StructType, root: Path,
       os.close()
       rolledRows += w.rowCount
       rolled += file.toString
+      rolledWriters += w // closed writers still answer the metric getters
       rollIdx(b) = rollIdx.getOrElse(b, 0) + 1
       writers.remove(b)
     }

@@ -1,0 +1,44 @@
+#!/usr/bin/env python3
+"""Compare two Bench artifacts (same host, back-to-back) per query.
+
+Usage: bench_ab.py <baseline.json> <head.json> [threshold]
+
+Prints per-query median ratios head/baseline sorted descending, the
+geomean over common queries, and flags queries outside the threshold
+(default 1.5x either way). Exit 0 always — this is a report, the
+judgement lives in the round notes.
+"""
+import json
+import math
+import sys
+
+
+def medians(path):
+    with open(path) as f:
+        d = json.loads(f.readline())
+    return d["queries"], d
+
+
+def main():
+    base_path, head_path = sys.argv[1], sys.argv[2]
+    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    base, bmeta = medians(base_path)
+    head, hmeta = medians(head_path)
+    common = sorted(set(base) & set(head))
+    only_base = sorted(set(base) - set(head))
+    only_head = sorted(set(head) - set(base))
+    ratios = {q: head[q] / base[q] for q in common if base[q] > 0}
+    geomean = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
+    print(f"common={len(common)} only_base={only_base} only_head={only_head}")
+    print(f"total base={bmeta['value']:.1f}s head={hmeta['value']:.1f}s "
+          f"geomean_ratio={geomean:.3f}")
+    print(f"pass_load1 base={bmeta.get('pass_load1')} "
+          f"head={hmeta.get('pass_load1')}")
+    flagged = {q: r for q, r in ratios.items() if r > thr or r < 1 / thr}
+    for q, r in sorted(ratios.items(), key=lambda kv: -kv[1]):
+        mark = " <-- " if q in flagged else ""
+        print(f"{r:7.3f}  {base[q]:8.3f} -> {head[q]:8.3f}  {q}{mark}")
+
+
+if __name__ == "__main__":
+    main()
