@@ -255,29 +255,40 @@ object SimilarityQueries extends QueryPack {
     (bands * bits, bits)
   }
 
+  /** Rademacher hyperplane weight for (plane, dim): ±1 from bit 0 of
+    * the splitmix64 mix of the flat index — the SAME integer-only hash
+    * family the minhash permutations use, which is what lets the DuckDB
+    * oracle rebuild the identical planes (r13: ann_lsh_cosine went
+    * hash-exact on the back of this; a seeded `scala.util.Random`
+    * stream is not SQL-re-derivable, splitmix of an index is).
+    */
+  private[graft] def planeWeight(plane: Int, dim: Int, dims: Int): Double =
+    if ((graft.functions.FingerprintKernel.mix(
+      plane.toLong * dims + dim + 1) & 1L) == 1L) 1.0 else -1.0
+
   private[graft] def bandedSignatures(emb: DataFrame, planes: Int = 32,
       bandBits: Int = 8): DataFrame = {
     import emb.sparkSession.implicits._
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val bands = planes / bandBits
     val dims = 64
-    val rnd = new scala.util.Random(42)
     val hyper: Array[Array[Double]] =
-      Array.fill(planes)(Array.fill(dims)(if (rnd.nextBoolean()) 1.0 else -1.0))
-    // all plane projections in ONE literal array + the native vec_dot
-    // kernel (bit-identical to the old per-plane cast lambda: same
-    // sequential float-widened double sum) — the interpreted HOF is now
-    // one lambda step per PLANE, not per scalar
+      Array.tabulate(planes)(p => Array.tabulate(dims)(planeWeight(p, _, dims)))
+    // all plane projections in ONE literal array; projections are
+    // EXACT-decimal dots (vec_dot_exact): the sign of a near-zero
+    // projection decides a band bit, and only an order-independent sum
+    // gives every engine the identical sign — the r13 requirement that
+    // made the surfaced candidate set oracle-checkable. The interpreted
+    // HOF is one lambda step per PLANE, not per scalar.
     val bandVal = (b: Int) => (0 until bandBits).map { r =>
       when($"projs"(b * bandBits + r) >= 0, lit(1L << r)).otherwise(lit(0L))
     }.reduce(_ + _)
     val sigs = emb
       .withColumn("hp", typedlit(hyper.map(_.toSeq).toSeq))
       .select($"vec_id",
-        expr("vec_dot(embedding, embedding)").as("norm2"), // plain double:
-        // rows-only check, no decimal-exactness needed for a
-        // sqrt-normalized metric
-        expr("transform(hp, h -> vec_dot(embedding, h))").as("projs"))
+        expr("CAST(vec_dot_exact(embedding, embedding) AS DOUBLE)")
+          .as("norm2"),
+        expr("transform(hp, h -> vec_dot_exact(embedding, h))").as("projs"))
       .select($"vec_id", $"norm2",
         array((0 until bands).map(bandVal): _*).as("band_vals"))
     sigs.select($"vec_id", $"norm2",
@@ -316,8 +327,10 @@ object SimilarityQueries extends QueryPack {
     val result = cand
       .join(vecs.select($"vec_id".as("id_a"), $"v".as("va")), "id_a")
       .join(vecs.select($"vec_id".as("id_b"), $"v".as("vb")), "id_b")
+      // exact-decimal numerator (order-independent) over exact norms:
+      // the ranking and the emitted value are engine-reproducible
       .select($"id_a", $"id_b",
-        (expr("vec_dot(va, vb)") /
+        (expr("CAST(vec_dot_exact(va, vb) AS DOUBLE)") /
           (sqrt($"norm_a") * sqrt($"norm_b"))).as("cosine"))
       .orderBy($"cosine".desc, $"id_a", $"id_b")
       .limit(20)
@@ -327,6 +340,88 @@ object SimilarityQueries extends QueryPack {
 
   private[queries] def lshCosinePlan(s: SparkSession, dir: String): DataFrame =
     lshCosineFull(s, dir, cache = false)._1
+
+  /** Full re-derivation of the LSH pipeline in DuckDB (r13 — flipped
+    * ann_lsh_cosine from rows-only to hash-exact): rebuild the
+    * Rademacher planes from the splitmix64 index hash ([[planeWeight]],
+    * via the shared OracleMath HUGEINT emulation), recompute every
+    * projection as the exact decimal sum (sign decides each band bit —
+    * only order-independent arithmetic gives every engine the same
+    * sign), band-join the signatures, and re-rank the DISTINCT
+    * candidate pairs by the exact-decimal cosine. Geometry self-tuning
+    * (occupancy-clamped bits, recall-target bands) is recomputed from
+    * COUNT(*) exactly like the lshRecall oracle.
+    */
+  private val lshCosineOracle = {
+    import OracleMath._
+    s"""
+    |WITH c AS (SELECT COUNT(*) AS n FROM embeddings),
+    |g AS (
+    |  SELECT GREATEST(8, LEAST(16, CAST(ceil(
+    |    ln(GREATEST(1.0, CAST(n AS DOUBLE) / 16.0)) / ln(2.0))
+    |    AS BIGINT))) AS bits
+    |  FROM c),
+    |geo AS (
+    |  SELECT bits,
+    |    GREATEST(1, CAST(ceil(
+    |      ln(1.0 - 0.85) / ln(1.0 - power(1.0 - acos($PlantCosine) / pi(), bits)))
+    |      AS BIGINT)) AS bands
+    |  FROM g),
+    |e AS (
+    |  SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS pos,
+    |    CAST(embedding[CAST(t.i AS BIGINT)] AS DOUBLE) AS ev
+    |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+    |hpidx AS (
+    |  SELECT p.range AS plane, d.range AS dim,
+    |    CAST(p.range * 64 + d.range + 1 AS UBIGINT) AS v
+    |  FROM range(0, 1024) p, range(0, 64) d, geo
+    |  WHERE p.range < geo.bands * geo.bits),
+    |${mixCtes("hpm", "hpidx", Seq("plane", "dim"), "v", "h")},
+    |hp AS (
+    |  SELECT plane, dim,
+    |    CASE WHEN (h & 1) = 1 THEN 1.0 ELSE -1.0 END AS hv
+    |  FROM hpm),
+    |proj AS (
+    |  SELECT e.vec_id, hp.plane,
+    |    SUM(CAST(e.ev * hp.hv AS DECIMAL(28,12))) AS pr
+    |  FROM e JOIN hp ON hp.dim = e.pos GROUP BY e.vec_id, hp.plane),
+    |bnd AS (
+    |  SELECT p.vec_id, CAST(p.plane // geo.bits AS INTEGER) AS band_idx,
+    |    CAST(SUM(CASE WHEN p.pr >= 0
+    |      THEN CAST(1 AS BIGINT) << CAST(p.plane % geo.bits AS INTEGER)
+    |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS band_val
+    |  FROM proj p, geo GROUP BY p.vec_id, p.plane // geo.bits),
+    |cand AS (
+    |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    |  FROM bnd a JOIN bnd b
+    |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+    |      AND a.vec_id < b.vec_id),
+    |nc AS (SELECT COUNT(*) AS n_candidates FROM cand),
+    |norms AS (
+    |  SELECT vec_id,
+    |    CAST(SUM(CAST(ev * ev AS DECIMAL(28,12))) AS DOUBLE) AS n2
+    |  FROM e GROUP BY vec_id),
+    |pairdot AS (
+    |  SELECT cd.id_a, cd.id_b,
+    |    CAST(SUM(CAST(ea.ev * eb.ev AS DECIMAL(28,12))) AS DOUBLE) AS dot
+    |  FROM cand cd
+    |  JOIN e ea ON ea.vec_id = cd.id_a
+    |  JOIN e eb ON eb.vec_id = cd.id_b AND eb.pos = ea.pos
+    |  GROUP BY cd.id_a, cd.id_b),
+    |top AS (
+    |  SELECT p.id_a, p.id_b,
+    |    p.dot / (sqrt(na.n2) * sqrt(nb.n2)) AS rawcos
+    |  FROM pairdot p
+    |  JOIN norms na ON na.vec_id = p.id_a
+    |  JOIN norms nb ON nb.vec_id = p.id_b
+    |  ORDER BY rawcos DESC, p.id_a, p.id_b LIMIT 20)
+    |SELECT t.id_a, t.id_b, ROUND(t.rawcos, 6) AS cosine,
+    |  nc.n_candidates,
+    |  CAST(geo.bits AS INTEGER) AS band_bits,
+    |  CAST(geo.bands AS INTEGER) AS n_bands
+    |FROM top t, nc, geo
+    |""".stripMargin.trim
+  }
 
   private def lshCosine(s: SparkSession, dir: String): DataFrame = {
     // top-20 + candidate count is driver-sized: materialize, then free the
@@ -362,9 +457,13 @@ object SimilarityQueries extends QueryPack {
   //     exactly what a full corpus-with-twins run would, at the cost of
   //     one tiny broadcast instead of a second LSH pass. Theory predicts
   //     ≈ 0.89 at c = 0.95; `LshRecallSpec` pins measured ≥ 0.8.
-  private[graft] val PlantCount = 100
-  private[queries] val PlantCosine = 0.95
-  private[graft] val PlantIdOffset = 10000000L
+  // `final val` with literal initializers: compile-time constants, so
+  // they inline at every use site regardless of object-initialization
+  // order (an oracle string declared ABOVE these would otherwise
+  // interpolate the pre-init 0.0/0 — the r13 lshCosineOracle bug)
+  private[graft] final val PlantCount = 100
+  private[queries] final val PlantCosine = 0.95
+  private[graft] final val PlantIdOffset = 10000000L
 
   /** Deterministic near-duplicate twins of the first `PlantCount` vectors:
     * twin = c·v + √(1-c²)·|v|·ŵ with ŵ a seeded unit vector ⊥ v, giving
@@ -1598,7 +1697,7 @@ object SimilarityQueries extends QueryPack {
     Q("ann_topk_dot", topkDot, Some(topkDotOracle)),
     Q("ann_filtered_topk", filteredTopk, Some(filteredTopkOracle)),
     Q("ann_cosine_pairs", cosinePairs, Some(cosinePairsOracle)),
-    Q("ann_lsh_cosine", lshCosine, None),
+    Q("ann_lsh_cosine", lshCosine, Some(lshCosineOracle)),
     Q("ann_lsh_recall", lshRecall, Some(lshRecallOracle)),
     Q("ann_ivf_topk", ivfTopk, Some(ivfTopkOracle)),
     Q("ann_ivf_recall", ivfRecall, Some(ivfRecallOracle)),
