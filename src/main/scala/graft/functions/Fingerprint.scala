@@ -233,6 +233,14 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_adc_exact",
+      {
+        case Seq(a, b) => VecAdcExact(a, b)
+        case other => throw new IllegalArgumentException(
+          s"vec_adc_exact(lut, codes): got ${other.size} args")
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_adc_packed",
       {
         case Seq(a, b) => VecAdcPacked(a, b)

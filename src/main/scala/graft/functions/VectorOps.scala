@@ -142,6 +142,64 @@ object VecKernelExact {
       java.math.BigDecimal.valueOf(acc, Scale).doubleValue()
     }
   }
+
+  /** Exact-decimal dot of two plain double SLICES (driver/executor
+    * arrays) — identical rounding semantics to [[dot]]: each product
+    * rounded to DECIMAL scale 12 HALF_UP, summed exactly, one double
+    * cast at the end. The PQ/IVF training and encode paths run on this
+    * so any engine reproduces the trained structure bit-for-bit;
+    * throws (never NULLs) because training inputs are finite by
+    * construction.
+    */
+  def dotSlice(a: Array[Double], aFrom: Int, b: Array[Double], bFrom: Int,
+      n: Int): Double = {
+    var acc = 0L
+    var slow: java.math.BigDecimal = null
+    var i = 0
+    while (i < n) {
+      val p = a(aFrom + i) * b(bFrom + i)
+      require(!java.lang.Double.isNaN(p) && !java.lang.Double.isInfinite(p) &&
+        Math.abs(p) < 1e8, s"dotSlice: product $p outside DECIMAL(20,12)")
+      if (slow == null) {
+        try acc = Math.addExact(acc, unscaled(p))
+        catch { case _: ArithmeticException =>
+          slow = java.math.BigDecimal.valueOf(acc).movePointLeft(Scale)
+            .add(java.math.BigDecimal.valueOf(p)
+              .setScale(Scale, java.math.RoundingMode.HALF_UP))
+        }
+      } else slow = slow.add(java.math.BigDecimal.valueOf(p)
+        .setScale(Scale, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    if (slow != null) slow.doubleValue()
+    else if (Math.abs(acc) <= (1L << 53)) acc.toDouble / Pow
+    else java.math.BigDecimal.valueOf(acc, Scale).doubleValue()
+  }
+
+  /** Exact-decimal sum of doubles (each term rounded to scale 12,
+    * exact accumulation, one double cast) — the order-independent
+    * combine the exact-ADC kernel uses over its M lookup terms. */
+  def sumExact(terms: Array[Double]): Double = {
+    var acc = 0L
+    var slow: java.math.BigDecimal = null
+    var i = 0
+    while (i < terms.length) {
+      val p = terms(i)
+      if (slow == null) {
+        try acc = Math.addExact(acc, unscaled(p))
+        catch { case _: ArithmeticException =>
+          slow = java.math.BigDecimal.valueOf(acc).movePointLeft(Scale)
+            .add(java.math.BigDecimal.valueOf(p)
+              .setScale(Scale, java.math.RoundingMode.HALF_UP))
+        }
+      } else slow = slow.add(java.math.BigDecimal.valueOf(p)
+        .setScale(Scale, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    if (slow != null) slow.doubleValue()
+    else if (Math.abs(acc) <= (1L << 53)) acc.toDouble / Pow
+    else java.math.BigDecimal.valueOf(acc, Scale).doubleValue()
+  }
 }
 
 /** `vec_dot_exact(a, b)` — codegen'd exact-decimal dot product, the
@@ -345,6 +403,62 @@ case class VecAdcPacked(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "vec_adc_packed"
+}
+
+/** Exact-decimal twin of [[VecAdcKernel]]: the M looked-up terms sum
+  * through [[VecKernelExact.sumExact]] (per-term scale-12 rounding,
+  * exact accumulation) instead of sequential double adds — so the ADC
+  * score is order-independent and any engine reproduces it
+  * (`SUM(CAST(term AS DECIMAL(28,12)))` in the DuckDB oracle). */
+object VecAdcExactKernel {
+  def adc(lut: ArrayData, codes: ArrayData): Double = {
+    val m = codes.numElements()
+    require(lut.numElements() == m,
+      s"vec_adc_exact: ${lut.numElements()} LUT rows vs $m codes")
+    val terms = new Array[Double](m)
+    var mi = 0
+    while (mi < m) {
+      val row = lut.getArray(mi)
+      val code = codes.getInt(mi)
+      if (code < 0 || code >= row.numElements())
+        throw new IllegalArgumentException(
+          s"vec_adc_exact: code $code out of range for LUT row $mi " +
+            s"(${row.numElements()} centroids)")
+      terms(mi) = row.getDouble(code)
+      mi += 1
+    }
+    VecKernelExact.sumExact(terms)
+  }
+}
+
+/** `vec_adc_exact(lut, codes)` — [[VecAdc]] with the order-independent
+  * exact-decimal combine ([[VecAdcExactKernel]]). */
+case class VecAdcExact(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ArrayType(DoubleType, _), _), ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"vec_adc_exact requires (array<array<double>>, array<int>), got " +
+          s"${left.dataType.sql}, ${right.dataType.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecAdcExactKernel.adc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecAdcExactKernel.adc($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecAdcExact =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_adc_exact"
 }
 
 /** `vec_adc(lut, codes)` — codegen'd PQ asymmetric-distance lookup:

@@ -1043,15 +1043,25 @@ object SimilarityQueries extends QueryPack {
     (8, k) // (M subspaces, K centroids per subspace)
   }
 
-  /** Train per-subspace codebooks on the driver. Returns M×K×(D/M). */
+  /** Train per-subspace codebooks on the driver. Returns M×K×(D/M).
+    *
+    * Order-independent arithmetic throughout (r13, the ann_ivf_topk
+    * treatment): assignment scores are cc − 2·(sv·c) over exact-decimal
+    * dots cast once to double (the |sv|² term is row-constant so argmin
+    * is unchanged; ties to the lower centroid), and means are
+    * exact-decimal per-coordinate sums divided once — so the DuckDB
+    * oracle re-trains the identical codebooks from the same sample.
+    */
   private[graft] def pqTrain(sample: Array[Array[Double]], m: Int,
       k: Int): Array[Array[Array[Double]]] = {
+    import graft.functions.VecKernelExact.dotSlice
     require(sample.nonEmpty && sample.head.length % m == 0,
       s"dims ${sample.headOption.map(_.length)} not divisible by $m subspaces")
     val sub = sample.head.length / m
     Array.tabulate(m) { mi =>
       val subvecs = sample.map(v => v.slice(mi * sub, mi * sub + sub))
-      // deterministic init: first K distinct subvectors (cycled if fewer)
+      // deterministic init: the first min(k, distinct) DISTINCT
+      // subvectors in sample order
       val distinct = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
       val seen = scala.collection.mutable.Set.empty[Seq[Double]]
       subvecs.iterator.takeWhile(_ => distinct.size < k).foreach { v =>
@@ -1060,24 +1070,32 @@ object SimilarityQueries extends QueryPack {
       var cents = Array.tabulate(math.min(k, math.max(1, distinct.size)))(i =>
         distinct(i % distinct.size).clone())
       for (_ <- 0 until 4) { // Lloyd on the bounded sample
-        val sums = Array.fill(cents.length, sub)(0.0)
+        val ccs = cents.map(c => dotSlice(c, 0, c, 0, sub))
+        // exact-decimal coordinate sums: scale-12-rounded terms, exact
+        // accumulation, one double cast at the divide (matches
+        // SUM(CAST(x AS DECIMAL(28,12))) :: DOUBLE / COUNT in SQL)
+        val sums = Array.fill(cents.length, sub)(java.math.BigDecimal.ZERO)
         val counts = Array.fill(cents.length)(0L)
         subvecs.foreach { v =>
           var best = 0; var bestD = Double.MaxValue
           var c = 0
           while (c < cents.length) {
-            var d = 0.0; var i = 0
-            while (i < sub) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+            val d = ccs(c) - 2.0 * dotSlice(v, 0, cents(c), 0, sub)
             if (d < bestD) { bestD = d; best = c }
             c += 1
           }
           var i = 0
-          while (i < sub) { sums(best)(i) += v(i); i += 1 }
+          while (i < sub) {
+            sums(best)(i) = sums(best)(i).add(
+              java.math.BigDecimal.valueOf(v(i))
+                .setScale(12, java.math.RoundingMode.HALF_UP))
+            i += 1
+          }
           counts(best) += 1
         }
         cents = cents.indices.map { c =>
           if (counts(c) == 0) cents(c)
-          else Array.tabulate(sub)(i => sums(c)(i) / counts(c))
+          else Array.tabulate(sub)(i => sums(c)(i).doubleValue() / counts(c))
         }.toArray
       }
       cents
@@ -1115,6 +1133,10 @@ object SimilarityQueries extends QueryPack {
         .mapPartitions { it =>
           val cb = cbB.value
           val mLoc = cb.length
+          // same exact-decimal scoring as pqTrain (cc − 2·(sv·c), ties
+          // to the lower code): the assignment any engine re-derives
+          val ccLoc = cb.map(_.map(c =>
+            graft.functions.VecKernelExact.dotSlice(c, 0, c, 0, c.length)))
           it.map { case (id, vSeq) =>
             val v = vSeq.toArray
             val subLoc = v.length / mLoc
@@ -1123,10 +1145,8 @@ object SimilarityQueries extends QueryPack {
               var best = 0; var bestD = Double.MaxValue
               var c = 0
               while (c < cents.length) {
-                var d = 0.0; var i = 0
-                while (i < subLoc) {
-                  val t = v(mi * subLoc + i) - cents(c)(i); d += t * t; i += 1
-                }
+                val d = ccLoc(mi)(c) - 2.0 * graft.functions.VecKernelExact
+                  .dotSlice(v, mi * subLoc, cents(c), 0, subLoc)
                 if (d < bestD) { bestD = d; best = c }
                 c += 1
               }
@@ -1144,19 +1164,17 @@ object SimilarityQueries extends QueryPack {
     val queryVec = coded.filter($"vec_id" === 0)
       .select($"v").collect().head.getSeq[Double](0).toArray
     val lut: Seq[Seq[Double]] = codebook.zipWithIndex.map { case (cents, mi) =>
-      cents.map { c =>
-        var d = 0.0; var i = 0
-        while (i < sub) { d += queryVec(mi * sub + i) * c(i); i += 1 }
-        d
-      }.toSeq
+      cents.map(c => graft.functions.VecKernelExact
+        .dotSlice(queryVec, mi * sub, c, 0, sub)).toSeq
     }.toSeq
 
     val nCand = 50
     val candidates = coded.filter($"vec_id" =!= 0)
       .withColumn("lut", typedlit(lut))
-      // codegen'd ADC lookup kernel (same M lookups + sequential sum as
-      // the aggregate(sequence(...)) spelling it replaced)
-      .withColumn("adc", expr("vec_adc(lut, codes)"))
+      // exact-ADC kernel: the M looked-up terms combine through the
+      // order-independent exact-decimal sum, so the score (and the
+      // candidate cut) is engine-reproducible
+      .withColumn("adc", expr("vec_adc_exact(lut, codes)"))
       .orderBy($"adc".desc, $"vec_id")
       .limit(nCand)
       .select($"vec_id", $"v", $"adc")
@@ -1166,7 +1184,7 @@ object SimilarityQueries extends QueryPack {
       .withColumn("q", q)
       .select($"vec_id",
         round($"adc", 6).as("adc"),
-        round(expr("vec_dot(v, q)"), 6).as("dot"))
+        round(expr("CAST(vec_dot_exact(v, q) AS DOUBLE)"), 6).as("dot"))
       .orderBy($"dot".desc, $"vec_id")
       .limit(10)
     val rows = result.collect()
@@ -1180,6 +1198,135 @@ object SimilarityQueries extends QueryPack {
       val (rows, schema, _, _, _) = pqRows(emb)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     } finally emb.unpersist()
+  }
+
+  /** Full cross-engine re-derivation of the PQ search (r13 — flipped
+    * ann_pq_topk from rows-only to hash-exact, completing the set the
+    * IVF and LSH tiers started): DuckDB re-trains all 8 per-subspace
+    * codebooks from scratch — first-distinct-subvector seeding over the
+    * first-2048 sample, four Lloyd rounds of exact-decimal assignment
+    * (argmin of cc − 2·(sv·c), ties to the lower centroid) and
+    * exact-decimal means — then encodes the corpus, builds the exact
+    * LUT, scores by the exact-decimal ADC sum, cuts the top-50
+    * candidates, and re-ranks by the exact full dot. Every arithmetic
+    * step mirrors [[pqTrain]]/[[pqRows]] term for term. The four Lloyd
+    * rounds are generated by a Scala loop — same CTE block per round.
+    */
+  private val pqTopkOracle = {
+    def lloydRound(r: Int): String = {
+      val prev = s"c$r"
+      val next = s"c${r + 1}"
+      s"""|cc$r AS (
+          |  SELECT mi, ci,
+          |    CAST(SUM(CAST(cv * cv AS DECIMAL(28,12))) AS DOUBLE) AS cc
+          |  FROM $prev GROUP BY mi, ci),
+          |vc$r AS (
+          |  SELECT s.vec_id, c.mi, c.ci,
+          |    CAST(SUM(CAST(s.ev * c.cv AS DECIMAL(28,12))) AS DOUBLE) AS vc
+          |  FROM sv s JOIN $prev c ON c.mi = s.mi AND c.spos = s.spos
+          |  GROUP BY s.vec_id, c.mi, c.ci),
+          |a$r AS (
+          |  SELECT vec_id, mi, ci FROM (
+          |    SELECT v.vec_id, v.mi, v.ci,
+          |      row_number() OVER (PARTITION BY v.vec_id, v.mi
+          |        ORDER BY (cc.cc - 2.0 * v.vc), v.ci) AS rn
+          |    FROM vc$r v JOIN cc$r cc ON cc.mi = v.mi AND cc.ci = v.ci)
+          |  WHERE rn = 1),
+          |mm$r AS (
+          |  SELECT a.mi, a.ci, s.spos,
+          |    CAST(SUM(CAST(s.ev AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+          |  FROM a$r a JOIN sv s ON s.vec_id = a.vec_id AND s.mi = a.mi
+          |  GROUP BY a.mi, a.ci, s.spos),
+          |$next AS (
+          |  SELECT p.mi, p.ci, p.spos, COALESCE(m.cv, p.cv) AS cv
+          |  FROM $prev p LEFT JOIN mm$r m
+          |    ON m.mi = p.mi AND m.ci = p.ci AND m.spos = p.spos)""".stripMargin
+    }
+    s"""
+    |WITH g AS (
+    |  SELECT COUNT(*) AS n,
+    |    LEAST(256, GREATEST(8,
+    |      CAST(ceil(sqrt(8.0 * CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) AS k
+    |  FROM embeddings),
+    |dd AS (
+    |  SELECT CAST(len(embedding) AS BIGINT) AS dims,
+    |    CAST(len(embedding) // 8 AS BIGINT) AS sub
+    |  FROM embeddings WHERE vec_id = 0),
+    |e AS (
+    |  SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS pos,
+    |    CAST(embedding[CAST(t.i AS BIGINT)] AS DOUBLE) AS ev
+    |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+    |samp AS (
+    |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS sord
+    |  FROM embeddings QUALIFY row_number() OVER (ORDER BY vec_id) <= 2048),
+    |sv AS (
+    |  SELECT e.vec_id, samp.sord,
+    |    CAST(e.pos // dd.sub AS BIGINT) AS mi,
+    |    CAST(e.pos % dd.sub AS BIGINT) AS spos, e.ev
+    |  FROM e JOIN samp ON samp.vec_id = e.vec_id, dd),
+    |svl AS (
+    |  SELECT vec_id, sord, mi, list(ev ORDER BY spos) AS svec
+    |  FROM sv GROUP BY vec_id, sord, mi),
+    |seeds AS (
+    |  SELECT mi, svec, min(sord) AS first_ord
+    |  FROM svl GROUP BY mi, svec),
+    |c0l AS (
+    |  SELECT mi, svec,
+    |    row_number() OVER (PARTITION BY mi ORDER BY first_ord) - 1 AS ci
+    |  FROM seeds
+    |  QUALIFY row_number() OVER (PARTITION BY mi ORDER BY first_ord)
+    |    <= (SELECT k FROM g)),
+    |c0 AS (
+    |  SELECT mi, ci, CAST(t.i - 1 AS BIGINT) AS spos,
+    |    CAST(svec[CAST(t.i AS BIGINT)] AS DOUBLE) AS cv
+    |  FROM c0l, unnest(range(1, len(svec) + 1)) AS t(i)),
+    |${lloydRound(0)},
+    |${lloydRound(1)},
+    |${lloydRound(2)},
+    |${lloydRound(3)},
+    |av AS (
+    |  SELECT e.vec_id, CAST(e.pos // dd.sub AS BIGINT) AS mi,
+    |    CAST(e.pos % dd.sub AS BIGINT) AS spos, e.ev
+    |  FROM e, dd),
+    |ccf AS (
+    |  SELECT mi, ci,
+    |    CAST(SUM(CAST(cv * cv AS DECIMAL(28,12))) AS DOUBLE) AS cc
+    |  FROM c4 GROUP BY mi, ci),
+    |vcf AS (
+    |  SELECT s.vec_id, c.mi, c.ci,
+    |    CAST(SUM(CAST(s.ev * c.cv AS DECIMAL(28,12))) AS DOUBLE) AS vc
+    |  FROM av s JOIN c4 c ON c.mi = s.mi AND c.spos = s.spos
+    |  GROUP BY s.vec_id, c.mi, c.ci),
+    |codes AS (
+    |  SELECT vec_id, mi, ci AS code FROM (
+    |    SELECT v.vec_id, v.mi, v.ci,
+    |      row_number() OVER (PARTITION BY v.vec_id, v.mi
+    |        ORDER BY (cc.cc - 2.0 * v.vc), v.ci) AS rn
+    |    FROM vcf v JOIN ccf cc ON cc.mi = v.mi AND cc.ci = v.ci)
+    |  WHERE rn = 1),
+    |qsv AS (SELECT mi, spos, ev AS qv FROM av WHERE vec_id = 0),
+    |lutt AS (
+    |  SELECT c.mi, c.ci,
+    |    CAST(SUM(CAST(q.qv * c.cv AS DECIMAL(28,12))) AS DOUBLE) AS lv
+    |  FROM qsv q JOIN c4 c ON c.mi = q.mi AND c.spos = q.spos
+    |  GROUP BY c.mi, c.ci),
+    |adcs AS (
+    |  SELECT k.vec_id,
+    |    CAST(SUM(CAST(l.lv AS DECIMAL(28,12))) AS DOUBLE) AS adc
+    |  FROM codes k JOIN lutt l ON l.mi = k.mi AND l.ci = k.code
+    |  WHERE k.vec_id <> 0 GROUP BY k.vec_id),
+    |cand AS (
+    |  SELECT vec_id, adc FROM adcs ORDER BY adc DESC, vec_id LIMIT 50),
+    |q AS (SELECT pos, ev AS qv FROM e WHERE vec_id = 0),
+    |rer AS (
+    |  SELECT cd.vec_id, ROUND(cd.adc, 6) AS adc,
+    |    ROUND(CAST(SUM(CAST(ea.ev * q.qv AS DECIMAL(28,12))) AS DOUBLE), 6)
+    |      AS dot
+    |  FROM cand cd JOIN e ea ON ea.vec_id = cd.vec_id
+    |  JOIN q ON q.pos = ea.pos
+    |  GROUP BY cd.vec_id, cd.adc)
+    |SELECT vec_id, adc, dot FROM rer ORDER BY dot DESC, vec_id LIMIT 10
+    |""".stripMargin.trim
   }
 
   // The PQ tier's measured instrument: recall of the exact top-10 under
@@ -1701,7 +1848,7 @@ object SimilarityQueries extends QueryPack {
     Q("ann_lsh_recall", lshRecall, Some(lshRecallOracle)),
     Q("ann_ivf_topk", ivfTopk, Some(ivfTopkOracle)),
     Q("ann_ivf_recall", ivfRecall, Some(ivfRecallOracle)),
-    Q("ann_pq_topk", pqTopk, None),
+    Q("ann_pq_topk", pqTopk, Some(pqTopkOracle)),
     Q("ann_pq_recall", pqRecall, Some(pqRecallOracle)),
     Q("ann_pq_persisted", pqPersisted, Some(pqPersistedOracle)),
     Q("ann_pq_incremental", pqIncremental, Some(pqIncrementalOracle)),
