@@ -680,10 +680,15 @@ object DedupQueries extends QueryPack {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val ph = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // exact-decimal norm (r13): sqrt is correctly rounded by IEEE 754
+    // and the per-element divide is one double op, so the NORMALIZED
+    // vectors are bit-identical in any engine — the first link of the
+    // chain that made dedup_semantic oracle-checkable
     val corpus = raw
       .select($"vec_id",
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("raw"))
-      .withColumn("nrm", expr("sqrt(vec_dot(raw, raw))"))
+      .withColumn("nrm",
+        expr("sqrt(CAST(vec_dot_exact(raw, raw) AS DOUBLE))"))
       .select($"vec_id", expr("transform(raw, x -> x / nrm)").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -691,11 +696,13 @@ object DedupQueries extends QueryPack {
       val Cells =
         math.max(4, ((n + SemanticTargetCellSize - 1) / SemanticTargetCellSize).toInt)
 
-      // on unit vectors argmin ||v-c||² == argmax v·c, so assignment runs
-      // on the native vec_dot kernel instead of interpreted SQL lambdas
+      // on unit vectors argmin ||v-c||² == argmax v·c; the dots are
+      // exact-decimal (order-independent), so the argmax — and with it
+      // every cell id — is the number any engine computes
       def withCell(df: DataFrame, cents: Array[Array[Double]]): DataFrame =
         df.withColumn("cents", typedlit(cents.map(_.toSeq).toSeq))
-          .withColumn("dots", expr("transform(cents, c -> vec_dot(v, c))"))
+          .withColumn("dots",
+            expr("transform(cents, c -> vec_dot_exact(v, c))"))
           .withColumn("cell",
             expr("array_position(dots, array_max(dots)) - 1").cast("int"))
           .drop("cents", "dots")
@@ -709,7 +716,8 @@ object DedupQueries extends QueryPack {
       // dot needs equal-norm centroids to equal argmin L2), the same
       // driver-sized centroid round-trip ann_ivf_topk documents
       def unit(v: Array[Double]): Array[Double] = {
-        val n = math.sqrt(v.map(x => x * x).sum)
+        val n = math.sqrt(
+          graft.functions.VecKernelExact.dotSlice(v, 0, v, 0, v.length))
         if (n == 0) v else v.map(_ / n)
       }
       var centroids: Array[Array[Double]] = phased(ph, "kmeans") {
@@ -717,9 +725,14 @@ object DedupQueries extends QueryPack {
           .map(_.getSeq[Double](1).toArray)
       }
       for (_ <- 0 until 2) phased(ph, "kmeans") {
+        // exact-decimal means (sum of scale-12-rounded terms, one
+        // double division), then the exact-norm renormalize above —
+        // the centroid any engine re-derives
         val means = withCell(corpus, centroids)
           .select($"cell", posexplode($"v").as(Seq("pos", "x")))
-          .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
+          .groupBy($"cell", $"pos")
+          .agg(expr("CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(1)")
+            .as("m"))
           .groupBy($"cell")
           .agg(expr("transform(sort_array(collect_list(struct(pos, m))), p -> p.m)")
             .as("c"))
@@ -740,7 +753,8 @@ object DedupQueries extends QueryPack {
       // in n, which is the trade the 100× story needs.
       val assigned = corpus
         .withColumn("cents", typedlit(centroids.map(_.toSeq).toSeq))
-        .withColumn("dots", expr("transform(cents, c -> vec_dot(v, c))"))
+        .withColumn("dots",
+          expr("transform(cents, c -> vec_dot_exact(v, c))"))
         .withColumn("cell",
           expr("array_position(dots, array_max(dots)) - 1").cast("int"))
         // runner-up = best strictly-below-max dot; coalesce covers the
@@ -765,7 +779,8 @@ object DedupQueries extends QueryPack {
             s"$maxCellPop vectors (target $SemanticTargetCellSize, bound 16×) — " +
             "the within-cell tier would degrade toward the quadratic plan")
         def cosPairs(joined: DataFrame): DataFrame = joined
-          .select($"id_a", $"id_b", expr("vec_dot(va, vb)").as("cos"))
+          .select($"id_a", $"id_b",
+            expr("vec_dot_exact(va, vb)").as("cos"))
           .filter($"cos" >= SemanticThresh)
 
         val primary = assigned.select($"vec_id", $"v", $"cell")
@@ -839,9 +854,10 @@ object DedupQueries extends QueryPack {
           while (j < vecs.length) {
             val (ia, va) = vecs(i)
             val (ib, vb) = vecs(j)
-            var dot = 0.0
-            var p = 0
-            while (p < va.length) { dot += va(p) * vb(p); p += 1 }
+            // exact-decimal dot: the identical >= threshold decision
+            // the DuckDB oracle's all-pairs tier makes
+            val dot = graft.functions.VecKernelExact
+              .dotSlice(va, 0, vb, 0, va.length)
             if (dot >= SemanticThresh) {
               nExact += 1
               if (ib == ia + off) plantedExact += 1
@@ -869,6 +885,205 @@ object DedupQueries extends QueryPack {
           "pairs_exact", "pairs_within_cell", "recall", "planted_pairs",
           "planted_within_cell", "planted_recall", "n_dropped")
     } finally tier.unpersist()
+  }
+
+  /** Full cross-engine re-derivation of SemDeDup (r13 — the LAST
+    * rows-only query flips to hash-exact): DuckDB rebuilds the planted
+    * twins (splitmix-derived rational directions, exact-decimal
+    * projections, the float cast), normalizes the corpus with the exact
+    * norm, re-trains the spherical k-means (two rounds of exact-dot
+    * argmax assignment, exact-decimal means, exact renormalize,
+    * empty-cell carry), re-derives the multi-probe assignment
+    * (runner-up = lowest cell at the best strictly-below-max dot),
+    * re-joins the within-cell pairs, and re-runs the bounded all-pairs
+    * exact tier — emitting the identical 11-column instrument row. Every
+    * step mirrors [[SimilarityQueries.plantedTwins]]/[[semanticTier]]/
+    * [[semanticDedup]] term for term; the two Lloyd rounds are
+    * generated by a Scala loop.
+    */
+  private val semanticDedupOracle = {
+    val c = SimilarityQueries.PlantCosine
+    val off = SimilarityQueries.PlantIdOffset
+    val thresh = SemanticThresh
+    def lloyd(r: Int): String = {
+      val prev = s"k$r"
+      val next = s"k${r + 1}"
+      s"""|dt$r AS MATERIALIZED (
+          |  SELECT v.vec_id, c.ci,
+          |    CAST(SUM(CAST(v.x * c.cv AS DECIMAL(28,12))) AS DOUBLE) AS dot
+          |  FROM nv v JOIN $prev c ON c.pos = v.pos
+          |  GROUP BY v.vec_id, c.ci),
+          |as$r AS MATERIALIZED (
+          |  SELECT vec_id, ci FROM (
+          |    SELECT vec_id, ci,
+          |      row_number() OVER (PARTITION BY vec_id
+          |        ORDER BY dot DESC, ci) AS rn
+          |    FROM dt$r) WHERE rn = 1),
+          |mm$r AS MATERIALIZED (
+          |  SELECT a.ci, v.pos,
+          |    CAST(SUM(CAST(v.x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+          |  FROM as$r a JOIN nv v ON v.vec_id = a.vec_id
+          |  GROUP BY a.ci, v.pos),
+          |mn$r AS MATERIALIZED (
+          |  SELECT ci,
+          |    sqrt(CAST(SUM(CAST(m * m AS DECIMAL(28,12))) AS DOUBLE)) AS cn
+          |  FROM mm$r GROUP BY ci),
+          |$next AS MATERIALIZED (
+          |  SELECT p.ci, p.pos,
+          |    COALESCE(CASE WHEN n.cn = 0 THEN m.m ELSE m.m / n.cn END, p.cv)
+          |      AS cv
+          |  FROM $prev p
+          |  LEFT JOIN mm$r m ON m.ci = p.ci AND m.pos = p.pos
+          |  LEFT JOIN mn$r n ON n.ci = p.ci)""".stripMargin
+    }
+    import OracleMath._
+    s"""
+    |WITH bc AS (SELECT COUNT(*) AS nb FROM embeddings),
+    |gg AS MATERIALIZED (
+    |  SELECT nb, nb + 100 AS n,
+    |    GREATEST(4, (nb + 100 + 127) // 128) AS cells
+    |  FROM bc),
+    |dd AS MATERIALIZED (SELECT CAST(len(embedding) AS BIGINT) AS dims
+    |       FROM embeddings WHERE vec_id = 0),
+    |e AS MATERIALIZED (
+    |  SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS pos,
+    |    CAST(embedding[CAST(t.i AS BIGINT)] AS DOUBLE) AS ev
+    |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+    |fp AS MATERIALIZED (
+    |  SELECT vec_id FROM embeddings
+    |  QUALIFY row_number() OVER (ORDER BY vec_id) <= 100),
+    |te AS MATERIALIZED (SELECT e.vec_id, e.pos, e.ev FROM e JOIN fp USING (vec_id)),
+    |tidx AS MATERIALIZED (
+    |  SELECT te.vec_id, te.pos,
+    |    ${u64("CAST(te.vec_id * dd.dims + te.pos + 777 AS HUGEINT)")} AS v
+    |  FROM te, dd),
+    |${mixCtes("tmix", "tidx", Seq("vec_id", "pos"), "v", "h")},
+    |rdir AS MATERIALIZED (
+    |  SELECT vec_id, pos,
+    |    (CAST(h % 2000001 AS BIGINT) - 1000000) / 1000000.0 AS r
+    |  FROM tmix),
+    |tvv AS MATERIALIZED (
+    |  SELECT vec_id,
+    |    CAST(SUM(CAST(ev * ev AS DECIMAL(28,12))) AS DOUBLE) AS vv
+    |  FROM te GROUP BY vec_id),
+    |trv AS MATERIALIZED (
+    |  SELECT te.vec_id,
+    |    CAST(SUM(CAST(r.r * te.ev AS DECIMAL(28,12))) AS DOUBLE) AS rv
+    |  FROM te JOIN rdir r ON r.vec_id = te.vec_id AND r.pos = te.pos
+    |  GROUP BY te.vec_id),
+    |tw AS MATERIALIZED (
+    |  SELECT te.vec_id, te.pos,
+    |    r.r - (trv.rv / tvv.vv) * te.ev AS w
+    |  FROM te
+    |  JOIN rdir r ON r.vec_id = te.vec_id AND r.pos = te.pos
+    |  JOIN trv ON trv.vec_id = te.vec_id
+    |  JOIN tvv ON tvv.vec_id = te.vec_id),
+    |twn AS MATERIALIZED (
+    |  SELECT vec_id,
+    |    sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS wn
+    |  FROM tw GROUP BY vec_id),
+    |twin AS MATERIALIZED (
+    |  SELECT te.vec_id + $off AS vec_id, te.pos,
+    |    CAST(CAST($c * te.ev +
+    |      (sqrt(1 - $c * $c) * sqrt(tvv.vv) / twn.wn) * tw.w
+    |      AS REAL) AS DOUBLE) AS ev
+    |  FROM te
+    |  JOIN tw ON tw.vec_id = te.vec_id AND tw.pos = te.pos
+    |  JOIN tvv ON tvv.vec_id = te.vec_id
+    |  JOIN twn ON twn.vec_id = te.vec_id),
+    |allv AS MATERIALIZED (
+    |  SELECT vec_id, pos, ev FROM e
+    |  UNION ALL SELECT vec_id, pos, ev FROM twin),
+    |nrm AS MATERIALIZED (
+    |  SELECT vec_id,
+    |    sqrt(CAST(SUM(CAST(ev * ev AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+    |  FROM allv GROUP BY vec_id),
+    |nv AS MATERIALIZED (
+    |  SELECT a.vec_id, a.pos, a.ev / n.nrm AS x
+    |  FROM allv a JOIN nrm n USING (vec_id)),
+    |seedids AS MATERIALIZED (
+    |  SELECT vec_id,
+    |    row_number() OVER (ORDER BY vec_id) - 1 AS ci
+    |  FROM (SELECT DISTINCT vec_id FROM allv)
+    |  QUALIFY row_number() OVER (ORDER BY vec_id)
+    |    <= (SELECT cells FROM gg)),
+    |k0 AS MATERIALIZED (
+    |  SELECT s.ci, v.pos, v.x AS cv
+    |  FROM seedids s JOIN nv v USING (vec_id)),
+    |${lloyd(0)},
+    |${lloyd(1)},
+    |fd AS MATERIALIZED (
+    |  SELECT v.vec_id, c.ci,
+    |    CAST(SUM(CAST(v.x * c.cv AS DECIMAL(28,12))) AS DOUBLE) AS dot
+    |  FROM nv v JOIN k2 c ON c.pos = v.pos
+    |  GROUP BY v.vec_id, c.ci),
+    |a3 AS MATERIALIZED (
+    |  SELECT vec_id, ci AS cell FROM (
+    |    SELECT vec_id, ci,
+    |      row_number() OVER (PARTITION BY vec_id
+    |        ORDER BY dot DESC, ci) AS rn
+    |    FROM fd) WHERE rn = 1),
+    |fmax AS MATERIALIZED (SELECT vec_id, MAX(dot) AS mx FROM fd GROUP BY vec_id),
+    |b2 AS MATERIALIZED (
+    |  SELECT f.vec_id, MAX(f.dot) AS mx2
+    |  FROM fd f JOIN fmax x ON x.vec_id = f.vec_id AND f.dot < x.mx
+    |  GROUP BY f.vec_id),
+    |c2c AS MATERIALIZED (
+    |  SELECT f.vec_id, MIN(f.ci) AS cell2
+    |  FROM fd f JOIN b2 ON b2.vec_id = f.vec_id AND f.dot = b2.mx2
+    |  GROUP BY f.vec_id),
+    |probes AS MATERIALIZED (
+    |  SELECT vec_id, cell FROM a3
+    |  UNION ALL
+    |  SELECT a3.vec_id, COALESCE(c.cell2, a3.cell) AS cell
+    |  FROM a3 LEFT JOIN c2c c USING (vec_id)),
+    |maxpop AS MATERIALIZED (
+    |  SELECT MAX(cnt) AS mp FROM (
+    |    SELECT cell, COUNT(*) AS cnt FROM a3 GROUP BY cell)),
+    |candp AS MATERIALIZED (
+    |  SELECT DISTINCT LEAST(p.vec_id, q.vec_id) AS id_a,
+    |    GREATEST(p.vec_id, q.vec_id) AS id_b
+    |  FROM probes p JOIN a3 q
+    |    ON q.cell = p.cell AND q.vec_id <> p.vec_id),
+    |wd AS MATERIALIZED (
+    |  SELECT cp.id_a, cp.id_b,
+    |    CAST(SUM(CAST(va.x * vb.x AS DECIMAL(28,12))) AS DOUBLE) AS cos
+    |  FROM candp cp
+    |  JOIN nv va ON va.vec_id = cp.id_a
+    |  JOIN nv vb ON vb.vec_id = cp.id_b AND vb.pos = va.pos
+    |  GROUP BY cp.id_a, cp.id_b),
+    |within AS MATERIALIZED (SELECT * FROM wd WHERE cos >= $thresh),
+    |ap AS MATERIALIZED (
+    |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    |    CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS cos
+    |  FROM nv a JOIN nv b ON a.pos = b.pos AND a.vec_id < b.vec_id
+    |  GROUP BY a.vec_id, b.vec_id),
+    |ex AS MATERIALIZED (
+    |  SELECT COUNT(*) AS n_exact,
+    |    COUNT(*) FILTER (WHERE id_b = id_a + $off) AS planted_exact
+    |  FROM ap WHERE cos >= $thresh),
+    |wc AS MATERIALIZED (
+    |  SELECT COUNT(*) AS n_within,
+    |    COUNT(*) FILTER (WHERE id_b = id_a + $off) AS planted_within,
+    |    COUNT(DISTINCT id_b) AS n_dropped
+    |  FROM within)
+    |SELECT CAST(gg.n AS BIGINT) AS n_vectors,
+    |  CAST(gg.cells AS INTEGER) AS cells,
+    |  CAST(maxpop.mp AS BIGINT) AS max_cell_pop,
+    |  CAST($thresh AS DOUBLE) AS threshold,
+    |  CAST(ex.n_exact AS BIGINT) AS pairs_exact,
+    |  CAST(wc.n_within AS BIGINT) AS pairs_within_cell,
+    |  CASE WHEN ex.n_exact = 0 THEN 0.0
+    |    ELSE ROUND(CAST(wc.n_within AS DOUBLE) / ex.n_exact, 4)
+    |  END AS recall,
+    |  CAST(ex.planted_exact AS BIGINT) AS planted_pairs,
+    |  CAST(wc.planted_within AS BIGINT) AS planted_within_cell,
+    |  CASE WHEN ex.planted_exact = 0 THEN 0.0
+    |    ELSE ROUND(CAST(wc.planted_within AS DOUBLE) / ex.planted_exact, 4)
+    |  END AS planted_recall,
+    |  CAST(wc.n_dropped AS BIGINT) AS n_dropped
+    |FROM gg, maxpop, ex, wc
+    |""".stripMargin.trim
   }
 
   // ------------------------------------------------ substring spans
@@ -1081,7 +1296,7 @@ object DedupQueries extends QueryPack {
     Q("dedup_simhash", simhash, Some(simhashOracle)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
     Q("dedup_embedding", embeddingDedup, Some(embeddingDedupOracle)),
-    Q("dedup_semantic", semanticDedup, None),
+    Q("dedup_semantic", semanticDedup, Some(semanticDedupOracle)),
     Q("dedup_substring", substringDedup, Some(substringDedupOracle)),
   )
 }

@@ -466,11 +466,28 @@ object SimilarityQueries extends QueryPack {
   private[graft] final val PlantIdOffset = 10000000L
 
   /** Deterministic near-duplicate twins of the first `PlantCount` vectors:
-    * twin = c·v + √(1-c²)·|v|·ŵ with ŵ a seeded unit vector ⊥ v, giving
-    * cos(v, twin) = c and |twin| = |v| exactly (driver-side, ~100 rows).
+    * twin = c·v + √(1-c²)·|v|·ŵ with ŵ a deterministic unit vector ⊥ v,
+    * giving cos(v, twin) = c and |twin| = |v| exactly (driver-side,
+    * ~100 rows).
+    *
+    * Every arithmetic step is SQL-re-derivable (r13, for the
+    * dedup_semantic oracle): the random direction comes from the
+    * splitmix64 index hash mapped to a RATIONAL uniform in [-1, 1]
+    * (`Long.remainderUnsigned(mix(idx), 2000001)` — a seeded JVM
+    * Gaussian uses StrictMath.log, which no other engine reproduces),
+    * and the three norms/projections are exact-decimal dots
+    * ([[graft.functions.VecKernelExact.dotSlice]]) cast once to double,
+    * so the remaining per-element double ops (one divide, two
+    * multiplies, add, float cast) are identical in any engine.
     */
+  private[graft] def twinDirection(id: Long, dim: Int, dims: Int): Double = {
+    val h = graft.functions.FingerprintKernel.mix(id * dims + dim + 777)
+    (java.lang.Long.remainderUnsigned(h, 2000001L) - 1000000L) / 1000000.0
+  }
+
   private[graft] def plantedTwins(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import graft.functions.VecKernelExact.dotSlice
     val orig = Tables.load(s, dir, "embeddings")
       .orderBy($"vec_id").limit(PlantCount)
       .select($"vec_id", $"embedding").collect()
@@ -478,12 +495,12 @@ object SimilarityQueries extends QueryPack {
     val twins = orig.map { row =>
       val id = row.getLong(0)
       val v = row.getSeq[Float](1).map(_.toDouble).toArray
-      val rnd = new scala.util.Random(1234 + id)
-      val r = Array.fill(v.length)(rnd.nextGaussian())
-      val vv = v.map(x => x * x).sum
-      val rv = r.zip(v).map { case (a, b) => a * b }.sum
-      val w = r.zip(v).map { case (a, b) => a - (rv / vv) * b }
-      val wn = math.sqrt(w.map(x => x * x).sum)
+      val r = Array.tabulate(v.length)(twinDirection(id, _, v.length))
+      val vv = dotSlice(v, 0, v, 0, v.length)
+      val rv = dotSlice(r, 0, v, 0, v.length)
+      val ratio = rv / vv
+      val w = r.zip(v).map { case (a, b) => a - ratio * b }
+      val wn = math.sqrt(dotSlice(w, 0, w, 0, w.length))
       val scale = math.sqrt(1 - c * c) * math.sqrt(vv) / wn
       val twin = v.zip(w).map { case (x, y) => (c * x + scale * y).toFloat }
       (id + PlantIdOffset, twin.toSeq)
