@@ -844,12 +844,16 @@ object DedupQueries extends QueryPack {
         tier.corpus.orderBy($"vec_id")
           .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       }
-      var nExact = 0L
-      var plantedExact = 0L
       val off = SimilarityQueries.PlantIdOffset
+      // parallel striped rows over the common pool (the simhash-audit
+      // pattern): the exact-decimal dot is ~3× a plain double dot, so
+      // single-threaded this pass WAS most of the benched wall time
+      val nExactAcc = new java.util.concurrent.atomic.AtomicLong
+      val plantedAcc = new java.util.concurrent.atomic.AtomicLong
       phased(ph, "exact_verifier") {
-        var i = 0
-        while (i < vecs.length) {
+        java.util.stream.IntStream.range(0, vecs.length).parallel().forEach { i =>
+          var localN = 0L
+          var localP = 0L
           var j = i + 1
           while (j < vecs.length) {
             val (ia, va) = vecs(i)
@@ -859,14 +863,17 @@ object DedupQueries extends QueryPack {
             val dot = graft.functions.VecKernelExact
               .dotSlice(va, 0, vb, 0, va.length)
             if (dot >= SemanticThresh) {
-              nExact += 1
-              if (ib == ia + off) plantedExact += 1
+              localN += 1
+              if (ib == ia + off) localP += 1
             }
             j += 1
           }
-          i += 1
+          if (localN != 0) { nExactAcc.addAndGet(localN); () }
+          if (localP != 0) { plantedAcc.addAndGet(localP); () }
         }
       }
+      val nExact = nExactAcc.get()
+      val plantedExact = plantedAcc.get()
       val nWithin = tier.pairsWithin
       val (nDropped, plantedWithin) = phased(ph, "rollup") {
         (within.select($"id_b").distinct().count(),
