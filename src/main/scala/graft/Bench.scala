@@ -23,6 +23,12 @@ import org.apache.spark.sql.SparkSession
   * regression can be attributed to noise vs code without a re-run.
   */
 object Bench {
+
+  // last-wins summary for the shutdown-hook reprint (one hook per JVM)
+  private val lateSummary =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+  private val hookArmed =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
   private[graft] val headline: Seq[String] = Seq(
     "q1_pricing", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue", "q_events_hourly", "q_running_spend",
@@ -218,12 +224,19 @@ object Bench {
         .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
       if (prev.isEmpty) 0 else prev.max + 1
     }
+    // the "full" provenance pointer only when this run actually WRITES
+    // the committed artifact (full suite): a filtered run advertising
+    // the path would point at a stale or missing file
+    val fullField =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty)
+        s""""full":"${f"bench/bench_r$round%02d.json"}","""
+      else ""
     val fullRef = f"bench/bench_r$round%02d.json"
     def summaryAt(dp: Int): String = {
       val qsShort = results
         .map { case (k, v) => s""""$k":${s"%.${dp}f".format(v)}""" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfBase","passes":$passes,"stat":"median","full":"$fullRef","queries":$qsShort}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfBase","passes":$passes,"stat":"median",$fullField"queries":$qsShort}"""
     }
     // fallback ladder when the whole map overflows: the SLOWEST n
     // medians (the judging signal) + the explicit full-file pointer
@@ -231,7 +244,7 @@ object Bench {
       val top = results.toSeq.sortBy(-_._2).take(n)
         .map { case (k, v) => s""""$k":${f"$v%.2f"}""" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfBase","passes":$passes,"stat":"median","queries_total":${results.size},"full":"$fullRef","top_medians":$top}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfBase","passes":$passes,"stat":"median","queries_total":${results.size},$fullField"top_medians":$top}"""
     }
     val summaryBudget = 1850
     val summary = {
@@ -242,7 +255,7 @@ object Bench {
         if (s2.length <= summaryBudget) s2
         else Seq(40, 30, 25, 20, 15, 10, 5).view.map(summaryTop)
           .find(_.length <= summaryBudget)
-          .getOrElse(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfBase","passes":$passes,"stat":"median","queries_total":${results.size},"full":"$fullRef"}""")
+          .getOrElse(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfBase","passes":$passes,"stat":"median",$fullField"queries_total":${results.size}}""")
       }
     }
     // three sinks so the metrics line is machine-parseable however this
@@ -273,13 +286,18 @@ object Bench {
     // the only way the summary can be the final line is a JVM shutdown
     // hook on the raw FD — it fires at sbt's exit, after the footer.
     // (Every round through r12 recorded parsed:null because the footer
-    // was last.) The budget above keeps the whole summary + footer
-    // inside the 2000-byte tail even with this duplicate copy.
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      val late = new java.io.PrintStream(new java.io.FileOutputStream(
-        java.io.FileDescriptor.out), true, "UTF-8")
-      late.println(summary)
-    }))
+    // was last.) Registered ONCE per JVM holding the LATEST summary —
+    // multiple runMains in one sbt session would otherwise race their
+    // hooks in unspecified order. The budget above keeps the whole
+    // summary + footer inside the 2000-byte tail even with this
+    // duplicate copy.
+    lateSummary.set(summary)
+    if (hookArmed.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val late = new java.io.PrintStream(new java.io.FileOutputStream(
+          java.io.FileDescriptor.out), true, "UTF-8")
+        late.println(lateSummary.get())
+      }))
     spark.stop()
   }
 }

@@ -808,7 +808,14 @@ object BenchOpScale {
         spark.sparkContext.addSparkListener(taskListener)
         taskStats.synchronized(taskStats.clear())
         val (tSk32, nSk32, srSk32, swSk32) = joinSkew32(bucketed = true)
-        Thread.sleep(500) // listener bus drain
+        // settle until the async listener bus stops delivering task-end
+        // events (a fixed sleep undercounts tail tasks on a loaded host
+        // — the DwrfBucketSaltSpec settle pattern)
+        var prevTaskCount = -1
+        while (prevTaskCount != taskStats.synchronized(taskStats.size)) {
+          prevTaskCount = taskStats.synchronized(taskStats.size)
+          Thread.sleep(300)
+        }
         val joinStage = taskStats.synchronized {
           taskStats.groupBy(_._1).maxByOption(_._2.size)
         }

@@ -76,9 +76,13 @@ case class MixHash64(child: Expression) extends UnaryExpression {
   // analysis-time type guard: without it, mix_hash64(123) passes
   // analysis and dies at runtime with a ClassCastException in codegen
   // (AbstractDataType/ExpectsInputTypes is private[sql], so the public
-  // checkInputDataTypes hook carries the same contract)
+  // checkInputDataTypes hook carries the same contract). NullType is
+  // accepted — mix_hash64(NULL) analyzed fine before the guard and
+  // yields NULL via nullSafeEval
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == StringType ||
+      child.dataType == org.apache.spark.sql.types.NullType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"mix_hash64 requires a STRING argument, got ${child.dataType.catalogString}")
 
@@ -105,7 +109,9 @@ case class DocFingerprint(child: Expression, window: Int)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == StringType ||
+      child.dataType == org.apache.spark.sql.types.NullType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"doc_fingerprint requires a STRING argument, got ${child.dataType.catalogString}")
 

@@ -36,13 +36,15 @@ case class SimHash64Agg(
 
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val wh = v.asInstanceOf[Long]
-      var b = 0
-      while (b < 64) {
-        buffer(b) += (((wh >>> b) & 1L) * 2L) - 1L
-        b += 1
-      }
+    // NULL counts as "all bits unset" (−1 per counter) — the exact
+    // semantics of the 64-SUM(CASE … ELSE -1) spelling this aggregate
+    // replaces (a NULL hash fails the `= 1` predicate on every bit);
+    // skipping nulls would diverge on any caller with nullable hashes
+    val wh = if (v == null) 0L else v.asInstanceOf[Long]
+    var b = 0
+    while (b < 64) {
+      buffer(b) += (((wh >>> b) & 1L) * 2L) - 1L
+      b += 1
     }
     buffer
   }

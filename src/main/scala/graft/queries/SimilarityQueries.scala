@@ -767,16 +767,11 @@ object SimilarityQueries extends QueryPack {
     * HALF_UP, summed exactly, one cast back to double — so the driver's
     * probe-cell choice is the identical number any engine computes.
     */
-  private def dotExactDriver(a: Array[Double], b: Array[Double]): Double = {
-    var acc = java.math.BigDecimal.ZERO
-    var i = 0
-    while (i < a.length) {
-      acc = acc.add(java.math.BigDecimal.valueOf(a(i) * b(i))
-        .setScale(12, java.math.RoundingMode.HALF_UP))
-      i += 1
-    }
-    acc.doubleValue()
-  }
+  private def dotExactDriver(a: Array[Double], b: Array[Double]): Double =
+    // delegate to the ONE implementation of the exact arithmetic —
+    // a drifting private copy here is exactly the class of engine
+    // divergence the r13 exactness work eliminates
+    graft.functions.VecKernelExact.dotSlice(a, 0, b, 0, a.length)
 
   /** Trained-structure memo (IVF centroids, PQ codebooks), keyed on the
     * embeddings file's identity + geometry: training is DETERMINISTIC
@@ -1158,9 +1153,9 @@ object SimilarityQueries extends QueryPack {
         "PQ training sample must stay driver-sized")
       pqTrain(sampleDf.map(_.getSeq[Double](1).toArray), m, k)
     }
-    val dims = emb.filter($"vec_id" === 0)
-      .select(size($"v")).head().getInt(0)
-    val sub = dims / m
+    // dims derive from the memoized codebook (m subspaces × sub dims
+    // each) — no extra scan job on either the cache hit or miss path
+    val sub = codebook(0)(0).length
 
     // one-byte codes per subspace, computed in one narrow pass; the
     // codebook rides as a broadcast-sized literal (M×K×sub doubles)

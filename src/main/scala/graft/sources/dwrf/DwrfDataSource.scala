@@ -615,9 +615,16 @@ final class DwrfTable(tableSchema: StructType, properties: Map[String, String],
     val opts = info.options().asCaseSensitiveMap().asScala.toMap
     // `dwrf.*` table properties act as write-option DEFAULTS (per-write
     // options win): compression, encoding interval, target file bytes —
-    // the knobs a table declares once instead of every writer repeating
-    val tblDefaults = properties.filter {
+    // the knobs a table declares once instead of every writer repeating.
+    // Forward each key BOTH prefixed and with the `dwrf.` prefix
+    // stripped: the writer reads most knobs unprefixed ("compress",
+    // "encoding.interval") but a few fully prefixed
+    // (DwrfUtil.TargetFileBytesKey, the bucket/salt keys).
+    val prefixed = properties.filter {
       case (k, _) => k.toLowerCase.startsWith("dwrf.")
+    }
+    val tblDefaults = prefixed ++ prefixed.map {
+      case (k, v) => k.substring("dwrf.".length) -> v
     }
     new DwrfWriteBuilder(info.schema(), resolvedPath(opts),
       tblDefaults ++ opts, partCols,
@@ -2178,9 +2185,14 @@ private[dwrf] final class DwrfBucketedDataWriter(schema: StructType, root: Path,
       .get(DwrfUtil.TargetFileBytesKey).map(_.toLong).getOrElse(Long.MaxValue)
   private val rollIdx = scala.collection.mutable.Map.empty[Int, Int]
   private val rolled = scala.collection.mutable.ArrayBuffer.empty[String]
-  private val rolledWriters =
-    scala.collection.mutable.ArrayBuffer.empty[DwrfFileWriter]
   private var rolledRows = 0L
+  // snapshotted metric totals of rolled-away files: the writer object
+  // graphs (encoder trees, bloom accumulators) are released at roll —
+  // only these four longs survive for currentMetricsValues
+  private var rolledEncodeNanos = 0L
+  private var rolledFlushNanos = 0L
+  private var rolledBytes = 0L
+  private var rolledStripes = 0L
 
   private def openFile(b: Int): (DwrfFileWriter, java.io.OutputStream, Path) = {
     val r = rollIdx.getOrElse(b, 0)
@@ -2192,8 +2204,8 @@ private[dwrf] final class DwrfBucketedDataWriter(schema: StructType, root: Path,
   }
 
   override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
-    DwrfWriteMetrics.taskValues(
-      rolledWriters ++ writers.values.map(_._1), compress0, blocks0)
+    DwrfWriteMetrics.taskValues(writers.values.map(_._1), compress0, blocks0,
+      rolledEncodeNanos, rolledFlushNanos, rolledBytes, rolledStripes)
 
   override def write(record: InternalRow): Unit = {
     val v = if (record.isNullAt(bIdx)) null else record.get(bIdx, bType)
@@ -2205,7 +2217,10 @@ private[dwrf] final class DwrfBucketedDataWriter(schema: StructType, root: Path,
       os.close()
       rolledRows += w.rowCount
       rolled += file.toString
-      rolledWriters += w // closed writers still answer the metric getters
+      rolledEncodeNanos += w.encodeNanosEst
+      rolledFlushNanos += w.flushNanos
+      rolledBytes += w.bytesOut
+      rolledStripes += w.stripesFlushed.toLong
       rollIdx(b) = rollIdx.getOrElse(b, 0) + 1
       writers.remove(b)
     }

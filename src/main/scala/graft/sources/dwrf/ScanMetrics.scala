@@ -136,19 +136,26 @@ object DwrfWriteMetrics {
     * delta since `compress0`/`blocks0` (captured at DataWriter
     * construction — DataWriters are single-threaded by contract).
     */
+  /** The `rolled*` parameters carry snapshotted totals of files a
+    * rolling sink already closed and released — holding the writer
+    * object graphs alive just for these four longs would grow task
+    * memory by one encoder tree per rolled file. */
   def taskValues(writers: Iterable[graft.sources.dwrf.DwrfFileWriter],
-      compress0: Long, blocks0: Long): Array[CustomTaskMetric] = {
+      compress0: Long, blocks0: Long,
+      rolledEncodeNanos: Long = 0L, rolledFlushNanos: Long = 0L,
+      rolledBytesOut: Long = 0L, rolledStripes: Long = 0L): Array[CustomTaskMetric] = {
     val prof = graft.format.WriteProfile.get
     Array(
       DwrfMetrics.task("writeEncodeMs",
-        writers.map(_.encodeNanosEst).sum / 1000000L),
+        (rolledEncodeNanos + writers.map(_.encodeNanosEst).sum) / 1000000L),
       DwrfMetrics.task("writeFlushMs",
-        writers.map(_.flushNanos).sum / 1000000L),
+        (rolledFlushNanos + writers.map(_.flushNanos).sum) / 1000000L),
       DwrfMetrics.task("writeCompressMs",
         (prof.compressNanos - compress0) / 1000000L),
       DwrfMetrics.task("writeCompressBlocks", prof.compressCalls - blocks0),
-      DwrfMetrics.task("writeBytesOut", writers.map(_.bytesOut).sum),
+      DwrfMetrics.task("writeBytesOut",
+        rolledBytesOut + writers.map(_.bytesOut).sum),
       DwrfMetrics.task("writeStripes",
-        writers.map(_.stripesFlushed.toLong).sum))
+        rolledStripes + writers.map(_.stripesFlushed.toLong).sum))
   }
 }

@@ -124,6 +124,31 @@ class DwrfBucketSaltSpec extends AnyFunSuite {
     }
   }
 
+  test("dwrf.* table properties act as write-option defaults (unprefixed knobs too)") {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftsalt.lake")
+    s.sql("DROP TABLE IF EXISTS graftsalt.lake.props")
+    // 'dwrf.compress' must reach the writer as its unprefixed
+    // "compress" option — r13's review caught the prefixed forward
+    // silently matching nothing
+    s.sql("CREATE TABLE graftsalt.lake.props (id BIGINT, v DOUBLE) " +
+      "USING dwrf TBLPROPERTIES ('dwrf.compress'='ZSTD')")
+    try {
+      s.range(0, 5000).select($"id", ($"id" * 1.5).as("v"))
+        .writeTo("graftsalt.lake.props").append()
+      val files = DwrfUtil.listDataFiles(
+        new org.apache.hadoop.fs.Path(s"$warehouse/lake/props"),
+        DwrfUtil.sessionHadoopConf())
+      assert(files.nonEmpty)
+      val r = new DwrfFileReader(files.head, DwrfUtil.sessionHadoopConf())
+      try assert(r.postScript.compression == graft.format.CompressionKind.Zstd,
+        s"table default ignored: wrote ${r.postScript.compression}")
+      finally r.close()
+      assert(s.table("graftsalt.lake.props").count() == 5000L)
+    } finally s.sql("DROP TABLE IF EXISTS graftsalt.lake.props")
+  }
+
   test("target-file-bytes roll caps hot-bucket splits even without a salt") {
     val s = spark
     import s.implicits._

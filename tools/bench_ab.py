@@ -16,10 +16,16 @@ import sys
 def medians(path):
     with open(path) as f:
         d = json.loads(f.readline())
-    return d["queries"], d
+    qs = d.get("queries") or d.get("top_medians")
+    if not qs:
+        sys.exit(f"{path}: no per-query medians ('queries'/'top_medians') — "
+                 "pass the full artifact the summary's 'full' field names")
+    return qs, d
 
 
 def main():
+    if len(sys.argv) < 3:
+        sys.exit(__doc__.strip())
     base_path, head_path = sys.argv[1], sys.argv[2]
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     base, bmeta = medians(base_path)
@@ -28,6 +34,9 @@ def main():
     only_base = sorted(set(base) - set(head))
     only_head = sorted(set(head) - set(base))
     ratios = {q: head[q] / base[q] for q in common if base[q] > 0}
+    if not ratios:
+        sys.exit(f"no comparable queries: common={len(common)} "
+                 f"only_base={only_base[:5]} only_head={only_head[:5]}")
     geomean = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
     print(f"common={len(common)} only_base={only_base} only_head={only_head}")
     print(f"total base={bmeta['value']:.1f}s head={hmeta['value']:.1f}s "
