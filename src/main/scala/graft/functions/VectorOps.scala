@@ -178,13 +178,20 @@ object VecKernelExact {
 
   /** Exact-decimal sum of doubles (each term rounded to scale 12,
     * exact accumulation, one double cast) — the order-independent
-    * combine the exact-ADC kernel uses over its M lookup terms. */
+    * combine the exact-ADC kernel uses over its M lookup terms.
+    * Non-finite terms are REJECTED loudly: `unscaled(NaN)` would
+    * otherwise fall through the tie/rounding branches and contribute a
+    * silent 0, and ±Inf would escape as a raw NumberFormatException
+    * from BigDecimal.valueOf — callers that want NULL semantics
+    * (the user-callable `vec_adc_exact`) pre-screen their terms. */
   def sumExact(terms: Array[Double]): Double = {
     var acc = 0L
     var slow: java.math.BigDecimal = null
     var i = 0
     while (i < terms.length) {
       val p = terms(i)
+      require(!java.lang.Double.isNaN(p) && !java.lang.Double.isInfinite(p),
+        s"sumExact: non-finite term $p cannot be cast to DECIMAL")
       if (slow == null) {
         try acc = Math.addExact(acc, unscaled(p))
         catch { case _: ArithmeticException =>
@@ -409,9 +416,12 @@ case class VecAdcPacked(left: Expression, right: Expression)
   * through [[VecKernelExact.sumExact]] (per-term scale-12 rounding,
   * exact accumulation) instead of sequential double adds — so the ADC
   * score is order-independent and any engine reproduces it
-  * (`SUM(CAST(term AS DECIMAL(28,12)))` in the DuckDB oracle). */
+  * (`SUM(CAST(term AS DECIMAL(28,12)))` in the DuckDB oracle).
+  * A non-finite LUT term yields NULL — `CAST(non-finite AS DECIMAL)
+  * IS NULL`, the same rule [[VecKernelExact.dot]] applies — so the
+  * user-callable SQL surface never silently zeroes a NaN. */
 object VecAdcExactKernel {
-  def adc(lut: ArrayData, codes: ArrayData): Double = {
+  def adc(lut: ArrayData, codes: ArrayData): java.lang.Double = {
     val m = codes.numElements()
     require(lut.numElements() == m,
       s"vec_adc_exact: ${lut.numElements()} LUT rows vs $m codes")
@@ -424,19 +434,24 @@ object VecAdcExactKernel {
         throw new IllegalArgumentException(
           s"vec_adc_exact: code $code out of range for LUT row $mi " +
             s"(${row.numElements()} centroids)")
-      terms(mi) = row.getDouble(code)
+      val t = row.getDouble(code)
+      if (java.lang.Double.isNaN(t) || java.lang.Double.isInfinite(t))
+        return null // CAST(non-finite AS DECIMAL) is NULL
+      terms(mi) = t
       mi += 1
     }
-    VecKernelExact.sumExact(terms)
+    java.lang.Double.valueOf(VecKernelExact.sumExact(terms))
   }
 }
 
 /** `vec_adc_exact(lut, codes)` — [[VecAdc]] with the order-independent
-  * exact-decimal combine ([[VecAdcExactKernel]]). */
+  * exact-decimal combine ([[VecAdcExactKernel]]); NULL on a non-finite
+  * LUT term (decimal-cast semantics, like [[VecDotExact]]). */
 case class VecAdcExact(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -451,8 +466,14 @@ case class VecAdcExact(left: Expression, right: Expression)
     VecAdcExactKernel.adc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VecAdcExactKernel.adc($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("adcExact")
+      s"""
+         |java.lang.Double $tmp = graft.functions.VecAdcExactKernel.adc($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecAdcExact =

@@ -510,67 +510,71 @@ object DedupQueries extends QueryPack {
 
   private def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // no persist, no driver materialization: the band self-join's two
+    // sides are the IDENTICAL subplan shuffled on the same keys, so
+    // Spark's ReusedExchange computes the signatures once — and the
+    // surfaced-pair set stays DISTRIBUTED end-to-end (at 100× the
+    // collected pair set this used to funnel through the driver is an
+    // OOM; the format's own discipline is per-split streaming,
+    // reference RecordReaderImpl.java)
     val sigs = simhashSignatures(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val banded = sigs.select($"doc_id", $"sim",
-        posexplode(expr(
-          "transform(sequence(0, 7), b -> (shiftright(sim, b * 8) & 255))"))
-          .as(Seq("band_idx", "band_val")))
-      val a = banded.as("a")
-      val b = banded.as("b")
-      val surfaced = a.join(b,
-        $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
-          $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
-          bit_count($"a.sim".bitwiseXOR($"b.sim")).cast("long").as("hamming"))
-        .distinct()
-        .filter($"hamming" <= 8)
-        .orderBy($"id_a", $"id_b")
-        .collect()
+    val banded = sigs.select($"doc_id", $"sim",
+      posexplode(expr(
+        "transform(sequence(0, 7), b -> (shiftright(sim, b * 8) & 255))"))
+        .as(Seq("band_idx", "band_val")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val surfaced = a.join(b,
+      $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        bit_count($"a.sim".bitwiseXOR($"b.sim")).cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 8)
 
-      // In-band pigeonhole audit (the guarantee SimhashPigeonholeSpec
-      // proves once, made a per-round observable): every pair at hamming
-      // ≤ 7 MUST be in the band join's output, so `missed_le7_pairs`
-      // is 0 by mathematics, not by luck — a nonzero value in
-      // CORRECTNESS means the banding itself broke. Brute force over
-      // collected (id, sig) longs is driver-sized metrology, the same
-      // bounded-loop trade ann_lsh_recall documents: n·16 bytes held,
-      // n²/2 XOR+popcounts (5k docs → 12.5M, milliseconds); the gate
-      // fails loud at the size where sampling should replace it.
-      // Gated like every other in-query verification (Q.scala Gates):
-      // Verify/opscale keep it enforced; Bench emits the spec-proven 0
-      // so the benched number is the banding's cost, not the audit's
-      // (at sf0.1 the n²/2 loop was most of the query's wall time).
-      val missed: Long = if (!Gates.enabled) 0L else {
-        val idSigs = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
-        require(idSigs.length <= 100000,
-          s"simhash audit tier is bounded-quadratic; ${idSigs.length} docs " +
-            "exceeds the audit budget (sample the audit at this scale)")
-        val surfacedSet = surfaced.map(r => (r.getLong(0), r.getLong(1))).toSet
-        // parallel audit loop: at 60k docs the n²/2 XOR+popcounts are ~2e9
-        // ops — single-threaded that WAS most of the query's wall time;
-        // striped rows over the common pool cut it by the core count
-        val missedAcc = new java.util.concurrent.atomic.AtomicLong
-        java.util.stream.IntStream.range(0, idSigs.length).parallel().forEach { i =>
-          var local = 0L
-          var j = i + 1
-          while (j < idSigs.length) {
-            if (java.lang.Long.bitCount(idSigs(i)._2 ^ idSigs(j)._2) <= 7) {
-              val p = (math.min(idSigs(i)._1, idSigs(j)._1),
-                math.max(idSigs(i)._1, idSigs(j)._1))
-              if (!surfacedSet.contains(p)) local += 1
-            }
-            j += 1
+    // In-band pigeonhole audit (the guarantee SimhashPigeonholeSpec
+    // proves once, made a per-round observable): every pair at hamming
+    // ≤ 7 MUST be in the band join's output, so `missed_le7_pairs`
+    // is 0 by mathematics, not by luck — a nonzero value in
+    // CORRECTNESS means the banding itself broke. Brute force over
+    // collected (id, sig) longs is driver-sized metrology, the same
+    // bounded-loop trade ann_lsh_recall documents: n·16 bytes held,
+    // n²/2 XOR+popcounts (5k docs → 12.5M, milliseconds); the gate
+    // fails loud at the size where sampling should replace it.
+    // Gated like every other in-query verification (Q.scala Gates):
+    // Verify/opscale keep it enforced; Bench emits the spec-proven 0
+    // so the benched number is the banding's cost, not the audit's —
+    // ONLY the gated audit collects (signatures + pairs); with gates
+    // off nothing touches the driver.
+    val missed: Long = if (!Gates.enabled) 0L else {
+      val idSigs = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      require(idSigs.length <= 100000,
+        s"simhash audit tier is bounded-quadratic; ${idSigs.length} docs " +
+          "exceeds the audit budget (sample the audit at this scale)")
+      val surfacedSet = surfaced.select($"id_a", $"id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // parallel audit loop: at 60k docs the n²/2 XOR+popcounts are ~2e9
+      // ops — single-threaded that WAS most of the query's wall time;
+      // striped rows over the common pool cut it by the core count
+      val missedAcc = new java.util.concurrent.atomic.AtomicLong
+      java.util.stream.IntStream.range(0, idSigs.length).parallel().forEach { i =>
+        var local = 0L
+        var j = i + 1
+        while (j < idSigs.length) {
+          if (java.lang.Long.bitCount(idSigs(i)._2 ^ idSigs(j)._2) <= 7) {
+            val p = (math.min(idSigs(i)._1, idSigs(j)._1),
+              math.max(idSigs(i)._1, idSigs(j)._1))
+            if (!surfacedSet.contains(p)) local += 1
           }
-          if (local != 0) { missedAcc.addAndGet(local); () }
+          j += 1
         }
-        missedAcc.get()
+        if (local != 0) { missedAcc.addAndGet(local); () }
       }
-      surfaced.toSeq
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), missed))
-        .toDF("id_a", "id_b", "hamming", "missed_le7_pairs")
-    } finally sigs.unpersist()
+      missedAcc.get()
+    }
+    surfaced
+      .withColumn("missed_le7_pairs", lit(missed))
+      .orderBy($"id_a", $"id_b")
   }
 
   // ------------------------------------------------ embedding near-dup

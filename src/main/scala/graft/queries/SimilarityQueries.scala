@@ -783,9 +783,38 @@ object SimilarityQueries extends QueryPack {
   private val trainCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long, Long, String), AnyRef]
 
+  /** Content stamp of a parquet file OR directory: (Σ mtime+length,
+    * Σ length + file count). A bare (lastModified, length) of the top
+    * entry has 1-second mtime granularity and a directory's own length
+    * is not content-derived — a fixture rewritten in place within the
+    * same second would serve stale centroids/codebooks into what are
+    * now hash-exact oracle checks. Walking the tree makes any rewritten
+    * part file move the stamp (the staging-epoch discipline).
+    */
+  private def contentStamp(f: java.io.File): (Long, Long) = {
+    if (!f.isDirectory) (f.lastModified(), f.length())
+    else {
+      var a = 0L; var b = 0L
+      val walk = java.nio.file.Files.walk(f.toPath)
+      try {
+        val it = walk.iterator()
+        while (it.hasNext) {
+          val p = it.next().toFile
+          if (p.isFile) { a += p.lastModified() + p.length(); b += p.length() + 1 }
+        }
+      } finally walk.close()
+      (a, b)
+    }
+  }
+
   private def trained[A <: AnyRef](dir: String, tag: String)(build: => A): A = {
     val f = new java.io.File(s"$dir/embeddings.parquet")
-    trainCache.getOrElseUpdate((f.getPath, f.lastModified(), f.length(), tag),
+    val (stampA, stampB) = contentStamp(f)
+    // bound the memo: one JVM visiting many datasets (Verify × bench ×
+    // opscale staging dirs) must not grow trained structures without
+    // limit — trained things are cheap to rebuild relative to a leak
+    if (trainCache.size > 32) trainCache.clear()
+    trainCache.getOrElseUpdate((f.getPath, stampA, stampB, tag),
       build).asInstanceOf[A]
   }
 

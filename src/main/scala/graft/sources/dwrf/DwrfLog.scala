@@ -258,6 +258,35 @@ object DwrfLog {
     f.stripPrefix(q).stripPrefix("/")
   }
 
+  /** Per-log-directory memo of whether link(2) works there — probed
+    * ONCE with a scratch file, so a createLink failure during commit
+    * arbitration can be classified: genuine no-hardlink filesystem
+    * (FAT, some network mounts) ⇒ documented rename fallback; transient
+    * IO error on a link-capable filesystem ⇒ rethrown, because falling
+    * back there would silently weaken commit arbitration to the racy
+    * exists+rename path (two same-slot committers could both "win"). */
+  private val linkProbe =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private def linkSupported(ld: Path): Boolean =
+    linkProbe.getOrElseUpdate(ld.toUri.getPath, {
+      val dir = java.nio.file.Paths.get(ld.toUri.getPath)
+      val stamp = java.util.UUID.randomUUID().toString.take(12)
+      val src = dir.resolve(s".probe-$stamp")
+      val dst = dir.resolve(s".probe-$stamp-l")
+      try {
+        java.nio.file.Files.write(src, Array.emptyByteArray)
+        java.nio.file.Files.createLink(dst, src)
+        true
+      } catch {
+        case _: UnsupportedOperationException | _: java.io.IOException => false
+      } finally {
+        java.nio.file.Files.deleteIfExists(dst)
+        java.nio.file.Files.deleteIfExists(src)
+        ()
+      }
+    })
+
   /** Publish `snap` as the next version after `parent`. Returns the
     * committed snapshot, or None when another writer took the version
     * slot first (caller re-reads and retries/aborts).
@@ -289,12 +318,17 @@ object DwrfLog {
           try { java.nio.file.Files.createLink(d, t); true }
           catch {
             case _: java.nio.file.FileAlreadyExistsException => false
-            case _: UnsupportedOperationException | _: java.io.IOException =>
-              // local mount without hard-link support (FAT, some network
-              // mounts behind RawLocalFileSystem): fall back to the
-              // exists+rename arbitration rather than failing every
-              // commit — accepting the documented narrower
-              // check-then-rename race that link(2) closes
+            case e @ (_: UnsupportedOperationException | _: java.io.IOException)
+                if !linkSupported(ld) =>
+              // local mount genuinely without hard-link support (FAT,
+              // some network mounts behind RawLocalFileSystem — verified
+              // by a one-time probe, NOT inferred from this exception:
+              // a transient IO error on a link-capable filesystem must
+              // fail the commit loudly, never silently downgrade
+              // arbitration): fall back to the exists+rename path,
+              // accepting the documented narrower check-then-rename
+              // race that link(2) closes
+              val _ = e
               !fs.exists(target) && fs.rename(tmp, target)
           }
         fs.delete(tmp, false)

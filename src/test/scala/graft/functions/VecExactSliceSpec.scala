@@ -67,4 +67,29 @@ class VecExactSliceSpec extends AnyFunSuite {
       assert(VecKernelExact.sumExact(terms) == acc.doubleValue())
     }
   }
+
+  test("sumExact rejects non-finite terms loudly (no silent NaN→0)") {
+    // unscaled(NaN) would otherwise fall through the rounding branches
+    // and contribute 0; +Inf would escape as a raw NumberFormatException
+    for (bad <- Seq(Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity)) {
+      val e = intercept[IllegalArgumentException] {
+        VecKernelExact.sumExact(Array(1.0, bad, 2.0))
+      }
+      assert(e.getMessage.contains("non-finite"), e.getMessage)
+    }
+  }
+
+  test("vec_adc_exact kernel yields NULL on a non-finite LUT term " +
+      "(CAST(non-finite AS DECIMAL) IS NULL, the vec_dot_exact rule)") {
+    def lut(terms: Array[Double]): ArrayData =
+      ArrayData.toArrayData(terms.map(t => ArrayData.toArrayData(Array(t))))
+    val codes = ArrayData.toArrayData(Array(0, 0, 0))
+    assert(VecAdcExactKernel.adc(lut(Array(1.0, 2.0, 3.0)), codes) != null)
+    for (bad <- Seq(Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity)) {
+      assert(VecAdcExactKernel.adc(lut(Array(1.0, bad, 3.0)), codes) == null,
+        s"term $bad must yield NULL")
+    }
+  }
 }
