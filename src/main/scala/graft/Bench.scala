@@ -124,6 +124,13 @@ object Bench {
     // ~40% of the top r11 bench row — off here so BENCH numbers are
     // product cost (see graft.queries.Gates).
     graft.queries.Gates.disableForBench()
+    // Bench also runs the PRODUCTION arithmetic: plain-double kernels
+    // in the similarity tier instead of the exact-decimal ones Verify
+    // keeps for oracle lockstep (see graft.queries.Exact — the answer
+    // sets are pinned identical on the fixtures by ExactFloatParitySpec;
+    // the r13 paired A/B measured the exact tier at 1.26–1.32× on
+    // dedup_semantic / ann_pq_topk / ann_lsh_cosine).
+    graft.queries.Exact.disableForBench()
     val queries = SparkEntry.queries
     // one warmup pass of the cheapest query to absorb JVM/session startup
     try queries("q6_forecast_revenue")(spark, sfDir).count()
@@ -203,7 +210,27 @@ object Bench {
     val ctx = s""""pass_gc_sec":[${passCtx.map(c => f"${c._1}%.2f").mkString(",")}],""" +
       s""""pass_load1":[${passCtx.map(c => f"${c._2}%.2f").mkString(",")}],""" +
       s""""pass_wall_sec":[${passCtx.map(c => f"${c._3}%.2f").mkString(",")}]"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"stat":"median","order":"seeded-shuffle-per-pass",$ctx,"rows":$rowsJson,"samples":$perSample}"""
+    // provenance: which run produced this artifact (the r13 committed
+    // vs driver-refresh ambiguity), who to believe when two disagree
+    val provenance = sys.env.getOrElse("SPARK_GRAFT_PROVENANCE", "local-sbt")
+    val writtenUtc = java.time.Instant.now().toString
+    // artifact-consumer warnings (ADVICE r13): with gates off these
+    // rows emit spec-proven CONSTANTS in their correctness-looking
+    // fields (recall_within_floor, missed_le7_pairs) — the benched
+    // number is the operator, the fields are not measurements here —
+    // and the float-arithmetic rows run the production kernels, so a
+    // cross-round A/B against a pre-r14 tag measures the arithmetic
+    // policy change, not a code speedup (bench_ab.py excludes both
+    // sets from its geomean by reading these fields).
+    val gatedRows = Seq("ann_lsh_recall", "ann_ivf_recall",
+      "ann_pq_recall", "dedup_simhash", "ann_pq_incremental")
+    val floatRows = Seq("dedup_semantic", "ann_pq_topk", "ann_pq_recall",
+      "ann_lsh_cosine", "ann_lsh_recall")
+    val tags =
+      s""""provenance":"$provenance","written_utc":"$writtenUtc",""" +
+      s""""gated_constant_rows":${gatedRows.mkString("[\"", "\",\"", "\"]")},""" +
+      s""""arith":"float","arith_float_rows":${floatRows.mkString("[\"", "\",\"", "\"]")}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"stat":"median","order":"seeded-shuffle-per-pass",$ctx,$tags,"rows":$rowsJson,"samples":$perSample}"""
     // compact reprint WITHOUT the samples array: the driver's tail
     // capture keeps the LAST 2000 bytes of output, so the final line
     // must carry the total and the per-query medians AND fit that

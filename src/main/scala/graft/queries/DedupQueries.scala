@@ -680,7 +680,8 @@ object DedupQueries extends QueryPack {
     * bounded-quadratic exact verifier. `raw` = (vec_id, embedding) with
     * planted twins already unioned in.
     */
-  private[graft] def semanticTier(s: SparkSession, raw: DataFrame): SemanticTier = {
+  private[graft] def semanticTier(s: SparkSession, raw: DataFrame,
+      exactArith: Boolean = Exact.on): SemanticTier = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val ph = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -699,17 +700,35 @@ object DedupQueries extends QueryPack {
       val n = phased(ph, "normalize_count") { corpus.count() }
       val Cells =
         math.max(4, ((n + SemanticTargetCellSize - 1) / SemanticTargetCellSize).toInt)
+      // arithmetic policy (Exact scaladoc): exactArith defaults to
+      // Exact.on — exact-decimal dots under Verify/opscale (the oracle
+      // re-derives every assignment), the plain-double kernel under
+      // Bench/production; the answer SETS are pinned identical on the
+      // fixtures by ExactFloatParitySpec, which passes the flag
+      // explicitly (no global-state toggling under parallel suites)
 
       // on unit vectors argmin ||v-c||² == argmax v·c; the dots are
-      // exact-decimal (order-independent), so the argmax — and with it
-      // every cell id — is the number any engine computes
-      def withCell(df: DataFrame, cents: Array[Array[Double]]): DataFrame =
-        df.withColumn("cents", typedlit(cents.map(_.toSeq).toSeq))
-          .withColumn("dots",
-            expr("transform(cents, c -> vec_dot_exact(v, c))"))
-          .withColumn("cell",
-            expr("array_position(dots, array_max(dots)) - 1").cast("int"))
-          .drop("cents", "dots")
+      // order-independent in BOTH arithmetics (sequential kernel loops
+      // with a fixed order), so the argmax — and with it every cell
+      // id — is the number any engine computes. Assignment runs the
+      // bound-pruned kernel ([[CellAssign]]): identical first-index
+      // argmax, full dots paid only for the cells whose Cauchy–Schwarz
+      // envelope could win — the r14 fix for the O(n·cells) assign
+      // phase that grew 6.2× at the 16× opscale corpus.
+      def withCell(df: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+        val h = CellAssign.prefix(cents.head.length)
+        val rest = CellAssign.restNorms(cents, h)
+        val cb = s.sparkContext.broadcast((cents, rest))
+        df.select($"vec_id", $"v").as[(Long, Seq[Double])]
+          .mapPartitions { it =>
+            val (cs, rn) = cb.value
+            it.map { case (id, vSeq) =>
+              val v = vSeq.toArray
+              (id, vSeq, CellAssign.top1(v, cs, rn, h, exactArith))
+            }
+          }
+          .toDF("vec_id", "v", "cell")
+      }
 
       // deterministic init (first Cells ids — spelled orderBy/limit so a
       // corpus whose ids are not dense from 0, e.g. the stress's
@@ -755,20 +774,25 @@ object DedupQueries extends QueryPack {
       // angularly finer as n grows and boundary splits multiply; the
       // second probe recovers them for ~2× join volume — still linear
       // in n, which is the trade the 100× story needs.
-      val assigned = corpus
-        .withColumn("cents", typedlit(centroids.map(_.toSeq).toSeq))
-        .withColumn("dots",
-          expr("transform(cents, c -> vec_dot_exact(v, c))"))
-        .withColumn("cell",
-          expr("array_position(dots, array_max(dots)) - 1").cast("int"))
-        // runner-up = best strictly-below-max dot; coalesce covers the
-        // degenerate all-dots-equal corner (duplicate probe, deduped below)
-        .withColumn("cell2", expr(
-          "coalesce(array_position(dots, array_max(filter(dots, " +
-            "d -> d < array_max(dots)))) - 1, " +
-            "array_position(dots, array_max(dots)) - 1)").cast("int"))
-        .select($"vec_id", $"v", $"cell", $"cell2")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val assigned = {
+        // kernel twin of the SQL spelling (cell = first-index argmax,
+        // cell2 = first index of the best strictly-below-max dot,
+        // degenerate all-equal corner → cell), bound-pruned per row
+        val h = CellAssign.prefix(centroids.head.length)
+        val rest = CellAssign.restNorms(centroids, h)
+        val cb = s.sparkContext.broadcast((centroids, rest))
+        corpus.select($"vec_id", $"v").as[(Long, Seq[Double])]
+          .mapPartitions { it =>
+            val (cs, rn) = cb.value
+            it.map { case (id, vSeq) =>
+              val v = vSeq.toArray
+              val (c1, c2) = CellAssign.top2(v, cs, rn, h, exactArith)
+              (id, vSeq, c1, c2)
+            }
+          }
+          .toDF("vec_id", "v", "cell", "cell2")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
       try {
         // the linearity claim rests on bounded cell populations, so
         // measure them (on PRIMARY cells) and refuse on collapse: one
@@ -784,7 +808,8 @@ object DedupQueries extends QueryPack {
             "the within-cell tier would degrade toward the quadratic plan")
         def cosPairs(joined: DataFrame): DataFrame = joined
           .select($"id_a", $"id_b",
-            expr("vec_dot_exact(va, vb)").as("cos"))
+            expr(if (exactArith) "vec_dot_exact(va, vb)"
+                 else "vec_dot(va, vb)").as("cos"))
           .filter($"cos" >= SemanticThresh)
 
         val primary = assigned.select($"vec_id", $"v", $"cell")
@@ -854,6 +879,7 @@ object DedupQueries extends QueryPack {
       // single-threaded this pass WAS most of the benched wall time
       val nExactAcc = new java.util.concurrent.atomic.AtomicLong
       val plantedAcc = new java.util.concurrent.atomic.AtomicLong
+      val exactArith = Exact.on
       phased(ph, "exact_verifier") {
         java.util.stream.IntStream.range(0, vecs.length).parallel().forEach { i =>
           var localN = 0L
@@ -862,10 +888,14 @@ object DedupQueries extends QueryPack {
           while (j < vecs.length) {
             val (ia, va) = vecs(i)
             val (ib, vb) = vecs(j)
-            // exact-decimal dot: the identical >= threshold decision
-            // the DuckDB oracle's all-pairs tier makes
-            val dot = graft.functions.VecKernelExact
-              .dotSlice(va, 0, vb, 0, va.length)
+            // exact-decimal dot under Verify/opscale: the identical
+            // >= threshold decision the DuckDB oracle's all-pairs tier
+            // makes; the plain-double kernel under Bench (Exact policy
+            // — the fixture margins are pinned by ExactFloatParitySpec)
+            val dot =
+              if (exactArith) graft.functions.VecKernelExact
+                .dotSlice(va, 0, vb, 0, va.length)
+              else CellAssign.fdot(va, 0, vb, 0, va.length)
             if (dot >= SemanticThresh) {
               localN += 1
               if (ib == ia + off) localP += 1

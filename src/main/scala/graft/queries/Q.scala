@@ -40,6 +40,36 @@ object Gates {
   def disableForBench(): Unit = sys.props("graft.gates") = "off"
 }
 
+/** Arithmetic policy switch for the similarity tier (r14, VERDICT r13
+  * "What's wrong #3"). The r13 exact-decimal rewrite bought hash-exact
+  * oracle rows for the trained structures (IVF/LSH/PQ/SemDeDup) at a
+  * measured 1.26–1.32× paired tax on `dedup_semantic` / `ann_pq_topk` /
+  * `ann_lsh_cosine` — a real cost at 100 TB, and one that lives in the
+  * operator, not the metrology. Policy:
+  *
+  *  - Verify and the opscale harness keep EXACT ON (default): every
+  *    emitted number stays bit-reproducible by any engine, which is
+  *    what lets the DuckDB oracle re-derive the trained structures and
+  *    hash-compare the answers.
+  *  - Bench (and a production deployment) run the FLOAT kernels
+  *    (`vec_dot`/`vec_adc`, codegen'd plain-double loops): the ranking
+  *    answer SETS are pinned identical to the exact tier on the test
+  *    corpora by `ExactFloatParitySpec` — the candidates sit far from
+  *    every decision boundary, so the 1e-12-scale rounding difference
+  *    never crosses a threshold or reorders a top-k there; only the
+  *    displayed low decimals could differ, and bench consumes timings,
+  *    not values.
+  *
+  * Same lifecycle as [[Gates]]; toggled per-call in the parity spec via
+  * the system property.
+  */
+object Exact {
+  def on: Boolean = !sys.props.get("graft.exact").contains("off")
+
+  /** Bench-side opt-out (set once per JVM, like [[Gates]]). */
+  def disableForBench(): Unit = sys.props("graft.exact") = "off"
+}
+
 trait QueryPack {
   def all: Seq[Q]
 

@@ -267,28 +267,33 @@ object SimilarityQueries extends QueryPack {
       plane.toLong * dims + dim + 1) & 1L) == 1L) 1.0 else -1.0
 
   private[graft] def bandedSignatures(emb: DataFrame, planes: Int = 32,
-      bandBits: Int = 8): DataFrame = {
+      bandBits: Int = 8, exactArith: Boolean = Exact.on): DataFrame = {
     import emb.sparkSession.implicits._
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val bands = planes / bandBits
     val dims = 64
     val hyper: Array[Array[Double]] =
       Array.tabulate(planes)(p => Array.tabulate(dims)(planeWeight(p, _, dims)))
-    // all plane projections in ONE literal array; projections are
-    // EXACT-decimal dots (vec_dot_exact): the sign of a near-zero
-    // projection decides a band bit, and only an order-independent sum
-    // gives every engine the identical sign — the r13 requirement that
-    // made the surfaced candidate set oracle-checkable. The interpreted
-    // HOF is one lambda step per PLANE, not per scalar.
+    // all plane projections in ONE literal array; under Verify/opscale
+    // the projections are EXACT-decimal dots (vec_dot_exact): the sign
+    // of a near-zero projection decides a band bit, and only an
+    // order-independent sum gives every engine the identical sign — the
+    // r13 requirement that made the surfaced candidate set
+    // oracle-checkable. Under Bench/production (Exact policy) they are
+    // the plain codegen'd vec_dot — the fixture band bits are pinned
+    // identical by ExactFloatParitySpec (no projection sits within
+    // float error of zero there). The interpreted HOF is one lambda
+    // step per PLANE, not per scalar.
+    val dotFn = if (exactArith) "vec_dot_exact" else "vec_dot"
     val bandVal = (b: Int) => (0 until bandBits).map { r =>
       when($"projs"(b * bandBits + r) >= 0, lit(1L << r)).otherwise(lit(0L))
     }.reduce(_ + _)
     val sigs = emb
       .withColumn("hp", typedlit(hyper.map(_.toSeq).toSeq))
       .select($"vec_id",
-        expr("CAST(vec_dot_exact(embedding, embedding) AS DOUBLE)")
+        expr(s"CAST($dotFn(embedding, embedding) AS DOUBLE)")
           .as("norm2"),
-        expr("transform(hp, h -> vec_dot_exact(embedding, h))").as("projs"))
+        expr(s"transform(hp, h -> $dotFn(embedding, h))").as("projs"))
       .select($"vec_id", $"norm2",
         array((0 until bands).map(bandVal): _*).as("band_vals"))
     sigs.select($"vec_id", $"norm2",
@@ -296,14 +301,14 @@ object SimilarityQueries extends QueryPack {
   }
 
   private def lshCosineFull(s: SparkSession, dir: String,
-      cache: Boolean = true): (DataFrame, DataFrame, Seq[DataFrame], (Int, Int)) = {
+      cache: Boolean = true, exactArith: Boolean = Exact.on): (DataFrame, DataFrame, Seq[DataFrame], (Int, Int)) = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
     // one footer-only count job buys the size-driven geometry
     val geo @ (planes, bits) = autoBandGeometry(emb.count())
     // persisted: the self-join would otherwise evaluate the signature
     // projection twice (a narrow project has no exchange to reuse)
-    val banded0 = bandedSignatures(emb, planes, bits)
+    val banded0 = bandedSignatures(emb, planes, bits, exactArith)
     val banded = if (cache)
       banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else banded0
@@ -327,10 +332,12 @@ object SimilarityQueries extends QueryPack {
     val result = cand
       .join(vecs.select($"vec_id".as("id_a"), $"v".as("va")), "id_a")
       .join(vecs.select($"vec_id".as("id_b"), $"v".as("vb")), "id_b")
-      // exact-decimal numerator (order-independent) over exact norms:
-      // the ranking and the emitted value are engine-reproducible
+      // exact-decimal numerator (order-independent) over exact norms
+      // under Verify/opscale: the ranking and the emitted value are
+      // engine-reproducible; plain vec_dot under Bench (Exact policy)
       .select($"id_a", $"id_b",
-        (expr("CAST(vec_dot_exact(va, vb) AS DOUBLE)") /
+        (expr(if (exactArith) "CAST(vec_dot_exact(va, vb) AS DOUBLE)"
+              else "vec_dot(va, vb)") /
           (sqrt($"norm_a") * sqrt($"norm_b"))).as("cosine"))
       .orderBy($"cosine".desc, $"id_a", $"id_b")
       .limit(20)
@@ -340,6 +347,12 @@ object SimilarityQueries extends QueryPack {
 
   private[queries] def lshCosinePlan(s: SparkSession, dir: String): DataFrame =
     lshCosineFull(s, dir, cache = false)._1
+
+  /** Parity-spec entry: the LSH result frame under an explicit
+    * arithmetic, bypassing the global [[Exact]] switch. */
+  private[graft] def lshCosineWithArith(s: SparkSession, dir: String,
+      exactArith: Boolean): DataFrame =
+    lshCosineFull(s, dir, cache = false, exactArith = exactArith)._1
 
   /** Full re-derivation of the LSH pipeline in DuckDB (r13 — flipped
     * ann_lsh_cosine from rows-only to hash-exact): rebuild the
@@ -1116,8 +1129,9 @@ object SimilarityQueries extends QueryPack {
     * oracle re-trains the identical codebooks from the same sample.
     */
   private[graft] def pqTrain(sample: Array[Array[Double]], m: Int,
-      k: Int): Array[Array[Array[Double]]] = {
-    import graft.functions.VecKernelExact.dotSlice
+      k: Int, exact: Boolean = true): Array[Array[Array[Double]]] = {
+    val dotF: (Array[Double], Int, Array[Double], Int, Int) => Double =
+      if (exact) graft.functions.VecKernelExact.dotSlice else CellAssign.fdot
     require(sample.nonEmpty && sample.head.length % m == 0,
       s"dims ${sample.headOption.map(_.length)} not divisible by $m subspaces")
     val sub = sample.head.length / m
@@ -1133,32 +1147,42 @@ object SimilarityQueries extends QueryPack {
       var cents = Array.tabulate(math.min(k, math.max(1, distinct.size)))(i =>
         distinct(i % distinct.size).clone())
       for (_ <- 0 until 4) { // Lloyd on the bounded sample
-        val ccs = cents.map(c => dotSlice(c, 0, c, 0, sub))
-        // exact-decimal coordinate sums: scale-12-rounded terms, exact
-        // accumulation, one double cast at the divide (matches
-        // SUM(CAST(x AS DECIMAL(28,12))) :: DOUBLE / COUNT in SQL)
-        val sums = Array.fill(cents.length, sub)(java.math.BigDecimal.ZERO)
+        val ccs = cents.map(c => dotF(c, 0, c, 0, sub))
+        // exact mode: exact-decimal coordinate sums — scale-12-rounded
+        // terms, exact accumulation, one double cast at the divide
+        // (matches SUM(CAST(x AS DECIMAL(28,12))) :: DOUBLE / COUNT in
+        // SQL). Float mode: plain double sums in the same fixed sample
+        // order (deterministic; never oracle-compared — Exact policy).
+        val sums: Array[Array[java.math.BigDecimal]] =
+          if (exact) Array.fill(cents.length, sub)(java.math.BigDecimal.ZERO)
+          else null
+        val fsums: Array[Array[Double]] =
+          if (exact) null else Array.fill(cents.length, sub)(0.0)
         val counts = Array.fill(cents.length)(0L)
         subvecs.foreach { v =>
           var best = 0; var bestD = Double.MaxValue
           var c = 0
           while (c < cents.length) {
-            val d = ccs(c) - 2.0 * dotSlice(v, 0, cents(c), 0, sub)
+            val d = ccs(c) - 2.0 * dotF(v, 0, cents(c), 0, sub)
             if (d < bestD) { bestD = d; best = c }
             c += 1
           }
           var i = 0
           while (i < sub) {
-            sums(best)(i) = sums(best)(i).add(
-              java.math.BigDecimal.valueOf(v(i))
-                .setScale(12, java.math.RoundingMode.HALF_UP))
+            if (exact)
+              sums(best)(i) = sums(best)(i).add(
+                java.math.BigDecimal.valueOf(v(i))
+                  .setScale(12, java.math.RoundingMode.HALF_UP))
+            else fsums(best)(i) += v(i)
             i += 1
           }
           counts(best) += 1
         }
         cents = cents.indices.map { c =>
           if (counts(c) == 0) cents(c)
-          else Array.tabulate(sub)(i => sums(c)(i).doubleValue() / counts(c))
+          else if (exact)
+            Array.tabulate(sub)(i => sums(c)(i).doubleValue() / counts(c))
+          else Array.tabulate(sub)(i => fsums(c)(i) / counts(c))
         }.toArray
       }
       cents
@@ -1169,18 +1193,25 @@ object SimilarityQueries extends QueryPack {
     * (top-k rows, schema, M, K, candidate count). `emb` must be the
     * persisted [[loadVecs]] frame; caller unpersists.
     */
-  private def pqRows(emb: DataFrame, dir: String): (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType, Int, Int, Int) = {
+  private def pqRows(emb: DataFrame, dir: String,
+      exactArith: Boolean = Exact.on): (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType, Int, Int, Int) = {
     val s = emb.sparkSession
     import s.implicits._
     val n = emb.count()
     val (m, k) = pqGeometry(n)
-    // codebooks memoized per dataset+geometry (see trainCache): the
-    // frozen codebooks of a standing PQ index train once
-    val codebook = trained(dir, s"pq:$m:$k") {
+    // arithmetic policy (Exact scaladoc): exactArith defaults to
+    // Exact.on — exact-decimal everywhere the oracle re-derives
+    // (Verify/opscale), plain-double kernels under Bench/production;
+    // the top-k ID set is pinned identical on the fixtures by
+    // ExactFloatParitySpec, which passes the flag explicitly
+    // codebooks memoized per dataset+geometry+arithmetic (see
+    // trainCache): the frozen codebooks of a standing PQ index train once
+    val codebook = trained(dir,
+        s"pq:$m:$k:${if (exactArith) "x" else "f"}") {
       val sampleDf = emb.orderBy($"vec_id").limit(2048).collect()
       require(sampleDf.length <= 2048,
         "PQ training sample must stay driver-sized")
-      pqTrain(sampleDf.map(_.getSeq[Double](1).toArray), m, k)
+      pqTrain(sampleDf.map(_.getSeq[Double](1).toArray), m, k, exactArith)
     }
     // dims derive from the memoized codebook (m subspaces × sub dims
     // each) — no extra scan job on either the cache hit or miss path
@@ -1201,10 +1232,13 @@ object SimilarityQueries extends QueryPack {
         .mapPartitions { it =>
           val cb = cbB.value
           val mLoc = cb.length
-          // same exact-decimal scoring as pqTrain (cc − 2·(sv·c), ties
-          // to the lower code): the assignment any engine re-derives
-          val ccLoc = cb.map(_.map(c =>
-            graft.functions.VecKernelExact.dotSlice(c, 0, c, 0, c.length)))
+          // same scoring arithmetic as pqTrain (cc − 2·(sv·c), ties to
+          // the lower code): in exact mode the assignment any engine
+          // re-derives; in float mode the production encode kernel
+          val dotF: (Array[Double], Int, Array[Double], Int, Int) => Double =
+            if (exactArith) graft.functions.VecKernelExact.dotSlice
+            else CellAssign.fdot
+          val ccLoc = cb.map(_.map(c => dotF(c, 0, c, 0, c.length)))
           it.map { case (id, vSeq) =>
             val v = vSeq.toArray
             val subLoc = v.length / mLoc
@@ -1213,8 +1247,8 @@ object SimilarityQueries extends QueryPack {
               var best = 0; var bestD = Double.MaxValue
               var c = 0
               while (c < cents.length) {
-                val d = ccLoc(mi)(c) - 2.0 * graft.functions.VecKernelExact
-                  .dotSlice(v, mi * subLoc, cents(c), 0, subLoc)
+                val d = ccLoc(mi)(c) - 2.0 *
+                  dotF(v, mi * subLoc, cents(c), 0, subLoc)
                 if (d < bestD) { bestD = d; best = c }
                 c += 1
               }
@@ -1232,17 +1266,22 @@ object SimilarityQueries extends QueryPack {
     val queryVec = coded.filter($"vec_id" === 0)
       .select($"v").collect().head.getSeq[Double](0).toArray
     val lut: Seq[Seq[Double]] = codebook.zipWithIndex.map { case (cents, mi) =>
-      cents.map(c => graft.functions.VecKernelExact
-        .dotSlice(queryVec, mi * sub, c, 0, sub)).toSeq
+      cents.map(c =>
+        if (exactArith) graft.functions.VecKernelExact
+          .dotSlice(queryVec, mi * sub, c, 0, sub)
+        else CellAssign.fdot(queryVec, mi * sub, c, 0, sub)).toSeq
     }.toSeq
 
     val nCand = 50
     val candidates = coded.filter($"vec_id" =!= 0)
       .withColumn("lut", typedlit(lut))
-      // exact-ADC kernel: the M looked-up terms combine through the
+      // exact mode: the M looked-up terms combine through the
       // order-independent exact-decimal sum, so the score (and the
-      // candidate cut) is engine-reproducible
-      .withColumn("adc", expr("vec_adc_exact(lut, codes)"))
+      // candidate cut) is engine-reproducible; float mode: the plain
+      // codegen'd ADC sum (fixed M-term order, still deterministic)
+      .withColumn("adc",
+        expr(if (exactArith) "vec_adc_exact(lut, codes)"
+             else "vec_adc(lut, codes)"))
       .orderBy($"adc".desc, $"vec_id")
       .limit(nCand)
       .select($"vec_id", $"v", $"adc")
@@ -1252,7 +1291,8 @@ object SimilarityQueries extends QueryPack {
       .withColumn("q", q)
       .select($"vec_id",
         round($"adc", 6).as("adc"),
-        round(expr("CAST(vec_dot_exact(v, q) AS DOUBLE)"), 6).as("dot"))
+        round(expr(if (exactArith) "CAST(vec_dot_exact(v, q) AS DOUBLE)"
+                   else "vec_dot(v, q)"), 6).as("dot"))
       .orderBy($"dot".desc, $"vec_id")
       .limit(10)
     val rows = result.collect()
@@ -1264,6 +1304,17 @@ object SimilarityQueries extends QueryPack {
     val emb = loadVecs(s, dir)
     try {
       val (rows, schema, _, _, _) = pqRows(emb, dir)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally emb.unpersist()
+  }
+
+  /** Parity-spec entry: the PQ top-k under an explicit arithmetic,
+    * bypassing the global [[Exact]] switch. */
+  private[graft] def pqTopkWithArith(s: SparkSession, dir: String,
+      exactArith: Boolean): DataFrame = {
+    val emb = loadVecs(s, dir)
+    try {
+      val (rows, schema, _, _, _) = pqRows(emb, dir, exactArith)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     } finally emb.unpersist()
   }

@@ -37,10 +37,31 @@ def main():
     if not ratios:
         sys.exit(f"no comparable queries: common={len(common)} "
                  f"only_base={only_base[:5]} only_head={only_head[:5]}")
+    # Rows whose benched work differs by POLICY between the artifacts are
+    # excluded from the headline geomean (reported separately): gated
+    # metrology rows emit spec-proven constants with gates off, and
+    # arith_float_rows run the production float kernels instead of the
+    # exact-decimal tier — a cross-round ratio there measures the policy,
+    # not a code speedup (ADVICE r13). Union of both artifacts' tags so
+    # comparing a pre-tag artifact against a tagged one still excludes.
+    excluded = set()
+    for meta in (bmeta, hmeta):
+        for key in ("gated_constant_rows", "arith_float_rows"):
+            excluded.update(meta.get(key) or [])
+    excl_ratios = {q: r for q, r in ratios.items() if q in excluded}
+    ratios = {q: r for q, r in ratios.items() if q not in excluded}
+    if not ratios:
+        sys.exit("all common queries are policy-excluded")
     geomean = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
     print(f"common={len(common)} only_base={only_base} only_head={only_head}")
     print(f"total base={bmeta['value']:.1f}s head={hmeta['value']:.1f}s "
-          f"geomean_ratio={geomean:.3f}")
+          f"geomean_ratio={geomean:.3f} "
+          f"(over {len(ratios)} rows; {len(excl_ratios)} policy-excluded)")
+    if excl_ratios:
+        eg = math.exp(sum(math.log(r) for r in excl_ratios.values())
+                      / len(excl_ratios))
+        print(f"policy-excluded rows geomean={eg:.3f}: "
+              + ", ".join(f"{q}={r:.2f}" for q, r in sorted(excl_ratios.items())))
     print(f"pass_load1 base={bmeta.get('pass_load1')} "
           f"head={hmeta.get('pass_load1')}")
     flagged = {q: r for q, r in ratios.items() if r > thr or r < 1 / thr}
