@@ -85,6 +85,19 @@ object Bench {
     "stream_agg_maintain", "stream_cdc_apply", "stream_dedup_within_wm",
     "stream_session_window")
 
+  /** Rows whose correctness-looking fields are spec-proven CONSTANTS
+    * when gates are off (Gates scaladoc) — tagged into every bench
+    * artifact so a consumer cannot mistake elided metrology for
+    * measurement; BenchCoverageSpec pins the list to real queries. */
+  private[graft] val gatedRows = Seq("ann_lsh_recall", "ann_ivf_recall",
+    "ann_pq_recall", "dedup_simhash", "ann_pq_incremental")
+
+  /** Rows benched on the production float kernels instead of the
+    * exact-decimal tier (Exact scaladoc) — a cross-policy A/B ratio on
+    * these measures the arithmetic policy, not a code speedup. */
+  private[graft] val floatRows = Seq("dedup_semantic", "ann_pq_topk",
+    "ann_pq_recall", "ann_lsh_cosine", "ann_lsh_recall")
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val n = s.length
@@ -222,10 +235,6 @@ object Bench {
     // cross-round A/B against a pre-r14 tag measures the arithmetic
     // policy change, not a code speedup (bench_ab.py excludes both
     // sets from its geomean by reading these fields).
-    val gatedRows = Seq("ann_lsh_recall", "ann_ivf_recall",
-      "ann_pq_recall", "dedup_simhash", "ann_pq_incremental")
-    val floatRows = Seq("dedup_semantic", "ann_pq_topk", "ann_pq_recall",
-      "ann_lsh_cosine", "ann_lsh_recall")
     val tags =
       s""""provenance":"$provenance","written_utc":"$writtenUtc",""" +
       s""""gated_constant_rows":${gatedRows.mkString("[\"", "\",\"", "\"]")},""" +

@@ -510,14 +510,18 @@ object DedupQueries extends QueryPack {
 
   private def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // no persist, no driver materialization: the band self-join's two
-    // sides are the IDENTICAL subplan shuffled on the same keys, so
-    // Spark's ReusedExchange computes the signatures once — and the
-    // surfaced-pair set stays DISTRIBUTED end-to-end (at 100× the
-    // collected pair set this used to funnel through the driver is an
-    // OOM; the format's own discipline is per-split streaming,
-    // reference RecordReaderImpl.java)
+    // signatures persist (16 B/doc — tiny at any corpus size) so the
+    // band self-join's two sides read ONE aggregation pass instead of
+    // recomputing it per side (the small-SF plan broadcasts one side,
+    // so there is no shuffle exchange to reuse); no explicit unpersist —
+    // the returned frame must stay computable after this function, and
+    // the ContextCleaner reclaims the blocks once the frame is
+    // unreferenced. The surfaced-pair set itself stays DISTRIBUTED
+    // end-to-end (at 100× the collected pair set this used to funnel
+    // through the driver is an OOM; the format's own discipline is
+    // per-split streaming, reference RecordReaderImpl.java)
     val sigs = simhashSignatures(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select($"doc_id", $"sim",
       posexplode(expr(
         "transform(sequence(0, 7), b -> (shiftright(sim, b * 8) & 255))"))

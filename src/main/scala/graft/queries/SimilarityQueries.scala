@@ -534,7 +534,11 @@ object SimilarityQueries extends QueryPack {
   private def exactTopPairs(s: SparkSession, dir: String): Array[(Long, Long)] = {
     import s.implicits._
     val f = new java.io.File(s"$dir/embeddings.parquet")
-    exactTopCache.getOrElseUpdate((f.getPath, f.lastModified(), f.length()), {
+    // same walked content stamp as trainCache (r14): a fixture rewritten
+    // in place within one mtime second must move the key
+    val (stampA, stampB) = contentStamp(f)
+    if (exactTopCache.size > 32) exactTopCache.clear()
+    exactTopCache.getOrElseUpdate((f.getPath, stampA, stampB), {
       // driver-side brute force over the bounded corpus (≤2000 × 64
       // floats = 512 KB collected): a distributed pairwise join spends
       // its cold pass materializing join rows carrying both float

@@ -29,4 +29,18 @@ class BenchCoverageSpec extends AnyFunSuite {
     assert(excluded.subsetOf(SparkEntry.queries.keySet),
       "the exclusion list names a query that no longer exists")
   }
+
+  test("the artifact tag lists (gated constants, float arithmetic) name " +
+      "only real benched queries") {
+    // a stale name here would silently stop excluding a policy row from
+    // A/B geomeans (tools/bench_ab.py keys on these artifact fields)
+    for ((label, list) <- Seq("gated_constant_rows" -> Bench.gatedRows,
+        "arith_float_rows" -> Bench.floatRows)) {
+      val unknown = list.toSet -- SparkEntry.queries.keySet
+      assert(unknown.isEmpty, s"$label names unknown queries: $unknown")
+      val unbenched = list.toSet -- Bench.headline.toSet
+      assert(unbenched.isEmpty, s"$label names unbenched queries: $unbenched")
+      assert(list.distinct == list, s"$label has duplicates")
+    }
+  }
 }
