@@ -224,8 +224,12 @@ object Bench {
       s""""pass_load1":[${passCtx.map(c => f"${c._2}%.2f").mkString(",")}],""" +
       s""""pass_wall_sec":[${passCtx.map(c => f"${c._3}%.2f").mkString(",")}]"""
     // provenance: which run produced this artifact (the r13 committed
-    // vs driver-refresh ambiguity), who to believe when two disagree
+    // vs driver-refresh ambiguity), who to believe when two disagree.
+    // Sanitized to a JSON-safe charset — a quote or backslash in the
+    // env var must not render the whole artifact line unparseable.
     val provenance = sys.env.getOrElse("SPARK_GRAFT_PROVENANCE", "local-sbt")
+      .map(c => if (c.isLetterOrDigit || "._-: ".contains(c)) c else '_')
+      .take(120)
     val writtenUtc = java.time.Instant.now().toString
     // artifact-consumer warnings (ADVICE r13): with gates off these
     // rows emit spec-proven CONSTANTS in their correctness-looking

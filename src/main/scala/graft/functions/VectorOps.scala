@@ -415,11 +415,16 @@ case class VecAdcPacked(left: Expression, right: Expression)
 /** Exact-decimal twin of [[VecAdcKernel]]: the M looked-up terms sum
   * through [[VecKernelExact.sumExact]] (per-term scale-12 rounding,
   * exact accumulation) instead of sequential double adds — so the ADC
-  * score is order-independent and any engine reproduces it
-  * (`SUM(CAST(term AS DECIMAL(28,12)))` in the DuckDB oracle).
-  * A non-finite LUT term yields NULL — `CAST(non-finite AS DECIMAL)
-  * IS NULL`, the same rule [[VecKernelExact.dot]] applies — so the
-  * user-callable SQL surface never silently zeroes a NaN. */
+  * score is order-independent and any engine reproduces it. The SQL
+  * spelling this mirrors is the NULL-PROPAGATING aggregate fold
+  * `aggregate(terms, CAST(0 AS DECIMAL(32,12)), (acc, t) ->
+  * acc + CAST(t AS DECIMAL(20,12)))` — the same family as
+  * `vec_dot_exact`'s zip_with fold, where one NULL (= non-finite) term
+  * nulls the whole score. NOT `SUM(CAST(term AS DECIMAL))`: SQL SUM
+  * would SKIP a null-cast term and return the partial sum of the rest,
+  * which silently mis-scores the vector. On all-finite terms — every
+  * internal caller, and what the DuckDB oracles actually evaluate —
+  * the fold and SUM agree exactly. */
 object VecAdcExactKernel {
   def adc(lut: ArrayData, codes: ArrayData): java.lang.Double = {
     val m = codes.numElements()

@@ -550,7 +550,12 @@ object DedupQueries extends QueryPack {
     // so the benched number is the banding's cost, not the audit's —
     // ONLY the gated audit collects (signatures + pairs); with gates
     // off nothing touches the driver.
-    val missed: Long = if (!Gates.enabled) 0L else {
+    val missed: Long = if (!Gates.enabled) 0L else try {
+      // the audit is the SECOND consumer of `surfaced` (the caller's
+      // action is the first): persist it here so Verify pays the band
+      // join + distinct once, not twice (ContextCleaner reclaims, as
+      // with sigs)
+      surfaced.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val idSigs = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
       require(idSigs.length <= 100000,
         s"simhash audit tier is bounded-quadratic; ${idSigs.length} docs " +
@@ -575,6 +580,11 @@ object DedupQueries extends QueryPack {
         if (local != 0) { missedAcc.addAndGet(local); () }
       }
       missedAcc.get()
+    } catch {
+      // deterministic cleanup on the audit's failure paths (e.g. the
+      // budget require): nothing will ever evaluate the caches
+      case t: Throwable =>
+        sigs.unpersist(); surfaced.unpersist(); throw t
     }
     surfaced
       .withColumn("missed_le7_pairs", lit(missed))
@@ -709,7 +719,14 @@ object DedupQueries extends QueryPack {
       // re-derives every assignment), the plain-double kernel under
       // Bench/production; the answer SETS are pinned identical on the
       // fixtures by ExactFloatParitySpec, which passes the flag
-      // explicitly (no global-state toggling under parallel suites)
+      // explicitly (no global-state toggling under parallel suites).
+      // DELIBERATE residual in float mode: the normalize pass and the
+      // Lloyd MEANS keep exact-decimal sums in BOTH modes — a float
+      // groupBy SUM is reduce-order-dependent, and a bit of centroid
+      // wobble across passes could flip a boundary pair and trip the
+      // bench's row-drift guard. Those are O(n·d) aggregation passes,
+      // a small fixed slice of the exact tier's cost; the O(n·cells)
+      // dots (the scaling term) and the pair/verifier dots do flip.
 
       // on unit vectors argmin ||v-c||² == argmax v·c; the dots are
       // order-independent in BOTH arithmetics (sequential kernel loops

@@ -268,24 +268,43 @@ object DwrfLog {
   private val linkProbe =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
-  private def linkSupported(ld: Path): Boolean =
-    linkProbe.getOrElseUpdate(ld.toUri.getPath, {
-      val dir = java.nio.file.Paths.get(ld.toUri.getPath)
-      val stamp = java.util.UUID.randomUUID().toString.take(12)
-      val src = dir.resolve(s".probe-$stamp")
-      val dst = dir.resolve(s".probe-$stamp-l")
-      try {
-        java.nio.file.Files.write(src, Array.emptyByteArray)
-        java.nio.file.Files.createLink(dst, src)
-        true
-      } catch {
-        case _: UnsupportedOperationException | _: java.io.IOException => false
-      } finally {
-        java.nio.file.Files.deleteIfExists(dst)
-        java.nio.file.Files.deleteIfExists(src)
-        ()
-      }
-    })
+  private def linkSupported(ld: Path): Boolean = {
+    val key = ld.toUri.getPath
+    linkProbe.get(key) match {
+      case Some(v) => v
+      case None =>
+        val dir = java.nio.file.Paths.get(key)
+        val stamp = java.util.UUID.randomUUID().toString.take(12)
+        val src = dir.resolve(s".probe-$stamp")
+        val dst = dir.resolve(s".probe-$stamp-l")
+        try {
+          // if even the scratch WRITE fails the filesystem is sick, not
+          // linkless — report "supported" WITHOUT caching, so the commit
+          // path rethrows its own exception and the next commit
+          // re-probes once the condition clears; only a successful
+          // write followed by a failing link(2) is evidence about link
+          // support and gets memoized
+          val wrote =
+            try { java.nio.file.Files.write(src, Array.emptyByteArray); true }
+            catch { case _: java.io.IOException => false }
+          if (!wrote) true
+          else {
+            val v =
+              try { java.nio.file.Files.createLink(dst, src); true }
+              catch {
+                case _: UnsupportedOperationException |
+                     _: java.io.IOException => false
+              }
+            linkProbe.putIfAbsent(key, v)
+            v
+          }
+        } finally {
+          java.nio.file.Files.deleteIfExists(dst)
+          java.nio.file.Files.deleteIfExists(src)
+          ()
+        }
+    }
+  }
 
   /** Publish `snap` as the next version after `parent`. Returns the
     * committed snapshot, or None when another writer took the version
@@ -314,7 +333,10 @@ object DwrfLog {
         // written, so readers never see a partial manifest.
         val t = java.nio.file.Paths.get(tmp.toUri.getPath)
         val d = java.nio.file.Paths.get(target.toUri.getPath)
-        val won =
+        // the temp manifest is withdrawn on EVERY exit — including the
+        // new rethrow path (transient IOException on a link-capable
+        // filesystem), which would otherwise orphan a .tmp per failure
+        try {
           try { java.nio.file.Files.createLink(d, t); true }
           catch {
             case _: java.nio.file.FileAlreadyExistsException => false
@@ -331,8 +353,10 @@ object DwrfLog {
               val _ = e
               !fs.exists(target) && fs.rename(tmp, target)
           }
-        fs.delete(tmp, false)
-        won
+        } finally {
+          fs.delete(tmp, false)
+          ()
+        }
       case _ =>
         // HDFS-semantics stores: rename refuses an existing destination,
         // so the plain rename IS the exclusive atomic commit point; a

@@ -37,17 +37,19 @@ def main():
     if not ratios:
         sys.exit(f"no comparable queries: common={len(common)} "
                  f"only_base={only_base[:5]} only_head={only_head[:5]}")
-    # Rows whose benched work differs by POLICY between the artifacts are
-    # excluded from the headline geomean (reported separately): gated
+    # Rows whose benched work differs by POLICY between the two artifacts
+    # are excluded from the headline geomean (reported separately): gated
     # metrology rows emit spec-proven constants with gates off, and
     # arith_float_rows run the production float kernels instead of the
-    # exact-decimal tier — a cross-round ratio there measures the policy,
-    # not a code speedup (ADVICE r13). Union of both artifacts' tags so
-    # comparing a pre-tag artifact against a tagged one still excludes.
+    # exact-decimal tier — a ratio ACROSS the policy boundary measures
+    # the policy, not a code speedup (ADVICE r13). Exclusion is the
+    # SYMMETRIC DIFFERENCE of the two artifacts' tag lists: a pre-tag
+    # artifact (empty lists) vs a tagged one excludes the tagged rows,
+    # while two same-policy artifacts exclude nothing — those ratios are
+    # genuine code measurements and must keep moving the headline.
     excluded = set()
-    for meta in (bmeta, hmeta):
-        for key in ("gated_constant_rows", "arith_float_rows"):
-            excluded.update(meta.get(key) or [])
+    for key in ("gated_constant_rows", "arith_float_rows"):
+        excluded |= set(bmeta.get(key) or []) ^ set(hmeta.get(key) or [])
     excl_ratios = {q: r for q, r in ratios.items() if q in excluded}
     ratios = {q: r for q, r in ratios.items() if q not in excluded}
     if not ratios:
