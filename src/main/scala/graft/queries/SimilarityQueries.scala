@@ -30,6 +30,17 @@ object SimilarityQueries extends QueryPack {
   private[graft] val lastInstrument =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, Double]]()
 
+  /** Serializes a run-query-then-read-instrument pair for specs that
+    * share an instrument KEY: `PqIncrementalSpec` (standard corpus) and
+    * `PqDriftEscalationSpec` (drift corpus) both run
+    * `ann_pq_incremental` and then read
+    * `lastInstrument.get("ann_pq_incremental")` — under sbt's parallel
+    * suite execution an unsynchronized interleaving would hand one spec
+    * the other's numbers (escalations 0 vs 1) as a timing-dependent
+    * flake. Production callers don't contend: Verify/Bench run queries
+    * sequentially and opscale reads inside one thread. */
+  private[graft] val instrumentLock = new Object
+
   /** Exact decimal dot product between two float-array columns — per-
     * element double products (deterministic) summed exactly at scale 12
     * (order-independent), so any engine computes the identical value.

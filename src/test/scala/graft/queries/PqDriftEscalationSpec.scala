@@ -86,6 +86,9 @@ class PqDriftEscalationSpec extends AnyFunSuite {
 
   test("a post-sync distribution shift drives probe recall below the " +
       "target and the escalated re-rank pool buys it back within n/8") {
+    // lock shared with PqIncrementalSpec: both suites run the SAME query
+    // and read the SAME instrument key under parallel suite execution
+    SimilarityQueries.instrumentLock.synchronized {
     val dir = "target/pqdrift"
     buildFixture(dir)
     val row = SparkEntry.queries("ann_pq_incremental")(spark, dir).collect()
@@ -116,5 +119,6 @@ class PqDriftEscalationSpec extends AnyFunSuite {
       s"recall=${inst("recall")} escalations=${inst("rerank_escalations")} " +
       s"pool=${inst("rerank_pool")} (cap ${N / 8}) " +
       s"encoded_delta=${inst("encoded_delta")}")
+    }
   }
 }

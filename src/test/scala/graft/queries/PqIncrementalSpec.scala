@@ -20,6 +20,9 @@ class PqIncrementalSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("maintain is delta-only, idempotent, and deterministic across runs") {
+    // lock shared with PqDriftEscalationSpec: both suites run the SAME
+    // query and read the SAME instrument key under parallel execution
+    SimilarityQueries.instrumentLock.synchronized {
     val row1 = SparkEntry.queries("ann_pq_incremental")(spark, sf).collect()
     assert(row1.length == 1)
     val r = row1.head
@@ -99,5 +102,6 @@ class PqIncrementalSpec extends AnyFunSuite {
       "pristine v0 must survive (the restore target is never vacuumed)")
     assert(hist.last.op == "append",
       s"the latest commit must be the maintain's append, got ${hist.last.op}")
+    }
   }
 }
