@@ -45,10 +45,10 @@ class ExactFloatParitySpec extends AnyFunSuite {
   test("dedup_semantic tier: float and exact surface the identical " +
       "within-cell pair set, cell count, and max cell population") {
     import org.apache.spark.sql.functions.col
-    def run(exact: Boolean): (Set[(Long, Long)], Int, Long) = {
-      val raw = graft.Tables.load(spark, sf, "embeddings")
+    def run(dir: String, exact: Boolean): (Set[(Long, Long)], Int, Long) = {
+      val raw = graft.Tables.load(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-        .unionByName(SimilarityQueries.plantedTwins(spark, sf))
+        .unionByName(SimilarityQueries.plantedTwins(spark, dir))
       val tier = DedupQueries.semanticTier(spark, raw, exactArith = exact)
       try {
         val pairs = tier.within.select("id_a", "id_b").collect()
@@ -56,12 +56,15 @@ class ExactFloatParitySpec extends AnyFunSuite {
         (pairs, tier.cells, tier.maxCellPop)
       } finally tier.unpersist()
     }
-    val (pe, ce, me) = run(exact = true)
-    val (pf, cf, mf) = run(exact = false)
-    assert(pe.nonEmpty, "fixture must surface pairs (planted twins)")
-    assert(ce == cf && me == mf, s"geometry drifted: ($ce,$me) vs ($cf,$mf)")
-    assert(pe == pf,
-      s"pair sets differ: only-exact=${(pe -- pf).take(5)} " +
-        s"only-float=${(pf -- pe).take(5)}")
+    for (dir <- Seq(sf, sfMid)) {
+      val (pe, ce, me) = run(dir, exact = true)
+      val (pf, cf, mf) = run(dir, exact = false)
+      assert(pe.nonEmpty, s"$dir: fixture must surface pairs (planted twins)")
+      assert(ce == cf && me == mf,
+        s"$dir: geometry drifted: ($ce,$me) vs ($cf,$mf)")
+      assert(pe == pf,
+        s"$dir: pair sets differ: only-exact=${(pe -- pf).take(5)} " +
+          s"only-float=${(pf -- pe).take(5)}")
+    }
   }
 }
