@@ -66,6 +66,23 @@ object VecKernelExact {
   private val Scale = 12
   private val Pow = 1e12
 
+  /** Unscaled scale-12 long of `CAST(p AS DECIMAL(..,12))` for
+    * unit-scale inputs (|p| ≲ 9·10⁵) — the building block of
+    * order-independent exact sums outside this kernel (the k-means
+    * mean accumulator aggregates these per cell and coordinate; any
+    * grouping of additions yields the identical total, which is what
+    * lets a distributed combiner replace the row-exploded decimal
+    * groupBy bit-for-bit). Throws on inputs needing the BigDecimal
+    * path — callers here feed normalized coordinates, |x| ≤ 1. */
+  private[graft] def castDecimal12Unscaled(p: Double): Long = unscaled(p)
+
+  /** Correctly-rounded double of an unscaled scale-12 long — the same
+    * tail [[dot]]/[[sumExact]] use: exact for |u| ≤ 2⁵³, BigDecimal
+    * beyond. Equals Spark's `CAST(decimal AS DOUBLE)`. */
+  private[graft] def unscaledToDouble(u: Long): Double =
+    if (Math.abs(u) <= (1L << 53)) u.toDouble / Pow
+    else java.math.BigDecimal.valueOf(u, Scale).doubleValue()
+
   /** Unscaled scale-12 long of CAST(p AS DECIMAL(20,12)), or throws
     * [[ArithmeticException]] when the value needs the BigDecimal path
     * (too large for the long fast accumulator).

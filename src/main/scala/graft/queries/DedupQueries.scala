@@ -771,17 +771,44 @@ object DedupQueries extends QueryPack {
       for (_ <- 0 until 2) phased(ph, "kmeans") {
         // exact-decimal means (sum of scale-12-rounded terms, one
         // double division), then the exact-norm renormalize above —
-        // the centroid any engine re-derives
-        val means = withCell(corpus, centroids)
-          .select($"cell", posexplode($"v").as(Seq("pos", "x")))
-          .groupBy($"cell", $"pos")
-          .agg(expr("CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(1)")
-            .as("m"))
-          .groupBy($"cell")
-          .agg(expr("transform(sort_array(collect_list(struct(pos, m))), p -> p.m)")
-            .as("c"))
-          .collect()
-          .map(r => r.getInt(0) -> unit(r.getSeq[Double](1).toArray)).toMap
+        // the centroid any engine re-derives. The sum is
+        // ORDER-INDEPENDENT (exact decimal), so a distributed combiner
+        // over per-cell unscaled-long accumulators computes the
+        // bit-identical total the row-exploded decimal groupBy did —
+        // without shuffling n·d exploded rows (at the 64× opscale
+        // corpus that groupBy WAS the dominant phase: 8.6M rows and
+        // most of 345 MB shuffle for two Lloyd rounds). addExact fails
+        // loud on the overflow a pathological mega-cell could cause
+        // (possible only before the post-assignment collapse guard).
+        val sums = withCell(corpus, centroids)
+          .select($"cell", $"v").as[(Int, Seq[Double])].rdd
+          .aggregateByKey((null: Array[Long], 0L))(
+            { case ((acc0, cnt), vSeq) =>
+              val acc = if (acc0 == null) new Array[Long](vSeq.length) else acc0
+              var i = 0
+              while (i < acc.length) {
+                acc(i) = Math.addExact(acc(i),
+                  graft.functions.VecKernelExact.castDecimal12Unscaled(vSeq(i)))
+                i += 1
+              }
+              (acc, cnt + 1)
+            },
+            { case ((a, ca), (b, cb)) =>
+              if (a == null) (b, ca + cb)
+              else if (b == null) (a, ca + cb)
+              else {
+                var i = 0
+                while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
+                (a, ca + cb)
+              }
+            })
+          .collectAsMap()
+        val means = sums.map { case (cell, (acc, cnt)) =>
+          // CAST(SUM(decimal) AS DOUBLE) / COUNT — the same correctly
+          // rounded decimal→double the SQL spelling produces
+          cell -> unit(Array.tabulate(acc.length)(i =>
+            graft.functions.VecKernelExact.unscaledToDouble(acc(i)) / cnt))
+        }
         centroids = centroids.indices
           .map(i => means.getOrElse(i, centroids(i))).toArray
       }
