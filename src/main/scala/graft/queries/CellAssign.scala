@@ -124,6 +124,58 @@ private[graft] object CellAssign {
     cell
   }
 
+  /** First-index ARGMIN of the IVF score `ccs(i) − 2·dot(v, c_i)` over
+    * all cells — identical to the SQL spelling
+    * `array_position(dists, array_min(dists)) - 1` (same double ops:
+    * the dot, one multiply by 2.0, one subtract), pruned by the same
+    * envelope: dot ∈ [p ± (‖v[h:]‖·‖c[h:]‖ + margin)] bounds the score
+    * from both sides; cells whose score lower bound exceeds the best
+    * score upper bound can neither be nor tie the min (strict), so
+    * first-index semantics survive pruning. */
+  def top1Min(v: Array[Double], cents: Array[Array[Double]],
+      ccs: Array[Double], rest: Array[Double], h: Int,
+      exact: Boolean): Int = {
+    val nC = cents.length
+    val d = v.length
+    def full(): Int = {
+      val dists = new Array[Double](nC)
+      var i = 0
+      while (i < nC) {
+        dists(i) = ccs(i) - 2.0 * dotOne(v, cents(i), exact); i += 1
+      }
+      var min = Double.PositiveInfinity
+      i = 0
+      while (i < nC) { if (dists(i) < min) min = dists(i); i += 1 }
+      var cell = 0
+      while (dists(cell) != min) cell += 1
+      cell
+    }
+    if (nC <= 2 || h >= d) return full()
+    val vRest = math.sqrt(fdot(v, h, v, h, d - h))
+    val part = new Array[Double](nC)
+    var t = Double.PositiveInfinity // best (smallest) score UPPER bound
+    var i = 0
+    while (i < nC) {
+      part(i) = fdot(v, 0, cents(i), 0, h)
+      val e = vRest * rest(i) + Margin
+      val up = ccs(i) - 2.0 * (part(i) - e)
+      if (up < t) t = up
+      i += 1
+    }
+    var min = Double.PositiveInfinity
+    var cell = -1
+    i = 0
+    while (i < nC) {
+      val e = vRest * rest(i) + Margin
+      if (ccs(i) - 2.0 * (part(i) + e) <= t) {
+        val x = ccs(i) - 2.0 * dotOne(v, cents(i), exact)
+        if (x < min) { min = x; cell = i }
+      }
+      i += 1
+    }
+    cell
+  }
+
   /** First-index argmax plus the SQL runner-up (first index of the best
     * strictly-below-max dot; the argmax itself when all dots tie) —
     * identical to the full evaluation, pruned by the envelope. */

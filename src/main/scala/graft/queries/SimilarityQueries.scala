@@ -859,24 +859,35 @@ object SimilarityQueries extends QueryPack {
     import s.implicits._
     val (k, nprobe) = ivfGeometry(emb.count())
 
-    def nearestExpr: String =
-      // index of the closest centroid (first index at the min score)
-      s"""array_position(dists, array_min(dists)) - 1"""
-
-    def withDists(df: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    // assignment via the bound-pruned argmin kernel (r14, the
+    // dedup_semantic treatment applied to the IVF trainer): identical
+    // first-index `array_position(dists, array_min(dists)) - 1`
+    // semantics over the exact-decimal score cc_j − 2·(v·c_j), full
+    // dots paid only for the cells whose Cauchy–Schwarz envelope could
+    // win — IVF trains over √n cells, so the unpruned pass was the
+    // same O(n·cells) shape the r13 verdict flagged
+    def withCellK(df: DataFrame, cents: Array[Array[Double]]): DataFrame = {
       val ccs = cents.map(c => dotExactDriver(c, c))
-      df.withColumn("cents", typedlit(cents.map(_.toSeq).toSeq))
-        .withColumn("ccs", typedlit(ccs.toSeq))
-        // exact-decimal score: cc_j − 2·(v·c_j); one double subtract at
-        // the end (identical in any engine)
-        .withColumn("dists", expr(
-          s"transform(sequence(0, ${cents.length - 1}), " +
-            "j -> ccs[j] - 2.0D * vec_dot_exact(v, cents[j]))"))
+      val h = CellAssign.prefix(cents.head.length)
+      val rest = CellAssign.restNorms(cents, h)
+      val cb = s.sparkContext.broadcast((cents, ccs, rest))
+      df.select($"vec_id", $"v").as[(Long, Seq[Double])]
+        .mapPartitions { it =>
+          val (cs, cc, rn) = cb.value
+          it.map { case (id, vSeq) =>
+            val v = vSeq.toArray
+            (id, vSeq, CellAssign.top1Min(v, cs, cc, rn, h, exact = true))
+          }
+        }
+        .toDF("vec_id", "v", "cell")
     }
 
     // deterministic init: the first k vectors seed the centroids
     // (orderBy/limit, not vec_id < k: ids need not be dense);
-    // 2 Lloyd iterations (assign + per-dimension exact-decimal mean).
+    // 2 Lloyd iterations (assign + per-dimension exact-decimal mean —
+    // the means aggregate per-cell unscaled-decimal-long accumulators
+    // in a distributed combiner, bit-identical to the row-exploded
+    // decimal groupBy because exact sums are order-independent).
     // Memoized per dataset+geometry: the trained quantizer is a
     // standing structure, re-deriving it per search pass is re-paying
     // a build (the search below always runs live).
@@ -885,25 +896,40 @@ object SimilarityQueries extends QueryPack {
         .orderBy($"vec_id").limit(k).collect()
         .map(_.getSeq[Double](1).toArray)
       for (_ <- 0 until 2) {
-        val assigned = withDists(emb, cents)
-          .select($"vec_id", $"v", expr(nearestExpr).cast("int").as("cell"))
-        val means = assigned
-          .select($"cell", posexplode($"v").as(Seq("pos", "x")))
-          .groupBy($"cell", $"pos")
-          .agg(expr("CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(1)")
-            .as("m"))
-          .groupBy($"cell")
-          .agg(expr("transform(sort_array(collect_list(struct(pos, m))), p -> p.m)").as("c"))
-          .collect()
-          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        val sums = withCellK(emb, cents)
+          .select($"cell", $"v").as[(Int, Seq[Double])].rdd
+          .aggregateByKey((null: Array[Long], 0L))(
+            { case ((acc0, cnt), vSeq) =>
+              val acc = if (acc0 == null) new Array[Long](vSeq.length) else acc0
+              var i = 0
+              while (i < acc.length) {
+                acc(i) = Math.addExact(acc(i),
+                  graft.functions.VecKernelExact.castDecimal12Unscaled(vSeq(i)))
+                i += 1
+              }
+              (acc, cnt + 1)
+            },
+            { case ((a, ca), (b, cb2)) =>
+              if (a == null) (b, ca + cb2)
+              else if (b == null) (a, ca + cb2)
+              else {
+                var i = 0
+                while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
+                (a, ca + cb2)
+              }
+            })
+          .collectAsMap()
+        val means = sums.map { case (cell, (acc, cnt)) =>
+          cell -> Array.tabulate(acc.length)(i =>
+            graft.functions.VecKernelExact.unscaledToDouble(acc(i)) / cnt)
+        }
         cents = cents.indices
           .map(i => means.getOrElse(i, cents(i))).toArray
       }
       cents
     }
 
-    val assigned = withDists(emb, centroids)
-      .select($"vec_id", $"v", expr(nearestExpr).cast("int").as("cell"))
+    val assigned = withCellK(emb, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queryVec = assigned.filter($"vec_id" === 0)
       .select($"v").collect().head.getSeq[Double](0).toArray

@@ -88,6 +88,48 @@ class CellAssignSpec extends AnyFunSuite {
     check(v, cents, "all-equal")
   }
 
+  test("pruned IVF argmin (cc − 2·dot) == full evaluation, first index " +
+      "on ties, both arithmetics") {
+    val rnd = new scala.util.Random(515L)
+    def refMin(v: Array[Double], cents: Array[Array[Double]],
+        ccs: Array[Double], exact: Boolean): Int = {
+      val dists = cents.indices.map { i =>
+        val dot =
+          if (exact) graft.functions.VecKernelExact
+            .dotSlice(v, 0, cents(i), 0, v.length)
+          else CellAssign.fdot(v, 0, cents(i), 0, v.length)
+        ccs(i) - 2.0 * dot
+      }
+      dists.indexWhere(_ == dists.min)
+    }
+    for (trial <- 1 to 40) {
+      val d = 64
+      val base = Array.fill(4 + rnd.nextInt(40))(gen(rnd, d))
+      // IVF centroids are NOT unit: scale some, and duplicate one for
+      // the tie corner
+      val scaled = base.map(c => c.map(_ * (0.5 + rnd.nextDouble())))
+      val dup = scaled(rnd.nextInt(scaled.length))
+      val cents = scaled :+ dup.clone()
+      val h = CellAssign.prefix(d)
+      val rest = CellAssign.restNorms(cents, h)
+      for (exact <- Seq(true, false)) {
+        val ccs = cents.map(c =>
+          if (exact) graft.functions.VecKernelExact.dotSlice(c, 0, c, 0, d)
+          else CellAssign.fdot(c, 0, c, 0, d))
+        for (_ <- 1 to 5) {
+          val v = gen(rnd, d)
+          assert(CellAssign.top1Min(v, cents, ccs, rest, h, exact) ==
+            refMin(v, cents, ccs, exact), s"trial=$trial exact=$exact")
+        }
+        // query at the duplicated centroid: the min ties across two
+        // indices and the first index must win
+        val vt = dup.map(_ / math.sqrt(dup.map(x => x * x).sum))
+        assert(CellAssign.top1Min(vt, cents, ccs, rest, h, exact) ==
+          refMin(vt, cents, ccs, exact), s"tie trial=$trial exact=$exact")
+      }
+    }
+  }
+
   test("prefix shorter than or equal to dims never prunes the winner " +
       "on adversarial rest-heavy vectors") {
     // all the discriminating mass lives PAST the prefix — the partial
