@@ -346,10 +346,13 @@ object BenchOpScale {
     // TOTAL grows with the recall-compensation band count (8 bands at
     // 64× vs the base's 4 — a deliberate, recorded trade), so the bound
     // scales by bands_auto / bands_base
+    // factor 2 (not the old flat 3): at 16× auto picks 6 bands, so
+    // 2 × (6/4) = 3× reproduces the r13 design-point bound exactly —
+    // a flat 3 × bandScale would have silently LOOSENED it to 4.5×
     val bandScale = math.max(1.0, (autoPlanes / autoBits) / 4.0)
-    check(lshCand("scaled_auto") < 3 * bandScale * linear,
+    check(lshCand("scaled_auto") < 2 * bandScale * linear,
       s"autoBandGeometry did not hold per-band candidates ~linear " +
-        s"(${lshCand("scaled_auto")} vs linear $linear × band factor " +
+        s"(${lshCand("scaled_auto")} vs linear $linear × 2 × band factor " +
         s"$bandScale)")
     check(lshRecall("scaled_auto") >= 0.8,
       s"autoBandGeometry's recall compensation failed: twin recall " +

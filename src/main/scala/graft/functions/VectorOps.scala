@@ -73,8 +73,15 @@ object VecKernelExact {
     * grouping of additions yields the identical total, which is what
     * lets a distributed combiner replace the row-exploded decimal
     * groupBy bit-for-bit). Throws on inputs needing the BigDecimal
-    * path — callers here feed normalized coordinates, |x| ≤ 1. */
-  private[graft] def castDecimal12Unscaled(p: Double): Long = unscaled(p)
+    * path — callers here feed normalized coordinates, |x| ≤ 1 — and
+    * REJECTS non-finite inputs loudly: `unscaled(NaN)` would otherwise
+    * fall through every branch and return a silent 0, the class of bug
+    * the r13 vec_adc_exact hardening removed. */
+  private[graft] def castDecimal12Unscaled(p: Double): Long = {
+    require(!java.lang.Double.isNaN(p) && !java.lang.Double.isInfinite(p),
+      s"castDecimal12Unscaled: non-finite input $p")
+    unscaled(p)
+  }
 
   /** Correctly-rounded double of an unscaled scale-12 long — the same
     * tail [[dot]]/[[sumExact]] use: exact for |u| ≤ 2⁵³, BigDecimal

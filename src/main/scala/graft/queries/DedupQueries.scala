@@ -737,15 +737,12 @@ object DedupQueries extends QueryPack {
       // envelope could win — the r14 fix for the O(n·cells) assign
       // phase that grew 6.2× at the 16× opscale corpus.
       def withCell(df: DataFrame, cents: Array[Array[Double]]): DataFrame = {
-        val h = CellAssign.prefix(cents.head.length)
-        val rest = CellAssign.restNorms(cents, h)
-        val cb = s.sparkContext.broadcast((cents, rest))
+        val cb = s.sparkContext.broadcast((cents, CellAssign.geom(cents)))
         df.select($"vec_id", $"v").as[(Long, Seq[Double])]
           .mapPartitions { it =>
-            val (cs, rn) = cb.value
+            val (cs, g) = cb.value
             it.map { case (id, vSeq) =>
-              val v = vSeq.toArray
-              (id, vSeq, CellAssign.top1(v, cs, rn, h, exactArith))
+              (id, vSeq, CellAssign.top1(vSeq.toArray, cs, g, exactArith))
             }
           }
           .toDF("vec_id", "v", "cell")
@@ -780,35 +777,10 @@ object DedupQueries extends QueryPack {
         // most of 345 MB shuffle for two Lloyd rounds). addExact fails
         // loud on the overflow a pathological mega-cell could cause
         // (possible only before the post-assignment collapse guard).
-        val sums = withCell(corpus, centroids)
-          .select($"cell", $"v").as[(Int, Seq[Double])].rdd
-          .aggregateByKey((null: Array[Long], 0L))(
-            { case ((acc0, cnt), vSeq) =>
-              val acc = if (acc0 == null) new Array[Long](vSeq.length) else acc0
-              var i = 0
-              while (i < acc.length) {
-                acc(i) = Math.addExact(acc(i),
-                  graft.functions.VecKernelExact.castDecimal12Unscaled(vSeq(i)))
-                i += 1
-              }
-              (acc, cnt + 1)
-            },
-            { case ((a, ca), (b, cb)) =>
-              if (a == null) (b, ca + cb)
-              else if (b == null) (a, ca + cb)
-              else {
-                var i = 0
-                while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
-                (a, ca + cb)
-              }
-            })
-          .collectAsMap()
-        val means = sums.map { case (cell, (acc, cnt)) =>
-          // CAST(SUM(decimal) AS DOUBLE) / COUNT — the same correctly
-          // rounded decimal→double the SQL spelling produces
-          cell -> unit(Array.tabulate(acc.length)(i =>
-            graft.functions.VecKernelExact.unscaledToDouble(acc(i)) / cnt))
-        }
+        val means = CellAssign.decimalMeans(
+          withCell(corpus, centroids)
+            .select($"cell", $"v").as[(Int, Seq[Double])].rdd)
+          .map { case (cell, m) => cell -> unit(m) }
         centroids = centroids.indices
           .map(i => means.getOrElse(i, centroids(i))).toArray
       }
@@ -826,15 +798,12 @@ object DedupQueries extends QueryPack {
         // kernel twin of the SQL spelling (cell = first-index argmax,
         // cell2 = first index of the best strictly-below-max dot,
         // degenerate all-equal corner → cell), bound-pruned per row
-        val h = CellAssign.prefix(centroids.head.length)
-        val rest = CellAssign.restNorms(centroids, h)
-        val cb = s.sparkContext.broadcast((centroids, rest))
+        val cb = s.sparkContext.broadcast((centroids, CellAssign.geom(centroids)))
         corpus.select($"vec_id", $"v").as[(Long, Seq[Double])]
           .mapPartitions { it =>
-            val (cs, rn) = cb.value
+            val (cs, g) = cb.value
             it.map { case (id, vSeq) =>
-              val v = vSeq.toArray
-              val (c1, c2) = CellAssign.top2(v, cs, rn, h, exactArith)
+              val (c1, c2) = CellAssign.top2(vSeq.toArray, cs, g, exactArith)
               (id, vSeq, c1, c2)
             }
           }

@@ -30,16 +30,6 @@ object SimilarityQueries extends QueryPack {
   private[graft] val lastInstrument =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, Double]]()
 
-  /** Serializes a run-query-then-read-instrument pair for specs that
-    * share an instrument KEY: `PqIncrementalSpec` (standard corpus) and
-    * `PqDriftEscalationSpec` (drift corpus) both run
-    * `ann_pq_incremental` and then read
-    * `lastInstrument.get("ann_pq_incremental")` — under sbt's parallel
-    * suite execution an unsynchronized interleaving would hand one spec
-    * the other's numbers (escalations 0 vs 1) as a timing-dependent
-    * flake. Production callers don't contend: Verify/Bench run queries
-    * sequentially and opscale reads inside one thread. */
-  private[graft] val instrumentLock = new Object
 
   /** Exact decimal dot product between two float-array columns — per-
     * element double products (deterministic) summed exactly at scale 12
@@ -868,15 +858,12 @@ object SimilarityQueries extends QueryPack {
     // same O(n·cells) shape the r13 verdict flagged
     def withCellK(df: DataFrame, cents: Array[Array[Double]]): DataFrame = {
       val ccs = cents.map(c => dotExactDriver(c, c))
-      val h = CellAssign.prefix(cents.head.length)
-      val rest = CellAssign.restNorms(cents, h)
-      val cb = s.sparkContext.broadcast((cents, ccs, rest))
+      val cb = s.sparkContext.broadcast((cents, ccs, CellAssign.geom(cents)))
       df.select($"vec_id", $"v").as[(Long, Seq[Double])]
         .mapPartitions { it =>
-          val (cs, cc, rn) = cb.value
+          val (cs, cc, g) = cb.value
           it.map { case (id, vSeq) =>
-            val v = vSeq.toArray
-            (id, vSeq, CellAssign.top1Min(v, cs, cc, rn, h, exact = true))
+            (id, vSeq, CellAssign.top1Min(vSeq.toArray, cs, cc, g, exact = true))
           }
         }
         .toDF("vec_id", "v", "cell")
@@ -896,33 +883,9 @@ object SimilarityQueries extends QueryPack {
         .orderBy($"vec_id").limit(k).collect()
         .map(_.getSeq[Double](1).toArray)
       for (_ <- 0 until 2) {
-        val sums = withCellK(emb, cents)
-          .select($"cell", $"v").as[(Int, Seq[Double])].rdd
-          .aggregateByKey((null: Array[Long], 0L))(
-            { case ((acc0, cnt), vSeq) =>
-              val acc = if (acc0 == null) new Array[Long](vSeq.length) else acc0
-              var i = 0
-              while (i < acc.length) {
-                acc(i) = Math.addExact(acc(i),
-                  graft.functions.VecKernelExact.castDecimal12Unscaled(vSeq(i)))
-                i += 1
-              }
-              (acc, cnt + 1)
-            },
-            { case ((a, ca), (b, cb2)) =>
-              if (a == null) (b, ca + cb2)
-              else if (b == null) (a, ca + cb2)
-              else {
-                var i = 0
-                while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
-                (a, ca + cb2)
-              }
-            })
-          .collectAsMap()
-        val means = sums.map { case (cell, (acc, cnt)) =>
-          cell -> Array.tabulate(acc.length)(i =>
-            graft.functions.VecKernelExact.unscaledToDouble(acc(i)) / cnt)
-        }
+        val means = CellAssign.decimalMeans(
+          withCellK(emb, cents)
+            .select($"cell", $"v").as[(Int, Seq[Double])].rdd)
         cents = cents.indices
           .map(i => means.getOrElse(i, cents(i))).toArray
       }
@@ -1758,6 +1721,12 @@ object SimilarityQueries extends QueryPack {
   @volatile private[graft] var lastPqIncPhases: Map[String, Double] =
     Map.empty
 
+  /** Dir-qualified twin of [[lastPqIncPhases]] for the two parallel test
+    * suites that run the query on different corpora (the opscale
+    * harness keeps reading the unqualified var single-threaded). */
+  private[graft] val lastPqIncPhasesByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Double]]()
+
   /** Recall target of [[pqIncremental]]'s drift policy: while the probe
     * query's measured recall@10 sits below this, the search escalates
     * its ADC re-rank pool (×4 per step, capped at n/8) before
@@ -1976,13 +1945,20 @@ object SimilarityQueries extends QueryPack {
             s"with the same codebooks: ${pqIds -- rebuiltIds} vs " +
             s"${rebuiltIds -- pqIds} — the maintain wrote different codes")
       }
-      lastInstrument.put("ann_pq_incremental", Map(
+      val inst = Map(
         "n_found" -> found.toDouble, "recall" -> recall,
         "recall_base" -> recallBase,
         "encoded_delta" -> encodedRows.toDouble,
         "rerank_pool" -> nCand.toDouble,
-        "rerank_escalations" -> escalations.toDouble))
+        "rerank_escalations" -> escalations.toDouble)
+      lastInstrument.put("ann_pq_incremental", inst)
+      // dir-qualified twin: two test suites run this query on DIFFERENT
+      // corpora under parallel suite execution — a name-only key would
+      // hand one suite the other's numbers as a timing flake; the
+      // qualified key removes the contention without any locking
+      lastInstrument.put(s"ann_pq_incremental@$dir", inst)
       lastPqIncPhases = ph.toMap
+      lastPqIncPhasesByDir.put(dir, ph.toMap)
       val floor = pqIncRecallFloor
       require(recall >= floor,
         s"incremental-PQ recall $recall fell below the $floor in-band floor")

@@ -2,14 +2,17 @@ package graft.queries
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The bound-pruned assignment kernel must return BIT-IDENTICAL
-  * (cell, cell2) to the unpruned evaluation in both arithmetics — the
-  * hash-exact `dedup_semantic` oracle re-derives the full argmax, so a
-  * single row pruned into a different cell is a round-killing silent
-  * divergence. Property-tested across random unit vectors/centroids
-  * plus the adversarial corners: duplicated centroids (max ties, which
-  * exercise the first-index rule AND the rare full-evaluation
-  * fallback), all-equal dots, and near-boundary runner-ups.
+/** The bound-pruned assignment kernels must return BIT-IDENTICAL
+  * results to the unpruned evaluation in both arithmetics — the
+  * hash-exact `dedup_semantic`/`ann_ivf_*` oracles re-derive the full
+  * argmax/argmin, so a single row pruned into a different cell is a
+  * round-killing silent divergence. Property-tested across random unit
+  * vectors/centroids plus the adversarial corners: duplicated
+  * centroids (ties, which exercise the first-index rule AND the rare
+  * full-evaluation fallback), all-equal dots, rest-heavy vectors,
+  * LARGE-MAGNITUDE coordinates (the fixed-margin failure mode the r14
+  * review caught — the margin must scale with ‖v‖·‖c‖), and non-finite
+  * inputs (must fail loudly, never leak a sentinel cell id).
   */
 class CellAssignSpec extends AnyFunSuite {
 
@@ -39,13 +42,12 @@ class CellAssignSpec extends AnyFunSuite {
 
   private def check(v: Array[Double], cents: Array[Array[Double]],
       label: String): Unit = {
-    val h = CellAssign.prefix(v.length)
-    val rest = CellAssign.restNorms(cents, h)
+    val g = CellAssign.geom(cents)
     for (exact <- Seq(true, false)) {
       val want = refTop2(v, cents, exact)
-      val got = CellAssign.top2(v, cents, rest, h, exact)
+      val got = CellAssign.top2(v, cents, g, exact)
       assert(got == want, s"$label exact=$exact: got $got want $want")
-      assert(CellAssign.top1(v, cents, rest, h, exact) == want._1,
+      assert(CellAssign.top1(v, cents, g, exact) == want._1,
         s"$label exact=$exact top1")
     }
   }
@@ -57,6 +59,27 @@ class CellAssignSpec extends AnyFunSuite {
       val nC = 3 + rnd.nextInt(48)
       val cents = Array.fill(nC)(gen(rnd, d))
       for (_ <- 1 to 8) check(gen(rnd, d), cents, s"trial=$trial")
+    }
+  }
+
+  test("large-magnitude coordinates: the margin scales with the norms " +
+      "(a fixed 1e-6 margin under-covers float error at ~1e4 scale)") {
+    val rnd = new scala.util.Random(88L)
+    for (trial <- 1 to 25) {
+      val d = 64
+      // coordinate magnitudes ~1e4: prefix partial sums ~1e9, where the
+      // float summation error alone exceeds a unit-scale fixed margin.
+      // Exact-mode products stay < 1e8 (dotSlice's DECIMAL(20,12) cap)
+      // only if |v_i·c_i| < 1e8 — keep magnitudes at ~3e3 so products
+      // are ~1e7, inside the exact kernel's domain
+      val scale = 3e3
+      val cents = Array.fill(6 + rnd.nextInt(20))(
+        gen(rnd, d).map(_ * scale * (0.5 + rnd.nextDouble())))
+      for (_ <- 1 to 6)
+        check(gen(rnd, d).map(_ * scale), cents, s"mag-trial=$trial")
+      // tie corner at magnitude too
+      val dup = cents(rnd.nextInt(cents.length))
+      check(dup.clone(), cents :+ dup.clone(), s"mag-tie-trial=$trial")
     }
   }
 
@@ -89,7 +112,7 @@ class CellAssignSpec extends AnyFunSuite {
   }
 
   test("pruned IVF argmin (cc − 2·dot) == full evaluation, first index " +
-      "on ties, both arithmetics") {
+      "on ties, both arithmetics, unit and large magnitudes") {
     val rnd = new scala.util.Random(515L)
     def refMin(v: Array[Double], cents: Array[Array[Double]],
         ccs: Array[Double], exact: Boolean): Int = {
@@ -104,27 +127,27 @@ class CellAssignSpec extends AnyFunSuite {
     }
     for (trial <- 1 to 40) {
       val d = 64
-      val base = Array.fill(4 + rnd.nextInt(40))(gen(rnd, d))
+      val mag = if (trial % 3 == 0) 3e3 else 1.0
+      val base = Array.fill(4 + rnd.nextInt(40))(gen(rnd, d).map(_ * mag))
       // IVF centroids are NOT unit: scale some, and duplicate one for
       // the tie corner
       val scaled = base.map(c => c.map(_ * (0.5 + rnd.nextDouble())))
       val dup = scaled(rnd.nextInt(scaled.length))
       val cents = scaled :+ dup.clone()
-      val h = CellAssign.prefix(d)
-      val rest = CellAssign.restNorms(cents, h)
+      val g = CellAssign.geom(cents)
       for (exact <- Seq(true, false)) {
         val ccs = cents.map(c =>
           if (exact) graft.functions.VecKernelExact.dotSlice(c, 0, c, 0, d)
           else CellAssign.fdot(c, 0, c, 0, d))
         for (_ <- 1 to 5) {
-          val v = gen(rnd, d)
-          assert(CellAssign.top1Min(v, cents, ccs, rest, h, exact) ==
+          val v = gen(rnd, d).map(_ * mag)
+          assert(CellAssign.top1Min(v, cents, ccs, g, exact) ==
             refMin(v, cents, ccs, exact), s"trial=$trial exact=$exact")
         }
         // query at the duplicated centroid: the min ties across two
         // indices and the first index must win
-        val vt = dup.map(_ / math.sqrt(dup.map(x => x * x).sum))
-        assert(CellAssign.top1Min(vt, cents, ccs, rest, h, exact) ==
+        val vt = dup.clone()
+        assert(CellAssign.top1Min(vt, cents, ccs, g, exact) ==
           refMin(vt, cents, ccs, exact), s"tie trial=$trial exact=$exact")
       }
     }
@@ -152,5 +175,29 @@ class CellAssignSpec extends AnyFunSuite {
       }
       check(v, cents, s"rest-heavy trial=$trial")
     }
+  }
+
+  test("non-finite inputs fail loudly on every kernel path (never a " +
+      "silent sentinel cell id)") {
+    val rnd = new scala.util.Random(3L)
+    val d = 64
+    val cents = Array.fill(8)(gen(rnd, d))
+    val g = CellAssign.geom(cents)
+    val bad = gen(rnd, d); bad(7) = Double.NaN
+    for (exact <- Seq(true, false)) {
+      assert(intercept[IllegalArgumentException] {
+        CellAssign.top1(bad, cents, g, exact)
+      }.getMessage.nonEmpty)
+      assert(intercept[IllegalArgumentException] {
+        CellAssign.top2(bad, cents, g, exact)
+      }.getMessage.nonEmpty)
+      val ccs = cents.map(c => CellAssign.fdot(c, 0, c, 0, d))
+      assert(intercept[IllegalArgumentException] {
+        CellAssign.top1Min(bad, cents, ccs, g, exact)
+      }.getMessage.nonEmpty)
+    }
+    assert(intercept[IllegalArgumentException] {
+      graft.functions.VecKernelExact.castDecimal12Unscaled(Double.NaN)
+    }.getMessage.contains("non-finite"))
   }
 }

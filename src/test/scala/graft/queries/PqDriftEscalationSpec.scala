@@ -86,9 +86,6 @@ class PqDriftEscalationSpec extends AnyFunSuite {
 
   test("a post-sync distribution shift drives probe recall below the " +
       "target and the escalated re-rank pool buys it back within n/8") {
-    // lock shared with PqIncrementalSpec: both suites run the SAME query
-    // and read the SAME instrument key under parallel suite execution
-    SimilarityQueries.instrumentLock.synchronized {
     val dir = "target/pqdrift"
     buildFixture(dir)
     val row = SparkEntry.queries("ann_pq_incremental")(spark, dir).collect()
@@ -100,7 +97,9 @@ class PqDriftEscalationSpec extends AnyFunSuite {
     // the in-query floor REQUIRE already enforced recall ≥ 0.7 — this
     // row existing at all proves recovery; the instrument proves HOW
     assert(r.getAs[Long]("recall_within_floor") == 1L)
-    val inst = SimilarityQueries.lastInstrument.get("ann_pq_incremental")
+    // dir-qualified key: race-free against PqIncrementalSpec's parallel
+    // run on its own corpus
+    val inst = SimilarityQueries.lastInstrument.get(s"ann_pq_incremental@$dir")
     assert(inst("recall_base") < SimilarityQueries.PqIncProbeTarget,
       s"stress failed to drive the base-pool recall under the target " +
         s"(got ${inst("recall_base")}) — the escalation branch never ran")
@@ -112,13 +111,12 @@ class PqDriftEscalationSpec extends AnyFunSuite {
       s"escalated pool ${inst("rerank_pool")} outside (base, n/8]")
     assert(inst("encoded_delta") == r.getAs[Long]("n_delta").toDouble,
       "the maintain under stress must still encode ONLY the delta")
-    val ph = SimilarityQueries.lastPqIncPhases
+    val ph = SimilarityQueries.lastPqIncPhasesByDir.get(dir)
     assert(ph.contains("search_escalated"),
       s"escalated search phase missing from attribution: ${ph.keys}")
     info(s"drift stress: recall_base=${inst("recall_base")} -> " +
       s"recall=${inst("recall")} escalations=${inst("rerank_escalations")} " +
       s"pool=${inst("rerank_pool")} (cap ${N / 8}) " +
       s"encoded_delta=${inst("encoded_delta")}")
-    }
   }
 }

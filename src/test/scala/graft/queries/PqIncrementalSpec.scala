@@ -20,9 +20,6 @@ class PqIncrementalSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("maintain is delta-only, idempotent, and deterministic across runs") {
-    // lock shared with PqDriftEscalationSpec: both suites run the SAME
-    // query and read the SAME instrument key under parallel execution
-    SimilarityQueries.instrumentLock.synchronized {
     val row1 = SparkEntry.queries("ann_pq_incremental")(spark, sf).collect()
     assert(row1.length == 1)
     val r = row1.head
@@ -33,7 +30,9 @@ class PqIncrementalSpec extends AnyFunSuite {
     assert(r.getAs[Long]("encoded_delta_only") == 1L)
     assert(r.getAs[Long]("reapply_noop") == 1L)
     assert(r.getAs[Long]("recall_within_floor") == 1L)
-    val inst1 = SimilarityQueries.lastInstrument.get("ann_pq_incremental")
+    // dir-qualified key: race-free against PqDriftEscalationSpec's
+    // parallel run on its own corpus
+    val inst1 = SimilarityQueries.lastInstrument.get(s"ann_pq_incremental@$sf")
     assert(inst1("encoded_delta") == nDelta.toDouble,
       "the instrument must record the delta-only encode count")
     // drift policy: the probe-escalated re-rank must hold the raised
@@ -74,7 +73,7 @@ class PqIncrementalSpec extends AnyFunSuite {
 
     val row2 = SparkEntry.queries("ann_pq_incremental")(spark, sf).collect()
     assert(row2.head == r, "the emitted row must not depend on run count")
-    val inst2 = SimilarityQueries.lastInstrument.get("ann_pq_incremental")
+    val inst2 = SimilarityQueries.lastInstrument.get(s"ann_pq_incremental@$sf")
     assert(inst2("recall") == inst1("recall"),
       "restore-reset + re-maintain must reproduce the identical search")
     val cbStamp2 = mtimeMax(cbPath)
@@ -102,6 +101,5 @@ class PqIncrementalSpec extends AnyFunSuite {
       "pristine v0 must survive (the restore target is never vacuumed)")
     assert(hist.last.op == "append",
       s"the latest commit must be the maintain's append, got ${hist.last.op}")
-    }
   }
 }
