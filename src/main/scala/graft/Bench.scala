@@ -90,7 +90,12 @@ object Bench {
     * artifact so a consumer cannot mistake elided metrology for
     * measurement; BenchCoverageSpec pins the list to real queries. */
   private[graft] val gatedRows = Seq("ann_lsh_recall", "ann_ivf_recall",
-    "ann_pq_recall", "dedup_simhash", "ann_pq_incremental")
+    "ann_pq_recall", "dedup_simhash", "ann_pq_incremental",
+    // r14: the sketch-audit scans (KLL rank error, KMV drift) ride the
+    // Gates switch — with gates off the *_within_bound fields are the
+    // spec-proven constants (KllSketchSpec/KmvSketchSpec) and the rows
+    // skip one full fact-table verification pass each
+    "q_quantile_sketch", "q_profile_sketch")
 
   /** Rows benched on the production float kernels instead of the
     * exact-decimal tier (Exact scaladoc) — a cross-policy A/B ratio on

@@ -416,19 +416,32 @@ object CoreQueries extends QueryPack {
       |""".stripMargin.trim).collect()(0)
     val qs = first.getSeq[Double](0)
     val n = first.getLong(1)
-    val ranks = s.sql(s"""
-      |SELECT
-      |  SUM(CASE WHEN l_extendedprice <= ${qs(0)} THEN 1 ELSE 0 END) AS r50,
-      |  SUM(CASE WHEN l_extendedprice <= ${qs(1)} THEN 1 ELSE 0 END) AS r90,
-      |  SUM(CASE WHEN l_extendedprice <= ${qs(2)} THEN 1 ELSE 0 END) AS r99
-      |FROM lineitem
-      |""".stripMargin.trim).collect()(0)
-    val errs = Seq(0.5, 0.9, 0.99).zipWithIndex.map { case (phi, i) =>
-      math.abs(ranks.getLong(i).toDouble / n - phi)
+    // rank-error audit: one EXTRA full conditional-count pass over the
+    // fact table that feeds ONLY the require — pure metrology, so it
+    // rides the Gates switch like every other in-query verification
+    // (r14; Verify/opscale keep it on, bench/production skip a whole
+    // corpus scan). The sketch pass above stays unconditionally: it IS
+    // the operator under test.
+    // With gates off `kll_within_bound` is the spec-proven constant 1
+    // (KllSketchSpec pins the k=200 bound; the require here would have
+    // failed the gated run otherwise) — same convention as the ANN
+    // recall instruments, and the row is tagged in Bench.gatedRows.
+    val kllWithinBound: Int = if (!Gates.enabled) 1 else {
+      val ranks = s.sql(s"""
+        |SELECT
+        |  SUM(CASE WHEN l_extendedprice <= ${qs(0)} THEN 1 ELSE 0 END) AS r50,
+        |  SUM(CASE WHEN l_extendedprice <= ${qs(1)} THEN 1 ELSE 0 END) AS r90,
+        |  SUM(CASE WHEN l_extendedprice <= ${qs(2)} THEN 1 ELSE 0 END) AS r99
+        |FROM lineitem
+        |""".stripMargin.trim).collect()(0)
+      val errs = Seq(0.5, 0.9, 0.99).zipWithIndex.map { case (phi, i) =>
+        math.abs(ranks.getLong(i).toDouble / n - phi)
+      }
+      val maxErr = errs.max
+      require(maxErr <= 0.02,
+        s"kll_quantiles rank error $maxErr exceeds the k=200 bound 0.02")
+      if (maxErr <= 0.02) 1 else 0
     }
-    val maxErr = errs.max
-    require(maxErr <= 0.02,
-      s"kll_quantiles rank error $maxErr exceeds the k=200 bound 0.02")
     s.sql(s"""
       |WITH r AS (
       |  SELECT l_extendedprice AS x,
@@ -439,7 +452,7 @@ object CoreQueries extends QueryPack {
       |  MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN x END) AS p50_exact,
       |  MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN x END) AS p90_exact,
       |  MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN x END) AS p99_exact,
-      |  CAST(${if (maxErr <= 0.02) 1 else 0} AS BIGINT) AS kll_within_bound,
+      |  CAST($kllWithinBound AS BIGINT) AS kll_within_bound,
       |  MAX(n) AS n_rows
       |FROM r
       |""".stripMargin.trim)
@@ -548,19 +561,27 @@ object CoreQueries extends QueryPack {
     val kmv = r.getLong(1)
     val qs = r.getSeq[Double](2)
     val modes = r.getMap[String, Long](3)
-    val exact = s.sql(s"""
-      |SELECT COUNT(DISTINCT l_partkey),
-      |  SUM(CASE WHEN l_extendedprice <= ${qs(0)} THEN 1 ELSE 0 END),
-      |  SUM(CASE WHEN l_extendedprice <= ${qs(1)} THEN 1 ELSE 0 END),
-      |  SUM(CASE WHEN l_extendedprice <= ${qs(2)} THEN 1 ELSE 0 END)
-      |FROM lineitem
-      |""".stripMargin.trim).collect()(0)
-    val kmvErr = math.abs(kmv - exact.getLong(0).toDouble) / exact.getLong(0)
-    require(kmvErr <= 0.05, s"KMV drifted $kmvErr from exact at k=1024")
-    val rankErr = Seq(0.25, 0.5, 0.75).zipWithIndex.map { case (phi, i) =>
-      math.abs(exact.getLong(i + 1).toDouble / nRows - phi)
-    }.max
-    require(rankErr <= 0.02, s"KLL rank error $rankErr exceeds the k=200 bound")
+    // sketch-accuracy audit (KMV vs exact distinct, KLL rank error):
+    // one EXTRA full aggregate pass over the fact table that feeds ONLY
+    // the two requires — pure metrology, gated like every other
+    // in-query verification (r14). The one-scan sketch pass above and
+    // the exact-modes groupBy below stay unconditionally: the sketches
+    // are the operator under test and the modes feed the OUTPUT.
+    if (Gates.enabled) {
+      val exact = s.sql(s"""
+        |SELECT COUNT(DISTINCT l_partkey),
+        |  SUM(CASE WHEN l_extendedprice <= ${qs(0)} THEN 1 ELSE 0 END),
+        |  SUM(CASE WHEN l_extendedprice <= ${qs(1)} THEN 1 ELSE 0 END),
+        |  SUM(CASE WHEN l_extendedprice <= ${qs(2)} THEN 1 ELSE 0 END)
+        |FROM lineitem
+        |""".stripMargin.trim).collect()(0)
+      val kmvErr = math.abs(kmv - exact.getLong(0).toDouble) / exact.getLong(0)
+      require(kmvErr <= 0.05, s"KMV drifted $kmvErr from exact at k=1024")
+      val rankErr = Seq(0.25, 0.5, 0.75).zipWithIndex.map { case (phi, i) =>
+        math.abs(exact.getLong(i + 1).toDouble / nRows - phi)
+      }.max
+      require(rankErr <= 0.02, s"KLL rank error $rankErr exceeds the k=200 bound")
+    }
     val exactModes = s.sql(
       "SELECT l_returnflag, COUNT(*) FROM lineitem GROUP BY l_returnflag")
       .collect().map(r2 => r2.getString(0) -> r2.getLong(1)).toMap
