@@ -103,6 +103,15 @@ object Bench {
   private[graft] val floatRows = Seq("dedup_semantic", "ann_pq_topk",
     "ann_pq_recall", "ann_lsh_cosine", "ann_lsh_recall")
 
+  /** Rows whose in-band layout/selectivity AUDIT (surfacedRows driver
+    * decode passes feeding only requires) rides the Gates switch since
+    * r14 — their OUTPUT fields are real measurements in every mode, but
+    * a cross-round A/B ratio on them measures the removed audit work,
+    * not an operator speedup; bench_ab.py excludes them across the
+    * policy boundary like the other tag lists. */
+  private[graft] val auditGatedRows = Seq("dwrf_zorder_scan",
+    "dwrf_bloom_stride", "dwrf_optimize_scan")
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val n = s.length
@@ -247,6 +256,7 @@ object Bench {
     val tags =
       s""""provenance":"$provenance","written_utc":"$writtenUtc",""" +
       s""""gated_constant_rows":${gatedRows.mkString("[\"", "\",\"", "\"]")},""" +
+      s""""audit_gated_rows":${auditGatedRows.mkString("[\"", "\",\"", "\"]")},""" +
       s""""arith":"float","arith_float_rows":${floatRows.mkString("[\"", "\",\"", "\"]")}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"stat":"median","order":"seeded-shuffle-per-pass",$ctx,$tags,"rows":$rowsJson,"samples":$perSample}"""
     // compact reprint WITHOUT the samples array: the driver's tail

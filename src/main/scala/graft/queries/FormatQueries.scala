@@ -465,26 +465,33 @@ object FormatQueries extends QueryPack {
         .option("row.index.stride", "1024")
         .option("sort.columns", "z")
         .save(out))
-    val (pkRows, pkSkip, _) = graft.sources.dwrf.DwrfUtil.surfacedRows(
-      out, "l_partkey", Seq(LessThanOrEqual("l_partkey", pkHi)))
-    val (skRows, skSkip, _) = graft.sources.dwrf.DwrfUtil.surfacedRows(
-      out, "l_suppkey", Seq(LessThanOrEqual("l_suppkey", skHi)))
-    // the band selects ~1/16 of rows; ≤1/4 surfaced allows generous
-    // stride-boundary overhang while still failing loudly if the sorted
-    // write or the stride stats regress to reading everything. The
-    // 4-stride floor keeps the bound meaningful at tiny SFs where the
-    // whole table is only a handful of strides.
-    val cap = math.max(total / 4, 4 * 1024L)
-    // the strides-skipped>0 assertion needs enough strides for the z
-    // geometry to exist at all (a ~6-stride sf0.001 table has no
-    // sub-quad to skip); the row cap always applies
-    val enoughStrides = total >= 16 * 1024L
-    require(pkRows <= cap && (!enoughStrides || pkSkip > 0),
-      s"z-ordered scan must stride-skip on l_partkey: " +
-        s"surfaced $pkRows of $total rows (cap $cap), $pkSkip strides skipped")
-    require(skRows <= cap && (!enoughStrides || skSkip > 0),
-      s"z-ordered scan must stride-skip on l_suppkey: " +
-        s"surfaced $skRows of $total rows (cap $cap), $skSkip strides skipped")
+    // layout audit: two single-threaded driver decode passes
+    // (surfacedRows) that feed ONLY the requires — pure metrology, so
+    // it rides the Gates switch (r14) like every other in-query
+    // verification; Verify and the opscale harness keep it on, and the
+    // skip geometry is also measured at scale in BenchFormats.
+    if (Gates.enabled) {
+      val (pkRows, pkSkip, _) = graft.sources.dwrf.DwrfUtil.surfacedRows(
+        out, "l_partkey", Seq(LessThanOrEqual("l_partkey", pkHi)))
+      val (skRows, skSkip, _) = graft.sources.dwrf.DwrfUtil.surfacedRows(
+        out, "l_suppkey", Seq(LessThanOrEqual("l_suppkey", skHi)))
+      // the band selects ~1/16 of rows; ≤1/4 surfaced allows generous
+      // stride-boundary overhang while still failing loudly if the sorted
+      // write or the stride stats regress to reading everything. The
+      // 4-stride floor keeps the bound meaningful at tiny SFs where the
+      // whole table is only a handful of strides.
+      val cap = math.max(total / 4, 4 * 1024L)
+      // the strides-skipped>0 assertion needs enough strides for the z
+      // geometry to exist at all (a ~6-stride sf0.001 table has no
+      // sub-quad to skip); the row cap always applies
+      val enoughStrides = total >= 16 * 1024L
+      require(pkRows <= cap && (!enoughStrides || pkSkip > 0),
+        s"z-ordered scan must stride-skip on l_partkey: " +
+          s"surfaced $pkRows of $total rows (cap $cap), $pkSkip strides skipped")
+      require(skRows <= cap && (!enoughStrides || skSkip > 0),
+        s"z-ordered scan must stride-skip on l_suppkey: " +
+          s"surfaced $skRows of $total rows (cap $cap), $skSkip strides skipped")
+    }
     val back = s.read.format("dwrf").load(out)
     def band(name: String, cond: org.apache.spark.sql.Column) =
       back.filter(cond).agg(
@@ -770,14 +777,19 @@ object FormatQueries extends QueryPack {
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     val keys = Seq(lo, hi, (lo + hi) / 2)
-    val numStrides = (n + StrideRows - 1) / StrideRows
-    val (surfaced, skipped, _) = DwrfUtil.surfacedRows(
-      out, "l_orderkey", Seq(In("l_orderkey", keys.toArray[Any])))
-    require(skipped >= numStrides / 2,
-      s"stride blooms must refute >= half of $numStrides strides, " +
-        s"skipped $skipped (surfaced $surfaced rows)")
-    require(surfaced <= 8L * StrideRows,
-      s"a 3-key lookup must surface ~3 strides, surfaced $surfaced rows")
+    // bloom-refutation audit: a driver decode pass feeding ONLY the
+    // requires — gated metrology (r14); Verify/opscale keep it on and
+    // the 2.56M-row skip geometry lives in BenchFormats/opscale_fmt64.
+    if (Gates.enabled) {
+      val numStrides = (n + StrideRows - 1) / StrideRows
+      val (surfaced, skipped, _) = DwrfUtil.surfacedRows(
+        out, "l_orderkey", Seq(In("l_orderkey", keys.toArray[Any])))
+      require(skipped >= numStrides / 2,
+        s"stride blooms must refute >= half of $numStrides strides, " +
+          s"skipped $skipped (surfaced $surfaced rows)")
+      require(surfaced <= 8L * StrideRows,
+        s"a 3-key lookup must surface ~3 strides, surfaced $surfaced rows")
+    }
     s.read.format("dwrf").load(out)
       .filter(col("l_orderkey").isin(keys: _*))
       .select(col("l_orderkey"),
@@ -1259,18 +1271,27 @@ object FormatQueries extends QueryPack {
       .option("row.index.stride", "1024").save(out)
     DwrfLog.enable(root, conf)
     val band = LessThan("l_orderkey", keyMax / 16 + 1)
-    val (preRows, _, _) = DwrfUtil.surfacedRows(out, "l_orderkey", Seq(band))
+    // selectivity audit: the PRE-optimize surfacedRows pass decodes the
+    // whole un-pruned table single-threaded on the driver (by
+    // construction nothing can skip before the rewrite) and both passes
+    // feed ONLY the require — gated metrology (r14); Verify/opscale
+    // keep it on. The cheap own-commit check below stays unconditional.
+    val preRows = if (Gates.enabled)
+      DwrfUtil.surfacedRows(out, "l_orderkey", Seq(band))._1
+    else -1L
     val res = DwrfOptimize.rewrite(s, out, Seq("l_orderkey"),
       targetBytes = 16L * 1024 * 1024)
     require(res.version == 1L &&
       DwrfLog.latest(root, conf).exists(_.op == "optimize"),
       s"optimize must commit one op=optimize version, got $res")
     DwrfLog.vacuum(root, conf, retainLast = 1)
-    val (postRows, postStrides, postStripes) =
-      DwrfUtil.surfacedRows(out, "l_orderkey", Seq(band))
-    require(postRows * 4 <= preRows && postStrides + postStripes > 0,
-      s"optimize must make the range scan selective: surfaced " +
-        s"$preRows -> $postRows rows, ${postStrides + postStripes} skips")
+    if (Gates.enabled) {
+      val (postRows, postStrides, postStripes) =
+        DwrfUtil.surfacedRows(out, "l_orderkey", Seq(band))
+      require(postRows * 4 <= preRows && postStrides + postStripes > 0,
+        s"optimize must make the range scan selective: surfaced " +
+          s"$preRows -> $postRows rows, ${postStrides + postStripes} skips")
+    }
     s.read.format("dwrf").load(out)
       .filter($"l_orderkey" < keyMax / 16 + 1)
       .agg(count(lit(1)).as("n_rows"),

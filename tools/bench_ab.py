@@ -48,7 +48,8 @@ def main():
     # while two same-policy artifacts exclude nothing — those ratios are
     # genuine code measurements and must keep moving the headline.
     excluded = set()
-    for key in ("gated_constant_rows", "arith_float_rows"):
+    for key in ("gated_constant_rows", "arith_float_rows",
+                "audit_gated_rows"):
         excluded |= set(bmeta.get(key) or []) ^ set(hmeta.get(key) or [])
     excl_ratios = {q: r for q, r in ratios.items() if q in excluded}
     ratios = {q: r for q, r in ratios.items() if q not in excluded}
