@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 // Measurement probe (guide §1.4): quantifies how much lighter the
 // benched `df.count()` action is than a full-materialization noop
@@ -8,14 +7,7 @@ import org.apache.spark.sql.SparkSession
 // timed-action note. Same session shape and env contract as Bench.
 object CountNoopProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = BenchSession.build()
     graft.queries.Gates.disableForBench()
     graft.queries.Exact.disableForBench()
     val qs = SparkEntry.queries

@@ -440,7 +440,7 @@ object CoreQueries extends QueryPack {
       val maxErr = errs.max
       require(maxErr <= 0.02,
         s"kll_quantiles rank error $maxErr exceeds the k=200 bound 0.02")
-      if (maxErr <= 0.02) 1 else 0
+      1 // the require above already threw on any other outcome
     }
     s.sql(s"""
       |WITH r AS (
