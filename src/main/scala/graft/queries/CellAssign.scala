@@ -67,9 +67,23 @@ private[graft] object CellAssign {
 
   def geom(cents: Array[Array[Double]]): Geom = {
     val h = prefix(cents.head.length)
-    Geom(h,
-      cents.map(c => math.sqrt(fdot(c, h, c, h, c.length - h))),
-      cents.map(c => math.sqrt(fdot(c, 0, c, 0, c.length))))
+    val rest = cents.map(c => math.sqrt(fdot(c, h, c, h, c.length - h)))
+    val norms = cents.map(c => math.sqrt(fdot(c, 0, c, 0, c.length)))
+    // fail-loud contract covers CENTROIDS too (r14 review): a NaN
+    // centroid coordinate makes env(j) NaN, every bound comparison on
+    // cell j false, and the cell silently drops out of contention —
+    // returning a plausible-looking wrong argmax instead of an error
+    // (the SQL twin would surface the NaN cell; vec_dot_exact throws).
+    // ‖c‖ is NaN/Inf iff some coordinate is, so one check per cell.
+    var i = 0
+    while (i < norms.length) {
+      require(!java.lang.Double.isNaN(norms(i)) &&
+          !java.lang.Double.isInfinite(norms(i)),
+        s"CellAssign: non-finite centroid $i — a NaN/Inf coordinate " +
+          "would silently defeat the pruning bounds; reject it loudly")
+      i += 1
+    }
+    Geom(h, rest, norms)
   }
 
   private def margin(d: Int, vNorm: Double, cNorm: Double): Double =
@@ -285,6 +299,15 @@ private[graft] object CellAssign {
     val sums = assigned.aggregateByKey((null: Array[Long], 0L))(
       { case ((acc0, cnt), vSeq) =>
         val acc = if (acc0 == null) new Array[Long](vSeq.length) else acc0
+        // fail loud on ragged input (r14 review): the accumulator is
+        // sized from the FIRST vector seen per (partition, cell), so a
+        // longer vector would otherwise have its tail coordinates
+        // silently dropped — a wrong centroid with no error, in a
+        // function whose contract is bit-identity with the row-exploded
+        // groupBy (which averages every position present).
+        require(vSeq.length == acc.length,
+          s"decimalMeans: ragged vector (dims ${vSeq.length} vs " +
+            s"${acc.length} in the same cell)")
         var i = 0
         while (i < acc.length) {
           acc(i) = Math.addExact(acc(i),
@@ -297,6 +320,8 @@ private[graft] object CellAssign {
         if (a == null) (b, ca + cb)
         else if (b == null) (a, ca + cb)
         else {
+          require(a.length == b.length,
+            s"decimalMeans: ragged partials (dims ${a.length} vs ${b.length})")
           var i = 0
           while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
           (a, ca + cb)

@@ -289,14 +289,25 @@ object DwrfLog {
             catch { case _: java.io.IOException => false }
           if (!wrote) true
           else {
-            val v =
-              try { java.nio.file.Files.createLink(dst, src); true }
-              catch {
-                case _: UnsupportedOperationException |
-                     _: java.io.IOException => false
-              }
-            linkProbe.putIfAbsent(key, v)
-            v
+            // only UnsupportedOperationException is EVIDENCE of a
+            // linkless filesystem and safe to memoize; a transient
+            // IOException on a link-capable mount must NOT be cached as
+            // "no links" — that would permanently and silently downgrade
+            // commit arbitration to the racy exists+rename path (the
+            // exact lost-update race link(2) exists to close). Report
+            // "supported" WITHOUT caching instead: the commit path's own
+            // createLink rethrows the real error loudly and the next
+            // commit re-probes once the condition clears.
+            try {
+              java.nio.file.Files.createLink(dst, src)
+              linkProbe.putIfAbsent(key, true)
+              true
+            } catch {
+              case _: UnsupportedOperationException =>
+                linkProbe.putIfAbsent(key, false)
+                false
+              case _: java.io.IOException => true
+            }
           }
         } finally {
           java.nio.file.Files.deleteIfExists(dst)

@@ -200,4 +200,34 @@ class CellAssignSpec extends AnyFunSuite {
       graft.functions.VecKernelExact.castDecimal12Unscaled(Double.NaN)
     }.getMessage.contains("non-finite"))
   }
+
+  test("decimalMeans fails loudly on ragged vectors instead of " +
+      "silently truncating the tail coordinates (r14 review)") {
+    val spark = graft.sources.dwrf.TestSpark.spark
+    val ok = spark.sparkContext.parallelize(Seq(
+      (0, Seq(1.0, 2.0)), (0, Seq(3.0, 4.0)), (1, Seq(5.0, 6.0))), 2)
+    val means = CellAssign.decimalMeans(ok)
+    assert(means(0).toSeq == Seq(2.0, 3.0) && means(1).toSeq == Seq(5.0, 6.0))
+    val ragged = spark.sparkContext.parallelize(Seq(
+      (0, Seq(1.0, 2.0)), (0, Seq(3.0, 4.0, 9.0))), 1)
+    val e = intercept[org.apache.spark.SparkException] {
+      CellAssign.decimalMeans(ragged)
+    }
+    assert(e.getMessage.contains("ragged") ||
+      Option(e.getCause).exists(_.getMessage.contains("ragged")))
+  }
+
+  test("a non-finite CENTROID coordinate fails loudly at geometry " +
+      "construction (r14 review: NaN envelope terms would otherwise " +
+      "silently drop the cell from contention)") {
+    val rnd = new scala.util.Random(7L)
+    val d = 64
+    for (poison <- Seq(Double.NaN, Double.PositiveInfinity)) {
+      val cents = Array.fill(8)(gen(rnd, d))
+      cents(3)(11) = poison
+      assert(intercept[IllegalArgumentException] {
+        CellAssign.geom(cents)
+      }.getMessage.contains("non-finite centroid"))
+    }
+  }
 }

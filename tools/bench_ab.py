@@ -47,6 +47,16 @@ def main():
     # artifact (empty lists) vs a tagged one excludes the tagged rows,
     # while two same-policy artifacts exclude nothing — those ratios are
     # genuine code measurements and must keep moving the headline.
+    #
+    # Known conservative bias (r14 review): a pre-tag-SCHEMA artifact is
+    # indistinguishable from a pre-POLICY one, so comparing against an
+    # older artifact whose Bench did not emit the field excludes rows
+    # even when both runs actually shared the policy (e.g. gates were
+    # already off on both sides) — genuine code wins on those rows then
+    # stop moving the headline. The bias UNDERSTATES improvements (the
+    # excluded-rows geomean is still printed separately); preferring a
+    # false exclusion over accidentally selling a policy change as a
+    # code speedup is deliberate.
     excluded = set()
     for key in ("gated_constant_rows", "arith_float_rows",
                 "audit_gated_rows"):
