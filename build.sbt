@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract (VERDICT r14 #1): the forked run's stdout must
+// reach the driver UNDECORATED and LAST. StdoutOutput inherits this
+// process's stdout (no "[info] " prefix on the JSON summary line) and
+// showSuccess := false suppresses the trailing "[success] Total time …"
+// footer — every BENCH_rN through r14 recorded parsed:null because the
+// summary line was prefixed and followed by the footer.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — exclude it
+// from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -135,6 +135,19 @@ object Bench {
   private[graft] val auditGatedRows = Seq("dwrf_zorder_scan",
     "dwrf_bloom_stride", "dwrf_optimize_scan")
 
+  /** Rows whose pass-1 sample pays a JVM-lifetime memoized cost — the
+    * trained IVF/PQ structures (`trainCache`) and the exact-top-20
+    * recall denominator (`exactTopCache`) — that passes 2+ reuse: the
+    * standing-index lifecycle (train once, search many). The artifact
+    * carries their pass-1 vs median split (`train_pass1` holds the raw
+    * pass-1 seconds; the median is the warm search path) so no consumer
+    * mistakes warm medians for cold cost (VERDICT r14 "What's wrong" #3).
+    * Nothing persists across JVM invocations: every bench run pays the
+    * full training in its own pass 1. */
+  private[graft] val cachedStructureRows = Seq("ann_ivf_topk",
+    "ann_ivf_recall", "ann_pq_topk", "ann_pq_recall", "ann_pq_persisted",
+    "ann_pq_incremental", "ann_lsh_recall")
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val n = s.length
@@ -240,6 +253,30 @@ object Bench {
       spark.stop()
       sys.exit(1)
     }
+    // Optional noop-sink pass (guide §1.4; VERDICT r14 #7): one extra
+    // pass timing df.write.format("noop") per query — count() lets the
+    // optimizer prune a final aggregate's unreferenced expressions
+    // (measured 5.2× on q1_pricing by CountNoopProbe), the noop sink
+    // computes every column of every row. Recorded as "queries_noop" in
+    // the full artifact; the 14-round count() series stays the
+    // comparison key ("value"/"queries" are untouched). Off by default
+    // so the driver's wall time and methodology stay unchanged.
+    val noopTimes: Option[Map[String, Double]] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_NOOP").contains("1")) Some {
+        val order = new scala.util.Random(0x9e3779b9L + passes + 1).shuffle(names)
+        order.map { name =>
+          spark.sparkContext.setJobDescription(s"bench[noop]: $name")
+          val t0 = System.nanoTime()
+          try queries(name)(spark, sfDir).write.format("noop")
+            .mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] noop $name failed: ${e.getMessage}")
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.setJobDescription(null)
+          name -> dt
+        }.toMap
+      } else None
     val results = names.map(n => n -> median(samples.map(_(n))))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -277,8 +314,17 @@ object Bench {
       s""""provenance":"$provenance","written_utc":"$writtenUtc",""" +
       s""""gated_constant_rows":${gatedRows.mkString("[\"", "\",\"", "\"]")},""" +
       s""""audit_gated_rows":${auditGatedRows.mkString("[\"", "\",\"", "\"]")},""" +
-      s""""arith":"float","arith_float_rows":${floatRows.mkString("[\"", "\",\"", "\"]")}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"stat":"median","order":"seeded-shuffle-per-pass",$ctx,$tags,"rows":$rowsJson,"samples":$perSample}"""
+      s""""arith":"float","arith_float_rows":${floatRows.mkString("[\"", "\",\"", "\"]")},""" +
+      // train/search split for the standing-index rows: pass 1 pays the
+      // JVM-lifetime training (cold), the median is the warm search path
+      s""""cached_structure_rows":${cachedStructureRows.mkString("[\"", "\",\"", "\"]")},""" +
+      s""""train_pass1":${cachedStructureRows.filter(samples.head.contains)
+        .map(n => "\"" + n + "\":" + samples.head(n)).mkString("{", ",", "}")}"""
+    val noopField = noopTimes.map(m =>
+      s""""queries_noop":${names.filter(m.contains)
+        .map(n => "\"" + n + "\":" + f"${m(n)}%.3f").mkString("{", ",", "}")},"""
+    ).getOrElse("")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"stat":"median","order":"seeded-shuffle-per-pass",$ctx,$tags,$noopField"rows":$rowsJson,"samples":$perSample}"""
     // compact reprint WITHOUT the samples array: the driver's tail
     // capture keeps the LAST 2000 bytes of output, so the final line
     // must carry the total and the per-query medians AND fit that
@@ -351,6 +397,15 @@ object Bench {
       java.nio.file.Files.write(committed,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
+    // fixed-path mirror of the FINAL summary line (VERDICT r14 #1): a
+    // consumer whose stdout capture is decorated or truncated can parse
+    // this file instead — always the latest run's summary, full or
+    // filtered, never committed (bench/bench_rNN.json is the artifact
+    // of record)
+    val lastSummary = java.nio.file.Paths.get("bench/last_summary.json")
+    java.nio.file.Files.createDirectories(lastSummary.getParent)
+    java.nio.file.Files.write(lastSummary,
+      (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val raw = new java.io.PrintStream(new java.io.FileOutputStream(
       java.io.FileDescriptor.out), true, "UTF-8")
     raw.println(line)

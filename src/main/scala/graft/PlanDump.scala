@@ -17,7 +17,10 @@ import org.apache.spark.sql.execution.ExplainMode
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_OUT", "plans/r14")
+    // neutral default (ADVICE r14): a round-specific default would let a
+    // future round that forgets the env var silently overwrite committed
+    // plan evidence with same-named files
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_OUT", "plans/scratch")
     val suffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "after")
     val spark = BenchSession.build()
     val exact = sys.env.get("SPARK_GRAFT_PLAN_EXACT").contains("1")
@@ -31,9 +34,15 @@ object PlanDump {
     }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val queries = SparkEntry.queries
+    // scripted evidence generation must be able to DETECT a failed dump
+    // (ADVICE r14): NonFatal only — a fatal error propagates — and any
+    // per-query failure (including an unknown name) exits nonzero
+    var failed = 0
     args.foreach { name =>
       queries.get(name) match {
-        case None => System.err.println(s"[plandump] unknown query: $name")
+        case None =>
+          System.err.println(s"[plandump] unknown query: $name")
+          failed += 1
         case Some(fn) =>
           try {
             val df = fn(spark, sfDir)
@@ -46,11 +55,16 @@ object PlanDump {
               (header + txt).getBytes(java.nio.charset.StandardCharsets.UTF_8))
             println(s"[plandump] wrote $outDir/${name}_$suffix.txt")
           } catch {
-            case e: Throwable =>
+            case scala.util.control.NonFatal(e) =>
               System.err.println(s"[plandump] $name FAILED: ${e.getMessage}")
+              failed += 1
           }
       }
     }
     spark.stop()
+    if (failed > 0) {
+      System.err.println(s"[plandump] $failed dump(s) failed")
+      sys.exit(1)
+    }
   }
 }

@@ -19,6 +19,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_VERIFY_MODE=bench runs the dump under the BENCH policy
+    // (gates off, production float arithmetic) so the configuration the
+    // bench actually times can be oracle-checked end-to-end (VERDICT r14
+    // #2) — the default stays exact+gates-on, which is what the driver
+    // runs. The oracle SQL is identical in both modes: the float rows'
+    // parity claim (ExactFloatParitySpec) is that the answers match
+    // hash-exactly anyway.
+    if (sys.env.get("SPARK_GRAFT_VERIFY_MODE").contains("bench")) {
+      System.err.println("[verify] BENCH-MODE dump: gates off, float arithmetic")
+      graft.queries.Gates.disableForBench()
+      graft.queries.Exact.disableForBench()
+    }
     new java.io.File(outDir).mkdirs()
     // Optional local-iteration filter (the driver never sets this):
     // SPARK_GRAFT_ONLY=a,b,c restricts the dump to the named queries.

@@ -58,7 +58,7 @@ object DedupQueries extends QueryPack {
   private val shingle5Sql = "word_shingle_hashes(text, 5)"
 
   private def ngramJaccardFull(s: SparkSession, dir: String,
-      cache: Boolean = true): (DataFrame, DataFrame) = {
+      cache: Boolean = true, sorted: Boolean = true): (DataFrame, DataFrame) = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     // join on the 64-bit shingle hash, not the string: the shuffle carries
@@ -73,9 +73,14 @@ object DedupQueries extends QueryPack {
     val shingles = if (cache)
       shingles0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else shingles0
-    // per-doc distinct-shingle count straight from the kernel output —
-    // no groupBy shuffle (size of the distinct set == the exploded count)
-    val counts = docs.select($"doc_id", size(expr(shingle5Sql)).cast("long").as("n"))
+    // per-doc distinct-shingle count FROM THE PERSISTED SHINGLES (r15,
+    // guide §2.4 share one aggregation): the kernel emits each doc's
+    // distinct set, so count-per-doc over the exploded rows == size of
+    // the set — a map-side-combined groupBy over cached rows, where the
+    // previous size(word_shingle_hashes(text,5)) projection re-read and
+    // re-hashed the whole text corpus once per counts consumer (twice:
+    // the n_a and n_b join sides)
+    val counts = shingles.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     // Skew bound: the join-key distribution is the shingle DF histogram —
     // one viral boilerplate 5-gram in k docs makes k² pairs in ONE task.
     // Shingles with df > 50 are dropped from the JOIN ONLY (per-doc sizes
@@ -93,13 +98,17 @@ object DedupQueries extends QueryPack {
     val inter = a.join(b, $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
       .agg(count(lit(1)).as("n_common"))
-    val result = inter
+    val pairs = inter
       .join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
       .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
       .select($"id_a", $"id_b", $"n_common",
         ($"n_common" / ($"n_a" + $"n_b" - $"n_common")).as("jaccard"))
       .filter($"jaccard" >= 0.5)
-      .orderBy($"id_a", $"id_b")
+    // sorted=false (r15): dedup_clusters consumes the pair SET — its
+    // edges are re-projected and hash-repartitioned immediately, so the
+    // declared-output total order here was a full Sort + range Exchange
+    // thrown away one operator later (guide §2.4 remove shuffles)
+    val result = if (sorted) pairs.orderBy($"id_a", $"id_b") else pairs
     (result, shingles)
   }
 
@@ -191,8 +200,12 @@ object DedupQueries extends QueryPack {
       .select($"doc_id", explode(expr(shingle5Sql)).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val counts = corpus.select($"doc_id",
-        size(expr(shingle5Sql)).cast("long").as("n"))
+      // per-doc counts from the persisted exploded shingles (r15, same
+      // share-one-aggregation move as ngramJaccardFull): the kernel
+      // emits each doc's distinct set, so count-per-doc == set size —
+      // the previous size(kernel) projection re-read and re-decoded the
+      // whole dwrf text corpus once per counts consumer
+      val counts = shAll.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val maxDf = 50
       val hot = shAll.groupBy($"g").agg(count(lit(1)).as("df"))
         .filter($"df" > maxDf).select($"g")
@@ -280,8 +293,10 @@ object DedupQueries extends QueryPack {
     // silently reshape any query running concurrently on the session)
     val starParts = 8
     // the heavy shingle join materializes at FULL parallelism (count()
-    // below) — only the loop's tiny edge tables get the partition cut
-    val (pairsDf, shingles) = ngramJaccardFull(s, dir)
+    // below) — only the loop's tiny edge tables get the partition cut;
+    // sorted=false: the edges are hash-repartitioned right below, so the
+    // pair list's declared total order would be a discarded sort
+    val (pairsDf, shingles) = ngramJaccardFull(s, dir, sorted = false)
 
     // Alternating large-star / small-star (Kiveris et al., "Connected
     // Components in MapReduce and Beyond"): edges contract toward each

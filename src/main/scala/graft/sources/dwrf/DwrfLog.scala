@@ -289,24 +289,52 @@ object DwrfLog {
             catch { case _: java.io.IOException => false }
           if (!wrote) true
           else {
-            // only UnsupportedOperationException is EVIDENCE of a
-            // linkless filesystem and safe to memoize; a transient
-            // IOException on a link-capable mount must NOT be cached as
-            // "no links" — that would permanently and silently downgrade
-            // commit arbitration to the racy exists+rename path (the
-            // exact lost-update race link(2) exists to close). Report
-            // "supported" WITHOUT caching instead: the commit path's own
-            // createLink rethrows the real error loudly and the next
-            // commit re-probes once the condition clears.
-            try {
-              java.nio.file.Files.createLink(dst, src)
-              linkProbe.putIfAbsent(key, true)
-              true
-            } catch {
-              case _: UnsupportedOperationException =>
+            // Linkless EVIDENCE that is safe to memoize (ADVICE r14): the
+            // default JVM Unix provider reports a filesystem without
+            // link(2) support (FAT/exFAT, many NFS/CIFS mounts) as a
+            // FileSystemException carrying EPERM/EOPNOTSUPP/ENOSYS — only
+            // providers that don't implement createLink at all throw
+            // UnsupportedOperationException. Classify by the specific
+            // error; an UNCLASSIFIED IOException is retried twice with
+            // fresh names, and only a CONSISTENT failure (all attempts
+            // refused while the scratch write succeeded) memoizes false —
+            // a one-off transient error still reports "supported"
+            // UNCACHED, so the commit path's own createLink fails loudly
+            // and the next commit re-probes once the condition clears
+            // (never a silent permanent downgrade to the racy
+            // exists+rename path).
+            def linklessSignature(e: java.io.IOException): Boolean = e match {
+              case fse: java.nio.file.FileSystemException =>
+                val txt = (Option(fse.getReason) ++ Option(fse.getMessage))
+                  .mkString(" ").toLowerCase
+                txt.contains("not permitted") ||      // EPERM
+                  txt.contains("not supported") ||    // EOPNOTSUPP
+                  txt.contains("function not implemented") // ENOSYS
+              case _ => false
+            }
+            def attempt(d: java.nio.file.Path): Option[Boolean] =
+              try {
+                java.nio.file.Files.createLink(d, src)
+                java.nio.file.Files.deleteIfExists(d)
+                Some(true)
+              } catch {
+                case _: UnsupportedOperationException => Some(false)
+                case e: java.io.IOException if linklessSignature(e) => Some(false)
+                case _: java.io.IOException => None // unclassified: retry
+              }
+            val verdicts = Iterator.range(0, 3)
+              .map(i => attempt(dir.resolve(s".probe-$stamp-l$i")))
+              .collectFirst { case Some(v) => v }
+            verdicts match {
+              case Some(v) => linkProbe.putIfAbsent(key, v); v
+              case None =>
+                // every attempt failed UNCLASSIFIED: consistent refusal
+                // of link(2) on a dir we can write — memoize linkless
+                // (the ADVICE retry-then-memoize contract) so the
+                // documented rename fallback is reachable on real
+                // linkless local mounts whose provider wording differs
                 linkProbe.putIfAbsent(key, false)
                 false
-              case _: java.io.IOException => true
             }
           }
         } finally {

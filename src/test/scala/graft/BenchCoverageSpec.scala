@@ -36,7 +36,8 @@ class BenchCoverageSpec extends AnyFunSuite {
     // A/B geomeans (tools/bench_ab.py keys on these artifact fields)
     for ((label, list) <- Seq("gated_constant_rows" -> Bench.gatedRows,
         "arith_float_rows" -> Bench.floatRows,
-        "audit_gated_rows" -> Bench.auditGatedRows)) {
+        "audit_gated_rows" -> Bench.auditGatedRows,
+        "cached_structure_rows" -> Bench.cachedStructureRows)) {
       val unknown = list.toSet -- SparkEntry.queries.keySet
       assert(unknown.isEmpty, s"$label names unknown queries: $unknown")
       val unbenched = list.toSet -- Bench.headline.toSet

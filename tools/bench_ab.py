@@ -77,6 +77,18 @@ def main():
               + ", ".join(f"{q}={r:.2f}" for q, r in sorted(excl_ratios.items())))
     print(f"pass_load1 base={bmeta.get('pass_load1')} "
           f"head={hmeta.get('pass_load1')}")
+    # Train/search split disclosure (r15): the cached-structure rows'
+    # pass 1 pays JVM-lifetime training, the median is the warm search
+    # path — surface both so nobody mistakes warm medians for cold cost.
+    cached = set(hmeta.get("cached_structure_rows")
+                 or bmeta.get("cached_structure_rows") or [])
+    if cached:
+        for tag, meta, qs in (("base", bmeta, base), ("head", hmeta, head)):
+            t1 = meta.get("train_pass1") or {}
+            rows = [f"{q}: pass1={t1[q]:.2f}s median={qs[q]:.2f}s"
+                    for q in sorted(cached) if q in t1 and q in qs]
+            if rows:
+                print(f"train/search split ({tag}): " + "; ".join(rows))
     flagged = {q: r for q, r in ratios.items() if r > thr or r < 1 / thr}
     for q, r in sorted(ratios.items(), key=lambda kv: -kv[1]):
         mark = " <-- " if q in flagged else ""
