@@ -33,7 +33,17 @@ object PlanDump {
       graft.queries.Exact.disableForBench()
     }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-    val queries = SparkEntry.queries
+    // Inner-plan probes for driver-materialized queries whose declared
+    // plan is just a LocalTableScan: the names below dump the actual
+    // distributed computation feeding the collect.
+    val probes: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "ngram_jaccard_inner" ->
+        ((s, d) => graft.queries.DedupQueries.ngramJaccardPlan(s, d)),
+      "dedup_clusters_edges" ->
+        ((s, d) => graft.queries.DedupQueries.ngramJaccardPlan(s, d,
+          sorted = false)))
+    val queries = SparkEntry.queries ++ probes
     // scripted evidence generation must be able to DETECT a failed dump
     // (ADVICE r14): NonFatal only — a fatal error propagates — and any
     // per-query failure (including an unknown name) exits nonzero

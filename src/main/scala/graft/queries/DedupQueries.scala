@@ -114,9 +114,13 @@ object DedupQueries extends QueryPack {
 
   // cache = false: a plan-only caller would register persist entries it
   // can never unpersist (CacheManager matches by plan, pinning blocks for
-  // any later query sharing the subtree)
-  private[queries] def ngramJaccardPlan(s: SparkSession, dir: String): DataFrame =
-    ngramJaccardFull(s, dir, cache = false)._1
+  // any later query sharing the subtree). private[graft] so PlanDump can
+  // dump the INNER pair plan (the declared queries materialize on the
+  // driver, so their own plan is a LocalTableScan); `sorted=false` is
+  // the dedup_clusters edge feed.
+  private[graft] def ngramJaccardPlan(s: SparkSession, dir: String,
+      sorted: Boolean = true): DataFrame =
+    ngramJaccardFull(s, dir, cache = false, sorted = sorted)._1
 
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     // the near-dup pair list at jaccard ≥ 0.5 is driver-sized (dup groups

@@ -1544,9 +1544,28 @@ object FormatQueries extends QueryPack {
     val rows = rolled.collect()
     val footers = DwrfPlanningProbe.footerReads.get() - fr0
     val pruned = DwrfPlanningProbe.manifestPruned.get() - mp0
-    require(pruned >= 5,
-      s"sidecar stats must prune most of the 8 range-disjoint files " +
-        s"for keys 1..1000, pruned only $pruned")
+    // r15 fix of an INHERITED sf0.001 failure (identical on the r14
+    // tag): the old floor `pruned >= 5` assumed keys 1..1000 are
+    // selective against the staged table — true at sf0.01+ but false
+    // at sf0.001, where the whole orders key span is small enough that
+    // only 2 of the 8 range files are provably outside [1, 1000].
+    // Derive the EXACT expectation from the committed sidecar itself —
+    // a file is sidecar-prunable iff its o_orderkey window is disjoint
+    // from the predicate — and require pruning to drop exactly those,
+    // at every SF. Strictly stronger where the old gate ran (equality,
+    // not a floor) and correct at tiny SFs.
+    val sums = graft.sources.dwrf.DwrfLogStats.load(root, conf, 0L)
+      .getOrElse(sys.error("dwrf_manifest_prune: v0 stats sidecar missing"))
+    require(sums.size == 8,
+      s"the v0 sidecar must summarize all 8 staged files, has ${sums.size}")
+    val prunable = sums.values.count(cols =>
+      cols.get("o_orderkey").exists(st =>
+        st.longMin <= st.longMax && (st.longMin > 1000L || st.longMax < 1L)))
+    require(prunable >= 2,
+      s"staging must leave at least 2 provably-out-of-range files, has $prunable")
+    require(pruned == prunable,
+      s"sidecar stats must prune exactly the $prunable files whose " +
+        s"o_orderkey window is disjoint from [1, 1000], pruned $pruned")
     require(footers <= 8 - pruned,
       s"planning must open footers only for sidecar survivors " +
         s"(${8 - pruned}), opened $footers")
