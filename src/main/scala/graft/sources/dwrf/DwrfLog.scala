@@ -328,13 +328,16 @@ object DwrfLog {
             verdicts match {
               case Some(v) => linkProbe.putIfAbsent(key, v); v
               case None =>
-                // every attempt failed UNCLASSIFIED: consistent refusal
-                // of link(2) on a dir we can write — memoize linkless
-                // (the ADVICE retry-then-memoize contract) so the
-                // documented rename fallback is reachable on real
-                // linkless local mounts whose provider wording differs
-                linkProbe.putIfAbsent(key, false)
-                false
+                // every attempt failed UNCLASSIFIED: the three retries
+                // run microseconds apart, so a seconds-long transient
+                // (NFS blip, quota hiccup) would look "consistent" —
+                // memoizing false here could still silently and
+                // permanently downgrade a link-capable mount to the racy
+                // exists+rename path. Report "supported" UNCACHED
+                // instead: the commit's own createLink fails loudly and
+                // the next commit re-probes; genuinely linkless mounts
+                // are served by the signature classification above.
+                true
             }
           }
         } finally {
